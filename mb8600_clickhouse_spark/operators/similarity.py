@@ -1,0 +1,139 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Two paths, mirroring production ANN systems:
+
+- ``cosine_topk``: exact brute force — a broadcast join of the (small)
+  query set against the corpus, cosine via higher-order functions
+  (zip_with dot product folded JVM-side, no UDF), then a per-query top-k
+  window. At 100 TB the corpus side stays partition-parallel and never
+  shuffles; only k rows per query per partition survive the rank.
+- ``hyperplane_lsh``: sign-random-projection LSH. A fixed seeded set of
+  hyperplanes (deterministic module constants) maps each vector to a
+  bit-string bucket; near neighbors collide with high probability. The
+  scale path: bucket ids become the shuffle key, candidate generation is
+  per-bucket instead of O(n^2).
+
+Hyperplane constants are plain Python floats so the identical literals are
+embeddable in the DuckDB oracle (differential-testable end to end).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 64
+N_HYPERPLANES = 8
+_rng = random.Random("hyperplane-lsh-42")
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(EMBEDDING_DIM)]
+    for _ in range(N_HYPERPLANES)
+]
+
+
+def as_double_vec(v: Column) -> Column:
+    """array<float> -> array<double>: all similarity math in binary64 so
+    Spark and the oracle agree bit-for-bit."""
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + left-fold aggregate (JVM codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (broadcast brute force).
+    Output: (query_id, neighbor_id, cosine_sim) with rank <= k,
+    deterministic neighbor_id tiebreak."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qvec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign-projection bucket id: one bit per hyperplane ('1' iff
+    dot(vec, plane) >= 0), concatenated into a bit-string key."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for plane in HYPERPLANES
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Attach the LSH bucket key to every row (per-row, no shuffle)."""
+    return df.withColumn("bucket", lsh_bucket(as_double_vec(F.col(vec_col))))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN candidate pairs: ids sharing a bucket (id_a < id_b)."""
+    b = lsh_bucketed(df, id_col, vec_col).select(F.col(id_col).alias("id"), "bucket")
+    return (
+        b.alias("a")
+        .join(b.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.bucket").alias("bucket"))
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate detection: LSH candidate generation then exact
+    cosine verification >= threshold. Semantics = 'pairs that collide in
+    LSH AND pass the exact check' (deterministic, oracle-matchable)."""
+    vecs = df.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+    cands = lsh_candidate_pairs(df, id_col, vec_col)
+    return (
+        cands.join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def hyperplane_sql_literal(plane: list[float]) -> str:
+    """Render one hyperplane as a DuckDB DOUBLE[] literal (oracle side)."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"

@@ -1,0 +1,542 @@
+"""Q33-Q35 + extended training-data-pipeline queries (SURVEY.md §2.F).
+
+The operators live in ``mb8600_clickhouse_spark.operators``; these wrappers
+bind them to the fixture tables and pair each with a DuckDB oracle that
+recomputes the same semantics independently (portable md5-string MinHash,
+literal hyperplanes, shared regex dialect).
+
+The documents fixture has no exact duplicates, so dedup queries synthesize
+a duplicated corpus deterministically *inside the query* (self-union with
+shifted ids) — identically in Spark and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..operators.multimodal import with_payload
+from ..tables import load_tables
+from . import query
+from .relational import round4, round6
+
+# ---------------------------------------------------------------------------
+# duplicated corpora (used by Spark + oracle identically)
+# ---------------------------------------------------------------------------
+DUP_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+NEARDUP_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+
+def _neardup_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q33 exact dedup (F1)
+# ---------------------------------------------------------------------------
+@query(
+    "q33_dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({DUP_CORPUS_SQL}),
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM corpus
+    )
+    SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM fp GROUP BY fp ORDER BY keeper
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 16-byte content fingerprint with deterministic
+    lowest-id keeper — one hash shuffle on the fingerprint, never the
+    full text (the 100 TB-safe spelling of dropDuplicates)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.exact_dedup(_dup_corpus(docs)).orderBy("keeper")
+
+
+# ---------------------------------------------------------------------------
+# Q34 cosine similarity pairs (F3)
+# ---------------------------------------------------------------------------
+@query(
+    "q34_cosine_pairs",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 50
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i]))))
+               AS cos_raw
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, CAST(CAST(cos_raw AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+    FROM p
+    ORDER BY cosine_sim DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine on a sample via zip_with/aggregate higher-order
+    functions (pure JVM, no UDF), top-20 pairs."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.filter(F.col("vec_id") < 50).select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("e")
+    )
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            round4(similarity.cosine(F.col("a.e"), F.col("b.e"))).alias("cosine_sim"),
+        )
+    )
+    return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Q35 text stats (F4)
+# ---------------------------------------------------------------------------
+@query(
+    "q35_text_stats",
+    oracle="""
+    WITH s AS (
+      SELECT lang, len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             (length(text) = n_chars) AS chars_ok
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS DECIMAL(38,4)) AS DOUBLE) AS avg_tokens,
+           bool_and(chars_ok) AS chars_ok
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics + the length(text)==n_chars fixture
+    invariant."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = docs.select(
+        "lang",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        (F.length("text") == F.col("n_chars")).alias("chars_ok"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            round4(F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+            F.bool_and("chars_ok").alias("chars_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q40 MinHash + LSH near-dup candidates (F2)
+# ---------------------------------------------------------------------------
+@query(
+    "q40_dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ),
+    mh AS (
+      SELECT doc_id, i, min(md5(s || ':' || i)) AS h
+      FROM exploded, range(12) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, (i // 3) AS band, md5(string_agg(h, ',' ORDER BY i)) AS key
+      FROM mh GROUP BY doc_id, (i // 3)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands x 3 rows) near-duplicate candidate pairs —
+    the linear-scaling dedup path: per-row signatures, shuffle only on
+    band buckets, never O(n^2) text comparisons."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.minhash_lsh_candidates(
+        _neardup_corpus(docs), shingle_n=3, k=12, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q41 exact n-gram Jaccard similarity join (F2 verification path)
+# ---------------------------------------------------------------------------
+@query(
+    "q41_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ),
+    e AS (SELECT doc_id AS id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS n FROM e GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(CAST(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS DECIMAL(38,4)) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard >= 0.5 pairs via shingle equi-join +
+    inclusion-exclusion — the exact verifier run on LSH candidates at
+    scale."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup.ngram_jaccard_pairs(_neardup_corpus(docs), shingle_n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", round4(F.col("jaccard")).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q42 SimHash near-dup sketch (rows-only: engine-internal 64-bit hashing)
+# ---------------------------------------------------------------------------
+@query("q42_dedup_simhash", oracle=None)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 fingerprints + Hamming<=10 blocking over the near-dup
+    corpus. xxhash64 is engine-internal (not portable to the oracle), so
+    the driver does a rows-only check; invariants (self-distance 0,
+    near-dup pairs close, reflexivity) are pytest-verified."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = _neardup_corpus(docs).withColumn(
+        "simhash", dedup.simhash64(F.col("text"), shingle_n=2)
+    )
+    a = corpus.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = corpus.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", dedup.hamming64(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= 10)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q43 ANN: exact brute-force cosine top-k (F3 baseline)
+# ---------------------------------------------------------------------------
+@query(
+    "q43_ann_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 50),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(
+               list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]))))
+             AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+      FROM q, c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, cosine_sim DESC, neighbor_id
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 nearest neighbors for 5 query vectors: broadcast the
+    query set, scan the corpus once, per-query heap via window rank."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double_vec(F.col("embedding")).alias("qe"),
+    )
+    c = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity.as_double_vec(F.col("embedding")).alias("ce"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        round4(similarity.cosine(F.col("qe"), F.col("ce"))).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .drop("rnk")
+        .orderBy("query_id", F.col("cosine_sim").desc(), "neighbor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q44 ANN: hyperplane-LSH bucketing (F3 scale path)
+# ---------------------------------------------------------------------------
+def _hyperplane_values_sql() -> str:
+    rows = [
+        f"({i}, {similarity.hyperplane_sql_literal(p)})"
+        for i, p in enumerate(similarity.HYPERPLANES)
+    ]
+    return ",\n      ".join(rows)
+
+
+@query(
+    "q44_ann_lsh_buckets",
+    oracle=f"""
+    WITH hp(hid, h) AS (VALUES
+      {_hyperplane_values_sql()}
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bits AS (
+      SELECT vec_id, hid,
+             CASE WHEN list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * h[i])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v, hp
+    )
+    SELECT vec_id, string_agg(bit, '' ORDER BY hid) AS bucket
+    FROM bits GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection bucket assignment (8 fixed hyperplanes):
+    the per-row, shuffle-free step that makes ANN linear at 100 TB."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.lsh_bucketed(emb).select("vec_id", "bucket").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Q45 language identification (F4)
+# ---------------------------------------------------------------------------
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        "len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')), "
+        f"[{words}]))"
+    )
+
+
+@query(
+    "q45_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS detected
+    FROM s ORDER BY doc_id
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (n-gram heuristic family) with
+    deterministic ascending-code tiebreak."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", text.lang_id(F.col("text")).alias("detected")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q46 quality scoring (F4)
+# ---------------------------------------------------------------------------
+@query(
+    "q46_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) * 4.0, 1.0) AS punct_penalty,
+        CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), t -> length(t))) AS DOUBLE)
+              / len(string_split_regex(trim(text), '\\s+')) AS wl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(
+             len_score * 0.4 + (1.0 - punct_penalty) * 0.3
+             + (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+           AS DECIMAL(38,6)) AS DOUBLE) AS quality
+    FROM s ORDER BY doc_id
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus quality heuristic: length, punctuation noise,
+    mean word length — all codegen'd column expressions."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", round6(text.quality_score(F.col("text"))).alias("quality")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q47 token counting (F4)
+# ---------------------------------------------------------------------------
+@query(
+    "q47_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS INT) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-pretokenizer token counts."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q49 embedding near-dup: LSH candidates + exact cosine verify (F2+F3)
+# ---------------------------------------------------------------------------
+@query(
+    "q49_embedding_neardup",
+    oracle=f"""
+    WITH hp(hid, h) AS (VALUES
+      {_hyperplane_values_sql()}
+    ),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 100),
+    corpus AS (
+      SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 1000, list_transform(e, x -> x * 0.9 + 0.01) FROM base
+    ),
+    bits AS (
+      SELECT vec_id, hid,
+             CASE WHEN list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * h[i])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM corpus, hp
+    ),
+    buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY hid) AS bucket FROM bits GROUP BY vec_id),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+             list_sum(list_transform(generate_series(1, len(ca.e)), i -> ca.e[i] * cb.e[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(ca.e)), i -> ca.e[i] * ca.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(cb.e)), i -> cb.e[i] * cb.e[i]))))
+             AS cos_raw
+      FROM pairs
+      JOIN corpus ca ON ca.vec_id = id_a
+      JOIN corpus cb ON cb.vec_id = id_b
+    )
+    SELECT id_a, id_b, CAST(CAST(cos_raw AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+    FROM verified WHERE cos_raw >= 0.98
+    ORDER BY id_a, id_b
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH bucket collision (linear) then
+    exact cosine >= 0.98 verification — over a corpus with synthesized
+    perturbed duplicates."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.filter(F.col("vec_id") < 100).select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("embedding")
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 0.9 + 0.01).alias("embedding"),
+    )
+    corpus = base.unionAll(perturbed)
+    pairs = similarity.embedding_neardup(corpus, threshold=0.98)
+    return pairs.select(
+        "id_a", "id_b", round4(F.col("cosine_sim")).alias("cosine_sim")
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q50 multimodal payload columns (F5)
+# ---------------------------------------------------------------------------
+@query(
+    "q50_multimodal_payload",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload column + typed metadata + content digest —
+    the multimodal storage plumbing (decode stage stubbed; see
+    operators/multimodal.py)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    p = with_payload(docs)
+    return p.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_sha256"),
+    ).orderBy("doc_id")

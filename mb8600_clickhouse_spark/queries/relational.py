@@ -1,0 +1,1010 @@
+"""Declared relational verification queries Q01-Q32 (SURVEY.md §2.G).
+
+Each query exists twice: an idiomatic Spark implementation (DataFrame API,
+Catalyst-optimized) and a DuckDB oracle SQL template. Determinism rules
+(SURVEY.md §2.G.1-5):
+
+- every query ends in a total ORDER BY;
+- float aggregates that sum many values go through DECIMAL so the sum is
+  exact and engine-order-independent, then back to DOUBLE;
+- "round to 4" is done by casting through DECIMAL(38,4) (a double can
+  never sit exactly on a 1e-4 tie, so HALF_UP vs HALF_EVEN cannot differ);
+- timestamps compared at native microsecond precision, UTC everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..parse import parse_downstream, parse_uptime, parse_upstream
+from ..tables import load_tables
+from . import query
+
+DOCSIS = "read_parquet('{docsis}')"
+
+
+def dec4(c: Column) -> Column:
+    """Exact per-row snapshot of a double at 4 decimals (sum-safe)."""
+    return c.cast(T.DecimalType(18, 4))
+
+
+def round4(c: Column) -> Column:
+    """Decimal-rounded to 4 places, surfaced as double."""
+    return c.cast(T.DecimalType(38, 4)).cast("double")
+
+
+def round6(c: Column) -> Column:
+    return c.cast(T.DecimalType(38, 6)).cast("double")
+
+
+def dsum4(c: Column) -> Column:
+    """Order-independent exact sum of a double column -> double."""
+    return F.sum(dec4(c)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q01 scan + filter + project (E1-E4): predicate pushdown to parquet
+# ---------------------------------------------------------------------------
+@query(
+    "q01_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    ORDER BY l_orderkey, l_extendedprice, l_discount
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with pushed-down predicates; project 3 of 11 columns (column
+    pruning reaches the parquet reader)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_extendedprice", "l_discount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q02 scalar arithmetic projection (B4)
+# ---------------------------------------------------------------------------
+@query(
+    "q02_revenue_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic projection (the B4 unit-conversion shape)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            round4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q03 CASE / conditional correction (B5) over the raw parse path
+# ---------------------------------------------------------------------------
+@query(
+    "q03_ofdm_snr_case",
+    oracle=f"""
+    WITH recs AS (
+      SELECT modem_name, timestamp, unnest(string_split(downstream_raw, '|+|')) AS rec
+      FROM {DOCSIS}
+    ), fields AS (
+      SELECT modem_name, timestamp, string_split(rec, '^') AS p FROM recs
+    )
+    SELECT modem_name, timestamp,
+           CAST(p[4] AS INT) AS channel_id,
+           p[3] AS modulation,
+           CAST(p[7] AS DOUBLE) AS snr_raw,
+           CASE WHEN p[3] = 'OFDM PLC' AND CAST(p[7] AS DOUBLE) < 20.0
+                THEN CAST(p[7] AS DOUBLE) * 2.5 ELSE CAST(p[7] AS DOUBLE) END AS snr_corrected
+    FROM fields
+    ORDER BY modem_name, timestamp, channel_id
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OFDM-PLC SNR firmware-bug correction
+    (mb8600.py:372-376) as a CASE expression over the raw wire strings."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    rec = d.select(
+        "modem_name",
+        "timestamp",
+        F.explode(F.split("downstream_raw", r"\|\+\|")).alias("rec"),
+    ).select("modem_name", "timestamp", F.split("rec", r"\^").alias("p"))
+    snr_raw = F.element_at("p", 7).try_cast("double")
+    modulation = F.element_at("p", 3)
+    return rec.select(
+        "modem_name",
+        "timestamp",
+        F.element_at("p", 4).try_cast("int").alias("channel_id"),
+        modulation.alias("modulation"),
+        snr_raw.alias("snr_raw"),
+        F.when((modulation == "OFDM PLC") & (snr_raw < 20.0), snr_raw * 2.5)
+        .otherwise(snr_raw)
+        .alias("snr_corrected"),
+    ).orderBy("modem_name", "timestamp", "channel_id")
+
+
+# ---------------------------------------------------------------------------
+# Q04 regex extraction (B6, B7)
+# ---------------------------------------------------------------------------
+@query(
+    "q04_regex_extract",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(TRY_CAST(regexp_extract(text, '([0-9]+)', 1) AS BIGINT), 0) AS first_int
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract with group + coalesce-0 (the uptime-parse shape)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.coalesce(
+            F.regexp_extract("text", r"([0-9]+)", 1).try_cast("long"), F.lit(0)
+        ).alias("first_int"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q05 string split / element access (B1, B2)
+# ---------------------------------------------------------------------------
+@query(
+    "q05_split_elements",
+    oracle="""
+    WITH s AS (SELECT p_partkey, string_split(p_type, ' ') AS parts FROM part)
+    SELECT p_partkey, parts[1] AS first_part, parts[-1] AS last_part,
+           CAST(len(parts) AS INT) AS n_parts
+    FROM s ORDER BY p_partkey
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record/field splitting with positional access (the packed-string
+    destructure shape, mb8600.py:371)."""
+    part = load_tables(spark, sf_dir)["part"]
+    parts = F.split("p_type", " ")
+    return part.select(
+        "p_partkey",
+        F.element_at(parts, 1).alias("first_part"),
+        F.element_at(parts, -1).alias("last_part"),
+        F.size(parts).alias("n_parts"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Q06 explode / ARRAY JOIN (E5)
+# ---------------------------------------------------------------------------
+@query(
+    "q06_explode_channels",
+    oracle=f"""
+    SELECT modem_name, timestamp, u.channel_id AS channel_id,
+           CAST(u.snr AS DOUBLE) AS snr, CAST(u.power AS DOUBLE) AS power
+    FROM (SELECT modem_name, timestamp, unnest(downstream_channels) AS u FROM {DOCSIS})
+    ORDER BY modem_name, timestamp, channel_id
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten the nested channel array: ClickHouse ARRAY JOIN ==
+    Spark explode (tables.sql:11-20)."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    return (
+        d.select("modem_name", "timestamp", F.explode("downstream_channels").alias("u"))
+        .select(
+            "modem_name",
+            "timestamp",
+            F.col("u.channel_id").alias("channel_id"),
+            F.col("u.snr").cast("double").alias("snr"),
+            F.col("u.power").cast("double").alias("power"),
+        )
+        .orderBy("modem_name", "timestamp", "channel_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q07 struct assembly / collect (B8) — inverse of explode
+# ---------------------------------------------------------------------------
+@query(
+    "q07_collect_structs",
+    oracle=f"""
+    WITH e AS (
+      SELECT modem_name, timestamp, u.channel_id AS channel_id, CAST(u.snr AS DOUBLE) AS snr
+      FROM (SELECT modem_name, timestamp, unnest(downstream_channels) AS u FROM {DOCSIS})
+    )
+    SELECT modem_name, timestamp,
+           list_sort(list(struct_pack(channel_id := channel_id, snr := snr))) AS channels
+    FROM e GROUP BY modem_name, timestamp
+    ORDER BY modem_name, timestamp
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group exploded channels back into a sorted array of structs —
+    the exporter's struct-assembly step (mb8600.py:378-386) in reverse."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    e = d.select(
+        "modem_name", "timestamp", F.explode("downstream_channels").alias("u")
+    ).select(
+        "modem_name",
+        "timestamp",
+        F.col("u.channel_id").alias("channel_id"),
+        F.col("u.snr").cast("double").alias("snr"),
+    )
+    return (
+        e.groupBy("modem_name", "timestamp")
+        .agg(F.sort_array(F.collect_list(F.struct("channel_id", "snr"))).alias("channels"))
+        .orderBy("modem_name", "timestamp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q08 array higher-order functions (E6) — no explode, no shuffle
+# ---------------------------------------------------------------------------
+@query(
+    "q08_array_higher_order",
+    oracle=f"""
+    SELECT modem_name, timestamp,
+           CAST(len(downstream_channels) AS INT) AS n_channels,
+           CAST(CAST(list_sum(list_transform(downstream_channels, x -> CAST(x.snr AS DOUBLE)))
+                     / len(downstream_channels) AS DECIMAL(38,4)) AS DOUBLE) AS mean_snr,
+           list_max(list_transform(downstream_channels, x -> x.uncorrected_errors)) AS max_uncorrected
+    FROM {DOCSIS}
+    ORDER BY modem_name, timestamp
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row array analytics via higher-order functions (ClickHouse
+    arrayMap/arraySum idiom) — stays row-local, zero shuffle."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    ds = F.col("downstream_channels")
+    mean_snr = F.aggregate(
+        ds, F.lit(0.0), lambda acc, x: acc + x["snr"].cast("double")
+    ) / F.size(ds)
+    return d.select(
+        "modem_name",
+        "timestamp",
+        F.size(ds).alias("n_channels"),
+        round4(mean_snr).alias("mean_snr"),
+        F.array_max(F.transform(ds, lambda x: x["uncorrected_errors"])).alias(
+            "max_uncorrected"
+        ),
+    ).orderBy("modem_name", "timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Q09 hash aggregation (E7) — TPC-H Q1 shape
+# ---------------------------------------------------------------------------
+@query(
+    "q09_hash_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(38,6)) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial+final hash aggregation over low-cardinality keys (map-side
+    combine keeps the shuffle tiny at any scale)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum4(F.col("l_quantity")).alias("sum_qty"),
+            dsum4(F.col("l_extendedprice")).alias("sum_base_price"),
+            round6(dsum4(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 time bucketing / downsampling (E8)
+# ---------------------------------------------------------------------------
+@query(
+    "q10_time_bucket",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY hour, event_type
+    ORDER BY hour, event_type
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse toStartOfHour downsampling == date_trunc grouping."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), dsum4(F.col("value")).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 last-point query (E9)
+# ---------------------------------------------------------------------------
+@query(
+    "q11_last_point",
+    oracle=f"""
+    SELECT modem_name,
+           arg_max(modem_version, timestamp) AS current_version,
+           max(timestamp) AS last_seen
+    FROM {DOCSIS}
+    GROUP BY modem_name ORDER BY modem_name
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-status lookup: ClickHouse argMax == Spark max_by —
+    a single agg pass, no window, no self-join."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    return (
+        d.groupBy("modem_name")
+        .agg(
+            F.max_by("modem_version", "timestamp").alias("current_version"),
+            F.max("timestamp").alias("last_seen"),
+        )
+        .orderBy("modem_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 counter delta / rate over overflowing counters (E10)
+# ---------------------------------------------------------------------------
+@query(
+    "q12_counter_delta",
+    oracle=f"""
+    WITH e AS (
+      SELECT modem_name, timestamp, u.channel_id AS channel_id,
+             u.uncorrected_errors AS uncorrected
+      FROM (SELECT modem_name, timestamp, unnest(downstream_channels) AS u FROM {DOCSIS})
+    ), d AS (
+      SELECT modem_name, channel_id, timestamp,
+             uncorrected - lag(uncorrected) OVER (
+               PARTITION BY modem_name, channel_id ORDER BY timestamp) AS raw_delta
+      FROM e
+    )
+    SELECT modem_name, channel_id, timestamp,
+           greatest(raw_delta, 0) AS delta
+    FROM d WHERE raw_delta IS NOT NULL
+    ORDER BY modem_name, channel_id, timestamp
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-counter rate with reset/overflow clamping: the signed-Int64 +
+    greatest(delta, 0) idiom the schema is designed for (tables.sql:17-19)."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    e = d.select(
+        "modem_name", "timestamp", F.explode("downstream_channels").alias("u")
+    ).select(
+        "modem_name",
+        "timestamp",
+        F.col("u.channel_id").alias("channel_id"),
+        F.col("u.uncorrected_errors").alias("uncorrected"),
+    )
+    w = W.partitionBy("modem_name", "channel_id").orderBy("timestamp")
+    return (
+        e.withColumn("raw_delta", F.col("uncorrected") - F.lag("uncorrected").over(w))
+        .filter(F.col("raw_delta").isNotNull())
+        .select(
+            "modem_name",
+            "channel_id",
+            "timestamp",
+            F.greatest("raw_delta", F.lit(0)).alias("delta"),
+        )
+        .orderBy("modem_name", "channel_id", "timestamp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 ranking / per-group top-1 (E11)
+# ---------------------------------------------------------------------------
+@query(
+    "q13_worst_channel_rank",
+    oracle=f"""
+    WITH e AS (
+      SELECT modem_name, timestamp, u.channel_id AS channel_id, CAST(u.snr AS DOUBLE) AS snr
+      FROM (SELECT modem_name, timestamp, unnest(downstream_channels) AS u FROM {DOCSIS})
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY modem_name, timestamp ORDER BY snr ASC, channel_id ASC) AS rn
+      FROM e
+    )
+    SELECT modem_name, timestamp, channel_id, snr
+    FROM r WHERE rn = 1
+    ORDER BY modem_name, timestamp
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-SNR channel per scrape via row_number (deterministic
+    channel_id tiebreak)."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    e = d.select(
+        "modem_name", "timestamp", F.explode("downstream_channels").alias("u")
+    ).select(
+        "modem_name",
+        "timestamp",
+        F.col("u.channel_id").alias("channel_id"),
+        F.col("u.snr").cast("double").alias("snr"),
+    )
+    w = W.partitionBy("modem_name", "timestamp").orderBy(
+        F.col("snr").asc(), F.col("channel_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("modem_name", "timestamp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 global top-k (E11/E14) — TakeOrderedAndProject, no full sort
+# ---------------------------------------------------------------------------
+@query(
+    "q14_top_k",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10: Catalyst plans TakeOrderedAndProject (per-partition
+    heaps + driver merge) instead of a full sort."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 frame window / moving average (E12)
+# ---------------------------------------------------------------------------
+@query(
+    "q15_moving_avg",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           CAST(CAST(
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w
+           AS DECIMAL(38,6)) AS DOUBLE) AS mavg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average per user (ROWS frame window)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    mavg = F.sum(dec4(F.col("value"))).over(w).cast("double") / F.count("*").over(w)
+    return ev.select(
+        "user_id", "ts", "event_id", round6(mavg).alias("mavg")
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q16 exact quantiles (E13)
+# ---------------------------------------------------------------------------
+@query(
+    "q16_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(quantile_cont(l_extendedprice, 0.5)  AS DECIMAL(38,4)) AS DOUBLE) AS p50,
+           CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(38,4)) AS DOUBLE) AS p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ClickHouse quantile() idiom)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round4(F.percentile("l_extendedprice", F.lit(0.5))).alias("p50"),
+            round4(F.percentile("l_extendedprice", F.lit(0.95))).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 distinct aggregation (E13): exact (hash-matched) + approx (rows-only)
+# ---------------------------------------------------------------------------
+@query(
+    "q17_count_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per priority (two-phase distinct aggregate)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q17b_approx_distinct", oracle=None)
+def q17b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale spelling
+    (one pass, constant memory). Checked rows-only by the driver; the
+    ±5%-vs-exact assertion lives in tests/test_relational.py."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey").alias("n_customers_approx"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 broadcast equi-join (E15)
+# ---------------------------------------------------------------------------
+@query(
+    "q18_broadcast_join",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n.n_name, r.r_name
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join with an explicit broadcast hint — no shuffle of the
+    fact side at any scale."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_name", "r_name")
+        .orderBy("n_name", "r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 multi-join + aggregation (E15)
+# ---------------------------------------------------------------------------
+@query(
+    "q19_multi_join_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table star join: Catalyst broadcasts the small dims; the lineitem
+    fact never shuffles until the final tiny aggregation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 outer join (E15)
+# ---------------------------------------------------------------------------
+@query(
+    "q20_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey ORDER BY c.c_custkey
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 semi join / Q22 anti join (E15; EXISTS decorrelation)
+# ---------------------------------------------------------------------------
+@query(
+    "q21_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join == EXISTS (no row multiplication, early-out probe)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q22_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join == NOT EXISTS."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q23 set operators
+# ---------------------------------------------------------------------------
+@query(
+    "q23_set_ops",
+    oracle="""
+    SELECT custkey FROM (
+      (SELECT o_custkey AS custkey FROM orders
+       INTERSECT
+       SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+      EXCEPT
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) ORDER BY custkey
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT then EXCEPT (both distinct-semantics)."""
+    t = load_tables(spark, sf_dir)
+    ordered_custs = t["orders"].select(F.col("o_custkey").alias("custkey"))
+    positive = (
+        t["customer"].filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    )
+    building = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return ordered_custs.intersect(positive).exceptAll(building.distinct()).distinct().orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q24 union distinct vs union all (F1 flavor)
+# ---------------------------------------------------------------------------
+@query(
+    "q24_union_dedup",
+    oracle="""
+    SELECT 'all' AS mode, COUNT(*) AS n FROM (
+      SELECT s_nationkey AS k FROM supplier UNION ALL SELECT c_nationkey FROM customer)
+    UNION ALL
+    SELECT 'distinct' AS mode, COUNT(*) AS n FROM (
+      SELECT s_nationkey AS k FROM supplier UNION SELECT c_nationkey FROM customer)
+    ORDER BY mode
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL vs UNION (distinct) cardinalities."""
+    t = load_tables(spark, sf_dir)
+    s = t["supplier"].select(F.col("s_nationkey").alias("k"))
+    c = t["customer"].select(F.col("c_nationkey").alias("k"))
+    all_n = s.unionAll(c).agg(F.count("*").alias("n")).select(F.lit("all").alias("mode"), "n")
+    dist_n = (
+        s.union(c).distinct().agg(F.count("*").alias("n")).select(F.lit("distinct").alias("mode"), "n")
+    )
+    return all_n.unionAll(dist_n).orderBy("mode")
+
+
+# ---------------------------------------------------------------------------
+# Q25 ROLLUP / Q26 CUBE with grouping flags
+# ---------------------------------------------------------------------------
+@query(
+    "q25_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(GROUPING(r.r_name) AS INT) AS g_r, CAST(GROUPING(n.n_name) AS INT) AS g_n,
+           COUNT(c.c_custkey) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals over a 3-table join."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+            F.count("c_custkey").alias("n_customers"),
+        )
+        .orderBy(
+            "g_r", "g_n", F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@query(
+    "q26_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_p, CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with grouping flags."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_p"),
+            F.grouping("o_orderstatus").cast("int").alias("g_s"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            "g_p",
+            "g_s",
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27 date / math scalar functions
+# ---------------------------------------------------------------------------
+@query(
+    "q27_date_math_scalars",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS INT) AS days_to_1998,
+           abs(o_totalprice - 200000.0) AS price_dist,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           pow(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS pow2
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction, date arithmetic, abs/floor/pow/modulo."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_1998"
+        ),
+        F.abs(F.col("o_totalprice") - 200000.0).alias("price_dist"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.pow(F.lit(2.0), (F.col("o_orderkey") % 10).cast("double")).alias("pow2"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q28 string scalar functions
+# ---------------------------------------------------------------------------
+@query(
+    "q28_string_scalars",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substring(p_name, 1, 5) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           trim(concat(p_brand, ' ', p_name)) AS brand_name,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           replace(p_name, ' ', '_') AS name_snake,
+           (p_name LIKE '%wid%') AS is_widget
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string scalar library (upper/lower/substring/length/trim/
+    concat/lpad/replace/LIKE)."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat("p_brand", F.lit(" "), "p_name")).alias("brand_name"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.col("p_name").like("%wid%").alias("is_widget"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Q29 map construction + JSON path extraction
+# ---------------------------------------------------------------------------
+@query(
+    "q29_map_json_scalars",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events ORDER BY event_id
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props payload (the HNAP
+    envelope-navigation shape, mb8600.py:351)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # Build a map and extract through it so MapType construction/access is
+    # exercised too (value identical to direct extraction).
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_str"),
+        F.element_at(m, "k").try_cast("long").alias("k_num"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q30 uptime parse end-to-end (B6+B7)
+# ---------------------------------------------------------------------------
+@query(
+    "q30_uptime_parse",
+    # plain (non-f) template: {{2}} must survive until .format(docsis=...)
+    oracle="""
+    SELECT modem_name, timestamp, uptime_raw,
+        COALESCE(TRY_CAST(regexp_extract(uptime_raw, '(?:(\\d+)\\s*days\\s*)?(?:(\\d{{2}})h:)?(?:(\\d{{2}})m:)?(?:(\\d{{2}})s)?', 1) AS BIGINT), 0) * 86400
+      + COALESCE(TRY_CAST(regexp_extract(uptime_raw, '(?:(\\d+)\\s*days\\s*)?(?:(\\d{{2}})h:)?(?:(\\d{{2}})m:)?(?:(\\d{{2}})s)?', 2) AS BIGINT), 0) * 3600
+      + COALESCE(TRY_CAST(regexp_extract(uptime_raw, '(?:(\\d+)\\s*days\\s*)?(?:(\\d{{2}})h:)?(?:(\\d{{2}})m:)?(?:(\\d{{2}})s)?', 3) AS BIGINT), 0) * 60
+      + COALESCE(TRY_CAST(regexp_extract(uptime_raw, '(?:(\\d+)\\s*days\\s*)?(?:(\\d{{2}})h:)?(?:(\\d{{2}})m:)?(?:(\\d{{2}})s)?', 4) AS BIGINT), 0)
+      AS uptime_seconds
+    FROM read_parquet('{docsis}')
+    ORDER BY modem_name, timestamp
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full uptime regex parse with coalesce-0 for missing groups —
+    fixing the reference's int(None) crash (mb8600.py:404-410)."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    return d.select(
+        "modem_name",
+        "timestamp",
+        "uptime_raw",
+        parse_uptime(F.col("uptime_raw")).alias("uptime_seconds"),
+    ).orderBy("modem_name", "timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Q31 packed-string parse round trip (§1.5 + B1-B8 end-to-end)
+# ---------------------------------------------------------------------------
+@query(
+    "q31_parse_roundtrip",
+    oracle=f"""
+    WITH recs AS (
+      SELECT modem_name, timestamp, unnest(string_split(downstream_raw, '|+|')) AS rec
+      FROM {DOCSIS}
+    ), f AS (
+      SELECT modem_name, timestamp, string_split(rec, '^') AS p FROM recs
+    )
+    SELECT modem_name, timestamp,
+           CAST(p[4] AS INT) AS channel_id,
+           CAST(CAST(CAST(p[5] AS DOUBLE) * 1000000.0 AS FLOAT) AS DOUBLE) AS frequency,
+           p[3] AS modulation,
+           CAST(CAST(CAST(p[6] AS DOUBLE) AS FLOAT) AS DOUBLE) AS power,
+           CAST(CAST(CASE WHEN p[3] = 'OFDM PLC' AND CAST(p[7] AS DOUBLE) < 20.0
+                          THEN CAST(p[7] AS DOUBLE) * 2.5
+                          ELSE CAST(p[7] AS DOUBLE) END AS FLOAT) AS DOUBLE) AS snr,
+           CAST(p[8] AS BIGINT) AS corrected_errors,
+           CAST(p[9] AS BIGINT) AS uncorrected_errors
+    FROM f
+    ORDER BY modem_name, timestamp, channel_id
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entire exporter downstream parse path (mb8600.py:369-386) as one
+    declarative expression: split -> destructure -> cast -> unit-convert ->
+    SNR-correct -> struct -> explode. The equals-stored-arrays assertion
+    lives in tests/test_parse.py."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    parsed = d.select(
+        "modem_name",
+        "timestamp",
+        F.explode(parse_downstream(F.col("downstream_raw"))).alias("ch"),
+    )
+    return parsed.select(
+        "modem_name",
+        "timestamp",
+        F.col("ch.channel_id").alias("channel_id"),
+        F.col("ch.frequency").cast("double").alias("frequency"),
+        F.col("ch.modulation").alias("modulation"),
+        F.col("ch.power").cast("double").alias("power"),
+        F.col("ch.snr").cast("double").alias("snr"),
+        F.col("ch.corrected_errors").alias("corrected_errors"),
+        F.col("ch.uncorrected_errors").alias("uncorrected_errors"),
+    ).orderBy("modem_name", "timestamp", "channel_id")
+
+
+# ---------------------------------------------------------------------------
+# Q32 partition-prune-shaped scan (E1)
+# ---------------------------------------------------------------------------
+@query(
+    "q32_date_prune",
+    oracle=f"""
+    SELECT modem_name, COUNT(*) AS n
+    FROM {DOCSIS}
+    WHERE CAST(timestamp AS DATE) = DATE '2025-06-02'
+    GROUP BY modem_name ORDER BY modem_name
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-predicate scan — the shape ClickHouse's PARTITION BY
+    toDate(timestamp) serves (tables.sql:30). Against the date-partitioned
+    engine table this prunes to one partition directory; plan assertion in
+    tests/test_plans.py."""
+    d = load_tables(spark, sf_dir)["docsis"]
+    return (
+        d.filter(F.to_date("timestamp") == F.lit("2025-06-02").cast("date"))
+        .groupBy("modem_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("modem_name")
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Local-mode testing uses ``local[N]``; at cluster scale the same settings
+hold (AQE, UTC session time zone, Arrow) and the shuffle-partition count
+is raised to ~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "mb8600_clickhouse_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Conventions (all matter for 100 TB scale and for oracle determinism):
+
+    - ``spark.sql.session.timeZone=UTC``: the reference stores UTC
+      timestamps (mb8600.py:366); the DuckDB oracle is UTC-naive.
+    - AQE on: runtime coalescing, skew-join splitting, dynamic join
+      strategy selection.
+    - ``spark.sql.shuffle.partitions`` sized to cores locally (not the
+      200 default) -- on a real cluster set ~2-3x total cores.
+    - Arrow enabled: vectorized pandas interchange for Pandas UDFs.
+    - nested schema pruning: array-of-struct queries (docsis channels)
+      read only the struct leaves they touch.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,68 @@
+"""Table loading + temp-view registration for the driver fixtures.
+
+All reads use the explicit schemas from ``schemas.py`` (no inference,
+SURVEY.md §1.3). The ``docsis`` table is the repo-generated fixture
+(``datagen.py``) matched to the requested scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .datagen import docsis_path_for
+from .schemas import FIXTURE_SCHEMAS
+
+
+def pin_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively because the
+    caller may hand us an arbitrarily-configured session:
+
+    - UTC session time zone: fixtures are UTC-naive parquet and the DuckDB
+      oracle truncates dates/hours in naive time (SURVEY.md §7.3.1).
+    - ANSI off: bad input data degrades to NULL (then ``coalesce``), the
+      engine's documented improvement over the reference's int(None) crash
+      (mb8600.py:404-410); Spark 4 defaults ANSI on.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    # events.parquet carries TIMESTAMP(NANOS) which the Parquet reader
+    # rejects; read as raw nanos and convert (see load_tables).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table under ``sf_dir`` plus the repo docsis
+    fixture; returns name -> DataFrame (lazy parquet scans)."""
+    pin_session_confs(spark)
+    out: dict[str, DataFrame] = {}
+    for name, schema in FIXTURE_SCHEMAS.items():
+        if name == "events":
+            # ts is parquet TIMESTAMP(NANOS): read as raw int64 nanos and
+            # truncate to microseconds — exactly what DuckDB's reader does,
+            # so oracle comparisons see identical instants.
+            ns_schema = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                    for f in schema.fields
+                ]
+            )
+            raw = spark.read.schema(ns_schema).parquet(f"{sf_dir}/{name}.parquet")
+            # integer `div`, not `/`: ns values (~1.7e18) exceed double's
+            # 2^53 exact-integer range, so float division is off by ulps
+            out[name] = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            out[name] = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+    out["docsis"] = spark.read.parquet(docsis_path_for(sf_dir))
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL API path)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
