@@ -48,27 +48,58 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
-def minhash_signature(shingles: Column, k: int = 12) -> Column:
-    """k-element MinHash signature: element i = min over shingles of
-    md5(shingle || ':' || i) (string-min family, portable)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f":{i}"))))
-            )
-            for i in range(k)
-        ]
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, key) LSH bucket assignments from a k-element MinHash
+    signature split into ``bands`` bands.
+
+    Formulated as explode -> aggregate rather than one per-row expression
+    tree: (a) Catalyst codegen stays small regardless of k, and (b) the
+    heavy step — md5 per (shingle, seed) — runs as a flat projection over
+    exploded rows that partitions evenly at any scale, followed by a
+    partial-aggregating min. Signature element i = MIN(md5(shingle':'i))
+    — a portable string-min family the DuckDB oracle reproduces."""
+    rows = k // bands
+    shingles = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        # fan the hash work out: source tables are few-partition parquet,
+        # but explode×k multiplies rows ~100x — rebalance BEFORE the
+        # md5-heavy projection so all cores participate
+        .repartition("id")
     )
-
-
-def lsh_band_keys(sig: Column, bands: int = 4, rows: int = 3) -> Column:
-    """Bucket keys: band b hashes sig[b*rows : (b+1)*rows] together.
-    Docs sharing any band key are near-dup candidates."""
-    keys = []
-    for b in range(bands):
-        parts = [F.element_at(sig, b * rows + r + 1) for r in range(rows)]
-        keys.append(F.md5(F.concat_ws(",", *parts)))
-    return F.array(*keys)
+    hashed = shingles.select(
+        "id", F.explode("sh").alias("s")
+    ).select(
+        "id",
+        F.posexplode(
+            F.array(*[F.md5(F.concat(F.col("s"), F.lit(f":{i}"))) for i in range(k)])
+        ).alias("i", "h"),
+    )
+    sig = hashed.groupBy("id", "i").agg(F.min("h").alias("mh"))
+    return (
+        sig.groupBy("id", (F.col("i") / rows).cast("int").alias("band"))
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("key")
+        )
+    )
 
 
 def minhash_lsh_candidates(
@@ -79,21 +110,10 @@ def minhash_lsh_candidates(
     k: int = 12,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidate pairs via MinHash LSH: per-row signatures ->
-    explode band keys -> self-join within (band, key) buckets.
+    """Near-dup candidate pairs via MinHash LSH: band buckets ->
+    self-join within (band, key). Only bucket keys shuffle — never text.
     Output: (id_a, id_b) with id_a < id_b, distinct."""
-    rows = k // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        lsh_band_keys(
-            minhash_signature(word_shingles(F.col(text_col), shingle_n), k),
-            bands,
-            rows,
-        ).alias("band_keys"),
-    )
-    buckets = sigs.select(
-        "id", F.posexplode("band_keys").alias("band", "key")
-    )
+    buckets = minhash_band_buckets(df, id_col, text_col, shingle_n, k, bands)
     left = buckets.alias("a")
     right = buckets.alias("b")
     return (
@@ -143,27 +163,44 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash over word shingles.
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, simhash) 63-bit SimHash fingerprints over word shingles.
 
-    Per shingle, a 64-bit hash (xxhash64 — JVM built-in); the fingerprint
-    bit b is 1 iff more shingle-hashes have bit b set than unset. Returns
-    a LongType fingerprint. Engine-internal sketch (not oracle-portable:
-    xxhash64 seeds differ across engines) — verified by property tests."""
-    shingles = word_shingles(text, shingle_n)
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+    Per shingle, a 64-bit hash (xxhash64 — JVM built-in); fingerprint bit
+    b is 1 iff more shingle-hashes have bit b set than unset. Formulated
+    as explode -> one hash-aggregate with 63 sum columns (partial
+    aggregation map-side, tiny shuffle) instead of 63 per-row array folds
+    — same result, linear scaling, small codegen. Bit 63 (sign) is
+    excluded so the fingerprint stays non-negative. Engine-internal
+    sketch (xxhash64 isn't oracle-portable); verified by property tests."""
+    hashed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
         )
-        for b in range(63)  # bit 63 (sign) excluded: keeps result non-negative
-    ]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+        .repartition("id")  # parallelize beyond the source's few partitions
+        .select("id", F.xxhash64("s").alias("h"))
+    )
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(63)
+        ]
+    )
+    fp = None
+    for b in range(63):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp + bit
+    return votes.select("id", fp.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -259,11 +259,9 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver does a rows-only check; invariants (self-distance 0,
     near-dup pairs close, reflexivity) are pytest-verified."""
     docs = load_tables(spark, sf_dir)["documents"]
-    corpus = _neardup_corpus(docs).withColumn(
-        "simhash", dedup.simhash64(F.col("text"), shingle_n=2)
-    )
-    a = corpus.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = corpus.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    fps = dedup.simhash_fingerprints(_neardup_corpus(docs), shingle_n=2)
+    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", dedup.hamming64(F.col("h_a"), F.col("h_b")))
