@@ -39,9 +39,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text."""
+    """Distinct word n-gram shingles of normalized text. Texts with
+    fewer than ``n`` words yield an empty array (guarded explicitly:
+    ``sequence(1, 0)`` would count DOWN and index out of bounds)."""
     toks = F.split(normalize_text(text), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    n_grams = F.size(toks) - (n - 1)
+    idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )

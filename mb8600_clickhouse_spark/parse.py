@@ -42,26 +42,26 @@ def correct_ofdm_snr(modulation: Column, snr: Column) -> Column:
 def _downstream_struct(rec: Column) -> Column:
     f = F.split(rec, FIELD_SEP)
     modulation = F.element_at(f, 3)
-    snr_raw = F.element_at(f, 7).cast("double")
+    snr_raw = F.element_at(f, 7).try_cast("double")
     return F.struct(
-        F.element_at(f, 4).cast("int").alias("channel_id"),
-        (F.element_at(f, 5).cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
+        F.element_at(f, 4).try_cast("int").alias("channel_id"),
+        (F.element_at(f, 5).try_cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
         modulation.alias("modulation"),
-        F.element_at(f, 6).cast("double").cast("float").alias("power"),
+        F.element_at(f, 6).try_cast("double").cast("float").alias("power"),
         correct_ofdm_snr(modulation, snr_raw).cast("float").alias("snr"),
-        F.element_at(f, 8).cast("long").alias("corrected_errors"),
-        F.element_at(f, 9).cast("long").alias("uncorrected_errors"),
+        F.element_at(f, 8).try_cast("long").alias("corrected_errors"),
+        F.element_at(f, 9).try_cast("long").alias("uncorrected_errors"),
     )
 
 
 def _upstream_struct(rec: Column) -> Column:
     f = F.split(rec, FIELD_SEP)
     return F.struct(
-        F.element_at(f, 4).cast("int").alias("channel_id"),
-        (F.element_at(f, 6).cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
+        F.element_at(f, 4).try_cast("int").alias("channel_id"),
+        (F.element_at(f, 6).try_cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
         F.element_at(f, 3).alias("modulation"),
-        F.element_at(f, 7).cast("double").cast("float").alias("power"),
-        (F.element_at(f, 5).cast("double") * F.lit(1000.0)).cast("float").alias("width"),
+        F.element_at(f, 7).try_cast("double").cast("float").alias("power"),
+        (F.element_at(f, 5).try_cast("double") * F.lit(1000.0)).cast("float").alias("width"),
     )
 
 
@@ -81,7 +81,7 @@ def parse_uptime(raw: Column) -> Column:
     """Uptime string -> seconds (mb8600.py:400-410) with coalesce-0 for
     missing groups (fixing the reference's int(None) crash)."""
     def grp(i: int) -> Column:
-        return F.coalesce(F.regexp_extract(raw, UPTIME_PATTERN, i).cast("long"), F.lit(0))
+        return F.coalesce(F.regexp_extract(raw, UPTIME_PATTERN, i).try_cast("long"), F.lit(0))
 
     return (
         grp(1) * 86400 + grp(2) * 3600 + grp(3) * 60 + grp(4)

@@ -1,0 +1,114 @@
+"""Invariant tests for the dedup sketches (SimHash, MinHash LSH,
+n-gram Jaccard). SimHash has no SQL oracle (xxhash64 isn't portable),
+so these pytest invariants are its primary verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mb8600_clickhouse_spark.operators import dedup
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog near the river bank now"
+DOC_B = "completely different subject matter about astrophysics and galactic rotation curves"
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=DOC_A),
+            Row(doc_id=2, text=DOC_A),  # exact dup of 1
+            Row(doc_id=3, text=DOC_A_NEAR),  # near dup of 1
+            Row(doc_id=4, text=DOC_B),  # unrelated
+        ]
+    )
+
+
+class TestSimHash:
+    def test_identical_text_identical_fingerprint(self, spark):
+        fps = {
+            r["id"]: r["simhash"]
+            for r in dedup.simhash_fingerprints(_docs_df(spark)).collect()
+        }
+        assert fps[1] == fps[2]
+
+    def test_fingerprints_nonnegative(self, spark):
+        for r in dedup.simhash_fingerprints(_docs_df(spark)).collect():
+            assert r["simhash"] >= 0
+
+    def test_neardup_closer_than_unrelated(self, spark):
+        fps = dedup.simhash_fingerprints(_docs_df(spark), shingle_n=2)
+        pairs = (
+            fps.alias("a")
+            .join(fps.alias("b"), F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+            )
+        )
+        d = {(r["id_a"], r["id_b"]): r["d"] for r in pairs.collect()}
+        assert d[(1, 2)] == 0  # identical docs: distance 0
+        assert d[(1, 3)] < d[(1, 4)]  # near-dup closer than unrelated
+
+    def test_hamming_self_zero(self, spark):
+        df = spark.createDataFrame([Row(h=0), Row(h=123456789), Row(h=(1 << 62) + 7)])
+        for r in df.select(dedup.hamming64(F.col("h"), F.col("h")).alias("d")).collect():
+            assert r["d"] == 0
+
+    def test_hamming_known_values(self, spark):
+        df = spark.createDataFrame([Row(a=0b1011, b=0b0010)])
+        [r] = df.select(dedup.hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+        assert r["d"] == 2  # 1011 ^ 0010 = 1001 -> 2 set bits
+
+
+class TestMinHashLSH:
+    def test_exact_dups_always_candidates(self, spark):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_candidates(_docs_df(spark)).collect()
+        }
+        assert (1, 2) in pairs  # identical docs share every band
+
+    def test_unrelated_not_candidates(self, spark):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_candidates(_docs_df(spark)).collect()
+        }
+        assert (1, 4) not in pairs
+        assert (3, 4) not in pairs
+
+    def test_band_keys_deterministic(self, spark):
+        df = _docs_df(spark)
+        a = sorted(map(tuple, dedup.minhash_band_buckets(df).collect()))
+        b = sorted(map(tuple, dedup.minhash_band_buckets(df).collect()))
+        assert a == b
+
+
+class TestNgramJaccard:
+    def test_identical_docs_jaccard_one(self, spark):
+        pairs = dedup.ngram_jaccard_pairs(_docs_df(spark), threshold=0.0)
+        j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert j[(1, 2)] == 1.0
+        assert j[(1, 3)] > j.get((1, 4), 0.0)
+
+    def test_threshold_filters(self, spark):
+        high = dedup.ngram_jaccard_pairs(_docs_df(spark), threshold=0.9)
+        got = {(r["id_a"], r["id_b"]) for r in high.collect()}
+        assert (1, 2) in got
+        assert (1, 4) not in got
+
+
+class TestShingles:
+    def test_word_shingles_count(self, spark):
+        df = spark.createDataFrame([Row(text="a b c d e")])
+        [r] = df.select(dedup.word_shingles(F.col("text"), 3).alias("s")).collect()
+        assert len(r["s"]) == 3  # 5 words -> 3 trigrams
+        assert r["s"][0] == "a b c"
+
+    def test_short_text_empty(self, spark):
+        df = spark.createDataFrame([Row(text="a b")])
+        [r] = df.select(dedup.word_shingles(F.col("text"), 3).alias("s")).collect()
+        assert r["s"] == []

@@ -1,0 +1,116 @@
+"""Tests for vector similarity search: exact brute-force top-k checked
+against a NumPy oracle; LSH bucket invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from mb8600_clickhouse_spark.operators import similarity as sim
+
+DIM = 8
+N = 30
+
+
+def _vectors():
+    rng = np.random.RandomState(7)
+    return rng.randn(N, DIM).astype(np.float32)
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+class TestCosineTopK:
+    def test_matches_numpy(self, spark):
+        vecs = _vectors()
+        df = _df(spark, vecs)
+        queries = df.filter("vec_id < 3")
+        got = sim.cosine_topk(df, queries, k=5).collect()
+
+        v64 = vecs.astype(np.float64)
+        normed = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+        sims = normed @ normed.T
+        for q in range(3):
+            order = sorted(range(N), key=lambda j: (-sims[q, j], j))[:5]
+            got_q = sorted(
+                (r for r in got if r["query_id"] == q),
+                key=lambda r: (-r["cosine_sim"], r["neighbor_id"]),
+            )
+            assert [r["neighbor_id"] for r in got_q] == order
+            for r in got_q:
+                assert r["cosine_sim"] == pytest.approx(
+                    sims[q, r["neighbor_id"]], rel=1e-9
+                )
+
+    def test_self_is_top1(self, spark):
+        vecs = _vectors()
+        df = _df(spark, vecs)
+        got = sim.cosine_topk(df, df.filter("vec_id < 5"), k=1).collect()
+        for r in got:
+            assert r["neighbor_id"] == r["query_id"]
+            assert r["cosine_sim"] == pytest.approx(1.0)
+
+
+class TestLSH:
+    def test_bucket_is_deterministic_bitstring(self, spark):
+        df = sim.lsh_bucketed(_df(spark, _vectors()))
+        a = {(r["vec_id"], r["bucket"]) for r in df.collect()}
+        b = {(r["vec_id"], r["bucket"]) for r in df.collect()}
+        assert a == b
+        for _, bucket in a:
+            assert len(bucket) == sim.N_HYPERPLANES
+            assert set(bucket) <= {"0", "1"}
+
+    def test_identical_vectors_share_bucket(self, spark):
+        vecs = _vectors()
+        vecs[1] = vecs[0]
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in sim.lsh_candidate_pairs(_df(spark, vecs)).collect()
+        }
+        assert (0, 1) in pairs
+
+    def test_neardup_requires_threshold(self, spark):
+        vecs = _vectors()
+        vecs[1] = vecs[0] + 0.001 * np.random.RandomState(1).randn(DIM).astype(np.float32)
+        got = sim.embedding_neardup(_df(spark, vecs), threshold=0.99)
+        pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        assert (0, 1) in pairs
+        for r in got.collect():
+            assert r["cosine_sim"] >= 0.99
+
+
+class TestMultimodal:
+    def test_payload_plumbing_and_fake_decode(self, spark):
+        from mb8600_clickhouse_spark.operators import multimodal as mm
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="hello world"), Row(doc_id=2, text="second doc")]
+        )
+        with_bin = mm.with_payload(docs)
+        rows = {r["doc_id"]: r for r in with_bin.collect()}
+        assert bytes(rows[1]["payload"]) == b"hello world"
+        assert rows[1]["media_meta"]["n_bytes"] == 11
+
+        feats = {r["doc_id"]: r for r in mm.decode_image_features(with_bin).collect()}
+        assert len(feats[1]["features"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in feats[1]["features"])
+        # deterministic: same payload -> same features
+        feats2 = {r["doc_id"]: r for r in mm.decode_image_features(with_bin).collect()}
+        assert feats[1]["features"] == feats2[1]["features"]
+
+    def test_strict_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        from mb8600_clickhouse_spark.operators import multimodal as mm
+
+        docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+        with pytest.raises(Exception) as ei:
+            mm.decode_image_features(mm.with_payload(docs), strict=True).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, Py4JJavaError
+        )

@@ -1,0 +1,78 @@
+"""Unit tests for text-analysis operators (lang-id, quality, tokens,
+fingerprinting)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mb8600_clickhouse_spark.operators import text as ops
+
+
+def _one(spark, value, expr_fn):
+    df = spark.createDataFrame([Row(text=value)])
+    return df.select(expr_fn(F.col("text")).alias("v")).first()["v"]
+
+
+class TestTokens:
+    def test_token_count(self, spark):
+        assert _one(spark, "  hello   world  foo ", ops.token_count) == 3
+
+    def test_bpe_token_count(self, spark):
+        # letters / digits / punct runs: "abc", "123", "!!", "def" -> 4
+        assert _one(spark, "abc 123 !! def", ops.bpe_token_count) == 4
+
+    def test_punct_ratio(self, spark):
+        got = _one(spark, "ab!?", ops.punct_ratio)
+        assert got == pytest.approx(0.5)
+
+
+class TestLangId:
+    @pytest.mark.parametrize(
+        ("snippet", "lang"),
+        [
+            ("the cat sat on the mat and it is happy", "en"),
+            ("el perro y la casa de un amigo en la calle", "es"),
+            ("der hund und die katze ist von den kindern", "de"),
+            ("le chat et la maison des amis est une belle chose", "fr"),
+            ("xyzzy plugh qwerty", "und"),
+        ],
+    )
+    def test_known_snippets(self, spark, snippet, lang):
+        assert _one(spark, snippet, ops.lang_id) == lang
+
+
+class TestFingerprint:
+    def test_whitespace_and_case_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [Row(a="Hello   World"), Row(a="hello world "), Row(a="HELLO\tWORLD")]
+        )
+        fps = {r["v"] for r in df.select(ops.fingerprint(F.col("a")).alias("v")).collect()}
+        assert len(fps) == 1
+
+    def test_different_content_differs(self, spark):
+        assert _one(spark, "aaa", ops.fingerprint) != _one(spark, "bbb", ops.fingerprint)
+
+
+class TestQuality:
+    def test_score_in_unit_interval(self, spark):
+        rows = [
+            Row(text="short"),
+            Row(text="a " * 300),
+            Row(text="!!!! ???? ;;;; ####"),
+            Row(text="a perfectly ordinary sentence of reasonable length and composition here"),
+        ]
+        df = spark.createDataFrame(rows)
+        for r in df.select(ops.quality_score(F.col("text")).alias("q")).collect():
+            assert 0.0 <= r["q"] <= 1.0
+
+    def test_clean_beats_noisy(self, spark):
+        clean = _one(
+            spark,
+            "a perfectly ordinary sentence of reasonable length and composition "
+            "written with normal words and hardly any punctuation at all today",
+            ops.quality_score,
+        )
+        noisy = _one(spark, "@#$% ^&* ()!! ~~~ ||| @@@@", ops.quality_score)
+        assert clean > noisy
