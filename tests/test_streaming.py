@@ -1,0 +1,288 @@
+"""Streaming tests (SURVEY.md §5.2.5): end-to-end ingest through the
+file-source stream, batch/stream parity for windowed aggregations, and
+the stateful sessionization operator.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb8600_clickhouse_spark.streaming import ingest, windows
+from mb8600_clickhouse_spark.tables import load_tables
+
+
+def _payload_line(modem: str, ts: float, ds: str, us: str, uptime: str, ok: bool = True) -> str:
+    envelope = {
+        "GetMultipleHNAPsResponse": {
+            "GetMultipleHNAPsResult": "OK" if ok else "UNAUTHORIZED",
+            "GetMotoStatusStartupSequenceResponse": {
+                "MotoConnConfigurationFileComment": "bc1000.cm"
+            },
+            "GetMotoStatusConnectionInfoResponse": {"MotoConnSystemUpTime": uptime},
+            "GetMotoStatusDownstreamChannelInfoResponse": {"MotoConnDownstreamChannel": ds},
+            "GetMotoStatusUpstreamChannelInfoResponse": {"MotoConnUpstreamChannel": us},
+            "GetMotoStatusSoftwareResponse": {"StatusSoftwareSfVer": "8600-19.2.18"},
+        }
+    }
+    return json.dumps(
+        {
+            "modem_name": modem,
+            "payload": json.dumps(envelope),
+            "scrape_latency": 0.25,
+            "ts": ts,
+        }
+    )
+
+
+DS = "1^Locked^QAM256^3^495.0^1.5^43.2^17^4^x|+|2^Locked^OFDM PLC^48^722.0^0.9^12.0^5^1^x"
+US = "1^Locked^SC-QAM^1^6400.0^35.6^45.0^x"
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    # two scrape files, one bad-status record that the gate must drop
+    (d / "batch0.json").write_text(
+        _payload_line("MB8600", 1748736000.9, DS, US, "7days 03h:21m:09s") + "\n"
+    )
+    (d / "batch1.json").write_text(
+        _payload_line("MB8600-attic", 1748736010.2, DS, US, "11h:02m:33s")
+        + "\n"
+        + _payload_line("MB8600", 1748736020.5, DS, US, "45m:10s", ok=False)
+        + "\n"
+    )
+    return str(d)
+
+
+class TestIngestEndToEnd:
+    def test_stream_parses_writes_partitioned_table(self, spark, landing, tmp_path):
+        table = str(tmp_path / "docsis_out")
+        ckpt = str(tmp_path / "ckpt")
+        q = ingest.write_docsis_stream(
+            ingest.parse_payloads(ingest.read_payload_stream(spark, landing)),
+            table,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(table)
+        rows = {r["modem_name"]: r for r in out.collect()}
+        # bad-status record gated out (mb8600.py:354-360)
+        assert set(rows) == {"MB8600", "MB8600-attic"}
+
+        r = rows["MB8600"]
+        assert r["modem_uptime"] == 7 * 86400 + 3 * 3600 + 21 * 60 + 9
+        assert r["modem_config_filename"] == "bc1000.cm"
+        assert r["modem_model"] == "MB8600"
+        assert len(r["downstream_channels"]) == 2
+        ofdm = r["downstream_channels"][1]
+        assert ofdm["snr"] == pytest.approx(12.0 * 2.5)  # OFDM correction applied
+        assert r["upstream_channels"][0]["width"] == pytest.approx(6400.0e3)
+        # second-precision timestamps (tables.sql:29)
+        assert r["timestamp"].microsecond == 0
+
+        # write-path convention: date-partitioned directory layout
+        assert any("date=" in str(p) for p in (tmp_path / "docsis_out").iterdir())
+
+    def test_stream_equals_batch_parse(self, spark, landing, tmp_path):
+        batch = ingest.parse_payloads(
+            spark.read.schema(ingest.PAYLOAD_RECORD_SCHEMA).json(landing)
+        )
+        table = str(tmp_path / "t2")
+        q = ingest.write_docsis_stream(
+            ingest.parse_payloads(ingest.read_payload_stream(spark, landing)),
+            table,
+            str(tmp_path / "c2"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        streamed = spark.read.parquet(table).drop("date", "_epoch_id")
+        cols = sorted(batch.columns)
+        a = sorted(map(str, batch.select(*cols).collect()))
+        b = sorted(map(str, streamed.select(*cols).collect()))
+        assert a == b
+
+    def test_restart_does_not_reprocess(self, spark, landing, tmp_path):
+        table = str(tmp_path / "t3")
+        ckpt = str(tmp_path / "c3")
+        for _ in range(2):  # second start: checkpoint says all files done
+            q = ingest.write_docsis_stream(
+                ingest.parse_payloads(ingest.read_payload_stream(spark, landing)),
+                table,
+                ckpt,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+        assert spark.read.parquet(table).count() == 2
+
+
+def _events(spark):
+    return load_tables(spark, "/root/testdata/sf0.001")["events"]
+
+
+def _run_stream(spark, events_dir, transform, tmp_path, name):
+    stream_src = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).parquet(events_dir)
+    q = (
+        transform(stream_src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+class TestBatchStreamParity:
+    """The same windowed aggregation, run as a batch query and as a
+    micro-batch stream over identical data, must agree (SURVEY.md
+    §5.2.5). Events are re-written as parquet so the stream source sees
+    plain micro-precision timestamps."""
+
+    @pytest.fixture()
+    def events_dir(self, spark, tmp_path):
+        d = str(tmp_path / "events_pq")
+        _events(spark).coalesce(2).write.parquet(d)
+        return d
+
+    def _canon(self, df):
+        return sorted(map(str, df.collect()))
+
+    def test_tumbling_parity(self, spark, events_dir, tmp_path):
+        batch = windows.tumbling_counts(spark.read.parquet(events_dir))
+        streamed = _run_stream(
+            spark, events_dir, lambda s: windows.tumbling_counts(s), tmp_path, "tumb"
+        )
+        assert self._canon(batch) == self._canon(streamed)
+
+    def test_sliding_parity(self, spark, events_dir, tmp_path):
+        batch = windows.sliding_avg(spark.read.parquet(events_dir))
+        streamed = _run_stream(
+            spark, events_dir, lambda s: windows.sliding_avg(s), tmp_path, "slide"
+        )
+        assert self._canon(batch) == self._canon(streamed)
+
+    def test_session_window_parity(self, spark, events_dir, tmp_path):
+        batch = windows.session_windows(spark.read.parquet(events_dir))
+        streamed = _run_stream(
+            spark, events_dir, lambda s: windows.session_windows(s), tmp_path, "sess"
+        )
+        assert self._canon(batch) == self._canon(streamed)
+
+    def test_session_window_agrees_with_lag_based_batch(self, spark, events_dir):
+        """Native session_window must produce the same per-user session
+        COUNT as the Q36 lag-gap formulation."""
+        from pyspark.sql import Window as W
+
+        ev = spark.read.parquet(events_dir)
+        native = (
+            windows.session_windows(ev)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"))
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        lag_based = (
+            ev.withColumn("prev", F.lag("ts").over(w))
+            .withColumn(
+                "new_s",
+                (
+                    F.col("prev").isNull()
+                    | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+                ).cast("int"),
+            )
+            .groupBy("user_id")
+            .agg(F.sum("new_s").alias("n_sessions"))
+        )
+        a = {r["user_id"]: r["n_sessions"] for r in native.collect()}
+        b = {r["user_id"]: r["n_sessions"] for r in lag_based.collect()}
+        assert a == b
+
+
+class TestStreamingDedup:
+    def test_dedup_within_watermark(self, spark, tmp_path):
+        src_dir = str(tmp_path / "dup_events")
+        ev = _events(spark).limit(200)
+        ev.union(ev).write.parquet(src_dir)  # every event exactly twice
+        stream_src = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        q = (
+            windows.dedup_within_watermark(stream_src, ["event_id"])
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_stream")
+        assert got.count() == 200
+        assert got.select("event_id").distinct().count() == 200
+
+
+class TestStatefulSessionization:
+    def test_sessions_match_native_window(self, spark, tmp_path):
+        """applyInPandasWithState sessionization must emit exactly the
+        CLOSED sessions: those the native batch session_window finds,
+        minus each user's final (still-open-at-watermark) session."""
+        src_dir = str(tmp_path / "sess_events")
+        ev = _events(spark).filter("user_id < 20")
+        ev.coalesce(1).write.parquet(src_dir)
+
+        stream_src = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        q = (
+            windows.sessionize_with_state(stream_src, gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName("custom_sess")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.table("custom_sess").collect()
+        }
+
+        import datetime as dt
+
+        native = windows.session_windows(spark.read.parquet(src_dir), gap="30 minutes")
+        # drop each user's last session (open at end-of-stream; the
+        # stream never emits it because no later event / timeout closes
+        # it). Convention difference: native session_window's end is
+        # last-event + gap; the stateful operator emits the actual
+        # last-event time — subtract the gap to compare.
+        by_user: dict = {}
+        for r in native.collect():
+            by_user.setdefault(r["user_id"], []).append(r)
+        all_native = set()
+        closed_by_gap = set()
+        for user, sess in by_user.items():
+            sess.sort(key=lambda r: r["session_start"])
+            for i, r in enumerate(sess):
+                item = (
+                    user,
+                    r["session_start"],
+                    r["session_end"] - dt.timedelta(seconds=1800),
+                    r["n_events"],
+                )
+                all_native.add(item)
+                if i < len(sess) - 1:
+                    closed_by_gap.add(item)
+        # every gap-closed session MUST be emitted; each user's final
+        # session MAY also appear (emitted iff the end-of-stream
+        # watermark advanced past its event-time timeout) but nothing
+        # outside the native session set may ever appear
+        assert len(closed_by_gap) > 0
+        assert closed_by_gap <= got
+        assert got <= all_native
