@@ -1,0 +1,238 @@
+"""Q38-Q39, Q48, Q51-Q53: operator-coverage extensions beyond SURVEY §2.G.
+
+Native session windows, sliding windows, document stats, as-of join,
+band (range) join, and PIVOT — each with a DuckDB oracle recomputing the
+same semantics independently (DuckDB's ASOF JOIN verifies the custom
+as-of operator; sliding windows verify via an explicit two-offset
+unnest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as text_ops
+from ..operators.asof import asof_join
+from ..tables import load_tables
+from . import query
+from .relational import dsum4
+
+
+# ---------------------------------------------------------------------------
+# Q38 native session windows (F6) — batch execution of session_window()
+# ---------------------------------------------------------------------------
+@query(
+    "q38_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-min gap) in batch mode — start/end/
+    count/sum per user session. The oracle re-derives sessions from
+    lag-gap boundaries; Spark's session end is last-event + gap."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum4(F.col("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q39 sliding event-time windows (D6) — batch execution of window(w, s)
+# ---------------------------------------------------------------------------
+@query(
+    "q39_sliding_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) + (minute(ts) // 15) * INTERVAL 15 MINUTE
+             - off * INTERVAL 15 MINUTE AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events, (SELECT unnest([0, 1]) AS off) offs
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30-minute window, 15-minute slide: every event lands in
+    two epoch-aligned windows. The oracle unnests the two slide offsets
+    explicitly."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum4(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q48 document stats + fingerprint (F4)
+# ---------------------------------------------------------------------------
+@query(
+    "q48_doc_fingerprint",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+           len(list_distinct(string_split(t, ' '))) AS n_distinct_tokens,
+           md5(t) AS fp
+    FROM norm ORDER BY doc_id
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-ish token count, distinct-token count, and the
+    md5 content fingerprint over normalized text — the doc-profile
+    projection a corpus pipeline computes on every shard (scan-bound,
+    zero shuffle)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        "text",
+        F.split(text_ops.normalize_text(F.col("text")), " ").alias("toks"),
+    )
+    return toks.select(
+        "doc_id",
+        text_ops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.md5(F.array_join("toks", " ")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q51 as-of join (custom operator; oracle = DuckDB ASOF JOIN)
+# ---------------------------------------------------------------------------
+@query(
+    "q51_asof_join",
+    oracle="""
+    SELECT v.user_id, v.event_id, v.ts AS view_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    ORDER BY v.user_id, v.event_id
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'view' event, the latest prior-or-equal 'purchase' by
+    the same user — the as-of join via the union+window merge operator
+    (one key shuffle per side, no range explosion). DuckDB's native
+    ASOF JOIN is the oracle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        views, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("view_ts"),
+        F.col("asof_ts").alias("purchase_ts"),
+        F.col("asof_value").alias("purchase_value"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q52 band (range-predicate) join
+# ---------------------------------------------------------------------------
+@query(
+    "q52_range_join",
+    oracle="""
+    WITH bins AS (
+      SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi FROM range(10) t(i)
+    )
+    SELECT lo AS bin_lo, COUNT(e.value) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM bins LEFT JOIN events e ON e.value >= bins.lo AND e.value < bins.hi
+    GROUP BY lo ORDER BY bin_lo
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure band join (no equi key): events histogrammed into 10 value
+    bins via a broadcast-nested-loop join against a generated bin table.
+    The tiny side is broadcast; the fact side streams partition-parallel,
+    which is the right plan at any scale."""
+    ev = load_tables(spark, sf_dir)["events"]
+    bins = spark.range(10).select(
+        (F.col("id") * 50.0).alias("lo"), ((F.col("id") + 1) * 50.0).alias("hi")
+    )
+    return (
+        F.broadcast(bins)
+        .join(ev, (ev.value >= bins.lo) & (ev.value < bins.hi), "left")
+        .groupBy(F.col("lo").alias("bin_lo"))
+        .agg(F.count("value").alias("n"), dsum4(F.col("value")).alias("sum_value"))
+        .orderBy("bin_lo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q53 PIVOT (absent-in-reference operator set, SURVEY §2.E note)
+# ---------------------------------------------------------------------------
+@query(
+    "q53_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values (explicit values keep
+    the plan a single pass — no extra distinct-scan job)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    ).orderBy("o_orderpriority")
