@@ -252,7 +252,8 @@ def simhash_fingerprints(
     text_col: str = "text",
     shingle_n: int = 2,
 ) -> DataFrame:
-    """(id, simhash) 63-bit SimHash fingerprints over word shingles.
+    """(id, simhash) 63-bit multiset SimHash fingerprints over word
+    shingles (repeated shingles vote with multiplicity).
 
     Per shingle, a 64-bit hash (xxhash64 — JVM built-in); fingerprint bit
     b is 1 iff more shingle-hashes have bit b set than unset. Formulated
@@ -261,7 +262,9 @@ def simhash_fingerprints(
     — same result, linear scaling, small codegen. Bit 63 (sign) is
     excluded so the fingerprint stays non-negative. Engine-internal
     sketch (xxhash64 isn't oracle-portable); verified by property tests."""
-    hashed = shingle_rows(df, id_col, text_col, shingle_n).select(
+    # multiset form: repeated shingles vote with their multiplicity (the
+    # standard weighted SimHash), which also skips the distinct shuffle
+    hashed = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).select(
         "id", F.xxhash64("s").alias("h")
     )
     votes = hashed.groupBy("id").agg(
@@ -284,3 +287,46 @@ def simhash_fingerprints(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+def simhash_neardup_pairs(
+    fps: DataFrame, max_hamming: int = 10, id_col: str = "id", fp_col: str = "simhash"
+) -> DataFrame:
+    """Exact Hamming<=T pairs over (id, fingerprint) rows WITHOUT the
+    O(n^2) self-join, via pigeonhole segment blocking (HmSearch): split
+    the 63 fingerprint bits into T+1 segments — any pair within Hamming
+    distance T must agree on at least one whole segment. Candidates =
+    pairs sharing (segment index, segment bits), generated bucket-locally
+    after one groupBy shuffle; the exact Hamming filter then runs only on
+    candidates. Same result set as brute force, linear-ish cost on
+    near-dup-sparse corpora."""
+    n_seg = max_hamming + 1
+    width = (63 + n_seg - 1) // n_seg
+    seg_keys = F.array(
+        *[
+            F.shiftright(F.col(fp_col), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long")
+            for i in range(n_seg)
+        ]
+    )
+    segs = fps.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp"), F.posexplode(seg_keys).alias("seg", "bits")
+    )
+    members = (
+        segs.groupBy("seg", "bits")
+        .agg(F.collect_list(F.struct("id", "fp")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    cands = (
+        members.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= max_hamming)
+

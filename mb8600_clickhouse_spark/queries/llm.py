@@ -254,18 +254,14 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q42_dedup_simhash", oracle=None)
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 fingerprints + Hamming<=10 blocking over the near-dup
-    corpus. xxhash64 is engine-internal (not portable to the oracle), so
+    """SimHash-64 fingerprints + Hamming<=3 pairs over the near-dup corpus
+    via exact pigeonhole segment blocking (no O(n^2) join). xxhash64 is engine-internal (not portable to the oracle), so
     the driver does a rows-only check; invariants (self-distance 0,
     near-dup pairs close, reflexivity) are pytest-verified."""
     docs = load_tables(spark, sf_dir)["documents"]
     fps = dedup.simhash_fingerprints(_neardup_corpus(docs), shingle_n=2)
-    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", dedup.hamming64(F.col("h_a"), F.col("h_b")))
-        .filter(F.col("hamming") <= 10)
+        dedup.simhash_neardup_pairs(fps, max_hamming=3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )

@@ -130,21 +130,21 @@ def read_payload_stream(spark: SparkSession, landing_dir: str, max_files_per_tri
 
 
 def append_docsis(df: DataFrame, table_path: str, epoch_id: int | None = None) -> None:
-    """The write-path convention (SURVEY.md §4.2): date-partitioned,
-    sorted within partitions by (modem_name, timestamp) so Parquet
-    row-group stats give primary-key-prefix data skipping.
+    """Append under the docsis table layout (plans.DOCSIS_LAYOUT — the
+    PARTITION BY/ORDER BY convention from reference tables.sql:30).
 
     ``epoch_id`` (from foreachBatch) is stamped on every row: replays of
     the same micro-batch write the same marker, so downstream exact-once
     consumers can fence duplicates (batch writes stamp -1)."""
-    (
-        df.withColumn("date", F.to_date("timestamp"))
-        .withColumn("_epoch_id", F.lit(-1 if epoch_id is None else epoch_id).cast("long"))
-        .repartition("date")
-        .sortWithinPartitions("modem_name", "timestamp")
-        .write.mode("append")
-        .partitionBy("date")
-        .parquet(table_path)
+    from ..plans import DOCSIS_LAYOUT, write_table
+
+    write_table(
+        df,
+        DOCSIS_LAYOUT,
+        table_path,
+        extra_columns={
+            "_epoch_id": F.lit(-1 if epoch_id is None else epoch_id).cast("long")
+        },
     )
 
 
