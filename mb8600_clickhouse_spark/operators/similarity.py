@@ -19,6 +19,7 @@ embeddable in the DuckDB oracle (differential-testable end to end).
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -131,6 +132,109 @@ def embedding_neardup(
             "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def centroid_literals(centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Collect a (small) centroid table to driver-side literals. IVF
+    coarse quantizers are tiny by construction (hundreds to thousands of
+    cells for billions of vectors) — inlining them into the plan makes
+    cell assignment a pure per-row expression: zero shuffle, full
+    codegen, embarrassingly parallel over any corpus size."""
+    rows = centroids.select(id_col, vec_col).collect()
+    return sorted((r[0], [float(x) for x in r[1]]) for r in rows)
+
+
+def _cents_df(df: DataFrame, cents: list[tuple[int, list[float]]]):
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid INT, ce ARRAY<DOUBLE>"
+    )
+
+
+def _scored_cells(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, v, cid, sim): each vector crossed with the broadcast centroid
+    table and cosine-scored — the idiomatic small-dim-table shape. A
+    per-row expression with inlined centroid literals is tempting (zero
+    shuffle) but at 8x64 literals the generated code is large enough
+    that compile time dominates small stages; the broadcast join keeps
+    codegen small and the blowup factor equals the centroid count."""
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    return base.crossJoin(F.broadcast(_cents_df(df, cents))).select(
+        "id", "v", "cid", cosine(F.col("v"), F.col("ce")).alias("sim")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell): each vector assigned to its nearest centroid
+    (max_by with sim-then-lowest-id ordering; partial aggregation folds
+    the centroid-count blowup back to one row per vector map-side)."""
+    return (
+        _scored_cells(df, cents, id_col, vec_col)
+        .groupBy("id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("t"))).alias(
+                "cell"
+            ),
+            F.first("v").alias("v"),  # identical across the blowup rows
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows are bucketed by nearest
+    centroid (inverted file); each query probes its ``nprobe`` nearest
+    cells and scores only vectors in them. The scale path for ANN when
+    sign-LSH recall is insufficient: scoring cost drops from O(|corpus|)
+    to O(|corpus| * nprobe / n_cells) per query, and the only join is
+    queries x probed-cells — corpus never self-joins."""
+    cents = centroid_literals(centroids, id_col, vec_col)
+    c = ivf_assign(corpus, cents, id_col, vec_col).withColumnsRenamed(
+        {"id": "neighbor_id", "v": "cvec"}
+    )
+    qw = W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    q = (
+        _scored_cells(queries, cents, id_col, vec_col)
+        .withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qvec"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
     )
 
 

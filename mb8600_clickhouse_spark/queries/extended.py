@@ -16,7 +16,7 @@ from ..operators import text as text_ops
 from ..operators.asof import asof_join
 from ..tables import load_tables
 from . import query
-from .relational import dsum4
+from .relational import dsum4, round4
 
 
 # ---------------------------------------------------------------------------
@@ -236,3 +236,80 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("O", F.lit(0)).alias("n_o"),
         F.coalesce("P", F.lit(0)).alias("n_p"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Q54 IVF approximate nearest neighbors (F3 scale path)
+# ---------------------------------------------------------------------------
+@query(
+    "q54_ann_ivf",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < 8
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 50
+    ),
+    qs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 8 AND vec_id < 13
+    ),
+    cos AS (  -- all (vector, centroid) similarities for both sides
+      SELECT 'c' AS side, v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * v.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), i -> c.ce[i] * c.ce[i])))) AS sim
+      FROM corpus v, cents c
+      UNION ALL
+      SELECT 'q', v.vec_id, c.cid, list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * v.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), i -> c.ce[i] * c.ce[i])))) AS sim
+      FROM qs v, cents c
+    ),
+    ranked AS (
+      SELECT side, vec_id, cid,
+             row_number() OVER (PARTITION BY side, vec_id ORDER BY sim DESC, cid) AS rn
+      FROM cos
+    ),
+    ccell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'c' AND rn = 1),
+    qcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'q' AND rn <= 2),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(
+               list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * cv.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * qv.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(cv.e)), i -> cv.e[i] * cv.e[i]))))
+             AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+      FROM qcell q
+      JOIN ccell c ON c.cell = q.cell
+      JOIN qs qv ON qv.vec_id = q.vec_id
+      JOIN corpus cv ON cv.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: vec_id<8 as coarse centroids (driver-inlined literals ->
+    zero-shuffle cell assignment), corpus bucketed by nearest cell,
+    5 query vectors probing their 2 nearest cells, exact cosine top-5
+    within probed cells only."""
+    from ..operators import similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = similarity.ivf_topk(
+        corpus=emb.filter(F.col("vec_id") >= 50),
+        queries=emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)),
+        centroids=emb.filter(F.col("vec_id") < 8),
+        k=5,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", round4(F.col("cosine_sim")).alias("cosine_sim")
+    ).orderBy("query_id", "neighbor_id")
