@@ -88,3 +88,27 @@ def write_table(
         .partitionBy(layout.partition_col)
         .parquet(path)
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed catalog table: rows are hash-placed
+    into ``n_buckets`` files per partition on ``bucket_cols`` (and
+    optionally sorted inside each bucket).
+
+    This is the co-located-join convention: two tables bucketed the same
+    way on the join key sort-merge-join with NO exchange on either side —
+    the shuffle was paid once at write time. At 100 TB this converts the
+    recurring dominant cost of fact-to-fact joins into a one-time layout
+    decision (the same trade ClickHouse makes with its sort key).
+    Buckets also enable exchange-free aggregation on the bucket key."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
