@@ -1,0 +1,76 @@
+"""Skew-handling primitives: salted aggregation and salted joins.
+
+AQE's skew-join splitting handles sort-merge join skew automatically
+(enabled in session.py), but two shapes still need explicit salting at
+100 TB:
+
+- **hot-key aggregation**: one key holding 1% of a 100 TB table sends
+  1 TB through a single reducer. ``salted_agg`` spreads each key over
+  ``n_salts`` partial groups and re-aggregates — two small shuffles
+  instead of one skewed one.
+- **hot-key equi-join against a medium dimension** (too big to
+  broadcast): ``salted_join`` salts the fact side and explodes the
+  dimension side ``n_salts``-fold so every salted fact key finds its
+  match. Dimension replication × n_salts is the explicit, bounded cost.
+
+Both are deterministic: the salt is a hash of stable columns, never
+``rand()`` (reproducible runs, and oracle-checkable if ever declared).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_from: str, n_salts: int = 16) -> DataFrame:
+    """Deterministic salt in [0, n_salts) derived from a stable column
+    (NOT rand(): replays and retries must re-derive identical salts)."""
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: list[tuple[str, str, Callable[[str], Column], Callable[[str], Column]]],
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` is a list of (out_name, src_col, partial_fn, merge_fn),
+    e.g. ``[("n", "x", F.count, F.sum), ("total", "x", F.sum, F.sum)]``
+    — the decomposition must be algebraic (count merges via sum, sum via
+    sum, min via min, ...). Phase 1 groups by (keys + salt) so the hot
+    key spreads over n_salts reducers; phase 2 merges the n_salts
+    partials per key — a shuffle of |keys| x n_salts pre-aggregated
+    rows, not raw data."""
+    partial = (
+        with_salt(df, salt_from, n_salts)
+        .groupBy(*group_cols, "_salt")
+        .agg(*[pfn(src).alias(name) for name, src, pfn, _m in aggs])
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[mfn(name).alias(name) for name, _src, _p, mfn in aggs]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a salted fact side: the dimension is exploded
+    n_salts-fold so each (key, salt) pair finds its match — the hot fact
+    key's rows spread over n_salts tasks instead of one."""
+    f = with_salt(fact, key, n_salts)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")

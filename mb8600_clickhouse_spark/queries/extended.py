@@ -313,3 +313,70 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", round4(F.col("cosine_sim")).alias("cosine_sim")
     ).orderBy("query_id", "neighbor_id")
+
+
+# ---------------------------------------------------------------------------
+# Q55 counter rate per second (E10 full dashboard idiom)
+# ---------------------------------------------------------------------------
+@query(
+    "q55_counter_rate",
+    oracle="""
+    WITH e AS (
+      SELECT modem_name, timestamp, u.channel_id AS channel_id,
+             u.uncorrected_errors AS uncorrected
+      FROM (SELECT modem_name, timestamp, unnest(downstream_channels) AS u
+            FROM read_parquet('{docsis}'))
+    ), d AS (
+      SELECT modem_name, channel_id, timestamp,
+             uncorrected - lag(uncorrected) OVER w AS raw_delta,
+             epoch(timestamp) - epoch(lag(timestamp) OVER w) AS dt_s
+      FROM e
+      WINDOW w AS (PARTITION BY modem_name, channel_id ORDER BY timestamp)
+    )
+    SELECT modem_name, channel_id, timestamp,
+           CAST(greatest(raw_delta, 0) AS DOUBLE) / dt_s AS errs_per_s
+    FROM d WHERE raw_delta IS NOT NULL AND dt_s > 0
+    ORDER BY modem_name, channel_id, timestamp
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-second error rate over wrapping counters: clamp negative
+    deltas (firmware overflow, reference tables.sql:17-19), divide by
+    the actual inter-scrape seconds — the Grafana rate() idiom the
+    schema exists to serve."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir)["docsis"]
+    e = d.select(
+        "modem_name", "timestamp", F.explode("downstream_channels").alias("u")
+    ).select(
+        "modem_name",
+        "timestamp",
+        F.col("u.channel_id").alias("channel_id"),
+        F.col("u.uncorrected_errors").alias("uncorrected"),
+    )
+    w = W.partitionBy("modem_name", "channel_id").orderBy("timestamp")
+    stepped = e.select(
+        "modem_name",
+        "channel_id",
+        "timestamp",
+        (F.col("uncorrected") - F.lag("uncorrected").over(w)).alias("raw_delta"),
+        (
+            F.unix_timestamp("timestamp") - F.unix_timestamp(F.lag("timestamp").over(w))
+        ).alias("dt_s"),
+    )
+    return (
+        stepped.filter(F.col("raw_delta").isNotNull() & (F.col("dt_s") > 0))
+        .select(
+            "modem_name",
+            "channel_id",
+            "timestamp",
+            # raw double division: per-row scalar IEEE math is
+            # bit-identical across engines, while decimal rounding of
+            # exact-half values (delta/10s -> .28125) is not
+            (
+                F.greatest(F.col("raw_delta"), F.lit(0)).cast("double") / F.col("dt_s")
+            ).alias("errs_per_s"),
+        )
+        .orderBy("modem_name", "channel_id", "timestamp")
+    )
