@@ -97,3 +97,95 @@ def decode_image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(extract, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (mapInPandas).
+
+    The pixel transform is STUBBED (no imaging libraries in this
+    container): strict=True raises NotImplementedError; strict=False
+    passes payload bytes through and stamps the target dimensions, so
+    the distributed plumbing — schema, batch shape, partition-parallel
+    execution — is real and testable. Swap the body for PIL/libvips on
+    a cluster that has them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "image resize backend not available; plug PIL/libvips into resize_images"
+            )
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf[payload_col],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 10,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (mapInPandas fan-out — batches may EMIT MORE ROWS than they receive,
+    the shape a real decoder needs).
+
+    The decode is STUBBED: strict=True raises; strict=False derives
+    deterministic per-frame digests from (payload, frame index) so
+    row-count and fan-out semantics are exercisable without ffmpeg."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "video decode backend not available; plug ffmpeg into sample_frames"
+            )
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = min(max_frames, max(1, len(payload) // max(every_nth, 1)))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i * every_nth)
+                    digests.append(
+                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sha256": digests}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -114,3 +114,36 @@ class TestMultimodal:
         assert "NotImplementedError" in str(ei.value) or isinstance(
             ei.value, Py4JJavaError
         )
+
+
+class TestMultimodalTransforms:
+    def _payloads(self, spark):
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.operators import multimodal as mm
+
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="x" * 100), Row(doc_id=2, text="y" * 35)]
+        )
+        return mm.with_payload(docs)
+
+    def test_resize_passthrough_plumbing(self, spark):
+        from mb8600_clickhouse_spark.operators import multimodal as mm
+
+        out = {r["doc_id"]: r for r in mm.resize_images(self._payloads(spark), 64, 64).collect()}
+        assert out[1]["width"] == 64 and out[1]["height"] == 64
+        assert len(bytes(out[1]["payload"])) == 100  # stub passes bytes through
+
+    def test_frame_sampling_fans_out(self, spark):
+        from mb8600_clickhouse_spark.operators import multimodal as mm
+
+        rows = mm.sample_frames(self._payloads(spark), every_nth=10, max_frames=8).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc[1]) == 8   # 100 bytes / 10 -> 10, capped at 8
+        assert len(by_doc[2]) == 3   # 35 // 10 -> 3 frames
+        assert by_doc[2][0]["frame_sha256"] != by_doc[2][1]["frame_sha256"]
+        # deterministic across runs
+        again = mm.sample_frames(self._payloads(spark), every_nth=10, max_frames=8).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
