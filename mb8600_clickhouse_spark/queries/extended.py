@@ -380,3 +380,71 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modem_name", "channel_id", "timestamp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q56 correlated scalar subquery (decorrelation -> join under Catalyst)
+# ---------------------------------------------------------------------------
+@query(
+    "q56_correlated_subquery",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above_avg
+    FROM orders o
+    WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above their customer's average, via a correlated
+    scalar subquery through the SQL front door — Catalyst decorrelates
+    it into an aggregate + join (no per-row re-execution, unlike naive
+    subquery evaluation)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        FROM orders o
+        WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q57 distribution window functions (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+@query(
+    "q57_distribution_windows",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over per-priority price order:
+    quartile bucket, percent rank, cumulative distribution."""
+    from pyspark.sql import Window as W
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        )
+        .orderBy("o_orderkey")
+    )
