@@ -58,3 +58,38 @@ def test_asof_strict_excludes_ties(spark):
 def test_asof_preserves_left_rowcount(spark):
     left, right = _frames(spark)
     assert asof_join(left, right, on=["k"]).count() == left.count()
+
+
+def test_asof_matches_bruteforce_on_random_data(spark):
+    """Property check: the merge-formulation as-of join equals the
+    brute-force 'latest right row at-or-before left ts per key'
+    definition on pseudo-random data with deliberate ts collisions."""
+    import random
+
+    rng = random.Random(1234)
+    keys = ["a", "b", "c", "d"]
+    left = [
+        Row(k=rng.choice(keys), ts=_ts(rng.randrange(0, 60)), lid=i)
+        for i in range(120)
+    ]
+    right = [
+        Row(k=rng.choice(keys), ts=_ts(rng.randrange(0, 60)), price=float(i))
+        for i in range(80)
+    ]
+    lf, rf = spark.createDataFrame(left), spark.createDataFrame(right)
+
+    got = {
+        r["lid"]: (r["asof_ts"], r["asof_price"])
+        for r in asof_join(lf, rf, on=["k"]).collect()
+    }
+
+    for row in left:
+        cands = [r for r in right if r.k == row.k and r.ts <= row.ts]
+        if not cands:
+            assert got[row.lid] == (None, None)
+        else:
+            best_ts = max(r.ts for r in cands)
+            assert got[row.lid][0] == best_ts
+            # with ts collisions on the right, any of the tied rows is a
+            # valid match — assert the price belongs to the tied set
+            assert got[row.lid][1] in {r.price for r in cands if r.ts == best_ts}

@@ -286,3 +286,55 @@ class TestStatefulSessionization:
         assert len(closed_by_gap) > 0
         assert closed_by_gap <= got
         assert got <= all_native
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path):
+        """Stream-stream inner join (views x purchases per user within
+        [-1h, 0]) must equal the same interval join executed in batch."""
+        src_dir = str(tmp_path / "ssj_events")
+        ev = _events(spark).filter("user_id < 30")
+        ev.coalesce(2).write.parquet(src_dir)
+
+        def split(df):
+            v = df.filter(F.col("event_type") == "view").select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            p = df.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            return v, p
+
+        cond = (
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") <= F.col("v_ts"))
+            & (F.col("p_ts") >= F.col("v_ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+
+        bv, bp = split(spark.read.parquet(src_dir))
+        batch = bv.join(bp, cond).select("view_id", "purchase_id")
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        sv, sp = split(stream)
+        joined = sv.withWatermark("v_ts", "2 hours").join(
+            sp.withWatermark("p_ts", "2 hours"), cond
+        ).select("view_id", "purchase_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        a = sorted(map(tuple, batch.collect()))
+        b = sorted(map(tuple, spark.table("ssj").collect()))
+        assert len(a) > 0
+        assert a == b
