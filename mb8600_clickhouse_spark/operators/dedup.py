@@ -267,20 +267,37 @@ def simhash_fingerprints(
     hashed = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).select(
         "id", F.xxhash64("s").alias("h")
     )
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(63)
-        ]
-    )
-    fp = None
-    for b in range(63):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = bit if fp is None else fp + bit
+    # bit-sliced vote counting: pack 3 per-bit ones-counters into each
+    # 64-bit sum (21-bit fields -> safe for docs up to 2^21 shingles), so
+    # the aggregate carries 21 SUM columns + a COUNT instead of 63 —
+    # third the aggregation state and a much smaller plan to optimize.
+    # ones_b = field b of the packed sums; fingerprint bit b is set iff
+    # 2*ones_b > n (majority of shingle hashes have bit b set).
+    WIDTH, PER = 21, 3
+    packed = [
+        F.sum(
+            sum(
+                (
+                    F.shiftleft(
+                        F.shiftright(F.col("h"), k * PER + j).bitwiseAND(F.lit(1)),
+                        WIDTH * j,
+                    )
+                    for j in range(PER)
+                    if k * PER + j < 63
+                ),
+                F.lit(0).cast("long"),
+            )
+        ).alias(f"p{k}")
+        for k in range(21)
+    ]
+    votes = hashed.groupBy("id").agg(F.count("*").alias("n"), *packed)
+    mask = (1 << WIDTH) - 1
+    bits = []
+    for b in range(62, -1, -1):  # MSB first
+        k, j = divmod(b, PER)
+        ones = F.shiftright(F.col(f"p{k}"), WIDTH * j).bitwiseAND(F.lit(mask))
+        bits.append(F.when(ones * 2 > F.col("n"), F.lit("1")).otherwise(F.lit("0")))
+    fp = F.conv(F.concat(*bits), 2, 10).cast("long")
     return votes.select("id", fp.alias("simhash"))
 
 
