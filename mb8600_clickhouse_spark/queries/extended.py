@@ -448,3 +448,77 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q58 navigation window functions (lead / first_value / nth_value)
+# ---------------------------------------------------------------------------
+@query(
+    "q58_navigation_windows",
+    oracle="""
+    SELECT event_id, user_id,
+           datediff('second', date_trunc('second', ts), date_trunc('second', lead(ts) OVER w)) AS secs_to_next,
+           first_value(value) OVER w AS first_val,
+           nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS third_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward navigation over each user's event timeline: seconds to
+    the next event (lead), the session-opening value (first_value), and
+    the third value seen so far (nth_value over a running frame)."""
+    from pyspark.sql import Window as W
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (
+                F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+            ).alias("secs_to_next"),
+            F.first("value").over(running).alias("first_val"),
+            F.nth_value("value", 3).over(running).alias("third_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q59 explicit GROUPING SETS (completes the rollup/cube family)
+# ---------------------------------------------------------------------------
+@query(
+    "q59_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping sets — (priority, status), (status), grand
+    total — with grouping_id disambiguating the null rows."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )

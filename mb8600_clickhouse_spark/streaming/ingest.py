@@ -165,3 +165,51 @@ def write_docsis_stream(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def read_docsis(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read the ingest-written docsis table with replay fencing: a
+    foreachBatch replay appends the same rows with the same _epoch_id,
+    so exactly-once reads collapse duplicates on (natural key,
+    _epoch_id). Keeps the engine's at-least-once write + idempotent
+    read contract (the upgrade over the reference's drop-on-error sink,
+    mb8600.py:308-311)."""
+    raw = spark.read.parquet(table_path)
+    return raw.dropDuplicates(
+        ["modem_name", "timestamp", "_epoch_id"]
+    ).drop("_epoch_id")
+
+
+def compact_docsis(spark: SparkSession, table_path: str) -> int:
+    """Compact a streaming-written docsis table in place: micro-batch
+    appends leave one small file per (batch x date); this rewrites the
+    table through the same layout policy (one sorted file per date via
+    the layout's repartition), restoring scan efficiency — the Spark
+    stand-in for OPTIMIZE / ClickHouse background merges. Returns the
+    number of files after compaction.
+
+    Local-filesystem swap (write to a sibling dir, atomic-ish rename);
+    on a real deployment use a transactional table format (Delta/
+    Iceberg) where compaction is a metadata swap."""
+    import shutil
+    from pathlib import Path
+
+    from ..plans import DOCSIS_LAYOUT
+
+    src = Path(table_path)
+    tmp = src.with_name(src.name + "._compacting")
+    fenced = read_docsis(spark, table_path)
+    # re-stamp a single epoch: post-compaction the replay markers have
+    # served their purpose (duplicates are already collapsed)
+    (
+        fenced.withColumn("date", F.to_date("timestamp"))
+        .withColumn("_epoch_id", F.lit(-2).cast("long"))
+        .repartition("date")
+        .sortWithinPartitions("date", *DOCSIS_LAYOUT.sort_cols)
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(str(tmp))
+    )
+    shutil.rmtree(src)
+    tmp.rename(src)
+    return len(list(src.glob("date=*/*.parquet")))

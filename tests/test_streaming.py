@@ -338,3 +338,41 @@ class TestStreamStreamJoin:
         b = sorted(map(tuple, spark.table("ssj").collect()))
         assert len(a) > 0
         assert a == b
+
+
+class TestReplayFencingAndCompaction:
+    def test_replayed_epoch_reads_once(self, spark, landing, tmp_path):
+        table = str(tmp_path / "fence")
+        parsed = ingest.parse_payloads(
+            spark.read.schema(ingest.PAYLOAD_RECORD_SCHEMA).json(landing)
+        )
+        ingest.append_docsis(parsed, table, epoch_id=7)
+        ingest.append_docsis(parsed, table, epoch_id=7)  # replay
+        assert spark.read.parquet(table).count() == 4  # raw: duplicated
+        fenced = ingest.read_docsis(spark, table)
+        assert fenced.count() == 2  # fenced: exactly once
+        assert "_epoch_id" not in fenced.columns
+
+    def test_compaction_reduces_files_keeps_data(self, spark, landing, tmp_path):
+        table = str(tmp_path / "compact")
+        parsed = ingest.parse_payloads(
+            spark.read.schema(ingest.PAYLOAD_RECORD_SCHEMA).json(landing)
+        )
+        for epoch in range(5):  # five appends -> five files per date
+            ingest.append_docsis(parsed, table, epoch_id=epoch)
+        from pathlib import Path
+
+        before = len(list(Path(table).glob("date=*/*.parquet")))
+        want = {
+            (r["modem_name"], r["timestamp"])
+            for r in ingest.read_docsis(spark, table).collect()
+        }
+        n_files = ingest.compact_docsis(spark, table)
+        assert n_files < before
+        got = {
+            (r["modem_name"], r["timestamp"])
+            for r in ingest.read_docsis(spark, table).collect()
+        }
+        assert got == want
+        # layout properties survive compaction
+        assert any("date=" in str(p) for p in Path(table).iterdir())
