@@ -39,27 +39,31 @@ def correct_ofdm_snr(modulation: Column, snr: Column) -> Column:
     return F.when((modulation == "OFDM PLC") & (snr < 20.0), snr * 2.5).otherwise(snr)
 
 
+# try_element_at / try_cast throughout: truncated or malformed wire
+# records degrade to NULL fields under ANY session ANSI setting — the
+# engine never inherits the reference's whole-scrape-discard behavior
+# (mb8600.py:439-441).
 def _downstream_struct(f: Column) -> Column:
-    modulation = F.element_at(f, 3)
-    snr_raw = F.element_at(f, 7).try_cast("double")
+    modulation = F.try_element_at(f, F.lit(3))
+    snr_raw = F.try_element_at(f, F.lit(7)).try_cast("double")
     return F.struct(
-        F.element_at(f, 4).try_cast("int").alias("channel_id"),
-        (F.element_at(f, 5).try_cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
+        F.try_element_at(f, F.lit(4)).try_cast("int").alias("channel_id"),
+        (F.try_element_at(f, F.lit(5)).try_cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
         modulation.alias("modulation"),
-        F.element_at(f, 6).try_cast("double").cast("float").alias("power"),
+        F.try_element_at(f, F.lit(6)).try_cast("double").cast("float").alias("power"),
         correct_ofdm_snr(modulation, snr_raw).cast("float").alias("snr"),
-        F.element_at(f, 8).try_cast("long").alias("corrected_errors"),
-        F.element_at(f, 9).try_cast("long").alias("uncorrected_errors"),
+        F.try_element_at(f, F.lit(8)).try_cast("long").alias("corrected_errors"),
+        F.try_element_at(f, F.lit(9)).try_cast("long").alias("uncorrected_errors"),
     )
 
 
 def _upstream_struct(f: Column) -> Column:
     return F.struct(
-        F.element_at(f, 4).try_cast("int").alias("channel_id"),
-        (F.element_at(f, 6).try_cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
-        F.element_at(f, 3).alias("modulation"),
-        F.element_at(f, 7).try_cast("double").cast("float").alias("power"),
-        (F.element_at(f, 5).try_cast("double") * F.lit(1000.0)).cast("float").alias("width"),
+        F.try_element_at(f, F.lit(4)).try_cast("int").alias("channel_id"),
+        (F.try_element_at(f, F.lit(6)).try_cast("double") * F.lit(1000000.0)).cast("float").alias("frequency"),
+        F.try_element_at(f, F.lit(3)).alias("modulation"),
+        F.try_element_at(f, F.lit(7)).try_cast("double").cast("float").alias("power"),
+        (F.try_element_at(f, F.lit(5)).try_cast("double") * F.lit(1000.0)).cast("float").alias("width"),
     )
 
 

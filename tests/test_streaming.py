@@ -376,3 +376,37 @@ class TestReplayFencingAndCompaction:
         assert got == want
         # layout properties survive compaction
         assert any("date=" in str(p) for p in Path(table).iterdir())
+
+
+class TestIngestRobustness:
+    def test_malformed_payloads_dropped_not_crash(self, spark, tmp_path):
+        """Garbage JSON, missing envelope fields, and empty channel
+        strings must degrade to dropped rows / null fields — never a
+        crashed stream (the engine's documented improvement over the
+        reference's catch-all discard, mb8600.py:439-441)."""
+        d = tmp_path / "dirty"
+        d.mkdir()
+        lines = [
+            # not JSON at all in the payload column
+            json.dumps(
+                {"modem_name": "M", "payload": "not json {", "scrape_latency": 0.1, "ts": 1748736000.0}
+            ),
+            # valid JSON, wrong envelope shape
+            json.dumps(
+                {"modem_name": "M", "payload": "{\"Foo\": 1}", "scrape_latency": 0.1, "ts": 1748736001.0}
+            ),
+            # OK status but empty channel strings and junk uptime
+            _payload_line("M-ok", 1748736002.0, "", "", "garbage"),
+        ]
+        (d / "a.json").write_text("\n".join(lines) + "\n")
+        parsed = ingest.parse_payloads(
+            spark.read.schema(ingest.PAYLOAD_RECORD_SCHEMA).json(str(d))
+        )
+        rows = parsed.collect()
+        # only the structurally-OK record survives the status gate
+        assert [r["modem_name"] for r in rows] == ["M-ok"]
+        r = rows[0]
+        assert r["modem_uptime"] == 0  # coalesce-0, not int(None) crash
+        # empty packed string -> one all-null struct, never an exception
+        assert len(r["downstream_channels"]) == 1
+        assert r["downstream_channels"][0]["channel_id"] is None
