@@ -145,30 +145,47 @@ def centroid_literals(centroids: DataFrame, id_col: str = "vec_id", vec_col: str
     return sorted((r[0], [float(x) for x in r[1]]) for r in rows)
 
 
-def _cents_df(df: DataFrame, cents: list[tuple[int, list[float]]]):
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents], "cid INT, ce ARRAY<DOUBLE>"
-    )
+def _cent_matrix_lit(cents: list[tuple[int, list[float]]]) -> Column:
+    """All centroid vectors as ONE row-major array<double> literal.
+    A single ``F.lit(list)`` is one Literal node (a constant ArrayData
+    reference in generated code) — unlike ``F.array(*lits)``, which
+    unrolls to one expression per element and makes janino compile time
+    dominate small stages (see ivf history in git)."""
+    return F.lit([x for _, vec in cents for x in vec])
 
 
-def _scored_cells(
-    df: DataFrame,
-    cents: list[tuple[int, list[float]]],
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """(id, v, cid, sim): each vector crossed with the broadcast centroid
-    table and cosine-scored — the idiomatic small-dim-table shape. A
-    per-row expression with inlined centroid literals is tempting (zero
-    shuffle) but at 8x64 literals the generated code is large enough
-    that compile time dominates small stages; the broadcast join keeps
-    codegen small and the blowup factor equals the centroid count."""
-    base = df.select(
-        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
-    )
-    return base.crossJoin(F.broadcast(_cents_df(df, cents))).select(
-        "id", "v", "cid", cosine(F.col("v"), F.col("ce")).alias("sim")
+def _cent_norms_lit(cents: list[tuple[int, list[float]]]) -> Column:
+    """Centroid L2 norms, folded left in index order exactly like
+    ``norm()`` does JVM-side so the quotient is bit-identical."""
+    norms = []
+    for _, vec in cents:
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        norms.append(math.sqrt(acc))
+    return F.lit(norms)
+
+
+def _cids_lit(cents: list[tuple[int, list[float]]]) -> Column:
+    return F.lit([cid for cid, _ in cents])
+
+
+def _cell_sims(v: Column, nv: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<double> of cosine(v, centroid_c) for every centroid, as a
+    pure per-row expression over two array literals (no join, no
+    shuffle). Index c is the centroid's position in the sorted ``cents``
+    list; map back to ids via ``_cids_lit``."""
+    dim = len(cents[0][1])
+    cm, cn = _cent_matrix_lit(cents), _cent_norms_lit(cents)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda c: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(v, i + 1) * F.element_at(cm, c * dim + i + 1),
+        )
+        / (nv * F.element_at(cn, c + 1)),
     )
 
 
@@ -178,19 +195,50 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, v, cell): each vector assigned to its nearest centroid
-    (max_by with sim-then-lowest-id ordering; partial aggregation folds
-    the centroid-count blowup back to one row per vector map-side)."""
-    return (
-        _scored_cells(df, cents, id_col, vec_col)
-        .groupBy("id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("t"))).alias(
-                "cell"
-            ),
-            F.first("v").alias("v"),  # identical across the blowup rows
+    """(id, v, cell): each vector assigned to its nearest centroid —
+    highest cosine, ties to the lowest centroid id (``array_position``
+    returns the first maximum and ``cents`` is sorted by id). A pure
+    projection: the corpus is never shuffled, so assignment is
+    embarrassingly parallel at any scale."""
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("_nv", norm(F.col("v")))
+    sims = _cell_sims(F.col("v"), F.col("_nv"), cents)
+    return base.select(
+        "id",
+        "v",
+        F.element_at(
+            _cids_lit(cents), F.array_position(sims, F.array_max(sims)).cast("int")
+        ).alias("cell"),
+    )
+
+
+def ivf_probe_cells(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell): one row per (query, probed cell) — each query's
+    ``nprobe`` nearest centroids by cosine desc, centroid-id asc. Also a
+    pure projection (sort the tiny per-row sims array, slice, explode)."""
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("_nv", norm(F.col("v")))
+    sims = _cell_sims(F.col("v"), F.col("_nv"), cents)
+    ranked = F.array_sort(
+        F.zip_with(
+            sims,
+            _cids_lit(cents),
+            lambda s, c: F.struct((-s).alias("neg_sim"), c.alias("cid")),
         )
     )
+    return base.select(
+        "id",
+        "v",
+        F.explode(F.slice(ranked, 1, nprobe)).alias("probe"),
+    ).select("id", "v", F.col("probe.cid").alias("cell"))
 
 
 def ivf_topk(
@@ -212,16 +260,8 @@ def ivf_topk(
     c = ivf_assign(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {"id": "neighbor_id", "v": "cvec"}
     )
-    qw = W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid").asc())
-    q = (
-        _scored_cells(queries, cents, id_col, vec_col)
-        .withColumn("_rn", F.row_number().over(qw))
-        .filter(F.col("_rn") <= nprobe)
-        .select(
-            F.col("id").alias("query_id"),
-            F.col("v").alias("qvec"),
-            F.col("cid").alias("cell"),
-        )
+    q = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col).withColumnsRenamed(
+        {"id": "query_id", "v": "qvec"}
     )
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",
