@@ -274,30 +274,36 @@ def simhash_fingerprints(
     # ones_b = field b of the packed sums; fingerprint bit b is set iff
     # 2*ones_b > n (majority of shingle hashes have bit b set).
     WIDTH, PER = 21, 3
+    # multiply-spread: x holds PER adjacent hash bits; x * SPREAD makes a
+    # copy of x every WIDTH-1 positions, so source bit j of copy j lands
+    # at WIDTH*j; AND with SELECT keeps exactly those diagonal bits. One
+    # multiply + two masks per term instead of PER shift/mask/shift
+    # chains — roughly halves the generated aggregate code, and janino
+    # compile time (not execution) is what dominates this stage.
+    SPREAD = sum(1 << (c * (WIDTH - 1)) for c in range(PER))
+    SELECT = sum(1 << (WIDTH * j) for j in range(PER))
     packed = [
         F.sum(
-            sum(
-                (
-                    F.shiftleft(
-                        F.shiftright(F.col("h"), k * PER + j).bitwiseAND(F.lit(1)),
-                        WIDTH * j,
-                    )
-                    for j in range(PER)
-                    if k * PER + j < 63
-                ),
-                F.lit(0).cast("long"),
-            )
+            (
+                F.shiftright(F.col("h"), k * PER).bitwiseAND(F.lit((1 << PER) - 1))
+                * F.lit(SPREAD)
+            ).bitwiseAND(F.lit(SELECT))
         ).alias(f"p{k}")
         for k in range(21)
     ]
     votes = hashed.groupBy("id").agg(F.count("*").alias("n"), *packed)
     mask = (1 << WIDTH) - 1
     bits = []
-    for b in range(62, -1, -1):  # MSB first
+    for b in range(63):
         k, j = divmod(b, PER)
         ones = F.shiftright(F.col(f"p{k}"), WIDTH * j).bitwiseAND(F.lit(mask))
-        bits.append(F.when(ones * 2 > F.col("n"), F.lit("1")).otherwise(F.lit("0")))
-    fp = F.conv(F.concat(*bits), 2, 10).cast("long")
+        bits.append(
+            F.shiftleft(
+                F.when(ones * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                b,
+            )
+        )
+    fp = sum(bits[1:], bits[0])
     return votes.select("id", fp.alias("simhash"))
 
 
