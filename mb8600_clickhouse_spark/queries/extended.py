@@ -522,3 +522,34 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q60 UNPIVOT (inverse of Q53's PIVOT; completes the reshape pair noted
+# absent in the reference, SURVEY §2.E)
+# ---------------------------------------------------------------------------
+@query(
+    "q60_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    ORDER BY p_partkey, metric
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` (SQL UNPIVOT / melt): wide measure columns to
+    (id, metric, value) long form. Narrow-side plan: a single projection +
+    generator, no shuffle; the oracle spells it as the portable
+    UNION ALL."""
+    part = load_tables(spark, sf_dir)["part"]
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
