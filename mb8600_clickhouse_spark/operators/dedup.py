@@ -215,8 +215,12 @@ def ngram_jaccard_pairs(
     equi-join on shingle, |intersection| per pair, Jaccard via
     inclusion-exclusion. The exact (verification) path; at scale run it
     only on LSH candidates."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n).withColumnRenamed(
-        "s", "shingle"
+    # join on a 64-bit shingle hash, not the shingle string: the
+    # equi-join shuffles 8-byte longs instead of ~n_tokens*avg_word
+    # strings. Collisions (~|shingles|^2 / 2^64) are negligible even at
+    # 100 TB corpus scale, and per-doc shingle counts are unaffected.
+    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
+        "id", F.xxhash64("s").alias("shingle")
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     inter = (
