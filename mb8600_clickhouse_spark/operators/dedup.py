@@ -250,34 +250,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_hash60(s: Column) -> Column:
+    """Portable 60-bit hash: the first 15 hex chars of md5, parsed as an
+    integer. Identical in Spark (``conv(substr(md5, 1, 15), 16, 10)``)
+    and DuckDB (shift-sum over hex digits) — verified bit-for-bit — so
+    SimHash built on it is fully differential-testable. 60 bits keeps the
+    value strictly below 2^63 (no sign games in either engine)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, simhash) 63-bit multiset SimHash fingerprints over word
-    shingles (repeated shingles vote with multiplicity).
+    """(id, simhash) multiset SimHash fingerprints over word shingles
+    (repeated shingles vote with multiplicity).
 
-    Per shingle, a 64-bit hash (xxhash64 — JVM built-in); fingerprint bit
-    b is 1 iff more shingle-hashes have bit b set than unset. Formulated
-    as explode -> one hash-aggregate with 63 sum columns (partial
-    aggregation map-side, tiny shuffle) instead of 63 per-row array folds
-    — same result, linear scaling, small codegen. Bit 63 (sign) is
-    excluded so the fingerprint stays non-negative. Engine-internal
-    sketch (xxhash64 isn't oracle-portable); verified by property tests."""
+    Per shingle, a 64-bit hash; fingerprint bit b is 1 iff more
+    shingle-hashes have bit b set than unset. Formulated as explode ->
+    one hash-aggregate with packed sum columns (partial aggregation
+    map-side, tiny shuffle) instead of per-row array folds — same
+    result, linear scaling, small codegen.
+
+    Two hash families:
+    - default: ``xxhash64`` (JVM built-in, fastest) -> 63-bit
+      fingerprint (bit 63/sign excluded so it stays non-negative);
+    - ``portable=True``: md5-derived 60-bit (``shingle_hash60``) that
+      the DuckDB oracle reproduces exactly, so the full
+      SimHash+Hamming pipeline hash-matches differentially."""
+    if portable:
+        h, nbits = shingle_hash60(F.col("s")), 60
+    else:
+        h, nbits = F.xxhash64("s"), 63
     # multiset form: repeated shingles vote with their multiplicity (the
     # standard weighted SimHash), which also skips the distinct shuffle
     hashed = shingle_rows(df, id_col, text_col, shingle_n, distinct=False).select(
-        "id", F.xxhash64("s").alias("h")
+        "id", h.alias("h")
     )
     # bit-sliced vote counting: pack 3 per-bit ones-counters into each
     # 64-bit sum (21-bit fields -> safe for docs up to 2^21 shingles), so
-    # the aggregate carries 21 SUM columns + a COUNT instead of 63 —
-    # third the aggregation state and a much smaller plan to optimize.
+    # the aggregate carries ceil(nbits/3) SUM columns + a COUNT instead
+    # of nbits — third the aggregation state and a much smaller plan.
     # ones_b = field b of the packed sums; fingerprint bit b is set iff
     # 2*ones_b > n (majority of shingle hashes have bit b set).
     WIDTH, PER = 21, 3
+    npack = (nbits + PER - 1) // PER
     # multiply-spread: x holds PER adjacent hash bits; x * SPREAD makes a
     # copy of x every WIDTH-1 positions, so source bit j of copy j lands
     # at WIDTH*j; AND with SELECT keeps exactly those diagonal bits. One
@@ -293,12 +313,12 @@ def simhash_fingerprints(
                 * F.lit(SPREAD)
             ).bitwiseAND(F.lit(SELECT))
         ).alias(f"p{k}")
-        for k in range(21)
+        for k in range(npack)
     ]
     votes = hashed.groupBy("id").agg(F.count("*").alias("n"), *packed)
     mask = (1 << WIDTH) - 1
     bits = []
-    for b in range(63):
+    for b in range(nbits):
         k, j = divmod(b, PER)
         ones = F.shiftright(F.col(f"p{k}"), WIDTH * j).bitwiseAND(F.lit(mask))
         bits.append(
@@ -316,18 +336,24 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 def simhash_neardup_pairs(
-    fps: DataFrame, max_hamming: int = 10, id_col: str = "id", fp_col: str = "simhash"
+    fps: DataFrame,
+    max_hamming: int = 10,
+    id_col: str = "id",
+    fp_col: str = "simhash",
+    nbits: int = 63,
 ) -> DataFrame:
     """Exact Hamming<=T pairs over (id, fingerprint) rows WITHOUT the
     O(n^2) self-join, via pigeonhole segment blocking (HmSearch): split
-    the 63 fingerprint bits into T+1 segments — any pair within Hamming
-    distance T must agree on at least one whole segment. Candidates =
-    pairs sharing (segment index, segment bits), generated bucket-locally
-    after one groupBy shuffle; the exact Hamming filter then runs only on
-    candidates. Same result set as brute force, linear-ish cost on
-    near-dup-sparse corpora."""
+    the ``nbits`` fingerprint bits into T+1 segments — any pair within
+    Hamming distance T must agree on at least one whole segment.
+    Candidates = pairs sharing (segment index, segment bits), generated
+    bucket-locally after one groupBy shuffle; the exact Hamming filter
+    then runs only on candidates. Same result set as brute force,
+    linear-ish cost on near-dup-sparse corpora. Pass ``nbits`` matching
+    the fingerprint family (63 = xxhash64, 60 = portable md5) so no
+    segment degenerates to an always-zero key (one giant bucket)."""
     n_seg = max_hamming + 1
-    width = (63 + n_seg - 1) // n_seg
+    width = (nbits + n_seg - 1) // n_seg
     seg_keys = F.array(
         *[
             F.shiftright(F.col(fp_col), i * width)

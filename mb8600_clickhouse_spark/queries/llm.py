@@ -250,18 +250,60 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q42 SimHash near-dup sketch (rows-only: engine-internal 64-bit hashing)
+# Q42 SimHash near-dup sketch (portable md5-derived 60-bit hash family)
 # ---------------------------------------------------------------------------
-@query("q42_dedup_simhash", oracle=None)
+@query(
+    "q42_dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id, list_transform(
+          generate_series(1, greatest(len(w) - 1, 0)),
+          i -> w[i] || ' ' || w[i+1]) AS shingles
+      FROM toks
+    ),
+    e AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+    h AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(1, 15),
+               i -> (strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)::BIGINT
+                    << (4 * (15 - i))))::BIGINT AS hv
+      FROM e
+    ),
+    votes AS (
+      SELECT doc_id, b, COUNT(*) AS n, SUM((hv >> b) & 1) AS ones
+      FROM h, range(60) t(b)
+      GROUP BY doc_id, b
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN 2 * ones > n THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS f
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 fingerprints + Hamming<=3 pairs over the near-dup corpus
-    via exact pigeonhole segment blocking (no O(n^2) join). xxhash64 is engine-internal (not portable to the oracle), so
-    the driver does a rows-only check; invariants (self-distance 0,
-    near-dup pairs close, reflexivity) are pytest-verified."""
+    """SimHash fingerprints + Hamming<=3 pairs over the near-dup corpus
+    via exact pigeonhole segment blocking (no O(n^2) join in Spark; the
+    oracle brute-forces the same pair set, which is the correctness
+    property of HmSearch blocking). Uses the portable md5-derived 60-bit
+    hash family (``dedup.shingle_hash60``) so the full pipeline —
+    shingle hash, majority vote, fingerprint, Hamming — is reproduced
+    bit-for-bit by the DuckDB oracle and hash-verified by the driver
+    (round 1 left this rows-only)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    fps = dedup.simhash_fingerprints(_neardup_corpus(docs), shingle_n=2)
+    fps = dedup.simhash_fingerprints(_neardup_corpus(docs), shingle_n=2, portable=True)
     return (
-        dedup.simhash_neardup_pairs(fps, max_hamming=3)
+        dedup.simhash_neardup_pairs(fps, max_hamming=3, nbits=60)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )

@@ -231,16 +231,29 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT modem_name, timestamp, u.channel_id AS channel_id, CAST(u.snr AS DOUBLE) AS snr
       FROM (SELECT modem_name, timestamp, unnest(downstream_channels) AS u FROM {DOCSIS})
+    ),
+    g AS (
+      SELECT modem_name, timestamp,
+             list_sort(list(struct_pack(channel_id := channel_id, snr := snr))) AS arr
+      FROM e GROUP BY modem_name, timestamp
     )
     SELECT modem_name, timestamp,
-           list_sort(list(struct_pack(channel_id := channel_id, snr := snr))) AS channels
-    FROM e GROUP BY modem_name, timestamp
-    ORDER BY modem_name, timestamp
+           array_to_string(list_transform(arr,
+             x -> CAST(x.channel_id AS VARCHAR) || ':' ||
+                  CAST(CAST(x.snr AS DECIMAL(18,4)) AS VARCHAR)), ';') AS channels
+    FROM g ORDER BY modem_name, timestamp
     """,
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group exploded channels back into a sorted array of structs —
-    the exporter's struct-assembly step (mb8600.py:378-386) in reverse."""
+    the exporter's struct-assembly step (mb8600.py:378-386) in reverse.
+
+    The driver-facing output serializes the struct array to a canonical
+    ``id:snr;id:snr`` string: the driver's pandas canonicalizer cannot
+    sort/hash list cells (round-1 q07 err), and a string is portable.
+    Decimal(18,4) renders identically ("38.5000") in Spark and DuckDB.
+    The native array<struct> round-trip (assembly = inverse of explode)
+    is asserted in tests/test_plans.py::test_q07_struct_roundtrip."""
     d = load_tables(spark, sf_dir)["docsis"]
     e = d.select(
         "modem_name", "timestamp", F.explode("downstream_channels").alias("u")
@@ -250,11 +263,24 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.channel_id").alias("channel_id"),
         F.col("u.snr").cast("double").alias("snr"),
     )
-    return (
-        e.groupBy("modem_name", "timestamp")
-        .agg(F.sort_array(F.collect_list(F.struct("channel_id", "snr"))).alias("channels"))
-        .orderBy("modem_name", "timestamp")
+    g = e.groupBy("modem_name", "timestamp").agg(
+        F.sort_array(F.collect_list(F.struct("channel_id", "snr"))).alias("arr")
     )
+    return g.select(
+        "modem_name",
+        "timestamp",
+        F.array_join(
+            F.transform(
+                "arr",
+                lambda x: F.concat_ws(
+                    ":",
+                    x["channel_id"],
+                    x["snr"].cast(T.DecimalType(18, 4)),
+                ),
+            ),
+            ";",
+        ).alias("channels"),
+    ).orderBy("modem_name", "timestamp")
 
 
 # ---------------------------------------------------------------------------
@@ -560,15 +586,38 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q17b_approx_distinct", oracle=None)
+@query(
+    "q17b_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority, TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
 def q17b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB-scale spelling
-    (one pass, constant memory). Checked rows-only by the driver; the
-    ±5%-vs-exact assertion lives in tests/test_relational.py."""
+    (one pass, constant memory). The approx value itself is
+    engine-specific, so the query emits the DECLARED-TOLERANCE check
+    instead: ``within_tol`` is true iff |approx - exact| <= 5% * exact,
+    and the oracle asserts it must be true for every group — a
+    hash-verified tolerance gate rather than a rows-only count
+    (SURVEY §2.G Q17's 5%-tolerance promise). rsd=0.01 sizes the HLL
+    sketch so observed error stays <1% at sf0.01-0.1 (the default 5%
+    rsd occasionally exceeds the 5% gate — measured 9.7% on one
+    group)."""
     o = load_tables(spark, sf_dir)["orders"]
     return (
         o.groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey").alias("n_customers_approx"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .select(
+            "o_orderpriority",
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= 0.05 * F.col("exact")
+            ).alias("within_tol"),
+        )
         .orderBy("o_orderpriority")
     )
 

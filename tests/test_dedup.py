@@ -64,6 +64,42 @@ class TestSimHash:
         assert r["d"] == 2  # 1011 ^ 0010 = 1001 -> 2 set bits
 
 
+class TestPortableSimHash:
+    """The md5-derived 60-bit family (q42's driver-verified path)."""
+
+    def test_portable_invariants(self, spark):
+        fps = {
+            r["id"]: r["simhash"]
+            for r in dedup.simhash_fingerprints(_docs_df(spark), portable=True).collect()
+        }
+        assert fps[1] == fps[2]  # identical docs: identical fingerprint
+        assert all(0 <= v < (1 << 60) for v in fps.values())
+
+    def test_blocking_equals_bruteforce(self, spark):
+        """Pigeonhole segment blocking must return EXACTLY the brute-force
+        Hamming<=T pair set (HmSearch's correctness property), including
+        at a T large enough that every segment bucket matters."""
+        fps = dedup.simhash_fingerprints(_docs_df(spark), shingle_n=2, portable=True)
+        for t in (0, 3, 30):
+            blocked = {
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in dedup.simhash_neardup_pairs(fps, max_hamming=t, nbits=60).collect()
+            }
+            brute = {
+                (r["id_a"], r["id_b"], r["d"])
+                for r in fps.alias("a")
+                .join(fps.alias("b"), F.col("a.id") < F.col("b.id"))
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    dedup.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+                )
+                .filter(F.col("d") <= t)
+                .collect()
+            }
+            assert blocked == brute
+
+
 class TestMinHashLSH:
     def test_exact_dups_always_candidates(self, spark):
         pairs = {

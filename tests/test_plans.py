@@ -96,3 +96,38 @@ class TestAggregationShape:
         plan = plan_of(all_queries()["q40_dedup_minhash_lsh"].fn(spark, sf))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestStructRoundTrip:
+    def test_q07_struct_roundtrip(self, spark):
+        """explode -> collect_list(struct) rebuilds exactly the original
+        per-row (channel_id, snr) multiset — the native array<struct>
+        form of q07, whose driver-facing output serializes to a string
+        (the driver's pandas canonicalizer can't hash list cells)."""
+        d = load_tables(spark, "/root/testdata/sf0.001")["docsis"].limit(200)
+        orig = d.select(
+            "modem_name",
+            "timestamp",
+            F.sort_array(
+                F.transform(
+                    "downstream_channels",
+                    lambda u: F.struct(
+                        u["channel_id"].alias("channel_id"),
+                        u["snr"].cast("double").alias("snr"),
+                    ),
+                )
+            ).alias("arr"),
+        )
+        e = d.select(
+            "modem_name", "timestamp", F.explode("downstream_channels").alias("u")
+        ).select(
+            "modem_name",
+            "timestamp",
+            F.col("u.channel_id").alias("channel_id"),
+            F.col("u.snr").cast("double").alias("snr"),
+        )
+        rebuilt = e.groupBy("modem_name", "timestamp").agg(
+            F.sort_array(F.collect_list(F.struct("channel_id", "snr"))).alias("arr")
+        )
+        assert orig.exceptAll(rebuilt).count() == 0
+        assert rebuilt.exceptAll(orig).count() == 0
