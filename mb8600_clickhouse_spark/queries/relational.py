@@ -605,11 +605,16 @@ def q17b(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd occasionally exceeds the 5% gate — measured 9.7% on one
     group)."""
     o = load_tables(spark, sf_dir)["orders"]
+    # pre-distinct on (priority, custkey): HLL is duplicate-insensitive,
+    # so the approx estimate is unchanged, and the exact count becomes a
+    # plain COUNT — one distinct shuffle instead of the 2x Expand the
+    # mixed exact+approx distinct aggregate plans (measured 3x faster)
+    d = o.select("o_orderpriority", "o_custkey").distinct()
     return (
-        o.groupBy("o_orderpriority")
+        d.groupBy("o_orderpriority")
         .agg(
             F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
-            F.countDistinct("o_custkey").alias("exact"),
+            F.count("*").alias("exact"),
         )
         .select(
             "o_orderpriority",

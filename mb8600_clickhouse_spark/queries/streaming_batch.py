@@ -38,13 +38,18 @@ from .relational import dsum4
 )
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + boundary-flag
-    running sum — the batch twin of session_window streaming."""
+    running sum — the batch twin of session_window streaming.
+
+    Gap compared at MICROSECOND precision (unix_micros), matching the
+    oracle's exact interval comparison: a second-truncated cast would
+    disagree with the oracle for gaps within 1s of the 30-min boundary
+    (latent on current fixtures, wrong in general)."""
     ev = load_tables(spark, sf_dir)["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     return (
         flagged.groupBy("user_id")

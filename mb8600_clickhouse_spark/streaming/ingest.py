@@ -188,9 +188,20 @@ def compact_docsis(spark: SparkSession, table_path: str) -> int:
     stand-in for OPTIMIZE / ClickHouse background merges. Returns the
     number of files after compaction.
 
-    Local-filesystem swap (write to a sibling dir, atomic-ish rename);
-    on a real deployment use a transactional table format (Delta/
-    Iceberg) where compaction is a metadata swap."""
+    Semantics: replayed duplicate appends are collapsed on
+    (modem_name, timestamp, _epoch_id) — the same fencing rule
+    ``read_docsis`` applies — but the ORIGINAL ``_epoch_id`` survives
+    compaction, so two distinct same-second scrapes from different
+    micro-batches remain distinct rows (a -2 re-stamp would silently
+    merge them).
+
+    Durability: crash-safe swap ordering — write the compacted copy to
+    a sibling dir, rename the live table ASIDE, rename the copy in,
+    then delete the old data. A crash at any point leaves at least one
+    complete copy on disk; ``recover_docsis`` rolls an interrupted swap
+    forward/back. (A transactional format's metadata swap is the real
+    fix at deployment scale — see plans/manifest.py for the engine's
+    manifest-commit table format.)"""
     import shutil
     from pathlib import Path
 
@@ -198,18 +209,53 @@ def compact_docsis(spark: SparkSession, table_path: str) -> int:
 
     src = Path(table_path)
     tmp = src.with_name(src.name + "._compacting")
-    fenced = read_docsis(spark, table_path)
-    # re-stamp a single epoch: post-compaction the replay markers have
-    # served their purpose (duplicates are already collapsed)
+    old = src.with_name(src.name + "._precompact")
+    for leftover in (tmp, old):
+        if leftover.exists():
+            shutil.rmtree(leftover)
+    deduped = spark.read.parquet(table_path).dropDuplicates(
+        ["modem_name", "timestamp", "_epoch_id"]
+    )
     (
-        fenced.withColumn("date", F.to_date("timestamp"))
-        .withColumn("_epoch_id", F.lit(-2).cast("long"))
+        deduped.withColumn("date", F.to_date("timestamp"))
         .repartition("date")
         .sortWithinPartitions("date", *DOCSIS_LAYOUT.sort_cols)
         .write.mode("overwrite")
         .partitionBy("date")
         .parquet(str(tmp))
     )
-    shutil.rmtree(src)
-    tmp.rename(src)
+    src.rename(old)  # live table aside (recoverable from here on)
+    tmp.rename(src)  # compacted copy in
+    shutil.rmtree(old)
     return len(list(src.glob("date=*/*.parquet")))
+
+
+def recover_docsis(table_path: str) -> str:
+    """Roll an interrupted ``compact_docsis`` swap to a consistent state.
+    Returns what happened: 'clean' (nothing to do), 'rolled_forward'
+    (compacted copy was complete -> becomes the table), or
+    'rolled_back' (pre-compaction copy restored)."""
+    import shutil
+    from pathlib import Path
+
+    src = Path(table_path)
+    tmp = src.with_name(src.name + "._compacting")
+    old = src.with_name(src.name + "._precompact")
+    if src.exists():
+        # live table intact; drop any half-finished sibling state
+        for leftover in (tmp, old):
+            if leftover.exists():
+                shutil.rmtree(leftover)
+        return "clean"
+    # crashed between the two renames: old aside, table missing
+    if tmp.exists() and (tmp / "_SUCCESS").exists():
+        tmp.rename(src)
+        if old.exists():
+            shutil.rmtree(old)
+        return "rolled_forward"
+    if old.exists():
+        old.rename(src)
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        return "rolled_back"
+    raise FileNotFoundError(f"no recoverable state at {table_path}")

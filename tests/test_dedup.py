@@ -137,6 +137,20 @@ class TestNgramJaccard:
         assert (1, 4) not in got
 
 
+class TestShingleRowsPartitioning:
+    def test_narrow_input_widened(self, spark):
+        out = dedup.shingle_rows(_docs_df(spark).coalesce(1), distinct=False)
+        assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+    def test_wide_input_not_shrunk(self, spark):
+        """A corpus already partitioned wider than defaultParallelism must
+        pass through without a shrinking shuffle (round-1 verdict #5)."""
+        target = spark.sparkContext.defaultParallelism
+        df = _docs_df(spark).repartition(target + 17)
+        out = dedup.shingle_rows(df, distinct=False)
+        assert out.rdd.getNumPartitions() >= target + 17
+
+
 class TestShingles:
     def test_word_shingles_count(self, spark):
         df = spark.createDataFrame([Row(text="a b c d e")])

@@ -55,6 +55,27 @@ class TestCosineTopK:
             assert r["cosine_sim"] == pytest.approx(1.0)
 
 
+class TestIVFAssign:
+    def test_pandas_assign_agrees_with_expr(self, spark):
+        """The vectorized (Arrow+numpy) cell assignment must agree with
+        the pure-Catalyst HOF fold on every fixture vector (they can
+        only diverge at exact fp ties between cells)."""
+        vecs = _vectors()
+        df = _df(spark, vecs)
+        cents = sim.centroid_literals(df.filter("vec_id % 7 = 1"))
+        a = {r["id"]: r["cell"] for r in sim.ivf_assign(df, cents).collect()}
+        b = {r["id"]: r["cell"] for r in sim.ivf_assign_pandas(df, cents).collect()}
+        assert a == b
+
+    def test_topk_impls_identical(self, spark):
+        df = _df(spark, _vectors())
+        cents_df = df.filter("vec_id % 7 = 1")
+        q = df.filter("vec_id < 3")
+        got_p = sim.ivf_topk(df, q, cents_df, k=3, nprobe=2, assign_impl="pandas")
+        got_e = sim.ivf_topk(df, q, cents_df, k=3, nprobe=2, assign_impl="expr")
+        assert sorted(map(tuple, got_p.collect())) == sorted(map(tuple, got_e.collect()))
+
+
 class TestLSH:
     def test_bucket_is_deterministic_bitstring(self, spark):
         df = sim.lsh_bucketed(_df(spark, _vectors()))

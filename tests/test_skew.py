@@ -55,6 +55,25 @@ def test_salted_join_matches_plain(spark):
     assert a == b
 
 
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    fact, dim = t["orders"], t["customer"].withColumnRenamed("c_custkey", "o_custkey")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            skew.salted_join(fact, dim, "o_custkey", how=how)
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    """With the default all-columns salt, rows of ONE join key must land
+    on multiple salts (salting by the key itself would put them all on
+    one — the shape the default exists to prevent)."""
+    ev = _events(spark).limit(2000).withColumn("k", F.lit(1))
+    salted = skew.with_salt(ev, ev.columns, 8)
+    assert salted.select("_salt").distinct().count() > 1
+
+
 def test_salted_join_spreads_hot_key(spark):
     ev = _events(spark)
     salted = skew.with_salt(ev, "event_id", 8)
