@@ -186,6 +186,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     k: int = 12,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash LSH: band buckets ->
     self-join within (band, key). Only bucket keys shuffle — never text.
@@ -195,13 +196,19 @@ def minhash_lsh_candidates(
     # of a self-join that would recompute the signature pipeline for both
     # sides. Cross product happens inside each bucket via two explodes of
     # the materialized member list; distinct() collapses pairs colliding
-    # in multiple bands. Degenerate corpora (one giant bucket) would skew
-    # — cap membership or salt the band key if that ever applies.
+    # in multiple bands. ``max_bucket`` caps degenerate buckets (a
+    # boilerplate-heavy corpus can put a large fraction of docs in one
+    # band bucket): the lowest ids are kept deterministically, bounding
+    # pair count at #buckets * max_bucket^2 / 2 instead of n^2.
     members = (
         buckets.groupBy("band", "key")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        members = members.withColumn("ids", F.slice("ids", 1, max_bucket)).filter(
+            F.size("ids") > 1
+        )
     return (
         members.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))

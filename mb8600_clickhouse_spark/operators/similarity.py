@@ -37,6 +37,21 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
+def hyperplanes_for_table(t: int) -> list[list[float]]:
+    """Hyperplane set for LSH table ``t`` (multi-table OR-banding).
+    Table 0 is the canonical ``HYPERPLANES`` constant (the oracle SQL
+    embeds those literals); further tables are independent deterministic
+    draws — a pair is a candidate if it collides in ANY table, so recall
+    grows as 1-(1-p^8)^T instead of p^8."""
+    if t == 0:
+        return HYPERPLANES
+    rng = random.Random(f"hyperplane-lsh-42:{t}")
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(EMBEDDING_DIM)]
+        for _ in range(N_HYPERPLANES)
+    ]
+
+
 def as_double_vec(v: Column) -> Column:
     """array<float> -> array<double>: all similarity math in binary64 so
     Spark and the oracle agree bit-for-bit."""
@@ -99,7 +114,7 @@ def cosine_topk(
 _PLANES_FLAT: list[float] = [x for plane in HYPERPLANES for x in plane]
 
 
-def lsh_bucket(vec: Column) -> Column:
+def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
     """Sign-projection bucket id: one bit per hyperplane ('1' iff
     dot(vec, plane) >= 0), concatenated into a bit-string key.
 
@@ -111,7 +126,9 @@ def lsh_bucket(vec: Column) -> Column:
     previous shape re-evaluated the cast-transform 8x per row). Fold
     order matches the oracle's ``list_sum`` exactly; float->double is
     exact, so values are unchanged."""
-    m = F.lit(_PLANES_FLAT)
+    m = F.lit(
+        _PLANES_FLAT if planes is None else [x for plane in planes for x in plane]
+    )
     # per-row bound: vectors shorter than EMBEDDING_DIM (tests, padded
     # data) use the plane prefix; guard keeps sequence() from counting
     # down on an empty array
@@ -140,13 +157,51 @@ def lsh_bucketed(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddin
     return df.withColumn("bucket", lsh_bucket(F.col(vec_col)))
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN candidate pairs: ids sharing a bucket (id_a < id_b)."""
-    b = lsh_bucketed(df, id_col, vec_col).select(F.col(id_col).alias("id"), "bucket")
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """ANN candidate pairs: ids sharing a bucket in ANY of ``n_tables``
+    independent hyperplane tables (id_a < id_b, distinct).
+
+    Scale shape (mirrors ``minhash_lsh_candidates``): ONE groupBy
+    shuffle on the bucket key, pair generation bucket-locally from the
+    materialized member list — never a corpus self-join. With a single
+    8-bit table there are at most 256 buckets, so an uncapped run is
+    ~n^2/256 pairs at corpus scale (round-1 verdict #4); the two levers:
+
+    - ``n_tables`` > 1: OR-banding over independent tables — recall per
+      pair rises to 1-(1-p^8)^T while each table's buckets stay small;
+    - ``max_bucket``: hard cap on members considered per bucket (lowest
+      ids kept, deterministic). A bucket blown past the cap means the
+      hash family no longer separates that region — near-dup semantics
+      degrade gracefully (capped recall) instead of the job degrading
+      quadratically. Pair count is bounded by
+      #buckets * max_bucket^2 / 2 regardless of corpus degeneracy."""
+    keys = [
+        F.concat(F.lit(f"{t}:"), lsh_bucket(F.col(vec_col), hyperplanes_for_table(t)))
+        for t in range(n_tables)
+    ]
+    b = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("bucket")
+    )
+    members = (
+        b.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        members = members.withColumn("ids", F.slice("ids", 1, max_bucket)).filter(
+            F.size("ids") > 1
+        )
     return (
-        b.alias("a")
-        .join(b.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.bucket").alias("bucket"))
+        members.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
     )
 
 
@@ -155,14 +210,18 @@ def embedding_neardup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate detection: LSH candidate generation then exact
     cosine verification >= threshold. Semantics = 'pairs that collide in
-    LSH AND pass the exact check' (deterministic, oracle-matchable)."""
+    LSH AND pass the exact check' (deterministic, oracle-matchable).
+    ``n_tables``/``max_bucket`` pass through to candidate generation
+    (recall / degenerate-bucket levers; see lsh_candidate_pairs)."""
     vecs = df.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
     ).withColumn("_n", norm(F.col("v")))
-    cands = lsh_candidate_pairs(df, id_col, vec_col)
+    cands = lsh_candidate_pairs(df, id_col, vec_col, n_tables, max_bucket)
     return (
         cands.join(vecs.withColumnsRenamed({"id": "id_a", "v": "va", "_n": "_na"}), "id_a")
         .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb", "_n": "_nb"}), "id_b")

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # cost-based optimizer (SURVEY §4.3): join reordering from table/
+        # column stats. Stats come from ANALYZE TABLE on registered
+        # tables (see analyze_tables); file-scan DataFrames fall back to
+        # size-based estimates + AQE runtime re-planning.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

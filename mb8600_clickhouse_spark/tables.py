@@ -66,3 +66,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def analyze_tables(
+    spark: SparkSession, sf_dir: str, columns: dict[str, list[str]] | None = None
+) -> list[str]:
+    """Register fixture parquet dirs as EXTERNAL catalog tables and run
+    ``ANALYZE TABLE ... COMPUTE STATISTICS`` so the CBO (enabled in
+    session.py, SURVEY §4.3) has real row counts / NDVs for join
+    reordering — path-scan DataFrames only get size-based estimates.
+
+    ``columns`` optionally maps table -> columns for column-level stats
+    (NDV/min/max); default is table-level stats only (cheap). Returns
+    the catalog table names created (``stats_<name>``). Temp-view and
+    DataFrame code paths are unaffected; this is the deployment-scale
+    hook (a real installation re-ANALYZEs after each compaction)."""
+    created: list[str] = []
+    for name in FIXTURE_SCHEMAS:
+        tbl = f"stats_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} USING parquet LOCATION '{sf_dir}/{name}.parquet'"
+        )
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        for col in (columns or {}).get(name, []):
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS {col}")
+        created.append(tbl)
+    return created

@@ -116,6 +116,15 @@ class TestMinHashLSH:
         assert (1, 4) not in pairs
         assert (3, 4) not in pairs
 
+    def test_bucket_cap_bounds_pairs(self, spark):
+        """30 identical docs share every band bucket: uncapped = n^2/2
+        pairs; max_bucket caps it (degenerate-corpus skew lever)."""
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=DOC_A) for i in range(30)]
+        )
+        assert dedup.minhash_lsh_candidates(docs).count() == 30 * 29 // 2
+        assert dedup.minhash_lsh_candidates(docs, max_bucket=4).count() == 4 * 3 // 2
+
     def test_band_keys_deterministic(self, spark):
         df = _docs_df(spark)
         a = sorted(map(tuple, dedup.minhash_band_buckets(df).collect()))

@@ -98,6 +98,32 @@ class TestAggregationShape:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestCBO:
+    def test_cbo_enabled_with_join_reorder(self, spark):
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+        assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "true"
+
+    def test_q19_join_strategy_unchanged_or_better(self, spark, sf):
+        """CBO must not regress the TPC-H Q5-shape plan: small dims stay
+        broadcast, no cartesian appears."""
+        plan = plan_of(all_queries()["q19_multi_join_revenue"].fn(spark, sf))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_analyze_tables_records_stats(self, spark):
+        from mb8600_clickhouse_spark.tables import analyze_tables
+
+        created = analyze_tables(
+            spark, "/root/testdata/sf0.001", columns={"orders": ["o_custkey"]}
+        )
+        assert "stats_orders" in created
+        desc = spark.sql("DESCRIBE EXTENDED stats_orders").collect()
+        stats = [r for r in desc if r["col_name"] == "Statistics"]
+        assert stats and "rows" in stats[0]["data_type"]
+        for t in created:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 class TestStructRoundTrip:
     def test_q07_struct_roundtrip(self, spark):
         """explode -> collect_list(struct) rebuilds exactly the original

@@ -105,6 +105,34 @@ class TestLSH:
             assert r["cosine_sim"] >= 0.99
 
 
+class TestLSHScaleLevers:
+    def test_degenerate_corpus_bounded_pairs(self, spark):
+        """A corpus that collapses into ONE bucket (identical vectors)
+        must produce a bounded pair count under max_bucket instead of
+        n^2/2 (round-1 verdict #4)."""
+        vecs = np.tile(_vectors()[0], (40, 1))
+        df = _df(spark, vecs)
+        assert sim.lsh_candidate_pairs(df).count() == 40 * 39 // 2
+        assert sim.lsh_candidate_pairs(df, max_bucket=5).count() == 5 * 4 // 2
+
+    def test_cap_keeps_lowest_ids(self, spark):
+        vecs = np.tile(_vectors()[0], (10, 1))
+        got = {
+            r["id_a"]
+            for r in sim.lsh_candidate_pairs(_df(spark, vecs), max_bucket=3).collect()
+        }
+        assert got <= {0, 1}  # pairs only among ids 0,1,2
+
+    def test_multi_table_is_superset(self, spark):
+        df = _df(spark, _vectors())
+        p1 = {(r["id_a"], r["id_b"]) for r in sim.lsh_candidate_pairs(df).collect()}
+        p3 = {
+            (r["id_a"], r["id_b"])
+            for r in sim.lsh_candidate_pairs(df, n_tables=3).collect()
+        }
+        assert p1 <= p3  # OR-banding only adds candidates
+
+
 class TestMultimodal:
     def test_payload_plumbing_and_fake_decode(self, spark):
         from mb8600_clickhouse_spark.operators import multimodal as mm

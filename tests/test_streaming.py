@@ -377,6 +377,74 @@ class TestReplayFencingAndCompaction:
         # layout properties survive compaction
         assert any("date=" in str(p) for p in Path(table).iterdir())
 
+    def test_compaction_preserves_distinct_epochs(self, spark, landing, tmp_path):
+        """Two same-second scrapes from DIFFERENT micro-batches are
+        distinct observations; compaction must not merge them (a
+        re-stamped epoch would)."""
+        table = str(tmp_path / "epochs")
+        parsed = ingest.parse_payloads(
+            spark.read.schema(ingest.PAYLOAD_RECORD_SCHEMA).json(landing)
+        )
+        ingest.append_docsis(parsed, table, epoch_id=1)
+        ingest.append_docsis(parsed, table, epoch_id=1)  # replay of epoch 1
+        ingest.append_docsis(parsed, table, epoch_id=2)  # a distinct scrape epoch
+        before = ingest.read_docsis(spark, table).count()
+        assert before == 4  # 2 rows x 2 real epochs; replay collapsed
+        ingest.compact_docsis(spark, table)
+        assert ingest.read_docsis(spark, table).count() == before
+        epochs = {
+            r["_epoch_id"] for r in spark.read.parquet(table).select("_epoch_id").collect()
+        }
+        assert epochs == {1, 2}  # original markers survive
+
+    def test_compaction_crash_recovery(self, spark, landing, tmp_path):
+        """Every interruption point of the swap leaves a recoverable
+        table: recover_docsis rolls forward (compacted copy complete) or
+        back (pre-compaction copy intact), never loses data."""
+        import shutil
+        from pathlib import Path
+
+        table = str(tmp_path / "crash")
+        parsed = ingest.parse_payloads(
+            spark.read.schema(ingest.PAYLOAD_RECORD_SCHEMA).json(landing)
+        )
+        for epoch in range(3):
+            ingest.append_docsis(parsed, table, epoch_id=epoch)
+        want = sorted(
+            (r["modem_name"], r["timestamp"])
+            for r in ingest.read_docsis(spark, table).collect()
+        )
+        src = Path(table)
+        old = src.with_name(src.name + "._precompact")
+        tmp = src.with_name(src.name + "._compacting")
+
+        # clean state: no-op
+        assert ingest.recover_docsis(table) == "clean"
+
+        # crash AFTER rename-aside, BEFORE compacted copy renamed in
+        # (simulate: full compaction, then reconstruct the mid-swap state)
+        ingest.compact_docsis(spark, table)
+        shutil.copytree(table, str(tmp))
+        src.rename(old)
+        assert ingest.recover_docsis(table) == "rolled_forward"
+        got = sorted(
+            (r["modem_name"], r["timestamp"])
+            for r in ingest.read_docsis(spark, table).collect()
+        )
+        assert got == want
+
+        # crash mid-WRITE of the compacted copy (no _SUCCESS): roll back
+        shutil.copytree(table, str(tmp))
+        (tmp / "_SUCCESS").unlink()
+        src.rename(old)
+        assert ingest.recover_docsis(table) == "rolled_back"
+        got = sorted(
+            (r["modem_name"], r["timestamp"])
+            for r in ingest.read_docsis(spark, table).collect()
+        )
+        assert got == want
+        assert not tmp.exists() and not old.exists()
+
 
 class TestIngestRobustness:
     def test_malformed_payloads_dropped_not_crash(self, spark, tmp_path):
