@@ -50,6 +50,6 @@ def query(name: str, oracle: Optional[str] = None):
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registers everything
-    from . import relational, llm, streaming_batch, extended  # noqa: F401
+    from . import relational, llm, streaming_batch, extended, pipeline  # noqa: F401
 
     return QUERIES

@@ -1,0 +1,206 @@
+"""Q61-Q65: corpus-curation queries a large-scale training-data pipeline
+runs beyond dedup/similarity — deterministic hash sampling, vocabulary
+statistics, benchmark decontamination, per-domain quotas — plus the
+Spark SQL API surface (every earlier query uses the DataFrame API; a
+ClickHouse user migrating SQL needs ``spark.sql`` to be first-class).
+
+All five are fully oracle-verified. Portability devices: md5-hex string
+ordering for deterministic pseudo-random choices (identical in Spark and
+DuckDB), the shared whitespace-split dialect from q35/q45, and the q40/41
+trigram-shingle dialect for decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..tables import load_tables, register_views
+from . import query
+
+# ---------------------------------------------------------------------------
+# Q61 Spark SQL API surface (GROUP BY + HAVING via spark.sql)
+# ---------------------------------------------------------------------------
+_Q61_SQL = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    HAVING COUNT(*) >= 10
+    ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+@query("q61_sql_api", oracle=_Q61_SQL)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the IDENTICAL ANSI text runs through
+    ``spark.sql`` over registered views and through the DuckDB oracle —
+    dialect-shared SQL is the migration path for ClickHouse SQL users.
+    Also covers HAVING (post-aggregation filter), which no DataFrame
+    query exercises explicitly."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q61_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q62 deterministic hash sampling (Bernoulli by content-stable key)
+# ---------------------------------------------------------------------------
+@query(
+    "q62_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+    ORDER BY doc_id
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% corpus sample ('1a' = 26/256 of the first md5 byte space),
+    deterministic and replay-stable — the pipeline spelling of
+    ``TABLESAMPLE`` when reproducibility across runs/engines matters
+    (``rand()`` samples differ per execution; a hash of the stable key
+    never does). Pure per-row filter: pushes to the scan, zero shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "1a"
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q63 vocabulary statistics: token document frequency
+# ---------------------------------------------------------------------------
+@query(
+    "q63_token_df",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS df
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY df DESC, token LIMIT 100
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary by document frequency (distinct tokens per doc,
+    then one hash aggregate on token). The vocab/IDF building block:
+    shuffle carries (token, partial count) after map-side combine —
+    hot stopwords are absorbed by partial aggregation, not a hot
+    reducer. TakeOrdered handles the limit (no full sort)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q64 benchmark decontamination (n-gram overlap flagging)
+# ---------------------------------------------------------------------------
+_BENCH_PRED = "doc_id % 97 = 0"
+
+@query(
+    "q64_contamination",
+    oracle=f"""
+    WITH bench_docs AS (SELECT doc_id, text FROM documents WHERE {_BENCH_PRED}),
+    train_docs AS (
+      SELECT doc_id, text FROM documents WHERE NOT ({_BENCH_PRED})
+      UNION ALL
+      SELECT doc_id + 500000, text || ' extra' FROM bench_docs
+    ),
+    allsh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        FROM (SELECT doc_id, text FROM bench_docs UNION ALL SELECT doc_id, text FROM train_docs)
+      )
+    ),
+    bench AS (SELECT DISTINCT s FROM allsh WHERE doc_id < 500000 AND {_BENCH_PRED}),
+    train AS (SELECT doc_id, s FROM allsh WHERE NOT ({_BENCH_PRED}) OR doc_id >= 500000)
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM train WHERE s IN (SELECT s FROM bench)
+    GROUP BY doc_id HAVING COUNT(*) >= 5
+    ORDER BY doc_id
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 5
+    distinct word-trigrams with any held-out benchmark doc (every 97th
+    doc; contaminated copies are planted deterministically so the flag
+    fires). Scale shape: the benchmark shingle set is DISTINCT 64-bit
+    hashes (small — benchmark suites are thousands of docs, not
+    billions), the train side left-semi joins on the 8-byte hash, one
+    count per flagged doc. Never shuffles text; collision odds at
+    |shingles|^2/2^64 are negligible (same trade as q41)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    train_docs = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text").unionAll(
+        bench_docs.select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat("text", F.lit(" extra")).alias("text"),
+        )
+    )
+    bench_sh = (
+        dedup.shingle_rows(bench_docs, "doc_id", "text", 3)
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+    )
+    train_sh = dedup.shingle_rows(train_docs, "doc_id", "text", 3).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    return (
+        train_sh.join(bench_sh, "h", "leftsemi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .select(F.col("id").alias("doc_id"), "n_shared")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q65 per-domain quota sampling
+# ---------------------------------------------------------------------------
+@query(
+    "q65_domain_quota",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain (language) quota: a deterministic pseudo-random 20
+    docs per lang via md5-ordered row_number — the data-mixture
+    rebalancing step of corpus curation. One hash-shuffle on the domain
+    key; the window is a per-group top-k (rank truncates early)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
