@@ -110,7 +110,9 @@ class ManifestTable:
         finally:
             tmp.unlink(missing_ok=True)
 
-    def _commit(self, op: str, new_files: list[str], merge: bool) -> int:
+    def _commit(
+        self, op: str, new_files: list[str], merge: bool, extra: dict | None = None
+    ) -> int:
         for _ in range(self.max_retries):
             base = self.latest_version()
             version = 0 if base is None else base + 1
@@ -120,6 +122,7 @@ class ManifestTable:
                 "parent": base,
                 "op": op,
                 "files": files,
+                **(extra or {}),
             }
             if self._try_commit(manifest, version):
                 return version
@@ -127,10 +130,22 @@ class ManifestTable:
             f"lost {self.max_retries} optimistic commit races on {self.root}"
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, extra: dict | None = None) -> int:
         """Transactional append: new files + everything in the current
-        snapshot become the next version. Returns the committed version."""
-        return self._commit("append", self._write_data_files(df), merge=True)
+        snapshot become the next version. ``extra`` keys are recorded in
+        the manifest (e.g. a streaming epoch id for sink-side
+        exactly-once). Returns the committed version."""
+        return self._commit("append", self._write_data_files(df), merge=True, extra=extra)
+
+    def committed_epochs(self) -> set[int]:
+        """Epoch ids recorded by manifest commits that carried one
+        (the exactly-once streaming sink's replay ledger)."""
+        out: set[int] = set()
+        for p in (self.root / MANIFEST_DIR).glob("v*.json"):
+            e = json.loads(p.read_text()).get("epoch")
+            if e is not None:
+                out.add(e)
+        return out
 
     def overwrite(self, df: DataFrame) -> int:
         """Transactional replace (the compaction/OPTIMIZE shape): the new

@@ -167,6 +167,51 @@ def write_docsis_stream(
     return writer.start()
 
 
+def manifest_epoch_sink(table_path: str):
+    """foreachBatch sink with EXACTLY-ONCE semantics on a
+    ``plans.ManifestTable``: each micro-batch commits atomically with its
+    epoch id recorded in the manifest; a replayed epoch (checkpoint
+    recovery re-delivers the last unacked batch) finds itself in the
+    committed-epoch ledger and is a no-op. This removes the read-side
+    fencing the plain-parquet path needs (``read_docsis``) — the sink
+    itself is idempotent, the transactional upgrade over the reference's
+    drop-on-error INSERT (mb8600.py:308-311).
+
+    Replays of one streaming query are sequential (the engine never runs
+    the same epoch concurrently), so check-then-commit is race-free per
+    query; concurrent DIFFERENT epochs serialize through the manifest
+    version CAS."""
+    from ..plans import ManifestTable
+
+    table = ManifestTable(table_path)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in table.committed_epochs():
+            return
+        table.append(batch_df, extra={"epoch": epoch_id})
+
+    return _sink
+
+
+def write_docsis_stream_manifest(
+    parsed: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    processing_time: str | None = None,
+    available_now: bool = False,
+):
+    """Start the micro-batched EXACTLY-ONCE append into a ManifestTable
+    (the transactional sibling of ``write_docsis_stream``)."""
+    writer = parsed.writeStream.foreachBatch(
+        manifest_epoch_sink(table_path)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def read_docsis(spark: SparkSession, table_path: str) -> DataFrame:
     """Read the ingest-written docsis table with replay fencing: a
     foreachBatch replay appends the same rows with the same _epoch_id,

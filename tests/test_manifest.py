@@ -80,6 +80,22 @@ class TestCommitProtocol:
         # pre-compaction snapshot still readable (no destructive window)
         assert _keys(t.read(spark, version=3)) == want
 
+    def test_exactly_once_epoch_sink(self, spark, tmp_path):
+        """A replayed foreachBatch epoch must be a no-op: the manifest
+        ledger already holds it, so no duplicate rows and no fencing
+        column needed on read."""
+        from mb8600_clickhouse_spark.plans import ManifestTable
+        from mb8600_clickhouse_spark.streaming.ingest import manifest_epoch_sink
+
+        path = str(tmp_path / "stream_t")
+        sink = manifest_epoch_sink(path)
+        sink(_df(spark, 0, 3), epoch_id=0)
+        sink(_df(spark, 3, 5), epoch_id=1)
+        sink(_df(spark, 3, 5), epoch_id=1)  # replay after crash
+        t = ManifestTable(path)
+        assert _keys(t.read(spark)) == [0, 1, 2, 3, 4]
+        assert t.committed_epochs() == {0, 1}
+
     def test_vacuum_drops_unreferenced(self, spark, tmp_path):
         t = ManifestTable(str(tmp_path / "t"))
         t.append(_df(spark, 0, 4))
