@@ -70,6 +70,10 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     for name, spec in sorted(specs.items()):
+        # untimed GC between queries: without it, a query gets billed for
+        # the allocation debt of its predecessors (measured 5x per-query
+        # run-to-run swings on a shared VM)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         run_to_completion(df)

@@ -162,6 +162,29 @@ class ManifestTable:
             df = df.coalesce(1).sortWithinPartitions(*sort_cols)
         return self.overwrite(df)
 
+    # -- copy-on-write DML ---------------------------------------------------
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """Copy-on-write DELETE (the ClickHouse ``ALTER TABLE ... DELETE``
+        mutation, Delta-style): rows matching ``predicate`` (a SQL
+        boolean expression) are dropped in a new snapshot committed
+        atomically; prior versions remain readable."""
+        from pyspark.sql import functions as F
+
+        kept = self.read(spark).filter(~F.expr(predicate))
+        return self._commit("delete", self._write_data_files(kept), merge=False)
+
+    def upsert(self, spark: SparkSession, source: DataFrame, key_cols: list[str]) -> int:
+        """Copy-on-write MERGE/upsert: target rows whose key matches a
+        source row are replaced by the source row; unmatched source rows
+        are inserted. One anti-join + union, committed as one atomic
+        snapshot. (At deployment scale a real format prunes the rewrite
+        to matching files via manifest stats; here the whole snapshot
+        rewrites — correct, just not file-pruned.)"""
+        target = self.read(spark)
+        kept = target.join(source.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = kept.unionByName(source)
+        return self._commit("upsert", self._write_data_files(merged), merge=False)
+
     # -- maintenance ---------------------------------------------------------
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files not referenced by the ``keep_versions`` most

@@ -96,6 +96,23 @@ class TestCommitProtocol:
         assert _keys(t.read(spark)) == [0, 1, 2, 3, 4]
         assert t.committed_epochs() == {0, 1}
 
+    def test_delete_where_copy_on_write(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 6))
+        v = t.delete_where(spark, "k % 2 = 0")
+        assert _keys(t.read(spark)) == [1, 3, 5]
+        assert _keys(t.read(spark, version=v - 1)) == list(range(6))  # time travel intact
+
+    def test_upsert_replaces_and_inserts(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 4))
+        src = spark.createDataFrame(
+            [Row(k=2, v="UPDATED"), Row(k=99, v="NEW")]
+        )
+        t.upsert(spark, src, ["k"])
+        rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert rows == {0: "row0", 1: "row1", 2: "UPDATED", 3: "row3", 99: "NEW"}
+
     def test_vacuum_drops_unreferenced(self, spark, tmp_path):
         t = ManifestTable(str(tmp_path / "t"))
         t.append(_df(spark, 0, 4))
