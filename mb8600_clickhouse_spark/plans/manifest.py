@@ -122,6 +122,7 @@ class ManifestTable:
                 "parent": base,
                 "op": op,
                 "files": files,
+                "added": new_files,  # per-commit delta (streaming source reads this)
                 **(extra or {}),
             }
             if self._try_commit(manifest, version):
@@ -172,6 +173,28 @@ class ManifestTable:
 
         kept = self.read(spark).filter(~F.expr(predicate))
         return self._commit("delete", self._write_data_files(kept), merge=False)
+
+    def update_where(
+        self, spark: SparkSession, predicate: str, assignments: dict[str, str]
+    ) -> int:
+        """Copy-on-write UPDATE (the ClickHouse ``ALTER TABLE ... UPDATE``
+        mutation): rows matching ``predicate`` get each ``assignments``
+        column recomputed from its SQL expression (evaluated against the
+        pre-update row, like standard UPDATE); all other rows and columns
+        pass through unchanged. One atomic snapshot commit."""
+        from pyspark.sql import functions as F
+
+        cur = self.read(spark)
+        p = F.expr(predicate)
+        updated = cur.select(
+            *[
+                F.when(p, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        return self._commit("update", self._write_data_files(updated), merge=False)
 
     def upsert(self, spark: SparkSession, source: DataFrame, key_cols: list[str]) -> int:
         """Copy-on-write MERGE/upsert: target rows whose key matches a

@@ -1,0 +1,161 @@
+"""Streaming reads over a ManifestTable: ``format("manifest")``.
+
+The Delta/Iceberg "table as a stream" idiom (SURVEY §2.I) on top of
+``plans.manifest.ManifestTable``: each committed snapshot version is a
+streaming offset, and a micro-batch consumes exactly the data files
+ADDED by the commits in ``(start_version, end_version]``. Combined with
+the manifest epoch sink this closes the loop — a table written
+exactly-once can be consumed incrementally by a downstream query
+(materialized-view maintenance, the reference's implied
+dashboard-rollup path re-expressed as Structured Streaming).
+
+Scale posture: this is a full ``DataSourceStreamReader`` (NOT the
+driver-side Simple variant) — planning happens on the driver by reading
+tiny JSON manifests, but the DATA path is one ``InputPartition`` per
+parquet file, read executor-side via pyarrow and handed to Spark as
+Arrow record batches. No row ever crosses the driver; a 1000-file
+backlog fans out across the cluster like any file source.
+
+Change handling mirrors Delta's streaming source contract: ``append``
+(and the epoch sink's appends) stream through; ``overwrite`` / ``delete``
+/ ``update`` / ``upsert`` / ``compact`` commits RAISE by default because
+their added files rewrite history (re-emitting them would duplicate
+rows). ``skipChangeCommits=true`` opts into ignoring them, exactly like
+Delta's option of the same name.
+
+Options:
+- ``path`` (required): table root directory;
+- ``startingVersion``: first version to emit (default 0 — the whole
+  table history; ``latest`` = only commits after the stream starts);
+- ``skipChangeCommits``: ``true`` to silently skip non-append commits.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+
+
+def _manifest(root: str, version: int) -> dict:
+    return json.loads((Path(root) / MANIFEST_DIR / f"v{version}.json").read_text())
+
+
+def _latest_version(root: str) -> int | None:
+    versions = [
+        int(p.stem[1:])
+        for p in (Path(root) / MANIFEST_DIR).glob("v*.json")
+        if p.stem[1:].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def _added_files(root: str, m: dict) -> list[str]:
+    """Files newly referenced by this commit. Manifests record the delta
+    explicitly; for pre-``added`` manifests fall back to the set
+    difference vs the parent snapshot."""
+    if "added" in m:
+        return m["added"]
+    parent = m.get("parent")
+    if parent is None:
+        return m["files"]
+    prior = set(_manifest(root, parent)["files"])
+    return [f for f in m["files"] if f not in prior]
+
+
+@dataclass
+class ParquetFilePartition(InputPartition):
+    file: str
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    """Offsets are manifest versions; a batch is the added files of the
+    commits in ``(start, end]``, one partition per parquet file."""
+
+    def __init__(self, options: dict):
+        self.root = options["path"]
+        self.skip_change_commits = (
+            options.get("skipchangecommits", "false").lower() == "true"
+        )
+        self.starting = options.get("startingversion", "0")
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            latest = _latest_version(self.root)
+            return {"version": -1 if latest is None else latest}
+        # start BEFORE startingVersion so that version itself is emitted
+        return {"version": int(self.starting) - 1}
+
+    def latestOffset(self) -> dict:
+        latest = _latest_version(self.root)
+        return {"version": -1 if latest is None else latest}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        files: list[str] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = _manifest(self.root, v)
+            if m["op"] != "append":
+                if self.skip_change_commits:
+                    continue
+                raise ValueError(
+                    f"version {v} is a {m['op']!r} commit, which rewrites "
+                    "history; a streaming read cannot re-emit it without "
+                    "duplicating rows. Set skipChangeCommits=true to ignore "
+                    "non-append commits (Delta's contract)."
+                )
+            files.extend(_added_files(self.root, m))
+        return [ParquetFilePartition(f) for f in files]
+
+    def read(self, partition: ParquetFilePartition) -> Iterator:
+        # executor-side: stream the file's row groups as Arrow batches
+        import pyarrow.parquet as pq
+
+        yield from pq.ParquetFile(partition.file).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ManifestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def schema(self) -> StructType:
+        """Planning-time schema from the parquet footer of the first
+        data file in the latest snapshot (manifests are data-free)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        latest = _latest_version(self.options["path"])
+        if latest is None:
+            raise FileNotFoundError(
+                f"no committed snapshot in {self.options['path']}; "
+                "append at least once before streaming"
+            )
+        files = _manifest(self.options["path"], latest)["files"]
+        if not files:
+            raise FileNotFoundError(
+                f"latest snapshot of {self.options['path']} is empty"
+            )
+        return from_arrow_schema(pq.read_schema(files[0]))
+
+    def streamReader(self, schema) -> ManifestStreamReader:
+        return ManifestStreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Make ``format("manifest")`` available in this session."""
+    spark.dataSource.register(ManifestDataSource)

@@ -103,6 +103,15 @@ class TestCommitProtocol:
         assert _keys(t.read(spark)) == [1, 3, 5]
         assert _keys(t.read(spark, version=v - 1)) == list(range(6))  # time travel intact
 
+    def test_update_where_copy_on_write(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 4))
+        v = t.update_where(spark, "k >= 2", {"v": "concat(v, '!')", "k": "k + 10"})
+        rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert rows == {0: "row0", 1: "row1", 12: "row2!", 13: "row3!"}
+        # assignments see the PRE-update row; prior version time-travels
+        assert _keys(t.read(spark, version=v - 1)) == [0, 1, 2, 3]
+
     def test_upsert_replaces_and_inserts(self, spark, tmp_path):
         t = ManifestTable(str(tmp_path / "t"))
         t.append(_df(spark, 0, 4))
