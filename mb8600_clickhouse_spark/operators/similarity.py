@@ -350,6 +350,41 @@ def ivf_assign_pandas(
     ).withColumn("cell", _cell(F.col("v")))
 
 
+def ivf_probe_cells_pandas(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized probe-cell selection: same contract as
+    ``ivf_probe_cells`` (each query's ``nprobe`` nearest centroids,
+    cosine desc then centroid-id asc) but the per-row sims come from one
+    Arrow-batched numpy matmul instead of a per-centroid Catalyst HOF
+    fold — the fold's generated code is the largest codegen blob in the
+    IVF plan (measured 0.65s vs 0.27s at 8 cells even for 5 query rows,
+    all compile time). Agreement with the HOF path is pytest-asserted."""
+    C = np.array([vec for _, vec in cents], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+
+    def _probe_batches(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.to_numpy())
+        sims = (V @ C.T) / (np.linalg.norm(V, axis=1)[:, None] * cn[None, :])
+        return pd.Series(
+            [cids[np.lexsort((cids, -row))[:nprobe]].tolist() for row in sims]
+        )
+
+    _probe = F.pandas_udf(_probe_batches, "array<long>")
+
+    return (
+        df.select(F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v"))
+        .withColumn("cell", F.explode(_probe(F.col("v"))))
+    )
+
+
 def ivf_probe_cells(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -402,10 +437,11 @@ def ivf_topk(
     way, so returned cosine values are identical."""
     cents = centroid_literals(centroids, id_col, vec_col)
     assign = ivf_assign_pandas if assign_impl == "pandas" else ivf_assign
+    probe = ivf_probe_cells_pandas if assign_impl == "pandas" else ivf_probe_cells
     c = assign(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {"id": "neighbor_id", "v": "cvec"}
     ).withColumn("_nc", norm(F.col("cvec")))
-    q = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col).withColumnsRenamed(
+    q = probe(queries, cents, nprobe, id_col, vec_col).withColumnsRenamed(
         {"id": "query_id", "v": "qvec"}
     ).withColumn("_nq", norm(F.col("qvec")))
     scored = c.join(F.broadcast(q), "cell").select(

@@ -67,6 +67,22 @@ class TestIVFAssign:
         b = {r["id"]: r["cell"] for r in sim.ivf_assign_pandas(df, cents).collect()}
         assert a == b
 
+    def test_pandas_probe_agrees_with_expr(self, spark):
+        """Vectorized probe-cell selection must pick the same (query,
+        cell) set with the same tie-break (cosine desc, cid asc) as the
+        HOF fold path."""
+        df = _df(spark, _vectors())
+        cents = sim.centroid_literals(df.filter("vec_id % 7 = 1"))
+        a = sorted(
+            (r["id"], r["cell"])
+            for r in sim.ivf_probe_cells(df, cents, nprobe=2).collect()
+        )
+        b = sorted(
+            (r["id"], r["cell"])
+            for r in sim.ivf_probe_cells_pandas(df, cents, nprobe=2).collect()
+        )
+        assert a == b
+
     def test_topk_impls_identical(self, spark):
         df = _df(spark, _vectors())
         cents_df = df.filter("vec_id % 7 = 1")
