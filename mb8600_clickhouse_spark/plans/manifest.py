@@ -148,11 +148,15 @@ class ManifestTable:
                 out.add(e)
         return out
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         """Transactional replace (the compaction/OPTIMIZE shape): the new
         files alone form the next version; prior versions stay readable
-        until vacuum."""
-        return self._commit("overwrite", self._write_data_files(df), merge=False)
+        until vacuum. ``extra`` keys are recorded in the manifest (e.g.
+        a streaming epoch id — the incremental-rollup sink's replay
+        ledger rides on overwrite commits)."""
+        return self._commit(
+            "overwrite", self._write_data_files(df), merge=False, extra=extra
+        )
 
     def compact(self, spark: SparkSession, sort_cols: list[str] | None = None) -> int:
         """Rewrite the current snapshot into one sorted file set and
