@@ -33,19 +33,108 @@ for a conditional PUT.)
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
+# ---------------------------------------------------------------------------
+# File-level column stats (the Iceberg/Delta data-skipping idiom).
+# Collected once per commit from the parquet footers of the NEW files
+# only (cost ∝ commit size, never table size) and carried forward in
+# manifests, so a filtered scan can drop whole files from the plan
+# before Spark ever lists them. At 100 TB this is the difference between
+# "scan 1M files' footers" and "read one JSON manifest".
+# ---------------------------------------------------------------------------
+
+
+def _stat_value(v):
+    """JSON-encodable, order-preserving encoding of a footer stat.
+    Numbers/strings/bools pass through; date/datetime become ISO strings
+    with fixed field widths, whose lexicographic order equals time order
+    (so pruning compares encoded values directly)."""
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
+    """{file: {column: [min, max]}} from parquet row-group footers.
+    A column missing from a file's entry means "no usable stats" and is
+    never pruned on (sound default). Binary/nested columns are skipped."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        ok = set(range(md.num_columns))
+        for rg in range(md.num_row_groups):
+            for c in range(md.num_columns):
+                if c not in ok:
+                    continue
+                col = md.row_group(rg).column(c)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    ok.discard(c)
+                    continue
+                name = col.path_in_schema
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None or "." in name:  # nested
+                    ok.discard(c)
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        names = {md.row_group(0).column(c).path_in_schema for c in ok} if md.num_row_groups else set()
+        out[f] = {n: [mins[n], maxs[n]] for n in names if n in mins}
+    return out
+
+
+def _file_may_match(stats: dict[str, list] | None, col: str, op: str, value) -> bool:
+    """Can any row of a file with these [min,max] stats satisfy
+    ``col op value``? Missing stats -> True (never prune blind).
+    Min/max ignore nulls, and SQL comparisons never match null, so
+    pruning on them is sound."""
+    if not stats or col not in stats:
+        return True
+    lo, hi = stats[col]
+    v = _stat_value(value)
+    if v is None or type(v) is not type(lo) and not (
+        isinstance(v, (int, float)) and isinstance(lo, (int, float))
+    ):
+        return True  # incomparable encoding — keep the file
+    if op == "=":
+        return lo <= v <= hi
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    raise ValueError(f"unsupported prune op {op!r} (use =, <, <=, >, >=)")
+
 
 class CommitConflict(RuntimeError):
     """Raised when optimistic retries are exhausted."""
+
+
+class SchemaMismatch(ValueError):
+    """Append schema is incompatible with the table schema (same-name
+    column with a different type, or new columns without
+    ``merge_schema=True``)."""
 
 
 class ManifestTable:
@@ -81,11 +170,71 @@ class ManifestTable:
     # -- read ---------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """DataFrame over snapshot ``version`` (default: latest). An
-        empty table raises — create it with an append first."""
+        empty table raises — create it with an append first. Reads go
+        through the manifest-committed table schema when one exists, so
+        files written before a schema evolution surface the newer
+        columns as null (no parquet footer merging needed)."""
         files = self.snapshot_files(version)
         if not files:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        return spark.read.parquet(*files)
+        st = self.table_schema(version)
+        reader = spark.read if st is None else spark.read.schema(st)
+        return reader.parquet(*files)
+
+    def prune_files(
+        self, predicates: list[tuple[str, str, object]], version: int | None = None
+    ) -> list[str]:
+        """Snapshot files that MAY contain rows matching every
+        ``(col, op, value)`` predicate, judged by manifest min/max stats
+        (a conjunction: a file is dropped if ANY predicate is provably
+        unsatisfiable on it). Files without stats always survive."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return []
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        return [
+            f
+            for f in m["files"]
+            if all(
+                _file_may_match(stats.get(f), col, op, val)
+                for col, op, val in predicates
+            )
+        ]
+
+    def scan(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple[str, str, object]] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Filtered read with manifest-level data skipping: files whose
+        stats prove no row can match are removed from the plan BEFORE
+        Spark sees them (no footer reads, no scan tasks), then the exact
+        predicate is applied to the survivors — same results as
+        ``read().filter(...)``, fewer files scanned. An all-pruned scan
+        returns an empty DataFrame with the table schema."""
+        from pyspark.sql import functions as F
+
+        if not predicates:
+            return self.read(spark, version)
+        files = self.prune_files(predicates, version)
+        _OPS = {
+            "=": Column.__eq__,
+            "<": Column.__lt__,
+            "<=": Column.__le__,
+            ">": Column.__gt__,
+            ">=": Column.__ge__,
+        }
+        cond = None
+        for col, op, val in predicates:
+            c = _OPS[op](F.col(col), F.lit(val))
+            cond = c if cond is None else cond & c
+        if not files:
+            return self.read(spark, version).filter(F.lit(False)).filter(cond)
+        st = self.table_schema(version)
+        reader = spark.read if st is None else spark.read.schema(st)
+        return reader.parquet(*files).filter(cond)
 
     # -- write --------------------------------------------------------------
     def _write_data_files(self, df: DataFrame) -> list[str]:
@@ -110,33 +259,105 @@ class ManifestTable:
         finally:
             tmp.unlink(missing_ok=True)
 
+    def table_schema(self, version: int | None = None):
+        """The committed table schema (StructType), or None for tables
+        whose manifests predate schema tracking (footer-derived reads)."""
+        from pyspark.sql.types import StructType
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        s = self._read_manifest(v).get("schema")
+        return None if s is None else StructType.fromJson(s)
+
     def _commit(
-        self, op: str, new_files: list[str], merge: bool, extra: dict | None = None
+        self,
+        op: str,
+        new_files: list[str],
+        merge: bool,
+        extra: dict | None = None,
+        schema=None,
     ) -> int:
+        new_stats = _collect_stats(new_files)  # footers of NEW files only
         for _ in range(self.max_retries):
             base = self.latest_version()
             version = 0 if base is None else base + 1
             files = (self.snapshot_files(base) if merge and base is not None else []) + new_files
+            stats = dict(new_stats)
+            if merge and base is not None:
+                stats.update(
+                    {
+                        f: s
+                        for f, s in self._read_manifest(base).get("stats", {}).items()
+                        if f not in stats
+                    }
+                )
             manifest = {
                 "version": version,
                 "parent": base,
                 "op": op,
                 "files": files,
                 "added": new_files,  # per-commit delta (streaming source reads this)
+                "stats": stats,  # per-file column min/max (data skipping)
                 **(extra or {}),
             }
+            if schema is not None:
+                manifest["schema"] = json.loads(schema.json())
+            elif base is not None:  # carry the table schema forward
+                prior = self._read_manifest(base).get("schema")
+                if prior is not None:
+                    manifest["schema"] = prior
             if self._try_commit(manifest, version):
                 return version
         raise CommitConflict(
             f"lost {self.max_retries} optimistic commit races on {self.root}"
         )
 
-    def append(self, df: DataFrame, extra: dict | None = None) -> int:
+    def _resolve_append_schema(self, df: DataFrame, merge_schema: bool):
+        """Delta's append contract: same-name columns must keep their
+        type; columns missing from the batch are fine (read back as
+        null); NEW columns require ``merge_schema=True`` and extend the
+        table schema in place. Returns the post-append table schema."""
+        from pyspark.sql.types import StructField, StructType
+
+        cur = self.table_schema()
+        if cur is None:
+            return df.schema
+        by_name = {f.name: f for f in cur.fields}
+        fresh = []
+        for f in df.schema.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                fresh.append(f)
+            elif have.dataType != f.dataType:
+                raise SchemaMismatch(
+                    f"column {f.name!r}: table has {have.dataType.simpleString()}, "
+                    f"append has {f.dataType.simpleString()}"
+                )
+        if fresh and not merge_schema:
+            raise SchemaMismatch(
+                f"append adds new column(s) {[f.name for f in fresh]}; "
+                "pass merge_schema=True to evolve the table schema"
+            )
+        # evolved columns are nullable by construction: every pre-existing
+        # row has no value for them
+        return StructType(
+            cur.fields + [StructField(f.name, f.dataType, True) for f in fresh]
+        )
+
+    def append(
+        self, df: DataFrame, extra: dict | None = None, merge_schema: bool = False
+    ) -> int:
         """Transactional append: new files + everything in the current
         snapshot become the next version. ``extra`` keys are recorded in
         the manifest (e.g. a streaming epoch id for sink-side
-        exactly-once). Returns the committed version."""
-        return self._commit("append", self._write_data_files(df), merge=True, extra=extra)
+        exactly-once). ``merge_schema=True`` lets the batch add new
+        columns (schema evolution); type changes always raise. Returns
+        the committed version."""
+        schema = self._resolve_append_schema(df, merge_schema)
+        return self._commit(
+            "append", self._write_data_files(df), merge=True, extra=extra, schema=schema
+        )
 
     def committed_epochs(self) -> set[int]:
         """Epoch ids recorded by manifest commits that carried one

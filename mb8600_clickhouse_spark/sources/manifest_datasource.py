@@ -82,12 +82,13 @@ class ManifestStreamReader(DataSourceStreamReader):
     """Offsets are manifest versions; a batch is the added files of the
     commits in ``(start, end]``, one partition per parquet file."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         self.root = options["path"]
         self.skip_change_commits = (
             options.get("skipchangecommits", "false").lower() == "true"
         )
         self.starting = options.get("startingversion", "0")
+        self.declared_schema = schema
 
     def initialOffset(self) -> dict:
         if self.starting == "latest":
@@ -119,10 +120,30 @@ class ManifestStreamReader(DataSourceStreamReader):
         return [ParquetFilePartition(f) for f in files]
 
     def read(self, partition: ParquetFilePartition) -> Iterator:
-        # executor-side: stream the file's row groups as Arrow batches
+        # executor-side: stream the file's row groups as Arrow batches,
+        # padded/cast to the declared table schema so files written
+        # BEFORE a schema evolution (missing the newer columns) still
+        # batch out with the full schema (nulls for absent columns)
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.file).iter_batches()
+        target = None
+        if self.declared_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(self.declared_schema)
+        for batch in pq.ParquetFile(partition.file).iter_batches():
+            if target is None or batch.schema == target:
+                yield batch
+                continue
+            names = set(batch.schema.names)
+            cols = [
+                batch.column(f.name).cast(f.type)
+                if f.name in names
+                else pa.nulls(batch.num_rows, f.type)
+                for f in target
+            ]
+            yield pa.RecordBatch.from_arrays(cols, schema=target)
 
     def commit(self, end: dict) -> None:
         pass
@@ -134,8 +155,9 @@ class ManifestDataSource(DataSource):
         return "manifest"
 
     def schema(self) -> StructType:
-        """Planning-time schema from the parquet footer of the first
-        data file in the latest snapshot (manifests are data-free)."""
+        """Planning-time schema: the manifest-committed table schema
+        when recorded (authoritative under schema evolution), else the
+        parquet footer of the first data file in the latest snapshot."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -145,7 +167,10 @@ class ManifestDataSource(DataSource):
                 f"no committed snapshot in {self.options['path']}; "
                 "append at least once before streaming"
             )
-        files = _manifest(self.options["path"], latest)["files"]
+        m = _manifest(self.options["path"], latest)
+        if m.get("schema") is not None:
+            return StructType.fromJson(m["schema"])
+        files = m["files"]
         if not files:
             raise FileNotFoundError(
                 f"latest snapshot of {self.options['path']} is empty"
@@ -153,7 +178,7 @@ class ManifestDataSource(DataSource):
         return from_arrow_schema(pq.read_schema(files[0]))
 
     def streamReader(self, schema) -> ManifestStreamReader:
-        return ManifestStreamReader(dict(self.options))
+        return ManifestStreamReader(dict(self.options), schema)
 
 
 def register(spark) -> None:

@@ -130,3 +130,134 @@ class TestCommitProtocol:
         assert deleted  # v0's files gone
         assert _keys(t.read(spark)) == [10, 11]
         assert not t._manifest_path(0).exists()  # old manifest dropped
+
+
+class TestDataSkipping:
+    """Manifest-level file pruning from footer min/max stats — the
+    Iceberg/Delta data-skipping idiom: a filtered scan drops provably
+    non-matching files before Spark plans them."""
+
+    def _table(self, spark, tmp_path):
+        import datetime as dt
+
+        t = ManifestTable(str(tmp_path / "t"))
+        for lo in (0, 100, 200):  # three commits, disjoint k-ranges
+            t.append(
+                spark.createDataFrame(
+                    [
+                        Row(
+                            k=i,
+                            v=f"row{i}",
+                            ts=dt.datetime(2026, 1, 1) + dt.timedelta(hours=i),
+                        )
+                        for i in range(lo, lo + 10)
+                    ]
+                )
+            )
+        return t
+
+    def test_stats_recorded_per_file(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        m = json.loads(t._manifest_path(t.latest_version()).read_text())
+        assert set(m["stats"]) == set(m["files"])
+        ks = sorted(s["k"] for s in m["stats"].values())
+        assert ks[0][0] == 0 and ks[-1][1] == 209
+        # string and timestamp stats present too
+        some = next(iter(m["stats"].values()))
+        assert set(some) == {"k", "v", "ts"}
+
+    def test_prune_drops_nonmatching_files(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        all_files = t.snapshot_files()
+        pruned = t.prune_files([("k", ">=", 200)])
+        assert 0 < len(pruned) < len(all_files)
+        # equality far outside every range prunes everything
+        assert t.prune_files([("k", "=", 999)]) == []
+
+    def test_scan_equals_unpruned_filter(self, spark, tmp_path):
+        import datetime as dt
+
+        t = self._table(spark, tmp_path)
+        for preds, sql in [
+            ([("k", ">=", 200)], "k >= 200"),
+            ([("k", "<", 5)], "k < 5"),
+            ([("k", ">", 100), ("k", "<=", 105)], "k > 100 AND k <= 105"),
+            ([("v", "=", "row104")], "v = 'row104'"),
+            ([("ts", "<", dt.datetime(2026, 1, 1, 3))], "ts < '2026-01-01 03:00:00'"),
+        ]:
+            got = _keys(t.scan(spark, preds))
+            want = _keys(t.read(spark).filter(sql))
+            assert got == want, preds
+
+    def test_all_pruned_scan_is_empty_with_schema(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        out = t.scan(spark, [("k", "=", 999)])
+        assert out.count() == 0
+        assert out.columns == t.read(spark).columns
+
+    def test_stats_survive_delete_and_compact(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.delete_where(spark, "k >= 100 AND k < 200")
+        assert _keys(t.scan(spark, [("k", ">=", 200)])) == list(range(200, 210))
+        t.compact(spark, sort_cols=["k"])
+        m = json.loads(t._manifest_path(t.latest_version()).read_text())
+        assert set(m["stats"]) == set(m["files"])  # rewritten files re-statted
+        assert _keys(t.scan(spark, [("k", "<", 10)])) == list(range(10))
+
+
+class TestSchemaEvolution:
+    """Delta's append contract: subset appends fill nulls, new columns
+    need merge_schema=True, type changes always raise, and every read
+    path (read/scan/stream) serves the evolved schema."""
+
+    def test_new_column_requires_opt_in(self, spark, tmp_path):
+        import pytest
+
+        from mb8600_clickhouse_spark.plans import SchemaMismatch
+
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3))
+        with pytest.raises(SchemaMismatch, match="merge_schema=True"):
+            t.append(spark.createDataFrame([Row(k=3, v="x", extra=1.5)]))
+
+    def test_merge_schema_evolves_and_backfills_null(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 2))
+        t.append(
+            spark.createDataFrame([Row(k=2, v="row2", extra=1.5)]),
+            merge_schema=True,
+        )
+        got = {r["k"]: (r["v"], r["extra"]) for r in t.read(spark).collect()}
+        assert got == {0: ("row0", None), 1: ("row1", None), 2: ("row2", 1.5)}
+        assert [f.name for f in t.read(spark).schema.fields] == ["k", "v", "extra"]
+
+    def test_subset_append_fills_null(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(spark.createDataFrame([Row(k=0, v="a", extra=9.0)]))
+        t.append(spark.createDataFrame([Row(k=1, v="b")]))  # no extra: fine
+        got = {r["k"]: r["extra"] for r in t.read(spark).collect()}
+        assert got == {0: 9.0, 1: None}
+
+    def test_type_change_always_raises(self, spark, tmp_path):
+        import pytest
+
+        from mb8600_clickhouse_spark.plans import SchemaMismatch
+
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 2))
+        with pytest.raises(SchemaMismatch, match="column 'k'"):
+            t.append(
+                spark.createDataFrame([Row(k="not-an-int", v="x")]),
+                merge_schema=True,
+            )
+
+    def test_scan_serves_evolved_schema(self, spark, tmp_path):
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3))
+        t.append(
+            spark.createDataFrame([Row(k=50, v="new", extra=2.0)]),
+            merge_schema=True,
+        )
+        out = t.scan(spark, [("k", "<", 10)])
+        assert "extra" in out.columns
+        assert sorted(r["k"] for r in out.collect()) == [0, 1, 2]

@@ -156,3 +156,23 @@ class TestManifestStream:
             q.stop()
             q.awaitTermination(30)
         assert spark.table("ms_latest").count() == 2
+
+
+class TestStreamSchemaEvolution:
+    def test_stream_pads_pre_evolution_files(self, spark, tmp_path):
+        """Files appended BEFORE a schema evolution lack the new column;
+        the stream must serve the manifest schema and null-pad them."""
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 2))
+        t.append(
+            spark.createDataFrame([Row(k=5, v="row5", extra=1.25)]),
+            merge_schema=True,
+        )
+        q = _start(spark, str(tmp_path / "t"), "ms_evo", str(tmp_path / "ck"))
+        try:
+            assert _await_rows(spark, "ms_evo", 3) == [0, 1, 5]
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        got = {r["k"]: r["extra"] for r in spark.table("ms_evo").collect()}
+        assert got == {0: None, 1: None, 5: 1.25}
