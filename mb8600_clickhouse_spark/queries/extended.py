@@ -553,3 +553,78 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
         .orderBy("p_partkey", "metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q66 time-series gap filling (ClickHouse ORDER BY ... WITH FILL)
+# ---------------------------------------------------------------------------
+@query(
+    "q66_gap_fill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM agg GROUP BY 1),
+    spine AS (
+      SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT s.event_type, s.hour, COALESCE(a.n, 0) AS n,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.hour = s.hour
+    ORDER BY s.event_type, s.hour
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard series densification: hourly counts per event type with
+    every missing hour present as an explicit zero row (the ClickHouse
+    ``WITH FILL`` idiom; a missed scrape is a zero, not a hole). The
+    spine is ``sequence(min, max, 1 hour)`` per key — bounded by the
+    time RANGE, never the event count — and the left join reuses the
+    aggregation's own (key, bucket) partitioning."""
+    from ..operators.timeseries import fill_gaps
+
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"), dsum4(F.col("value")).alias("sum_value"))
+    return fill_gaps(
+        hourly, ["event_type"], "hour", "1 hour", {"n": 0, "sum_value": 0.0}
+    ).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
+# Q67 approximate quantile with a declared-tolerance gate (t-digest class)
+# ---------------------------------------------------------------------------
+@query(
+    "q67_approx_quantile",
+    oracle="""
+    SELECT l_returnflag, TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTDigest`` spelled as Spark's mergeable
+    ``approx_percentile`` sketch — the one-pass constant-memory quantile
+    for 100 TB (exact ``percentile`` buffers every value per group).
+    Like q17b, the sketch value itself is engine-specific, so the
+    hash-verified contract is the DECLARED tolerance: |approx - exact|
+    <= 0.5% of exact for every group (accuracy=10000 bounds rank error
+    at 0.01%; the value gap on this distribution is far inside 0.5%)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_a"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("_e"),
+        )
+        .select(
+            "l_returnflag",
+            (F.abs(F.col("_a") - F.col("_e")) <= 0.005 * F.abs(F.col("_e"))).alias(
+                "within_tol"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
