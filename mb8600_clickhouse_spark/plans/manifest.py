@@ -277,19 +277,29 @@ class ManifestTable:
         merge: bool,
         extra: dict | None = None,
         schema=None,
+        keep_files: list[str] | None = None,
     ) -> int:
+        """``merge=True`` keeps the whole current snapshot alongside the
+        new files (append); ``keep_files`` keeps an explicit subset (the
+        TTL/expire shape: surviving files carry over untouched, their
+        stats carried from the parent manifest with zero re-reads)."""
         new_stats = _collect_stats(new_files)  # footers of NEW files only
         for _ in range(self.max_retries):
             base = self.latest_version()
             version = 0 if base is None else base + 1
-            files = (self.snapshot_files(base) if merge and base is not None else []) + new_files
+            kept = (
+                keep_files
+                if keep_files is not None
+                else (self.snapshot_files(base) if merge and base is not None else [])
+            )
+            files = kept + new_files
             stats = dict(new_stats)
-            if merge and base is not None:
+            if kept and base is not None:
                 stats.update(
                     {
                         f: s
                         for f, s in self._read_manifest(base).get("stats", {}).items()
-                        if f not in stats
+                        if f in set(kept) and f not in stats
                     }
                 )
             manifest = {
@@ -359,15 +369,22 @@ class ManifestTable:
             "append", self._write_data_files(df), merge=True, extra=extra, schema=schema
         )
 
-    def committed_epochs(self) -> set[int]:
-        """Epoch ids recorded by manifest commits that carried one
-        (the exactly-once streaming sink's replay ledger)."""
-        out: set[int] = set()
+    def committed_markers(self, key: str) -> set:
+        """All values of manifest field ``key`` across committed
+        versions — the generic replay ledger (streaming epochs, TTL
+        demotion markers): an operation that records its marker in its
+        commit can detect its own replay and no-op."""
+        out: set = set()
         for p in (self.root / MANIFEST_DIR).glob("v*.json"):
-            e = json.loads(p.read_text()).get("epoch")
+            e = json.loads(p.read_text()).get(key)
             if e is not None:
                 out.add(e)
         return out
+
+    def committed_epochs(self) -> set[int]:
+        """Epoch ids recorded by manifest commits that carried one
+        (the exactly-once streaming sink's replay ledger)."""
+        return self.committed_markers("epoch")
 
     def overwrite(self, df: DataFrame, extra: dict | None = None) -> int:
         """Transactional replace (the compaction/OPTIMIZE shape): the new
@@ -420,6 +437,53 @@ class ManifestTable:
             ]
         )
         return self._commit("update", self._write_data_files(updated), merge=False)
+
+    def expire(self, spark: SparkSession, ts_col: str, cutoff) -> dict:
+        """Retention TTL (ClickHouse ``TTL timestamp + INTERVAL ...``):
+        drop every row with ``ts_col < cutoff`` in one snapshot commit,
+        touching as little data as the manifest stats allow:
+
+        - files whose max(ts) < cutoff are WHOLLY expired — dropped from
+          the manifest, zero IO (vacuum reclaims the bytes later);
+        - files whose min(ts) >= cutoff are wholly live — carried over
+          untouched, stats and all;
+        - only boundary-straddling files (or files without stats) are
+          read and rewritten.
+
+        At 100 TB with time-ordered ingest nearly every file falls in
+        the first two classes, so steady-state retention is a pure
+        metadata operation. Returns ``{"version", "dropped", "kept",
+        "rewritten"}`` file counts."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        dead, live, straddle = [], [], []
+        for f in m["files"]:
+            st = stats.get(f)
+            # no row >= cutoff -> wholly expired; no row < cutoff -> wholly live
+            if st and ts_col in st and not _file_may_match(st, ts_col, ">=", cutoff):
+                dead.append(f)
+            elif st and ts_col in st and not _file_may_match(st, ts_col, "<", cutoff):
+                live.append(f)
+            else:
+                straddle.append(f)
+        new_files: list[str] = []
+        if straddle:
+            from pyspark.sql import functions as F
+
+            st_schema = self.table_schema(v)
+            reader = spark.read if st_schema is None else spark.read.schema(st_schema)
+            kept_rows = reader.parquet(*straddle).filter(F.col(ts_col) >= F.lit(cutoff))
+            new_files = self._write_data_files(kept_rows)
+        version = self._commit("expire", new_files, merge=False, keep_files=live)
+        return {
+            "version": version,
+            "dropped": len(dead),
+            "kept": len(live),
+            "rewritten": len(straddle),
+        }
 
     def upsert(self, spark: SparkSession, source: DataFrame, key_cols: list[str]) -> int:
         """Copy-on-write MERGE/upsert: target rows whose key matches a

@@ -114,6 +114,42 @@ def rollup_sink(rollup_path: str, keys: list[str], aggs: AggSpec):
     return _sink
 
 
+def demote_expired(
+    spark: SparkSession,
+    source_path: str,
+    rollup_path: str,
+    ts_col: str,
+    cutoff,
+    keys: list[str],
+    aggs: AggSpec,
+) -> dict:
+    """ClickHouse ``TTL ... GROUP BY`` across tables: rows about to
+    expire from the source fold into the rollup (additively), then the
+    source expires them — raw data ages OUT, its aggregate contribution
+    stays. The expired-row read is a stats-pruned ``scan`` (only files
+    that can contain pre-cutoff rows are opened), and the source-side
+    deletion is ``expire`` (wholly-dead files drop metadata-only).
+
+    Cross-table, so not atomic: the rollup merge commits FIRST with a
+    (ts_col, cutoff) marker; a crash before the source expire leaves
+    the marker, and retrying the same cutoff skips the merge instead of
+    double-counting. The caller's contract is retry-same-cutoff-until-
+    success, the same idempotent-replay shape as the streaming sink."""
+    src = ManifestTable(source_path)
+    roll = ManifestTable(rollup_path)
+    marker = f"{ts_col}<{cutoff}"
+    if marker not in roll.committed_markers("demote"):
+        expired = src.scan(spark, [(ts_col, "<", cutoff)])
+        if not expired.isEmpty():
+            partial = partial_rollup(expired, keys, aggs)
+            current = (
+                None if roll.latest_version() is None else roll.read(spark)
+            )
+            merged = merge_rollup(current, partial, keys, aggs)
+            roll.overwrite(merged, extra={"demote": marker})
+    return src.expire(spark, ts_col, cutoff)
+
+
 def maintain_rollup(
     spark: SparkSession,
     source_path: str,

@@ -261,3 +261,109 @@ class TestSchemaEvolution:
         out = t.scan(spark, [("k", "<", 10)])
         assert "extra" in out.columns
         assert sorted(r["k"] for r in out.collect()) == [0, 1, 2]
+
+
+class TestExpire:
+    """Retention TTL: stats classify every file as wholly-dead (dropped
+    metadata-only), wholly-live (carried over untouched), or straddling
+    (the only rewrites)."""
+
+    def _table(self, spark, tmp_path):
+        import datetime as dt
+
+        t = ManifestTable(str(tmp_path / "t"))
+        for lo in (0, 10, 20):  # one FILE per band (coalesce) so the
+            # cutoff classifies: band1 dead, band2 straddling, band3 live
+            t.append(
+                spark.createDataFrame(
+                    [
+                        Row(k=i, ts=dt.datetime(2026, 1, 1) + dt.timedelta(hours=i))
+                        for i in range(lo, lo + 10)
+                    ]
+                ).coalesce(1)
+            )
+        return t
+
+    def test_expire_classifies_files(self, spark, tmp_path):
+        import datetime as dt
+
+        t = self._table(spark, tmp_path)
+        before = set(t.snapshot_files())
+        # cutoff inside the middle band: band 1 dead, band 3 live
+        out = t.expire(spark, "ts", dt.datetime(2026, 1, 1, 15))
+        assert out["dropped"] >= 1 and out["kept"] >= 1 and out["rewritten"] >= 1
+        after = set(t.snapshot_files())
+        assert _keys(t.read(spark)) == list(range(15, 30))
+        # wholly-live files carried over by path (no rewrite)
+        assert after & before
+        # wholly-dead files gone from the snapshot
+        assert not {f for f in before if f not in after} <= after
+
+    def test_expire_exact_boundary_rows(self, spark, tmp_path):
+        import datetime as dt
+
+        t = self._table(spark, tmp_path)
+        t.expire(spark, "ts", dt.datetime(2026, 1, 1, 10))  # == band-2 min
+        assert _keys(t.read(spark)) == list(range(10, 30))
+
+    def test_expired_stats_still_prune(self, spark, tmp_path):
+        import datetime as dt
+
+        t = self._table(spark, tmp_path)
+        t.expire(spark, "ts", dt.datetime(2026, 1, 1, 15))
+        m = json.loads(t._manifest_path(t.latest_version()).read_text())
+        assert set(m["stats"]) == set(m["files"])  # kept + rewritten all statted
+        assert _keys(t.scan(spark, [("k", ">=", 25)])) == list(range(25, 30))
+
+
+class TestDemoteExpired:
+    def test_rollup_absorbs_expired_rows(self, spark, tmp_path):
+        import datetime as dt
+
+        from mb8600_clickhouse_spark.streaming import incremental
+
+        src = ManifestTable(str(tmp_path / "src"))
+        src.append(
+            spark.createDataFrame(
+                [
+                    Row(g="a", v=1, ts=dt.datetime(2026, 1, 1)),
+                    Row(g="a", v=2, ts=dt.datetime(2026, 1, 2)),
+                    Row(g="b", v=5, ts=dt.datetime(2026, 1, 5)),
+                ]
+            )
+        )
+        aggs = {"n": ("count", "*"), "total": ("sum", "v")}
+        cutoff = dt.datetime(2026, 1, 3)
+        out = incremental.demote_expired(
+            spark, str(tmp_path / "src"), str(tmp_path / "roll"), "ts", cutoff,
+            ["g"], aggs,
+        )
+        assert out["version"] >= 1
+        assert _keys(src.read(spark).selectExpr("v as k")) == [5]
+        roll = ManifestTable(str(tmp_path / "roll"))
+        assert {tuple(r) for r in roll.read(spark).collect()} == {("a", 2, 3)}
+
+    def test_demote_retry_same_cutoff_is_idempotent(self, spark, tmp_path):
+        import datetime as dt
+
+        from mb8600_clickhouse_spark.streaming import incremental
+
+        src = ManifestTable(str(tmp_path / "src"))
+        src.append(
+            spark.createDataFrame([Row(g="a", v=3, ts=dt.datetime(2026, 1, 1))])
+        )
+        src.append(
+            spark.createDataFrame([Row(g="a", v=9, ts=dt.datetime(2026, 2, 1))])
+        )
+        aggs = {"n": ("count", "*"), "total": ("sum", "v")}
+        cutoff = dt.datetime(2026, 1, 15)
+        kw = dict(ts_col="ts", cutoff=cutoff, keys=["g"], aggs=aggs)
+        incremental.demote_expired(
+            spark, str(tmp_path / "src"), str(tmp_path / "roll"), **kw
+        )
+        # crash-retry with the SAME cutoff: marker skips the merge
+        incremental.demote_expired(
+            spark, str(tmp_path / "src"), str(tmp_path / "roll"), **kw
+        )
+        roll = ManifestTable(str(tmp_path / "roll"))
+        assert {tuple(r) for r in roll.read(spark).collect()} == {("a", 1, 3)}
