@@ -396,13 +396,32 @@ class ManifestTable:
             "overwrite", self._write_data_files(df), merge=False, extra=extra
         )
 
-    def compact(self, spark: SparkSession, sort_cols: list[str] | None = None) -> int:
-        """Rewrite the current snapshot into one sorted file set and
+    def compact(
+        self,
+        spark: SparkSession,
+        sort_cols: list[str] | None = None,
+        target_file_mb: int = 128,
+    ) -> int:
+        """Rewrite the current snapshot into right-sized sorted files and
         commit it as an overwrite — OPTIMIZE as a metadata swap, with no
-        window where readers see a missing or half-compacted table."""
+        window where readers see a missing or half-compacted table.
+
+        The output file count is snapshot-bytes / ``target_file_mb``
+        (never one giant file: a 10 TB table must not funnel through a
+        single task). With ``sort_cols`` the rewrite is a RANGE
+        repartition on them, so each output file owns a contiguous key
+        range — manifest min/max stats and parquet row-group skipping
+        both stay sharp after compaction."""
+        files = self.snapshot_files()
+        if not files:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        total = sum(os.path.getsize(f) for f in files)
+        n = max(1, round(total / (target_file_mb * 1024 * 1024)))
         df = self.read(spark)
         if sort_cols:
-            df = df.coalesce(1).sortWithinPartitions(*sort_cols)
+            df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+        else:
+            df = df.repartition(n)
         return self.overwrite(df)
 
     # -- copy-on-write DML ---------------------------------------------------
