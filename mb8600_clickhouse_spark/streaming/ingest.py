@@ -129,6 +129,26 @@ def read_payload_stream(spark: SparkSession, landing_dir: str, max_files_per_tri
     return reader.json(landing_dir)
 
 
+def dedup_scrapes(parsed: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Drop duplicate scrapes on the table's primary key
+    (modem_name, timestamp) — the retry-duplicate guard the reference's
+    at-least-once HTTP path implies (a re-polled or re-landed payload is
+    the same second-precision scrape; MergeTree would happily store both,
+    tables.sql:30 orders but does not dedupe).
+
+    Streaming inputs use ``dropDuplicatesWithinWatermark``: state is
+    BOUNDED — a key is remembered only until the watermark passes it,
+    so state size tracks (modems × watermark/scrape-interval), not
+    stream history. Batch inputs take the plain exact dedup. Works in
+    the parsed chain before any sink:
+    ``parse_payloads(...) |> dedup_scrapes |> write_docsis_stream*``."""
+    if not parsed.isStreaming:
+        return parsed.dropDuplicates(["modem_name", "timestamp"])
+    return parsed.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["modem_name", "timestamp"]
+    )
+
+
 def append_docsis(df: DataFrame, table_path: str, epoch_id: int | None = None) -> None:
     """Append under the docsis table layout (plans.DOCSIS_LAYOUT — the
     PARTITION BY/ORDER BY convention from reference tables.sql:30).

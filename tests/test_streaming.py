@@ -478,3 +478,42 @@ class TestIngestRobustness:
         # empty packed string -> one all-null struct, never an exception
         assert len(r["downstream_channels"]) == 1
         assert r["downstream_channels"][0]["channel_id"] is None
+
+
+class TestScrapeDedup:
+    def test_retry_duplicates_collapse_across_batches(self, spark, tmp_path):
+        """The same scrape landed twice (HTTP retry / re-landed file, in
+        DIFFERENT micro-batches): the PK dedup keeps one row; a distinct
+        scrape of the same modem survives."""
+        d = tmp_path / "landing_dup"
+        d.mkdir()
+        line = _payload_line("MB8600", 1748736000.9, DS, US, "1h:00m:00s")
+        (d / "a.json").write_text(line + "\n")
+        (d / "b.json").write_text(  # retry dup + one genuinely new scrape
+            line + "\n" + _payload_line("MB8600", 1748736010.5, DS, US, "1h:00m:10s")
+        )
+        table = str(tmp_path / "t_dedup")
+        q = ingest.write_docsis_stream(
+            ingest.dedup_scrapes(
+                ingest.parse_payloads(
+                    ingest.read_payload_stream(spark, str(d), max_files_per_trigger=1)
+                )
+            ),
+            table,
+            str(tmp_path / "c_dedup"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(table)
+        assert out.count() == 2  # not 3
+        assert out.select("modem_name", "timestamp").distinct().count() == 2
+
+    def test_batch_input_takes_exact_dedup(self, spark, tmp_path):
+        d = tmp_path / "landing_dup_b"
+        d.mkdir()
+        line = _payload_line("MB8600", 1748736000.9, DS, US, "1h:00m:00s")
+        (d / "a.json").write_text(line + "\n" + line + "\n")
+        batch = ingest.parse_payloads(
+            spark.read.schema(ingest.PAYLOAD_RECORD_SCHEMA).json(str(d))
+        )
+        assert ingest.dedup_scrapes(batch).count() == 1
