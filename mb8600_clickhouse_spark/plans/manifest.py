@@ -401,6 +401,8 @@ class ManifestTable:
         spark: SparkSession,
         sort_cols: list[str] | None = None,
         target_file_mb: int = 128,
+        n_files: int | None = None,
+        zorder: tuple[str, str] | None = None,
     ) -> int:
         """Rewrite the current snapshot into right-sized sorted files and
         commit it as an overwrite — OPTIMIZE as a metadata swap, with no
@@ -408,20 +410,41 @@ class ManifestTable:
 
         The output file count is snapshot-bytes / ``target_file_mb``
         (never one giant file: a 10 TB table must not funnel through a
-        single task). With ``sort_cols`` the rewrite is a RANGE
-        repartition on them, so each output file owns a contiguous key
-        range — manifest min/max stats and parquet row-group skipping
-        both stay sharp after compaction."""
+        single task); ``n_files`` overrides it. With ``sort_cols`` the
+        rewrite is a RANGE repartition on them, so each output file owns
+        a contiguous key range — manifest min/max stats and parquet
+        row-group skipping both stay sharp after compaction.
+
+        ``zorder=(col_a, col_b)`` instead clusters on the Morton curve
+        (Delta ``OPTIMIZE ZORDER BY``): each file covers a compact
+        rectangle of the 2-D key space, so stats-based skipping works
+        for predicates on EITHER column. Columns must be non-negative
+        ints in [0, 2^16) — map real domains first (layout.zorder_key
+        docs)."""
         files = self.snapshot_files()
         if not files:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
-        total = sum(os.path.getsize(f) for f in files)
-        n = max(1, round(total / (target_file_mb * 1024 * 1024)))
+        if n_files is None:
+            total = sum(os.path.getsize(f) for f in files)
+            n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
         df = self.read(spark)
-        if sort_cols:
-            df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+        if zorder is not None:
+            from pyspark.sql import functions as F
+
+            from .layout import zorder_key
+
+            df = (
+                df.withColumn("_z", zorder_key(F.col(zorder[0]), F.col(zorder[1])))
+                .repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_cols:
+            df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
         else:
-            df = df.repartition(n)
+            df = df.repartition(n_files)
         return self.overwrite(df)
 
     # -- copy-on-write DML ---------------------------------------------------

@@ -367,3 +367,31 @@ class TestDemoteExpired:
         )
         roll = ManifestTable(str(tmp_path / "roll"))
         assert {tuple(r) for r in roll.read(spark).collect()} == {("a", 1, 3)}
+
+
+class TestZorderCompact:
+    def test_zorder_files_bound_both_columns(self, spark, tmp_path):
+        """After OPTIMIZE ZORDER, every file covers a compact rectangle:
+        per-file stats ranges on BOTH columns are far narrower than the
+        full domain, so scans filtered on either column prune files."""
+        import random
+
+        rnd = random.Random(7)
+        t = ManifestTable(str(tmp_path / "t"))
+        rows = [Row(a=i, b=rnd.randrange(256)) for i in range(256)]
+        t.append(spark.createDataFrame(rows))
+        t.compact(spark, n_files=8, zorder=("a", "b"))
+        m = json.loads(t._manifest_path(t.latest_version()).read_text())
+        spans_a = sorted(s["a"][1] - s["a"][0] for s in m["stats"].values())
+        spans_b = sorted(s["b"][1] - s["b"][0] for s in m["stats"].values())
+        # a plain sort on 'a' would leave every file spanning ~all of
+        # 'b' (span ~250). Z-order bounds BOTH dims for most files; only
+        # files straddling a major Morton boundary span wider, so assert
+        # on the median, not the max.
+        assert len(spans_a) == 8
+        assert spans_a[3] <= 160 and spans_b[3] <= 160
+        # pruning now bites on both dimensions
+        assert len(t.prune_files([("a", "<", 32)])) < 8
+        assert len(t.prune_files([("b", "<", 32)])) < 8
+        # and results are intact
+        assert t.read(spark).count() == 256
