@@ -235,6 +235,16 @@ def ngram_jaccard_pairs(
     sh = shingle_rows(df, id_col, text_col, shingle_n).select(
         "id", F.xxhash64("s").alias("shingle")
     )
+    # the shingle set feeds THREE subtrees (both self-join sides + the
+    # size table) and Spark does not reuse the exchange across them —
+    # measured 3 full tokenize+explode passes. A lazy localCheckpoint
+    # materializes it once (first use) and the other consumers read the
+    # stored blocks; unlike persist() the blocks are reclaimed by the
+    # ContextCleaner when the plan is dropped, so nothing leaks across
+    # queries. Trade-off at cluster scale: checkpointed blocks are not
+    # lineage-recoverable on executor loss — acceptable for a dedup
+    # batch job that simply reruns.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     inter = (
         sh.alias("a")
