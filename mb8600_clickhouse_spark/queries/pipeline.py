@@ -204,3 +204,54 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q68 sequence packing (capacity-constrained training-batch assembly)
+# ---------------------------------------------------------------------------
+@query(
+    "q68_sequence_packing",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+      FROM documents
+    ),
+    ord AS (
+      SELECT doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    packs AS (
+      SELECT doc_id, lang, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.lang, o.n_tokens, o.rn,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN o.n_tokens ELSE p.acc + o.n_tokens END
+      FROM packs p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, pack_id
+    FROM packs ORDER BY lang, doc_id
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sample packing: per language, docs in doc_id
+    order fill 512-token packs (a doc that would overflow starts the
+    next pack). Stateful-by-construction, so the Spark side is the
+    documented ``applyInPandas`` escape hatch over (id, size) pairs and
+    the oracle is a recursive CTE — the determinism of the greedy rule
+    makes a custom stateful operator exactly differential-testable."""
+    from ..operators import text as text_ops
+    from ..operators.packing import pack_sequences
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        text_ops.token_count(F.col("text")).cast("int").alias("n_tokens"),
+    )
+    return pack_sequences(toks, ["lang"], "doc_id", "n_tokens", 512).select(
+        "doc_id", "lang", "n_tokens", "pack_id"
+    ).orderBy("lang", "doc_id")
