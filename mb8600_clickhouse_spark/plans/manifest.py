@@ -236,6 +236,16 @@ class ManifestTable:
         reader = spark.read if st is None else spark.read.schema(st)
         return reader.parquet(*files).filter(cond)
 
+    def to_view(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> None:
+        """Register the snapshot as a temp view so ``spark.sql`` can
+        query it — the SQL front door a ClickHouse user expects. The
+        view is a fixed snapshot (registration-time version): re-register
+        after commits to advance, or register ``version=`` pins for
+        time-travel SQL (``AS OF`` spelled as a view per version)."""
+        self.read(spark, version).createOrReplaceTempView(name)
+
     # -- write --------------------------------------------------------------
     def _write_data_files(self, df: DataFrame) -> list[str]:
         """Write df as immutable parquet under a fresh txn dir; return

@@ -39,6 +39,21 @@ class TestCommitProtocol:
         assert _keys(t.read(spark, version=v0)) == [0, 1, 2]
         assert _keys(t.read(spark)) == [10, 11]
 
+    def test_to_view_sql_front_door(self, spark, tmp_path):
+        """to_view registers a snapshot for spark.sql; the view is a
+        fixed snapshot, and a version pin gives time-travel SQL."""
+        t = ManifestTable(str(tmp_path / "t"))
+        v0 = t.append(_df(spark, 0, 3))
+        t.to_view(spark, "mt_live")
+        assert spark.sql("SELECT count(*) AS n FROM mt_live").first()["n"] == 3
+        t.overwrite(_df(spark, 10, 15))
+        # registration-time snapshot: stale until re-registered
+        assert spark.sql("SELECT count(*) AS n FROM mt_live").first()["n"] == 3
+        t.to_view(spark, "mt_live")
+        assert spark.sql("SELECT count(*) AS n FROM mt_live").first()["n"] == 5
+        t.to_view(spark, "mt_v0", version=v0)
+        assert spark.sql("SELECT min(k) AS k FROM mt_v0").first()["k"] == 0
+
     def test_uncommitted_write_invisible(self, spark, tmp_path):
         """A writer that dies after writing data files but before the
         manifest link leaves the table exactly as it was — the
