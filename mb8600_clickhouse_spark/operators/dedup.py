@@ -66,6 +66,7 @@ def shingle_rows(
     text_col: str = "text",
     n: int = 3,
     distinct: bool = True,
+    input_partitions: int | None = None,
 ) -> DataFrame:
     """(id, s) — one row per word-n-gram shingle, via INDEX explode.
 
@@ -82,10 +83,23 @@ def shingle_rows(
     so the tokenize/shingle chain is WIDENED to defaultParallelism — but
     only widened: an input already partitioned wider (a well-partitioned
     100 TB corpus) passes through untouched rather than being shrunk
-    through a pointless shuffle.
+    through a pointless shuffle. The width probe is the scan's file list
+    (``inputFiles`` — driver-side metadata, no RDD translation; files may
+    split further under maxPartitionBytes, which only under-counts and at
+    worst widens an already-wide input). ``df.rdd.getNumPartitions()``
+    was measurably wrong here: it forces a full plan-to-RDD translation
+    per call, a driver-side tax on wide pipelines that shingle repeatedly.
+    Callers that know their width pass ``input_partitions`` and skip the
+    probe entirely.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_in = df.rdd.getNumPartitions()
+    if input_partitions is not None:
+        n_in = input_partitions
+    else:
+        files = df.inputFiles()
+        # non-file plans (in-memory test frames, derived unions): fall
+        # back to the RDD probe — such inputs are small by construction
+        n_in = len(files) if files else df.rdd.getNumPartitions()
     src = df.repartition(target, F.col(id_col)) if n_in < target else df
     toks = src.select(
         F.col(id_col).alias("id"),
@@ -364,6 +378,7 @@ def simhash_neardup_pairs(
     id_col: str = "id",
     fp_col: str = "simhash",
     nbits: int = 63,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact Hamming<=T pairs over (id, fingerprint) rows WITHOUT the
     O(n^2) self-join, via pigeonhole segment blocking (HmSearch): split
@@ -374,7 +389,17 @@ def simhash_neardup_pairs(
     then runs only on candidates. Same result set as brute force,
     linear-ish cost on near-dup-sparse corpora. Pass ``nbits`` matching
     the fingerprint family (63 = xxhash64, 60 = portable md5) so no
-    segment degenerates to an always-zero key (one giant bucket)."""
+    segment degenerates to an always-zero key (one giant bucket).
+
+    ``max_bucket`` caps degenerate segment buckets, exactly like
+    ``minhash_lsh_candidates``: a boilerplate-heavy corpus where many
+    docs share a segment value would otherwise collect them all into one
+    bucket (executor OOM + quadratic pair blowup). With the cap, each
+    bucket keeps its ``max_bucket`` lowest ids deterministically
+    (sort_array on struct(id, fp) orders by id first), bounding the pair
+    count at #buckets * max_bucket^2 / 2. Capping trades recall on
+    pathological corpora for bounded memory — pairs whose only shared
+    segment was truncated are missed, the standard LSH-cap trade."""
     n_seg = max_hamming + 1
     width = (nbits + n_seg - 1) // n_seg
     seg_keys = F.array(
@@ -393,6 +418,10 @@ def simhash_neardup_pairs(
         .agg(F.collect_list(F.struct("id", "fp")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    if max_bucket is not None:
+        members = members.withColumn(
+            "ms", F.slice(F.sort_array("ms"), 1, max_bucket)
+        ).filter(F.size("ms") > 1)
     cands = (
         members.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))
