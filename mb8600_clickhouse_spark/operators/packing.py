@@ -8,13 +8,15 @@ documented ``applyInPandas`` escape hatch (SURVEY §7.0): groups are
 small and independent, the loop is a per-group numpy/pandas pass, and
 Arrow moves only (id, size) pairs, never text.
 
-Scale posture: parallelism = number of groups. Packing a 100 TB corpus
-under a handful of languages would bottleneck on the biggest group, so
-real deployments salt the group key with a shard (pack within
-(lang, shard)) — packing quality is unaffected because packs never
-straddle shards by design. The deterministic contract (fixed order,
-greedy rule) makes the operator exactly oracle-checkable against a
-recursive CTE."""
+Scale posture: parallelism = number of groups * ``n_shards``. Packing
+a 100 TB corpus under a handful of languages would bottleneck on the
+biggest group, so ``n_shards`` salts the group key with a deterministic
+shard (pack within (lang, shard)) — packing quality per pack is
+unaffected because packs never straddle shards by design (each shard
+runs the same greedy rule over its own rows; only the partition of
+documents into packs changes, never a pack's budget invariant). The
+deterministic contract (fixed order, greedy rule, hash-derived shard)
+makes the operator exactly oracle-checkable against a recursive CTE."""
 
 from __future__ import annotations
 
@@ -28,13 +30,25 @@ def pack_sequences(
     order_col: str,
     size_col: str,
     budget: int,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Assign each row a ``pack_id`` (0-based per group) by greedy
     sequential packing in ``order_col`` order: a row joins the current
     pack unless that would push the pack's ``size_col`` total past
     ``budget``, in which case it starts the next pack. A single row
     larger than ``budget`` gets a pack of its own (never dropped —
-    oversize handling belongs to an upstream filter)."""
+    oversize handling belongs to an upstream filter).
+
+    ``n_shards`` splits each group into that many deterministic shards
+    (``xxhash64(order_col) % n_shards``) packed independently and
+    concurrently — the 100 TB lever when groups are few and huge. Pack
+    ids stay unique within the group via ``pid * n_shards + shard``
+    (disjoint residues per shard), and every pack still satisfies the
+    budget invariant; only the assignment of documents to packs differs
+    from the unsharded run. Default ``None`` keeps the exact
+    single-sequence contract the recursive-CTE oracle checks."""
+
+    stride = n_shards if n_shards is not None else 1
 
     def _pack(pdf):
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
@@ -49,12 +63,19 @@ def pack_sequences(
             else:
                 acc += n
             pack_ids.append(pid)
-        pdf["pack_id"] = pack_ids
+        shard = int(pdf["_shard"].iloc[0]) if "_shard" in pdf.columns else 0
+        pdf["pack_id"] = [p * stride + shard for p in pack_ids]
+        if "_shard" in pdf.columns:
+            pdf = pdf.drop(columns=["_shard"])
         return pdf
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    return df.groupBy(*[F.col(c) for c in group_cols]).applyInPandas(
-        _pack, schema + ", pack_id bigint"
-    )
+    keys = [F.col(c) for c in group_cols]
+    if n_shards is not None:
+        df = df.withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards))
+        )
+        keys = keys + [F.col("_shard")]
+    return df.groupBy(*keys).applyInPandas(_pack, schema + ", pack_id bigint")

@@ -32,16 +32,39 @@ def pin_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Probe the parquet footer for events.ts's physical unit. Driver
+    fixture generations differ (TIMESTAMP(NANOS) vs MICROS); the NANOS
+    form needs the raw-int64 read below, the MICROS form reads natively.
+    Footer-only read: no data pages touched."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        path = parts[0]
+    try:
+        return "ns" in str(pq.read_schema(path).field("ts").type)
+    except Exception:
+        return False
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table under ``sf_dir`` plus the repo docsis
     fixture; returns name -> DataFrame (lazy parquet scans)."""
     pin_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for name, schema in FIXTURE_SCHEMAS.items():
-        if name == "events":
+        if name == "events" and _events_ts_is_nanos(f"{sf_dir}/{name}.parquet"):
             # ts is parquet TIMESTAMP(NANOS): read as raw int64 nanos and
             # truncate to microseconds — exactly what DuckDB's reader does,
-            # so oracle comparisons see identical instants.
+            # so oracle comparisons see identical instants. (Fixture
+            # generations vary: some rounds write NANOS, some MICROS —
+            # probe the footer rather than assume.)
             ns_schema = T.StructType(
                 [
                     T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)

@@ -99,6 +99,41 @@ class TestPortableSimHash:
             }
             assert blocked == brute
 
+    def test_segment_bucket_cap_bounds_pairs(self, spark):
+        """Degenerate corpus: 30 identical docs share every segment
+        bucket. Uncapped = n^2/2 pairs per the blocking guarantee;
+        max_bucket keeps each bucket's lowest ids, bounding the pair
+        count (the same skew lever as minhash_lsh_candidates)."""
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=DOC_A) for i in range(30)]
+        )
+        fps = dedup.simhash_fingerprints(docs, portable=True)
+        uncapped = dedup.simhash_neardup_pairs(fps, max_hamming=3, nbits=60)
+        assert uncapped.count() == 30 * 29 // 2
+        capped = dedup.simhash_neardup_pairs(
+            fps, max_hamming=3, nbits=60, max_bucket=4
+        )
+        assert capped.count() == 4 * 3 // 2
+        # survivors are the lowest ids (deterministic keep rule)
+        assert {
+            (r["id_a"], r["id_b"]) for r in capped.collect()
+        } == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+
+    def test_cap_no_effect_on_sparse_corpus(self, spark):
+        """A cap wider than any real bucket must not change results."""
+        fps = dedup.simhash_fingerprints(_docs_df(spark), shingle_n=2, portable=True)
+        base = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_neardup_pairs(fps, max_hamming=3, nbits=60).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_neardup_pairs(
+                fps, max_hamming=3, nbits=60, max_bucket=100
+            ).collect()
+        }
+        assert base == capped
+
 
 class TestMinHashLSH:
     def test_exact_dups_always_candidates(self, spark):
