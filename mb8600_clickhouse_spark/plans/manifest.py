@@ -68,10 +68,20 @@ def _stat_value(v):
     return None
 
 
+#: reserved per-file stats key holding {column: null_count}. Parquet
+#: min/max stats ignore nulls, so [min,max] alone cannot prove "no row
+#: matches" for a file containing nulls — expire() needs the null count
+#: to classify files soundly. Real column names never collide: "." in a
+#: path marks nested columns, which are skipped.
+NULLS_KEY = "__nulls__"
+
+
 def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
-    """{file: {column: [min, max]}} from parquet row-group footers.
-    A column missing from a file's entry means "no usable stats" and is
-    never pruned on (sound default). Binary/nested columns are skipped."""
+    """{file: {column: [min, max], NULLS_KEY: {column: null_count}}}
+    from parquet row-group footers. A column missing from a file's entry
+    means "no usable stats" and is never pruned on (sound default); a
+    column missing from NULLS_KEY means its null count is unknown.
+    Binary/nested columns are skipped."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, list]] = {}
@@ -79,17 +89,26 @@ def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
         md = pq.ParquetFile(f).metadata
         mins: dict[str, object] = {}
         maxs: dict[str, object] = {}
+        nulls: dict[str, int] = {}
+        no_null_info: set[str] = set()
         ok = set(range(md.num_columns))
         for rg in range(md.num_row_groups):
             for c in range(md.num_columns):
-                if c not in ok:
-                    continue
                 col = md.row_group(rg).column(c)
                 st = col.statistics
+                name = col.path_in_schema
+                # null counts are tracked independently of min/max
+                # usability (a file can know its null count even when
+                # min/max is absent or non-encodable)
+                if st is None or st.null_count is None:
+                    no_null_info.add(name)
+                elif name not in no_null_info:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                if c not in ok:
+                    continue
                 if st is None or not st.has_min_max:
                     ok.discard(c)
                     continue
-                name = col.path_in_schema
                 lo, hi = _stat_value(st.min), _stat_value(st.max)
                 if lo is None or hi is None or "." in name:  # nested
                     ok.discard(c)
@@ -97,7 +116,13 @@ def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
         names = {md.row_group(0).column(c).path_in_schema for c in ok} if md.num_row_groups else set()
-        out[f] = {n: [mins[n], maxs[n]] for n in names if n in mins}
+        entry: dict = {n: [mins[n], maxs[n]] for n in names if n in mins}
+        known_nulls = {
+            n: cnt for n, cnt in nulls.items() if n not in no_null_info and "." not in n
+        }
+        if known_nulls:
+            entry[NULLS_KEY] = known_nulls
+        out[f] = entry
     return out
 
 
