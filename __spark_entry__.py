@@ -36,9 +36,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["q09_hash_agg"].fn(spark, SF001_DIR)
 
 
+def _driver_covered_names() -> set[str]:
+    """Query names already hash-verified by a prior round's driver run
+    (CORRECTNESS_r*.json). Used to rotate the registration order: the
+    driver verifies at most ~50 names per round in dict order, so names
+    it has never checked go first until cumulative coverage is total
+    (SURVEY §2.I documents the cap)."""
+    import json
+
+    seen: set[str] = set()
+    for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if isinstance(r, dict) and r.get("hash_match"):
+                seen.add(name)
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    never-driver-verified names come first (see _driver_covered_names)."""
+    specs = all_queries()
+    covered = _driver_covered_names()
+    ordered = [n for n in specs if n not in covered] + [
+        n for n in specs if n in covered
+    ]
+    return {name: specs[name].fn for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

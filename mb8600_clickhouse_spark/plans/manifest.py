@@ -520,12 +520,23 @@ class ManifestTable:
         drop every row with ``ts_col < cutoff`` in one snapshot commit,
         touching as little data as the manifest stats allow:
 
-        - files whose max(ts) < cutoff are WHOLLY expired — dropped from
-          the manifest, zero IO (vacuum reclaims the bytes later);
+        - files whose max(ts) < cutoff AND whose known null count for
+          ``ts_col`` is zero are WHOLLY expired — dropped from the
+          manifest, zero IO (vacuum reclaims the bytes later);
         - files whose min(ts) >= cutoff are wholly live — carried over
           untouched, stats and all;
-        - only boundary-straddling files (or files without stats) are
-          read and rewritten.
+        - everything else (boundary-straddlers, files without stats,
+          files with null or unknown-null ``ts_col``) is read and
+          rewritten through the keep filter.
+
+        Null policy (layout-independent by construction): a NULL
+        ``ts_col`` NEVER expires — SQL's ``ts < cutoff`` is no-match
+        for NULL, so row-level TTL must keep those rows regardless of
+        which file they landed in. Parquet min/max ignore nulls, so
+        [min,max] alone cannot prove a file holds no null-ts rows;
+        wholly-dead classification therefore also requires the
+        manifest's ``NULLS_KEY`` count to be a known zero (unknown →
+        rewrite), and the straddle rewrite keeps ``ts IS NULL`` rows.
 
         At 100 TB with time-ordered ingest nearly every file falls in
         the first two classes, so steady-state retention is a pure
@@ -539,8 +550,18 @@ class ManifestTable:
         dead, live, straddle = [], [], []
         for f in m["files"]:
             st = stats.get(f)
-            # no row >= cutoff -> wholly expired; no row < cutoff -> wholly live
-            if st and ts_col in st and not _file_may_match(st, ts_col, ">=", cutoff):
+            known_zero_nulls = (
+                st is not None and st.get(NULLS_KEY, {}).get(ts_col) == 0
+            )
+            # no row >= cutoff AND provably no null-ts rows -> wholly
+            # expired; no row < cutoff -> wholly live (null-ts rows in a
+            # live file are kept, which matches the policy)
+            if (
+                st
+                and ts_col in st
+                and not _file_may_match(st, ts_col, ">=", cutoff)
+                and known_zero_nulls
+            ):
                 dead.append(f)
             elif st and ts_col in st and not _file_may_match(st, ts_col, "<", cutoff):
                 live.append(f)
@@ -552,7 +573,9 @@ class ManifestTable:
 
             st_schema = self.table_schema(v)
             reader = spark.read if st_schema is None else spark.read.schema(st_schema)
-            kept_rows = reader.parquet(*straddle).filter(F.col(ts_col) >= F.lit(cutoff))
+            kept_rows = reader.parquet(*straddle).filter(
+                (F.col(ts_col) >= F.lit(cutoff)) | F.col(ts_col).isNull()
+            )
             new_files = self._write_data_files(kept_rows)
         version = self._commit("expire", new_files, merge=False, keep_files=live)
         return {

@@ -202,8 +202,13 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     the linear-scaling dedup path: per-row signatures, shuffle only on
     band buckets, never O(n^2) text comparisons."""
     docs = load_tables(spark, sf_dir)["documents"]
+    # max_bucket: the 100 TB degenerate-corpus guard (boilerplate pages
+    # hashing to one band bucket would otherwise go quadratic). 10_000 is
+    # a no-op on this corpus (buckets are tiny) so correctness vs the
+    # uncapped oracle is unchanged — the cap exists so the REGISTERED
+    # pipeline is the capped one at any scale.
     return dedup.minhash_lsh_candidates(
-        _neardup_corpus(docs), shingle_n=3, k=12, bands=4
+        _neardup_corpus(docs), shingle_n=3, k=12, bands=4, max_bucket=10_000
     ).orderBy("id_a", "id_b")
 
 
@@ -305,8 +310,11 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round 1 left this rows-only)."""
     docs = load_tables(spark, sf_dir)["documents"]
     fps = dedup.simhash_fingerprints(_neardup_corpus(docs), shingle_n=2, portable=True)
+    # max_bucket=10_000: no-op here (segment buckets are tiny), but the
+    # registered pipeline stays capped against degenerate corpora at
+    # scale — same rationale as q40.
     return (
-        dedup.simhash_neardup_pairs(fps, max_hamming=3, nbits=60)
+        dedup.simhash_neardup_pairs(fps, max_hamming=3, nbits=60, max_bucket=10_000)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )

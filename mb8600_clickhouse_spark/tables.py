@@ -49,7 +49,10 @@ def _events_ts_is_nanos(path: str) -> bool:
         path = parts[0]
     try:
         return "ns" in str(pq.read_schema(path).field("ts").type)
-    except Exception:
+    except KeyError:
+        # schema has no `ts` field — definitionally not a nanos ts;
+        # genuine IO/footer errors propagate so a broken fixture fails
+        # loudly instead of silently mis-routing to the native read
         return False
 
 

@@ -178,8 +178,12 @@ class TestDataSkipping:
         ks = sorted(s["k"] for s in m["stats"].values())
         assert ks[0][0] == 0 and ks[-1][1] == 209
         # string and timestamp stats present too
+        from mb8600_clickhouse_spark.plans import manifest as _mf
+
         some = next(iter(m["stats"].values()))
-        assert set(some) == {"k", "v", "ts"}
+        assert set(some) - {_mf.NULLS_KEY} == {"k", "v", "ts"}
+        # null counts recorded per column: this fixture has no nulls
+        assert some[_mf.NULLS_KEY] == {"k": 0, "v": 0, "ts": 0}
 
     def test_prune_drops_nonmatching_files(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
@@ -320,6 +324,84 @@ class TestExpire:
         t = self._table(spark, tmp_path)
         t.expire(spark, "ts", dt.datetime(2026, 1, 1, 10))  # == band-2 min
         assert _keys(t.read(spark)) == list(range(10, 30))
+
+    def test_null_ts_rows_survive_regardless_of_file_layout(self, spark, tmp_path):
+        """Row-level TTL must be layout-independent: a NULL ts never
+        expires (SQL `ts < cutoff` is no-match for NULL), whether the
+        null-ts row sits in an otherwise-dead, straddling, or live file.
+        Before the NULLS_KEY wiring, a dead-by-min/max file was dropped
+        wholesale (deleting its null-ts rows) while a straddler's
+        `ts >= cutoff` rewrite also dropped them — both wrong."""
+        import datetime as dt
+
+        from pyspark.sql.types import (
+            IntegerType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        schema = StructType(
+            [StructField("k", IntegerType()), StructField("ts", TimestampType())]
+        )
+        base = dt.datetime(2026, 1, 1)
+        t = ManifestTable(str(tmp_path / "t"))
+        # file A: all ts < cutoff by min/max, PLUS a null-ts row -> must
+        # be rewritten, keeping only the null row
+        t.append(
+            spark.createDataFrame(
+                [(i, base + dt.timedelta(hours=i)) for i in range(5)]
+                + [(100, None)],
+                schema,
+            ).coalesce(1)
+        )
+        # file B: straddles the cutoff, PLUS a null-ts row
+        t.append(
+            spark.createDataFrame(
+                [(i, base + dt.timedelta(hours=i)) for i in range(8, 14)]
+                + [(101, None)],
+                schema,
+            ).coalesce(1)
+        )
+        # file C: wholly live, PLUS a null-ts row
+        t.append(
+            spark.createDataFrame(
+                [(i, base + dt.timedelta(hours=i)) for i in range(20, 25)]
+                + [(102, None)],
+                schema,
+            ).coalesce(1)
+        )
+        # file D: wholly dead, zero nulls -> metadata-only drop
+        t.append(
+            spark.createDataFrame(
+                [(i + 50, base + dt.timedelta(hours=i)) for i in range(3)], schema
+            ).coalesce(1)
+        )
+        out = t.expire(spark, "ts", base + dt.timedelta(hours=10))
+        assert out["dropped"] == 1  # only file D is provably all-dead
+        got = _keys(t.read(spark))
+        assert got == [10, 11, 12, 13] + list(range(20, 25)) + [100, 101, 102]
+
+    def test_unknown_null_count_forces_rewrite(self, spark, tmp_path):
+        """A manifest whose stats lack NULLS_KEY (pre-upgrade manifests)
+        must treat dead-by-min/max files as straddlers: correctness over
+        the metadata-only fast path."""
+        import datetime as dt
+
+        t = self._table(spark, tmp_path)
+        # strip null counts from the latest manifest, as an old writer
+        # would have left it
+        from mb8600_clickhouse_spark.plans import manifest as _mf
+
+        v = t.latest_version()
+        m = json.loads(t._manifest_path(v).read_text())
+        for s in m["stats"].values():
+            s.pop(_mf.NULLS_KEY, None)
+        t._manifest_path(v).write_text(json.dumps(m))
+        out = t.expire(spark, "ts", dt.datetime(2026, 1, 1, 15))
+        assert out["dropped"] == 0  # nothing provably null-free
+        assert out["rewritten"] >= 2  # dead-by-min/max files demoted to rewrite
+        assert _keys(t.read(spark)) == list(range(15, 30))
 
     def test_expired_stats_still_prune(self, spark, tmp_path):
         import datetime as dt

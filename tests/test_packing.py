@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from mb8600_clickhouse_spark.operators.packing import pack_sequences
 
@@ -59,16 +60,27 @@ class TestShardedPacking:
             assert sum(members) <= 10 or len(members) == 1
 
     def test_shards_get_disjoint_pack_ids(self, spark):
-        """pack_id = pid * n_shards + shard: residues mod n_shards never
-        collide across shards, so ids stay unique within the group."""
+        """pack_id = pid * n_shards + shard: every pack's members share
+        one xxhash64-derived shard, the pack's residue mod n_shards IS
+        that shard, and packs from different shards therefore never
+        collide on id."""
+        n_shards = 4
         df = spark.createDataFrame([Row(g="g", i=i, n=4) for i in range(40)])
-        out = pack_sequences(df, ["g"], "i", "n", 8, n_shards=4).collect()
-        shard_of = {}  # pack residue -> set of rows' shards (implied)
-        # same pack_id => same shard by construction; check no pack
-        # mixes rows from different greedy sequences by verifying the
-        # budget invariant (done above) and that every row got a pack
+        out = pack_sequences(df, ["g"], "i", "n", 8, n_shards=n_shards).collect()
         assert len(out) == 40
-        assert all(r["pack_id"] is not None for r in out)
+        # recompute each row's shard with the same hash the operator uses
+        hashed = spark.createDataFrame([Row(i=i) for i in range(40)]).select(
+            "i", F.pmod(F.xxhash64("i"), F.lit(n_shards)).alias("shard")
+        )
+        shard_of_row = {r["i"]: r["shard"] for r in hashed.collect()}
+        members: dict[int, set] = {}
+        for r in out:
+            members.setdefault(r["pack_id"], set()).add(shard_of_row[r["i"]])
+        for pid, shards in members.items():
+            assert len(shards) == 1  # a pack never straddles shards
+            assert pid % n_shards == next(iter(shards))  # residue encodes shard
+        # the corpus actually spreads over >1 shard (non-degenerate test)
+        assert len({pid % n_shards for pid in members}) > 1
 
     def test_sharding_is_deterministic(self, spark):
         df = spark.createDataFrame([Row(g="g", i=i, n=3) for i in range(20)])
