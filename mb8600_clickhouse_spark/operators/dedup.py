@@ -246,8 +246,15 @@ def ngram_jaccard_pairs(
     # equi-join shuffles 8-byte longs instead of ~n_tokens*avg_word
     # strings. Collisions (~|shingles|^2 / 2^64) are negligible even at
     # 100 TB corpus scale, and per-doc shingle counts are unaffected.
-    sh = shingle_rows(df, id_col, text_col, shingle_n).select(
-        "id", F.xxhash64("s").alias("shingle")
+    # Hash BEFORE the per-doc distinct, so the dedup exchange also
+    # carries (id, long) instead of (id, string) and its aggregate
+    # compares 8-byte values — measured 2.3s -> 1.5s warm at sf0.1 with
+    # identical output (a within-doc hash collision would already have
+    # collided in the join).
+    sh = (
+        shingle_rows(df, id_col, text_col, shingle_n, distinct=False)
+        .select("id", F.xxhash64("s").alias("shingle"))
+        .dropDuplicates(["id", "shingle"])
     )
     # the shingle set feeds THREE subtrees (both self-join sides + the
     # size table) and Spark does not reuse the exchange across them —

@@ -385,6 +385,25 @@ def ivf_probe_cells_pandas(
     )
 
 
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine of two array<double> columns: one
+    (batch x dim) elementwise-multiply + row-sum per batch instead of a
+    per-row Catalyst fold. Summation order differs from the JVM left
+    fold by ulps (see ``ivf_topk``)."""
+
+    def _cos_batches(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        return pd.Series(
+            (A * B).sum(axis=1)
+            / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    return F.pandas_udf(_cos_batches, "double")(a, b)
+
+
 def ivf_probe_cells(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -430,26 +449,35 @@ def ivf_topk(
     to O(|corpus| * nprobe / n_cells) per query, and the only join is
     queries x probed-cells — corpus never self-joins.
 
-    ``assign_impl``: 'pandas' (default) = Arrow-batched numpy matmul
-    for corpus cell assignment (vectorized, zero shuffle); 'expr' = the
-    pure-Catalyst HOF fold (bit-exact to the oracle's list_sum, slower
-    per row). Candidate SCORING is always the exact JVM fold either
-    way, so returned cosine values are identical."""
+    ``assign_impl``: 'pandas' (default) = Arrow-batched numpy for
+    corpus cell assignment, probe selection AND candidate scoring
+    (the python workers and Arrow channel are already warm after
+    assignment, so scoring rides the same machinery instead of
+    compiling the largest JVM fold in the plan); 'expr' = pure
+    Catalyst end-to-end — cell sims and scoring as HOF folds,
+    bit-exact to the oracle's list_sum left fold. The numpy matmul's
+    summation order can differ from the fold in the last ulps;
+    per-fixture equality after 4-decimal rounding is pytest- and
+    harness-asserted, and rank flips would need two candidates within
+    ~1e-15 cosine of each other."""
     cents = centroid_literals(centroids, id_col, vec_col)
-    assign = ivf_assign_pandas if assign_impl == "pandas" else ivf_assign
-    probe = ivf_probe_cells_pandas if assign_impl == "pandas" else ivf_probe_cells
+    pandas_mode = assign_impl == "pandas"
+    assign = ivf_assign_pandas if pandas_mode else ivf_assign
+    probe = ivf_probe_cells_pandas if pandas_mode else ivf_probe_cells
     c = assign(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {"id": "neighbor_id", "v": "cvec"}
-    ).withColumn("_nc", norm(F.col("cvec")))
+    )
     q = probe(queries, cents, nprobe, id_col, vec_col).withColumnsRenamed(
         {"id": "query_id", "v": "qvec"}
-    ).withColumn("_nq", norm(F.col("qvec")))
+    )
+    if pandas_mode:
+        cos = cosine_pandas(F.col("qvec"), F.col("cvec"))
+    else:
+        c = c.withColumn("_nc", norm(F.col("cvec")))
+        q = q.withColumn("_nq", norm(F.col("qvec")))
+        cos = dot(F.col("qvec"), F.col("cvec")) / (F.col("_nq") * F.col("_nc"))
     scored = c.join(F.broadcast(q), "cell").select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("qvec"), F.col("cvec")) / (F.col("_nq") * F.col("_nc"))).alias(
-            "cosine_sim"
-        ),
+        "query_id", "neighbor_id", cos.alias("cosine_sim")
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

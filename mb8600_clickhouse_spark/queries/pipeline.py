@@ -144,27 +144,42 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing >= 5
     distinct word-trigrams with any held-out benchmark doc (every 97th
     doc; contaminated copies are planted deterministically so the flag
-    fires). Scale shape: the benchmark shingle set is DISTINCT 64-bit
-    hashes (small — benchmark suites are thousands of docs, not
-    billions), the train side left-semi joins on the 8-byte hash, one
-    count per flagged doc. Never shuffles text; collision odds at
-    |shingles|^2/2^64 are negligible (same trade as q41)."""
+    fires).
+
+    Scale shape (round-4 rework, 2.2s -> ~1.0s warm at sf0.1):
+
+    - the base corpus is tokenized/shingled ONCE into a lazily
+      checkpointed (id, 64-bit hash) set; the benchmark side and the
+      train side are both row-filters over that one materialization
+      (the union previously re-shingled every base doc a second time);
+    - only the planted contaminated copies (1/97 of the corpus) get
+      their own small shingle pass — their text differs;
+    - the benchmark shingle set is BROADCAST to the semi-join:
+      benchmark suites are thousands of docs while the train side is
+      the 100 TB corpus, so the train-side hashes never shuffle at all
+      — the semi-join is map-side, and the only real exchange left is
+      the per-doc count.
+
+    Never shuffles text; hash collisions at |shingles|^2/2^64 are
+    negligible (same trade as q41)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    bench_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
-    train_docs = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text").unionAll(
-        bench_docs.select(
-            (F.col("doc_id") + 500000).alias("doc_id"),
-            F.concat("text", F.lit(" extra")).alias("text"),
-        )
+    allsh = (
+        dedup.shingle_rows(docs.select("doc_id", "text"), "doc_id", "text", 3, distinct=False)
+        .select("id", F.xxhash64("s").alias("h"))
+        .dropDuplicates(["id", "h"])
+        .localCheckpoint(eager=False)
     )
-    bench_sh = (
-        dedup.shingle_rows(bench_docs, "doc_id", "text", 3)
-        .select(F.xxhash64("s").alias("h"))
-        .distinct()
+    bench_sh = F.broadcast(allsh.filter(F.col("id") % 97 == 0).select("h").distinct())
+    planted = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
     )
-    train_sh = dedup.shingle_rows(train_docs, "doc_id", "text", 3).select(
-        "id", F.xxhash64("s").alias("h")
+    planted_sh = (
+        dedup.shingle_rows(planted, "doc_id", "text", 3, distinct=False)
+        .select("id", F.xxhash64("s").alias("h"))
+        .dropDuplicates(["id", "h"])
     )
+    train_sh = allsh.filter(F.col("id") % 97 != 0).unionAll(planted_sh)
     return (
         train_sh.join(bench_sh, "h", "leftsemi")
         .groupBy("id")
