@@ -6,19 +6,22 @@ metadata prunes independently of payload bytes). Feature extraction and
 decoding run as Arrow-batched ``mapInPandas`` operators so payload bytes
 cross the JVM<->Python boundary once per batch, never per row.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image_features`` produces a deterministic fake
-feature vector derived from the payload bytes, and raises
-``NotImplementedError`` when ``strict=True``. The Spark-side plumbing —
-schema, partitioning, UDF signature, Arrow batch shape — is real and
-tested (tests/test_multimodal.py).
+Decoders: PPM (binary P6) and BMP (24-bit uncompressed) are decoded for
+REAL in pure numpy — no imaging library needed — including feature
+extraction and nearest-neighbor resize. Compressed formats (JPEG/PNG/
+video) still need a backend this container lacks: for those,
+``strict=True`` raises ``NotImplementedError`` and ``strict=False``
+falls back to a deterministic digest-derived fake so the distributed
+plumbing stays exercisable end-to-end (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -60,11 +63,101 @@ def with_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder: derive ``dim`` floats
-    from the payload digest. Replace with PIL/torchvision/ffmpeg decode
-    on a cluster that has them installed."""
+    """Deterministic stand-in for formats without a pure-numpy decoder:
+    derive ``dim`` floats from the payload digest. Swap for
+    PIL/torchvision/ffmpeg on a cluster that has them installed."""
     digest = hashlib.sha256(payload).digest()
     return [digest[i] / 255.0 for i in range(dim)]
+
+
+# ---------------------------------------------------------------------------
+# Real pure-numpy decoders (PPM P6, 24-bit BMP)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array.
+    Handles '#' comments and arbitrary whitespace in the header; only
+    maxval 255 (the universal case) is supported."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 integers, tokenized with comment stripping
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # exactly one whitespace byte after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP payload to (h, w, 3) uint8 RGB.
+    Supports the BITMAPINFOHEADER layout (40-byte DIB header, BI_RGB),
+    both bottom-up (positive height) and top-down (negative) row order;
+    rows are 4-byte padded per the format."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = _struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = _struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = _struct.unpack_from("<HH", payload, 26)
+    compression = _struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (dib={hdr_size}, bpp={bpp}, comp={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img if top_down else img[::-1]
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Sniff the payload magic and decode if a pure-numpy decoder
+    exists; None for formats that need an external backend."""
+    head = bytes(payload[:2])
+    if head == b"P6":
+        return decode_ppm(payload)
+    if head == b"BM":
+        return decode_bmp(payload)
+    return None
+
+
+def _image_features(img: np.ndarray, dim: int) -> list[float]:
+    """Real feature vector from decoded pixels: [w, h, mean RGB (3),
+    std RGB (3)], zero-padded / truncated to ``dim``. Channel moments
+    are the classic cheap embedding for corpus-level stats (brightness/
+    colorfulness filters) and are deterministic across platforms."""
+    h, w = img.shape[:2]
+    px = img.reshape(-1, 3).astype(np.float64) / 255.0
+    feats = [float(w), float(h), *px.mean(axis=0), *px.std(axis=0)]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
 
 
 def decode_image_features(
@@ -77,22 +170,31 @@ def decode_image_features(
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas (one Python worker per partition, batch-at-a-time).
 
-    strict=True raises NotImplementedError — the marker that a real
-    decoder backend is required; strict=False runs the deterministic
-    fake so the distributed plumbing is exercisable in tests."""
+    PPM/BMP payloads are decoded for REAL (pure numpy; see
+    ``decode_image``) into [w, h, mean RGB, std RGB] features. For
+    other formats: strict=True raises NotImplementedError — the marker
+    that an external decoder backend is required; strict=False runs the
+    deterministic digest fake so the distributed plumbing stays
+    exercisable."""
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _features(p) -> list[float]:
+        img = decode_image(bytes(p))
+        if img is not None:
+            return _image_features(img, dim)
         if strict:
             raise NotImplementedError(
-                "image/audio decode backend not available in this container; "
-                "plug a real decoder (PIL/ffmpeg) into decode_image_features"
+                "no pure-numpy decoder for this payload format; plug a real "
+                "backend (PIL/ffmpeg) into decode_image_features"
             )
+        return _fake_decode(bytes(p), dim)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "features": pdf[payload_col].map(lambda p: _fake_decode(bytes(p), dim)),
+                    "features": pdf[payload_col].map(_features),
                 }
             )
 
@@ -119,25 +221,35 @@ def resize_images(
 ) -> DataFrame:
     """Arrow-batched image resize over binary payloads (mapInPandas).
 
-    The pixel transform is STUBBED (no imaging libraries in this
-    container): strict=True raises NotImplementedError; strict=False
-    passes payload bytes through and stamps the target dimensions, so
-    the distributed plumbing — schema, batch shape, partition-parallel
-    execution — is real and testable. Swap the body for PIL/libvips on
-    a cluster that has them."""
+    PPM/BMP payloads are resized for REAL: pure-numpy nearest-neighbor
+    index sampling, re-encoded as PPM (P6). For other formats:
+    strict=True raises NotImplementedError; strict=False passes payload
+    bytes through and stamps the target dimensions, keeping the
+    distributed plumbing testable. Swap in PIL/libvips for filtered
+    resampling of compressed formats."""
+
+    def _resize(p):
+        img = decode_image(bytes(p))
+        if img is None:
+            if strict:
+                raise NotImplementedError(
+                    "no pure-numpy decoder for this payload format; plug "
+                    "PIL/libvips into resize_images"
+                )
+            return bytes(p)
+        h, w = img.shape[:2]
+        yi = (np.arange(height) * h) // height
+        xi = (np.arange(width) * w) // width
+        return encode_ppm(img[yi][:, xi])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "image resize backend not available; plug PIL/libvips into resize_images"
-            )
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "width": width,
                     "height": height,
-                    "payload": pdf[payload_col],
+                    "payload": pdf[payload_col].map(_resize),
                 }
             )
 
