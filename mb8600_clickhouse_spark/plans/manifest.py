@@ -305,6 +305,24 @@ class ManifestTable:
         s = self._read_manifest(v).get("schema")
         return None if s is None else StructType.fromJson(s)
 
+    def _concurrent_appends(self, since: int | None, until: int | None) -> list[str]:
+        """Files added by commits in (since, until]. Raises CommitConflict
+        if any of those commits is NOT a plain append — a replace-style
+        commit (overwrite/delete/update/expire/compact) means the files
+        our read-modify-write was built on may no longer exist."""
+        out: list[str] = []
+        lo = -1 if since is None else since
+        hi = -1 if until is None else until
+        for v in range(lo + 1, hi + 1):
+            m = self._read_manifest(v)
+            if m["op"] != "append":
+                raise CommitConflict(
+                    f"concurrent {m['op']!r} commit at v{v} invalidates the "
+                    f"snapshot read at v{since}; re-run against the new snapshot"
+                )
+            out.extend(m.get("added", []))
+        return out
+
     def _commit(
         self,
         op: str,
@@ -313,20 +331,53 @@ class ManifestTable:
         extra: dict | None = None,
         schema=None,
         keep_files: list[str] | None = None,
+        base_version: int | None = None,
+        on_conflict: str = "ignore",
     ) -> int:
         """``merge=True`` keeps the whole current snapshot alongside the
         new files (append); ``keep_files`` keeps an explicit subset (the
         TTL/expire shape: surviving files carry over untouched, their
-        stats carried from the parent manifest with zero re-reads)."""
+        stats carried from the parent manifest with zero re-reads).
+
+        Read-modify-write commits (compact/DML) pass the ``base_version``
+        their rewrite was computed from, plus an ``on_conflict`` policy
+        for commits that landed since (the cross-process race the os.link
+        CAS alone cannot catch — losing the version race only re-reads
+        the version NUMBER, not the data):
+
+        - ``"carry-appends"``: files added by concurrent plain appends
+          are carried into the new snapshot untouched (sound when the
+          rewrite is logically content-preserving, i.e. compaction);
+          any concurrent replace-style commit raises CommitConflict.
+        - ``"abort"``: any concurrent commit raises CommitConflict —
+          the serializable contract for DML whose predicate must also
+          apply to data it has not seen (delete/update/upsert/expire).
+        - ``"ignore"``: last-writer-wins replace (user-facing
+          ``overwrite``: the intent is "the table now contains exactly
+          this"), and the default merge behavior of append.
+        """
         new_stats = _collect_stats(new_files)  # footers of NEW files only
         for _ in range(self.max_retries):
             base = self.latest_version()
+            carried: list[str] = []
+            if (
+                base_version is not None
+                and on_conflict != "ignore"
+                and base != base_version
+            ):
+                carried = self._concurrent_appends(base_version, base)
+                if carried and on_conflict == "abort":
+                    raise CommitConflict(
+                        f"concurrent append(s) since v{base_version}; re-run "
+                        "against the new snapshot"
+                    )
             version = 0 if base is None else base + 1
             kept = (
                 keep_files
                 if keep_files is not None
                 else (self.snapshot_files(base) if merge and base is not None else [])
             )
+            kept = kept + carried
             files = kept + new_files
             stats = dict(new_stats)
             if kept and base is not None:
@@ -455,14 +506,22 @@ class ManifestTable:
         rectangle of the 2-D key space, so stats-based skipping works
         for predicates on EITHER column. Columns must be non-negative
         ints in [0, 2^16) — map real domains first (layout.zorder_key
-        docs)."""
-        files = self.snapshot_files()
+        docs).
+
+        Concurrency: the rewrite is pinned to the snapshot version read
+        here; files appended by OTHER writers while the rewrite runs are
+        carried into the compacted snapshot untouched (compaction is
+        content-preserving, so that is sound), and a concurrent
+        replace-style commit aborts with CommitConflict — no committed
+        row can be lost to a compaction race (test_manifest_concurrent)."""
+        base = self.latest_version()
+        files = self.snapshot_files(base)
         if not files:
             raise FileNotFoundError(f"no committed snapshot in {self.root}")
         if n_files is None:
             total = sum(os.path.getsize(f) for f in files)
             n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
-        df = self.read(spark)
+        df = self.read(spark, version=base)
         if zorder is not None:
             from pyspark.sql import functions as F
 
@@ -480,18 +539,34 @@ class ManifestTable:
             )
         else:
             df = df.repartition(n_files)
-        return self.overwrite(df)
+        return self._commit(
+            "overwrite",
+            self._write_data_files(df),
+            merge=False,
+            base_version=base,
+            on_conflict="carry-appends",
+        )
 
     # -- copy-on-write DML ---------------------------------------------------
     def delete_where(self, spark: SparkSession, predicate: str) -> int:
         """Copy-on-write DELETE (the ClickHouse ``ALTER TABLE ... DELETE``
         mutation, Delta-style): rows matching ``predicate`` (a SQL
         boolean expression) are dropped in a new snapshot committed
-        atomically; prior versions remain readable."""
+        atomically; prior versions remain readable. Serializable: any
+        commit landing between the snapshot read and this commit raises
+        CommitConflict (the predicate was never applied to that data) —
+        re-run against the new snapshot."""
         from pyspark.sql import functions as F
 
-        kept = self.read(spark).filter(~F.expr(predicate))
-        return self._commit("delete", self._write_data_files(kept), merge=False)
+        base = self.latest_version()
+        kept = self.read(spark, version=base).filter(~F.expr(predicate))
+        return self._commit(
+            "delete",
+            self._write_data_files(kept),
+            merge=False,
+            base_version=base,
+            on_conflict="abort",
+        )
 
     def update_where(
         self, spark: SparkSession, predicate: str, assignments: dict[str, str]
@@ -500,10 +575,12 @@ class ManifestTable:
         mutation): rows matching ``predicate`` get each ``assignments``
         column recomputed from its SQL expression (evaluated against the
         pre-update row, like standard UPDATE); all other rows and columns
-        pass through unchanged. One atomic snapshot commit."""
+        pass through unchanged. One atomic snapshot commit; serializable
+        (concurrent commits raise CommitConflict, like delete_where)."""
         from pyspark.sql import functions as F
 
-        cur = self.read(spark)
+        base = self.latest_version()
+        cur = self.read(spark, version=base)
         p = F.expr(predicate)
         updated = cur.select(
             *[
@@ -513,7 +590,13 @@ class ManifestTable:
                 for c in cur.columns
             ]
         )
-        return self._commit("update", self._write_data_files(updated), merge=False)
+        return self._commit(
+            "update",
+            self._write_data_files(updated),
+            merge=False,
+            base_version=base,
+            on_conflict="abort",
+        )
 
     def expire(self, spark: SparkSession, ts_col: str, cutoff) -> dict:
         """Retention TTL (ClickHouse ``TTL timestamp + INTERVAL ...``):
@@ -577,7 +660,14 @@ class ManifestTable:
                 (F.col(ts_col) >= F.lit(cutoff)) | F.col(ts_col).isNull()
             )
             new_files = self._write_data_files(kept_rows)
-        version = self._commit("expire", new_files, merge=False, keep_files=live)
+        version = self._commit(
+            "expire",
+            new_files,
+            merge=False,
+            keep_files=live,
+            base_version=v,
+            on_conflict="abort",
+        )
         return {
             "version": version,
             "dropped": len(dead),
@@ -591,11 +681,19 @@ class ManifestTable:
         are inserted. One anti-join + union, committed as one atomic
         snapshot. (At deployment scale a real format prunes the rewrite
         to matching files via manifest stats; here the whole snapshot
-        rewrites — correct, just not file-pruned.)"""
-        target = self.read(spark)
+        rewrites — correct, just not file-pruned.) Serializable:
+        concurrent commits raise CommitConflict, like delete_where."""
+        base = self.latest_version()
+        target = self.read(spark, version=base)
         kept = target.join(source.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = kept.unionByName(source)
-        return self._commit("upsert", self._write_data_files(merged), merge=False)
+        return self._commit(
+            "upsert",
+            self._write_data_files(merged),
+            merge=False,
+            base_version=base,
+            on_conflict="abort",
+        )
 
     # -- maintenance ---------------------------------------------------------
     def vacuum(self, keep_versions: int = 1) -> list[str]:
