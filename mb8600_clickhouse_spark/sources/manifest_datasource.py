@@ -1,12 +1,20 @@
-"""Streaming reads over a ManifestTable: ``format("manifest")``.
+"""Batch + streaming reads over a ManifestTable: ``format("manifest")``.
 
-The Delta/Iceberg "table as a stream" idiom (SURVEY §2.I) on top of
-``plans.manifest.ManifestTable``: each committed snapshot version is a
-streaming offset, and a micro-batch consumes exactly the data files
-ADDED by the commits in ``(start_version, end_version]``. Combined with
-the manifest epoch sink this closes the loop — a table written
-exactly-once can be consumed incrementally by a downstream query
-(materialized-view maintenance, the reference's implied
+BATCH (the catalog front door): ``spark.read.format("manifest")
+.load(path)`` serves the latest committed snapshot — or a pinned one
+via ``option("version", N)`` (time travel) — so SQL-only users can
+``createOrReplaceTempView`` / query a manifest table without ever
+touching the ``ManifestTable`` Python class. Reads resolve through the
+manifest exactly like ``ManifestTable.read`` (committed table schema,
+snapshot isolation).
+
+STREAMING is the Delta/Iceberg "table as a stream" idiom (SURVEY §2.I)
+on top of ``plans.manifest.ManifestTable``: each committed snapshot
+version is a streaming offset, and a micro-batch consumes exactly the
+data files ADDED by the commits in ``(start_version, end_version]``.
+Combined with the manifest epoch sink this closes the loop — a table
+written exactly-once can be consumed incrementally by a downstream
+query (materialized-view maintenance, the reference's implied
 dashboard-rollup path re-expressed as Structured Streaming).
 
 Scale posture: this is a full ``DataSourceStreamReader`` (NOT the
@@ -39,6 +47,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -76,6 +85,59 @@ def _added_files(root: str, m: dict) -> list[str]:
 @dataclass
 class ParquetFilePartition(InputPartition):
     file: str
+
+
+def _arrow_batches(file: str, declared_schema: StructType | None) -> Iterator:
+    """Executor-side: stream a parquet file's row groups as Arrow
+    batches, padded/cast to the declared table schema so files written
+    BEFORE a schema evolution (missing the newer columns) still batch
+    out with the full schema (nulls for absent columns). Shared by the
+    batch and streaming readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = None
+    if declared_schema is not None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(declared_schema)
+    for batch in pq.ParquetFile(file).iter_batches():
+        if target is None or batch.schema == target:
+            yield batch
+            continue
+        names = set(batch.schema.names)
+        cols = [
+            batch.column(f.name).cast(f.type)
+            if f.name in names
+            else pa.nulls(batch.num_rows, f.type)
+            for f in target
+        ]
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+
+class ManifestBatchReader(DataSourceReader):
+    """Batch scan of one committed snapshot: the manifest pins the file
+    list at planning time (snapshot isolation — concurrent commits never
+    change what this scan reads; vacuum keeps the same reader contract
+    as Delta's), one InputPartition per parquet file, Arrow batches
+    executor-side."""
+
+    def __init__(self, options: dict, schema: StructType | None = None):
+        self.root = options["path"]
+        v = options.get("version")
+        self.version = int(v) if v is not None else _latest_version(self.root)
+        if self.version is None:
+            raise FileNotFoundError(f"no committed snapshot in {self.root}")
+        self.declared_schema = schema
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            ParquetFilePartition(f)
+            for f in _manifest(self.root, self.version)["files"]
+        ]
+
+    def read(self, partition: ParquetFilePartition) -> Iterator:
+        yield from _arrow_batches(partition.file, self.declared_schema)
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -120,30 +182,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         return [ParquetFilePartition(f) for f in files]
 
     def read(self, partition: ParquetFilePartition) -> Iterator:
-        # executor-side: stream the file's row groups as Arrow batches,
-        # padded/cast to the declared table schema so files written
-        # BEFORE a schema evolution (missing the newer columns) still
-        # batch out with the full schema (nulls for absent columns)
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        target = None
-        if self.declared_schema is not None:
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            target = to_arrow_schema(self.declared_schema)
-        for batch in pq.ParquetFile(partition.file).iter_batches():
-            if target is None or batch.schema == target:
-                yield batch
-                continue
-            names = set(batch.schema.names)
-            cols = [
-                batch.column(f.name).cast(f.type)
-                if f.name in names
-                else pa.nulls(batch.num_rows, f.type)
-                for f in target
-            ]
-            yield pa.RecordBatch.from_arrays(cols, schema=target)
+        yield from _arrow_batches(partition.file, self.declared_schema)
 
     def commit(self, end: dict) -> None:
         pass
@@ -157,16 +196,26 @@ class ManifestDataSource(DataSource):
     def schema(self) -> StructType:
         """Planning-time schema: the manifest-committed table schema
         when recorded (authoritative under schema evolution), else the
-        parquet footer of the first data file in the latest snapshot."""
+        parquet footer of the first data file in the pinned (batch
+        ``version`` option) or latest snapshot."""
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        latest = _latest_version(self.options["path"])
+        v = self.options.get("version")
+        latest = (
+            int(v) if v is not None else _latest_version(self.options["path"])
+        )
         if latest is None:
             raise FileNotFoundError(
                 f"no committed snapshot in {self.options['path']}; "
-                "append at least once before streaming"
+                "append at least once before reading"
             )
+        # pin the snapshot NOW (load()-time): schema() runs during
+        # planning, while readers are constructed lazily per action —
+        # without the pin, a commit between load() and collect() would
+        # leak into an already-planned batch DataFrame. (Streaming
+        # ignores the pin: its offsets advance by design.)
+        self.options["version"] = str(latest)
         m = _manifest(self.options["path"], latest)
         if m.get("schema") is not None:
             return StructType.fromJson(m["schema"])
@@ -176,6 +225,9 @@ class ManifestDataSource(DataSource):
                 f"latest snapshot of {self.options['path']} is empty"
             )
         return from_arrow_schema(pq.read_schema(files[0]))
+
+    def reader(self, schema) -> ManifestBatchReader:
+        return ManifestBatchReader(dict(self.options), schema)
 
     def streamReader(self, schema) -> ManifestStreamReader:
         return ManifestStreamReader(dict(self.options), schema)
