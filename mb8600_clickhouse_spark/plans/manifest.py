@@ -109,7 +109,15 @@ def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
                 if st is None or not st.has_min_max:
                     ok.discard(c)
                     continue
-                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                try:
+                    # pyarrow cannot materialize min/max for every
+                    # physical type (e.g. Spark writes DECIMAL as
+                    # fixed-len-byte-array) — those columns just carry
+                    # no stats (sound default), like nested ones
+                    lo, hi = _stat_value(st.min), _stat_value(st.max)
+                except NotImplementedError:
+                    ok.discard(c)
+                    continue
                 if lo is None or hi is None or "." in name:  # nested
                     ok.discard(c)
                     continue

@@ -596,6 +596,84 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q69 linear interpolation over gap-filled series (ClickHouse INTERPOLATE)
+# ---------------------------------------------------------------------------
+@query(
+    "q69_interpolate",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM agg GROUP BY 1),
+    spine AS (
+      SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.hour, COALESCE(a.n, 0) AS n, a.v AS v
+      FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.hour = s.hour
+    ),
+    w AS (
+      SELECT event_type, hour, n, v, epoch(hour) AS pos,
+             last_value(v IGNORE NULLS) OVER back AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN epoch(hour) END IGNORE NULLS)
+               OVER back AS pp,
+             first_value(v IGNORE NULLS) OVER fwd AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN epoch(hour) END IGNORE NULLS)
+               OVER fwd AS np
+      FROM j
+      WINDOW back AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour, n,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * ((pos - pp) / (np - pp))
+           END AS sum_interp
+    FROM w ORDER BY event_type, hour
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``WITH FILL INTERPOLATE``: a thinned hourly series
+    (every 5th event, so empty hours genuinely occur) is densified, and
+    the hole values are the straight line between the nearest real
+    observations on either side — two ignorenulls window scans over the
+    same (key, hour) sort, no join, no per-gap work
+    (``operators/timeseries.interpolate_linear``).
+
+    Exactness across engines — the blend double is emitted RAW, no
+    rounding: the per-hour base value is the order-independent decimal
+    sum (``dsum4``), the blend fraction is a ratio of hour positions
+    (identical in micros and seconds: hour-aligned deltas are exact
+    doubles at either scale, and a correctly-rounded division of
+    equally-scaled exact pairs yields the same quotient), and the blend
+    expression shape is mirrored term for term — so both engines
+    execute the same IEEE ops on the same values and the doubles are
+    bit-identical. Rounding would BREAK equality here: interpolated
+    values are small-denominator rationals that land exactly on
+    round-half boundaries (measured: a 5/8-blend hit ...375 and the
+    engines' decimal casts rounded a boundary double in opposite
+    directions). Boundary buckets are real observations by construction
+    (the spine spans each key's observed [min, max]), so no
+    boundary-null rows."""
+    from ..operators.timeseries import fill_gaps, interpolate_linear
+
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("event_id") % 5 == 0)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"), dsum4(F.col("value")).alias("v"))
+    filled = fill_gaps(hourly, ["event_type"], "hour", "1 hour", {"n": 0})
+    interp = interpolate_linear(filled, ["event_type"], "hour", ["v"])
+    return interp.select(
+        "event_type", "hour", "n", F.col("v").alias("sum_interp")
+    ).orderBy("event_type", "hour")
+
+
+# ---------------------------------------------------------------------------
 # Q67 approximate quantile with a declared-tolerance gate (t-digest class)
 # ---------------------------------------------------------------------------
 @query(

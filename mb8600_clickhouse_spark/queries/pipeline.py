@@ -222,6 +222,82 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q70 TTL rollup demotion (ClickHouse `TTL ... GROUP BY` across tables)
+# ---------------------------------------------------------------------------
+@query(
+    "q70_ttl_demote",
+    oracle="""
+    WITH src AS (
+      SELECT user_id % 10 AS cohort, ts,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT cohort,
+           SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_demoted,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN v END) AS DOUBLE) AS total_demoted,
+           SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_remaining
+    FROM src GROUP BY cohort
+    HAVING SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) > 0
+    ORDER BY cohort
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``TTL ... GROUP BY`` across tables, end-to-end on the
+    engine's own table format: purchase events land in a ManifestTable
+    (three time-ordered file chunks), then ``demote_expired`` folds the
+    pre-cutoff rows into a per-cohort rollup table and expires them from
+    the source — wholly-dead chunks drop metadata-only via manifest
+    stats, the straddler rewrites. The result joins the rollup contents
+    (what was demoted) with the surviving source counts (what expire
+    kept), so ONE hash check verifies both halves of the cross-table
+    contract against plain SQL over the original fixture.
+
+    Determinism: a fresh temp table is built per call from the fixture
+    rows (tiny — one event type), the demoted sum is an exact decimal,
+    and the cutoff is fixed. The temp dirs live under /tmp and are
+    re-created per run; the returned DataFrame reads the rollup/source
+    parquet lazily, so they are not deleted here."""
+    import datetime as dt
+    import tempfile
+
+    from ..plans import ManifestTable
+    from ..streaming import incremental
+
+    ev = load_tables(spark, sf_dir)["events"]
+    src_rows = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 10).alias("cohort"),
+        "ts",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="q70_demote_")
+    src = ManifestTable(f"{root}/src")
+    cutoff = dt.datetime(2024, 1, 15)
+    # three time-ordered chunks: wholly-dead / straddling / wholly-live
+    for lo, hi in (("2024-01-01", "2024-01-10"), ("2024-01-10", "2024-01-20"),
+                   ("2024-01-20", "2024-02-01")):
+        src.append(
+            src_rows.filter(
+                (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+            ).coalesce(1)
+        )
+    incremental.demote_expired(
+        spark, f"{root}/src", f"{root}/roll", "ts", cutoff,
+        keys=["cohort"],
+        aggs={"n_demoted": ("count", "*"), "total_demoted": ("sum", "v")},
+    )
+    roll = ManifestTable(f"{root}/roll").read(spark).select(
+        "cohort", "n_demoted",
+        F.col("total_demoted").cast("double").alias("total_demoted"),
+    )
+    remaining = (
+        ManifestTable(f"{root}/src").read(spark)
+        .groupBy("cohort").agg(F.count("*").alias("n_remaining"))
+    )
+    return roll.join(remaining, "cohort").orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
 # Q68 sequence packing (capacity-constrained training-batch assembly)
 # ---------------------------------------------------------------------------
 @query(
