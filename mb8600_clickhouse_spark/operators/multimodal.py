@@ -137,6 +137,87 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE payload with 16-bit PCM samples to
+    (sample_rate, (n_frames, n_channels) float64 array in [-1, 1]).
+    Walks RIFF chunks (fmt may be followed by fact/LIST before data);
+    only format tag 1 (PCM) at 16 bits is supported."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = _struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, n_ch, rate, _, _, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding (tag={tag}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    frames = samples[: len(samples) - len(samples) % n_ch].reshape(-1, n_ch)
+    return rate, frames.astype(np.float64) / 32768.0
+
+
+def _audio_features(rate: int, frames: np.ndarray, dim: int) -> list[float]:
+    """Real audio features: [sample_rate, n_channels, duration_s, rms,
+    peak, zero_crossing_rate], padded/truncated to ``dim`` — the cheap
+    corpus-curation stats (silence/clipping/noise filters)."""
+    mono = frames.mean(axis=1)
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    feats = [
+        float(rate),
+        float(frames.shape[1]),
+        frames.shape[0] / rate,
+        float(np.sqrt(np.mean(mono * mono))) if len(mono) else 0.0,
+        float(np.max(np.abs(frames))) if frames.size else 0.0,
+        zc,
+    ]
+    feats = feats[:dim]
+    return feats + [0.0] * (dim - len(feats))
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    dim: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction (mapInPandas), same
+    contract as ``decode_image_features``: 16-bit PCM WAV decodes for
+    REAL (pure numpy); other formats raise under ``strict=True`` and
+    fall back to the digest fake otherwise."""
+
+    def _features(p) -> list[float]:
+        b = bytes(p)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return _audio_features(*decode_wav(b), dim)
+        if strict:
+            raise NotImplementedError(
+                "no pure-numpy decoder for this audio format; plug a real "
+                "backend (ffmpeg/soundfile) into decode_audio_features"
+            )
+        return _fake_decode(b, dim)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "features": pdf[payload_col].map(_features),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, FEATURES_SCHEMA)
+
+
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Sniff the payload magic and decode if a pure-numpy decoder
     exists; None for formats that need an external backend."""

@@ -206,3 +206,65 @@ class TestShingles:
         df = spark.createDataFrame([Row(text="a b")])
         [r] = df.select(dedup.word_shingles(F.col("text"), 3).alias("s")).collect()
         assert r["s"] == []
+
+
+class TestScanWidthProbe:
+    """shingle_rows' width probe must account for file SPLITTING: a
+    single huge parquet file is many scan partitions, not one (round-3
+    verdict minor #5 — the old len(files) probe triggered a pointless
+    full-text shuffle on large single-file inputs)."""
+
+    def test_max_partition_bytes_parses_suffixed_and_plain(self, spark):
+        assert dedup._max_partition_bytes(spark) > 0
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64MB")
+        try:
+            assert dedup._max_partition_bytes(spark) == 64 * 1024 * 1024
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728b")
+            assert dedup._max_partition_bytes(spark) == 134217728
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+    def test_scan_width_counts_splits(self, spark, tmp_path):
+        big = tmp_path / "big.bin"
+        big.write_bytes(b"x" * 1000)
+        small = tmp_path / "small.bin"
+        small.write_bytes(b"y" * 10)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "300b")
+        try:
+            # 1000/300 -> 4 splits; 10/300 -> 1; missing URI -> 1
+            w = dedup._scan_width(
+                spark, [f"file:{big}", str(small), "s3://nope/x.parquet"]
+            )
+            assert w == 4 + 1 + 1
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+    def test_wide_single_file_input_not_reshuffled(self, spark, tmp_path):
+        """A one-file input whose estimated split width >= target keeps
+        its scan partitioning (no repartition node in the plan)."""
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=f"alpha beta gamma delta {i}") for i in range(200)]
+        )
+        p = str(tmp_path / "docs.parquet")
+        docs.coalesce(1).write.parquet(p)
+        import os
+        f = [x for x in os.listdir(p) if x.endswith(".parquet")][0]
+        size = os.path.getsize(os.path.join(p, f))
+        target = spark.sparkContext.defaultParallelism
+        # choose maxPartitionBytes so the single file "splits" wider
+        # than the widen target
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(max(1, size // (target + 1)))
+        )
+        try:
+            plan = dedup.shingle_rows(
+                spark.read.parquet(p), "doc_id", "text", 3
+            )._jdf.queryExecution().optimizedPlan().toString()
+            assert "Repartition" not in plan
+            # and a narrow probe (forced width 1) DOES widen
+            plan2 = dedup.shingle_rows(
+                spark.read.parquet(p), "doc_id", "text", 3, input_partitions=1
+            )._jdf.queryExecution().optimizedPlan().toString()
+            assert "Repartition" in plan2
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")

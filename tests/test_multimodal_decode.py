@@ -111,3 +111,66 @@ class TestSparkRealDecode:
         with pytest.raises(Exception) as ei:
             mm.decode_image_features(df, strict=True).collect()
         assert "NotImplementedError" in str(ei.value) or "numpy decoder" in str(ei.value)
+
+
+def _wav_bytes(rate: int, frames: np.ndarray, extra_chunk: bool = False) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (optionally with a LIST chunk
+    between fmt and data, as real encoders emit)."""
+    n_ch = frames.shape[1]
+    pcm = np.round(np.clip(frames, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        meta = b"INFOtest!"  # odd length exercises word alignment
+        chunks += b"LIST" + struct.pack("<I", len(meta)) + meta + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+class TestAudioDecode:
+    def _sine(self, rate=8000, hz=440.0, secs=0.25, n_ch=1):
+        t = np.arange(int(rate * secs)) / rate
+        mono = 0.5 * np.sin(2 * np.pi * hz * t)
+        return np.stack([mono] * n_ch, axis=1)
+
+    def test_wav_roundtrip_mono_and_stereo(self):
+        for n_ch in (1, 2):
+            frames = self._sine(n_ch=n_ch)
+            rate, got = mm.decode_wav(_wav_bytes(8000, frames))
+            assert rate == 8000 and got.shape == frames.shape
+            # half-step quantization + the 32767-encode/32768-decode
+            # scale ratio bound the roundtrip error
+            assert np.allclose(got, frames, atol=2 / 32768)
+
+    def test_chunk_walker_skips_list(self):
+        frames = self._sine()
+        rate, got = mm.decode_wav(_wav_bytes(8000, frames, extra_chunk=True))
+        assert rate == 8000 and got.shape == frames.shape
+
+    def test_unsupported_raise(self):
+        with pytest.raises(ValueError):
+            mm.decode_wav(b"RIFF\x00\x00\x00\x00AVI LIST")
+        with pytest.raises(ValueError):
+            # 8-bit PCM
+            bad = _wav_bytes(8000, self._sine())
+            bad = bad.replace(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+                              struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8))
+            mm.decode_wav(bad)
+
+    def test_spark_audio_features_strict(self, spark):
+        frames = self._sine(secs=0.5)
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=bytearray(_wav_bytes(8000, frames)))]
+        )
+        feats = mm.decode_audio_features(df, strict=True).collect()[0]["features"]
+        rate, dur = feats[0], feats[2]
+        assert rate == 8000.0 and feats[1] == 1.0
+        assert dur == pytest.approx(0.5, abs=1e-3)
+        assert feats[3] == pytest.approx(0.5 / np.sqrt(2), abs=1e-2)  # sine RMS
+        assert feats[4] == pytest.approx(0.5, abs=1e-2)               # peak
+        assert feats[5] == pytest.approx(2 * 440 * 0.5 / (8000 * 0.5), rel=0.1)  # zcr
+
+    def test_non_wav_fake_fallback(self, spark):
+        df = spark.createDataFrame([Row(doc_id=2, payload=bytearray(b"mp3data..."))])
+        feats = mm.decode_audio_features(df).collect()[0]["features"]
+        assert feats == pytest.approx(mm._fake_decode(b"mp3data..."), abs=1e-6)
