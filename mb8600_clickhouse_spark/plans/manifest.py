@@ -25,10 +25,15 @@ in manifests for file pruning, schema evolution, and a distributed
 commit service instead of POSIX link semantics — documented deviation in
 README.md.
 
-Atomicity primitive: ``os.link(tmp, final)`` — hard-link creation fails
-with EEXIST if the target exists, which is the portable local-filesystem
-compare-and-swap. (HDFS/S3 deployments would swap this single function
-for a conditional PUT.)
+Atomicity primitive: ``CommitBackend.put_if_absent`` — a pluggable
+create-if-absent. The default ``PosixLinkBackend`` uses hard-link
+creation (fails with EEXIST if the target exists — the portable
+local-filesystem compare-and-swap); object-store deployments supply a
+backend mapping to their conditional write (S3 ``If-None-Match: *``,
+GCS ``if-generation-match: 0``, HDFS ``create(overwrite=false)``) and
+the entire commit protocol above carries over unchanged
+(tests/test_manifest.py::TestCommitBackend proves the seam with a
+conditional-PUT semantics fake).
 """
 
 from __future__ import annotations
@@ -160,6 +165,41 @@ def _file_may_match(stats: dict[str, list] | None, col: str, op: str, value) -> 
     raise ValueError(f"unsupported prune op {op!r} (use =, <, <=, >, >=)")
 
 
+class CommitBackend:
+    """The ONE primitive a deployment must supply: atomically create
+    ``path`` with ``payload`` iff it does not exist, returning whether
+    this writer won. Everything else in the commit protocol (optimistic
+    retry, conflict policies, stats carry) is backend-agnostic.
+
+    Mappings for real object stores (interface point only — no cloud
+    SDKs in this container):
+    - S3: ``PutObject`` with ``If-None-Match: *`` (conditional write);
+    - GCS: ``x-goog-if-generation-match: 0``;
+    - Azure Blob: ``If-None-Match: *``;
+    - HDFS: ``create(path, overwrite=false)``.
+    """
+
+    def put_if_absent(self, path: Path, payload: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixLinkBackend(CommitBackend):
+    """Local-filesystem CAS: write a temp file, hard-link it to the
+    final name — link creation fails with EEXIST if the target exists,
+    atomically, on every POSIX filesystem."""
+
+    def put_if_absent(self, path: Path, payload: str) -> bool:
+        tmp = path.with_name(f".{path.name}.{uuid.uuid4().hex}.tmp")
+        tmp.write_text(payload)
+        try:
+            os.link(tmp, path)  # atomic create-if-absent
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink(missing_ok=True)
+
+
 class CommitConflict(RuntimeError):
     """Raised when optimistic retries are exhausted."""
 
@@ -173,9 +213,15 @@ class SchemaMismatch(ValueError):
 class ManifestTable:
     """A manifest-committed parquet table rooted at ``path``."""
 
-    def __init__(self, path: str, max_retries: int = 20) -> None:
+    def __init__(
+        self,
+        path: str,
+        max_retries: int = 20,
+        backend: CommitBackend | None = None,
+    ) -> None:
         self.root = Path(path)
         self.max_retries = max_retries
+        self.backend = backend if backend is not None else PosixLinkBackend()
         (self.root / MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
         (self.root / DATA_DIR).mkdir(parents=True, exist_ok=True)
 
@@ -289,18 +335,12 @@ class ManifestTable:
         return sorted(str(p) for p in txn.glob("*.parquet"))
 
     def _try_commit(self, manifest: dict, version: int) -> bool:
-        """Atomically publish ``v<version>.json``; False if that version
-        was taken by a concurrent committer."""
-        final = self._manifest_path(version)
-        tmp = final.with_name(f".{final.name}.{uuid.uuid4().hex}.tmp")
-        tmp.write_text(json.dumps(manifest, indent=1))
-        try:
-            os.link(tmp, final)  # atomic create-if-absent
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            tmp.unlink(missing_ok=True)
+        """Atomically publish ``v<version>.json`` through the commit
+        backend; False if that version was taken by a concurrent
+        committer."""
+        return self.backend.put_if_absent(
+            self._manifest_path(version), json.dumps(manifest, indent=1)
+        )
 
     def table_schema(self, version: int | None = None):
         """The committed table schema (StructType), or None for tables

@@ -147,6 +147,79 @@ class TestCommitProtocol:
         assert not t._manifest_path(0).exists()  # old manifest dropped
 
 
+class TestCommitBackend:
+    """The pluggable commit primitive: the whole protocol runs through
+    CommitBackend.put_if_absent, so an object-store deployment only
+    supplies a conditional write — proven here with a fake that
+    implements S3-style PUT-if-absent semantics (plus a racing variant
+    that exercises the optimistic retry deterministically)."""
+
+    class _ConditionalPut:
+        """S3 `If-None-Match: *` semantics over the local fs: the PUT
+        succeeds iff the key does not exist. Serialized like a single
+        object-store endpoint; records every call for assertions."""
+
+        def __init__(self):
+            self.calls = []
+
+        def put_if_absent(self, path, payload):
+            self.calls.append(path.name)
+            if path.exists():
+                return False  # 412 PreconditionFailed
+            path.write_text(payload)
+            return True
+
+    def test_protocol_runs_on_conditional_put(self, spark, tmp_path):
+        from mb8600_clickhouse_spark.plans import manifest as mf
+
+        be = self._ConditionalPut()
+        t = mf.ManifestTable(str(tmp_path / "t"), backend=be)
+        assert t.append(_df(spark, 0, 3)) == 0
+        assert t.append(_df(spark, 3, 5)) == 1
+        t.compact(spark, sort_cols=["k"])
+        assert _keys(t.read(spark)) == list(range(5))
+        assert be.calls == ["v0.json", "v1.json", "v2.json"]
+
+    def test_lost_put_race_retries_to_next_version(self, spark, tmp_path):
+        """A backend-level loss (concurrent committer claimed the key)
+        must re-read and land on the next version with both writers'
+        rows — the retry loop is backend-agnostic."""
+        import json as _json
+
+        from mb8600_clickhouse_spark.plans import manifest as mf
+
+        outer = self
+
+        class _RacedOnce(self._ConditionalPut):
+            def __init__(self, table_ref):
+                super().__init__()
+                self.table_ref = table_ref
+                self.raced = False
+
+            def put_if_absent(self, path, payload):
+                if not self.raced and path.name == "v1.json":
+                    self.raced = True
+                    # rival lands v1 first, with its own data
+                    t = self.table_ref()
+                    rival_files = t._write_data_files(_df(outer._spark, 90, 92))
+                    path.write_text(_json.dumps({
+                        "version": 1, "parent": 0, "op": "append",
+                        "files": t.snapshot_files(0) + rival_files,
+                        "added": rival_files,
+                    }))
+                return super().put_if_absent(path, payload)
+
+        holder = {}
+        be = _RacedOnce(lambda: holder["t"])
+        t = mf.ManifestTable(str(tmp_path / "t"), backend=be)
+        holder["t"] = mf.ManifestTable(str(tmp_path / "t"))  # rival handle
+        self._spark = spark
+        t.append(_df(spark, 0, 2))
+        v = t.append(_df(spark, 2, 4))
+        assert v == 2
+        assert _keys(t.read(spark)) == [0, 1, 2, 3, 90, 91]
+
+
 class TestDataSkipping:
     """Manifest-level file pruning from footer min/max stats — the
     Iceberg/Delta data-skipping idiom: a filtered scan drops provably
