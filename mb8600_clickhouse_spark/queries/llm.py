@@ -596,3 +596,66 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("payload_sha256"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q71 multimodal image DECODE (F5, real pure-numpy path, round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "q71_image_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(11 + 96 AS BIGINT) AS n_bytes,
+           [8.0, 4.0,
+            round(CAST(CAST((doc_id % 251) / 255.0 AS REAL) AS DOUBLE), 4),
+            round(CAST(CAST((doc_id * 7 % 251) / 255.0 AS REAL) AS DOUBLE), 4),
+            round(CAST(CAST((doc_id * 13 % 251) / 255.0 AS REAL) AS DOUBLE), 4),
+            0.0, 0.0, 0.0] AS features
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the distributed pipeline: each doc gets
+    a synthesized solid-color 8x4 PPM payload (color derived from
+    doc_id), ``decode_image_features(strict=True)`` decodes actual
+    pixels — no digest fake — and the oracle reproduces the features
+    ANALYTICALLY (mean of a solid color is color/255; std 0; 8x4 = 32
+    pixels).
+
+    Cross-engine float exactness: numpy's SIMD mean drifts from the
+    analytic value by ~1 double-ulp even on a constant image (measured),
+    and the features schema is float32, so values compare after a
+    4-decimal round: the r/255 value grid is provably >= 1.9e-7 from
+    any .00005 half-boundary (20000*r is even, 255*(2k+1) is odd, so
+    |20000r - 255(2k+1)| >= 1), while the float32+ulp noise is < 7e-8 —
+    both engines always round to the same side. The oracle mirrors the
+    float32 round-trip with CAST(CAST(x AS REAL) AS DOUBLE)."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_image_features, encode_ppm
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+
+    def _ppm_batches(doc_id):
+        import numpy as np
+
+        def make(i):
+            rgb = (int(i) % 251, int(i) * 7 % 251, int(i) * 13 % 251)
+            return encode_ppm(np.full((4, 8, 3), rgb, dtype=np.uint8))
+
+        return doc_id.map(make)
+
+    # explicit returnType (not decorator annotations): this module uses
+    # `from __future__ import annotations`, which stringifies signatures
+    # and breaks pandas_udf's type inference
+    _ppm = F.pandas_udf(_ppm_batches, "binary")
+
+    payloads = docs.select("doc_id", _ppm(F.col("doc_id")).alias("payload"))
+    feats = decode_image_features(payloads, strict=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias(
+            "features"
+        ),
+    ).orderBy("doc_id")
