@@ -659,3 +659,76 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q72 multimodal audio DECODE (F5, real pure-numpy WAV path, round 4)
+# ---------------------------------------------------------------------------
+@query(
+    "q72_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(44 + 2 * 800 AS BIGINT) AS n_bytes,
+           [8000.0, 1.0,
+            0.1,
+            round(CAST(CAST((1000 + (doc_id % 100) * 100) / 32768.0 AS REAL) AS DOUBLE), 4),
+            round(CAST(CAST((1000 + (doc_id % 100) * 100) / 32768.0 AS REAL) AS DOUBLE), 4),
+            round(CAST(CAST(399.0 / 799.0 AS REAL) AS DOUBLE), 4),
+            0.0, 0.0] AS features
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the distributed pipeline: each doc gets
+    a synthesized 16-bit PCM WAV (8 kHz mono, 800 frames = 0.1 s, a
+    +A/-A square wave with amplitude A = (1000 + 100*(doc_id%100)) in
+    raw sample units, alternating every frame) and
+    ``decode_audio_features(strict=True)`` decodes actual samples.
+
+    Every feature is analytically reproducible: rate and channel count
+    are header fields; duration = 800/8000 = 0.1 (both engines round
+    the same real); |sample| is the constant A/32768 so RMS == peak ==
+    that constant (numpy's SIMD reduction drifts by ulps, hence the
+    same 4-decimal round + margin argument as q71: a .00005 boundary
+    needs 625*A = 1024*(odd), i.e. 1024 | A — A = 1000 + 100k is never
+    a multiple of 1024 for k < 100 — so the grid stays >= 4.9e-8 from
+    every boundary while float32+ulp noise is < 2e-8); the ++-- wave
+    crosses zero at every second frame boundary: 2 crossings per
+    4-frame period over 799 boundaries = 399, zcr = 399/799, which is
+    >= 6.3e-8 from any boundary by the same integer-parity argument."""
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio_features
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+
+    def _wav_batches(doc_id):
+        import struct as _s
+
+        import numpy as np
+
+        def make(i):
+            amp = 1000 + (int(i) % 100) * 100
+            # +A +A -A -A ... : 800 frames, alternating every 2 frames
+            # -> exactly 400 sign changes across 799 boundaries
+            pattern = np.tile([amp, amp, -amp, -amp], 200).astype("<i2")
+            pcm = pattern.tobytes()
+            fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            chunks = (
+                b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(pcm)) + pcm
+            )
+            return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        return doc_id.map(make)
+
+    _wav = F.pandas_udf(_wav_batches, "binary")
+    payloads = docs.select("doc_id", _wav(F.col("doc_id")).alias("payload"))
+    feats = decode_audio_features(payloads, strict=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias(
+            "features"
+        ),
+    ).orderBy("doc_id")
