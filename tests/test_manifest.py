@@ -476,6 +476,49 @@ class TestExpire:
         assert out["rewritten"] >= 2  # dead-by-min/max files demoted to rewrite
         assert _keys(t.read(spark)) == list(range(15, 30))
 
+    def test_expire_matches_row_filter_random_layouts(self, spark, tmp_path):
+        """Randomized layout-independence: for random rows (with random
+        null-ts placement) split into random file groupings, expire()
+        must keep exactly the rows `ts >= cutoff OR ts IS NULL` — the
+        same answer a plain row filter gives, regardless of which files
+        the rows landed in."""
+        import datetime as dt
+        import random
+
+        from pyspark.sql.types import (
+            IntegerType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        schema = StructType(
+            [StructField("k", IntegerType()), StructField("ts", TimestampType())]
+        )
+        base = dt.datetime(2026, 1, 1)
+        for seed in (1, 7, 42):
+            rnd = random.Random(seed)
+            rows = [
+                (
+                    i,
+                    None
+                    if rnd.random() < 0.15
+                    else base + dt.timedelta(hours=rnd.randrange(100)),
+                )
+                for i in range(60)
+            ]
+            rnd.shuffle(rows)
+            t = ManifestTable(str(tmp_path / f"t{seed}"))
+            i = 0
+            while i < len(rows):  # random file sizes 1..20
+                j = i + rnd.randint(1, 20)
+                t.append(spark.createDataFrame(rows[i:j], schema).coalesce(1))
+                i = j
+            cutoff = base + dt.timedelta(hours=rnd.randrange(100))
+            t.expire(spark, "ts", cutoff)
+            want = sorted(k for k, ts in rows if ts is None or ts >= cutoff)
+            assert _keys(t.read(spark)) == want, f"seed {seed}"
+
     def test_expired_stats_still_prune(self, spark, tmp_path):
         import datetime as dt
 
