@@ -259,10 +259,24 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-created per run; the returned DataFrame reads the rollup/source
     parquet lazily, so they are not deleted here."""
     import datetime as dt
+    import glob
+    import os
+    import shutil
     import tempfile
+    import time
 
     from ..plans import ManifestTable
     from ..streaming import incremental
+
+    # best-effort cleanup of PRIOR runs' temp tables (age-gated: a dir
+    # older than an hour cannot back any still-lazy DataFrame of the
+    # current driver/bench process)
+    for old in glob.glob(f"{tempfile.gettempdir()}/q70_demote_*"):
+        try:
+            if time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
 
     ev = load_tables(spark, sf_dir)["events"]
     src_rows = ev.filter(F.col("event_type") == "purchase").select(
