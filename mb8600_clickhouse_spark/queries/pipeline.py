@@ -20,6 +20,24 @@ from ..operators import dedup
 from ..tables import load_tables, register_views
 from . import query
 
+
+def _cleanup_tmp(prefix: str) -> None:
+    """Best-effort removal of PRIOR runs' temp tables under /tmp
+    (age-gated: a dir older than an hour cannot back any still-lazy
+    DataFrame of the current driver/bench process)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    for old in glob.glob(f"{tempfile.gettempdir()}/{prefix}*"):
+        try:
+            if time.time() - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+
 # ---------------------------------------------------------------------------
 # Q61 Spark SQL API surface (GROUP BY + HAVING via spark.sql)
 # ---------------------------------------------------------------------------
@@ -259,25 +277,12 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-created per run; the returned DataFrame reads the rollup/source
     parquet lazily, so they are not deleted here."""
     import datetime as dt
-    import glob
-    import os
-    import shutil
     import tempfile
-    import time
 
     from ..plans import ManifestTable
     from ..streaming import incremental
 
-    # best-effort cleanup of PRIOR runs' temp tables (age-gated: a dir
-    # older than an hour cannot back any still-lazy DataFrame of the
-    # current driver/bench process)
-    for old in glob.glob(f"{tempfile.gettempdir()}/q70_demote_*"):
-        try:
-            if time.time() - os.path.getmtime(old) > 3600:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
-
+    _cleanup_tmp("q70_demote_")
     ev = load_tables(spark, sf_dir)["events"]
     src_rows = ev.filter(F.col("event_type") == "purchase").select(
         (F.col("user_id") % 10).alias("cohort"),
@@ -309,6 +314,68 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort").agg(F.count("*").alias("n_remaining"))
     )
     return roll.join(remaining, "cohort").orderBy("cohort")
+
+
+# ---------------------------------------------------------------------------
+# Q73 incremental MV maintenance over a manifest STREAM (end-to-end)
+# ---------------------------------------------------------------------------
+@query(
+    "q73_stream_rollup",
+    oracle="""
+    SELECT user_id % 8 AS cohort,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, driven END-TO-END by
+    Structured Streaming in the verified set (q36-q39 verify streaming
+    semantics via batch parity; this query runs the REAL machinery):
+    click events land in a ManifestTable in three commits, a
+    ``format("manifest")`` stream with an ``availableNow`` trigger folds
+    each micro-batch's additive partials into a rollup table through the
+    exactly-once epoch sink, and the rollup contents hash-match a plain
+    GROUP BY over the original fixture — correct regardless of how the
+    engine batches the three commits, because the aggregates are
+    additive and the sums are exact decimals."""
+    import tempfile
+
+    from ..plans import ManifestTable
+    from ..streaming import incremental
+
+    _cleanup_tmp("q73_stream_")
+    ev = load_tables(spark, sf_dir)["events"]
+    rows = ev.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % 8).alias("cohort"),
+        F.col("event_id"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="q73_stream_")
+    src = ManifestTable(f"{root}/src")
+    for part in range(3):
+        src.append(rows.filter(F.col("event_id") % 3 == part).coalesce(1))
+    q = incremental.maintain_rollup(
+        spark,
+        f"{root}/src",
+        f"{root}/roll",
+        keys=["cohort"],
+        aggs={"n_events": ("count", "*"), "total_value": ("sum", "v")},
+        checkpoint_dir=f"{root}/ck",
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    return (
+        ManifestTable(f"{root}/roll")
+        .read(spark)
+        .select(
+            "cohort",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("cohort")
+    )
 
 
 # ---------------------------------------------------------------------------
