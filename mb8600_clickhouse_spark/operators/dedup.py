@@ -251,15 +251,25 @@ def minhash_lsh_candidates(
     # boilerplate-heavy corpus can put a large fraction of docs in one
     # band bucket): the lowest ids are kept deterministically, bounding
     # pair count at #buckets * max_bucket^2 / 2 instead of n^2.
+    #
+    # The cap is applied with a rank filter BEFORE collect_list, not by
+    # slicing the collected array: a 10M-member degenerate bucket must
+    # never materialize as one aggregation-state array (executor OOM
+    # precedes the slice). The window sorts the same (band, key)
+    # partitioning the groupBy uses, so Catalyst plans ONE exchange for
+    # both; aggregation state is then bounded at max_bucket ids.
+    if max_bucket is not None:
+        w = W.partitionBy("band", "key").orderBy("id")
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     members = (
         buckets.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_bucket is not None:
-        members = members.withColumn("ids", F.slice("ids", 1, max_bucket)).filter(
-            F.size("ids") > 1
-        )
     return (
         members.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
@@ -457,15 +467,23 @@ def simhash_neardup_pairs(
     segs = fps.select(
         F.col(id_col).alias("id"), F.col(fp_col).alias("fp"), F.posexplode(seg_keys).alias("seg", "bits")
     )
+    # cap BEFORE collect_list (rank filter over the same (seg, bits)
+    # partitioning — one exchange, bounded aggregation state; see
+    # minhash_lsh_candidates for the degenerate-bucket OOM rationale).
+    # orderBy (id, fp) keeps exactly the members sort_array(struct)
+    # slicing kept: struct ordering is field-by-field, id first.
+    if max_bucket is not None:
+        w = W.partitionBy("seg", "bits").orderBy("id", "fp")
+        segs = (
+            segs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     members = (
         segs.groupBy("seg", "bits")
         .agg(F.collect_list(F.struct("id", "fp")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    if max_bucket is not None:
-        members = members.withColumn(
-            "ms", F.slice(F.sort_array("ms"), 1, max_bucket)
-        ).filter(F.size("ms") > 1)
     cands = (
         members.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))
