@@ -188,15 +188,20 @@ def lsh_candidate_pairs(
     b = df.select(
         F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("bucket")
     )
+    # cap BEFORE collect_list (rank filter over the same bucket
+    # partitioning — one exchange, aggregation state bounded at
+    # max_bucket ids; a degenerate bucket must never materialize as one
+    # giant array before the cap applies — see minhash_lsh_candidates)
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(W.partitionBy("bucket").orderBy("id"))
+        b = b.withColumn("_rn", rn).filter(F.col("_rn") <= max_bucket).drop("_rn")
     members = (
         b.groupBy("bucket")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if max_bucket is not None:
-        members = members.withColumn("ids", F.slice("ids", 1, max_bucket)).filter(
-            F.size("ids") > 1
-        )
     return (
         members.select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
