@@ -92,6 +92,33 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
+    # SPARK_GRAFT_ORACLE=1: also time each query's DuckDB oracle on the
+    # same fixtures and emit an "oracle" map + per-query ratios — the
+    # self-service version of the judge's <=2x-of-oracle comparison.
+    # Off by default so the driver-recorded JSON shape is unchanged.
+    oracle_times: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_ORACLE") == "1":
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {cpus}")
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name, spec in sorted(specs.items()):
+            sql = spec.oracle_for(sf_dir)
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            oracle_times[name] = round(time.perf_counter() - t0, 3)
+            print(f"# oracle {name}: {oracle_times[name]:.3f}s", file=sys.stderr)
+
     load1_end = _load1()
     # load1_end includes this bench's own tail (one Spark JVM winding
     # down); only flag on end-load well above what the bench itself
@@ -109,6 +136,18 @@ def main() -> None:
                 "load1_at_start": round(load1_start, 2),
                 "load1_at_end": round(load1_end, 2),
                 "queries": per_query,
+                **(
+                    {
+                        "oracle": oracle_times,
+                        "ratio": {
+                            n: round(per_query[n] / oracle_times[n], 2)
+                            for n in oracle_times
+                            if oracle_times[n] > 0
+                        },
+                    }
+                    if oracle_times
+                    else {}
+                ),
                 "sf": float(sf),
             }
         )
