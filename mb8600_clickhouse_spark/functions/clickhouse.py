@@ -1,0 +1,132 @@
+"""ClickHouse dialect bridge: the scalar vocabulary a migrating
+ClickHouse SQL user expects, registered as Catalyst-inlined SQL
+functions (zero runtime cost — same mechanism as
+``sql_functions.py``).
+
+A user of the reference deployment queries the ``docsis`` table with
+ClickHouse SQL (SURVEY §2.E derives that surface from ``tables.sql``).
+After ``register_clickhouse_functions(spark)``, the common scalar calls
+run verbatim; the non-scalar dialect forms that CANNOT be a scalar
+alias are documented in ``DIALECT_NOTES`` with their Spark SQL
+spelling.
+
+Only functions whose ClickHouse semantics map EXACTLY onto a Spark
+expression are aliased — a silently-different alias would be worse
+than a missing one. Notable care:
+
+- ``toDayOfWeek``: ClickHouse numbers Monday=1..Sunday=7; Spark's
+  ``dayofweek`` numbers Sunday=1 — the alias re-maps.
+- ``toUnixTimestamp`` returns BIGINT seconds (CH UInt32): spelled with
+  ``unix_seconds`` on the session's UTC timeline.
+- ``modulo`` keeps the dividend's sign (CH follows C) — Spark's ``%``
+  matches, ``pmod`` would not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name -> (signature, return type, body)
+CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
+    # date/time
+    "toStartOfHour": ("(ts TIMESTAMP)", "TIMESTAMP", "date_trunc('hour', ts)"),
+    "toStartOfMinute": ("(ts TIMESTAMP)", "TIMESTAMP", "date_trunc('minute', ts)"),
+    "toStartOfDay": ("(ts TIMESTAMP)", "TIMESTAMP", "date_trunc('day', ts)"),
+    "toStartOfMonth": ("(ts TIMESTAMP)", "DATE", "cast(date_trunc('month', ts) AS DATE)"),
+    "toStartOfYear": ("(ts TIMESTAMP)", "DATE", "cast(date_trunc('year', ts) AS DATE)"),
+    "toDate": ("(ts TIMESTAMP)", "DATE", "cast(ts AS DATE)"),
+    "toYear": ("(ts TIMESTAMP)", "INT", "year(ts)"),
+    "toMonth": ("(ts TIMESTAMP)", "INT", "month(ts)"),
+    "toHour": ("(ts TIMESTAMP)", "INT", "hour(ts)"),
+    "toMinute": ("(ts TIMESTAMP)", "INT", "minute(ts)"),
+    "toSecond": ("(ts TIMESTAMP)", "INT", "second(ts)"),
+    "toDayOfMonth": ("(ts TIMESTAMP)", "INT", "day(ts)"),
+    # CH: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
+    "toDayOfWeek": ("(ts TIMESTAMP)", "INT", "((dayofweek(ts) + 5) % 7) + 1"),
+    "toYYYYMM": ("(ts TIMESTAMP)", "INT", "year(ts) * 100 + month(ts)"),
+    "toYYYYMMDD": (
+        "(ts TIMESTAMP)",
+        "INT",
+        "year(ts) * 10000 + month(ts) * 100 + day(ts)",
+    ),
+    "toUnixTimestamp": ("(ts TIMESTAMP)", "BIGINT", "unix_seconds(ts)"),
+    "fromUnixTimestamp": ("(s BIGINT)", "TIMESTAMP", "timestamp_seconds(s)"),
+    "addHours": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts + make_interval(0,0,0,0,n,0,0)"),
+    "addDays": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts + make_interval(0,0,0,n,0,0,0)"),
+    "subtractDays": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts - make_interval(0,0,0,n,0,0,0)"),
+    "dateDiff_seconds": (
+        "(a TIMESTAMP, b TIMESTAMP)",
+        "BIGINT",
+        "unix_seconds(b) - unix_seconds(a)",
+    ),
+    # conversions (the *OrNull family is the reference's own
+    # degrade-to-NULL contract, SURVEY §2.B3)
+    "toInt64OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
+    "toFloat64OrNull": ("(s STRING)", "DOUBLE", "try_cast(s AS DOUBLE)"),
+    "toInt64": ("(s STRING)", "BIGINT", "cast(s AS BIGINT)"),
+    "toFloat64": ("(s STRING)", "DOUBLE", "cast(s AS DOUBLE)"),
+    "toString": ("(x STRING)", "STRING", "x"),
+    # arithmetic / conditional
+    "intDiv": ("(a BIGINT, b BIGINT)", "BIGINT", "a div b"),
+    "modulo": ("(a BIGINT, b BIGINT)", "BIGINT", "a % b"),
+    # ifNull is NOT aliased: Spark's builtin `ifnull` already has the
+    # exact ClickHouse semantics (and builtins cannot be replaced by
+    # SQL UDFs under case-insensitive resolution)
+    "assumeNotNull": ("(a STRING)", "STRING", "a"),
+    # strings
+    "splitByChar": (
+        "(sep STRING, s STRING)",
+        "ARRAY<STRING>",
+        r"split(s, concat('\\Q', sep, '\\E'))",
+    ),
+    "arrayStringConcat": (
+        "(arr ARRAY<STRING>, sep STRING)",
+        "STRING",
+        "array_join(arr, sep)",
+    ),
+    "lowerUTF8": ("(s STRING)", "STRING", "lower(s)"),
+    "upperUTF8": ("(s STRING)", "STRING", "upper(s)"),
+    "lengthUTF8": ("(s STRING)", "INT", "char_length(s)"),
+    # arrays
+    "has": ("(arr ARRAY<STRING>, x STRING)", "BOOLEAN", "array_contains(arr, x)"),
+    "arraySum": (
+        "(arr ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(arr, 0D, (acc, x) -> acc + coalesce(x, 0D))",
+    ),
+    "arrayAvg": (
+        "(arr ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(arr, 0D, (acc, x) -> acc + coalesce(x, 0D)) / size(arr)",
+    ),
+    "arrayMax": ("(arr ARRAY<DOUBLE>)", "DOUBLE", "array_max(arr)"),
+    "arrayMin": ("(arr ARRAY<DOUBLE>)", "DOUBLE", "array_min(arr)"),
+    "arrayDistinct": ("(arr ARRAY<STRING>)", "ARRAY<STRING>", "array_distinct(arr)"),
+}
+
+#: dialect forms that are NOT scalar functions and therefore cannot be
+#: aliased — each with its Spark SQL spelling. Registered nowhere;
+#: this is the migration cheat-sheet.
+DIALECT_NOTES: dict[str, str] = {
+    "uniq(x) / uniqExact(x)": "approx_count_distinct(x) / count(DISTINCT x)",
+    "quantile(0.95)(x)": "percentile_approx(x, 0.95)  -- exact: percentile(x, 0.95)",
+    "quantileTDigest(0.95)(x)": "percentile_approx(x, 0.95)  (q67's tolerance-gated form)",
+    "arrayJoin(arr)": "explode(arr) in SELECT, or LATERAL VIEW explode(arr) t AS x",
+    "topK(10)(x)": "GROUP BY x ORDER BY count(*) DESC LIMIT 10 (q63's shape)",
+    "SELECT ... FINAL": "latest-row-per-key view: max_by(struct(*), version) per key (q11's shape)",
+    "SAMPLE 0.1": "TABLESAMPLE (10 PERCENT), or the deterministic md5 filter (q62's shape)",
+    "LIMIT n BY k": "row_number() OVER (PARTITION BY k ORDER BY ...) <= n (q13/q65's shape)",
+    "TTL ts + INTERVAL 30 DAY": "ManifestTable.expire(spark, 'ts', cutoff) (q70 demotes into a rollup)",
+    "ENGINE = SummingMergeTree": "streaming/incremental.maintain_rollup (q73 runs it end-to-end)",
+}
+
+
+def register_clickhouse_functions(spark: SparkSession) -> list[str]:
+    """Register the ClickHouse scalar vocabulary in this session;
+    returns the registered names."""
+    for name, (sig, ret, body) in CLICKHOUSE_SCALARS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
+            f"RETURNS {ret} RETURN {body}"
+        )
+    return list(CLICKHOUSE_SCALARS)

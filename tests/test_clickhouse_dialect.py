@@ -1,0 +1,93 @@
+"""ClickHouse dialect bridge: migrated ClickHouse SQL runs verbatim
+through spark.sql after registration, and every alias matches the
+native Spark expression it claims to equal."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from mb8600_clickhouse_spark.functions.clickhouse import (
+    CLICKHOUSE_SCALARS,
+    register_clickhouse_functions,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    names = register_clickhouse_functions(spark)
+    assert len(names) == len(CLICKHOUSE_SCALARS)
+
+
+class TestDialectScalars:
+    def test_clickhouse_flavored_query_runs_verbatim(self, spark):
+        """The shape a reference-deployment dashboard would issue
+        against the docsis/events tables, in ClickHouse spelling."""
+        spark.createDataFrame(
+            [
+                Row(ts=dt.datetime(2026, 3, 2, 14, 37, 11), v="42", raw="a|b|c"),
+                Row(ts=dt.datetime(2026, 3, 2, 15, 2, 3), v="x", raw="d|e"),
+            ]
+        ).createOrReplaceTempView("ch_t")
+        rows = spark.sql(
+            """
+            SELECT toStartOfHour(ts) AS h,
+                   toYYYYMM(ts) AS ym,
+                   toDayOfWeek(ts) AS dow,
+                   toUnixTimestamp(ts) AS ut,
+                   toInt64OrNull(v) AS vi,
+                   intDiv(7, 2) AS d,
+                   modulo(-7, 3) AS m,
+                   splitByChar('|', raw) AS parts,
+                   arrayStringConcat(splitByChar('|', raw), '-') AS joined
+            FROM ch_t ORDER BY ts
+            """
+        ).collect()
+        r = rows[0]
+        assert r["h"] == dt.datetime(2026, 3, 2, 14, 0)
+        assert r["ym"] == 202603
+        assert r["dow"] == 1  # 2026-03-02 is a Monday; CH Monday=1
+        assert r["ut"] == int(dt.datetime(2026, 3, 2, 14, 37, 11, tzinfo=dt.timezone.utc).timestamp())
+        assert r["vi"] == 42 and rows[1]["vi"] is None  # OrNull degrades
+        assert r["d"] == 3 and r["m"] == -1  # C-style sign, like CH
+        assert r["parts"] == ["a", "b", "c"] and r["joined"] == "a-b-c"
+
+    def test_day_of_week_full_cycle(self, spark):
+        """CH numbering Monday=1..Sunday=7 across a whole week."""
+        got = spark.sql(
+            """
+            SELECT collect_list(toDayOfWeek(to_timestamp(d))) AS dows
+            FROM (SELECT explode(sequence(DATE'2026-03-02', DATE'2026-03-08')) AS d)
+            """
+        ).first()["dows"]
+        assert got == [1, 2, 3, 4, 5, 6, 7]
+
+    def test_array_scalars(self, spark):
+        r = spark.sql(
+            """
+            SELECT arraySum(array(1.0D, 2.5D, NULL)) AS s,
+                   arrayAvg(array(2.0D, 4.0D)) AS a,
+                   arrayMax(array(1.0D, 9.0D)) AS mx,
+                   has(array('x','y'), 'y') AS h,
+                   arrayDistinct(array('a','a','b')) AS dd
+            """
+        ).first()
+        assert r["s"] == 3.5 and r["a"] == 3.0 and r["mx"] == 9.0
+        assert r["h"] is True and sorted(r["dd"]) == ["a", "b"]
+
+    def test_split_by_char_is_literal_not_regex(self, spark):
+        """splitByChar('.', s) must split on a literal dot."""
+        r = spark.sql("SELECT splitByChar('.', 'a.b.c') AS p").first()["p"]
+        assert r == ["a", "b", "c"]
+
+    def test_aliases_inline_into_codegen(self, spark):
+        """The bridge is free: the alias body inlines into the plan
+        (no python UDF / no extra project stage referencing the UDF)."""
+        spark.range(3).createOrReplaceTempView("ch_n")
+        plan = spark.sql(
+            "SELECT intDiv(id, 2) AS x FROM ch_n"
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "intdiv" not in plan.lower() or "div" in plan.lower()
+        assert "BatchEvalPython" not in plan  # never a python UDF
