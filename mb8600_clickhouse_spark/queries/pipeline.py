@@ -379,6 +379,52 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q74 ClickHouse-dialect SQL through the bridge (functions/clickhouse.py)
+# ---------------------------------------------------------------------------
+_Q74_CLICKHOUSE_SQL = """
+    SELECT toStartOfHour(ts) AS h,
+           toYYYYMM(ts) AS ym,
+           toDayOfWeek(ts) AS dow,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    ORDER BY h, event_type
+"""
+
+
+@query(
+    "q74_clickhouse_sql",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h,
+           year(ts) * 100 + month(ts) AS ym,
+           isodow(ts) AS dow,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    ORDER BY h, event_type
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration path, driver-verified: a dashboard rollup written
+    in CLICKHOUSE spelling (`toStartOfHour`, `toYYYYMM`, `toDayOfWeek`)
+    runs verbatim through ``spark.sql`` after
+    ``register_clickhouse_functions``, and hash-matches the DuckDB
+    oracle written in portable SQL (`isodow` = ClickHouse's Monday=1
+    numbering, which the bridge's `toDayOfWeek` remaps Spark onto).
+    The aliases are Catalyst-inlined SQL UDFs — the GROUP BY runs as
+    ordinary codegen expressions, no python, no overhead."""
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q74_CLICKHOUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Q68 sequence packing (capacity-constrained training-batch assembly)
 # ---------------------------------------------------------------------------
 @query(
