@@ -425,6 +425,63 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q75 skew-salted join + two-phase aggregation (operators/skew.py)
+# ---------------------------------------------------------------------------
+@query(
+    "q75_skew_salted",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN event_id % 10 < 7 THEN 'hot' ELSE event_type END AS k,
+             event_id, CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT k, 'dim_' || k AS label FROM fact)
+    SELECT f.k AS k, d.label AS label, COUNT(*) AS n,
+           CAST(SUM(f.v) AS DOUBLE) AS total
+    FROM fact f LEFT JOIN dim d ON d.k = f.k
+    GROUP BY 1, 2 ORDER BY f.k
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key handling, driver-verified as semantics-preserving: 70% of
+    events collapse onto one 'hot' key, then the pipeline runs the TWO
+    explicit skew levers — ``salted_join`` (fact side salted by
+    event_id, dimension exploded per salt) and ``salted_agg``
+    (two-phase: per-(key, salt) partials, then an n_salts-row merge per
+    key) — and the result hash-matches the plain join + GROUP BY the
+    oracle runs. At 100 TB the hot key spreads over n_salts reducers
+    instead of one; here the gate proves the rewrite changes the
+    PLAN, never the answer (sums stay exact decimals through both
+    phases)."""
+    from ..operators import skew
+
+    ev = load_tables(spark, sf_dir)["events"]
+    fact = ev.select(
+        F.when(F.col("event_id") % 10 < 7, F.lit("hot"))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    dim = fact.select("k").distinct().select(
+        "k", F.concat(F.lit("dim_"), F.col("k")).alias("label")
+    )
+    joined = skew.salted_join(
+        fact, dim, "k", n_salts=8, how="left", salt_from="event_id"
+    )
+    out = skew.salted_agg(
+        joined,
+        ["k", "label"],
+        [("n", "event_id", F.count, F.sum), ("total", "v", F.sum, F.sum)],
+        salt_from="event_id",
+        n_salts=8,
+    )
+    return out.select(
+        "k", "label", "n", F.col("total").cast("double").alias("total")
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
 # Q68 sequence packing (capacity-constrained training-batch assembly)
 # ---------------------------------------------------------------------------
 @query(
