@@ -365,7 +365,11 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{root}/ck",
         available_now=True,
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # never fall through to reading a PARTIAL rollup: a timeout must
+        # be a loud failure, not a silent wrong answer
+        q.stop()
+        raise TimeoutError("q73 availableNow stream did not finish in 180s")
     return (
         ManifestTable(f"{root}/roll")
         .read(spark)
