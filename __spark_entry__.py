@@ -38,34 +38,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["q09_hash_agg"].fn(spark, SF001_DIR)
 
 
-def _driver_covered_names() -> set[str]:
-    """Query names already hash-verified by a prior round's driver run
-    (CORRECTNESS_r*.json). Used to rotate the registration order: the
-    driver verifies at most ~50 names per round in dict order, so names
-    it has never checked go first until cumulative coverage is total
-    (SURVEY §2.I documents the cap)."""
+def _last_verified_round() -> dict[str, int]:
+    """Latest round in which each query name was hash-verified green by
+    the driver (CORRECTNESS_r*.json). Used to rotate the registration
+    order: the driver verifies at most ~50 names per round in dict
+    order, so never-checked names go first and previously-green names
+    are ordered STALEST-FIRST, keeping every name's most recent green
+    row at most ~2 rounds old (SURVEY §2.J documents the rotation)."""
     import json
+    import re
 
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
         for name, r in rows.items():
             if isinstance(r, dict) and r.get("hash_match"):
-                seen.add(name)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    never-driver-verified names come first (see _driver_covered_names)."""
+    never-driver-verified names come first, then stalest-verified
+    (see _last_verified_round)."""
     specs = all_queries()
-    covered = _driver_covered_names()
-    ordered = [n for n in specs if n not in covered] + [
-        n for n in specs if n in covered
-    ]
+    last = _last_verified_round()
+    names = list(specs)
+    # stable sort: never-verified (round 0) first, then ascending
+    # last-green round; registration order breaks ties
+    ordered = sorted(names, key=lambda n: last.get(n, 0))
     return {name: specs[name].fn for name in ordered}
 
 

@@ -606,11 +606,12 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(11 + 96 AS BIGINT) AS n_bytes,
-           [8.0, 4.0,
-            round(CAST(CAST((doc_id % 251) / 255.0 AS REAL) AS DOUBLE), 4),
-            round(CAST(CAST((doc_id * 7 % 251) / 255.0 AS REAL) AS DOUBLE), 4),
-            round(CAST(CAST((doc_id * 13 % 251) / 255.0 AS REAL) AS DOUBLE), 4),
-            0.0, 0.0, 0.0] AS features
+           8.0 AS f0,
+           4.0 AS f1,
+           round(CAST(CAST((doc_id % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f2,
+           round(CAST(CAST((doc_id * 7 % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f3,
+           round(CAST(CAST((doc_id * 13 % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f4,
+           0.0 AS f5, 0.0 AS f6, 0.0 AS f7
     FROM documents WHERE doc_id < 100 ORDER BY doc_id
     """,
 )
@@ -629,7 +630,13 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     any .00005 half-boundary (20000*r is even, 255*(2k+1) is odd, so
     |20000r - 255(2k+1)| >= 1), while the float32+ulp noise is < 7e-8 —
     both engines always round to the same side. The oracle mirrors the
-    float32 round-trip with CAST(CAST(x AS REAL) AS DOUBLE)."""
+    float32 round-trip with CAST(CAST(x AS REAL) AS DOUBLE).
+
+    The 8 features are projected to SCALAR columns ``f0..f7`` (not an
+    ``array<double>``): the driver's result canonicalizer sorts the
+    pandas frame by every column and list cells are unhashable there
+    (round-4 CORRECTNESS traceback) — scalar projection is the stable
+    cross-engine result contract."""
     import pandas as pd
 
     from ..operators.multimodal import decode_image_features, encode_ppm
@@ -655,9 +662,10 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias(
-            "features"
-        ),
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 4).alias(f"f{i}")
+            for i in range(8)
+        ],
     ).orderBy("doc_id")
 
 
@@ -669,12 +677,13 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(44 + 2 * 800 AS BIGINT) AS n_bytes,
-           [8000.0, 1.0,
-            0.1,
-            round(CAST(CAST((1000 + (doc_id % 100) * 100) / 32768.0 AS REAL) AS DOUBLE), 4),
-            round(CAST(CAST((1000 + (doc_id % 100) * 100) / 32768.0 AS REAL) AS DOUBLE), 4),
-            round(CAST(CAST(399.0 / 799.0 AS REAL) AS DOUBLE), 4),
-            0.0, 0.0] AS features
+           8000.0 AS f0,
+           1.0 AS f1,
+           0.1 AS f2,
+           round(CAST(CAST((1000 + (doc_id % 100) * 100) / 32768.0 AS REAL) AS DOUBLE), 4) AS f3,
+           round(CAST(CAST((1000 + (doc_id % 100) * 100) / 32768.0 AS REAL) AS DOUBLE), 4) AS f4,
+           round(CAST(CAST(399.0 / 799.0 AS REAL) AS DOUBLE), 4) AS f5,
+           0.0 AS f6, 0.0 AS f7
     FROM documents WHERE doc_id < 100 ORDER BY doc_id
     """,
 )
@@ -710,7 +719,8 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         def make(i):
             amp = 1000 + (int(i) % 100) * 100
             # +A +A -A -A ... : 800 frames, alternating every 2 frames
-            # -> exactly 400 sign changes across 799 boundaries
+            # -> exactly 399 sign changes across 799 boundaries (the
+            # 200th period's trailing crossing has no successor frame)
             pattern = np.tile([amp, amp, -amp, -amp], 200).astype("<i2")
             pcm = pattern.tobytes()
             fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
@@ -725,10 +735,13 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     _wav = F.pandas_udf(_wav_batches, "binary")
     payloads = docs.select("doc_id", _wav(F.col("doc_id")).alias("payload"))
     feats = decode_audio_features(payloads, strict=True)
+    # scalar f0..f7, not array<double>: see q71 docstring (driver
+    # canonicalizer cannot sort list cells)
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias(
-            "features"
-        ),
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 4).alias(f"f{i}")
+            for i in range(8)
+        ],
     ).orderBy("doc_id")

@@ -273,9 +273,10 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: a fresh temp table is built per call from the fixture
     rows (tiny — one event type), the demoted sum is an exact decimal,
-    and the cutoff is fixed. The temp dirs live under /tmp and are
-    re-created per run; the returned DataFrame reads the rollup/source
-    parquet lazily, so they are not deleted here."""
+    and the cutoff is fixed. The 10-row result is materialized EAGERLY
+    before returning (``collect`` + ``createDataFrame``) so the caller's
+    evaluation count and timing cannot interact with the per-run /tmp
+    manifest state — the returned frame is a pure local relation."""
     import datetime as dt
     import tempfile
 
@@ -292,14 +293,19 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="q70_demote_")
     src = ManifestTable(f"{root}/src")
     cutoff = dt.datetime(2024, 1, 15)
-    # three time-ordered chunks: wholly-dead / straddling / wholly-live
-    for lo, hi in (("2024-01-01", "2024-01-10"), ("2024-01-10", "2024-01-20"),
-                   ("2024-01-20", "2024-02-01")):
-        src.append(
-            src_rows.filter(
-                (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
-            ).coalesce(1)
-        )
+    # three time-ordered chunks: wholly-dead / straddling / wholly-live.
+    # First and last chunks are OPEN-ENDED so the source table contains
+    # exactly the fixture's purchase rows no matter what time span a
+    # regenerated fixture covers (a closed [2024-01-01, 2024-02-01)
+    # window would silently drop out-of-range events while the oracle
+    # still aggregates them).
+    m1, m2 = "2024-01-10", "2024-01-20"
+    for cond in (
+        F.col("ts") < F.lit(m1),
+        (F.col("ts") >= F.lit(m1)) & (F.col("ts") < F.lit(m2)),
+        F.col("ts") >= F.lit(m2),
+    ):
+        src.append(src_rows.filter(cond).coalesce(1))
     incremental.demote_expired(
         spark, f"{root}/src", f"{root}/roll", "ts", cutoff,
         keys=["cohort"],
@@ -313,7 +319,10 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         ManifestTable(f"{root}/src").read(spark)
         .groupBy("cohort").agg(F.count("*").alias("n_remaining"))
     )
-    return roll.join(remaining, "cohort").orderBy("cohort")
+    out = roll.join(remaining, "cohort").orderBy("cohort")
+    # eager materialization: see docstring (lazy frames over per-run
+    # /tmp manifest state are re-evaluation hazards for the caller)
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -370,7 +379,7 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         # be a loud failure, not a silent wrong answer
         q.stop()
         raise TimeoutError("q73 availableNow stream did not finish in 180s")
-    return (
+    out = (
         ManifestTable(f"{root}/roll")
         .read(spark)
         .select(
@@ -380,6 +389,9 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+    # eager materialization, same rationale as q70: the result must not
+    # stay a lazy view over this run's /tmp rollup state
+    return spark.createDataFrame(out.collect(), out.schema)
 
 
 # ---------------------------------------------------------------------------
