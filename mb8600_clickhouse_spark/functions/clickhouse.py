@@ -94,10 +94,17 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "DOUBLE",
         "aggregate(arr, 0D, (acc, x) -> acc + coalesce(x, 0D))",
     ),
+    # arrayAvg skips NULL elements in BOTH numerator and denominator
+    # (ClickHouse applies avg-aggregation semantics over the array);
+    # an empty / all-NULL array yields NULL here — the one edge where
+    # ClickHouse's Float64 result is 0/NaN-ish and no Spark spelling is
+    # provably identical, so that edge is documented, not silently
+    # diverged (ADVICE r04)
     "arrayAvg": (
         "(arr ARRAY<DOUBLE>)",
         "DOUBLE",
-        "aggregate(arr, 0D, (acc, x) -> acc + coalesce(x, 0D)) / size(arr)",
+        "aggregate(filter(arr, x -> x IS NOT NULL), 0D, (acc, x) -> acc + x)"
+        " / nullif(size(filter(arr, x -> x IS NOT NULL)), 0)",
     ),
     "arrayMax": ("(arr ARRAY<DOUBLE>)", "DOUBLE", "array_max(arr)"),
     "arrayMin": ("(arr ARRAY<DOUBLE>)", "DOUBLE", "array_min(arr)"),
@@ -105,19 +112,22 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
 }
 
 #: dialect forms that are NOT scalar functions and therefore cannot be
-#: aliased — each with its Spark SQL spelling. Registered nowhere;
-#: this is the migration cheat-sheet.
+#: aliased. Forms marked "runs verbatim" are rewritten automatically by
+#: ``chsql.rewrite_clickhouse_sql`` (q76 driver-verifies the path); the
+#: rest are the migration cheat-sheet.
 DIALECT_NOTES: dict[str, str] = {
-    "uniq(x) / uniqExact(x)": "approx_count_distinct(x) / count(DISTINCT x)",
-    "quantile(0.95)(x)": "percentile_approx(x, 0.95)  -- exact: percentile(x, 0.95)",
-    "quantileTDigest(0.95)(x)": "percentile_approx(x, 0.95)  (q67's tolerance-gated form)",
-    "arrayJoin(arr)": "explode(arr) in SELECT, or LATERAL VIEW explode(arr) t AS x",
+    "uniq(x) / uniqExact(x)": "runs verbatim via chsql.rewrite_clickhouse_sql",
+    "quantile(0.95)(x)": "runs verbatim via chsql (percentile_approx; quantileExact -> exact percentile)",
+    "quantileTDigest(0.95)(x)": "runs verbatim via chsql (q67's tolerance-gated form)",
+    "countIf / sumIf / avgIf / minIf / maxIf": "runs verbatim via chsql",
+    "arrayJoin(arr)": "runs verbatim via chsql (LATERAL VIEW explode, alias bodies inlined)",
+    "LIMIT n BY k": "runs verbatim via chsql (row_number window over the query's ORDER BY)",
     "topK(10)(x)": "GROUP BY x ORDER BY count(*) DESC LIMIT 10 (q63's shape)",
     "SELECT ... FINAL": "latest-row-per-key view: max_by(struct(*), version) per key (q11's shape)",
     "SAMPLE 0.1": "TABLESAMPLE (10 PERCENT), or the deterministic md5 filter (q62's shape)",
-    "LIMIT n BY k": "row_number() OVER (PARTITION BY k ORDER BY ...) <= n (q13/q65's shape)",
     "TTL ts + INTERVAL 30 DAY": "ManifestTable.expire(spark, 'ts', cutoff) (q70 demotes into a rollup)",
     "ENGINE = SummingMergeTree": "streaming/incremental.maintain_rollup (q73 runs it end-to-end)",
+    "arrayAvg([]) empty/all-NULL edge": "alias returns NULL (CH's Float64 0-div edge has no exact Spark spelling)",
 }
 
 

@@ -546,3 +546,52 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, ["lang"], "doc_id", "n_tokens", 512).select(
         "doc_id", "lang", "n_tokens", "pack_id"
     ).orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q76 non-scalar ClickHouse dialect through the pre-rewriter (chsql.py)
+# ---------------------------------------------------------------------------
+_Q76_CLICKHOUSE_SQL = """
+    SELECT lang,
+           arrayJoin(splitByChar(' ', text)) AS tok,
+           count() AS n,
+           uniqExact(doc_id) AS n_docs
+    FROM documents
+    GROUP BY lang, tok
+    ORDER BY lang, n DESC, tok
+    LIMIT 3 BY lang
+"""
+
+
+@query(
+    "q76_clickhouse_rewrite",
+    oracle="""
+    SELECT lang, tok, n, n_docs FROM (
+      SELECT lang, tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rn
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents) u
+      GROUP BY lang, tok
+    ) t WHERE rn <= 3
+    ORDER BY lang, n DESC, tok
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-scalar ClickHouse dialect running VERBATIM: a top-tokens
+    dashboard query spelled with ``arrayJoin`` (row unrolling),
+    ``LIMIT 3 BY lang`` (per-group top-n), bare ``count()`` and the
+    ``uniqExact`` combinator goes through
+    ``chsql.rewrite_clickhouse_sql`` — arrayJoin becomes a LATERAL
+    VIEW explode with the splitByChar alias body inlined (Spark forbids
+    SQL UDFs inside a Generate), LIMIT BY becomes a row_number window
+    filter ordered by the query's own ORDER BY — and hash-matches the
+    DuckDB oracle written with unnest + row_number directly. Where q74
+    proves the SCALAR vocabulary runs verbatim, this proves the syntax
+    forms the reference deployment's Grafana dashboards rely on
+    (reference ``tables.sql:5-30`` workload) need zero hand-rewriting."""
+    from ..functions.chsql import rewrite_clickhouse_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_clickhouse_sql(_Q76_CLICKHOUSE_SQL))

@@ -1,0 +1,162 @@
+"""Non-scalar ClickHouse dialect pre-rewriter (functions/chsql.py):
+string-level rewrite correctness plus end-to-end execution of rewritten
+queries against DataFrames, including every form q76 relies on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mb8600_clickhouse_spark.functions.chsql import (
+    ChSqlError,
+    rewrite_clickhouse_sql as rw,
+)
+from mb8600_clickhouse_spark.functions.clickhouse import (
+    register_clickhouse_functions,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_clickhouse_functions(spark)
+
+
+class TestCombinatorRewrites:
+    def test_quantile_family(self):
+        assert rw("SELECT quantile(0.95)(v) FROM t") == (
+            "SELECT percentile_approx(v, 0.95) FROM t"
+        )
+        assert rw("SELECT quantileExact(0.5)(v) FROM t") == (
+            "SELECT percentile(v, 0.5) FROM t"
+        )
+        assert rw("SELECT quantileTDigest(0.9)(x + 1) FROM t") == (
+            "SELECT percentile_approx(x + 1, 0.9) FROM t"
+        )
+
+    def test_uniq(self):
+        assert rw("SELECT uniq(u) FROM t") == "SELECT approx_count_distinct(u) FROM t"
+        assert rw("SELECT uniqExact(u) FROM t") == "SELECT count(DISTINCT u) FROM t"
+
+    def test_if_combinators(self):
+        assert rw("SELECT countIf(v > 0) FROM t") == "SELECT count_if(v > 0) FROM t"
+        assert rw("SELECT sumIf(v, v > 0) FROM t") == (
+            "SELECT sum(CASE WHEN v > 0 THEN v END) FROM t"
+        )
+        # nested comma inside the condition must not split the args
+        assert rw("SELECT avgIf(v, k IN (1, 2)) FROM t") == (
+            "SELECT avg(CASE WHEN k IN (1, 2) THEN v END) FROM t"
+        )
+
+    def test_bare_count(self):
+        assert rw("SELECT count() FROM t") == "SELECT count(*) FROM t"
+        # count with an argument is untouched
+        assert rw("SELECT count(x) FROM t") == "SELECT count(x) FROM t"
+
+    def test_ansi_passthrough(self):
+        q = "SELECT a, count(*) AS n FROM t WHERE a > 'uniq(' GROUP BY a"
+        assert rw(q) == q  # idempotent on ANSI; literal content untouched
+
+
+class TestArrayJoinRewrite:
+    def test_basic(self):
+        got = rw("SELECT k, arrayJoin(arr) AS x FROM t WHERE k > 0")
+        assert "LATERAL VIEW explode(arr) __ajv___aj0 AS __aj0" in got
+        assert "arrayJoin" not in got
+        assert got.index("LATERAL VIEW") < got.index("WHERE")
+
+    def test_same_expr_shares_one_view(self):
+        got = rw("SELECT arrayJoin(a) AS x, arrayJoin(a) + 1 AS y FROM t")
+        assert got.count("LATERAL VIEW") == 1
+
+    def test_scalar_alias_inlined_in_generate(self):
+        # Spark forbids SQL UDFs inside Generate: the splitByChar body
+        # must be inlined, not called
+        got = rw("SELECT arrayJoin(splitByChar(',', s)) AS x FROM t")
+        assert "splitByChar" not in got
+        assert "split(" in got
+
+
+class TestLimitByRewrite:
+    def test_shape(self):
+        got = rw("SELECT k, v FROM t ORDER BY k, v DESC LIMIT 2 BY k")
+        assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC)" in got
+        assert "__rn <= 2" in got
+        assert got.strip().endswith("ORDER BY k, v DESC")
+
+    def test_trailing_limit_kept(self):
+        got = rw("SELECT k, v FROM t ORDER BY v LIMIT 2 BY k LIMIT 10")
+        assert "__rn <= 2" in got and got.strip().endswith("LIMIT 10")
+
+    def test_no_order_by_falls_back_to_keys(self):
+        got = rw("SELECT k, v FROM t LIMIT 1 BY k")
+        assert "OVER (PARTITION BY k ORDER BY k)" in got
+
+    def test_offset_form_raises(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT k FROM t LIMIT 2, 3 BY k")
+
+    def test_plain_limit_untouched(self):
+        q = "SELECT k FROM t ORDER BY k LIMIT 5"
+        assert rw(q) == q
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope="class", autouse=True)
+    def _data(self, spark):
+        spark.createDataFrame(
+            [
+                Row(k="a", v=1.0, tags="x,y"),
+                Row(k="a", v=2.0, tags="x,z"),
+                Row(k="a", v=3.0, tags="x"),
+                Row(k="b", v=10.0, tags="y"),
+                Row(k="b", v=None, tags="y,y"),
+            ]
+        ).createOrReplaceTempView("chsql_t")
+
+    def test_limit_by_executes(self, spark):
+        rows = spark.sql(
+            rw(
+                "SELECT k, v FROM chsql_t WHERE v IS NOT NULL "
+                "ORDER BY k, v DESC LIMIT 2 BY k"
+            )
+        ).collect()
+        assert [(r["k"], r["v"]) for r in rows] == [
+            ("a", 3.0), ("a", 2.0), ("b", 10.0),
+        ]
+        assert rows[0].asDict().keys() == {"k", "v"}  # __rn projected away
+
+    def test_array_join_with_alias_executes(self, spark):
+        rows = spark.sql(
+            rw(
+                "SELECT k, arrayJoin(splitByChar(',', tags)) AS tag, count() AS n "
+                "FROM chsql_t GROUP BY k, tag ORDER BY k, tag"
+            )
+        ).collect()
+        got = {(r["k"], r["tag"]): r["n"] for r in rows}
+        assert got[("a", "x")] == 3 and got[("a", "y")] == 1
+        assert got[("b", "y")] == 3  # 'y' + 'y,y' unrolled
+
+    def test_combinators_execute(self, spark):
+        r = spark.sql(
+            rw(
+                "SELECT uniqExact(k) AS nk, countIf(v > 1.5) AS hi, "
+                "sumIf(v, k = 'a') AS sa, quantileExact(0.5)(v) AS med "
+                "FROM chsql_t"
+            )
+        ).collect()[0]
+        assert r["nk"] == 2 and r["hi"] == 3
+        assert r["sa"] == 6.0 and r["med"] == 2.5
+
+    def test_full_q76_shape(self, spark):
+        """The exact composition q76 ships: arrayJoin + GROUP BY alias +
+        LIMIT BY + count() + uniqExact in ONE statement."""
+        rows = spark.sql(
+            rw(
+                "SELECT k, arrayJoin(splitByChar(',', tags)) AS tag, "
+                "count() AS n FROM chsql_t GROUP BY k, tag "
+                "ORDER BY k, n DESC, tag LIMIT 1 BY k"
+            )
+        ).collect()
+        assert [(r["k"], r["tag"], r["n"]) for r in rows] == [
+            ("a", "x", 3), ("b", "y", 3),
+        ]
