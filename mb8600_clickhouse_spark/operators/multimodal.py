@@ -6,13 +6,15 @@ metadata prunes independently of payload bytes). Feature extraction and
 decoding run as Arrow-batched ``mapInPandas`` operators so payload bytes
 cross the JVM<->Python boundary once per batch, never per row.
 
-Decoders: PPM (binary P6) and BMP (24-bit uncompressed) are decoded for
-REAL in pure numpy — no imaging library needed — including feature
-extraction and nearest-neighbor resize. Compressed formats (JPEG/PNG/
-video) still need a backend this container lacks: for those,
-``strict=True`` raises ``NotImplementedError`` and ``strict=False``
-falls back to a deterministic digest-derived fake so the distributed
-plumbing stays exercisable end-to-end (tests/test_multimodal.py).
+Decoders: PPM (binary P6), BMP (24-bit uncompressed) and PNG (8-bit
+depth, all five standard filters, gray/RGB/palette/alpha color types,
+stdlib zlib inflate + numpy un-filtering) are decoded for REAL — no
+imaging library needed — including feature extraction and
+nearest-neighbor resize. Formats that genuinely need an external codec
+(JPEG/MP3/FLAC/video): ``strict=True`` raises ``NotImplementedError``
+and ``strict=False`` falls back to a deterministic digest-derived fake
+so the distributed plumbing stays exercisable end-to-end
+(tests/test_multimodal_decode.py).
 """
 
 from __future__ import annotations
@@ -137,6 +139,133 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per pixel for each PNG color type (3 = palette index)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit color type 2, filter 0
+    rows, one zlib-compressed IDAT). Pure stdlib — used by tests and
+    the q77 fixture synthesis."""
+    import zlib
+
+    h, w = img.shape[:2]
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + typ
+            + data
+            + _struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to an (h, w, 3) uint8 RGB array — REAL
+    decompression (stdlib zlib) + per-row un-filtering in numpy.
+
+    Supported: 8-bit depth; color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); all five standard row filters (None, Sub,
+    Up, Average, Paeth); multiple IDAT chunks. Alpha is dropped, gray is
+    replicated to RGB. Not supported (raise): 1/2/4/16-bit depths and
+    Adam7 interlace — rare in ML corpora and an explicit error beats a
+    silent misdecode.
+
+    The Sub filter's row-prefix dependency vectorizes as a cumulative
+    sum mod 256 per channel lane; Average/Paeth are inherently
+    byte-sequential, so those rows fall back to a per-byte loop —
+    correctness-first; a large-corpus hot path would swap in a native
+    codec behind the same mapInPandas plumbing."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = _struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (1 + stride):
+        raise ValueError("PNG scanline data truncated")
+
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        rpos += 1
+        rec = np.frombuffer(raw, np.uint8, stride, rpos).astype(np.int32)
+        rpos += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-nch] => cumsum/lane
+            for i in range(nch):
+                rec[i::nch] = np.cumsum(rec[i::nch]) & 0xFF
+        elif f == 2:  # Up
+            rec = (rec + prev) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = rec[i - nch] if i >= nch else 0
+                rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(rec[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rec[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, nch)
+    if ctype == 2:
+        return px
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        return plte[px[..., 0]]
+    if ctype == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # ctype 6: drop alpha
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a RIFF/WAVE payload with 16-bit PCM samples to
     (sample_rate, (n_frames, n_channels) float64 array in [-1, 1]).
@@ -226,6 +355,8 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return decode_ppm(payload)
     if head == b"BM":
         return decode_bmp(payload)
+    if bytes(payload[:8]) == _PNG_SIG:
+        return decode_png(payload)
     return None
 
 

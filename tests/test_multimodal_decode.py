@@ -174,3 +174,153 @@ class TestAudioDecode:
         df = spark.createDataFrame([Row(doc_id=2, payload=bytearray(b"mp3data..."))])
         feats = mm.decode_audio_features(df).collect()[0]["features"]
         assert feats == pytest.approx(mm._fake_decode(b"mp3data..."), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# PNG: stdlib-zlib inflate + numpy un-filtering (round 5)
+# ---------------------------------------------------------------------------
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-encode an RGB image applying the given filter type per row,
+    to exercise every un-filter path in decode_png (encode_png itself
+    only emits filter 0)."""
+    import zlib
+
+    h, w = img.shape[:2]
+    img = img.astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros((w, 3), np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = img[y]
+        left = np.vstack([np.zeros((1, 3), np.int32), cur[:-1]])
+        up_left = np.vstack([np.zeros((1, 3), np.int32), prev[:-1]])
+        if f == 0:
+            row = cur
+        elif f == 1:
+            row = cur - left
+        elif f == 2:
+            row = cur - prev
+        elif f == 3:
+            row = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - up_left
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left)
+            )
+            row = cur - pred
+        raw += bytes([f]) + (row & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        mm._PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+class TestPngDecode:
+    def test_encode_decode_roundtrip(self):
+        img = _gradient(5, 7)
+        assert np.array_equal(mm.decode_png(mm.encode_png(img)), img)
+
+    @pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+    def test_all_standard_filters_unfilter_correctly(self, filters):
+        img = _gradient(6, 9)
+        assert np.array_equal(mm.decode_png(_png_with_filters(img, filters)), img)
+
+    def test_multiple_idat_chunks(self):
+        import zlib
+
+        img = _gradient(4, 4)
+        png = mm.encode_png(img)
+        # re-split the single IDAT into two chunks
+        sig, rest = png[:8], png[8:]
+        ln = struct.unpack_from(">I", rest, 0)[0]
+        ihdr = rest[: 12 + ln]
+        rest = rest[12 + ln :]
+        ln2 = struct.unpack_from(">I", rest, 0)[0]
+        idat_body = rest[8 : 8 + ln2]
+        iend = rest[12 + ln2 :]
+        mid = len(idat_body) // 2
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        split = sig + ihdr + chunk(b"IDAT", idat_body[:mid]) + chunk(
+            b"IDAT", idat_body[mid:]
+        ) + iend
+        assert np.array_equal(mm.decode_png(split), img)
+
+    def test_gray_palette_and_alpha_color_types(self):
+        import zlib
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def png(ctype, w, h, raw, plte=b""):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            out = mm._PNG_SIG + chunk(b"IHDR", ihdr)
+            if plte:
+                out += chunk(b"PLTE", plte)
+            return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+        # gray (ctype 0): value replicated to RGB
+        g = png(0, 2, 1, b"\x00\x10\xfe")
+        assert mm.decode_png(g).tolist() == [[[16, 16, 16], [254, 254, 254]]]
+        # palette (ctype 3)
+        p = png(3, 2, 1, b"\x00\x01\x00", plte=bytes([9, 8, 7, 1, 2, 3]))
+        assert mm.decode_png(p).tolist() == [[[1, 2, 3], [9, 8, 7]]]
+        # gray+alpha (ctype 4): alpha dropped
+        ga = png(4, 1, 1, b"\x00\x40\x80")
+        assert mm.decode_png(ga).tolist() == [[[64, 64, 64]]]
+        # RGBA (ctype 6): alpha dropped
+        rgba = png(6, 1, 1, b"\x00\x01\x02\x03\xff")
+        assert mm.decode_png(rgba).tolist() == [[[1, 2, 3]]]
+
+    def test_unsupported_variants_raise(self):
+        import zlib
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            mm.decode_png(b"JFIF----")
+        # 16-bit depth
+        ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        bad = mm._PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(
+            b"IDAT", zlib.compress(b"\x00" * 7)
+        ) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            mm.decode_png(bad)
+
+    def test_strict_spark_path_decodes_png(self, spark):
+        """decode_image_features(strict=True) accepts PNG now — the
+        compressed-format gap from VERDICT r04 'What's missing #2'."""
+        img = _gradient(4, 8)
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=bytearray(mm.encode_png(img)))]
+        )
+        row = mm.decode_image_features(df, strict=True).collect()[0]
+        px = img.reshape(-1, 3).astype(np.float64) / 255.0
+        assert row["features"][0] == 8.0 and row["features"][1] == 4.0
+        np.testing.assert_allclose(row["features"][2:5], px.mean(axis=0), rtol=1e-6)
+        np.testing.assert_allclose(row["features"][5:8], px.std(axis=0), rtol=1e-6)
