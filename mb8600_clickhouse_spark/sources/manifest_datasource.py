@@ -189,6 +189,27 @@ class ManifestStreamReader(DataSourceStreamReader):
 
 
 class ManifestDataSource(DataSource):
+    def __init__(self, options: dict) -> None:
+        super().__init__(options)
+        # Pin the snapshot at instance construction, not only in
+        # schema(): when a caller supplies an explicit .schema(...),
+        # Spark never calls schema(), and without this pin EVERY action
+        # on the planned DataFrame would re-resolve the latest version —
+        # two collects of one frame could read different data (ADVICE
+        # r04). Spark constructs the Python DataSource instance lazily
+        # (measured: at the FIRST action when the schema is explicit, at
+        # load() when schema() is consulted) and caches it in the plan,
+        # so the achievable contract is: schema-inferred reads pin at
+        # load(); explicit-schema reads pin at first materialization and
+        # are immutable from then on. Streaming is unaffected — its
+        # reader keys off `startingVersion` and advances offsets by
+        # design. An empty table (no snapshot yet) stays unpinned; the
+        # batch reader then raises its own clear error.
+        if options.get("version") is None and "path" in options:
+            latest = _latest_version(options["path"])
+            if latest is not None:
+                options["version"] = str(latest)
+
     @classmethod
     def name(cls) -> str:
         return "manifest"

@@ -55,6 +55,25 @@ class TestManifestBatchRead:
         t.append(_df(spark, 4, 6))  # concurrent commit
         assert sorted(r["k"] for r in df.collect()) == [0, 1, 2, 3]
 
+    def test_snapshot_pinned_with_explicit_schema(self, spark, tmp_path):
+        """When the caller supplies .schema(...), Spark never calls
+        DataSource.schema() AND constructs the Python DataSource lazily
+        at the first action — so the achievable pin (done in __init__,
+        ADVICE r04) is at first materialization: after one action, the
+        DataFrame is immutable; later commits never leak in."""
+        path = str(tmp_path / "t")
+        t = ManifestTable(path)
+        t.append(_df(spark, 0, 4))
+        df = (
+            spark.read.format("manifest")
+            .schema("k BIGINT, v STRING")
+            .load(path)
+        )
+        first = sorted(r["k"] for r in df.collect())  # pin happens here
+        assert first == [0, 1, 2, 3]
+        t.append(_df(spark, 4, 6))  # commit AFTER first action
+        assert sorted(r["k"] for r in df.collect()) == first
+
     def test_evolved_schema_served_for_old_files(self, spark, tmp_path):
         path = str(tmp_path / "t")
         t = ManifestTable(path)

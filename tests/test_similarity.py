@@ -91,6 +91,33 @@ class TestIVFAssign:
         got_e = sim.ivf_topk(df, q, cents_df, k=3, nprobe=2, assign_impl="expr")
         assert sorted(map(tuple, got_p.collect())) == sorted(map(tuple, got_e.collect()))
 
+    def test_q54_fixture_boundary_margin(self, spark):
+        """q54's oracle hash equality rests on the numpy-vs-JVM-fold
+        summation orders rounding to the same 4th decimal (ADVICE r04):
+        assert, on the ACTIVE sf0.01 driver fixture with q54's exact
+        parameters, that every scored cosine sits far enough from a
+        .00005 half-boundary that ulp-order noise (~1e-15) cannot flip
+        the rounding. A regenerated fixture that lands a cosine within
+        1e-9 of a boundary fails HERE, loudly, instead of as a driver
+        hash mismatch."""
+        from pyspark.sql import functions as F
+
+        from mb8600_clickhouse_spark.tables import load_tables
+
+        emb = load_tables(spark, "/root/testdata/sf0.01")["embeddings"]
+        out = sim.ivf_topk(
+            corpus=emb.filter(F.col("vec_id") >= 50),
+            queries=emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)),
+            centroids=emb.filter(F.col("vec_id") < 8),
+            k=5,
+            nprobe=2,
+        )
+        sims = [r["cosine_sim"] for r in out.collect()]
+        assert sims, "q54 shape returned no candidates on the fixture"
+        # distance from v to the nearest (k + 0.5) / 1e4 rounding boundary
+        margin = min(abs(((v * 1e4) % 1.0) - 0.5) / 1e4 for v in sims)
+        assert margin > 1e-9, f"cosine within {margin} of a rounding boundary"
+
 
 class TestLSH:
     def test_bucket_is_deterministic_bitstring(self, spark):
