@@ -37,18 +37,29 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def hyperplanes_for_table(t: int) -> list[list[float]]:
+def hyperplanes_for_table(t: int, n_planes: int = N_HYPERPLANES) -> list[list[float]]:
     """Hyperplane set for LSH table ``t`` (multi-table OR-banding).
-    Table 0 is the canonical ``HYPERPLANES`` constant (the oracle SQL
-    embeds those literals); further tables are independent deterministic
-    draws — a pair is a candidate if it collides in ANY table, so recall
-    grows as 1-(1-p^8)^T instead of p^8."""
-    if t == 0:
+    Table 0 at the default width is the canonical ``HYPERPLANES``
+    constant (the oracle SQL embeds those literals); further tables —
+    and any non-default ``n_planes`` — are independent deterministic
+    draws. A pair is a candidate if it collides in ANY table, so recall
+    grows as 1-(1-p^b)^T instead of p^b.
+
+    ``n_planes`` is the bucket-KEY-LENGTH lever: b bits give 2^b
+    buckets, and uniform-corpus candidate pairs scale as n^2 / 2^b —
+    the round-5 similarity probe measured 8 bits (256 buckets) leaving
+    2.49 M pairs on a 32 000-vector replica corpus where 16 bits cut
+    them ~100x. Precision per collision rises with b (p^b), so widen
+    keys AND add tables together to hold recall."""
+    if t == 0 and n_planes == N_HYPERPLANES:
         return HYPERPLANES
-    rng = random.Random(f"hyperplane-lsh-42:{t}")
+    seed = f"hyperplane-lsh-42:{t}" if n_planes == N_HYPERPLANES else (
+        f"hyperplane-lsh-42:{t}:{n_planes}"
+    )
+    rng = random.Random(seed)
     return [
         [round(rng.uniform(-1.0, 1.0), 6) for _ in range(EMBEDDING_DIM)]
-        for _ in range(N_HYPERPLANES)
+        for _ in range(n_planes)
     ]
 
 
@@ -129,21 +140,25 @@ def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
     m = F.lit(
         _PLANES_FLAT if planes is None else [x for plane in planes for x in plane]
     )
-    # per-row bound: vectors shorter than EMBEDDING_DIM (tests, padded
+    # plane count / dim come from the supplied set (n_bits lever), not
+    # the module constants
+    n_planes = N_HYPERPLANES if planes is None else len(planes)
+    dim = EMBEDDING_DIM if planes is None else len(planes[0])
+    # per-row bound: vectors shorter than the plane dim (tests, padded
     # data) use the plane prefix; guard keeps sequence() from counting
     # down on an empty array
-    n = F.least(F.size(vec), F.lit(EMBEDDING_DIM))
+    n = F.least(F.size(vec), F.lit(dim))
     idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
     dots = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HYPERPLANES - 1)),
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
         lambda p: F.aggregate(
             idx,
             F.lit(0.0),
             lambda acc, i: acc
             + F.element_at(vec, i + 1).cast("double")
-            * F.element_at(m, p * EMBEDDING_DIM + i + 1),
+            * F.element_at(m, p * dim + i + 1),
         ),
     )
     return F.array_join(
@@ -163,6 +178,7 @@ def lsh_candidate_pairs(
     vec_col: str = "embedding",
     n_tables: int = 1,
     max_bucket: int | None = None,
+    n_bits: int = N_HYPERPLANES,
 ) -> DataFrame:
     """ANN candidate pairs: ids sharing a bucket in ANY of ``n_tables``
     independent hyperplane tables (id_a < id_b, distinct).
@@ -180,9 +196,18 @@ def lsh_candidate_pairs(
       hash family no longer separates that region — near-dup semantics
       degrade gracefully (capped recall) instead of the job degrading
       quadratically. Pair count is bounded by
-      #buckets * max_bucket^2 / 2 regardless of corpus degeneracy."""
+      #buckets * max_bucket^2 / 2 regardless of corpus degeneracy;
+    - ``n_bits``: bucket-key length — the PRIMARY population-scale
+      lever: 2^n_bits buckets, so uniform-corpus pair counts fall
+      ~2^(n_bits - 8) versus the 8-bit default (round-5 probe: 16 bits
+      cut a 32 000-vector replica corpus from 2.49 M to ~24 k pairs).
+      Non-default widths use deterministic non-canonical plane draws,
+      so only the 8-bit default is oracle-embeddable."""
     keys = [
-        F.concat(F.lit(f"{t}:"), lsh_bucket(F.col(vec_col), hyperplanes_for_table(t)))
+        F.concat(
+            F.lit(f"{t}:"),
+            lsh_bucket(F.col(vec_col), hyperplanes_for_table(t, n_bits)),
+        )
         for t in range(n_tables)
     ]
     b = df.select(
@@ -217,16 +242,18 @@ def embedding_neardup(
     vec_col: str = "embedding",
     n_tables: int = 1,
     max_bucket: int | None = None,
+    n_bits: int = N_HYPERPLANES,
 ) -> DataFrame:
     """Near-duplicate detection: LSH candidate generation then exact
     cosine verification >= threshold. Semantics = 'pairs that collide in
     LSH AND pass the exact check' (deterministic, oracle-matchable).
-    ``n_tables``/``max_bucket`` pass through to candidate generation
-    (recall / degenerate-bucket levers; see lsh_candidate_pairs)."""
+    ``n_tables``/``max_bucket``/``n_bits`` pass through to candidate
+    generation (recall / degenerate-bucket / population-scale levers;
+    see lsh_candidate_pairs)."""
     vecs = df.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
     ).withColumn("_n", norm(F.col("v")))
-    cands = lsh_candidate_pairs(df, id_col, vec_col, n_tables, max_bucket)
+    cands = lsh_candidate_pairs(df, id_col, vec_col, n_tables, max_bucket, n_bits)
     return (
         cands.join(vecs.withColumnsRenamed({"id": "id_a", "v": "va", "_n": "_na"}), "id_a")
         .join(vecs.withColumnsRenamed({"id": "id_b", "v": "vb", "_n": "_nb"}), "id_b")
