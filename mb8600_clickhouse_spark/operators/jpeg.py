@@ -1,0 +1,417 @@
+"""Baseline JPEG decode/encode in pure numpy + stdlib — no imaging
+library.
+
+Decoder (``decode_jpeg``): baseline sequential DCT JPEGs (SOF0) —
+8-bit samples, 1 (grayscale) or 3 (YCbCr) components, arbitrary
+per-file quantization/Huffman tables read from the stream, chroma
+subsampling factors up to 2x2, restart markers, byte stuffing.
+Progressive (SOF2), arithmetic coding, 12-bit and hierarchical modes
+raise ``ValueError`` — explicit error beats silent misdecode.
+
+Encoder (``encode_jpeg``): the fixture-synthesis side — 4:4:4, one
+flat quantization table (all ones) and per-image canonical Huffman
+tables built from the symbols actually emitted. With the flat table,
+an 8x8-constant (solid color) block round-trips EXACTLY: the FDCT of a
+constant block has only a DC coefficient (an exact integer, 8*(v-128)),
+quantization by 1 is lossless, and the float IDCT reconstructs the
+constant to well under the 0.5 rounding threshold — which is what makes
+an ANALYTIC cross-engine oracle possible for a lossy format (q78).
+
+Performance posture: the entropy decode is a per-bit Python loop —
+correct and deterministic, sized for fixture-scale payloads inside the
+Arrow-batched ``mapInPandas`` plumbing (``multimodal.py``). A 100 TB
+corpus would swap a native codec into the same ``decode_image`` sniff
+point; the distributed shape (schema, batching, partitioning) is
+identical either way.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+#: zigzag scan order: ZIGZAG[i] = (row, col) of the i-th coefficient
+_ZZ: list[tuple[int, int]] = []
+for s in range(15):
+    idx = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+    _ZZ.extend(idx if s % 2 else idx[::-1])
+
+#: orthogonal 8x8 DCT matrix in the JPEG scaling convention:
+#: F = A @ (f - 128) @ A.T  and  f = A.T @ F @ A + 128
+_A = np.zeros((8, 8))
+for u in range(8):
+    c = (1 / np.sqrt(2)) if u == 0 else 1.0
+    for x in range(8):
+        _A[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+
+
+def _extend(bits: int, size: int) -> int:
+    """JPEG magnitude-category decoding (spec F.12)."""
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with byte
+    de-stuffing (FF00 -> FF) and restart-marker detection."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bit = 0
+        self.cur = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        while True:
+            b = d[self.pos]
+            self.pos += 1
+            if b != 0xFF:
+                return b
+            marker = d[self.pos]
+            if marker == 0x00:  # stuffed
+                self.pos += 1
+                return 0xFF
+            raise _MarkerHit(marker)
+
+    def read_bit(self) -> int:
+        if self.bit == 0:
+            self.cur = self._next_byte()
+            self.bit = 8
+        self.bit -= 1
+        return (self.cur >> self.bit) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.bit = 0
+
+    def expect_rst(self, n: int) -> None:
+        """Consume the byte-aligned restart marker FFD0+n."""
+        self.align()
+        d = self.data
+        assert d[self.pos] == 0xFF and d[self.pos + 1] == 0xD0 + n, (
+            "restart marker expected"
+        )
+        self.pos += 2
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, canonical assignment (spec C.2)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, 3) uint8 RGB (grayscale
+    replicated). See module docstring for the supported envelope."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        ln = _struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tbl = np.zeros((8, 8))
+                for k in range(64):
+                    tbl[_ZZ[k]] = seg[i + 1 + k]
+                qt[tid] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _build_huffman(bits, seg[i + 17 : i + 17 + n])
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            depth, h, w, nc = seg[0], *_struct.unpack_from(">HH", seg, 1), seg[5]
+            if depth != 8:
+                raise ValueError(f"unsupported sample depth {depth}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF{marker - 0xC0}); baseline only"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = _struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                payload, pos + ln, frame, scan, qt, huff, restart_interval
+            )
+        pos += ln
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data, start, frame, scan, qt, huff, restart_interval):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2 unsupported")
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
+    br = _BitReader(data, start)
+    preds = [0] * len(comps)
+    n_mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.expect_rst(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                dc_t = huff[(0, scan[comp["id"]][0])]
+                ac_t = huff[(1, scan[comp["id"]][1])]
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        F = np.zeros((8, 8))
+                        s = _read_symbol(br, dc_t)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        F[0, 0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            F[_ZZ[k]] = _extend(br.read_bits(size), size)
+                            k += 1
+                        block = _A.T @ (F * q) @ _A + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            n_mcu += 1
+    # upsample to full MCU-grid resolution, then crop
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // comp["v"], 0), hmax // comp["h"], 1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    Y, Cb, Cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [Y + 1.402 * Cr, Y - 0.344136 * Cb - 0.714136 * Cr, Y + 1.772 * Cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture synthesis: 4:4:4, flat quant, canonical per-image tables)
+# ---------------------------------------------------------------------------
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _mag_bits(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _block_symbols(F: np.ndarray, pred: int) -> tuple[list, int]:
+    """(symbol, size, value) stream for one quantized block; returns the
+    new DC predictor."""
+    out = []
+    dc = int(F[0, 0])
+    diff = dc - pred
+    s = _category(diff)
+    out.append(("dc", s, diff))
+    run = 0
+    for k in range(1, 64):
+        v = int(F[_ZZ[k]])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            out.append(("ac", 0xF0, 0))
+            run -= 16
+        size = _category(v)
+        out.append(("ac", (run << 4) | size, v))
+        run = 0
+    if run:
+        out.append(("ac", 0x00, 0))
+    return out, dc
+
+
+def _canonical_table(symbols: set[int]) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """All symbols at code length 8 (valid canonical set for <=255
+    symbols): returns (bits[16], vals, symbol -> (length, code))."""
+    vals = sorted(symbols)
+    if len(vals) > 255:
+        raise ValueError("too many Huffman symbols for the flat-8 table")
+    bits = [0] * 16
+    bits[7] = len(vals)
+    enc = {sym: (8, code) for code, sym in enumerate(vals)}
+    return bits, bytes(vals), enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s (spec F.1.2.3)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JPEG, 4:4:4, flat (all-ones)
+    quantization, per-image canonical Huffman tables. Lossless for
+    blockwise-constant images (see module docstring)."""
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float64)
+    R, G, B = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+    Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = []
+    for P in (Y, Cb, Cr):
+        pad = np.pad(P, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes.append(pad)
+
+    # pass 1: quantized blocks + symbol statistics
+    blocks: list[list] = []  # per MCU: 3 symbol streams
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    preds = [0, 0, 0]
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            per_comp = []
+            for ci in range(3):
+                f = planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                F = np.round(_A @ (f - 128.0) @ _A.T)  # flat quant = 1
+                sym, preds[ci] = _block_symbols(F, preds[ci])
+                per_comp.append(sym)
+                for kind, s, _v in sym:
+                    (dc_syms if kind == "dc" else ac_syms).add(
+                        s if kind == "dc" else s
+                    )
+            blocks.append(per_comp)
+    dc_bits, dc_vals, dc_enc = _canonical_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _canonical_table(ac_syms)
+
+    # pass 2: entropy-code
+    bw = _BitWriter()
+    for per_comp in blocks:
+        for sym in per_comp:
+            for kind, s, v in sym:
+                ln, code = (dc_enc if kind == "dc" else ac_enc)[s]
+                bw.write(code, ln)
+                size = s if kind == "dc" else s & 0xF
+                if size:
+                    bw.write(_mag_bits(v, size), size)
+    body = bw.flush()
+
+    def seg(marker: int, payload_: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(payload_) + 2) + payload_
+
+    zz_ones = bytes([1] * 64)
+    dqt = seg(0xDB, bytes([0x00]) + zz_ones)
+    sof = seg(
+        0xC0,
+        bytes([8]) + _struct.pack(">HH", h, w) + bytes([3])
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals) + seg(
+        0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"

@@ -6,15 +6,17 @@ metadata prunes independently of payload bytes). Feature extraction and
 decoding run as Arrow-batched ``mapInPandas`` operators so payload bytes
 cross the JVM<->Python boundary once per batch, never per row.
 
-Decoders: PPM (binary P6), BMP (24-bit uncompressed) and PNG (8-bit
+Decoders: PPM (binary P6), BMP (24-bit uncompressed), PNG (8-bit
 depth, all five standard filters, gray/RGB/palette/alpha color types,
-stdlib zlib inflate + numpy un-filtering) are decoded for REAL — no
-imaging library needed — including feature extraction and
-nearest-neighbor resize. Formats that genuinely need an external codec
-(JPEG/MP3/FLAC/video): ``strict=True`` raises ``NotImplementedError``
+stdlib zlib inflate + numpy un-filtering) and baseline JPEG (SOF0,
+per-file Huffman/quant tables, chroma subsampling to 2x2, restart
+markers — ``operators/jpeg.py``) are decoded for REAL — no imaging
+library needed — including feature extraction and nearest-neighbor
+resize. Formats that genuinely need an external codec (progressive
+JPEG, MP3/FLAC, video): ``strict=True`` raises ``NotImplementedError``
 and ``strict=False`` falls back to a deterministic digest-derived fake
 so the distributed plumbing stays exercisable end-to-end
-(tests/test_multimodal_decode.py).
+(tests/test_multimodal_decode.py, tests/test_jpeg.py).
 """
 
 from __future__ import annotations
@@ -357,6 +359,10 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return decode_bmp(payload)
     if bytes(payload[:8]) == _PNG_SIG:
         return decode_png(payload)
+    if head == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return None
 
 

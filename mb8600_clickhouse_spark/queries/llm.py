@@ -801,3 +801,56 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q78 multimodal JPEG decode (F5, real baseline-JPEG path, round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "q78_jpeg_decode",
+    oracle="""
+    SELECT doc_id,
+           8.0 AS f0,
+           4.0 AS f1,
+           round(CAST(CAST((doc_id * 19 % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f2,
+           round(CAST(CAST((doc_id * 23 % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f3,
+           round(CAST(CAST((doc_id * 29 % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f4,
+           0.0 AS f5, 0.0 AS f6, 0.0 AS f7
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the distributed pipeline —
+    entropy decode (per-file Huffman tables), dequantize, IDCT, YCbCr
+    inverse, all pure numpy/stdlib (``operators/jpeg.py``). The lossy
+    format still admits an ANALYTIC oracle because the fixture images
+    are solid colors and the flat-quant encoder round-trips constant
+    blocks bit-exact (property-tested across the full color cube in
+    tests/test_jpeg.py::test_solid_color_is_exact), so decoded mean =
+    c/255 with the same float32 boundary-margin scheme as q71/q77.
+    n_bytes omitted (entropy-coded size is not SQL-reproducible);
+    features project to scalar f0..f7 per the q71 driver contract."""
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import decode_image_features
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+
+    def _jpeg_batches(doc_id):
+        import numpy as np
+
+        def make(i):
+            rgb = (int(i) * 19 % 251, int(i) * 23 % 251, int(i) * 29 % 251)
+            return encode_jpeg(np.full((4, 8, 3), rgb, dtype=np.uint8))
+
+        return doc_id.map(make)
+
+    _jpg = F.pandas_udf(_jpeg_batches, "binary")
+    payloads = docs.select("doc_id", _jpg(F.col("doc_id")).alias("payload"))
+    feats = decode_image_features(payloads, strict=True)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 4).alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("doc_id")
