@@ -17,6 +17,9 @@ they cannot be a scalar alias and need a textual rewrite before
   ``count(DISTINCT x)``; ``countIf(c)`` → ``count_if(c)``;
   ``sumIf/avgIf/minIf/maxIf(x, c)`` → ``agg(CASE WHEN c THEN x END)``.
 - Bare ``count()`` → ``count(*)``.
+- ``FROM t FINAL`` → latest-row-per-key subquery, given the table's
+  ReplacingMergeTree contract via ``final_tables`` (the DDL knowledge
+  ClickHouse has and Spark doesn't).
 
 Usage — the whole bridge in two lines::
 
@@ -291,7 +294,42 @@ def _rewrite_array_join(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# 3. LIMIT n BY k1, k2 -> row_number window filter
+# 3. FROM t FINAL -> latest-row-per-key subquery
+# ---------------------------------------------------------------------------
+def _rewrite_final(sql: str, final_tables: dict | None) -> str:
+    """``FROM t FINAL`` — ClickHouse collapses a ReplacingMergeTree to
+    the surviving row per sorting key at read time. That semantics
+    lives in the table DDL (ORDER BY key + version column), which Spark
+    does not have, so the caller supplies it:
+    ``final_tables={"t": (["k1", "k2"], "version_col")}`` — the rewrite
+    keeps the highest-version row per key (row_number window). Ties on
+    the version column are arbitrary in ClickHouse too — use a unique
+    version column for deterministic results. A FINAL on a table absent
+    from ``final_tables`` raises rather than silently dropping the
+    modifier."""
+    while True:
+        m = _first_match(sql, r"\bFROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+FINAL\b")
+        if not m:
+            return sql
+        table = m.group(1)
+        if not final_tables or table not in final_tables:
+            raise ChSqlError(
+                f"FROM {table} FINAL needs its ReplacingMergeTree contract: "
+                "pass final_tables={'" + table + "': ([key_cols], version_col)}"
+            )
+        keys, version = final_tables[table]
+        keys_sql = ", ".join(keys)
+        sub = (
+            f"FROM (SELECT * EXCEPT (__rn) FROM ("
+            f"SELECT __ft.*, row_number() OVER (PARTITION BY {keys_sql} "
+            f"ORDER BY {version} DESC) AS __rn FROM {table} __ft"
+            f") WHERE __rn = 1) {table}"
+        )
+        sql = sql[: m.start()] + sub + sql[m.end() :]
+
+
+# ---------------------------------------------------------------------------
+# 4. LIMIT n BY k1, k2 -> row_number window filter
 # ---------------------------------------------------------------------------
 def _rewrite_limit_by(sql: str) -> str:
     mlb = _top_level_matches(sql, r"\bLIMIT\s+(\d+)\s*(,\s*\d+\s*)?BY\b")
@@ -336,10 +374,13 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
-def rewrite_clickhouse_sql(sql: str) -> str:
+def rewrite_clickhouse_sql(sql: str, final_tables: dict | None = None) -> str:
     """Rewrite the supported non-scalar ClickHouse forms in one SELECT
-    statement into Spark SQL. Idempotent on already-ANSI input."""
+    statement into Spark SQL. Idempotent on already-ANSI input.
+    ``final_tables`` supplies the ReplacingMergeTree contract for
+    ``FROM t FINAL`` (see ``_rewrite_final``)."""
     sql = _rewrite_combinators(sql)
+    sql = _rewrite_final(sql, final_tables)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)
     return sql

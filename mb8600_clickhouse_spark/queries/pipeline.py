@@ -595,3 +595,55 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return spark.sql(rewrite_clickhouse_sql(_Q76_CLICKHOUSE_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Q79 ClickHouse FROM ... FINAL through the pre-rewriter
+# ---------------------------------------------------------------------------
+_Q79_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           count() AS n_current,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_current
+    FROM events FINAL
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query(
+    "q79_clickhouse_final",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_current,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_current
+    FROM (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``SELECT ... FROM events FINAL`` running VERBATIM:
+    the ReplacingMergeTree read-time collapse (latest row per sorting
+    key) that dashboard queries lean on. The DDL knowledge ClickHouse
+    resolves FINAL with lives outside the SQL text, so the bridge takes
+    it explicitly — ``final_tables={'events': (['user_id',
+    'event_type'], 'event_id')}`` — and rewrites to a row_number
+    latest-per-key subquery. ``event_id`` is unique, so the surviving
+    row is deterministic (a tied version column is arbitrary in
+    ClickHouse too). Exact decimal sums; oracle spells the same
+    collapse directly."""
+    from ..functions.chsql import rewrite_clickhouse_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        rewrite_clickhouse_sql(
+            _Q79_CLICKHOUSE_SQL,
+            final_tables={"events": (["user_id", "event_type"], "event_id")},
+        )
+    )

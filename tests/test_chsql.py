@@ -100,6 +100,36 @@ class TestLimitByRewrite:
         assert rw(q) == q
 
 
+class TestFinalRewrite:
+    def test_shape(self):
+        got = rw(
+            "SELECT k, v FROM t FINAL WHERE v > 0",
+            final_tables={"t": (["k"], "ver")},
+        )
+        assert "PARTITION BY k ORDER BY ver DESC" in got
+        assert "__rn = 1" in got and "FINAL" not in got
+
+    def test_missing_contract_raises(self):
+        with pytest.raises(ChSqlError, match="ReplacingMergeTree contract"):
+            rw("SELECT k FROM t FINAL")
+
+    def test_final_executes(self, spark):
+        spark.createDataFrame(
+            [
+                Row(k="a", ver=1, v=10.0),
+                Row(k="a", ver=2, v=20.0),
+                Row(k="b", ver=1, v=5.0),
+            ]
+        ).createOrReplaceTempView("chsql_final_t")
+        rows = spark.sql(
+            rw(
+                "SELECT k, v FROM chsql_final_t FINAL ORDER BY k",
+                final_tables={"chsql_final_t": (["k"], "ver")},
+            )
+        ).collect()
+        assert [(r["k"], r["v"]) for r in rows] == [("a", 20.0), ("b", 5.0)]
+
+
 class TestEndToEnd:
     @pytest.fixture(scope="class", autouse=True)
     def _data(self, spark):
