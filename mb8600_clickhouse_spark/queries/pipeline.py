@@ -164,44 +164,50 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc; contaminated copies are planted deterministically so the flag
     fires).
 
-    Scale shape (round-4 rework, 2.2s -> ~1.0s warm at sf0.1):
+    Scale shape (round-5 rework; wall time at sf0.1 is FLAT vs the
+    round-4 checkpoint shape — A/B medians 1.34 s vs 1.29 s, fixture
+    scale is fixed-cost-dominated — but the structure changes from
+    one full-corpus wide op to zero):
 
-    - the base corpus is tokenized/shingled ONCE into a lazily
-      checkpointed (id, 64-bit hash) set; the benchmark side and the
-      train side are both row-filters over that one materialization
-      (the union previously re-shingled every base doc a second time);
-    - only the planted contaminated copies (1/97 of the corpus) get
-      their own small shingle pass — their text differs;
-    - the benchmark shingle set is BROADCAST to the semi-join:
-      benchmark suites are thousands of docs while the train side is
-      the 100 TB corpus, so the train-side hashes never shuffle at all
-      — the semi-join is map-side, and the only real exchange left is
-      the per-doc count.
+    - the benchmark filter is pushed BEFORE shingling, so the bench
+      side tokenizes only its 1/97 of the docs; its distinct shingle
+      hashes are BROADCAST (benchmark suites are thousands of docs
+      while the train side is the 100 TB corpus);
+    - the train side is shingled in ONE map-only pass (no
+      dropDuplicates, no checkpoint): within-doc duplicate shingles
+      survive to the broadcast semi-join, which filters them map-side,
+      and per-doc DISTINCTness is settled by count_distinct in the
+      final aggregation — deduplication work happens only on the tiny
+      set of semi-join SURVIVORS (shingles actually shared with the
+      benchmark), not on the whole corpus. The round-4 shape shuffled
+      every (id, hash) row once for dropDuplicates; this shape's only
+      exchange carries survivors.
 
     Never shuffles text; hash collisions at |shingles|^2/2^64 are
     negligible (same trade as q41)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    allsh = (
-        dedup.shingle_rows(docs.select("doc_id", "text"), "doc_id", "text", 3, distinct=False)
-        .select("id", F.xxhash64("s").alias("h"))
-        .dropDuplicates(["id", "h"])
-        .localCheckpoint(eager=False)
+
+    def _sh(df: DataFrame) -> DataFrame:
+        return dedup.shingle_rows(df, "doc_id", "text", 3, distinct=False).select(
+            "id", F.xxhash64("s").alias("h")
+        )
+
+    bench_sh = F.broadcast(
+        _sh(docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text"))
+        .select("h")
+        .distinct()
     )
-    bench_sh = F.broadcast(allsh.filter(F.col("id") % 97 == 0).select("h").distinct())
     planted = docs.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 500000).alias("doc_id"),
         F.concat("text", F.lit(" extra")).alias("text"),
     )
-    planted_sh = (
-        dedup.shingle_rows(planted, "doc_id", "text", 3, distinct=False)
-        .select("id", F.xxhash64("s").alias("h"))
-        .dropDuplicates(["id", "h"])
-    )
-    train_sh = allsh.filter(F.col("id") % 97 != 0).unionAll(planted_sh)
+    train_sh = _sh(
+        docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    ).unionAll(_sh(planted))
     return (
         train_sh.join(bench_sh, "h", "leftsemi")
         .groupBy("id")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.count_distinct("h").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
         .select(F.col("id").alias("doc_id"), "n_shared")
         .orderBy("doc_id")
