@@ -1,0 +1,355 @@
+"""FLAC decode/encode in pure numpy + stdlib — no audio library.
+
+Decoder (``decode_flac``): the complete FLAC subframe set — CONSTANT,
+VERBATIM, FIXED (orders 0-4) and LPC (any order) with Rice-coded
+residuals (both partition methods), all four channel assignments
+(independent, left/side, right/side, mid/side), UTF-8 frame numbers,
+wasted bits, 8/16/24-bit samples. This is enough to decode real-world
+FLAC files, not just our fixtures; unsupported envelopes (32-bit,
+variable blocking oddities) raise ``ValueError`` rather than
+misdecoding.
+
+Encoder (``encode_flac``): fixture synthesis — one frame per 4096
+samples, VERBATIM subframes (a valid, bit-exact, uncompressed FLAC
+stream any decoder accepts). Lossless round-trip by construction, so
+q80's oracle can be analytic exactly like the WAV query's (q72).
+
+Performance posture: bit-level Python loops, sized for fixture-scale
+payloads inside the Arrow-batched ``mapInPandas`` plumbing
+(``multimodal.py``); a 100 TB corpus swaps in a native codec at the
+same sniff point.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+import numpy as np
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCK_SIZES = {
+    1: 192, **{n: 576 << (n - 2) for n in range(2, 6)},
+    **{n: 256 << (n - 8) for n in range(8, 16)},
+}
+_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+
+class _Bits:
+    def __init__(self, data: bytes, pos_bytes: int = 0):
+        self.data = data
+        self.pos = pos_bytes * 8
+
+    def read(self, n: int) -> int:
+        v = 0
+        d = self.data
+        p = self.pos
+        for _ in range(n):
+            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def read_rice(self, k: int) -> int:
+        q = self.read_unary()
+        v = (q << k) | (self.read(k) if k else 0)
+        return (v >> 1) ^ -(v & 1)  # zigzag
+
+    def read_utf8_number(self) -> int:
+        b0 = self.read(8)
+        if b0 < 0x80:
+            return b0
+        n = 0
+        while (b0 << n) & 0x80:
+            n += 1
+        v = b0 & (0x7F >> n)
+        for _ in range(n - 1):
+            v = (v << 6) | (self.read(8) & 0x3F)
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _decode_residual(br: _Bits, n: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    plen = 4 if method == 0 else 5
+    esc = 0xF if method == 0 else 0x1F
+    porder = br.read(4)
+    parts = 1 << porder
+    out: list[int] = []
+    for p in range(parts):
+        cnt = (n >> porder) - (order if p == 0 else 0)
+        k = br.read(plen)
+        if k == esc:
+            bits = br.read(5)
+            out.extend(br.read_signed(bits) if bits else 0 for _ in range(cnt))
+        else:
+            out.extend(br.read_rice(k) for _ in range(cnt))
+    return out
+
+
+def _decode_subframe(br: _Bits, n: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("bad subframe sync (padding bit set)")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        v = br.read_signed(eff)
+        out = [v] * n
+    elif stype == 1:  # VERBATIM
+        out = [br.read_signed(eff) for _ in range(n)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [br.read_signed(eff) for _ in range(order)]
+        res = _decode_residual(br, n, order)
+        out = warm[:]
+        coeffs = _FIXED_COEFFS[order]
+        for i in range(order, n):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coeffs))
+            out.append(res[i - order] + pred)
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision escape")
+        shift = br.read_signed(5)
+        coeffs = [br.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(br, n, order)
+        out = warm[:]
+        for i in range(order, n):
+            acc = sum(c * out[i - 1 - j] for j, c in enumerate(coeffs))
+            out.append(res[i - order] + (acc >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a FLAC payload to (sample_rate, (n_frames, n_channels)
+    float64 array in [-1, 1]) — the same contract as
+    ``multimodal.decode_wav``."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            streaminfo = payload[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    si = _Bits(streaminfo)
+    si.read(16); si.read(16); si.read(24); si.read(24)
+    rate = si.read(20)
+    n_ch = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    if bps not in (8, 16, 24):
+        raise ValueError(f"unsupported FLAC bit depth {bps}")
+
+    channels: list[list[int]] = [[] for _ in range(n_ch)]
+    br = _Bits(payload, pos)
+    n_bytes_total = len(payload)
+    while (br.pos >> 3) < n_bytes_total - 1:
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        br.read_utf8_number()  # frame/sample number
+        if bs_code == 6:
+            bsize = br.read(8) + 1
+        elif bs_code == 7:
+            bsize = br.read(16) + 1
+        else:
+            bsize = _BLOCK_SIZES.get(bs_code)
+            if bsize is None:
+                raise ValueError(f"reserved block size code {bs_code}")
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        fbps = bps if ss_code == 0 else _SAMPLE_SIZES.get(ss_code, bps)
+        br.read(8)  # CRC-8 of the header
+        if ch_code < 8:  # independent
+            subs = [
+                _decode_subframe(br, bsize, fbps) for _ in range(ch_code + 1)
+            ]
+        elif ch_code == 8:  # left/side
+            left = _decode_subframe(br, bsize, fbps)
+            side = _decode_subframe(br, bsize, fbps + 1)
+            subs = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_code == 9:  # right/side
+            side = _decode_subframe(br, bsize, fbps + 1)
+            right = _decode_subframe(br, bsize, fbps)
+            subs = [[r + s for r, s in zip(right, side)], right]
+        elif ch_code == 10:  # mid/side
+            mid = _decode_subframe(br, bsize, fbps)
+            side = _decode_subframe(br, bsize, fbps + 1)
+            subs = [[], []]
+            for m, s in zip(mid, side):
+                m = (m << 1) | (s & 1)
+                subs[0].append((m + s) >> 1)
+                subs[1].append((m - s) >> 1)
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code}")
+        for c, sub in enumerate(subs):
+            channels[c].extend(sub)
+        br.align()
+        br.read(16)  # frame CRC-16
+    frames = np.array(channels, dtype=np.float64).T
+    if total:
+        frames = frames[:total]
+    return rate, frames / float(1 << (bps - 1))
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture synthesis: VERBATIM subframes, one frame per 4096)
+# ---------------------------------------------------------------------------
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = self.n = 0
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+
+_CRC8_POLY = 0x07
+_CRC16_POLY = 0x8005
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ _CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ _CRC16_POLY) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (nb total bytes carry
+    1 + 5*nb payload bits)."""
+    if n < 0x80:
+        return bytes([n])
+    nb = 2
+    while n >= (1 << (1 + 5 * nb)) and nb < 7:
+        nb += 1
+    cont = []
+    for _ in range(nb - 1):
+        cont.append(0x80 | (n & 0x3F))
+        n >>= 6
+    lead = ((0xFF << (8 - nb)) & 0xFF) | n
+    return bytes([lead] + cont[::-1])
+
+
+def encode_flac(rate: int, frames: np.ndarray, bps: int = 16) -> bytes:
+    """(rate, (n, ch) int array of raw samples) -> FLAC bytes.
+    VERBATIM subframes — valid, lossless, uncompressed."""
+    samples = np.asarray(frames)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, n_ch = samples.shape
+    w = _BitWriter()
+    block = 4096
+    w.write(block, 16)  # min block size
+    w.write(block, 16)  # max
+    w.write(0, 24)      # min frame size (unknown)
+    w.write(0, 24)
+    w.write(rate, 20)
+    w.write(n_ch - 1, 3)
+    w.write(bps - 1, 5)
+    w.write(n, 36)
+    streaminfo = bytes(w.out) + bytes(16)  # md5 zeroed (unset)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    for fi, start in enumerate(range(0, n, block)):
+        chunk = samples[start : start + block]
+        bsize = len(chunk)
+        hw = _BitWriter()
+        hw.write(0x3FFE, 14)
+        hw.write(0, 1)
+        hw.write(0, 1)  # fixed blocking
+        hw.write(7, 4)  # block size: 16-bit at end of header
+        hw.write(0, 4)  # sample rate: from STREAMINFO
+        hw.write(n_ch - 1, 4)  # independent channels
+        hw.write({8: 1, 16: 4, 24: 6}[bps], 3)
+        hw.write(0, 1)
+        hw.align()
+        hdr = bytes(hw.out) + _utf8_number(fi) + _struct.pack(">H", bsize - 1)
+        hdr += bytes([_crc8(hdr)])
+        bw = _BitWriter()
+        for c in range(n_ch):
+            bw.write(0, 1)
+            bw.write(1, 6)  # VERBATIM
+            bw.write(0, 1)  # no wasted bits
+            for v in chunk[:, c]:
+                bw.write(int(v) & ((1 << bps) - 1), bps)
+        bw.align()
+        body = hdr + bytes(bw.out)
+        out += body + _struct.pack(">H", _crc16(body))
+    return bytes(out)

@@ -12,11 +12,14 @@ stdlib zlib inflate + numpy un-filtering) and baseline JPEG (SOF0,
 per-file Huffman/quant tables, chroma subsampling to 2x2, restart
 markers — ``operators/jpeg.py``) are decoded for REAL — no imaging
 library needed — including feature extraction and nearest-neighbor
-resize. Formats that genuinely need an external codec (progressive
-JPEG, MP3/FLAC, video): ``strict=True`` raises ``NotImplementedError``
-and ``strict=False`` falls back to a deterministic digest-derived fake
-so the distributed plumbing stays exercisable end-to-end
-(tests/test_multimodal_decode.py, tests/test_jpeg.py).
+resize. Audio: 16-bit PCM WAV and FLAC (complete subframe set incl.
+LPC and Rice residuals — ``operators/flac.py``). Formats that
+genuinely need an external codec (progressive JPEG, MP3, video):
+``strict=True`` raises ``NotImplementedError`` and ``strict=False``
+falls back to a deterministic digest-derived fake so the distributed
+plumbing stays exercisable end-to-end
+(tests/test_multimodal_decode.py, tests/test_jpeg.py,
+tests/test_flac.py).
 """
 
 from __future__ import annotations
@@ -329,6 +332,10 @@ def decode_audio_features(
         b = bytes(p)
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             return _audio_features(*decode_wav(b), dim)
+        if b[:4] == b"fLaC":
+            from .flac import decode_flac
+
+            return _audio_features(*decode_flac(b), dim)
         if strict:
             raise NotImplementedError(
                 "no pure-numpy decoder for this audio format; plug a real "

@@ -854,3 +854,59 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q80 multimodal FLAC decode (F5, real compressed-audio path, round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "q80_flac_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(1653 AS BIGINT) AS n_bytes,
+           8000.0 AS f0,
+           1.0 AS f1,
+           0.1 AS f2,
+           round(CAST(CAST((1000 + (doc_id % 100) * 100) / 32768.0 AS REAL) AS DOUBLE), 4) AS f3,
+           round(CAST(CAST((1000 + (doc_id % 100) * 100) / 32768.0 AS REAL) AS DOUBLE), 4) AS f4,
+           round(CAST(CAST(399.0 / 799.0 AS REAL) AS DOUBLE), 4) AS f5,
+           0.0 AS f6, 0.0 AS f7
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode through the distributed pipeline — the q72
+    square wave in a FLAC container instead of RIFF/WAVE, decoded by
+    ``operators/flac.py`` (bit reader, frame sync, subframe decode).
+    The fixture uses the verbatim encoder, so the stream is lossless
+    AND fixed-size: 4 (magic) + 38 (STREAMINFO block) + 8 (frame
+    header) + 1601 (subframe: 8 + 800*16 bits) + 2 (CRC16) = 1653
+    bytes for every doc — n_bytes is oracle-expressible even for a
+    compressed container. Decoded features and the float32 margin
+    argument are identical to q72 (the sample values are bit-equal)."""
+    from ..operators.flac import encode_flac
+    from ..operators.multimodal import decode_audio_features
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+
+    def _flac_batches(doc_id):
+        import numpy as np
+
+        def make(i):
+            amp = 1000 + (int(i) % 100) * 100
+            pattern = np.tile([amp, amp, -amp, -amp], 200).astype(np.int16)
+            return encode_flac(8000, pattern)
+
+        return doc_id.map(make)
+
+    _flac = F.pandas_udf(_flac_batches, "binary")
+    payloads = docs.select("doc_id", _flac(F.col("doc_id")).alias("payload"))
+    feats = decode_audio_features(payloads, strict=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 4).alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("doc_id")
