@@ -502,27 +502,120 @@ def sample_frames(
     (mapInPandas fan-out — batches may EMIT MORE ROWS than they receive,
     the shape a real decoder needs).
 
-    The decode is STUBBED: strict=True raises; strict=False derives
-    deterministic per-frame digests from (payload, frame index) so
-    row-count and fan-out semantics are exercisable without ffmpeg."""
+    MJPEG AVI payloads sample for REAL (round 5): the RIFF container is
+    walked (``operators/avi.py``), every ``every_nth``-th frame chunk is
+    taken up to ``max_frames``, and the digest is of the raw frame
+    payload — real per-frame extraction, no ffmpeg. Other containers/
+    codecs: strict=True raises; strict=False derives deterministic
+    digests from (payload, frame index) so the fan-out plumbing stays
+    exercisable."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "video decode backend not available; plug ffmpeg into sample_frames"
-            )
+        from .avi import parse_avi
+
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                n = min(max_frames, max(1, len(payload) // max(every_nth, 1)))
+                b = bytes(payload)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    meta = parse_avi(b)
+                    picked = meta["frames"][:: max(every_nth, 1)][:max_frames]
+                    for i, fr in enumerate(picked):
+                        ids.append(doc_id)
+                        idxs.append(i * every_nth)
+                        digests.append(hashlib.sha256(fr).hexdigest())
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "no pure-python demuxer for this container; plug "
+                        "ffmpeg into sample_frames (MJPEG AVI decodes for real)"
+                    )
+                n = min(max_frames, max(1, len(b) // max(every_nth, 1)))
                 for i in range(n):
                     ids.append(doc_id)
                     idxs.append(i * every_nth)
                     digests.append(
-                        hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.sha256(b + i.to_bytes(4, "big")).hexdigest()
                     )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_sha256": digests}
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("fps", T.DoubleType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame,
+    every_nth: int = 1,
+    max_frames: int = 8,
+    dim: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """REAL end-to-end video feature extraction (round 5): AVI container
+    walk (``operators/avi.py``) + per-frame MJPEG decode
+    (``operators/jpeg.py``) + the same pixel-moment features as
+    ``decode_image_features`` — one output row per sampled frame. The
+    full video path a training-data pipeline needs (demux, frame
+    sample, decode, featurize) with zero external dependencies.
+    Non-AVI containers / non-JPEG frame codecs: strict=True raises,
+    strict=False emits digest-fake features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import parse_avi
+
+        for pdf in batches:
+            ids, idxs, counts, fpss, feats = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if not (b[:4] == b"RIFF" and b[8:12] == b"AVI "):
+                    if strict:
+                        raise NotImplementedError(
+                            "no pure-python demuxer for this container"
+                        )
+                    ids.append(doc_id)
+                    idxs.append(0)
+                    counts.append(0)
+                    fpss.append(0.0)
+                    feats.append(_fake_decode(b, dim))
+                    continue
+                meta = parse_avi(b)
+                picked = meta["frames"][:: max(every_nth, 1)][:max_frames]
+                for i, fr in enumerate(picked):
+                    img = decode_image(fr)
+                    if img is None:
+                        if strict:
+                            raise NotImplementedError(
+                                "frame codec needs an external decoder"
+                            )
+                        f = _fake_decode(fr, dim)
+                    else:
+                        f = _image_features(img, dim)
+                    ids.append(doc_id)
+                    idxs.append(i * every_nth)
+                    counts.append(meta["n_frames"])
+                    fpss.append(float(meta["fps"]))
+                    feats.append(f)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": counts,
+                    "fps": fpss,
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, VIDEO_FEATURES_SCHEMA)

@@ -910,3 +910,81 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q81 multimodal VIDEO decode (F5, real AVI/MJPEG path, round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "q81_video_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(j AS INT) AS frame_idx,
+           3 AS n_frames,
+           10.0 AS fps,
+           8.0 AS f0,
+           4.0 AS f1,
+           round(CAST(CAST(((doc_id * 7 + j * 31) % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f2,
+           round(CAST(CAST(((doc_id * 11 + j * 37) % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f3,
+           round(CAST(CAST(((doc_id * 13 + j * 41) % 251) / 255.0 AS REAL) AS DOUBLE), 4) AS f4,
+           0.0 AS f5, 0.0 AS f6, 0.0 AS f7
+    FROM documents, range(3) t(j)
+    WHERE doc_id < 50
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end VIDEO decode through the distributed pipeline:
+    each doc gets a synthesized 3-frame MJPEG AVI (solid-color frames,
+    colors derived from (doc_id, frame index)); ``video_frame_features
+    (strict=True)`` walks the RIFF container (``operators/avi.py``),
+    decodes every frame with the baseline-JPEG decoder
+    (``operators/jpeg.py``), and emits per-frame pixel moments — one
+    output ROW per frame (the mapInPandas fan-out shape). Solid-color
+    JPEG frames round-trip bit-exact (the q78 property), so the oracle
+    is the documents x 3-frame cross product with analytic features,
+    under the same float32 boundary-margin scheme as q71/q77/q78."""
+    from ..operators.avi import encode_avi_mjpeg
+    from ..operators.jpeg import encode_jpeg
+    from ..operators.multimodal import video_frame_features
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 50)
+
+    def _avi_batches(doc_id):
+        import numpy as np
+
+        def make(i):
+            i = int(i)
+            frames = [
+                encode_jpeg(
+                    np.full(
+                        (4, 8, 3),
+                        (
+                            (i * 7 + j * 31) % 251,
+                            (i * 11 + j * 37) % 251,
+                            (i * 13 + j * 41) % 251,
+                        ),
+                        dtype=np.uint8,
+                    )
+                )
+                for j in range(3)
+            ]
+            return encode_avi_mjpeg(frames, 8, 4, fps=10)
+
+        return doc_id.map(make)
+
+    _avi = F.pandas_udf(_avi_batches, "binary")
+    payloads = docs.select("doc_id", _avi(F.col("doc_id")).alias("payload"))
+    feats = video_frame_features(
+        payloads, every_nth=1, max_frames=8, strict=True
+    )
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        "fps",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 4).alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("doc_id", "frame_idx")
