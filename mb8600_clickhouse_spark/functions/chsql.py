@@ -17,6 +17,12 @@ they cannot be a scalar alias and need a textual rewrite before
   ``count(DISTINCT x)``; ``countIf(c)`` → ``count_if(c)``;
   ``sumIf/avgIf/minIf/maxIf(x, c)`` → ``agg(CASE WHEN c THEN x END)``.
 - Bare ``count()`` → ``count(*)``.
+- Array higher-order functions — ClickHouse's lambda syntax is
+  identical to Spark's, only names and argument order differ:
+  ``arrayMap(f, a)`` → ``transform(a, f)`` (two arrays →
+  ``zip_with``), ``arrayFilter`` → ``filter``, ``arrayExists`` →
+  ``exists``, ``arrayAll`` → ``forall``, ``arrayCount(f, a)`` →
+  ``size(filter(a, f))``.
 - ``FROM t FINAL`` → latest-row-per-key subquery, given the table's
   ReplacingMergeTree contract via ``final_tables`` (the DDL knowledge
   ClickHouse has and Spark doesn't).
@@ -206,6 +212,41 @@ def _rewrite_combinators(sql: str) -> str:
             raise ChSqlError(f"{m.group(1)} expects (expr, cond), got {args!r}")
         fn = _IF_MAP[m.group(1).lower()]
         rep = f"{fn}(CASE WHEN {args[1]} THEN {args[0]} END)"
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    # array higher-order functions: ClickHouse's lambda syntax (x -> e)
+    # is IDENTICAL to Spark's, only the function names and argument
+    # order differ (CH: lambda first, arrays after; Spark: array first).
+    # Two-array forms map to zip_with.
+    while True:
+        m = _first_match(
+            sql, r"\b(arrayMap|arrayFilter|arrayExists|arrayAll|arrayCount)\s*\("
+        )
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        name = m.group(1).lower()
+        if len(args) < 2:
+            raise ChSqlError(f"{m.group(1)} expects (lambda, array...)")
+        lam, arrays = args[0], args[1:]
+        if name == "arraymap" and len(arrays) == 2:
+            rep = f"zip_with({arrays[0]}, {arrays[1]}, {lam})"
+        elif len(arrays) != 1:
+            raise ChSqlError(
+                f"{m.group(1)} with {len(arrays)} arrays has no Spark mapping"
+            )
+        elif name == "arraymap":
+            rep = f"transform({arrays[0]}, {lam})"
+        elif name == "arrayfilter":
+            rep = f"filter({arrays[0]}, {lam})"
+        elif name == "arrayexists":
+            rep = f"exists({arrays[0]}, {lam})"
+        elif name == "arrayall":
+            rep = f"forall({arrays[0]}, {lam})"
+        else:  # arrayCount
+            rep = f"size(filter({arrays[0]}, {lam}))"
         sql = sql[: m.start()] + rep + sql[c + 1 :]
 
     # bare count() -> count(*)

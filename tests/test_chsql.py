@@ -47,6 +47,27 @@ class TestCombinatorRewrites:
             "SELECT avg(CASE WHEN k IN (1, 2) THEN v END) FROM t"
         )
 
+    def test_array_lambda_family(self):
+        assert rw("SELECT arrayMap(x -> x + 1, a) FROM t") == (
+            "SELECT transform(a, x -> x + 1) FROM t"
+        )
+        assert rw("SELECT arrayMap((x, y) -> x * y, a, b) FROM t") == (
+            "SELECT zip_with(a, b, (x, y) -> x * y) FROM t"
+        )
+        assert rw("SELECT arrayFilter(x -> x > 0, a) FROM t") == (
+            "SELECT filter(a, x -> x > 0) FROM t"
+        )
+        assert rw("SELECT arrayExists(x -> x = 1, a), arrayAll(x -> x < 9, a) FROM t") == (
+            "SELECT exists(a, x -> x = 1), forall(a, x -> x < 9) FROM t"
+        )
+        assert rw("SELECT arrayCount(x -> x > 2, a) FROM t") == (
+            "SELECT size(filter(a, x -> x > 2)) FROM t"
+        )
+        # nested call inside the lambda must not break arg splitting
+        assert rw("SELECT arrayMap(x -> greatest(x, 0), a) FROM t") == (
+            "SELECT transform(a, x -> greatest(x, 0)) FROM t"
+        )
+
     def test_bare_count(self):
         assert rw("SELECT count() FROM t") == "SELECT count(*) FROM t"
         # count with an argument is untouched
@@ -165,6 +186,22 @@ class TestEndToEnd:
         got = {(r["k"], r["tag"]): r["n"] for r in rows}
         assert got[("a", "x")] == 3 and got[("a", "y")] == 1
         assert got[("b", "y")] == 3  # 'y' + 'y,y' unrolled
+
+    def test_array_lambdas_execute(self, spark):
+        """The docsis dashboard idiom: lambda array ops over nested
+        channel structs, in verbatim ClickHouse spelling."""
+        spark.sql(
+            "SELECT array(named_struct('snr', 40.0), named_struct('snr', 12.0)) AS chans"
+        ).createOrReplaceTempView("chsql_arr_t")
+        r = spark.sql(
+            rw(
+                "SELECT arrayCount(c -> c.snr < 20.0, chans) AS low, "
+                "arrayMap(c -> c.snr * 2, chans) AS dbl, "
+                "arrayExists(c -> c.snr > 35.0, chans) AS any_hi "
+                "FROM chsql_arr_t"
+            )
+        ).collect()[0]
+        assert r["low"] == 1 and r["dbl"] == [80.0, 24.0] and r["any_hi"] is True
 
     def test_combinators_execute(self, spark):
         r = spark.sql(
