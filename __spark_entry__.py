@@ -7,11 +7,12 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 The queries are the declared verification set from SURVEY.md §2.G
 (Q01-Q37) plus the training-data-pipeline / extended-relational
-extensions (Q38-Q74, SURVEY §2.H/§2.I/§2.J), registered in
+extensions (Q38-Q81, SURVEY §2.H/§2.I/§2.J), registered in
 ``mb8600_clickhouse_spark.queries``. As of round 2 every registered
 query has an oracle (none rows-only). The driver records ~50 names per
-round, so ``queries()`` orders never-yet-verified names first (SURVEY
-§2.J documents the rotation).
+round, so ``queries()`` orders never-yet-verified names first, then
+previously-green names stalest-first (SURVEY §2.J documents the
+rotation).
 """
 
 from __future__ import annotations
