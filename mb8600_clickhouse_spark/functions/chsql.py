@@ -23,6 +23,8 @@ they cannot be a scalar alias and need a textual rewrite before
   ``zip_with``), ``arrayFilter`` → ``filter``, ``arrayExists`` →
   ``exists``, ``arrayAll`` → ``forall``, ``arrayCount(f, a)`` →
   ``size(filter(a, f))``.
+- ``GROUP BY ... WITH TOTALS`` → ``GROUP BY GROUPING SETS ((...), ())``
+  (exact: the totals row carries NULL keys in both engines).
 - ``FROM t FINAL`` → latest-row-per-key subquery, given the table's
   ReplacingMergeTree contract via ``final_tables`` (the DDL knowledge
   ClickHouse has and Spark doesn't).
@@ -335,7 +337,29 @@ def _rewrite_array_join(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# 3. FROM t FINAL -> latest-row-per-key subquery
+# 3a. GROUP BY ... WITH TOTALS -> GROUPING SETS ((cols), ())
+# ---------------------------------------------------------------------------
+def _rewrite_with_totals(sql: str) -> str:
+    """ClickHouse ``GROUP BY k1, k2 WITH TOTALS`` appends one
+    aggregated-over-everything row — EXACTLY Spark's
+    ``GROUP BY GROUPING SETS ((k1, k2), ())`` (the totals row carries
+    NULL group keys in both engines)."""
+    m = _first_match(sql, r"\bGROUP\s+BY\b")
+    if not m:
+        return sql
+    mt = _first_match(sql, r"\bWITH\s+TOTALS\b")
+    if not mt:
+        return sql
+    keys = sql[m.end() : mt.start()].strip()
+    return (
+        sql[: m.end()]
+        + f" GROUPING SETS (({keys}), ())"
+        + sql[mt.end() :]
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3b. FROM t FINAL -> latest-row-per-key subquery
 # ---------------------------------------------------------------------------
 def _rewrite_final(sql: str, final_tables: dict | None) -> str:
     """``FROM t FINAL`` — ClickHouse collapses a ReplacingMergeTree to
@@ -421,6 +445,7 @@ def rewrite_clickhouse_sql(sql: str, final_tables: dict | None = None) -> str:
     ``final_tables`` supplies the ReplacingMergeTree contract for
     ``FROM t FINAL`` (see ``_rewrite_final``)."""
     sql = _rewrite_combinators(sql)
+    sql = _rewrite_with_totals(sql)
     sql = _rewrite_final(sql, final_tables)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)

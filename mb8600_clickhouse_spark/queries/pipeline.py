@@ -653,3 +653,42 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
             final_tables={"events": (["user_id", "event_type"], "event_id")},
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q82 ClickHouse GROUP BY ... WITH TOTALS through the pre-rewriter
+# ---------------------------------------------------------------------------
+_Q82_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           count() AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type WITH TOTALS
+    ORDER BY event_type NULLS LAST
+"""
+
+
+@query(
+    "q82_clickhouse_totals",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), ())
+    ORDER BY event_type NULLS LAST
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY ... WITH TOTALS`` running VERBATIM: the
+    dashboard footer-row idiom rewrites to
+    ``GROUP BY GROUPING SETS ((keys), ())`` — an EXACT mapping (the
+    totals row carries NULL group keys in both engines), verified
+    against DuckDB spelling the grouping sets directly. Exact decimal
+    sums make the totals row hash-stable."""
+    from ..functions.chsql import rewrite_clickhouse_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_clickhouse_sql(_Q82_CLICKHOUSE_SQL))

@@ -121,6 +121,32 @@ class TestLimitByRewrite:
         assert rw(q) == q
 
 
+class TestWithTotals:
+    def test_shape(self):
+        got = rw("SELECT k, count() AS n FROM t GROUP BY k WITH TOTALS")
+        assert "GROUP BY GROUPING SETS ((k), ())" in got
+        assert "WITH TOTALS" not in got
+
+    def test_multi_key(self):
+        got = rw("SELECT a, b, sum(v) FROM t GROUP BY a, b WITH TOTALS ORDER BY a")
+        assert "GROUPING SETS ((a, b), ())" in got
+        assert got.strip().endswith("ORDER BY a")
+
+    def test_executes(self, spark):
+        spark.createDataFrame(
+            [Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=10)]
+        ).createOrReplaceTempView("chsql_tot_t")
+        rows = spark.sql(
+            rw(
+                "SELECT k, count() AS n, sum(v) AS s FROM chsql_tot_t "
+                "GROUP BY k WITH TOTALS ORDER BY k NULLS LAST"
+            )
+        ).collect()
+        assert [(r["k"], r["n"], r["s"]) for r in rows] == [
+            ("a", 2, 3), ("b", 1, 10), (None, 3, 13),  # the totals row
+        ]
+
+
 class TestFinalRewrite:
     def test_shape(self):
         got = rw(
