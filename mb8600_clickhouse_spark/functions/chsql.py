@@ -25,6 +25,9 @@ they cannot be a scalar alias and need a textual rewrite before
   ``size(filter(a, f))``.
 - ``GROUP BY ... WITH TOTALS`` → ``GROUP BY GROUPING SETS ((...), ())``
   (exact: the totals row carries NULL keys in both engines).
+- ``PREWHERE c`` → folded into ``WHERE`` (Catalyst's pushdown is the
+  automatic version of the hint); trailing ``SETTINGS k=v`` stripped
+  (per-query server knobs live in the SparkSession config instead).
 - ``FROM t FINAL`` → latest-row-per-key subquery, given the table's
   ReplacingMergeTree contract via ``final_tables`` (the DDL knowledge
   ClickHouse has and Spark doesn't).
@@ -337,6 +340,48 @@ def _rewrite_array_join(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# 2b. PREWHERE -> WHERE; trailing SETTINGS stripped
+# ---------------------------------------------------------------------------
+def _rewrite_prewhere_settings(sql: str) -> str:
+    """``PREWHERE c`` is ClickHouse's manual scan-stage filter hint —
+    semantically a WHERE conjunct (Catalyst's predicate pushdown IS the
+    automatic version), so ``PREWHERE a ... WHERE b`` folds to
+    ``WHERE (a) AND (b)``. A trailing ``SETTINGS k=v, ...`` clause
+    carries per-query server knobs with no Spark statement-level
+    equivalent; it is stripped (session-level tuning lives in the
+    SparkSession config)."""
+    mp = _first_match(sql, r"\bPREWHERE\b")
+    if mp:
+        # the PREWHERE predicate runs until the next top-level clause
+        after = [
+            t
+            for t in _top_level_matches(sql, _CLAUSE_AFTER_FROM)
+            if t.start() > mp.end()
+        ]
+        pend = after[0].start() if after else len(sql)
+        pred = sql[mp.end() : pend].strip().rstrip(";")
+        rest = sql[pend:]
+        mw = _first_match(rest, r"\bWHERE\b")
+        if mw and mw.start() == 0:  # PREWHERE directly followed by WHERE
+            wafter = [
+                t
+                for t in _top_level_matches(rest, _CLAUSE_AFTER_FROM)
+                if t.start() > mw.end()
+            ]
+            wend = wafter[0].start() if wafter else len(rest)
+            wpred = rest[mw.end() : wend].strip()
+            rest = f"WHERE ({pred}) AND ({wpred}) " + rest[wend:]
+        else:
+            rest = f"WHERE {pred} " + rest
+        sql = sql[: mp.start()] + rest
+    ms = _first_match(sql, r"\bSETTINGS\s")
+    if ms:
+        # SETTINGS is the final clause in CH grammar: strip to EOF
+        sql = sql[: ms.start()].rstrip()
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # 3a. GROUP BY ... WITH TOTALS -> GROUPING SETS ((cols), ())
 # ---------------------------------------------------------------------------
 def _rewrite_with_totals(sql: str) -> str:
@@ -445,6 +490,7 @@ def rewrite_clickhouse_sql(sql: str, final_tables: dict | None = None) -> str:
     ``final_tables`` supplies the ReplacingMergeTree contract for
     ``FROM t FINAL`` (see ``_rewrite_final``)."""
     sql = _rewrite_combinators(sql)
+    sql = _rewrite_prewhere_settings(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_final(sql, final_tables)
     sql = _rewrite_array_join(sql)

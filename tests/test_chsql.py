@@ -121,6 +121,38 @@ class TestLimitByRewrite:
         assert rw(q) == q
 
 
+class TestPrewhereSettings:
+    def test_prewhere_alone_becomes_where(self):
+        assert rw("SELECT k FROM t PREWHERE k > 0 ORDER BY k") == (
+            "SELECT k FROM t WHERE k > 0 ORDER BY k"
+        )
+
+    def test_prewhere_folds_into_where(self):
+        got = rw("SELECT k FROM t PREWHERE a > 0 WHERE b < 5 ORDER BY k")
+        assert "WHERE (a > 0) AND (b < 5)" in got and "PREWHERE" not in got
+
+    def test_settings_stripped(self):
+        assert rw("SELECT k FROM t ORDER BY k SETTINGS max_threads = 8") == (
+            "SELECT k FROM t ORDER BY k"
+        )
+
+    def test_settings_after_limit_by(self, spark):
+        got = rw("SELECT k, v FROM t ORDER BY v LIMIT 1 BY k SETTINGS join_use_nulls=1")
+        assert "SETTINGS" not in got and "__rn <= 1" in got
+
+    def test_executes(self, spark):
+        spark.createDataFrame(
+            [Row(k=1, v=10.0), Row(k=2, v=-1.0), Row(k=3, v=5.0)]
+        ).createOrReplaceTempView("chsql_pw_t")
+        rows = spark.sql(
+            rw(
+                "SELECT k FROM chsql_pw_t PREWHERE v > 0 WHERE k < 3 "
+                "ORDER BY k SETTINGS max_threads=4"
+            )
+        ).collect()
+        assert [r["k"] for r in rows] == [1]
+
+
 class TestWithTotals:
     def test_shape(self):
         got = rw("SELECT k, count() AS n FROM t GROUP BY k WITH TOTALS")
