@@ -473,6 +473,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_impl: str = "pandas",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows are bucketed by nearest
     centroid (inverted file); each query probes its ``nprobe`` nearest
@@ -491,8 +492,13 @@ def ivf_topk(
     summation order can differ from the fold in the last ulps;
     per-fixture equality after 4-decimal rounding is pytest- and
     harness-asserted, and rank flips would need two candidates within
-    ~1e-15 cosine of each other."""
-    cents = centroid_literals(centroids, id_col, vec_col)
+    ~1e-15 cosine of each other.
+
+    ``cents``: pre-materialized ``[(cell_id, vector), ...]`` literals —
+    the ``kmeans_fit`` output — used instead of collecting
+    ``centroids`` (pass ``centroids=None`` then)."""
+    if cents is None:
+        cents = centroid_literals(centroids, id_col, vec_col)
     pandas_mode = assign_impl == "pandas"
     assign = ivf_assign_pandas if pandas_mode else ivf_assign
     probe = ivf_probe_cells_pandas if pandas_mode else ivf_probe_cells
@@ -524,3 +530,76 @@ def ivf_topk(
 def hyperplane_sql_literal(plane: list[float]) -> str:
     """Render one hyperplane as a DuckDB DOUBLE[] literal (oracle side)."""
     return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse-quantizer TRAINING: distributed Lloyd's k-means (round 5)
+# ---------------------------------------------------------------------------
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer with distributed Lloyd iterations,
+    closing the ANN loop (``ivf_topk`` previously required externally
+    supplied centroids).
+
+    Scale shape — each iteration is exactly the two cheap primitives the
+    IVF query path already uses:
+
+    - ASSIGN: ``ivf_assign_pandas`` — Arrow-batched numpy matmul against
+      the current centroids inlined as literals; a pure projection, zero
+      shuffle, measured at 0.28 s for 32 000 x 10^4 cells locally
+      (SURVEY §2.J round-5 probe).
+    - UPDATE: one ``groupBy(cell).avg`` — a single partial-aggregated
+      exchange whose output is k rows. The corpus is never collected;
+      only the k x dim centroid table moves to the driver per iteration
+      (the same justified driver-side collect as ``centroid_literals``).
+
+    Determinism: init picks the k lowest-``id_col`` vectors (stable
+    across runs and engines — no RNG), iteration count is fixed, and
+    ties in assignment break to the lowest centroid id (``argmax``
+    first-maximum + id-sorted centroids, same rule as ``ivf_assign``).
+    An emptied cell keeps its previous centroid (documented Lloyd
+    convention) so k never shrinks.
+
+    ``metric='cosine'`` assigns by cosine and renormalizes mean
+    centroids implicitly via the cosine in the next assignment (standard
+    spherical k-means without the explicit normalize — the cosine is
+    scale-invariant in the centroid); ``'l2'`` is not implemented here
+    because every consumer (``ivf_topk``/``ivf_assign``) scores by
+    cosine.
+
+    Returns the same ``[(cell_id, vector), ...]`` shape
+    ``centroid_literals`` produces, ready for ``ivf_topk``."""
+    if metric != "cosine":
+        raise ValueError("kmeans_fit trains the cosine/spherical quantizer only")
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    )
+    init_rows = base.orderBy("id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(init_rows)
+    ]
+    for _ in range(n_iter):
+        assigned = ivf_assign_pandas(base, cents, id_col="id", vec_col="v")
+        dim = len(cents[0][1])
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("v", i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        # emptied cells keep their previous centroid
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents

@@ -706,3 +706,54 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q83 IVF coarse-quantizer TRAINING (distributed Lloyd's, round 5)
+# ---------------------------------------------------------------------------
+@query("q83_kmeans_ivf", oracle=None)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means training closes the ANN loop: the
+    coarse quantizer q54 consumes is TRAINED here (``kmeans_fit``:
+    assignment = the same Arrow-matmul projection the query path uses,
+    update = one k-row groupBy-avg exchange per iteration; deterministic
+    lowest-id init, no RNG), then the corpus is bucketed by the trained
+    cells. Output: one row per cell with member count and mean cosine
+    to its centroid — a compact training-quality summary.
+
+    Declared WITHOUT a SQL oracle (the driver's rows-only check):
+    Lloyd's is iterative with feedback — replicating 3 iterations of
+    float argmax assignment in a recursive SQL CTE would make hash
+    equality rest on compounded cross-engine float drift, precisely the
+    fragility the oracle contract exists to avoid. Correctness is
+    covered by pytest instead (cluster recovery + determinism +
+    trained-centroids-feed-ivf_topk, tests/test_similarity.py)."""
+    from ..operators import similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    cents = similarity.kmeans_fit(corpus, k=4, n_iter=3)
+    assigned = similarity.ivf_assign_pandas(corpus, cents)
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents], "cell long, c array<double>"
+        )
+    )
+    return (
+        assigned.join(cent_df, "cell")
+        .select(
+            "cell",
+            similarity.dot(F.col("v"), F.col("c"))
+            .alias("_dot"),
+            similarity.norm(F.col("v")).alias("_nv"),
+            similarity.norm(F.col("c")).alias("_nc"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            round4(F.avg(F.col("_dot") / (F.col("_nv") * F.col("_nc")))).alias(
+                "mean_cosine"
+            ),
+        )
+        .orderBy("cell")
+    )

@@ -91,6 +91,47 @@ class TestIVFAssign:
         got_e = sim.ivf_topk(df, q, cents_df, k=3, nprobe=2, assign_impl="expr")
         assert sorted(map(tuple, got_p.collect())) == sorted(map(tuple, got_e.collect()))
 
+    def test_kmeans_fit_recovers_clusters(self, spark):
+        """Three well-separated direction clusters: after training, every
+        vector's assigned cell equals its generating cluster (up to cell
+        relabeling), and the fit is deterministic across calls."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        dirs = np.eye(3)[:, :, None] * np.ones((3, 1, 8))  # 3 orthogonal-ish dirs
+        base = np.zeros((3, 8))
+        base[0, :3] = [1, 0.1, 0]
+        base[1, 3:6] = [1, 0.1, 0.1]
+        base[2, 6:] = [1, 0.2]
+        rows = []
+        for i in range(90):
+            c = i % 3
+            v = base[c] + rng.normal(0, 0.02, 8)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = sim.kmeans_fit(df, k=3, n_iter=5)
+        assert len(cents) == 3
+        cents2 = sim.kmeans_fit(df, k=3, n_iter=5)
+        assert cents == cents2  # deterministic
+        assigned = sim.ivf_assign_pandas(df, cents).collect()
+        by_cluster = {}
+        for r in assigned:
+            by_cluster.setdefault(r["id"] % 3, set()).add(r["cell"])
+        # each generating cluster maps to exactly one cell, all distinct
+        assert all(len(cells) == 1 for cells in by_cluster.values())
+        assert len(set().union(*by_cluster.values())) == 3
+
+    def test_kmeans_feeds_ivf_topk(self, spark):
+        df = _df(spark, _vectors())
+        cents = sim.kmeans_fit(df, k=4, n_iter=3)
+        q = df.filter("vec_id < 2")
+        got = sim.ivf_topk(df, q, None, k=3, nprobe=2, cents=cents)
+        rows = got.collect()
+        assert len(rows) > 0
+        # self-similarity must put each query in its own top-k
+        tops = {r["query_id"] for r in rows if r["query_id"] == r["neighbor_id"]}
+        assert tops == {0, 1}
+
     def test_q54_fixture_boundary_margin(self, spark):
         """q54's oracle hash equality rests on the numpy-vs-JVM-fold
         summation orders rounding to the same 4th decimal (ADVICE r04):
