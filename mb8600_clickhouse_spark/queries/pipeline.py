@@ -692,3 +692,101 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return spark.sql(rewrite_clickhouse_sql(_Q82_CLICKHOUSE_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Q84 stream-stream interval join (REAL Structured Streaming machinery)
+# ---------------------------------------------------------------------------
+@query(
+    "q84_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           CAST(CAST(p.value AS DECIMAL(18,4)) AS DOUBLE) AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join through the REAL machinery (the
+    q73 pattern): click and purchase events land in two ManifestTables,
+    two ``format("manifest")`` streams with event-time watermarks join
+    on user within a [0, 30 min] attribution window
+    (``streaming/joins.interval_join`` — the state-bounded shape), an
+    ``availableNow`` trigger drains them into a memory sink, and the
+    emitted pairs hash-match a plain batch join over the fixture.
+
+    Determinism: each side is ONE commit → one micro-batch per side, so
+    the watermark never drops a row mid-run (it only bounds state); the
+    join output is a set, returned fully materialized and totally
+    ordered. At scale the same plan runs continuously with state
+    bounded by watermark-window x input rate — that bounding, not this
+    fixture's size, is what the operator buys."""
+    import tempfile
+
+    from ..plans import ManifestTable
+    from ..sources import manifest_datasource
+    from ..streaming.joins import interval_join
+
+    manifest_datasource.register(spark)
+    _cleanup_tmp("q84_ssj_")
+    ev = load_tables(spark, sf_dir)["events"]
+    root = tempfile.mkdtemp(prefix="q84_ssj_")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,4)").alias("purchase_value"),
+    )
+    ManifestTable(f"{root}/clicks").append(clicks.coalesce(1))
+    ManifestTable(f"{root}/purchases").append(purchases.coalesce(1))
+
+    cs = (
+        spark.readStream.format("manifest")
+        .option("path", f"{root}/clicks")
+        .load()
+        .withWatermark("c_ts", "1 hour")
+    )
+    ps = (
+        spark.readStream.format("manifest")
+        .option("path", f"{root}/purchases")
+        .load()
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = interval_join(
+        cs, ps, "user_id", "c_ts", "p_ts", lower_s=0, upper_s=1800
+    )
+    name = "q84_pairs"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/ck")
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("q84 availableNow stream did not finish in 180s")
+    out = (
+        spark.table(name)
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.col("purchase_value").cast("double").alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+    # eager materialization (q70/q73 hazard class: memory-sink tables
+    # are session state, not a stable relation)
+    return spark.createDataFrame(out.collect(), out.schema)
