@@ -603,3 +603,29 @@ def kmeans_fit(
         # emptied cells keep their previous centroid
         cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage-scale lever, round 5)
+# ---------------------------------------------------------------------------
+def quantize_scale(v: Column) -> Column:
+    """Symmetric per-vector int8 scale: max|x| / 127 (guarded against
+    all-zero vectors). Per-vector scaling keeps the quantization error
+    relative to each vector's own range — the standard embedding
+    compression (4x smaller than float32, 8x than float64) whose
+    recall cost q85 measures differentially."""
+    return F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30),
+    )
+
+
+def quantize_int8(v: Column, scale: Column) -> Column:
+    """array<double> -> array<int> in [-127, 127] (HALF_UP rounding —
+    matches DuckDB's round-half-away-from-zero, so the oracle can
+    replicate the exact grid)."""
+    return F.transform(v, lambda x: F.round(x / scale).cast("int"))
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda x: x.cast("double") * scale)

@@ -757,3 +757,72 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q85 int8 embedding quantization error (storage-scale lever, round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "q85_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             greatest(list_max(list_transform(e, x -> abs(x))) / 127.0, 1e-30) AS scale
+      FROM v
+    ),
+    d AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> round(x / scale) * scale) AS dq
+      FROM s
+    ),
+    m AS (
+      SELECT vec_id, scale,
+             list_max(list_transform(generate_series(1, len(e)), i -> abs(e[i] - dq[i]))) AS max_err,
+             list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * dq[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(e)), i -> dq[i] * dq[i])))) AS cos_raw
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(CAST(scale AS DECIMAL(38,6)) AS DOUBLE) AS scale,
+           CAST(CAST(max_err AS DECIMAL(38,6)) AS DOUBLE) AS max_err,
+           CAST(CAST(cos_raw AS DECIMAL(38,4)) AS DOUBLE) AS cos_orig_deq
+    FROM m ORDER BY vec_id
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage-scale lever (4x smaller than float32) a 100 TB vector
+    corpus runs on — with its error profile measured DIFFERENTIALLY:
+    per-vector scale, max absolute reconstruction error, and cosine
+    between original and dequantized vector, all pure JVM higher-order
+    functions the oracle replicates bit-for-bit (same fold order as
+    q34's cosine; HALF_UP rounding matches DuckDB's half-away-from-zero;
+    the scale guard and the 127 grid are identical on both sides)."""
+    from ..operators import similarity
+    from .relational import round6
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select(
+        "vec_id", similarity.as_double_vec(F.col("embedding")).alias("e")
+    ).withColumn("scale", similarity.quantize_scale(F.col("e")))
+    d = v.withColumn(
+        "dq",
+        similarity.dequantize(
+            similarity.quantize_int8(F.col("e"), F.col("scale")), F.col("scale")
+        ),
+    )
+    return d.select(
+        "vec_id",
+        round6(F.col("scale")).alias("scale"),
+        round6(
+            F.array_max(F.zip_with("e", "dq", lambda a, b: F.abs(a - b)))
+        ).alias("max_err"),
+        round4(
+            similarity.dot(F.col("e"), F.col("dq"))
+            / (similarity.norm(F.col("e")) * similarity.norm(F.col("dq")))
+        ).alias("cos_orig_deq"),
+    ).orderBy("vec_id")
