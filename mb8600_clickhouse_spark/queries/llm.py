@@ -988,3 +988,142 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Q86 END-TO-END curation pipeline composition (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "q86_curation_pipeline",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || ' zz', lang FROM documents WHERE doc_id % 7 = 0
+    ),
+    normed AS (
+      SELECT doc_id, text, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM corpus
+    ),
+    s1 AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM normed
+      ) WHERE rn = 1
+    ),
+    norm2 AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM s1
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm2),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ),
+    exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+    mh AS (
+      SELECT doc_id, i, min(md5(s || ':' || i)) AS h
+      FROM exploded, range(12) t(i) GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, (i // 3) AS band, md5(string_agg(h, ',' ORDER BY i)) AS key
+      FROM mh GROUP BY doc_id, (i // 3)
+    ),
+    drops AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+    s3 AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM s2
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+    ),
+    s4 AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS qrn FROM s3
+      ) WHERE qrn <= 40
+    )
+    SELECT doc_id, lang, n_tokens FROM s4 ORDER BY doc_id
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pass as ONE declared pipeline — the
+    composition a real training-data run executes, every stage the
+    registered operator it reuses:
+
+    1. exact dedup on the q33 content fingerprint (lowest-id keeper) —
+       drops the planted +100000 exact copies;
+    2. MinHash(12)+LSH(4x3) near-dup removal (q40's capped candidate
+       generator; the HIGHER id of every candidate pair is dropped —
+       a deterministic single-pass rule, no iterative closure);
+    3. quality gate: >= 5 whitespace tokens (q35's dialect);
+    4. per-language quota: first 40 docs in deterministic md5 order
+       (q62/q65's replay-stable sampling).
+
+    One hash check pins all four stages AND their composition order.
+    Scale shape: stages 1/3/4 are one exchange each; stage 2 is the
+    bucketed LSH path (never O(n^2)); nothing shuffles text except the
+    stage-1 fingerprint partition (16-byte keys)."""
+    from ..operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = (
+        docs.select("doc_id", "text", "lang")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" zz")).alias("text"),
+                "lang",
+            )
+        )
+    )
+    # stage 1: exact dedup, lowest-id keeper
+    s1 = (
+        corpus.withColumn("fp", dedup.fingerprint(F.col("text")))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    # stage 2: near-dup removal (drop the higher id of each candidate)
+    drops = (
+        dedup.minhash_lsh_candidates(
+            s1, shingle_n=3, k=12, bands=4, max_bucket=10_000
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(drops, "doc_id", "left_anti")
+    # stage 3: quality gate
+    s3 = s2.select(
+        "doc_id", "lang", text_ops.token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 5)
+    # stage 4: per-language quota in deterministic md5 order
+    s4 = (
+        s3.withColumn(
+            "qrn",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("qrn") <= 40)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return s4.orderBy("doc_id")
