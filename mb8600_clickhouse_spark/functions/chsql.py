@@ -382,6 +382,47 @@ def _rewrite_prewhere_settings(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# 2c. FROM t SAMPLE f -> deterministic md5 filter (given sample_by)
+# ---------------------------------------------------------------------------
+def _rewrite_sample(sql: str, sample_by: dict | None) -> str:
+    """``FROM t SAMPLE 0.1`` reads a deterministic subset chosen by the
+    table's ``SAMPLE BY`` hash — DDL knowledge Spark doesn't have, so
+    the caller supplies the sampling key: ``sample_by={"t": "key"}``.
+    The rewrite uses the portable md5 prefix contract (q62's dialect):
+    the subset is REPLAY-STABLE and identical across Spark and any
+    SQL oracle, but NOT bit-compatible with ClickHouse's cityHash
+    choice of rows — same statistical contract, different members
+    (documented, not silent: an unconfigured SAMPLE raises).
+    Fractions only; ``SAMPLE n`` row-count form is not supported."""
+    while True:
+        m = _first_match(
+            sql, r"\bFROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+SAMPLE\s+([0-9.]+)\b"
+        )
+        if not m:
+            return sql
+        table, frac_s = m.group(1), m.group(2)
+        frac = float(frac_s)
+        if frac > 1.0:
+            raise ChSqlError("SAMPLE n (row-count form) is not supported")
+        if not sample_by or table not in sample_by:
+            raise ChSqlError(
+                f"FROM {table} SAMPLE needs its sampling key: pass "
+                "sample_by={'" + table + "': 'key_col'}"
+            )
+        key = sample_by[table]
+        if frac >= 1.0:
+            sub = f"FROM {table}"
+        else:
+            threshold = format(int(frac * 16**8), "08x")
+            sub = (
+                f"FROM (SELECT * FROM {table} WHERE "
+                f"substr(md5(CAST({key} AS STRING)), 1, 8) < '{threshold}'"
+                f") {table}"
+            )
+        sql = sql[: m.start()] + sub + sql[m.end() :]
+
+
+# ---------------------------------------------------------------------------
 # 3a. GROUP BY ... WITH TOTALS -> GROUPING SETS ((cols), ())
 # ---------------------------------------------------------------------------
 def _rewrite_with_totals(sql: str) -> str:
@@ -484,14 +525,20 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
-def rewrite_clickhouse_sql(sql: str, final_tables: dict | None = None) -> str:
+def rewrite_clickhouse_sql(
+    sql: str,
+    final_tables: dict | None = None,
+    sample_by: dict | None = None,
+) -> str:
     """Rewrite the supported non-scalar ClickHouse forms in one SELECT
     statement into Spark SQL. Idempotent on already-ANSI input.
     ``final_tables`` supplies the ReplacingMergeTree contract for
-    ``FROM t FINAL`` (see ``_rewrite_final``)."""
+    ``FROM t FINAL`` (see ``_rewrite_final``); ``sample_by`` supplies
+    the sampling key for ``FROM t SAMPLE f`` (see ``_rewrite_sample``)."""
     sql = _rewrite_combinators(sql)
     sql = _rewrite_prewhere_settings(sql)
     sql = _rewrite_with_totals(sql)
+    sql = _rewrite_sample(sql, sample_by)
     sql = _rewrite_final(sql, final_tables)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)

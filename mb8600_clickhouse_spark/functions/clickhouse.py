@@ -126,7 +126,7 @@ DIALECT_NOTES: dict[str, str] = {
     "LIMIT n BY k": "runs verbatim via chsql (row_number window over the query's ORDER BY)",
     "topK(10)(x)": "GROUP BY x ORDER BY count(*) DESC LIMIT 10 (q63's shape)",
     "SELECT ... FROM t FINAL": "runs verbatim via chsql given final_tables={'t': ([keys], version)} (q79)",
-    "SAMPLE 0.1": "TABLESAMPLE (10 PERCENT), or the deterministic md5 filter (q62's shape)",
+    "SAMPLE 0.1": "runs verbatim via chsql given sample_by={'t': 'key'} (replay-stable md5 contract; NOT cityHash-member-compatible, documented)",
     "TTL ts + INTERVAL 30 DAY": "ManifestTable.expire(spark, 'ts', cutoff) (q70 demotes into a rollup)",
     "ENGINE = SummingMergeTree": "streaming/incremental.maintain_rollup (q73 runs it end-to-end)",
     "arrayAvg([]) empty/all-NULL edge": "alias returns NULL (CH's Float64 0-div edge has no exact Spark spelling)",

@@ -153,6 +153,38 @@ class TestPrewhereSettings:
         assert [r["k"] for r in rows] == [1]
 
 
+class TestSampleRewrite:
+    def test_shape(self):
+        got = rw(
+            "SELECT k FROM t SAMPLE 0.25 WHERE k > 0",
+            sample_by={"t": "k"},
+        )
+        # 0.25 * 16^8 = 0x40000000
+        assert "substr(md5(CAST(k AS STRING)), 1, 8) < '40000000'" in got
+        assert "SAMPLE" not in got
+
+    def test_sample_one_is_noop_filter(self):
+        got = rw("SELECT k FROM t SAMPLE 1.0", sample_by={"t": "k"})
+        assert "md5" not in got
+
+    def test_unconfigured_raises(self):
+        with pytest.raises(ChSqlError, match="sampling key"):
+            rw("SELECT k FROM t SAMPLE 0.1")
+
+    def test_rowcount_form_raises(self):
+        with pytest.raises(ChSqlError, match="row-count"):
+            rw("SELECT k FROM t SAMPLE 1000", sample_by={"t": "k"})
+
+    def test_executes_replay_stable(self, spark):
+        spark.range(500).selectExpr("id AS k").createOrReplaceTempView(
+            "chsql_smp_t"
+        )
+        q = "SELECT count() AS n FROM chsql_smp_t SAMPLE 0.2"
+        a = spark.sql(rw(q, sample_by={"chsql_smp_t": "k"})).collect()[0]["n"]
+        b = spark.sql(rw(q, sample_by={"chsql_smp_t": "k"})).collect()[0]["n"]
+        assert a == b and 0 < a < 500  # deterministic, non-trivial subset
+
+
 class TestWithTotals:
     def test_shape(self):
         got = rw("SELECT k, count() AS n FROM t GROUP BY k WITH TOTALS")
