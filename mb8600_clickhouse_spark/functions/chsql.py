@@ -198,12 +198,36 @@ def _rewrite_combinators(sql: str) -> str:
             rep = f"approx_count_distinct({args})"
         sql = sql[: m.start()] + rep + sql[c + 1 :]
 
-    # countIf(c) -> count_if(c)  (exact builtin)
+    # direct aggregate-name renames with EXACT Spark builtins:
+    # argMax/argMin == max_by/min_by (value at the extremum of the 2nd
+    # arg), uniqHLL12 == approx_count_distinct (both HLL-class), any ==
+    # any_value (both "arbitrary element" — equally nondeterministic,
+    # don't rely on insert order in either engine)
+    for ch, sp in (
+        (r"\bargMax\s*\(", "max_by("),
+        (r"\bargMin\s*\(", "min_by("),
+        (r"\buniqHLL12\s*\(", "approx_count_distinct("),
+        (r"\bcountIf\s*\(", "count_if("),  # count_if is exact too
+    ):
+        while True:
+            m = _first_match(sql, ch)
+            if not m:
+                break
+            sql = sql[: m.start()] + sp + sql[m.end() :]
+    # any(x) -> any_value(x), EXCEPT the ANSI quantified-comparison form
+    # `expr > ANY (subquery)` (preceded by a comparison operator or IN)
+    pos = 0
     while True:
-        m = _first_match(sql, r"\bcountIf\s*\(")
+        m = _first_match(sql[pos:], r"\bany\s*\(")
         if not m:
             break
-        sql = sql[: m.start()] + "count_if(" + sql[m.end() :]
+        start = pos + m.start()
+        before = sql[:start].rstrip()
+        if re.search(r"([=<>!]|\bIN|\bLIKE)$", before, re.IGNORECASE):
+            pos = start + 3  # quantified form: leave untouched, move on
+            continue
+        sql = sql[:start] + "any_value(" + sql[pos + m.end() :]
+        pos = start + len("any_value(")
 
     # sumIf/avgIf/minIf/maxIf(x, c) -> agg(CASE WHEN c THEN x END)
     while True:

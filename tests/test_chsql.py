@@ -68,6 +68,23 @@ class TestCombinatorRewrites:
             "SELECT transform(a, x -> greatest(x, 0)) FROM t"
         )
 
+    def test_arg_extremum_and_hll_renames(self):
+        assert rw("SELECT argMax(name, ts), argMin(v, ts) FROM t") == (
+            "SELECT max_by(name, ts), min_by(v, ts) FROM t"
+        )
+        assert rw("SELECT uniqHLL12(u) FROM t") == (
+            "SELECT approx_count_distinct(u) FROM t"
+        )
+
+    def test_any_aggregate_vs_quantified_comparison(self):
+        assert rw("SELECT any(v) FROM t GROUP BY k") == (
+            "SELECT any_value(v) FROM t GROUP BY k"
+        )
+        q = "SELECT k FROM t WHERE v > ANY (SELECT v FROM u)"
+        assert rw(q) == q  # quantified form untouched
+        got = rw("SELECT any(a), k FROM t WHERE v > ANY (SELECT v FROM u) GROUP BY k")
+        assert got.startswith("SELECT any_value(a)") and "> ANY (SELECT" in got
+
     def test_bare_count(self):
         assert rw("SELECT count() FROM t") == "SELECT count(*) FROM t"
         # count with an argument is untouched
