@@ -790,3 +790,58 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager materialization (q70/q73 hazard class: memory-sink tables
     # are session state, not a stable relation)
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Q87 JSONL ingest round-trip (training-corpus interchange format)
+# ---------------------------------------------------------------------------
+@query(
+    "q87_jsonl_ingest",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM read_json('{docsis}_q87_jsonl/*.json',
+                   columns = {{doc_id: 'BIGINT', lang: 'VARCHAR',
+                               n_chars: 'BIGINT', text: 'VARCHAR'}})
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip — the interchange format training corpora
+    actually ship in: the documents table is written as JSON Lines
+    (executor-parallel ``df.write.json``; text fields carry newlines
+    and quotes, exercising real JSON escaping), read BACK with an
+    explicit schema (no sampling inference — deterministic and
+    scan-cheap at scale), and aggregated. The DuckDB oracle parses the
+    SAME part files independently with ``read_json``, so one hash
+    check verifies Spark's JSON writer and reader against a second
+    engine's parser — correct regardless of how rows split across part
+    files.
+
+    The JSONL directory derives from the docsis fixture path (the one
+    per-sf writable location the oracle template can reference), and
+    is rewritten deterministically on every call."""
+    from ..datagen import docsis_path_for
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out_dir = f"{docsis_path_for(sf_dir)}_q87_jsonl"
+    docs.select("doc_id", "lang", "n_chars", "text").coalesce(4).write.mode(
+        "overwrite"
+    ).json(out_dir)
+    back = (
+        spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+        .json(out_dir)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
