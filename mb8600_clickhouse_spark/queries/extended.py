@@ -826,3 +826,120 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (similarity.norm(F.col("e")) * similarity.norm(F.col("dq")))
         ).alias("cos_orig_deq"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Q88 ANN quality: IVF recall@5 vs exact brute force (round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "q88_ann_recall",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < 8
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 50
+    ),
+    qs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 8 AND vec_id < 13
+    ),
+    cos AS (
+      SELECT 'c' AS side, v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * v.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), i -> c.ce[i] * c.ce[i])))) AS sim
+      FROM corpus v, cents c
+      UNION ALL
+      SELECT 'q', v.vec_id, c.cid, list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * v.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), i -> c.ce[i] * c.ce[i])))) AS sim
+      FROM qs v, cents c
+    ),
+    ranked AS (
+      SELECT side, vec_id, cid,
+             row_number() OVER (PARTITION BY side, vec_id ORDER BY sim DESC, cid) AS rn
+      FROM cos
+    ),
+    ccell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'c' AND rn = 1),
+    qcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'q' AND rn <= 2),
+    ivf_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(
+               list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * cv.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * qv.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(cv.e)), i -> cv.e[i] * cv.e[i]))))
+             AS DECIMAL(38,4)) AS DOUBLE) AS sim
+      FROM qcell q JOIN ccell c ON c.cell = q.cell
+      JOIN qs qv ON qv.vec_id = q.vec_id
+      JOIN corpus cv ON cv.vec_id = c.vec_id
+    ),
+    ivf_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM ivf_scored
+      ) WHERE rn <= 5
+    ),
+    exact_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(
+               list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]))))
+             AS DECIMAL(38,4)) AS DOUBLE) AS sim
+      FROM qs q, corpus c
+    ),
+    exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM exact_scored
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           COUNT(i.neighbor_id) AS n_common,
+           CAST(COUNT(i.neighbor_id) / 5.0 AS DOUBLE) AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN ivf_top i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY as a first-class differential metric: recall@5 of
+    the IVF path (q54's exact parameters) against the exact brute-force
+    top-5 (q43's path) — per query, |IVF ∩ exact| / 5. Both rankings
+    and the overlap are recomputed independently by the oracle, so the
+    hash check pins not just that IVF runs but HOW MUCH accuracy
+    nprobe=2 of 8 cells gives up on this corpus. The production loop
+    (tune nprobe/n_cells until recall target holds) runs exactly this
+    query at scale."""
+    from ..operators import similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    cents = emb.filter(F.col("vec_id") < 8)
+    ivf = similarity.ivf_topk(corpus, queries, cents, k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = similarity.cosine_topk(corpus, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("e_neighbor")
+    )
+    return (
+        exact.join(
+            ivf,
+            (ivf["query_id"] == exact["query_id"])
+            & (ivf["neighbor_id"] == exact["e_neighbor"]),
+            "left",
+        )
+        .drop(ivf["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("neighbor_id").alias("n_common"),
+            (F.count("neighbor_id") / F.lit(5.0)).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -138,6 +138,29 @@ class TestLimitByRewrite:
         assert rw(q) == q
 
 
+class TestIdempotence:
+    def test_rewrite_is_a_fixed_point_on_declared_queries(self):
+        """rw(rw(x)) == rw(x) for every ClickHouse-dialect query the
+        repo declares — the rewritten output must be stable ANSI that a
+        second pass never mangles."""
+        from mb8600_clickhouse_spark.queries.pipeline import (
+            _Q74_CLICKHOUSE_SQL,
+            _Q76_CLICKHOUSE_SQL,
+            _Q79_CLICKHOUSE_SQL,
+            _Q82_CLICKHOUSE_SQL,
+        )
+
+        ft = {"events": (["user_id", "event_type"], "event_id")}
+        for src, kw in (
+            (_Q74_CLICKHOUSE_SQL, {}),
+            (_Q76_CLICKHOUSE_SQL, {}),
+            (_Q79_CLICKHOUSE_SQL, {"final_tables": ft}),
+            (_Q82_CLICKHOUSE_SQL, {}),
+        ):
+            once = rw(src, **kw)
+            assert rw(once, **kw) == once
+
+
 class TestPrewhereSettings:
     def test_prewhere_alone_becomes_where(self):
         assert rw("SELECT k FROM t PREWHERE k > 0 ORDER BY k") == (
