@@ -943,3 +943,160 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q89 conversion funnel (ClickHouse windowFunnel-class, round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "q89_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.ts1 AND e.ts <= t1.ts1 + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e
+      JOIN t1 ON t1.user_id = e.user_id
+      JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.ts2 AND e.ts <= t1.ts1 + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    )
+    SELECT s.step, s.n_users FROM (
+      SELECT 1 AS step, COUNT(*) AS n_users FROM t1
+      UNION ALL SELECT 2, COUNT(*) FROM t2
+      UNION ALL SELECT 3, COUNT(*) FROM t3
+    ) s ORDER BY s.step
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel — the ClickHouse ``windowFunnel`` workload in
+    its deterministic chained-first-occurrence form: step 1 = a user's
+    first view; step 2 = first click AFTER that view within the 3-day
+    window; step 3 = first purchase after the click, still inside the
+    window anchored at step 1. Each stage is one aggregation plus a
+    broadcast-size join on user_id (the per-user firsts table is tiny
+    relative to the event log at any scale); no per-user state op
+    needed because 'first occurrence after X' is a min() under a join
+    predicate. Output: users surviving each funnel step."""
+    ev = load_tables(spark, sf_dir)["events"]
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts1"))
+            & (F.col("ts") <= F.col("ts1") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"), F.min("ts1").alias("ts1"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ts2"))
+            & (F.col("ts") <= F.col("ts1") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    # one declarative plan (no driver-side count() loop): each level is
+    # a single-row aggregate, unioned
+    def _level(df: DataFrame, step: int) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"), "n_users"
+        )
+
+    return (
+        _level(t1, 1).unionAll(_level(t2, 2)).unionAll(_level(t3, 3)).orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q90 retention cohorts (ClickHouse retention()-class, round 5)
+# ---------------------------------------------------------------------------
+@query(
+    "q90_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS cohort_day,
+             MIN(ts) AS first_ts
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT f.user_id, f.cohort_day,
+             MAX(CASE WHEN e.ts > f.first_ts
+                       AND e.ts <= f.first_ts + INTERVAL 7 DAY THEN 1 ELSE 0 END) AS r7,
+             MAX(CASE WHEN e.ts > f.first_ts + INTERVAL 7 DAY
+                       AND e.ts <= f.first_ts + INTERVAL 14 DAY THEN 1 ELSE 0 END) AS r14
+      FROM firsts f JOIN events e ON e.user_id = f.user_id
+      GROUP BY f.user_id, f.cohort_day
+    )
+    SELECT cohort_day,
+           COUNT(*) AS cohort_size,
+           CAST(SUM(r7) AS BIGINT) AS retained_7d,
+           CAST(SUM(r14) AS BIGINT) AS retained_8_14d
+    FROM flags GROUP BY cohort_day ORDER BY cohort_day
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts — the ClickHouse ``retention()`` workload:
+    users grouped by first-activity day, with return flags for the
+    following [1, 7] and (7, 14] day windows. One firsts aggregate +
+    one join back to the log + per-user flag MAX + per-cohort rollup —
+    every stage a plain hash aggregate; the firsts table broadcasts at
+    dashboard scale. Flags are MAX of CASE (not counts), so the result
+    is insensitive to how many times a user returned — the exact
+    semantics the CH retention() combinator encodes."""
+    ev = load_tables(spark, sf_dir)["events"]
+    # cohort_day as a STRING: DATE values render differently across the
+    # two engines' result canonicalizers (DuckDB DATE surfaces as a
+    # midnight timestamp); yyyy-MM-dd text is the stable contract
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort_day"),
+    )
+    flags = (
+        ev.select("user_id", "ts")
+        .join(firsts, "user_id")
+        .groupBy("user_id", "cohort_day")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("ts") > F.col("first_ts"))
+                    & (F.col("ts") <= F.col("first_ts") + F.expr("INTERVAL 7 DAY")),
+                    1,
+                ).otherwise(0)
+            ).alias("r7"),
+            F.max(
+                F.when(
+                    (F.col("ts") > F.col("first_ts") + F.expr("INTERVAL 7 DAY"))
+                    & (F.col("ts") <= F.col("first_ts") + F.expr("INTERVAL 14 DAY")),
+                    1,
+                ).otherwise(0)
+            ).alias("r14"),
+        )
+    )
+    return (
+        flags.groupBy("cohort_day")
+        .agg(
+            F.count("*").alias("cohort_size"),
+            F.sum("r7").alias("retained_7d"),
+            F.sum("r14").alias("retained_8_14d"),
+        )
+        .orderBy("cohort_day")
+    )
