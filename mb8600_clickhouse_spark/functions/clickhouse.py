@@ -49,6 +49,22 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "INT",
         "year(ts) * 10000 + month(ts) * 100 + day(ts)",
     ),
+    "toQuarter": ("(ts TIMESTAMP)", "INT", "quarter(ts)"),
+    "toDayOfYear": ("(ts TIMESTAMP)", "INT", "dayofyear(ts)"),
+    "toStartOfQuarter": (
+        "(ts TIMESTAMP)",
+        "DATE",
+        "cast(date_trunc('quarter', ts) AS DATE)",
+    ),
+    # Spark's 'week' truncation is Monday-based — exactly CH's toMonday
+    "toMonday": ("(ts TIMESTAMP)", "DATE", "cast(date_trunc('week', ts) AS DATE)"),
+    # CH DateTime is unsigned (post-1970 only), so floor==truncate here
+    "toStartOfFifteenMinutes": (
+        "(ts TIMESTAMP)",
+        "TIMESTAMP",
+        "timestamp_seconds((unix_seconds(ts) div 900) * 900)",
+    ),
+    "toRelativeHourNum": ("(ts TIMESTAMP)", "BIGINT", "unix_seconds(ts) div 3600"),
     "toUnixTimestamp": ("(ts TIMESTAMP)", "BIGINT", "unix_seconds(ts)"),
     "fromUnixTimestamp": ("(s BIGINT)", "TIMESTAMP", "timestamp_seconds(s)"),
     "addHours": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts + make_interval(0,0,0,0,n,0,0)"),

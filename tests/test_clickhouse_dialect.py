@@ -91,3 +91,24 @@ class TestDialectScalars:
         )._jdf.queryExecution().optimizedPlan().toString()
         assert "intdiv" not in plan.lower() or "div" in plan.lower()
         assert "BatchEvalPython" not in plan  # never a python UDF
+
+
+class TestRound5DateAliases:
+    def test_quarter_family_and_monday(self, spark):
+        rows = spark.sql(
+            """
+            SELECT toQuarter(TIMESTAMP '2026-08-14 13:47:21') AS q,
+                   toDayOfYear(TIMESTAMP '2026-02-01 00:00:00') AS doy,
+                   toStartOfQuarter(TIMESTAMP '2026-08-14 13:47:21') AS soq,
+                   toMonday(TIMESTAMP '2026-08-14 13:47:21') AS mon,
+                   toStartOfFifteenMinutes(TIMESTAMP '2026-08-14 13:47:21') AS s15,
+                   toRelativeHourNum(TIMESTAMP '1970-01-02 01:30:00') AS rh
+            """
+        ).collect()[0]
+        import datetime as dt
+
+        assert rows["q"] == 3 and rows["doy"] == 32
+        assert rows["soq"] == dt.date(2026, 7, 1)
+        assert rows["mon"] == dt.date(2026, 8, 10)  # 2026-08-14 is a Friday
+        assert rows["s15"] == dt.datetime(2026, 8, 14, 13, 45, 0)
+        assert rows["rh"] == 25
