@@ -138,6 +138,49 @@ class TestLimitByRewrite:
         assert rw(q) == q
 
 
+class TestAnsiIdentityFuzz:
+    def test_plain_ansi_is_untouched(self):
+        """Property: SQL containing none of the ClickHouse forms must
+        pass through BYTE-identical — the rewriter may never mangle
+        plain ANSI. Grammar covers the constructs whose tokens look
+        closest to the rewrite triggers (counts, quantified ANY,
+        LIMIT, string literals containing trigger words)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        cols = st.sampled_from(["a", "b", "c", "ts", "v"])
+        exprs = st.one_of(
+            cols,
+            st.builds(lambda c: f"count({c})", cols),
+            st.builds(lambda c: f"sum({c})", cols),
+            st.builds(lambda c: f"max_by({c}, ts)", cols),
+            st.builds(lambda c: f"any_value({c})", cols),
+            st.just("'literal with uniq( and SAMPLE inside'"),
+            st.builds(lambda c: f"transform(arr, x -> x + {c})", cols),
+        )
+
+        @given(
+            sel=st.lists(exprs, min_size=1, max_size=4),
+            where=st.one_of(
+                st.none(),
+                st.builds(lambda c: f"{c} > ANY (SELECT v FROM u)", cols),
+                st.builds(lambda c: f"{c} IS NOT NULL", cols),
+            ),
+            limit=st.one_of(st.none(), st.integers(1, 100)),
+        )
+        @settings(max_examples=80, deadline=None)
+        def check(sel, where, limit):
+            q = f"SELECT {', '.join(sel)} FROM t"
+            if where:
+                q += f" WHERE {where}"
+            q += " GROUP BY a ORDER BY a"
+            if limit is not None:
+                q += f" LIMIT {limit}"
+            assert rw(q) == q
+
+        check()
+
+
 class TestIdempotence:
     def test_rewrite_is_a_fixed_point_on_declared_queries(self):
         """rw(rw(x)) == rw(x) for every ClickHouse-dialect query the
