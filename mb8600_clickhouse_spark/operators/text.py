@@ -185,3 +185,77 @@ def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit content fingerprint of normalized text
     (md5 hex) — the exact-dedup key."""
     return F.md5(normalize_text(text))
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick bag-of-words embeddings (round 5)
+# ---------------------------------------------------------------------------
+def token_bucket(tok: Column, dim: int) -> Column:
+    """Deterministic, ENGINE-PORTABLE token bucket: first 4 hex chars
+    of md5 mod dim. md5 is the one hash both Spark and any SQL oracle
+    compute identically (the same portability device as the MinHash
+    family) — xxhash64 would be faster but is Spark-only."""
+    return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("int") % dim
+
+
+def hashed_bow_embeddings(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 32,
+) -> "DataFrame":
+    """Hashing-trick bag-of-words embeddings: tokens hash into ``dim``
+    md5 buckets, counts L2-normalize into a unit array<double> —
+    model-free, deterministic text featurization (the classic hashing
+    vectorizer). Returns ``(id_col, e)``. Downstream it feeds the SAME
+    similarity stack real embeddings use (cosine, LSH, IVF,
+    quantization), which makes the whole vector pipeline runnable on a
+    corpus that ships no embedding column.
+
+    Distributed shape — explode + two hash aggregations, then a pure
+    per-row array assembly:
+
+        tokens -> (id, bucket) rows -> count per (id, bucket)
+               -> map per id -> dense normalized array
+
+    A per-row HOF fold with an array-typed accumulator looks tidier but
+    is PATHOLOGICAL in Catalyst: the accumulator array is rebuilt per
+    token per element (measured 86 s vs 1-2 s for this shape at sf0.1 —
+    the nested-lambda copy-on-write trap, cousin of the re-evaluation
+    pitfalls documented in dedup.py). The aggregation here carries only
+    (id, int, count) rows and map-side combines absorb hot buckets."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    )
+    cnt = (
+        toks.select(id_col, token_bucket(F.col("tok"), dim).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("n"))
+    )
+    m = cnt.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "n"))).alias("m")
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)),
+    )
+    out = m.withColumn("_c", counts).withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate(
+                F.col("_c"),
+                F.lit(0.0),
+                lambda a, c: a + c.cast("double") * c.cast("double"),
+            )
+        ),
+    )
+    return out.select(
+        id_col,
+        F.transform(
+            F.col("_c"),
+            lambda c: F.when(F.col("_n") > 0, c.cast("double") / F.col("_n")).otherwise(
+                F.lit(0.0)
+            ),
+        ).alias("e"),
+    )

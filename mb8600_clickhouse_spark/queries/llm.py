@@ -1127,3 +1127,70 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
     )
     return s4.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q91 hashing-trick BoW embeddings (model-free featurization, round 5)
+# ---------------------------------------------------------------------------
+_HEXPOS = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
+
+
+@query(
+    "q91_hashed_bow",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, list_transform(w, t ->
+        (({_HEXPOS.format(i=1)}) * 4096
+       + ({_HEXPOS.format(i=2)}) * 256
+       + ({_HEXPOS.format(i=3)}) * 16
+       + ({_HEXPOS.format(i=4)})) % 32) AS b
+      FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31),
+                            i -> len(list_filter(b, x -> x = i))) AS c
+      FROM bk
+    ),
+    nm AS (
+      SELECT doc_id, c,
+             sqrt(list_sum(list_transform(c, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM cnt
+    )
+    SELECT doc_id,
+           len(list_filter(c, x -> x > 0)) AS n_nonzero,
+           round(c[1] / nrm, 4) AS f0,
+           round(c[8] / nrm, 4) AS f7,
+           round(c[20] / nrm, 4) AS f19,
+           round(c[32] / nrm, 4) AS f31
+    FROM nm ORDER BY doc_id
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text featurization: the hashing-trick bag-of-words
+    embedder (``text.hashed_bow_embedding``) — tokens hash into 32 md5
+    buckets (the engine's portable hash device), counts L2-normalize
+    into a unit vector. The output feeds the SAME similarity stack real
+    embeddings use (cosine/LSH/IVF/quantization), so a corpus shipping
+    no embedding column can still run the whole vector pipeline. The
+    oracle recomputes buckets with strpos hex arithmetic (== Spark's
+    ``conv(hex, 16, 10)``), counts, the exact-integer norm, and the
+    same sampled components. Scalar projection per the driver contract
+    (n_nonzero + four components), not the raw array."""
+    from ..operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    emb = text_ops.hashed_bow_embeddings(docs, "doc_id", "text", dim=32)
+    return emb.select(
+        "doc_id",
+        F.size(F.filter("e", lambda x: x > 0)).alias("n_nonzero"),
+        *[
+            F.round(F.element_at("e", i + 1), 4).alias(f"f{i}")
+            for i in (0, 7, 19, 31)
+        ],
+    ).orderBy("doc_id")
