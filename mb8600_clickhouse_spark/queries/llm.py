@@ -1194,3 +1194,106 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in (0, 7, 19, 31)
         ],
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q92 capstone: the FULL vector pipeline on a corpus with NO embeddings
+# ---------------------------------------------------------------------------
+@query(
+    "q92_bow_neardup",
+    oracle=f"""
+    WITH hp(hid, h) AS (VALUES
+      {_hyperplane_values_sql()}
+    ),
+    corpus0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 500
+      UNION ALL
+      SELECT doc_id + 200000, text || ' zz' FROM documents
+      WHERE doc_id < 500 AND doc_id % 7 = 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM corpus0
+    ),
+    bk AS (
+      SELECT doc_id, list_transform(w, t ->
+        ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) % 32) AS b
+      FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31),
+                            i -> len(list_filter(b, x -> x = i))) AS c
+      FROM bk
+    ),
+    nm AS (
+      SELECT doc_id, c,
+             sqrt(list_sum(list_transform(c, x -> CAST(x AS DOUBLE) * x))) AS nrm
+      FROM cnt
+    ),
+    vecs AS (
+      SELECT doc_id,
+             list_transform(c, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END) AS e
+      FROM nm
+    ),
+    bits AS (
+      SELECT doc_id, hid,
+             CASE WHEN list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * h[i])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM vecs, hp
+    ),
+    buckets AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY hid) AS bucket
+      FROM bits GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+             list_sum(list_transform(generate_series(1, len(va.e)), i -> va.e[i] * vb.e[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(va.e)), i -> va.e[i] * va.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(vb.e)), i -> vb.e[i] * vb.e[i]))))
+             AS cos_raw
+      FROM pairs
+      JOIN vecs va ON va.doc_id = id_a
+      JOIN vecs vb ON vb.doc_id = id_b
+    )
+    SELECT id_a, id_b, CAST(CAST(cos_raw AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+    FROM verified WHERE cos_raw >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition: a corpus with NO embedding column runs the
+    ENTIRE vector near-dup pipeline — q91's hashing-trick embedder
+    generates the vectors, the canonical 8-bit hyperplane LSH buckets
+    them (the planes' 32-dim prefix, the documented short-vector rule
+    of ``lsh_bucket``), and exact cosine >= 0.95 verifies candidates —
+    over a corpus with planted ' zz' near-duplicates (bounded to
+    doc_id < 500 so the all-positive BoW vectors' bucket concentration
+    keeps pair counts fixture-independent). The oracle recomputes
+    embedder + LSH + verification end-to-end, so one hash pins the
+    whole composed pipeline."""
+    from ..operators import similarity
+    from ..operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 500)
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+    )
+    vecs = text_ops.hashed_bow_embeddings(corpus, "doc_id", "text", dim=32)
+    out = similarity.embedding_neardup(
+        vecs, threshold=0.95, id_col="doc_id", vec_col="e"
+    )
+    return out.select(
+        "id_a", "id_b", round4(F.col("cosine_sim")).alias("cosine_sim")
+    ).orderBy("id_a", "id_b")
