@@ -182,3 +182,52 @@ class TestSparkPath:
         assert f[3] == pytest.approx(amp / 32768)  # rms of a square wave
         assert f[4] == pytest.approx(amp / 32768)  # peak
         assert f[5] == pytest.approx(399 / 799)    # zero-crossing rate
+
+
+class TestMoreDecodePaths:
+    def test_right_side_stereo(self):
+        n = 6
+        left = [100, -200, 300, -400, 550, -660]
+        right = [90, -150, 250, -350, 450, -560]
+        side = [l - r for l, r in zip(left, right)]
+        w = _BitWriter()
+        # right/side: SIDE subframe first (bps+1), then RIGHT
+        for vals, bits in ((side, 17), (right, 16)):
+            w.write(0, 1); w.write(1, 6); w.write(0, 1)
+            for v in vals:
+                w.write(v & ((1 << bits) - 1), bits)
+        payload = _assemble(_streaminfo(8000, 2, 16, n), w, _frame_header(9, n, 4))
+        _r, frames = decode_flac(payload)
+        np.testing.assert_array_equal(frames[:, 0] * 32768.0, left)
+        np.testing.assert_array_equal(frames[:, 1] * 32768.0, right)
+
+    def test_mid_side_stereo(self):
+        n = 4
+        left = [1000, -500, 250, 125]
+        right = [800, -300, 150, 75]
+        mid = [(l + r) >> 1 for l, r in zip(left, right)]
+        side = [l - r for l, r in zip(left, right)]
+        w = _BitWriter()
+        for vals, bits in ((mid, 16), (side, 17)):
+            w.write(0, 1); w.write(1, 6); w.write(0, 1)
+            for v in vals:
+                w.write(v & ((1 << bits) - 1), bits)
+        payload = _assemble(_streaminfo(8000, 2, 16, n), w, _frame_header(10, n, 4))
+        _r, frames = decode_flac(payload)
+        np.testing.assert_array_equal(frames[:, 0] * 32768.0, left)
+        np.testing.assert_array_equal(frames[:, 1] * 32768.0, right)
+
+    def test_wasted_bits(self):
+        """A subframe with 2 wasted bits: stored values are samples >> 2,
+        reconstruction shifts back."""
+        n = 4
+        samples = [4, -8, 16, -32]  # all divisible by 4
+        w = _BitWriter()
+        w.write(0, 1); w.write(1, 6)  # VERBATIM
+        w.write(1, 1)                 # wasted-bits flag
+        w.write(0, 1); w.write(1, 1)  # unary 01 -> k=1 -> wasted = 2
+        for v in samples:
+            w.write((v >> 2) & ((1 << 14) - 1), 14)  # eff bps = 16 - 2
+        payload = _assemble(_streaminfo(8000, 1, 16, n), w, _frame_header(0, n, 4))
+        _r, frames = decode_flac(payload)
+        np.testing.assert_array_equal(frames[:, 0] * 32768.0, samples)

@@ -324,3 +324,20 @@ class TestPngDecode:
         assert row["features"][0] == 8.0 and row["features"][1] == 4.0
         np.testing.assert_allclose(row["features"][2:5], px.mean(axis=0), rtol=1e-6)
         np.testing.assert_allclose(row["features"][5:8], px.std(axis=0), rtol=1e-6)
+
+
+def test_png_interlace_rejected():
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)  # Adam7
+    bad = mm._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x01\x02\x03")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        mm.decode_png(bad)
