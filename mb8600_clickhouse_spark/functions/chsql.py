@@ -364,6 +364,84 @@ def _rewrite_array_join(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# 2a2. topK(k)(x) -> exact per-group top-k via a derived frequency join
+# ---------------------------------------------------------------------------
+def _rewrite_topk(sql: str) -> str:
+    """``SELECT g..., aggs..., topK(k)(x) AS name FROM t [WHERE w]
+    GROUP BY g...`` → the base aggregate joined with a per-group
+    frequency subquery that assembles the k most frequent values of x
+    as an array (count desc, value asc — DETERMINISTIC, unlike CH).
+
+    Semantics note: ClickHouse's topK is an APPROXIMATE sketch
+    (Filtered Space-Saving); this rewrite is the exact answer — the
+    same better-than-the-original trade as quantileExact. Contract is
+    deliberately TIGHT and loudly enforced: exactly one topK, an
+    explicit alias, plain-identifier GROUP BY keys, no HAVING — the
+    dashboard shape. Anything else raises with the manual spelling
+    (q63's shape). The topK column lands LAST in the output."""
+    m = _first_match(sql, r"\btopK\s*\(")
+    if not m:
+        return sql
+    k_open = sql.index("(", m.end() - 1)
+    k_close = _match_paren(sql, k_open)
+    k = sql[k_open + 1 : k_close].strip()
+    if not k.isdigit():
+        raise ChSqlError("topK(k) needs an integer k")
+    m2 = re.match(r"\s*\(", sql[k_close + 1 :])
+    if not m2:
+        raise ChSqlError("topK(k) must be followed by an argument list")
+    x_open = k_close + 1 + m2.end() - 1
+    x_close = _match_paren(sql, x_open)
+    x = sql[x_open + 1 : x_close].strip()
+    malias = re.match(r"\s+AS\s+(\w+)", sql[x_close + 1 :], re.IGNORECASE)
+    if not malias:
+        raise ChSqlError("topK needs an explicit alias (topK(k)(x) AS name)")
+    alias = malias.group(1)
+    term_start, term_end = m.start(), x_close + 1 + malias.end()
+    if _first_match(sql[term_end:], r"\btopK\s*\("):
+        raise ChSqlError("only one topK per statement is rewritable")
+    if _first_match(sql, r"\bHAVING\b"):
+        raise ChSqlError("topK with HAVING is not rewritable; spell it manually")
+
+    msel = _first_match(sql, r"\bSELECT\b")
+    mfrom = _top_level_matches(sql, r"\bFROM\b")
+    mgroup = _top_level_matches(sql, r"\bGROUP\s+BY\b")
+    if not mfrom or not mgroup:
+        raise ChSqlError("topK rewrite needs FROM and GROUP BY")
+    sel = (sql[msel.end() : term_start] + sql[term_end : mfrom[0].start()]).strip()
+    sel = re.sub(r",\s*$", "", sel).strip()
+    if not sel:
+        raise ChSqlError("topK cannot be the only SELECT item (add the keys)")
+    mwhere = _first_match(sql, r"\bWHERE\b")
+    from_end = mwhere.start() if mwhere else mgroup[0].start()
+    from_txt = sql[mfrom[0].end() : from_end].strip()
+    where_txt = sql[mwhere.end() : mgroup[0].start()].strip() if mwhere else ""
+    tail_m = [
+        t
+        for t in _top_level_matches(sql, r"\bORDER\s+BY\b|\bLIMIT\b")
+        if t.start() > mgroup[0].end()
+    ]
+    g_end = tail_m[0].start() if tail_m else len(sql)
+    keys = _split_top_commas(sql[mgroup[0].end() : g_end].rstrip().rstrip(";"))
+    if not all(re.fullmatch(r"\w+", g) for g in keys):
+        raise ChSqlError(
+            "topK rewrite needs plain-identifier GROUP BY keys; spell it manually"
+        )
+    tail = sql[g_end:].strip()
+    gl = ", ".join(keys)
+    where_clause = f" WHERE {where_txt}" if where_txt else ""
+    base = f"SELECT {sel} FROM {from_txt}{where_clause} GROUP BY {gl}"
+    freq = (
+        f"SELECT {gl}, transform(slice(array_sort(collect_list("
+        f"named_struct('a', -__cnt, 'v', __x))), 1, {k}), s -> s.v) AS {alias} "
+        f"FROM (SELECT {gl}, {x} AS __x, count(*) AS __cnt FROM {from_txt}"
+        f"{where_clause} GROUP BY {gl}, {x}) __f GROUP BY {gl}"
+    )
+    out = f"SELECT __o.*, __t.{alias} FROM ({base}) __o JOIN ({freq}) __t USING ({gl})"
+    return out + (f" {tail}" if tail else "")
+
+
+# ---------------------------------------------------------------------------
 # 2b. PREWHERE -> WHERE; trailing SETTINGS stripped
 # ---------------------------------------------------------------------------
 def _rewrite_prewhere_settings(sql: str) -> str:
@@ -560,6 +638,7 @@ def rewrite_clickhouse_sql(
     ``FROM t FINAL`` (see ``_rewrite_final``); ``sample_by`` supplies
     the sampling key for ``FROM t SAMPLE f`` (see ``_rewrite_sample``)."""
     sql = _rewrite_combinators(sql)
+    sql = _rewrite_topk(sql)
     sql = _rewrite_prewhere_settings(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql, sample_by)

@@ -140,7 +140,7 @@ DIALECT_NOTES: dict[str, str] = {
     "arrayMap/arrayFilter/arrayExists/arrayAll/arrayCount (lambdas)": "runs verbatim via chsql (identical lambda syntax)",
     "arrayJoin(arr)": "runs verbatim via chsql (LATERAL VIEW explode, alias bodies inlined)",
     "LIMIT n BY k": "runs verbatim via chsql (row_number window over the query's ORDER BY)",
-    "topK(10)(x)": "GROUP BY x ORDER BY count(*) DESC LIMIT 10 (q63's shape)",
+    "topK(10)(x)": "runs verbatim via chsql (exact frequency-join rewrite, q93; CH's is approximate — documented upgrade)",
     "SELECT ... FROM t FINAL": "runs verbatim via chsql given final_tables={'t': ([keys], version)} (q79)",
     "SAMPLE 0.1": "runs verbatim via chsql given sample_by={'t': 'key'} (replay-stable md5 contract; NOT cityHash-member-compatible, documented)",
     "TTL ts + INTERVAL 30 DAY": "ManifestTable.expire(spark, 'ts', cutoff) (q70 demotes into a rollup)",

@@ -845,3 +845,62 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q93 ClickHouse topK through the pre-rewriter
+# ---------------------------------------------------------------------------
+_Q93_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           count() AS n,
+           topK(3)(user_id % 5) AS top_cohorts
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query(
+    "q93_clickhouse_topk",
+    oracle="""
+    WITH freq AS (
+      SELECT event_type, user_id % 5 AS x, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, x
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, x) AS rn
+      FROM freq
+    ),
+    tk AS (
+      SELECT event_type,
+             string_agg(CAST(x AS VARCHAR), ',' ORDER BY rn) AS top_cohorts
+      FROM ranked WHERE rn <= 3 GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n, MIN(tk.top_cohorts) AS top_cohorts
+    FROM events e JOIN tk ON tk.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK(3)(x)`` running VERBATIM through the
+    structural rewrite: the frequency-subquery join assembling the k
+    most frequent values per group, count desc then value asc —
+    DETERMINISTIC and EXACT, a documented upgrade over ClickHouse's
+    approximate Filtered-Space-Saving sketch (the quantileExact
+    precedent). The driver contract needs scalar sortable columns, so
+    the top-k array flattens to a comma-joined string; the oracle
+    recomputes the ranking with row_number + string_agg."""
+    from ..functions.chsql import rewrite_clickhouse_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    df = spark.sql(rewrite_clickhouse_sql(_Q93_CLICKHOUSE_SQL))
+    return df.select(
+        "event_type",
+        "n",
+        F.array_join(F.col("top_cohorts"), ",").alias("top_cohorts"),
+    ).orderBy("event_type")

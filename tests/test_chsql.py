@@ -236,6 +236,45 @@ class TestPrewhereSettings:
         assert [r["k"] for r in rows] == [1]
 
 
+class TestTopKRewrite:
+    Q = (
+        "SELECT k, count() AS n, topK(2)(v) AS top_v FROM t "
+        "WHERE v > 0 GROUP BY k ORDER BY k"
+    )
+
+    def test_shape(self):
+        got = rw(self.Q)
+        assert "topK" not in got
+        assert "USING (k)" in got and got.strip().endswith("ORDER BY k")
+        assert "slice(array_sort(collect_list(" in got
+
+    def test_contract_violations_raise(self):
+        with pytest.raises(ChSqlError, match="alias"):
+            rw("SELECT k, topK(2)(v) FROM t GROUP BY k")
+        with pytest.raises(ChSqlError, match="HAVING"):
+            rw("SELECT k, topK(2)(v) AS t2 FROM t GROUP BY k HAVING count() > 1")
+        with pytest.raises(ChSqlError, match="plain-identifier"):
+            rw("SELECT k % 2, topK(2)(v) AS t2 FROM t GROUP BY k % 2")
+        with pytest.raises(ChSqlError, match="only one topK"):
+            rw("SELECT k, topK(2)(v) AS a, topK(3)(w) AS b FROM t GROUP BY k")
+
+    def test_executes_exact_and_deterministic(self, spark):
+        spark.createDataFrame(
+            [Row(k="a", v=x) for x in [1, 1, 1, 2, 2, 3]]
+            + [Row(k="b", v=x) for x in [9, 9, 8, 8, 7]]  # tie 9/8 -> value asc
+        ).createOrReplaceTempView("chsql_topk_t")
+        rows = spark.sql(
+            rw(
+                "SELECT k, count() AS n, topK(2)(v) AS top2 "
+                "FROM chsql_topk_t GROUP BY k ORDER BY k"
+            )
+        ).collect()
+        assert [(r["k"], r["n"], r["top2"]) for r in rows] == [
+            ("a", 6, [1, 2]),
+            ("b", 5, [8, 9]),  # equal counts: deterministic value-asc tiebreak
+        ]
+
+
 class TestSampleRewrite:
     def test_shape(self):
         got = rw(
