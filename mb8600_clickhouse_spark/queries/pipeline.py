@@ -904,3 +904,64 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.array_join(F.col("top_cohorts"), ",").alias("top_cohorts"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q94 CSV ingest round-trip (quoting/escaping differential)
+# ---------------------------------------------------------------------------
+@query(
+    "q94_csv_ingest",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_len
+    FROM read_csv('{docsis}_q94_csv/*.csv',
+                  columns = {{'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+                              'n_chars': 'BIGINT', 'text': 'VARCHAR'}},
+                  header = true, quote = '"', escape = '"')
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with ADVERSARIAL content: every text field is
+    decorated with commas, double quotes and embedded newlines before
+    writing, so the quoting/escaping path is genuinely exercised —
+    Spark writes RFC-4180 CSV (quote-doubling escape, multiLine
+    fields), reads it back with an explicit schema + multiLine, and
+    the oracle parses the SAME part files with DuckDB's read_csv.
+    total_len (post-decoration length) only matches if both parsers
+    reconstruct the decorated text byte-for-byte through the quoting."""
+    from ..datagen import docsis_path_for
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    gnarly = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat(
+            F.lit('a,"b"\n'), F.col("text"), F.lit('","tail')
+        ).alias("text"),
+    )
+    out_dir = f"{docsis_path_for(sf_dir)}_q94_csv"
+    # escape = '"' selects RFC-4180 quote-doubling (Spark's default is
+    # backslash-escape, which DuckDB's reader does not sniff)
+    gnarly.coalesce(2).write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).option("escape", '"').csv(out_dir)
+    back = (
+        spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out_dir)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+        .orderBy("lang")
+    )
