@@ -184,6 +184,16 @@ def _rewrite_combinators(sql: str) -> str:
         fn = _QUANTILE_MAP[m.group(1).lower()]
         sql = sql[: m.start()] + f"{fn}({x}, {p})" + sql[x_close + 1 :]
 
+    # median(x) == quantile(0.5)(x): argument-position rewrite
+    while True:
+        m = _first_match(sql, r"\bmedian\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        arg = sql[o + 1 : c].strip()
+        sql = sql[: m.start()] + f"percentile_approx({arg}, 0.5)" + sql[c + 1 :]
+
     # uniqExact(x) -> count(DISTINCT x); uniq(x) -> approx_count_distinct(x)
     while True:
         m = _first_match(sql, r"\b(uniqExact|uniq)\s*\(")
@@ -206,7 +216,12 @@ def _rewrite_combinators(sql: str) -> str:
     for ch, sp in (
         (r"\bargMax\s*\(", "max_by("),
         (r"\bargMin\s*\(", "min_by("),
+        # the uniq* sketch family all map to Spark's HLL aggregate
         (r"\buniqHLL12\s*\(", "approx_count_distinct("),
+        (r"\buniqCombined64\s*\(", "approx_count_distinct("),
+        (r"\buniqCombined\s*\(", "approx_count_distinct("),
+        (r"\buniqTheta\s*\(", "approx_count_distinct("),
+        (r"\banyLast\s*\(", "any_value("),  # both: arbitrary element
         (r"\bcountIf\s*\(", "count_if("),  # count_if is exact too
     ):
         while True:

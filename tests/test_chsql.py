@@ -68,6 +68,18 @@ class TestCombinatorRewrites:
             "SELECT transform(a, x -> greatest(x, 0)) FROM t"
         )
 
+    def test_median_and_sketch_family(self):
+        assert rw("SELECT median(v) FROM t") == (
+            "SELECT percentile_approx(v, 0.5) FROM t"
+        )
+        assert rw("SELECT uniqCombined(u), uniqCombined64(u), uniqTheta(u) FROM t") == (
+            "SELECT approx_count_distinct(u), approx_count_distinct(u), "
+            "approx_count_distinct(u) FROM t"
+        )
+        assert rw("SELECT anyLast(v) FROM t GROUP BY k") == (
+            "SELECT any_value(v) FROM t GROUP BY k"
+        )
+
     def test_arg_extremum_and_hll_renames(self):
         assert rw("SELECT argMax(name, ts), argMin(v, ts) FROM t") == (
             "SELECT max_by(name, ts), min_by(v, ts) FROM t"
