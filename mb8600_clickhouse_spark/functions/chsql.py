@@ -12,10 +12,19 @@ they cannot be a scalar alias and need a textual rewrite before
   explode(expr)`` appended to the FROM clause.
 - Aggregate-combinator call syntax: ``quantile(p)(x)`` /
   ``quantileExact(p)(x)`` / ``quantileTDigest(p)(x)`` →
-  ``percentile_approx(x, p)`` / ``percentile(x, p)``; ``uniq(x)`` →
+  ``percentile_approx(x, p)`` / ``percentile(x, p)``; ``median(x)`` →
+  ``percentile_approx(x, 0.5)``; the ``uniq`` sketch family
+  (``uniq``/``uniqHLL12``/``uniqCombined[64]``/``uniqTheta``) →
   ``approx_count_distinct(x)``; ``uniqExact(x)`` →
   ``count(DISTINCT x)``; ``countIf(c)`` → ``count_if(c)``;
-  ``sumIf/avgIf/minIf/maxIf(x, c)`` → ``agg(CASE WHEN c THEN x END)``.
+  ``sumIf/avgIf/minIf/maxIf(x, c)`` → ``agg(CASE WHEN c THEN x END)``;
+  ``argMax/argMin`` → ``max_by/min_by``; ``any/anyLast`` →
+  ``any_value`` (the quantified-comparison ``> ANY (subquery)`` form
+  is detected and left untouched).
+- ``topK(k)(x)`` → an EXACT per-group frequency-join rewrite under a
+  tight, loudly-failing contract (see ``_rewrite_topk``).
+- ``FROM t SAMPLE f`` → a replay-stable md5-prefix filter, given the
+  sampling key via ``sample_by`` (see ``_rewrite_sample``).
 - Bare ``count()`` → ``count(*)``.
 - Array higher-order functions — ClickHouse's lambda syntax is
   identical to Spark's, only names and argument order differ:
