@@ -388,6 +388,69 @@ def _rewrite_array_join(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# 2a1. formatDateTime(ts, '%...') -> date_format(ts, 'java pattern')
+# ---------------------------------------------------------------------------
+#: ClickHouse %-codes with EXACT Java/Spark pattern equivalents; any
+#: other % code raises (a wrong format silently corrupts dashboards).
+#: Deliberately excluded as NOT exact: %M (minute in old CH, month
+#: name in new — version-ambiguous), %e (space-padded day), %V
+#: (ISO week vs Java's locale week).
+_FMT_CODES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "i": "mm",
+    "S": "ss", "F": "yyyy-MM-dd", "T": "HH:mm:ss",
+    "j": "DDD", "p": "a", "%": "%",
+}
+
+
+def _translate_fmt(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            code = fmt[i + 1 : i + 2]
+            if code not in _FMT_CODES:
+                raise ChSqlError(
+                    f"formatDateTime %-code %{code} has no exact Spark mapping"
+                )
+            out.append(_FMT_CODES[code])
+            i += 2
+        elif ch.isalpha():
+            # literal letters are pattern chars in Java formats — quote
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_format_datetime(sql: str) -> str:
+    """``formatDateTime(ts, '%Y-%m-%d %H:%i:%S')`` →
+    ``date_format(ts, 'yyyy-MM-dd HH:mm:ss')`` — the strftime-style
+    codes translated to Java patterns, EXACT subset only (unknown
+    codes raise rather than silently reformat)."""
+    while True:
+        m = _first_match(sql, r"\bformatDateTime\s*\(")
+        if not m:
+            return sql
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 2:
+            raise ChSqlError("formatDateTime expects (ts, 'format')")
+        fm = re.fullmatch(r"'(.*)'", args[1].strip())
+        if not fm:
+            raise ChSqlError("formatDateTime needs a literal format string")
+        java = _translate_fmt(fm.group(1))
+        sql = (
+            sql[: m.start()]
+            + f"date_format({args[0]}, '{java}')"
+            + sql[c + 1 :]
+        )
+
+
+# ---------------------------------------------------------------------------
 # 2a2. topK(k)(x) -> exact per-group top-k via a derived frequency join
 # ---------------------------------------------------------------------------
 def _rewrite_topk(sql: str) -> str:
@@ -662,6 +725,7 @@ def rewrite_clickhouse_sql(
     ``FROM t FINAL`` (see ``_rewrite_final``); ``sample_by`` supplies
     the sampling key for ``FROM t SAMPLE f`` (see ``_rewrite_sample``)."""
     sql = _rewrite_combinators(sql)
+    sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
     sql = _rewrite_prewhere_settings(sql)
     sql = _rewrite_with_totals(sql)

@@ -136,6 +136,7 @@ DIALECT_NOTES: dict[str, str] = {
     "quantile(0.95)(x)": "runs verbatim via chsql (percentile_approx; quantileExact -> exact percentile)",
     "quantileTDigest(0.95)(x)": "runs verbatim via chsql (q67's tolerance-gated form)",
     "countIf / sumIf / avgIf / minIf / maxIf": "runs verbatim via chsql",
+    "formatDateTime(ts, '%Y-%m-%d ...')": "runs verbatim via chsql (exact %-code subset; ambiguous codes raise)",
     "GROUP BY ... WITH TOTALS": "runs verbatim via chsql (GROUPING SETS ((keys), ()) — exact; q82)",
     "arrayMap/arrayFilter/arrayExists/arrayAll/arrayCount (lambdas)": "runs verbatim via chsql (identical lambda syntax)",
     "arrayJoin(arr)": "runs verbatim via chsql (LATERAL VIEW explode, alias bodies inlined)",

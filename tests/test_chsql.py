@@ -68,6 +68,23 @@ class TestCombinatorRewrites:
             "SELECT transform(a, x -> greatest(x, 0)) FROM t"
         )
 
+    def test_format_datetime(self, spark):
+        got = rw("SELECT formatDateTime(ts, '%Y-%m-%d %H:%i:%S') AS s FROM t")
+        assert got == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s FROM t"
+        # literal letters get quoted for Java patterns
+        assert rw("SELECT formatDateTime(ts, '%HH') FROM t") == (
+            "SELECT date_format(ts, 'HH'H'') FROM t"
+        )
+        with pytest.raises(ChSqlError, match="%-code"):
+            rw("SELECT formatDateTime(ts, '%M') FROM t")  # version-ambiguous
+        r = spark.sql(
+            rw(
+                "SELECT formatDateTime(TIMESTAMP '2026-08-14 13:47:21', "
+                "'%F %T') AS s"
+            )
+        ).collect()[0]
+        assert r["s"] == "2026-08-14 13:47:21"
+
     def test_median_and_sketch_family(self):
         assert rw("SELECT median(v) FROM t") == (
             "SELECT percentile_approx(v, 0.5) FROM t"
