@@ -32,7 +32,7 @@ def make_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or v is pd.NA or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, (np.floating, float)):
         f = float(v)
@@ -57,11 +57,19 @@ def _canon_cell(v) -> str:
 
 
 def canonicalize(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    """Column-wise cell rendering, preserving each column's dtype.
+
+    Must NOT iterate ``df.iterrows()``: that materializes each row as a
+    Series whose values are upcast to a single homogeneous dtype, so an
+    int64 column sitting next to any float column renders as ``92.0``
+    instead of ``92`` — masking exactly the dtype divergence the driver
+    gate detects (its canonicalizer is column-wise). Verified by the
+    q70 round-4/5 incident: local gate green, driver hash-FAIL, because
+    DuckDB's HUGEINT→float64 ``92.0`` and Spark's int64 ``92`` both
+    rendered ``92.0`` under iterrows upcasting."""
     cols = sorted(df.columns)
-    rows = [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in df.iterrows()
-    ]
+    rendered = [[_canon_cell(v) for v in df[c].tolist()] for c in cols]
+    rows = [tuple(col[i] for col in rendered) for i in range(len(df))]
     rows.sort()
     return cols, rows
 

@@ -257,9 +257,9 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
     )
     SELECT cohort,
-           SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_demoted,
+           CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_demoted,
            CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN v END) AS DOUBLE) AS total_demoted,
-           SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS n_remaining
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining
     FROM src GROUP BY cohort
     HAVING SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) > 0
        AND SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) > 0
