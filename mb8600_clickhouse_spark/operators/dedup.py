@@ -278,6 +278,49 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_dropped_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """DISTINCT ids dropped by the single-pass near-dup rule ('the
+    higher id of every LSH candidate pair is dropped'), without ever
+    materializing the pairs.
+
+    For a sorted bucket [a, b, c] the candidate pairs are (a,b), (a,c),
+    (b,c), so the dropped-id set is exactly every member EXCEPT the
+    bucket minimum — ``slice(ids, 2, ...)`` bucket-locally. Versus
+    ``minhash_lsh_candidates(...).select(id_b).distinct()`` this removes
+    the within-bucket pair cross-product (O(m) per bucket instead of
+    O(m^2)) and one full distinct exchange (pair-distinct then
+    id-distinct collapse into the single final distinct) — the round-6
+    q86 fusion. ``max_bucket`` caps exactly as in the pair form, so the
+    dropped set stays identical to the pair-derived one."""
+    buckets = minhash_band_buckets(df, id_col, text_col, shingle_n, k, bands)
+    if max_bucket is not None:
+        w = W.partitionBy("band", "key").orderBy("id")
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+    members = (
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        members.select(
+            F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias("id")
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -100,9 +100,10 @@ class _BitReader:
         """Consume the byte-aligned restart marker FFD0+n."""
         self.align()
         d = self.data
-        assert d[self.pos] == 0xFF and d[self.pos + 1] == 0xD0 + n, (
-            "restart marker expected"
-        )
+        # explicit raise, not assert: `python -O` strips asserts and a
+        # misaligned stream would silently misdecode past this point
+        if not (d[self.pos] == 0xFF and d[self.pos + 1] == 0xD0 + n):
+            raise ValueError("restart marker expected")
         self.pos += 2
 
 

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory size when coalescing instead of refusing
+        # to go below default parallelism: small post-shuffle stages
+        # collapse to few tasks (the map side keeps full parallelism, so
+        # scan/hash CPU is unaffected); at cluster scale this is the
+        # documented setting for minimizing tiny-task scheduling waste
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # cost-based optimizer (SURVEY §4.3): join reordering from table/
         # column stats. Stats come from ANALYZE TABLE on registered

@@ -173,9 +173,15 @@ class ClickHouseHttpSink:
                 if status == 200:
                     return
                 last = RuntimeError(f"ClickHouse HTTP {status}: {text[:500]}")
+                if 400 <= status < 500:
+                    # 4xx (parse/auth/schema) is deterministic — the
+                    # same body fails the same way; retrying burns the
+                    # whole backoff schedule for nothing
+                    break
             except Exception as e:  # noqa: BLE001 — network errors retry
                 last = e
-            time.sleep(self.backoff_s * (2**attempt))
+            if attempt + 1 < self.max_retries:  # no sleep after the last try
+                time.sleep(self.backoff_s * (2**attempt))
         # raise -> Spark retries the task: at-least-once, never the
         # reference's silent drop (mb8600.py:308-311)
         raise RuntimeError(

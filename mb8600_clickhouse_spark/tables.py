@@ -56,34 +56,79 @@ def _events_ts_is_nanos(path: str) -> bool:
         return False
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every fixture table under ``sf_dir`` plus the repo docsis
-    fixture; returns name -> DataFrame (lazy parquet scans)."""
-    pin_session_confs(spark)
-    out: dict[str, DataFrame] = {}
-    for name, schema in FIXTURE_SCHEMAS.items():
-        if name == "events" and _events_ts_is_nanos(f"{sf_dir}/{name}.parquet"):
-            # ts is parquet TIMESTAMP(NANOS): read as raw int64 nanos and
-            # truncate to microseconds — exactly what DuckDB's reader does,
-            # so oracle comparisons see identical instants. (Fixture
-            # generations vary: some rounds write NANOS, some MICROS —
-            # probe the footer rather than assume.)
-            ns_schema = T.StructType(
-                [
-                    T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-                    for f in schema.fields
-                ]
-            )
-            raw = spark.read.schema(ns_schema).parquet(f"{sf_dir}/{name}.parquet")
-            # integer `div`, not `/`: ns values (~1.7e18) exceed double's
-            # 2^53 exact-integer range, so float division is off by ulps
-            out[name] = raw.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        else:
-            out[name] = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
-    out["docsis"] = spark.read.parquet(docsis_path_for(sf_dir))
-    return out
+def _build_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "docsis":
+        return spark.read.parquet(docsis_path_for(sf_dir))
+    schema = FIXTURE_SCHEMAS[name]
+    if name == "events" and _events_ts_is_nanos(f"{sf_dir}/{name}.parquet"):
+        # ts is parquet TIMESTAMP(NANOS): read as raw int64 nanos and
+        # truncate to microseconds — exactly what DuckDB's reader does,
+        # so oracle comparisons see identical instants. (Fixture
+        # generations vary: some rounds write NANOS, some MICROS —
+        # probe the footer rather than assume.)
+        ns_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in schema.fields
+            ]
+        )
+        raw = spark.read.schema(ns_schema).parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div`, not `/`: ns values (~1.7e18) exceed double's
+        # 2^53 exact-integer range, so float division is off by ulps
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+
+
+class LazyTables(dict):
+    """name -> DataFrame mapping that builds each scan ON ACCESS.
+
+    Building a parquet DataFrame costs a footer-probing py4j round-trip
+    (~25 ms); the eager loop built all 11 fixture tables for every query
+    (~0.27 s of plan-build per query at sf0.1 — profiled as the single
+    largest build item for queries that touch one table). Most queries
+    read 1-2 tables. Entries are plain lazy scans, immutable and
+    session-lifetime, so instances are also memoized per
+    (session, sf_dir) in ``load_tables``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __missing__(self, name: str) -> DataFrame:
+        df = _build_table(self._spark, self._sf_dir, name)
+        self[name] = df
+        return df
+
+    def force(self) -> "LazyTables":
+        """Materialize every entry (register_views / bench warmup)."""
+        for name in list(FIXTURE_SCHEMAS) + ["docsis"]:
+            self[name]
+        return self
+
+    def values(self):  # bench warms all tables via values()
+        return dict.values(self.force())
+
+    def items(self):
+        return dict.items(self.force())
+
+
+_TABLE_CACHE: dict[tuple[int, str], LazyTables] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> LazyTables:
+    """Fixture tables under ``sf_dir`` plus the repo docsis fixture, as a
+    lazy, per-(session, sf_dir) memoized mapping of parquet scans.
+    Holding the session reference inside the cached value keeps ``id``
+    reuse impossible while an entry is alive."""
+    pin_session_confs(spark)  # every call: callers rely on the re-pin
+    key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None and cached._spark is spark:
+        return cached
+    tables = LazyTables(spark, sf_dir)
+    _TABLE_CACHE[key] = tables
+    return tables
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -468,3 +468,108 @@ class TestEndToEnd:
         assert [(r["k"], r["tag"], r["n"]) for r in rows] == [
             ("a", "x", 3), ("b", "y", 3),
         ]
+
+
+class TestSubqueryRecursion:
+    """Round-6: the rewriter recurses into subqueries and CTE bodies."""
+
+    def test_dialect_inside_from_subquery(self):
+        out = rw(
+            "SELECT lang, n FROM (SELECT lang, uniq(doc_id) AS n "
+            "FROM documents GROUP BY lang) x ORDER BY n DESC"
+        )
+        assert "approx_count_distinct(doc_id)" in out
+        assert "uniq(" not in out
+
+    def test_dialect_inside_cte(self):
+        out = rw(
+            "WITH base AS (SELECT quantile(0.9)(v) AS p90 FROM t "
+            "SETTINGS max_threads = 4) SELECT p90 FROM base"
+        )
+        assert "percentile_approx(v, 0.9)" in out
+        assert "SETTINGS" not in out
+
+    def test_nested_two_levels(self):
+        out = rw(
+            "SELECT * FROM (SELECT * FROM (SELECT countIf(v > 0) AS c "
+            "FROM t) a) b"
+        )
+        assert "count_if(v > 0)" in out
+
+    def test_limit_by_inside_subquery(self):
+        out = rw(
+            "SELECT count(*) FROM (SELECT lang, doc_id FROM documents "
+            "ORDER BY doc_id LIMIT 2 BY lang) s"
+        )
+        assert "row_number() OVER (PARTITION BY lang" in out
+
+    def test_in_subquery_rewritten(self):
+        out = rw(
+            "SELECT v FROM t WHERE k IN (SELECT argMax(k, ts) FROM u GROUP BY g)"
+        )
+        assert "max_by(k, ts)" in out
+
+    def test_quantified_any_still_untouched(self):
+        sql = "SELECT v FROM t WHERE v > ANY (SELECT v FROM u)"
+        assert rw(sql) == sql
+
+    def test_totals_with_subquery_groupby(self):
+        # round-5 advisory repro: outer WITH TOTALS must anchor on the
+        # OUTER GROUP BY, not the subquery's
+        out = rw(
+            "SELECT lang, sum(n) FROM (SELECT lang, doc_id, count(*) AS n "
+            "FROM d GROUP BY lang, doc_id) t GROUP BY lang WITH TOTALS"
+        )
+        assert out.endswith("GROUP BY GROUPING SETS ((lang), ())")
+        assert "GROUP BY lang, doc_id" in out
+
+    def test_totals_without_toplevel_groupby_raises(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT x FROM (SELECT x FROM t GROUP BY x) s WITH TOTALS")
+
+    def test_executes_nested(self, spark):
+        df = spark.createDataFrame(
+            [Row(lang="en", doc_id=1), Row(lang="en", doc_id=2), Row(lang="de", doc_id=3)]
+        )
+        df.createOrReplaceTempView("nested_docs")
+        rows = spark.sql(
+            rw(
+                "SELECT lang, n FROM (SELECT lang, uniqExact(doc_id) AS n "
+                "FROM nested_docs GROUP BY lang) x ORDER BY lang"
+            )
+        ).collect()
+        assert [(r.lang, r.n) for r in rows] == [("de", 1), ("en", 2)]
+
+
+class TestSettingsIdentifierSafety:
+    """Round-5 advisory: identifiers named 'settings' must pass through."""
+
+    def test_projected_column_named_settings(self):
+        sql = "SELECT settings FROM t"
+        assert rw(sql) == sql
+
+    def test_where_operand_named_settings(self):
+        sql = "SELECT x FROM t WHERE settings = 5"
+        assert rw(sql) == sql
+
+    def test_real_settings_clause_stripped(self):
+        assert rw("SELECT x FROM t SETTINGS max_threads = 4") == "SELECT x FROM t"
+        assert (
+            rw("SELECT x FROM t SETTINGS a = 1, b = 'y'") == "SELECT x FROM t"
+        )
+
+
+class TestQualifiedTableAliases:
+    """Round-5 advisory: db.t FINAL / SAMPLE must alias by last name part."""
+
+    def test_final_qualified(self):
+        out = rw(
+            "SELECT * FROM db.t FINAL",
+            final_tables={"db.t": (["k"], "ver")},
+        )
+        assert out.rstrip().endswith(") t")
+        assert ") db.t" not in out
+
+    def test_sample_qualified(self):
+        out = rw("SELECT * FROM db.t SAMPLE 0.5", sample_by={"db.t": "k"})
+        assert ") t" in out and ") db.t" not in out
