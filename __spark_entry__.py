@@ -7,12 +7,13 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 The queries are the declared verification set from SURVEY.md §2.G
 (Q01-Q37) plus the training-data-pipeline / extended-relational
-extensions (Q38-Q81, SURVEY §2.H/§2.I/§2.J), registered in
-``mb8600_clickhouse_spark.queries``. As of round 2 every registered
-query has an oracle (none rows-only). The driver records ~50 names per
-round, so ``queries()`` orders never-yet-verified names first, then
-previously-green names stalest-first (SURVEY §2.J documents the
-rotation).
+extensions (Q38-Q95, SURVEY §2.H/§2.I/§2.J), registered in
+``mb8600_clickhouse_spark.queries``. As of round 6 every registered
+query has an oracle again (q83's training query is declared as one
+SQL-expressible Lloyd iteration; none rows-only). The driver records
+~50 names per round, so ``queries()`` orders never-yet-verified names
+first, then previously-green names stalest-first (SURVEY §2.J
+documents the rotation).
 """
 
 from __future__ import annotations

@@ -49,10 +49,10 @@ def main() -> int:
     img = _img(256, 256)
     _bench("PPM (numpy memoryview)", mm.encode_ppm(img), mm.decode_ppm)
     _bench("PNG (zlib + numpy unfilter)", mm.encode_png(img), mm.decode_png)
-    _bench("JPEG baseline (python entropy loop)", encode_jpeg(_img(64, 64)), decode_jpeg)
+    _bench("JPEG baseline (LUT entropy decode, noise worst-case)", encode_jpeg(_img(64, 64)), decode_jpeg)
 
     pcm = (np.sin(np.linspace(0, 440, 80000)) * 20000).astype(np.int16)
-    _bench("FLAC verbatim (python bit reader)", encode_flac(8000, pcm[:8000]), decode_flac)
+    _bench("FLAC verbatim (vectorized block reads)", encode_flac(8000, pcm[:8000]), decode_flac)
 
     frames = [encode_jpeg(_img(32, 32)) for _ in range(8)]
     avi = encode_avi_mjpeg(frames, 32, 32)
