@@ -44,10 +44,16 @@ def get_spark(
         # respect the advisory size when coalescing instead of refusing
         # to go below default parallelism: small post-shuffle stages
         # collapse to few tasks (the map side keeps full parallelism, so
-        # scan/hash CPU is unaffected); at cluster scale this is the
-        # documented setting for minimizing tiny-task scheduling waste
+        # scan/hash CPU is unaffected). The advisory is sized for the
+        # local fixture scale (8m: a sf0.1 window stage keeps 2-8 tasks;
+        # 64m serialized q12/q55's window compute onto one core,
+        # measured +40%) — on a real cluster raise it via
+        # SPARK_GRAFT_ADVISORY to the standard 64-256m.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # cost-based optimizer (SURVEY §4.3): join reordering from table/
         # column stats. Stats come from ANALYZE TABLE on registered
