@@ -17,10 +17,14 @@ they cannot be a scalar alias and need a textual rewrite before
   (``uniq``/``uniqHLL12``/``uniqCombined[64]``/``uniqTheta``) →
   ``approx_count_distinct(x)``; ``uniqExact(x)`` →
   ``count(DISTINCT x)``; ``countIf(c)`` → ``count_if(c)``;
-  ``sumIf/avgIf/minIf/maxIf(x, c)`` → ``agg(CASE WHEN c THEN x END)``;
-  ``argMax/argMin`` → ``max_by/min_by``; ``any/anyLast`` →
-  ``any_value`` (the quantified-comparison ``> ANY (subquery)`` form
-  is detected and left untouched).
+  ``sumIf/avgIf/minIf/maxIf/anyIf/uniqIf/uniqExactIf(x, c)`` →
+  ``agg(CASE WHEN c THEN x END)``; ``argMax/argMin`` →
+  ``max_by/min_by``; ``any/anyLast`` → ``any_value`` (the
+  quantified-comparison ``> ANY (subquery)`` form is detected and left
+  untouched); ``groupArray/groupUniqArray`` →
+  ``collect_list/collect_set`` (both engines: arbitrary order);
+  ``GROUP BY ... WITH ROLLUP/CUBE`` needs no rewrite (identical
+  syntax, test-pinned).
 - ``topK(k)(x)`` → an EXACT per-group frequency-join rewrite under a
   tight, loudly-failing contract (see ``_rewrite_topk``).
 - ``FROM t SAMPLE f`` → a replay-stable md5-prefix filter, given the
@@ -171,7 +175,14 @@ _QUANTILE_MAP = {
     "quantiletdigest": "percentile_approx",
     "quantile": "percentile_approx",
 }
-_IF_MAP = {"sumif": "sum", "avgif": "avg", "minif": "min", "maxif": "max"}
+_IF_MAP = {
+    "sumif": "sum",
+    "avgif": "avg",
+    "minif": "min",
+    "maxif": "max",
+    "anyif": "any_value",
+    "uniqif": "approx_count_distinct",
+}
 
 
 def _rewrite_combinators(sql: str) -> str:
@@ -235,6 +246,10 @@ def _rewrite_combinators(sql: str) -> str:
         (r"\buniqTheta\s*\(", "approx_count_distinct("),
         (r"\banyLast\s*\(", "any_value("),  # both: arbitrary element
         (r"\bcountIf\s*\(", "count_if("),  # count_if is exact too
+        # array-of-group aggregates: both engines collect in arbitrary
+        # (parallelism-dependent) order — identical contracts
+        (r"\bgroupUniqArray\s*\(", "collect_set("),
+        (r"\bgroupArray\s*\(", "collect_list("),
     ):
         while True:
             m = _first_match(sql, ch)
@@ -256,9 +271,14 @@ def _rewrite_combinators(sql: str) -> str:
         sql = sql[:start] + "any_value(" + sql[pos + m.end() :]
         pos = start + len("any_value(")
 
-    # sumIf/avgIf/minIf/maxIf(x, c) -> agg(CASE WHEN c THEN x END)
+    # *If combinators (x, c) -> agg(CASE WHEN c THEN x END): the CASE
+    # drops non-matching rows to NULL, which every target aggregate
+    # ignores — including approx_count_distinct (uniqIf) and
+    # count(DISTINCT ...) (uniqExactIf)
     while True:
-        m = _first_match(sql, r"\b(sumIf|avgIf|minIf|maxIf)\s*\(")
+        m = _first_match(
+            sql, r"\b(sumIf|avgIf|minIf|maxIf|anyIf|uniqIf|uniqExactIf)\s*\("
+        )
         if not m:
             break
         o = sql.index("(", m.end() - 1)
@@ -266,8 +286,11 @@ def _rewrite_combinators(sql: str) -> str:
         args = _split_top_commas(sql[o + 1 : c])
         if len(args) != 2:
             raise ChSqlError(f"{m.group(1)} expects (expr, cond), got {args!r}")
-        fn = _IF_MAP[m.group(1).lower()]
-        rep = f"{fn}(CASE WHEN {args[1]} THEN {args[0]} END)"
+        case = f"CASE WHEN {args[1]} THEN {args[0]} END"
+        if m.group(1).lower() == "uniqexactif":
+            rep = f"count(DISTINCT {case})"
+        else:
+            rep = f"{_IF_MAP[m.group(1).lower()]}({case})"
         sql = sql[: m.start()] + rep + sql[c + 1 :]
 
     # array higher-order functions: ClickHouse's lambda syntax (x -> e)

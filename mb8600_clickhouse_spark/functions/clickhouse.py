@@ -147,6 +147,9 @@ DIALECT_NOTES: dict[str, str] = {
     "TTL ts + INTERVAL 30 DAY": "ManifestTable.expire(spark, 'ts', cutoff) (q70 demotes into a rollup)",
     "ENGINE = SummingMergeTree": "streaming/incremental.maintain_rollup (q73 runs it end-to-end)",
     "arrayAvg([]) empty/all-NULL edge": "alias returns NULL (CH's Float64 0-div edge has no exact Spark spelling)",
+    "groupArray(x) / groupUniqArray(x)": "runs verbatim via chsql (collect_list/collect_set; arbitrary order in both engines)",
+    "anyIf / uniqIf / uniqExactIf (x, cond)": "runs verbatim via chsql (CASE-WHEN-gated aggregate)",
+    "GROUP BY ... WITH ROLLUP / WITH CUBE": "identical syntax in Spark - passes through unchanged (test-pinned)",
     "dialect forms inside subqueries / CTEs": "run verbatim as of round 6 — chsql recurses into every parenthesized SELECT/WITH block, each level rewritten independently (q95 exercises three levels); un-parenthesized top-level UNION branches remain out of scope",
 }
 

@@ -1029,3 +1029,55 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return spark.sql(rewrite_clickhouse_sql(_Q95_CLICKHOUSE_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Q96 ORC round-trip ingest (round 6: the third interchange format)
+# ---------------------------------------------------------------------------
+@query(
+    "q96_orc_ingest",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_len,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the third columnar interchange surface next to
+    parquet (native tables) and JSONL/CSV (q87/q94): the documents
+    table is written as ORC (executor-parallel, zlib default) and read
+    back with an explicit schema, then aggregated over ids, counts AND
+    text lengths. DuckDB has no ORC reader, so unlike q87/q94 the
+    oracle aggregates the ORIGINAL parquet table — the hash check
+    verifies the ORC writer+reader preserved every row and value
+    (count, id set bounds, distinct ids, char sums) rather than
+    cross-validating a second engine's parser; documented as the
+    honest scope of this check. Round-trips through the same
+    per-sf writable location as the other ingest queries."""
+    from ..datagen import docsis_path_for
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out_dir = f"{docsis_path_for(sf_dir)}_q96_orc"
+    docs.select("doc_id", "lang", "n_chars", "text").coalesce(4).write.mode(
+        "overwrite"
+    ).orc(out_dir)
+    back = spark.read.schema(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING"
+    ).orc(out_dir)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("doc_id").alias("n_ids"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )

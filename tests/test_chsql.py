@@ -573,3 +573,43 @@ class TestQualifiedTableAliases:
     def test_sample_qualified(self):
         out = rw("SELECT * FROM db.t SAMPLE 0.5", sample_by={"db.t": "k"})
         assert ") t" in out and ") db.t" not in out
+
+
+class TestRound6Combinators:
+    def test_uniq_if(self):
+        assert rw("SELECT uniqIf(u, x > 0) FROM t") == (
+            "SELECT approx_count_distinct(CASE WHEN x > 0 THEN u END) FROM t"
+        )
+        assert rw("SELECT uniqExactIf(u, x > 0) FROM t") == (
+            "SELECT count(DISTINCT CASE WHEN x > 0 THEN u END) FROM t"
+        )
+
+    def test_any_if(self):
+        assert rw("SELECT anyIf(v, ok) FROM t") == (
+            "SELECT any_value(CASE WHEN ok THEN v END) FROM t"
+        )
+
+    def test_group_array(self):
+        assert rw("SELECT groupArray(v) FROM t GROUP BY k") == (
+            "SELECT collect_list(v) FROM t GROUP BY k"
+        )
+        assert rw("SELECT groupUniqArray(v) FROM t GROUP BY k") == (
+            "SELECT collect_set(v) FROM t GROUP BY k"
+        )
+
+    def test_with_rollup_passthrough(self, spark):
+        # CH spells WITH ROLLUP/CUBE exactly like Spark: passthrough
+        df = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+        df.createOrReplaceTempView("rollup_t")
+        sql = "SELECT k, sum(v) AS s FROM rollup_t GROUP BY k WITH ROLLUP"
+        assert rw(sql) == sql
+        rows = spark.sql(rw(sql)).collect()
+        assert len(rows) == 3  # 2 keys + grand total
+
+    def test_group_array_executes(self, spark):
+        df = spark.createDataFrame([Row(k="a", v=1), Row(k="a", v=2)])
+        df.createOrReplaceTempView("ga_t")
+        rows = spark.sql(
+            rw("SELECT k, sort_array(groupUniqArray(v)) AS vs FROM ga_t GROUP BY k")
+        ).collect()
+        assert rows[0].vs == [1, 2]
