@@ -1102,16 +1102,25 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this stage-floor stacking). localCheckpoint is distributed
     # (executor-side blocks, no driver data path) and ContextCleaner
     # GC-reclaims it, unlike CacheManager entries.
+    # lowest-id keeper via min_by, not a row_number window: the
+    # aggregate PARTIALLY combines map-side (duplicate fingerprints
+    # collapse before the exchange — at corpus scale the shuffle moves
+    # one candidate row per fingerprint per input partition, not every
+    # duplicate) and needs no per-partition sort.
     s1 = (
         corpus.withColumn("fp", dedup.fingerprint(F.col("text")))
-        .withColumn(
-            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        .groupBy("fp")
+        .agg(
+            F.min_by(F.struct("doc_id", "text", "lang"), F.col("doc_id")).alias(
+                "r"
+            )
         )
-        .filter(F.col("rn") == 1)
         .select(
-            "doc_id", "text", "lang",
-            text_ops.token_count(F.col("text")).alias("n_tokens"),
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.text").alias("text"),
+            F.col("r.lang").alias("lang"),
         )
+        .withColumn("n_tokens", text_ops.token_count(F.col("text")))
         .localCheckpoint(eager=True)
     )
     # stage 2: near-dup removal (drop the higher id of each candidate
