@@ -212,11 +212,14 @@ def hashed_bow_embeddings(
     quantization), which makes the whole vector pipeline runnable on a
     corpus that ships no embedding column.
 
-    Distributed shape — explode + two hash aggregations, then a pure
-    per-row array assembly:
+    Distributed shape — explode + ONE hash aggregation (dim ``count_if``
+    partial aggregates, map-side combined; dim > 64 falls back to the
+    two-phase (id, bucket)-count + per-id map shape so the unrolled
+    aggregate list never dominates codegen), then a pure per-row array
+    assembly:
 
-        tokens -> (id, bucket) rows -> count per (id, bucket)
-               -> map per id -> dense normalized array
+        tokens -> (id, bucket) rows -> dim per-id counters
+               -> dense normalized array
 
     A per-row HOF fold with an array-typed accumulator looks tidier but
     is PATHOLOGICAL in Catalyst: the accumulator array is rebuilt per
@@ -234,19 +237,29 @@ def hashed_bow_embeddings(
         F.col(id_col),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
     )
-    cnt = (
-        toks.select(id_col, token_bucket(F.col("tok"), dim).alias("b"))
-        .groupBy(id_col, "b")
-        .agg(F.count("*").alias("n"))
-    )
-    m = cnt.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("b", "n"))).alias("m")
-    )
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)),
-    )
-    out = m.withColumn("_c", counts).withColumn(
+    b = toks.select(id_col, token_bucket(F.col("tok"), dim).alias("b"))
+    if dim <= 64:
+        # ONE exchange: dim count_if aggregates, each partially
+        # combined map-side — the (id, bucket)-then-(id) two-groupBy
+        # shape pays a second full exchange for nothing at small dim
+        # (round-6 fusion; measured equal values, see q91 oracle).
+        # Above ~64 buckets the unrolled aggregate list starts to
+        # dominate codegen, so the two-phase shape remains the wide
+        # path.
+        agg = b.groupBy(id_col).agg(
+            *[F.count_if(F.col("b") == i).alias(f"_b{i}") for i in range(dim)]
+        )
+        counts = F.array(*[F.col(f"_b{i}") for i in range(dim)])
+    else:
+        cnt = b.groupBy(id_col, "b").agg(F.count("*").alias("n"))
+        agg = cnt.groupBy(id_col).agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "n"))).alias("m")
+        )
+        counts = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0)),
+        )
+    out = agg.withColumn("_c", counts).withColumn(
         "_n",
         F.sqrt(
             F.aggregate(
