@@ -278,3 +278,89 @@ def hashed_bow_embeddings(
             ),
         ).alias("e"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (corpus-scrubbing pass; round 6)
+# ---------------------------------------------------------------------------
+#: regexes portable across Java (Spark) and RE2 (DuckDB): no lookaround,
+#: no backreferences, explicit character classes only. Order matters —
+#: emails are redacted before phone numbers so a digit-bearing local
+#: part can't be double-matched.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (regexp_count, exact)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement`` — the standard
+    pre-training scrub pass. Pure ``regexp_replace`` chain: per-row,
+    zero shuffle, whole-stage codegen; at 100 TB this is scan-bound
+    like every other text op in this module."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher/MassiveText-class rules)
+# ---------------------------------------------------------------------------
+def with_repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Attach the two classic repetition filters:
+
+    - ``dup_word_frac``: 1 - distinct_tokens / total_tokens (a
+      boilerplate/spam signal) — pure per-row HOFs, zero shuffle;
+    - ``top_bigram_frac``: occurrences of the doc's most frequent word
+      bigram / total bigrams (the MassiveText "top n-gram fraction") —
+      explode + two partially-aggregated exchanges on (id, bigram) then
+      (id), the q63 document-frequency shape.
+
+    Returns (id_col, dup_word_frac, top_bigram_frac); join back to the
+    corpus on ``id_col``. Documents with fewer than 2 tokens get
+    ``top_bigram_frac`` 0.0 (no bigrams — nothing repeated)."""
+    toks = df.select(F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("t"))
+    per_row = toks.select(
+        id_col,
+        F.coalesce(
+            1.0
+            - F.try_divide(
+                F.size(F.array_distinct("t")).cast("double"),
+                F.size("t").cast("double"),
+            ),
+            F.lit(0.0),
+        ).alias("dup_word_frac"),
+        F.col("t"),
+    )
+    bi = per_row.select(
+        id_col,
+        "dup_word_frac",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array(F.lit(None).cast("string")))
+        ).alias("bg"),
+    )
+    cnt = bi.groupBy(id_col, "dup_word_frac", "bg").agg(F.count("bg").alias("n"))
+    return cnt.groupBy(id_col, "dup_word_frac").agg(
+        F.coalesce(
+            F.try_divide(F.max("n").cast("double"), F.sum("n").cast("double")),
+            F.lit(0.0),
+        ).alias("top_bigram_frac")
+    )

@@ -1326,3 +1326,168 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", round4(F.col("cosine_sim")).alias("cosine_sim")
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q97 PII redaction scrub pass (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q97_pii_redact",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567 from 10.0.0.1 now'
+             ELSE text END AS text
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g') AS t1,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email
+      FROM c
+    ),
+    p AS (
+      SELECT doc_id, n_email,
+             regexp_replace(t1,
+               '\\+?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '[PII]', 'g') AS t2,
+             len(regexp_extract_all(t1,
+               '\\+?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}')) AS n_phone
+      FROM e
+    ),
+    q AS (
+      SELECT doc_id, n_email, n_phone,
+             regexp_replace(t2,
+               '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '[PII]', 'g') AS t3,
+             len(regexp_extract_all(t2,
+               '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ipv4
+      FROM p
+    )
+    SELECT doc_id, CAST(n_email AS INT) AS n_email,
+           CAST(n_phone AS INT) AS n_phone, CAST(n_ipv4 AS INT) AS n_ipv4,
+           CAST(length(t3) AS BIGINT) AS redacted_len
+    FROM q WHERE n_email + n_phone + n_ipv4 > 0 ORDER BY doc_id
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass, as pure
+    regexp projections (``text.redact_pii`` / counts): emails redacted
+    first, then phone numbers, then IPv4 literals, exactly the chain
+    order the operator documents (so a digit-bearing email local part
+    is never double-counted as a phone). PII is PLANTED on doc_id % 4
+    (fixture text carries none), and the oracle runs the SAME regex
+    chain through DuckDB's RE2 — one hash check verifies the patterns
+    mean the same thing in both regex dialects (the actual interop
+    hazard of shipping scrub rules), plus counts and redacted lengths.
+    Per-row, zero shuffle; 100 TB posture is scan-bound."""
+    from ..operators.text import PII_PATTERNS
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 from 10.0.0.1 now"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t = F.col("text")
+    stage = c
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        stage = stage.withColumn(f"n_{kind}", F.regexp_count(t, F.lit(pat))).withColumn(
+            "text", F.regexp_replace(t, pat, "[PII]")
+        )
+        counts.append(f"n_{kind}")
+    return (
+        stage.filter(sum(F.col(c) for c in counts) > 0)
+        .select(
+            "doc_id",
+            *counts,
+            F.length("text").cast("bigint").alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q98 repetition-based quality filters (Gopher/MassiveText rules; round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q98_repetition_filters",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' click here click here click here click here'
+             ELSE text END AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM c
+    ),
+    r AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+               AS dup_word_frac,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1]) AS bgs
+      FROM t
+    ),
+    x AS (
+      SELECT doc_id, dup_word_frac, unnest(bgs) AS bg FROM r
+    ),
+    g AS (
+      SELECT doc_id, dup_word_frac, bg, count(*) AS n
+      FROM x GROUP BY doc_id, dup_word_frac, bg
+    ),
+    f AS (
+      SELECT doc_id, dup_word_frac,
+             CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac
+      FROM g GROUP BY doc_id, dup_word_frac
+    )
+    SELECT doc_id,
+           CAST(CAST(dup_word_frac AS DECIMAL(38,6)) AS DOUBLE) AS dup_word_frac,
+           CAST(CAST(top_bigram_frac AS DECIMAL(38,6)) AS DOUBLE) AS top_bigram_frac,
+           (dup_word_frac > 0.3 OR top_bigram_frac > 0.18) AS flagged
+    FROM f ORDER BY doc_id
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-class repetition filters — the two classic
+    signals a curation pass gates on: ``dup_word_frac`` (1 - distinct/
+    total tokens; pure per-row HOFs) and ``top_bigram_frac`` (most
+    frequent word-bigram share — explode + two partially-aggregated
+    exchanges, the q63 document-frequency shape). Boilerplate is
+    PLANTED on doc_id % 3 so both signals separate; the output carries
+    the gate decision itself (``flagged``) at the published
+    Gopher-style thresholds. Fractions are exact rationals of small
+    ints, rounded to 6 decimals for cross-engine hash stability."""
+    from ..operators.text import with_repetition_signals
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat("text", F.lit(" click here click here click here click here")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    sig = with_repetition_signals(c)
+    return sig.select(
+        "doc_id",
+        round6(F.col("dup_word_frac")).alias("dup_word_frac"),
+        round6(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+        (
+            (F.col("dup_word_frac") > 0.3) | (F.col("top_bigram_frac") > 0.18)
+        ).alias("flagged"),
+    ).orderBy("doc_id")

@@ -76,3 +76,48 @@ class TestQuality:
         )
         noisy = _one(spark, "@#$% ^&* ()!! ~~~ ||| @@@@", ops.quality_score)
         assert clean > noisy
+
+
+class TestPiiRedaction:
+    def test_counts_and_redaction(self, spark):
+        from mb8600_clickhouse_spark.operators.text import pii_counts, redact_pii
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("a@b.com and 555-123-4567 at 10.0.0.1, also c@d.org",),
+             ("clean text with no pii",)],
+            "text string",
+        )
+        counts = pii_counts(F.col("text"))
+        r = df.select(
+            redact_pii(F.col("text")).alias("red"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        ).collect()
+        assert r[0]["n_email"] == 2 and r[0]["n_phone"] == 1 and r[0]["n_ipv4"] == 1
+        assert "a@b.com" not in r[0]["red"] and r[0]["red"].count("[PII]") == 4
+        assert r[1]["red"] == "clean text with no pii"
+
+    def test_email_not_double_counted_as_phone(self, spark):
+        from mb8600_clickhouse_spark.operators.text import redact_pii
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("mail: u123-456-7890x@example.com",)], "text string")
+        red = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
+        # the email (redacted first) swallows the digit run
+        assert red == "mail: [PII]"
+
+
+class TestRepetitionSignals:
+    def test_signals(self, spark):
+        from mb8600_clickhouse_spark.operators.text import with_repetition_signals
+
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam"), (2, "all words here are different"),
+             (3, "x")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in with_repetition_signals(df).collect()}
+        assert rows[1]["dup_word_frac"] == 0.75  # 1 distinct of 4
+        assert rows[1]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
+        assert rows[2]["dup_word_frac"] == 0.0
+        assert rows[3]["top_bigram_frac"] == 0.0  # <2 tokens -> no bigrams
