@@ -186,9 +186,17 @@ _IF_MAP = {
 
 
 def _rewrite_combinators(sql: str) -> str:
-    # quantile*(p)(x): two adjacent balanced argument lists
+    # quantile*(p)(x) and the array-returning quantiles*(p1, p2)(x):
+    # two adjacent balanced argument lists. The plural forms pass the
+    # probability LIST as an array argument (Spark's percentile /
+    # percentile_approx both accept one and return array<double> —
+    # exactly ClickHouse's quantiles* contract).
     while True:
-        m = _first_match(sql, r"\b(quantileExact|quantileTDigest|quantile)\s*\(")
+        m = _first_match(
+            sql,
+            r"\b(quantilesExact|quantilesTDigest|quantiles"
+            r"|quantileExact|quantileTDigest|quantile)\s*\(",
+        )
         if not m:
             break
         p_open = sql.index("(", m.end() - 1)
@@ -204,8 +212,14 @@ def _rewrite_combinators(sql: str) -> str:
         x_close = _match_paren(sql, x_open)
         p = sql[p_open + 1 : p_close].strip()
         x = sql[x_open + 1 : x_close].strip()
-        fn = _QUANTILE_MAP[m.group(1).lower()]
-        sql = sql[: m.start()] + f"{fn}({x}, {p})" + sql[x_close + 1 :]
+        name = m.group(1).lower()
+        if name.startswith("quantiles"):
+            fn = _QUANTILE_MAP[name.replace("quantiles", "quantile", 1)]
+            rep = f"{fn}({x}, array({p}))"
+        else:
+            fn = _QUANTILE_MAP[name]
+            rep = f"{fn}({x}, {p})"
+        sql = sql[: m.start()] + rep + sql[x_close + 1 :]
 
     # median(x) == quantile(0.5)(x): argument-position rewrite
     while True:
@@ -250,6 +264,13 @@ def _rewrite_combinators(sql: str) -> str:
         # (parallelism-dependent) order — identical contracts
         (r"\bgroupUniqArray\s*\(", "collect_set("),
         (r"\bgroupArray\s*\(", "collect_list("),
+        # moment aggregates: identical population/sample contracts
+        (r"\bstddevPop\s*\(", "stddev_pop("),
+        (r"\bstddevSamp\s*\(", "stddev_samp("),
+        (r"\bvarPop\s*\(", "var_pop("),
+        (r"\bvarSamp\s*\(", "var_samp("),
+        (r"\bcovarPop\s*\(", "covar_pop("),
+        (r"\bcovarSamp\s*\(", "covar_samp("),
     ):
         while True:
             m = _first_match(sql, ch)

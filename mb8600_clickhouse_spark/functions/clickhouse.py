@@ -135,6 +135,8 @@ DIALECT_NOTES: dict[str, str] = {
     "uniq(x) / uniqExact(x)": "runs verbatim via chsql.rewrite_clickhouse_sql",
     "quantile(0.95)(x)": "runs verbatim via chsql (percentile_approx; quantileExact -> exact percentile)",
     "quantileTDigest(0.95)(x)": "runs verbatim via chsql (q67's tolerance-gated form)",
+    "quantiles(0.5, 0.9)(x) / quantilesExact(...)": "runs verbatim via chsql (array-returning percentile forms)",
+    "stddevPop/stddevSamp/varPop/varSamp/covarPop/covarSamp": "runs verbatim via chsql (identical moment contracts)",
     "countIf / sumIf / avgIf / minIf / maxIf": "runs verbatim via chsql",
     "formatDateTime(ts, '%Y-%m-%d ...')": "runs verbatim via chsql (exact %-code subset; ambiguous codes raise)",
     "GROUP BY ... WITH TOTALS": "runs verbatim via chsql (GROUPING SETS ((keys), ()) — exact; q82)",

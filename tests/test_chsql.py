@@ -613,3 +613,25 @@ class TestRound6Combinators:
             rw("SELECT k, sort_array(groupUniqArray(v)) AS vs FROM ga_t GROUP BY k")
         ).collect()
         assert rows[0].vs == [1, 2]
+
+
+class TestQuantilesPluralAndMoments:
+    def test_quantiles_plural(self):
+        assert rw("SELECT quantiles(0.5, 0.9)(v) FROM t") == (
+            "SELECT percentile_approx(v, array(0.5, 0.9)) FROM t"
+        )
+        assert rw("SELECT quantilesExact(0.25, 0.75)(v) FROM t") == (
+            "SELECT percentile(v, array(0.25, 0.75)) FROM t"
+        )
+
+    def test_moment_renames(self):
+        assert rw("SELECT stddevPop(v), varSamp(v) FROM t") == (
+            "SELECT stddev_pop(v), var_samp(v) FROM t"
+        )
+        assert rw("SELECT covarPop(a, b) FROM t") == "SELECT covar_pop(a, b) FROM t"
+
+    def test_quantiles_executes(self, spark):
+        df = spark.range(1, 101).selectExpr("id AS v")
+        df.createOrReplaceTempView("qq_t")
+        r = spark.sql(rw("SELECT quantilesExact(0.5, 1.0)(v) AS q FROM qq_t")).collect()[0]
+        assert r["q"] == [50.5, 100.0]
