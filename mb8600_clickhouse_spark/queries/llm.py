@@ -1491,3 +1491,98 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_word_frac") > 0.3) | (F.col("top_bigram_frac") > 0.18)
         ).alias("flagged"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q99 transitive near-dup clustering (connected components, round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q99_dedup_components",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ),
+    mh AS (
+      SELECT doc_id, i, min(md5(s || ':' || i)) AS h
+      FROM exploded, range(12) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, (i // 3) AS band, md5(string_agg(h, ',' ORDER BY i)) AS key
+      FROM mh GROUP BY doc_id, (i // 3)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS lab FROM edges
+      UNION
+      SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERING: the LSH candidate graph (q40's
+    capped generator over the q86 triple-planted corpus) resolved to
+    connected components with the alternating large-star/small-star
+    algorithm (``operators/graph.py``). Complements the single-pass
+    drop rule (q86 stage 2): that answers "what do we keep", this
+    answers "which documents are the same family" — the audit /
+    cluster-sampling half of a curation run. Every doc incident to a
+    candidate pair is labeled with its component's minimum doc_id.
+
+    The oracle resolves the same pair set with a recursive CTE
+    (min reachable id per node) — a genuinely different algorithm, so
+    the distributed iteration is differentially checked end-to-end.
+
+    Scale shape: pair generation is the bucketed LSH path (never
+    O(n^2)); each CC round shuffles only (long, long) edges on node id
+    and converges in O(log^2 n) rounds regardless of cluster diameter —
+    naive label propagation would need O(diameter) rounds on chained
+    boilerplate families."""
+    from ..operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" zz")).alias("text"),
+            )
+        )
+    )
+    edges = dedup.minhash_lsh_candidates(
+        corpus, shingle_n=3, k=12, bands=4, max_bucket=10_000
+    )
+    cc = connected_components(edges, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
