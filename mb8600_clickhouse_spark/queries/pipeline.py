@@ -1081,3 +1081,52 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q100 deterministic stratified train/val/test split (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q100_dataset_split",
+    oracle="""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                    THEN 'train'
+                  WHEN substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+    FROM s GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment as a pure function of the record key
+    (``operators/sampling.hash_split``): 80/10/10 at md5 cut points
+    'cccd'/'e666' over the first 4 hex chars. Replay-stable across
+    runs, engines, and re-ingestion (q62's determinism argument,
+    extended from one Bernoulli gate to a full partition of the
+    corpus); per-(lang, split) counts + size sums verify both the
+    assignment and its stratification in one aggregate. The label is a
+    narrow per-row expression — no shuffle before the single
+    reporting aggregate; at 100 TB the split column is FREE at scan
+    time (computed in the same stage as the read)."""
+    from ..operators.sampling import hash_split
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            hash_split(F.col("doc_id")).alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_sum"),
+        )
+        .orderBy("lang", "split")
+    )

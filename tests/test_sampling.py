@@ -1,0 +1,49 @@
+"""hash_split (operators/sampling.py): determinism, coverage, fractions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb8600_clickhouse_spark.operators.sampling import hash_split, split_cut_points
+
+
+def test_cut_points_default():
+    cuts = split_cut_points({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert cuts[0] == ("train", "cccd")
+    assert cuts[1] == ("val", "e666")
+    assert cuts[2][0] == "test"
+
+
+def test_cut_points_reject_bad_sum():
+    with pytest.raises(ValueError):
+        split_cut_points({"a": 0.5, "b": 0.2})
+
+
+def test_split_total_coverage_and_determinism(spark):
+    df = spark.range(0, 20000).select(F.col("id"))
+    lab = df.select("id", hash_split(F.col("id")).alias("s"))
+    counts = {r["s"]: r["n"] for r in lab.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 20000  # total, disjoint by construction
+    # fractions within 2% absolute of target on 20k uniform keys
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.02
+    assert abs(counts["test"] / 20000 - 0.1) < 0.02
+    # byte-identical on re-evaluation (pure function of key)
+    again = {r["s"]: r["n"] for r in lab.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_salt_re_deals(spark):
+    df = spark.range(0, 2000)
+    a = df.select(hash_split(F.col("id"), salt="v1").alias("s")).collect()
+    b = df.select(hash_split(F.col("id"), salt="v2").alias("s")).collect()
+    assert [r["s"] for r in a] != [r["s"] for r in b]
+
+
+def test_two_way_split(spark):
+    df = spark.range(0, 5000)
+    lab = df.select(hash_split(F.col("id"), {"train": 0.95, "holdout": 0.05}).alias("s"))
+    counts = {r["s"]: r["n"] for r in lab.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "holdout"}
+    assert abs(counts["holdout"] / 5000 - 0.05) < 0.015
