@@ -1130,3 +1130,84 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q101 streaming ingest dedup (dropDuplicatesWithinWatermark, round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q101_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingest made exactly-once INSIDE the stream: every
+    fixture event arrives TWICE in one manifest commit (the classic
+    redelivery shape — a reconnecting poller re-sends its last window,
+    reference behavior spec mb8600.py:329-345's retry path), and
+    ``dropDuplicatesWithinWatermark`` on the event key collapses the
+    duplicates with state BOUNDED by the watermark delay — unlike a
+    plain streaming ``dropDuplicates``, whose key state grows without
+    bound for the life of the query. The deduped stream drains via
+    availableNow into a memory sink; per-type aggregates over the sink
+    hash-match plain SQL over the ORIGINAL (undoubled) fixture — the
+    dedup provably restored the exactly-once set.
+
+    Determinism: duplicates ride in the SAME commit → same micro-batch,
+    so the watermark can never expire a key between a row and its
+    duplicate (state-retention is a scale property here, not a
+    correctness precondition). At 100 TB the same plan bounds dedup
+    state at (watermark delay x key arrival rate) regardless of stream
+    lifetime."""
+    import tempfile
+
+    from ..plans import ManifestTable
+    from ..sources import manifest_datasource
+
+    manifest_datasource.register(spark)
+    _cleanup_tmp("q101_sdd_")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="q101_sdd_")
+    ManifestTable(f"{root}/ev").append(ev.unionAll(ev).coalesce(2))
+
+    s = (
+        spark.readStream.format("manifest")
+        .option("path", f"{root}/ev")
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = "q101_deduped"
+    q = (
+        s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/ck")
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("q101 availableNow stream did not finish in 180s")
+    out = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+    # eager materialization (q70/q73 hazard class: memory-sink tables
+    # are session state, not a stable relation)
+    return spark.createDataFrame(out.collect(), out.schema)
