@@ -401,6 +401,111 @@ _CLAUSE_AFTER_FROM = (
 )
 
 
+def _replace_ident(sql: str, name: str, repl: str) -> str:
+    """Replace standalone (unqualified, word-boundary) references to
+    identifier ``name`` outside string literals."""
+    in_str_at = {i: in_str for i, _ch, _d, in_str in _scan(sql)}
+    out, last = [], 0
+    for m in re.finditer(rf"(?<![\w.`]){re.escape(name)}\b", sql):
+        if in_str_at.get(m.start(), False):
+            continue
+        out.append(sql[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+#: LEFT keeps empty-array rows; INNER is the (redundant) default spelling.
+_ARRAY_JOIN_CLAUSE = r"\b(?:(LEFT|INNER)\s+)?ARRAY\s+JOIN\b"
+
+
+def _rewrite_array_join_clause(sql: str) -> str:
+    """ClickHouse's clause-form ``[LEFT] ARRAY JOIN arr [AS x][, ...]``
+    (the canonical dialect spelling for unrolling the reference
+    schema's parallel-array channel columns, tables.sql:8-27) into
+    Spark ``LATERAL VIEW [OUTER] explode``.
+
+    - Single array with ``AS x``: plain LATERAL VIEW; like ClickHouse,
+      the base array column stays referencable by its own name.
+    - Single bare array: in ClickHouse the array's NAME refers to the
+      element afterwards, so every standalone reference is rewritten to
+      the generated element alias.
+    - Multiple arrays: ClickHouse ZIPS them positionally (it does NOT
+      cross-product); rewritten as one explode over an index-zipped
+      struct (``transform(sequence(...), named_struct(...))``) with
+      references redirected to struct fields. Like ClickHouse, unequal
+      lengths are a runtime error (ANSI out-of-bounds element_at).
+    - ``LEFT ARRAY JOIN`` maps to OUTER explode: empty arrays keep
+      their row with NULL elements, where ClickHouse fills type
+      defaults ('' / 0) — the one documented divergence (NULL is the
+      ANSI spelling of 'no element'); identical whenever no array is
+      empty.
+    """
+    counter = 0
+    while True:
+        ms = _top_level_matches(sql, _ARRAY_JOIN_CLAUSE)
+        if not ms:
+            return sql
+        m = ms[0]
+        outer = (m.group(1) or "").upper() == "LEFT"
+        enders = [
+            t.start()
+            for t in _top_level_matches(sql, _CLAUSE_AFTER_FROM)
+            if t.start() >= m.end()
+        ] + [
+            t.start()
+            for t in _top_level_matches(sql, _ARRAY_JOIN_CLAUSE)
+            if t.start() >= m.end()
+        ]
+        end = min(enders) if enders else len(sql)
+        args = _split_top_commas(sql[m.end() : end].strip())
+        if not args or not all(a for a in args):
+            raise ChSqlError("ARRAY JOIN requires at least one array expression")
+
+        parsed = []  # (expr, visible_name, had_alias)
+        for a in args:
+            as_ms = _top_level_matches(a, r"\bAS\b")
+            if as_ms:
+                expr = a[: as_ms[-1].start()].strip()
+                alias = a[as_ms[-1].end() :].strip()
+                if not re.fullmatch(r"\w+", alias):
+                    raise ChSqlError(f"ARRAY JOIN alias {alias!r} is not an identifier")
+                parsed.append((expr, alias, True))
+            else:
+                if not re.fullmatch(r"\w+(\.\w+)?", a):
+                    raise ChSqlError(
+                        f"ARRAY JOIN expression {a!r} needs AS <alias> "
+                        "(only bare columns may omit it)"
+                    )
+                parsed.append((a, a.split(".")[-1], False))
+
+        ov = "OUTER " if outer else ""
+        rest = sql[: m.start()] + "\x00\x01\x00" + sql[end:]
+        if len(parsed) == 1:
+            expr, name, had_alias = parsed[0]
+            if had_alias:
+                view = f"LATERAL VIEW {ov}explode({expr}) __ajv{counter} AS {name}"
+            else:
+                el = f"__ajc{counter}"
+                rest = _replace_ident(rest, name, el)
+                view = f"LATERAL VIEW {ov}explode({expr}) __ajv{counter} AS {el}"
+        else:
+            st = f"__ajc{counter}"
+            fields = ", ".join(
+                f"'{name}', element_at({expr}, __zi + 1)" for expr, name, _ in parsed
+            )
+            zipexpr = (
+                f"transform(sequence(0, size({parsed[0][0]}) - 1), "
+                f"__zi -> named_struct({fields}))"
+            )
+            for _, name, _had in parsed:
+                rest = _replace_ident(rest, name, f"{st}.{name}")
+            view = f"LATERAL VIEW {ov}explode({zipexpr}) __ajv{counter} AS {st}"
+        sql = rest.replace("\x00\x01\x00", " " + view + " ")
+        counter += 1
+
+
 def _rewrite_array_join(sql: str) -> str:
     # collect distinct argument texts in order of first appearance
     aliases: dict[str, str] = {}
@@ -858,6 +963,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql, sample_by)
     sql = _rewrite_final(sql, final_tables)
+    sql = _rewrite_array_join_clause(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)
     for token, body in blocks.items():

@@ -1211,3 +1211,49 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager materialization (q70/q73 hazard class: memory-sink tables
     # are session state, not a stable relation)
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Q102 ClickHouse ARRAY JOIN clause, verbatim (round 6)
+# ---------------------------------------------------------------------------
+_Q102_CLICKHOUSE_SQL = """
+    SELECT modem_name,
+           ch.channel_id AS channel_id,
+           count() AS n_scrapes,
+           CAST(CAST(avg(ch.snr) AS DECIMAL(38,4)) AS DOUBLE) AS avg_snr,
+           CAST(sum(ch.corrected_errors) AS BIGINT) AS corrected
+    FROM docsis ARRAY JOIN downstream_channels AS ch
+    GROUP BY modem_name, channel_id
+    ORDER BY modem_name, channel_id
+"""
+
+
+@query(
+    "q102_clickhouse_array_join",
+    oracle="""
+    SELECT modem_name, ch.channel_id AS channel_id,
+           COUNT(*) AS n_scrapes,
+           CAST(CAST(AVG(ch.snr) AS DECIMAL(38,4)) AS DOUBLE) AS avg_snr,
+           CAST(SUM(ch.corrected_errors) AS BIGINT) AS corrected
+    FROM (SELECT modem_name, unnest(downstream_channels) AS ch
+          FROM read_parquet('{docsis}'))
+    GROUP BY modem_name, channel_id
+    ORDER BY modem_name, channel_id
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clause-form ``ARRAY JOIN`` — ClickHouse's canonical spelling
+    for unrolling the reference schema's channel arrays
+    (tables.sql:8-27 stores per-scrape channel metrics as parallel
+    arrays; every dashboard chart over them starts with ``ARRAY
+    JOIN``) — runs VERBATIM through ``rewrite_clickhouse_sql``:
+    per-channel SNR/error rollup across scrapes, rewritten to a
+    LATERAL VIEW explode Catalyst plans as generate + partial hash
+    aggregate (explode feeds the aggregate in the SAME stage; only
+    (modem, channel) groups shuffle)."""
+    from ..functions.chsql import rewrite_clickhouse_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_clickhouse_sql(_Q102_CLICKHOUSE_SQL))

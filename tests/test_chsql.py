@@ -635,3 +635,78 @@ class TestQuantilesPluralAndMoments:
         df.createOrReplaceTempView("qq_t")
         r = spark.sql(rw("SELECT quantilesExact(0.5, 1.0)(v) AS q FROM qq_t")).collect()[0]
         assert r["q"] == [50.5, 100.0]
+
+
+class TestArrayJoinClause:
+    """Clause-form [LEFT] ARRAY JOIN (round 6) — the canonical dialect
+    spelling for the reference schema's parallel channel arrays."""
+
+    def test_single_with_alias(self):
+        assert rw("SELECT ch FROM t ARRAY JOIN arr AS ch") == (
+            "SELECT ch FROM t  LATERAL VIEW explode(arr) __ajv0 AS ch "
+        )
+
+    def test_bare_name_references_element(self):
+        out = rw("SELECT arr, n FROM t ARRAY JOIN arr")
+        assert "SELECT __ajc0, n" in out
+        assert "explode(arr)" in out
+
+    def test_string_literal_untouched(self):
+        out = rw("SELECT 'ARRAY JOIN arr' AS s, q FROM t ARRAY JOIN qs AS q")
+        assert out.startswith("SELECT 'ARRAY JOIN arr' AS s, q FROM t")
+
+    def test_multi_is_zip_not_cross(self, spark):
+        df = spark.createDataFrame(
+            [Row(k=1, a=[10, 20, 30], b=["x", "y", "z"])]
+        )
+        df.createOrReplaceTempView("ajz_t")
+        rows = (
+            spark.sql(rw("SELECT va, vb FROM ajz_t ARRAY JOIN a AS va, b AS vb"))
+            .orderBy("va")
+            .collect()
+        )
+        # zipped positionally (3 rows), NOT a 9-row cross product
+        assert [(r.va, r.vb) for r in rows] == [(10, "x"), (20, "y"), (30, "z")]
+
+    def test_left_keeps_empty_array_rows(self, spark):
+        df = spark.createDataFrame([Row(k=1, a=[7]), Row(k=2, a=[])])
+        df.createOrReplaceTempView("ajl_t")
+        rows = (
+            spark.sql(rw("SELECT k, v FROM ajl_t LEFT ARRAY JOIN a AS v"))
+            .orderBy("k")
+            .collect()
+        )
+        assert [(r.k, r.v) for r in rows] == [(1, 7), (2, None)]
+        # plain ARRAY JOIN drops the empty-array row
+        rows = spark.sql(rw("SELECT k, v FROM ajl_t ARRAY JOIN a AS v")).collect()
+        assert [(r.k, r.v) for r in rows] == [(1, 7)]
+
+    def test_struct_array_executes(self, spark):
+        df = spark.createDataFrame(
+            [Row(m="a", chans=[Row(cid=1, snr=30.0), Row(cid=2, snr=40.0)])]
+        )
+        df.createOrReplaceTempView("ajs_t")
+        rows = (
+            spark.sql(
+                rw(
+                    "SELECT m, ch.cid AS cid, ch.snr AS snr "
+                    "FROM ajs_t ARRAY JOIN chans AS ch WHERE ch.snr > 35"
+                )
+            )
+            .collect()
+        )
+        assert [(r.m, r.cid, r.snr) for r in rows] == [("a", 2, 40.0)]
+
+    def test_complex_expr_requires_alias(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT x FROM t ARRAY JOIN func(a)")
+
+    def test_nested_subquery_levels_rewrite_independently(self):
+        out = rw(
+            "SELECT x FROM (SELECT u FROM s ARRAY JOIN us AS u) i ARRAY JOIN xs AS x"
+        )
+        assert out.count("LATERAL VIEW") == 2
+
+    def test_ansi_passthrough(self):
+        q = "SELECT a FROM t JOIN u ON t.id = u.id WHERE a > 1"
+        assert rw(q) == q
