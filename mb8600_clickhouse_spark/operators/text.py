@@ -364,3 +364,54 @@ def with_repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
             F.lit(0.0),
         ).alias("top_bigram_frac")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (round 6)
+# ---------------------------------------------------------------------------
+def chunk_tokens(df, size: int, overlap: int, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """Split each document into fixed-size token windows with overlap —
+    the step before context-window packing (q68): a 100k-token document
+    must become model-sized pieces BEFORE packing can bin them, and the
+    overlap preserves boundary context (the standard sliding-window
+    chunking every pretraining pipeline runs).
+
+    Returns (id, chunk_id, n_tokens, chunk_md5): the md5 of the
+    space-joined window stands in for the window text so the exploded
+    frame stays narrow (at 100 TB the chunk TEXT would be ~(size /
+    (size - overlap))x the corpus — downstream consumers re-slice from
+    the source instead of shipping duplicated text through shuffles).
+
+    Shape: pure per-row HOFs (sequence -> slice under one transform) +
+    one explode — no shuffle at all until a consumer aggregates;
+    chunking is free at scan time. Window starts step by
+    ``size - overlap``; the final window may be short (kept — its
+    tokens are real); empty documents yield no chunks.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+    toks = tokens(normalize_text(F.col(text_col)))
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+        ),
+        lambda s: F.slice(toks, s + 1, size),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_id", "c"),
+    )
+    # split('') yields [''], so an empty/whitespace-only document would
+    # otherwise emit one degenerate empty-text window — gate on the
+    # joined text, which is non-empty for every real chunk
+    return (
+        out.filter(F.array_join("c", " ") != "")
+        .select(
+            "id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size("c").cast("bigint").alias("n_tokens"),
+            F.md5(F.array_join("c", " ")).alias("chunk_md5"),
+        )
+    )

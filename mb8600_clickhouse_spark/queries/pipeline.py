@@ -1257,3 +1257,43 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return spark.sql(rewrite_clickhouse_sql(_Q102_CLICKHOUSE_SQL))
+
+
+# ---------------------------------------------------------------------------
+# Q103 context-window chunking (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q103_doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, s.i // 48 AS chunk_id, list_slice(w, s.i + 1, s.i + 64) AS c
+      FROM t, unnest(generate_series(0, greatest(len(w) - 1, 0), 48)) s(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM chunks WHERE array_to_string(c, ' ') <> ''
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, 16-token
+    overlap → stride 48) via ``operators/text.chunk_tokens`` — the
+    step between raw documents and q68's sequence packing. Each chunk
+    row carries its token count and the md5 of the window text, so the
+    oracle (list_slice over generate_series strides) pins both the
+    window BOUNDARIES and the window CONTENT. Pure per-row HOFs + one
+    explode: chunking runs in the scan stage, zero shuffle."""
+    from ..operators.text import chunk_tokens
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        chunk_tokens(docs, size=64, overlap=16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    )

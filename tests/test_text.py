@@ -121,3 +121,38 @@ class TestRepetitionSignals:
         assert rows[1]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
         assert rows[2]["dup_word_frac"] == 0.0
         assert rows[3]["top_bigram_frac"] == 0.0  # <2 tokens -> no bigrams
+
+
+class TestChunkTokens:
+    """Sliding-window chunking (round 6)."""
+
+    def test_windows_and_overlap(self, spark):
+        from mb8600_clickhouse_spark.operators.text import chunk_tokens
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id: long, text: string"
+        )
+        rows = chunk_tokens(df, size=4, overlap=2).orderBy("chunk_id").collect()
+        # stride 2 over 10 tokens: starts 0,2,4,6,8 -> lengths 4,4,4,4,2
+        assert [r.n_tokens for r in rows] == [4, 4, 4, 4, 2]
+        assert [r.chunk_id for r in rows] == [0, 1, 2, 3, 4]
+
+    def test_empty_and_short_docs(self, spark):
+        from mb8600_clickhouse_spark.operators.text import chunk_tokens
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "only two"), (3, "   ")], "doc_id: long, text: string"
+        )
+        rows = chunk_tokens(df, size=4, overlap=1).collect()
+        got = {(r.id, r.chunk_id): r.n_tokens for r in rows}
+        # doc 2: one short window; empty/whitespace docs yield nothing
+        assert got == {(2, 0): 2}
+
+    def test_overlap_must_be_smaller(self, spark):
+        import pytest as _pytest
+
+        from mb8600_clickhouse_spark.operators.text import chunk_tokens
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
+        with _pytest.raises(ValueError):
+            chunk_tokens(df, size=4, overlap=4)
