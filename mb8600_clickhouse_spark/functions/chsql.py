@@ -401,6 +401,45 @@ _CLAUSE_AFTER_FROM = (
 )
 
 
+def _rewrite_global_and_format(sql: str) -> str:
+    """Distributed-execution and output-format directives:
+
+    - ``GLOBAL IN`` / ``GLOBAL JOIN`` — ClickHouse's broadcast-the-
+      subquery hint for distributed tables. Spark's optimizer makes
+      that decision itself (broadcast thresholds / AQE), so the keyword
+      is dropped; semantics are identical.
+    - trailing ``FORMAT <name>`` — a client wire-format directive, not
+      query semantics; the sink chooses the format here. Stripped.
+    - ``ANY``/``ALL`` join strictness and ``ASOF JOIN`` have NO Spark
+      SQL equivalent (ANY keeps one arbitrary match per row — a
+      semantics change, not a spelling change) and raise loudly;
+      ``LEFT SEMI``/``ANTI JOIN`` parse natively in Spark and pass
+      through. The as-of operator exists in the DataFrame API
+      (``operators/asof.py``) for callers who need it.
+    """
+    for m in reversed(
+        _top_level_matches(
+            sql, r"\bGLOBAL\s+(?=(ANY|ALL|LEFT|RIGHT|INNER|FULL|CROSS|JOIN|IN|NOT)\b)"
+        )
+    ):
+        sql = sql[: m.start()] + sql[m.end() :]
+    bad = _top_level_matches(
+        sql,
+        r"\b(?:(?:ANY|ALL)\s+(?:LEFT|RIGHT|INNER|FULL)\s+JOIN"
+        r"|(?:LEFT|RIGHT|INNER|FULL)\s+(?:ANY|ALL)\s+JOIN"
+        r"|ASOF\s+(?:LEFT\s+|RIGHT\s+)?JOIN)\b",
+    )
+    if bad:
+        raise ChSqlError(
+            f"{bad[0].group(0)!r}: ClickHouse ANY/ALL/ASOF join strictness has "
+            "no Spark SQL equivalent (use the DataFrame as-of/dedup operators)"
+        )
+    fmt = _top_level_matches(sql, r"\bFORMAT\s+\w+\s*$")
+    if fmt:
+        sql = sql[: fmt[0].start()].rstrip()
+    return sql
+
+
 def _replace_ident(sql: str, name: str, repl: str) -> str:
     """Replace standalone (unqualified, word-boundary) references to
     identifier ``name`` outside string literals."""
@@ -959,6 +998,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_combinators(sql)
     sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
+    sql = _rewrite_global_and_format(sql)
     sql = _rewrite_prewhere_settings(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql, sample_by)

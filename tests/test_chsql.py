@@ -710,3 +710,47 @@ class TestArrayJoinClause:
     def test_ansi_passthrough(self):
         q = "SELECT a FROM t JOIN u ON t.id = u.id WHERE a > 1"
         assert rw(q) == q
+
+
+class TestGlobalAndFormat:
+    """GLOBAL distribution hints and FORMAT output directives (round 6)."""
+
+    def test_global_in_stripped(self):
+        assert rw("SELECT a FROM t WHERE k GLOBAL IN (SELECT k FROM u)") == (
+            "SELECT a FROM t WHERE k IN (SELECT k FROM u)"
+        )
+        assert rw("SELECT a FROM t WHERE k GLOBAL NOT IN (SELECT k FROM u)") == (
+            "SELECT a FROM t WHERE k NOT IN (SELECT k FROM u)"
+        )
+
+    def test_global_join_stripped(self):
+        assert rw("SELECT a FROM t GLOBAL LEFT JOIN u ON t.id = u.id") == (
+            "SELECT a FROM t LEFT JOIN u ON t.id = u.id"
+        )
+
+    def test_format_directive_stripped(self):
+        assert rw("SELECT a FROM t ORDER BY a FORMAT JSONEachRow") == (
+            "SELECT a FROM t ORDER BY a"
+        )
+        # SETTINGS before FORMAT: both go
+        assert rw(
+            "SELECT a, count() FROM t GROUP BY a SETTINGS max_threads = 4 FORMAT Pretty"
+        ) == "SELECT a, count(*) FROM t GROUP BY a"
+
+    def test_format_as_identifier_untouched(self):
+        q = "SELECT format FROM t WHERE x > 1"
+        assert rw(q) == q
+
+    def test_any_join_strictness_raises(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT a FROM t ANY LEFT JOIN u ON t.id = u.id")
+        with pytest.raises(ChSqlError):
+            rw("SELECT a FROM t LEFT ANY JOIN u ON t.id = u.id")
+        with pytest.raises(ChSqlError):
+            rw("SELECT a FROM t ASOF JOIN u ON t.id = u.id AND u.ts <= t.ts")
+
+    def test_semi_and_quantified_any_pass(self):
+        q1 = "SELECT a FROM t LEFT SEMI JOIN u ON t.id = u.id"
+        assert rw(q1) == q1
+        q2 = "SELECT a FROM t WHERE v > ANY (SELECT v FROM u)"
+        assert rw(q2) == q2
