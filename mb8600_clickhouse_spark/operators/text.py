@@ -415,3 +415,70 @@ def chunk_tokens(df, size: int, overlap: int, id_col: str = "doc_id",
             F.md5(F.array_join("c", " ")).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (round 6)
+# ---------------------------------------------------------------------------
+def bm25_topk(df, query_terms: list[str], k: int = 50, k1: float = 1.2,
+              b: float = 0.75, id_col: str = "doc_id", text_col: str = "text"):
+    """Okapi BM25 scoring of every document against a fixed term set,
+    top-k by score — the lexical-retrieval half of corpus search (the
+    embedding stack's `ann_topk` is the dense half). IDF is the
+    Lucene/Robertson form ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Determinism contract: the final score is a SUM OF CONDITIONAL
+    AGGREGATES, one per query term in sorted order — each inner sum
+    folds at most one value per document, so the floating-point
+    addition order is fixed by the expression tree itself, never by
+    partitioning (the q34/q85 fold-order discipline, achieved here
+    without an array sort).
+
+    Scale shape: tokenize+explode is scan-stage; only rows matching
+    query terms survive the filter (corpus-size reduction BEFORE the
+    first exchange); one groupBy (doc, term) with map-side combine;
+    per-term df and the (N, avgdl) scalars are tiny broadcast sides;
+    top-k is TakeOrdered (no full sort). Returns (id_col, bm25) with
+    bm25 rounded to 4 decimals for cross-engine hash stability.
+    """
+    terms = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalize_text(F.col(text_col))).alias("w"),
+    )
+    base = toks.select("id", "w", F.size("w").alias("dl"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("id", "dl", F.explode("w").alias("t"))
+        .filter(F.col("t").isin(terms))
+        .groupBy("id", "dl", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("t").agg(F.count("*").alias("df"))
+    joined = tf.join(F.broadcast(dft), "t").crossJoin(F.broadcast(stats))
+    contrib = (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = joined.withColumn("c", contrib).groupBy("id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("t") == t, F.col("c"))), F.lit(0.0)
+            ).alias(f"_s{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = None
+    for i in range(len(terms)):
+        total = F.col(f"_s{i}") if total is None else total + F.col(f"_s{i}")
+    return (
+        scored.select(
+            F.col("id").alias(id_col),
+            F.round(total, 4).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )

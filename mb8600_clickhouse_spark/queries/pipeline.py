@@ -1297,3 +1297,58 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q104 BM25 lexical retrieval (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q104_bm25_topk",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(w)) AS avgdl FROM base
+    ),
+    tf AS (
+      SELECT doc_id, dl, t, COUNT(*) AS tf FROM (
+        SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM base
+      ) WHERE t IN ('hash', 'merge', 'vector')
+      GROUP BY doc_id, dl, t
+    ),
+    dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    contribs AS (
+      SELECT tf.doc_id, tf.t,
+             ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS c
+      FROM tf JOIN dft ON tf.t = dft.t CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN t = 'hash'   THEN c END), 0.0)
+           + COALESCE(SUM(CASE WHEN t = 'merge'  THEN c END), 0.0)
+           + COALESCE(SUM(CASE WHEN t = 'vector' THEN c END), 0.0) AS raw
+      FROM contribs GROUP BY doc_id
+    )
+    SELECT doc_id, round(raw, 4) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-50 for the fixed query {hash, merge, vector}
+    (``operators/text.bm25_topk``) — lexical retrieval over the corpus,
+    the sparse counterpart to q43's dense ANN top-k. The oracle
+    recomputes tf, per-term df, corpus stats, and the Lucene-form IDF
+    independently; scores match to 4 decimals under the shared
+    fold-order contract (per-term conditional sums added in sorted
+    term order — each inner sum folds at most ONE value per doc, so
+    float addition order is pinned by the expression tree in both
+    engines)."""
+    from ..operators.text import bm25_topk
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return bm25_topk(docs, ["hash", "merge", "vector"], k=50)

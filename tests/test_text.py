@@ -156,3 +156,34 @@ class TestChunkTokens:
         df = spark.createDataFrame([(1, "a b")], "doc_id: long, text: string")
         with _pytest.raises(ValueError):
             chunk_tokens(df, size=4, overlap=4)
+
+
+class TestBm25:
+    """BM25 retrieval (round 6)."""
+
+    def test_scores_and_ranking(self, spark):
+        from mb8600_clickhouse_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame(
+            [
+                (1, "vector vector vector index"),
+                (2, "vector index scan"),
+                (3, "scan filter join"),
+                (4, "hash hash join"),
+            ],
+            "doc_id: long, text: string",
+        )
+        rows = bm25_topk(df, ["vector", "hash"], k=10).collect()
+        got = {r.doc_id: r.bm25 for r in rows}
+        # doc 3 has neither term -> absent; repeated term scores higher
+        assert set(got) == {1, 2, 4}
+        assert got[1] > got[2]
+        assert all(v > 0 for v in got.values())
+
+    def test_k_limits(self, spark):
+        from mb8600_clickhouse_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame(
+            [(i, "common word") for i in range(20)], "doc_id: long, text: string"
+        )
+        assert bm25_topk(df, ["common"], k=5).count() == 5
