@@ -129,3 +129,23 @@ def connected_components(
         )
         .distinct()
     )
+
+
+def cluster_representatives(
+    components: DataFrame, salt: str = "rep-v1"
+) -> DataFrame:
+    """(component, representative): ONE deterministic pseudo-random
+    member per component — the member minimizing md5(salt:node).
+
+    Complements the drop-higher-id retention rule: keep-the-minimum-id
+    is biased toward early ids (which in a real corpus correlate with
+    crawl time and source), while an md5-order pick is uniform over the
+    cluster yet replay-stable across runs and engines (the same
+    determinism device as `sampling.hash_split`). One aggregation with
+    map-side combine; shuffles only (component, id, 16-byte hash)."""
+    return components.groupBy("component").agg(
+        F.min_by(
+            "node",
+            F.md5(F.concat(F.lit(salt + ":"), F.col("node").cast("string"))),
+        ).alias("representative")
+    )

@@ -1592,3 +1592,109 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(edges, src="id_a", dst="id_b")
     return cc.select(F.col("node").alias("doc_id"), "component").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q105 cluster-representative sampling (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q105_cluster_sample",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' zz' AS text, lang
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ),
+    mh AS (
+      SELECT doc_id, i, min(md5(s || ':' || i)) AS h
+      FROM exploded, range(12) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, (i // 3) AS band, md5(string_agg(h, ',' ORDER BY i)) AS key
+      FROM mh GROUP BY doc_id, (i // 3)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS lab FROM edges
+      UNION
+      SELECT e.v AS node, r.lab FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    reps AS (
+      SELECT arg_min(node, md5('rep-v1:' || CAST(node AS VARCHAR))) AS doc_id
+      FROM comp GROUP BY component
+    )
+    SELECT c.doc_id, c.lang FROM corpus c
+    WHERE c.doc_id IN (SELECT doc_id FROM reps)
+       OR c.doc_id NOT IN (SELECT node FROM comp)
+    ORDER BY c.doc_id
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative RETENTION: q99's connected components
+    resolved to a kept set — one deterministic pseudo-random member per
+    near-dup cluster (``graph.cluster_representatives``, md5-order
+    pick: unbiased w.r.t. crawl-order ids, replay-stable) plus every
+    unclustered document. This is the alternative retention policy to
+    q86's drop-higher-id rule, and the reason cluster IDENTITY (q99)
+    matters beyond audit. The oracle recomputes components via the
+    recursive CTE and the same arg-min-md5 pick.
+
+    Scale shape: q99's bounded CC rounds + one aggregation for the
+    pick + two (semi/anti) joins on the corpus, all keyed on long
+    ids."""
+    from ..operators.graph import cluster_representatives, connected_components
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = (
+        docs.select("doc_id", "text", "lang")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" zz")).alias("text"),
+                "lang",
+            )
+        )
+    )
+    edges = dedup.minhash_lsh_candidates(
+        corpus, shingle_n=3, k=12, bands=4, max_bucket=10_000
+    )
+    cc = connected_components(edges, src="id_a", dst="id_b")
+    reps = cluster_representatives(cc)
+    clustered = cc.select(F.col("node").alias("doc_id"))
+    kept = corpus.join(clustered, "doc_id", "left_anti").unionAll(
+        corpus.join(
+            reps.select(F.col("representative").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    return kept.select("doc_id", "lang").orderBy("doc_id")

@@ -75,3 +75,20 @@ def test_component_is_min_id(spark):
     edges = [(100, 7), (7, 55), (55, 3)]
     got = _labels(spark, edges)
     assert set(got.values()) == {3}
+
+
+def test_cluster_representatives_deterministic(spark):
+    from mb8600_clickhouse_spark.operators.graph import cluster_representatives
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "node: long, component: long"
+    )
+    a = {r.component: r.representative for r in cluster_representatives(comps).collect()}
+    b = {r.component: r.representative for r in cluster_representatives(comps).collect()}
+    assert a == b
+    assert set(a) == {1, 10}
+    assert a[1] in {1, 2, 3} and a[10] in {10, 11}
+    # a different salt may pick differently but stays within the cluster
+    c = {r.component: r.representative
+         for r in cluster_representatives(comps, salt="other").collect()}
+    assert c[1] in {1, 2, 3} and c[10] in {10, 11}
