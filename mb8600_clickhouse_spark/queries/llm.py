@@ -1698,3 +1698,89 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q106 incremental batch dedup against an existing corpus (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q106_incremental_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    incoming AS (
+      -- re-crawl mix: exact copies of base docs (doc_id % 2 = 0 of the
+      -- %3=0 slice resends OLD text) + genuinely new docs
+      SELECT doc_id + 300000 AS doc_id, lang,
+             CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' new' END AS text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      -- and a straight duplicate wave of existing corpus content
+      SELECT doc_id + 400000 AS doc_id, lang, text
+      FROM documents WHERE doc_id % 6 = 1
+    ),
+    inc AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM incoming
+    ),
+    survivors AS (
+      SELECT doc_id, lang, fp FROM inc
+      WHERE fp NOT IN (SELECT fp FROM base)
+    ),
+    kept AS (
+      SELECT doc_id, lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM survivors
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang FROM kept ORDER BY doc_id
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact dedup — the production arrival path: a new
+    crawl batch dedups against the EXISTING corpus's fingerprint set
+    (anti-join) and within itself (lowest-id keeper), touching O(batch
+    + fingerprints), never re-deduping the corpus. The batch mixes
+    exact re-sends of corpus content (dropped), a duplicate wave
+    (dropped), and genuinely new text (kept); the within-batch keeper
+    uses the q86 min_by shape.
+
+    Scale shape: the corpus side reduces to its 16-byte fingerprint
+    column before any join (at 100 TB the fp set is the only corpus
+    state the arrival path ever reads — the natural thing to keep
+    materialized/bucketed by fp); the anti-join and keeper shuffle
+    only (fp, id, lang)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    base_fps = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(dedup.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    incoming = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+            .otherwise(F.concat("text", F.lit(" new")))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 6 == 1).select(
+                (F.col("doc_id") + 400000).alias("doc_id"), "lang", "text"
+            )
+        )
+    )
+    inc = incoming.select(
+        "doc_id", "lang", dedup.fingerprint(F.col("text")).alias("fp")
+    )
+    kept = (
+        inc.join(base_fps, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "lang"), F.col("doc_id")).alias("r"))
+        .select(F.col("r.doc_id").alias("doc_id"), F.col("r.lang").alias("lang"))
+    )
+    return kept.orderBy("doc_id")
