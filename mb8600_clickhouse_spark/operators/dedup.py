@@ -540,3 +540,61 @@ def simhash_neardup_pairs(
     )
     return cands.filter(F.col("hamming") <= max_hamming)
 
+
+
+def dup_span_stats(
+    df: DataFrame,
+    span_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: for every document, the fraction of
+    its word ``span_n``-gram occurrences (positional, NOT distinct — a
+    span repeated inside one doc counts every time) that appear at least
+    ``min_count`` times across the whole corpus. The bounded n-gram form
+    of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): instead of maximal
+    repeated substrings, fixed-width token windows — the signal used to
+    cut or down-weight boilerplate-heavy documents.
+
+    Returns (id, n_spans, n_dup_spans, dup_frac) for documents with at
+    least one span (fewer than ``span_n`` tokens -> no row).
+
+    Scale: exactly two exchanges. Span occurrences carry a 16-byte md5,
+    never span text, into a count-over-hash window (one exchange on the
+    hash — strictly better than groupBy+join-back, which shuffles the
+    occurrence set twice); the per-doc rollup is the second exchange on
+    id. Corpus-frequency skew (a boilerplate span in millions of docs)
+    is bounded: the window computes COUNT only — state per hash is one
+    counter, not a buffered partition.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    n_grams = F.size("toks") - (span_n - 1)
+    idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j) for j in range(span_n)]
+        ),
+    )
+    occ = toks.select("id", F.explode(gram).alias("span")).select(
+        "id", F.md5("span").alias("h")
+    )
+    w = W.partitionBy("h")
+    counted = occ.withColumn("n_occ", F.count("*").over(w))
+    return (
+        counted.groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n_occ") >= min_count).cast("bigint")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac", F.try_divide(F.col("n_dup_spans"), F.col("n_spans"))
+        )
+    )

@@ -1784,3 +1784,70 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("r.doc_id").alias("doc_id"), F.col("r.lang").alias("lang"))
     )
     return kept.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q107 exact duplicate-span detection (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q107_dup_spans",
+    oracle=f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 7, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+             )) AS span
+      FROM toks
+    ),
+    occ AS (SELECT doc_id, md5(span) AS h FROM spans),
+    counted AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM occ
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COALESCE(SUM(CASE WHEN n_occ >= 2 THEN 1 END), 0) AS BIGINT)
+               AS n_dup_spans
+      FROM counted GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           CAST(CAST(CAST(n_dup_spans AS DOUBLE) / n_spans AS DECIMAL(38,4))
+                AS DOUBLE) AS dup_frac
+    FROM per_doc
+    WHERE n_dup_spans > 0
+    ORDER BY doc_id
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection over the planted near-dup corpus —
+    the bounded n-gram form of suffix-array substring dedup (Lee et al.
+    2021): per document, the fraction of its positional word-8-gram
+    occurrences that appear >= 2 times corpus-wide. Near-dup pairs share
+    every span except the tail the ' zz' suffix disturbs, so their
+    dup_frac approaches 1; chance 8-gram collisions in unrelated docs
+    are the honest noise floor.
+
+    Scale shape (``dedup.dup_span_stats``): two exchanges total — a
+    count-over-md5-hash window (occurrences carry 16-byte hashes, never
+    span text) then the per-doc rollup; no join-back, no O(n^2) pair
+    step anywhere. Reported here: only docs with at least one duplicated
+    span."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    stats = dedup.dup_span_stats(_neardup_corpus(docs), span_n=8)
+    return (
+        stats.filter(F.col("n_dup_spans") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_spans",
+            "n_dup_spans",
+            round4(F.col("dup_frac")).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -268,3 +268,45 @@ class TestScanWidthProbe:
             assert "Repartition" in plan2
         finally:
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+class TestDupSpanStats:
+    """Exact duplicate-span detection (bounded substring dedup)."""
+
+    def _df(self, spark):
+        # 10-token docs; span_n=4 -> 7 positional spans per doc
+        base = "a b c d e f g h i j"
+        return spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base),
+                Row(doc_id=2, text=base),  # exact dup: every span duplicated
+                Row(doc_id=3, text="a b c d x y z w q r"),  # shares ONE span
+                Row(doc_id=4, text="p q"),  # fewer tokens than span_n: no row
+            ]
+        )
+
+    def test_counts_and_fraction(self, spark):
+        out = {
+            r["id"]: r
+            for r in dedup.dup_span_stats(self._df(spark), span_n=4).collect()
+        }
+        assert set(out) == {1, 2, 3}  # doc 4 has no spans
+        assert out[1]["n_spans"] == 7 and out[2]["n_spans"] == 7
+        # docs 1/2 duplicate every span; doc 3 shares only 'a b c d'
+        assert out[1]["n_dup_spans"] == 7 and out[2]["n_dup_spans"] == 7
+        assert out[3]["n_dup_spans"] == 1
+        assert abs(out[3]["dup_frac"] - 1 / 7) < 1e-12
+
+    def test_within_doc_repeats_count(self, spark):
+        # one doc, a 4-gram repeated inside it: both occurrences dup
+        df = spark.createDataFrame([Row(doc_id=1, text="a b c d a b c d")])
+        (r,) = dedup.dup_span_stats(df, span_n=4).collect()
+        assert r["n_spans"] == 5
+        # spans: abcd, bcda, cdab, dabc, abcd -> 'a b c d' occurs twice
+        assert r["n_dup_spans"] == 2
+
+    def test_two_exchanges_only(self, spark):
+        plan = dedup.dup_span_stats(
+            self._df(spark), span_n=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 2
