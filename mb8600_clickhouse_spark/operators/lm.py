@@ -1,0 +1,170 @@
+"""Self-trained n-gram language-model scoring — the CCNet-style fluency
+signal (Wenzek et al. 2020 train a KenLM and bucket documents by
+perplexity; here the LM is trained ON THE CORPUS ITSELF, distributed,
+so the operator has zero model-file dependencies).
+
+Two scores:
+
+- ``bigram_lm_scores`` — add-alpha-smoothed conditional probability
+  p(w2|w1), per-document average in the LINEAR domain. Log-free on
+  purpose: every arithmetic step (integer counts, IEEE double division,
+  decimal snapping, exact decimal sums) is bit-reproducible in a second
+  engine, so the whole training+scoring pipeline is differentially
+  verifiable (q108). Low avg_p = the document's word transitions are
+  rare in the corpus = the same outlier signal perplexity ranks by
+  (monotonicity differs, outliers agree).
+- ``perplexity`` (on the same frame) — the classic exp(-avg ln p)
+  form. Lives in the log domain where libm ``ln`` is only
+  ulp-reproducible, so it is pytest-verified against a pure-Python
+  reference instead of the SQL oracle.
+
+Scale shape (100 TB): the "model" is the (w1, w2, p) table — at most
+|vocab|^2 rows and in practice far smaller; training is two partial
+(map-side combined) count aggregations over the bigram stream. Scoring
+pre-aggregates each document's bigrams WITH multiplicity first
+(groupBy doc — the row count entering the model join is bounded by
+distinct-bigrams-per-doc, not tokens), then one shuffle equi-join
+against the model on (w1, w2) — probe-side skew on stop-bigrams is
+harmless because the model side holds exactly one row per key. No
+driver-side collect anywhere: the vocabulary size V enters the plan as
+a broadcast 1-row crossJoin, not a collected scalar.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+
+def bigram_occurrences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) — one row per positional bigram occurrence.
+    Materialized-token two-projection shape (the inline-split Catalyst
+    re-evaluation pitfall — see ``dedup.shingles_of_tokens``)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    n = F.size("toks") - 1
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + 1).alias("w2"),
+        ),
+    )
+    return toks.select("id", F.explode(pair).alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def bigram_model(occ: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Train: (w1, w2, p) with p = (c(w1,w2)+alpha) / (c(w1)+alpha*V),
+    V = distinct successor vocabulary. Two count aggregations + a
+    broadcast 1-row V; p is a single IEEE double division (bit-identical
+    across engines)."""
+    big = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = occ.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = occ.agg(F.countDistinct("w2").alias("v"))
+    return (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("p"),
+        )
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score every document against the corpus-trained bigram model:
+    (id, n_bigrams, avg_p, min_p). avg_p sums per-position probabilities
+    snapped to DECIMAL(18,8) — exact, fold-order-free addition — then
+    divides by the position count; min_p is order-free by construction.
+    Documents with <2 tokens produce no row."""
+    occ = bigram_occurrences(df, id_col, text_col)
+    model = bigram_model(occ, alpha)
+    # per-doc bigrams WITH multiplicity: bounds the model-join row count
+    # by distinct-bigrams-per-doc and carries the weight n
+    docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
+    scored = docb.join(model, ["w1", "w2"])
+    pd8 = F.col("p").cast("decimal(18,8)")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            (F.sum(pd8 * F.col("n")).cast("double") / F.sum("n")).alias(
+                "avg_p"
+            ),
+            F.min(pd8).cast("double").alias("min_p"),
+        )
+    )
+
+
+def perplexity_reference(
+    texts: dict[int, str], alpha: float = 1.0
+) -> dict[int, float]:
+    """Pure-Python reference: exp(-mean ln p) per document under the
+    identical add-alpha bigram model. The log-domain twin of
+    ``bigram_lm_scores`` for pytest differential checks."""
+    occ: list[tuple[int, str, str]] = []
+    for i, t in texts.items():
+        w = " ".join(t.lower().split()).split(" ")
+        occ += [(i, w[j], w[j + 1]) for j in range(len(w) - 1)]
+    c2: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for _, a, b in occ:
+        c2[(a, b)] = c2.get((a, b), 0) + 1
+        c1[a] = c1.get(a, 0) + 1
+        vocab.add(b)
+    v = len(vocab)
+    out: dict[int, float] = {}
+    for i in texts:
+        lps = [
+            math.log((c2[(a, b)] + alpha) / (c1[a] + alpha * v))
+            for d, a, b in occ
+            if d == i
+        ]
+        if lps:
+            out[i] = math.exp(-sum(lps) / len(lps))
+    return out
+
+
+def with_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, n_bigrams, ppl) — exp(-avg ln p): the classic CCNet bucket
+    key. Log-domain (libm ``ln`` is ulp- not bit-reproducible across
+    engines) so its verification is the pytest differential against
+    ``perplexity_reference``, not the SQL oracle."""
+    occ = bigram_occurrences(df, id_col, text_col)
+    model = bigram_model(occ, alpha)
+    docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
+    scored = docb.join(model, ["w1", "w2"])
+    return scored.groupBy("id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.exp(
+            -F.sum(F.log("p") * F.col("n")) / F.sum("n")
+        ).alias("ppl"),
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, lm, similarity, text
 from ..operators.multimodal import with_payload
 from ..tables import load_tables
 from . import query
@@ -1851,3 +1851,70 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q108 self-trained bigram-LM fluency scoring (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q108_bigram_lm_score",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1])
+             )) AS pr
+      FROM toks
+    ),
+    occ AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM pairs),
+    big AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY w1, w2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM occ),
+    model AS (
+      SELECT w1, w2, (c2 + 1.0) / (c1 + 1.0 * v) AS p
+      FROM big JOIN uni USING (w1) CROSS JOIN vocab
+    ),
+    docb AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS n FROM occ GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+      SELECT doc_id, n, CAST(p AS DECIMAL(18,8)) AS p8
+      FROM docb JOIN model USING (w1, w2)
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(CAST(CAST(SUM(p8 * n) AS DOUBLE) / SUM(n) AS DECIMAL(38,4))
+                AS DOUBLE) AS avg_p,
+           CAST(CAST(CAST(MIN(p8) AS DOUBLE) AS DECIMAL(38,4)) AS DOUBLE)
+             AS min_p
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency scoring with a bigram LM trained ON the corpus
+    itself, fully distributed (``operators/lm.py``): add-1-smoothed
+    p(w2|w1), per-document average in the LINEAR domain so training AND
+    scoring are bit-reproducible in the oracle (integer counts, one IEEE
+    division, DECIMAL(18,8) snap, exact decimal sums — no libm ln in the
+    verified path; the classic exp(-avg ln p) perplexity twin is
+    pytest-verified against a pure-Python reference). Low avg_p docs are
+    the rare-transition outliers a perplexity bucket would also flag.
+
+    Scale: the trained model is a (w1,w2,p) table bounded by the bigram
+    vocabulary; documents pre-aggregate their bigrams with multiplicity
+    before the single model equi-join; V enters as a broadcast 1-row
+    crossJoin, never a collected scalar."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = lm.bigram_lm_scores(docs)
+    return s.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        round4(F.col("avg_p")).alias("avg_p"),
+        round4(F.col("min_p")).alias("min_p"),
+    ).orderBy("doc_id")

@@ -1,0 +1,53 @@
+"""Bigram-LM scoring (operators/lm.py): the log-domain perplexity twin is
+verified here against a pure-Python reference (libm ln is only
+ulp-reproducible across engines, so it is excluded from the SQL oracle
+path — q108 verifies the linear-domain scores)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from mb8600_clickhouse_spark.operators import lm
+
+TEXTS = {
+    1: "the cat sat on the mat",
+    2: "the cat sat on the cat",
+    3: "a completely different sentence entirely here",
+    4: "the the the the",  # degenerate repetition: most predictable
+    5: "one",  # single token: no bigrams, no row
+}
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in TEXTS.items()]
+    )
+
+
+class TestBigramLm:
+    def test_perplexity_matches_pure_python(self, spark):
+        ref = lm.perplexity_reference(TEXTS)
+        got = {
+            r["id"]: r["ppl"] for r in lm.with_perplexity(_df(spark)).collect()
+        }
+        assert set(got) == set(ref)  # doc 5 absent from both
+        for k in ref:
+            assert math.isclose(got[k], ref[k], rel_tol=1e-9), (k, got[k], ref[k])
+
+    def test_linear_scores_shape(self, spark):
+        got = {r["id"]: r for r in lm.bigram_lm_scores(_df(spark)).collect()}
+        assert 5 not in got
+        assert got[1]["n_bigrams"] == 5
+        # repetition doc reuses the corpus's most common transition: its
+        # avg conditional probability must beat the one-off sentence's
+        assert got[4]["avg_p"] > got[3]["avg_p"]
+        for r in got.values():
+            assert 0.0 < r["min_p"] <= r["avg_p"] <= 1.0
+
+    def test_rankings_agree_on_outlier(self, spark):
+        """Linear-domain avg_p and log-domain ppl flag the same outlier."""
+        ppl = {r["id"]: r["ppl"] for r in lm.with_perplexity(_df(spark)).collect()}
+        avg = {r["id"]: r["avg_p"] for r in lm.bigram_lm_scores(_df(spark)).collect()}
+        assert max(ppl, key=ppl.get) == min(avg, key=avg.get) == 3
