@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import dedup, lm, similarity, text
+from ..operators import classifier, dedup, lm, similarity, text
 from ..operators.multimodal import with_payload
 from ..tables import load_tables
 from . import query
@@ -1917,4 +1917,83 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         round4(F.col("avg_p")).alias("avg_p"),
         round4(F.col("min_p")).alias("min_p"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q109 distributed linear classifier — one exact training step (round 6)
+# ---------------------------------------------------------------------------
+_BUCKET64 = (
+    "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) % 64"
+)
+
+
+@query(
+    "q109_linear_classifier_step",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(w) AS t FROM norm),
+    feat AS (
+      SELECT doc_id, {_BUCKET64} AS j, CAST(COUNT(*) AS BIGINT) AS n
+      FROM occ GROUP BY doc_id, ({_BUCKET64})
+    ),
+    labels AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS nn, SUM(y) AS npos FROM labels),
+    perj AS (
+      SELECT j, SUM(n) AS s_all, SUM(n * y) AS s_pos
+      FROM feat JOIN labels USING (doc_id) GROUP BY j
+    ),
+    wts AS (
+      SELECT j, (s_pos - 0.5 * s_all) / nn AS w FROM perj CROSS JOIN tot
+    ),
+    bias AS (SELECT (npos / nn - 0.5) AS b FROM tot),
+    terms AS (
+      SELECT doc_id, CAST(w * n AS DECIMAL(28,10)) AS term
+      FROM feat JOIN wts USING (j)
+    ),
+    m AS (
+      SELECT doc_id, CAST(SUM(term) AS DOUBLE) AS s FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CAST(s + b AS DECIMAL(38,4)) AS DOUBLE) AS margin,
+           (s + b) > 0 AS pred
+    FROM m CROSS JOIN bias
+    ORDER BY doc_id
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear text-classifier TRAINING, verified end-to-end:
+    one exact full-batch logistic gradient step from the zero init
+    (sigmoid(0)=0.5 makes the step pure integer feature sums — the q83
+    one-Lloyd-step device) over hashed-BoW features (64 md5 buckets),
+    label lang='en', then the scoring pass: per-doc margin w.x + b with
+    decimal-snapped fold-order-free term sums. Multi-step training with
+    the real sigmoid is pytest-verified against numpy
+    (``operators/classifier.logreg_train``).
+
+    Scale: features stay sparse (id, j, n) with map-side combine; the
+    gradient is one groupBy over at most dim rows; the model is dim+1
+    doubles — the only driver state; scoring broadcasts the dim-row
+    weight table."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    feat = classifier.bow_feature_rows(docs, dim=64)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    w, bias = classifier.logreg_zero_init_step(feat, labels)
+    m = classifier.linear_margins(feat, w, bias)
+    return m.select(
+        F.col("id").alias("doc_id"),
+        round4(F.col("margin")).alias("margin"),
+        (F.col("margin") > 0).alias("pred"),
     ).orderBy("doc_id")
