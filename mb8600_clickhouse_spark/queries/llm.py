@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import classifier, dedup, lm, similarity, text
+from ..operators import bpe, classifier, dedup, lm, similarity, text
 from ..operators.multimodal import with_payload
 from ..tables import load_tables
 from . import query
@@ -1997,3 +1997,53 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("margin")).alias("margin"),
         (F.col("margin") > 0).alias("pred"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q110 distributed BPE vocabulary induction — round-one statistics (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q110_bpe_pair_counts",
+    oracle="""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    occ AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm),
+    wc AS (SELECT word, COUNT(*) AS n FROM occ GROUP BY word),
+    pairs AS (
+      SELECT n,
+             unnest(list_transform(
+               generate_series(1, greatest(len(word) - 1, 0)),
+               i -> struct_pack(s1 := word[i], s2 := word[i+1])
+             )) AS p
+      FROM wc
+    ),
+    pc AS (
+      SELECT p.s1 AS s1, p.s2 AS s2, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM pairs GROUP BY p.s1, p.s2
+    )
+    SELECT s1, s2, cnt FROM pc ORDER BY cnt DESC, s1, s2 LIMIT 10
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING on the cluster: distributed BPE vocabulary
+    induction (``operators/bpe.py``). The verified surface is round
+    one's merge decision — adjacent single-character pair frequencies
+    weighted by word count over the distinct-word table, argmax by
+    (count, lexicographic) — reported as the top-10 candidate merges;
+    multi-round learning (merged symbols, left-to-right non-overlap
+    replacement) is pytest-verified against a pure-Python BPE
+    reference, Spark and reference producing identical merge lists.
+
+    Scale: the corpus collapses to (word, count) before any pair work
+    (the classic BPE trick — pair counting runs over distinct words,
+    not the token stream); each round is one map-side-combined
+    aggregation plus a 1-row collect; driver state is the merge list."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pc = bpe.pair_counts(bpe.with_symbols(bpe.word_counts(docs)))
+    return (
+        pc.select("s1", "s2", F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(10)
+    )

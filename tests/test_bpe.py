@@ -1,0 +1,35 @@
+"""Distributed BPE induction (operators/bpe.py): multi-round merge
+learning is verified here against the pure-Python reference (q110
+verifies round-one pair statistics differentially)."""
+
+from __future__ import annotations
+
+from mb8600_clickhouse_spark.operators import bpe
+
+TEXTS = [
+    "low low low low low lower lower newest newest",
+    "newest newest newest newest widest widest widest",
+    "new new new wider wider lowest",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([(t,) for t in TEXTS], "text string")
+
+
+class TestBpe:
+    def test_merge_list_matches_reference(self, spark):
+        got = bpe.bpe_learn(_df(spark), n_merges=8)
+        ref = bpe.bpe_reference(TEXTS, n_merges=8)
+        assert got == ref and len(got) == 8
+
+    def test_stops_when_no_pair_repeats(self, spark):
+        df = spark.createDataFrame([("ab cd",)], "text string")
+        # every pair occurs once -> count < 2 -> no merges at all
+        assert bpe.bpe_learn(df, n_merges=5) == bpe.bpe_reference(["ab cd"], 5) == []
+
+    def test_within_word_repeat_counts_per_occurrence(self, spark):
+        # 'aaa' contributes TWO (a,a) pairs per occurrence
+        df = spark.createDataFrame([("aaa",)], "text string")
+        pc = bpe.pair_counts(bpe.with_symbols(bpe.word_counts(df))).collect()
+        assert [(r["s1"], r["s2"], r["cnt"]) for r in pc] == [("a", "a", 2)]
