@@ -142,13 +142,20 @@ def shingle_rows(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
     )
+    # guarded sequence: for sub-n-token docs sequence(1, 0) counts DOWN
+    # to [1, 0] and even a filter(i > 0) leaves i=1 pointing past the
+    # array end — an ANSI element_at crash (latent until a real corpus
+    # ships a 1-token doc). Empty array -> explode drops the row.
+    n_sh = F.size("toks") - (n - 1)
     idx = toks.select(
         "id",
         "toks",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
+            F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
+                F.array().cast("array<int>")
+            )
         ).alias("i"),
-    ).filter(F.col("i") > 0)
+    )
     rows = idx.select(
         "id",
         F.concat_ws(
@@ -569,22 +576,29 @@ def dup_span_stats(
     is bounded: the window computes COUNT only — state per hash is one
     counter, not a buffered partition.
     """
-    toks = df.select(
+    toks = widen_if_narrow(df, id_col).select(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
     )
-    n_grams = F.size("toks") - (span_n - 1)
-    idx = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
-        F.array().cast("array<int>")
+    # INDEX explode + flat concat (exploding a transform() array
+    # re-evaluates it per output element — the shingle_rows lesson)
+    n_sp = F.size("toks") - (span_n - 1)
+    idx = toks.select(
+        "id",
+        "toks",
+        F.explode(
+            F.when(n_sp > 0, F.sequence(F.lit(1), n_sp)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
     )
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("toks"), i + j) for j in range(span_n)]
-        ),
-    )
-    occ = toks.select("id", F.explode(gram).alias("span")).select(
-        "id", F.md5("span").alias("h")
+    occ = idx.select(
+        "id",
+        F.md5(
+            F.concat_ws(
+                " ", *[F.element_at("toks", F.col("i") + j) for j in range(span_n)]
+            )
+        ).alias("h"),
     )
     w = W.partitionBy("h")
     counted = occ.withColumn("n_occ", F.count("*").over(w))
@@ -597,4 +611,134 @@ def dup_span_stats(
         .withColumn(
             "dup_frac", F.try_divide(F.col("n_dup_spans"), F.col("n_spans"))
         )
+    )
+
+
+def widen_if_narrow(
+    df: DataFrame, key_col: str, input_partitions: int | None = None
+) -> DataFrame:
+    """Repartition a NARROW input to defaultParallelism before a
+    compute-bound chain (hashing, per-token expansion). FILE inputs
+    probe split-adjusted scan width (``_scan_width``); DERIVED inputs
+    (no files) are always widened — their last exchange was right-sized
+    by AQE for shuffle bytes, not downstream compute, and the static
+    getNumPartitions probe cannot see the runtime coalesce. Inputs
+    already at/above target pass through untouched (a well-partitioned
+    100 TB corpus is never shrunk). Callers that know their width pass
+    ``input_partitions`` to skip both probe and shuffle."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if input_partitions is not None:
+        n_in = input_partitions
+    else:
+        files = df.inputFiles()
+        n_in = _scan_width(spark, files) if files else 0
+    return df.repartition(target, F.col(key_col)) if n_in < target else df
+
+
+def minhash_lsh_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = None,
+    input_partitions: int | None = None,
+) -> DataFrame:
+    """Documents SURVIVING the single-pass near-dup rule ('drop the
+    higher id of every LSH candidate pair'), as ONE continuous pipeline
+    — no self-join, no cache, no pair materialization.
+
+    The fusion: ``carry_cols`` (small per-doc attributes the caller
+    needs downstream, e.g. lang / a precomputed token count — never
+    text) ride through the signature pipeline, so the caller doesn't
+    anti-join the drop set back against the input (which would consume
+    the input subtree twice and force a persist). Equivalence with the
+    pair rule: in a sorted bucket every member except the minimum is
+    the higher id of some pair, so 'dropped' == 'row_number > 1 in any
+    (band, key) bucket'. The ``max_bucket`` cap marks only ranks in
+    (1, max_bucket] as droppable — beyond-cap rows keep flowing (flag
+    false) so capped-out documents still reach the output, exactly the
+    anti-join form's semantics.
+
+    Exchanges: signature groupBy(id) -> bucket window (band, key) ->
+    survivor groupBy(id). Shuffled payload: 16-byte band keys + the
+    carry columns; text never moves past the first projection.
+    Returns (id, *carry_cols).
+
+    CONTRACT: documents with fewer than ``shingle_n`` tokens have no
+    shingles, no signature, and therefore NO output row (the anti-join
+    form keeps them). Callers whose downstream filter already excludes
+    sub-shingle docs (q86's >= 5-token gate) lose nothing; anyone else
+    should union the zero-shingle slice back explicitly.
+    """
+    rows = k // bands
+    # Parallelism (the shingle_rows policy, but AQE-aware): a FILE input
+    # probes split-adjusted scan width; a DERIVED input (no files — e.g.
+    # the fingerprint-dedup output this operator typically consumes) is
+    # ALWAYS widened, because its last exchange was just right-sized by
+    # AQE for shuffle BYTES (a few coalesced partitions at fixture
+    # scale) while the 12-md5-per-shingle chain below is COMPUTE-bound —
+    # the static getNumPartitions probe reports the pre-AQE width and
+    # cannot see the coalesce (measured: the whole chain on 1 task,
+    # 2.3 s vs 0.35 s at sf0.1). The widening shuffle moves only
+    # (id, text, carry). Callers that know their width pass
+    # ``input_partitions`` to skip both probe and shuffle.
+    src = widen_if_narrow(df, id_col, input_partitions)
+    toks = src.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry_cols],
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    # INDEX explode + flat concat projection — exploding a transform()
+    # array instead re-evaluates the array per output element (the
+    # shingle_rows lesson: 13.8 s vs 0.35 s on a 300k-shingle corpus)
+    n_sh = F.size("toks") - (shingle_n - 1)
+    idx = toks.select(
+        "id",
+        *carry_cols,
+        "toks",
+        F.explode(
+            F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    sh = idx.select(
+        "id",
+        *carry_cols,
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j) for j in range(shingle_n)]
+        ).alias("s"),
+    )
+    hashed = sh.select(
+        "id",
+        *carry_cols,
+        *[F.md5(F.concat(F.col("s"), F.lit(f":{i}"))).alias(f"h{i}") for i in range(k)],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)],
+        *[F.min(c).alias(c) for c in carry_cols],
+    )
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", *carry_cols, F.posexplode(band_keys).alias("band", "key"))
+    w = W.partitionBy("band", "key").orderBy("id")
+    rn = F.row_number().over(w)
+    flag = (rn > 1) if max_bucket is None else ((rn > 1) & (rn <= max_bucket))
+    flagged = buckets.withColumn("_drop", flag)
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.max("_drop").alias("_dropped"),
+            *[F.min(c).alias(c) for c in carry_cols],
+        )
+        .filter(~F.col("_dropped"))
+        .select("id", *carry_cols)
     )

@@ -43,39 +43,50 @@ from .text import normalize_text
 def bigram_occurrences(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, w1, w2) — one row per positional bigram occurrence.
-    Materialized-token two-projection shape (the inline-split Catalyst
-    re-evaluation pitfall — see ``dedup.shingles_of_tokens``)."""
-    toks = df.select(
+    """(id, w1, w2) — one row per positional bigram occurrence. INDEX
+    explode + flat element projection (exploding a transform() array
+    re-evaluates it per output element — the shingle_rows lesson), over
+    a width-corrected input (``dedup.widen_if_narrow``: corpus parquet
+    often scans as a handful of partitions and this chain is
+    compute-bound)."""
+    from .dedup import widen_if_narrow
+
+    toks = widen_if_narrow(df, id_col).select(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
     )
-    n = F.size("toks") - 1
-    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
+    # guarded sequence (sequence(1, 0) counts DOWN — see shingle_rows)
+    n_bg = F.size("toks") - 1
+    idx = toks.select(
+        "id",
+        "toks",
+        F.explode(
+            F.when(n_bg > 0, F.sequence(F.lit(1), n_bg)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
     )
-    pair = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(F.col("toks"), i).alias("w1"),
-            F.element_at(F.col("toks"), i + 1).alias("w2"),
-        ),
-    )
-    return toks.select("id", F.explode(pair).alias("p")).select(
-        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    return idx.select(
+        "id",
+        F.element_at("toks", F.col("i")).alias("w1"),
+        F.element_at("toks", F.col("i") + 1).alias("w2"),
     )
 
 
-def bigram_model(occ: DataFrame, alpha: float = 1.0) -> DataFrame:
-    """Train: (w1, w2, p) with p = (c(w1,w2)+alpha) / (c(w1)+alpha*V),
-    V = distinct successor vocabulary. Two count aggregations + a
-    broadcast 1-row V; p is a single IEEE double division (bit-identical
-    across engines)."""
-    big = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    uni = occ.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = occ.agg(F.countDistinct("w2").alias("v"))
+def bigram_model_from_docb(docb: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Train from the per-doc bigram table (id, w1, w2, n): (w1, w2, p)
+    with p = (c(w1,w2)+alpha) / (c(w1)+alpha*V), V = distinct successor
+    vocabulary. Everything derives from ``docb`` — c2 = sum of n by
+    (w1,w2), c1 = sum of c2 by w1, V = distinct w2 of the c2 table — so
+    the token stream is consumed exactly once upstream and the model
+    aggregations run over vocab-bounded tables (and Spark's
+    ReuseExchange shares docb's exchange with the scoring consumer).
+    p is a single IEEE double division (bit-identical across engines)."""
+    big = docb.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = big.agg(F.countDistinct("w2").alias("v"))
     return (
-        big.join(uni, "w1")
+        big.join(F.broadcast(uni), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "w1",
@@ -86,6 +97,14 @@ def bigram_model(occ: DataFrame, alpha: float = 1.0) -> DataFrame:
             ).alias("p"),
         )
     )
+
+
+def bigram_model(occ: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Train directly from an occurrence stream (id, w1, w2). Kept for
+    callers holding raw occurrences; the scoring pipeline uses
+    ``bigram_model_from_docb`` to avoid consuming the stream twice."""
+    docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
+    return bigram_model_from_docb(docb, alpha)
 
 
 def bigram_lm_scores(
@@ -100,11 +119,17 @@ def bigram_lm_scores(
     divides by the position count; min_p is order-free by construction.
     Documents with <2 tokens produce no row."""
     occ = bigram_occurrences(df, id_col, text_col)
-    model = bigram_model(occ, alpha)
     # per-doc bigrams WITH multiplicity: bounds the model-join row count
-    # by distinct-bigrams-per-doc and carries the weight n
+    # by distinct-bigrams-per-doc, carries the weight n, and is the ONE
+    # aggregation of the token stream — the model derives from it
     docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
-    scored = docb.join(model, ["w1", "w2"])
+    model = bigram_model_from_docb(docb, alpha)
+    # broadcast the model: (w1,w2,p) is bigram-vocab-bounded — the scoring
+    # join then needs NO re-shuffle of docb (whose aggregation exchange is
+    # shared with the model derivation via ReuseExchange). On a corpus
+    # whose bigram vocabulary outgrows the broadcast threshold, drop the
+    # hint and let AQE pick the shuffle join — the shape stays correct.
+    scored = docb.join(F.broadcast(model), ["w1", "w2"])
     pd8 = F.col("p").cast("decimal(18,8)")
     return (
         scored.groupBy("id")
@@ -159,9 +184,9 @@ def with_perplexity(
     engines) so its verification is the pytest differential against
     ``perplexity_reference``, not the SQL oracle."""
     occ = bigram_occurrences(df, id_col, text_col)
-    model = bigram_model(occ, alpha)
     docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
-    scored = docb.join(model, ["w1", "w2"])
+    model = bigram_model_from_docb(docb, alpha)
+    scored = docb.join(F.broadcast(model), ["w1", "w2"])
     return scored.groupBy("id").agg(
         F.sum("n").alias("n_bigrams"),
         F.exp(

@@ -1091,23 +1091,10 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # stage 1: exact dedup, lowest-id keeper. n_tokens (stage 3's gate
-    # input) is computed HERE, in the same projection — a narrow
-    # expression over text that would otherwise force a second pass over
-    # the corpus after the anti-join. The deduped frame feeds BOTH the
-    # LSH candidate subtree and the anti-join left side, so it is
-    # persist()ed and the bounded result collected EAGERLY inside this
-    # function (unpersist before returning — zero live cache entries
-    # escape). persist-within-one-action beats an eager localCheckpoint
-    # here by a full job: the checkpoint materializes s1 in its OWN
-    # Spark job before the main action even starts (measured 2.76 s vs
-    # 1.79 s warm at sf0.1), while persist computes s1 once inside the
-    # single main action and reuses the blocks for the second consumer.
-    # lowest-id keeper via min_by, not a row_number window: the
-    # aggregate PARTIALLY combines map-side (duplicate fingerprints
-    # collapse before the exchange — at corpus scale the shuffle moves
-    # one candidate row per fingerprint per input partition, not every
-    # duplicate) and needs no per-partition sort.
+    # stage 1: exact dedup, lowest-id keeper via min_by (partial
+    # map-side combine — duplicate fingerprints collapse before the
+    # exchange; no per-partition sort). n_tokens (stage 3's gate input)
+    # is computed HERE so text never needs a second pass.
     s1 = (
         corpus.withColumn("fp", dedup.fingerprint(F.col("text")))
         .groupBy("fp")
@@ -1122,20 +1109,28 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.lang").alias("lang"),
         )
         .withColumn("n_tokens", text_ops.token_count(F.col("text")))
-        .persist()
     )
-    # stage 2: near-dup removal (drop the higher id of each candidate
-    # pair == drop every non-minimum bucket member — pair-free form,
-    # one fewer distinct exchange and no within-bucket cross-product)
-    drops = dedup.minhash_lsh_dropped_ids(
-        s1, shingle_n=3, k=12, bands=4, max_bucket=10_000
+    # stage 2: near-dup removal as the SINGLE-PASS survivor pipeline —
+    # (lang, n_tokens) ride through the signature pipeline
+    # (``dedup.minhash_lsh_survivors``), so there is no drop-set
+    # anti-join, no second consumption of s1, no persist, no eager
+    # collect (the r05->r06 evolution: eager localCheckpoint 2.76 s ->
+    # persist-within-action 1.79 s -> this one-pass shape; the survivor
+    # fusion removes the distinct exchange, the broadcast build job and
+    # the cache machinery outright). Zero-shingle docs the survivor
+    # contract drops would fail stage 3's >= 5-token gate anyway —
+    # equivalence with the anti-join form is exact here.
+    s2 = dedup.minhash_lsh_survivors(
+        s1,
+        carry_cols=("lang", "n_tokens"),
+        shingle_n=3,
+        k=12,
+        bands=4,
+        max_bucket=10_000,
     ).withColumnRenamed("id", "doc_id")
-    # stages 3+4 FUSED into one pass over the anti-join output: the
-    # quality gate is a narrow filter and the language quota one window
-    # — a single exchange on lang after the (broadcast) anti-join.
+    # stages 3+4: narrow gate + ONE language-quota window exchange.
     s4 = (
-        s1.join(drops, "doc_id", "left_anti")
-        .filter(F.col("n_tokens") >= 5)
+        s2.filter(F.col("n_tokens") >= 5)
         .withColumn(
             "qrn",
             F.row_number().over(
@@ -1147,16 +1142,10 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qrn") <= 40)
         .select("doc_id", "lang", "n_tokens")
     )
-    # the quota output is bounded at 40 x #langs rows by construction, so
-    # the total order comes from a single-partition sort (a global
-    # orderBy would run a range-partitioner SAMPLING job first), and the
-    # result materializes EAGERLY so s1's cache can be dropped before
-    # returning — the caller gets a pure local relation, never a plan
-    # over an unpersisted-from-under-it cache entry
-    out = s4.coalesce(1).sortWithinPartitions("doc_id")
-    rows = out.collect()
-    s1.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    # quota output is bounded at 40 x #langs rows, so the total order is
+    # a single-partition sort (a global orderBy would add a range-
+    # partitioner sampling job)
+    return s4.coalesce(1).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------

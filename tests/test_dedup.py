@@ -305,8 +305,40 @@ class TestDupSpanStats:
         # spans: abcd, bcda, cdab, dabc, abcd -> 'a b c d' occurs twice
         assert r["n_dup_spans"] == 2
 
-    def test_two_exchanges_only(self, spark):
+    def test_exchange_count(self, spark):
+        # 3 = the compute-width repartition (in-memory frames count as
+        # derived -> always widened) + count-over-hash window + per-doc
+        # rollup. The DATA exchanges are the latter two; no join-back.
         plan = dedup.dup_span_stats(
             self._df(spark), span_n=4
         )._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange") == 2
+        assert plan.count("Exchange") == 3
+
+
+class TestSubShingleDocs:
+    """ANSI regression: docs with fewer tokens than the shingle width
+    must yield zero shingles, not an element_at index crash
+    (sequence(1, 0) counts DOWN to [1, 0] — the i=1 row then indexes
+    past a 1-element token array)."""
+
+    def test_shingle_rows_tiny_doc(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="one"), Row(doc_id=2, text="a b c d")]
+        )
+        got = sorted((r["id"], r["s"]) for r in dedup.shingle_rows(df, n=3).collect())
+        assert got == [(2, "a b c"), (2, "b c d")]
+
+    def test_survivors_tiny_doc_no_crash(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="x"), Row(doc_id=2, text="a b c d e")]
+        )
+        got = dedup.minhash_lsh_survivors(df, carry_cols=()).collect()
+        # doc 1 has no shingles -> no row (documented contract); doc 2 survives
+        assert [r["id"] for r in got] == [2]
+
+    def test_dup_span_tiny_doc_no_crash(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="x y"), Row(doc_id=2, text="a b c d e")]
+        )
+        out = dedup.dup_span_stats(df, span_n=4).collect()
+        assert [r["id"] for r in out] == [2]
