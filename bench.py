@@ -97,6 +97,18 @@ def main() -> None:
     # self-service version of the judge's <=2x-of-oracle comparison.
     # DEFAULT ON since round 5 (the 2x target should be self-auditing in
     # every BENCH_r{N}.json); set SPARK_GRAFT_ORACLE=0 to skip.
+    # Oracles whose DuckDB formulation is super-linear in fixture size
+    # (not a property of the Spark side): timing them at sf0.1 burns
+    # minutes of bench wall-clock for a number that says nothing about
+    # the engine. They stay fully hash-verified by the correctness gate
+    # at sf0.01; the bench records the skip reason instead of a ratio.
+    ORACLE_BENCH_SKIP = {
+        "q68_sequence_packing": (
+            "recursive-CTE oracle is O(rows x recursion depth) - 141 s of "
+            "DuckDB time at sf0.1 (measured) for a 1.1 s Spark query; "
+            "hash-verified at sf0.01 by the correctness gate"
+        ),
+    }
     oracle_times: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_ORACLE", "1") != "0":
         import duckdb
@@ -113,7 +125,7 @@ def main() -> None:
             )
         for name, spec in sorted(specs.items()):
             sql = spec.oracle_for(sf_dir)
-            if sql is None:
+            if sql is None or name in ORACLE_BENCH_SKIP:
                 continue
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
@@ -139,6 +151,7 @@ def main() -> None:
                 "queries": per_query,
                 **(
                     {
+                        "oracle_skipped": ORACLE_BENCH_SKIP,
                         "oracle": oracle_times,
                         "ratio": {
                             n: round(per_query[n] / oracle_times[n], 2)

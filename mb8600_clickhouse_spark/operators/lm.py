@@ -193,3 +193,80 @@ def with_perplexity(
             -F.sum(F.log("p") * F.col("n")) / F.sum("n")
         ).alias("ppl"),
     )
+
+
+def _count_tables(docb: DataFrame):
+    """(big (w1,w2,c2), uni (w1,c1), vocab 1-row (v)) from a per-doc
+    bigram table — the raw-count form of the model (needed when scoring
+    must smooth UNSEEN bigrams: p = (c2+a)/(c1+a*V) with c2/c1
+    defaulting to 0, which a pre-divided p-table cannot express)."""
+    big = docb.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = big.agg(F.countDistinct("w2").alias("v"))
+    return big, uni, vocab
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023), the
+    n-gram-model instantiation: rank every document by how much more it
+    resembles the TARGET distribution (rows where ``target_col`` is
+    true) than the full SOURCE corpus. Both bigram models are trained
+    distributed from one pass over the token stream; per-doc scores are
+    the linear-domain average conditional probabilities under each
+    (the q108 device — integer counts, IEEE division, decimal-snapped
+    sums keep the whole thing bit-reproducible for the SQL oracle; DSIR
+    proper uses log-ratios, same ranking signal on the outliers).
+
+    Unseen-bigram smoothing is exact: scoring left-joins the COUNT
+    tables (not a pre-divided p-table) so p = (c2+a)/(c1+a*V) with
+    missing counts as 0. Returns (id, n_bigrams, p_target, p_source)
+    — the importance signal is the p_target/p_source ordering.
+
+    Scale: the model tables are vocab-bounded broadcasts; the corpus is
+    tokenized once (docb feeds both models and the scoring join);
+    nothing reaches the driver."""
+    occ = bigram_occurrences(df, id_col, text_col)
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(target_col).cast("boolean").alias("_t")
+    )
+    docb = (
+        occ.join(labels, "id")
+        .groupBy("id", "w1", "w2", "_t")
+        .agg(F.count("*").alias("n"))
+    )
+    big_t, uni_t, voc_t = _count_tables(docb.filter(F.col("_t")))
+    big_s, uni_s, voc_s = _count_tables(docb)
+    a = F.lit(alpha)
+
+    def _score(side: str, big, uni, voc):
+        c2 = F.coalesce(F.col(f"c2_{side}"), F.lit(0))
+        c1 = F.coalesce(F.col(f"c1_{side}"), F.lit(0))
+        return (c2 + a) / (c1 + a * F.col(f"v_{side}"))
+
+    scored = (
+        docb.join(
+            F.broadcast(big_t.withColumnRenamed("c2", "c2_t")), ["w1", "w2"], "left"
+        )
+        .join(F.broadcast(uni_t.withColumnRenamed("c1", "c1_t")), ["w1"], "left")
+        .crossJoin(F.broadcast(voc_t.withColumnRenamed("v", "v_t")))
+        .join(
+            F.broadcast(big_s.withColumnRenamed("c2", "c2_s")), ["w1", "w2"], "left"
+        )
+        .join(F.broadcast(uni_s.withColumnRenamed("c1", "c1_s")), ["w1"], "left")
+        .crossJoin(F.broadcast(voc_s.withColumnRenamed("v", "v_s")))
+        .withColumn("p_t", _score("t", big_t, uni_t, voc_t))
+        .withColumn("p_s", _score("s", big_s, uni_s, voc_s))
+    )
+    pt8 = F.col("p_t").cast("decimal(18,8)")
+    ps8 = F.col("p_s").cast("decimal(18,8)")
+    return scored.groupBy("id").agg(
+        F.sum("n").alias("n_bigrams"),
+        (F.sum(pt8 * F.col("n")).cast("double") / F.sum("n")).alias("p_target"),
+        (F.sum(ps8 * F.col("n")).cast("double") / F.sum("n")).alias("p_source"),
+    )

@@ -2036,3 +2036,77 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "s1", "s2")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q111 DSIR importance weighting (target vs source bigram models, round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q111_dsir_weights",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, (lang = 'en') AS t,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, t,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1])
+             )) AS pr
+      FROM norm
+    ),
+    docb AS (
+      SELECT doc_id, t, pr.w1 AS w1, pr.w2 AS w2, COUNT(*) AS n
+      FROM pairs GROUP BY doc_id, t, pr.w1, pr.w2
+    ),
+    big_t AS (SELECT w1, w2, SUM(n) AS c2 FROM docb WHERE t GROUP BY w1, w2),
+    uni_t AS (SELECT w1, SUM(c2) AS c1 FROM big_t GROUP BY w1),
+    voc_t AS (SELECT COUNT(DISTINCT w2) AS v FROM big_t),
+    big_s AS (SELECT w1, w2, SUM(n) AS c2 FROM docb GROUP BY w1, w2),
+    uni_s AS (SELECT w1, SUM(c2) AS c1 FROM big_s GROUP BY w1),
+    voc_s AS (SELECT COUNT(DISTINCT w2) AS v FROM big_s),
+    scored AS (
+      SELECT d.doc_id, d.n,
+             CAST((COALESCE(bt.c2, 0) + 1.0)
+                  / (COALESCE(ut.c1, 0) + 1.0 * voc_t.v) AS DECIMAL(18,8)) AS pt8,
+             CAST((COALESCE(bs.c2, 0) + 1.0)
+                  / (COALESCE(us.c1, 0) + 1.0 * voc_s.v) AS DECIMAL(18,8)) AS ps8
+      FROM docb d
+      LEFT JOIN big_t bt ON bt.w1 = d.w1 AND bt.w2 = d.w2
+      LEFT JOIN uni_t ut ON ut.w1 = d.w1
+      LEFT JOIN big_s bs ON bs.w1 = d.w1 AND bs.w2 = d.w2
+      LEFT JOIN uni_s us ON us.w1 = d.w1
+      CROSS JOIN voc_t CROSS JOIN voc_s
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(CAST(CAST(SUM(pt8 * n) AS DOUBLE) / SUM(n) AS DECIMAL(38,4))
+                AS DOUBLE) AS p_target,
+           CAST(CAST(CAST(SUM(ps8 * n) AS DOUBLE) / SUM(n) AS DECIMAL(38,4))
+                AS DOUBLE) AS p_source
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, the n-gram
+    instantiation): every document scored under a TARGET bigram model
+    (trained on the lang='en' slice) and the SOURCE model (the whole
+    corpus) — the p_target vs p_source ordering is the importance-
+    resampling signal for target-matched data selection. Training and
+    scoring are ``operators/lm.dsir_weights``: one tokenize pass,
+    vocab-bounded broadcast count tables, EXACT unseen-bigram smoothing
+    via left-joined raw counts (a pre-divided p-table cannot express
+    c2=0/c1=0), linear-domain decimal-snapped averages so both models
+    and the scoring verify bit-for-bit against the oracle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = lm.dsir_weights(
+        docs.withColumn("is_en", F.col("lang") == "en"), target_col="is_en"
+    )
+    return s.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        round4(F.col("p_target")).alias("p_target"),
+        round4(F.col("p_source")).alias("p_source"),
+    ).orderBy("doc_id")

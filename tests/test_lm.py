@@ -51,3 +51,30 @@ class TestBigramLm:
         ppl = {r["id"]: r["ppl"] for r in lm.with_perplexity(_df(spark)).collect()}
         avg = {r["id"]: r["avg_p"] for r in lm.bigram_lm_scores(_df(spark)).collect()}
         assert max(ppl, key=ppl.get) == min(avg, key=avg.get) == 3
+
+
+class TestDsir:
+    def test_target_docs_rank_higher(self, spark):
+        # target topic shares transitions with target-member docs
+        rows = [
+            (1, "alpha beta gamma alpha beta", True),
+            (2, "alpha beta gamma beta gamma", True),
+            (3, "alpha beta gamma alpha gamma", False),  # target-LIKE outsider
+            (4, "zeta eta theta zeta eta", False),       # off-distribution
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+        got = {r["id"]: r for r in lm.dsir_weights(df, "is_t").collect()}
+        ratio = {i: got[i]["p_target"] / got[i]["p_source"] for i in got}
+        # the target-like outsider outranks the off-distribution doc
+        assert ratio[3] > ratio[4]
+        assert ratio[1] > ratio[4] and ratio[2] > ratio[4]
+
+    def test_unseen_bigrams_smoothed_not_null(self, spark):
+        rows = [
+            (1, "a b c", True),
+            (2, "x y z", False),  # every bigram unseen by the target model
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+        got = {r["id"]: r for r in lm.dsir_weights(df, "is_t").collect()}
+        assert got[2]["p_target"] is not None and got[2]["p_target"] > 0
+        assert got[2]["p_target"] < got[1]["p_target"]
