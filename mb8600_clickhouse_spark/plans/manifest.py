@@ -165,6 +165,40 @@ def _file_may_match(stats: dict[str, list] | None, col: str, op: str, value) -> 
     raise ValueError(f"unsupported prune op {op!r} (use =, <, <=, >, >=)")
 
 
+# -- Bloom-filter file skipping (the Iceberg/ClickHouse bloom index) --------
+#
+# Min/max stats prune RANGE predicates; a point lookup on a high-cardinality
+# unsorted column (doc_id = X, session = 'abc') usually overlaps every
+# file's [min, max]. Per-(file, column) Bloom filters close that gap:
+# k md5-derived bit positions per value, OR-ed into a ``bits``-wide word
+# array PER FILE — built DISTRIBUTEDLY (one Spark job, bit_or aggregates;
+# only nfiles x words/file integers ever reach the driver), probed on the
+# driver at plan time. A missing bit proves absence; false positives only
+# cost an un-pruned file. md5 keeps build (Spark) and probe (Python)
+# bit-identical — the engine's standard portability device.
+
+
+def _bloom_positions_py(value, bits: int, k: int) -> list[int]:
+    """The probe-side twin of the build expression: position j =
+    int(md5(str(value) + ':' + j)[:8], 16) % bits. Values are compared
+    through their Spark CAST(... AS STRING) rendering, so bloom columns
+    are restricted to string/integer types (float renderings differ)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}:{j}".encode()).hexdigest()[:8], 16) % bits
+        for j in range(k)
+    ]
+
+
+def _bloom_may_contain(b: dict, value) -> bool:
+    words = b["words"]
+    for pos in _bloom_positions_py(value, b["bits"], b["k"]):
+        if not (words[pos // 64] >> (pos % 64)) & 1:
+            return False
+    return True
+
+
 class CommitBackend:
     """The ONE primitive a deployment must supply: atomically create
     ``path`` with ``payload`` iff it does not exist, returning whether
@@ -272,13 +306,25 @@ class ManifestTable:
             return []
         m = self._read_manifest(v)
         stats = m.get("stats", {})
+        blooms = m.get("bloom", {})
+
+        def may(f: str, col: str, op: str, val) -> bool:
+            if not _file_may_match(stats.get(f), col, op, val):
+                return False
+            # equality predicates additionally probe the file's Bloom
+            # filter when one was built for the column (point lookups on
+            # unsorted high-cardinality columns — the case [min, max]
+            # cannot prune). Missing bloom -> keep (sound default).
+            if op == "=":
+                b = blooms.get(f, {}).get(col)
+                if b is not None and not _bloom_may_contain(b, val):
+                    return False
+            return True
+
         return [
             f
             for f in m["files"]
-            if all(
-                _file_may_match(stats.get(f), col, op, val)
-                for col, op, val in predicates
-            )
+            if all(may(f, col, op, val) for col, op, val in predicates)
         ]
 
     def scan(
@@ -381,6 +427,7 @@ class ManifestTable:
         keep_files: list[str] | None = None,
         base_version: int | None = None,
         on_conflict: str = "ignore",
+        new_bloom: dict | None = None,
     ) -> int:
         """``merge=True`` keeps the whole current snapshot alongside the
         new files (append); ``keep_files`` keeps an explicit subset (the
@@ -436,6 +483,18 @@ class ManifestTable:
                         if f in set(kept) and f not in stats
                     }
                 )
+            # Bloom filters ride like stats: kept files carry their
+            # parent's blooms (zero re-reads); new files have none until
+            # the next build_bloom pass (missing bloom never prunes)
+            bloom: dict = {}
+            if kept and base is not None:
+                bloom = {
+                    f: b
+                    for f, b in self._read_manifest(base).get("bloom", {}).items()
+                    if f in set(kept)
+                }
+            if new_bloom:
+                bloom.update(new_bloom)
             manifest = {
                 "version": version,
                 "parent": base,
@@ -443,6 +502,7 @@ class ManifestTable:
                 "files": files,
                 "added": new_files,  # per-commit delta (streaming source reads this)
                 "stats": stats,  # per-file column min/max (data skipping)
+                **({"bloom": bloom} if bloom else {}),
                 **(extra or {}),
             }
             if schema is not None:
@@ -744,6 +804,107 @@ class ManifestTable:
         )
 
     # -- maintenance ---------------------------------------------------------
+    def build_bloom(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bits: int = 1024,
+        k: int = 4,
+    ) -> int:
+        """Build per-(file, column) Bloom filters for the CURRENT
+        snapshot and commit them as a metadata-only version (files
+        unchanged — the compaction-style swap). ONE distributed job:
+        every row contributes its k md5 bit positions, ``bit_or``
+        aggregates fold them into words per (file, col, word), and only
+        nfiles x (bits/64) integers per column reach the driver.
+
+        Restricted to string/integer columns: the probe compares values
+        through their CAST-to-string rendering, which is only
+        engine-stable for those types. Concurrent appends while the job
+        runs are carried bloom-less (a missing bloom never prunes).
+        """
+        from pyspark.sql import functions as F
+
+        fields = {f.name: f.dataType.simpleString() for f in (self.table_schema() or [])}
+        for c in cols:
+            t = fields.get(c)
+            if t not in ("string", "bigint", "int", "smallint", "tinyint"):
+                raise ValueError(
+                    f"bloom column {c!r} has type {t!r}; only string/integer "
+                    "columns probe deterministically"
+                )
+        base = self.latest_version()
+        files = self.snapshot_files(base)
+        if not files:
+            raise ValueError("empty snapshot: nothing to index")
+        st = self.table_schema(base)
+        reader = spark.read if st is None else spark.read.schema(st)
+        src = reader.parquet(*files).select(
+            F.input_file_name().alias("_f"), *[F.col(c) for c in cols]
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col(c).cast("string"), F.lit(f":{j}")
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % bits
+                    ).alias("pos"),
+                )
+                for c in cols
+                for j in range(k)
+            ]
+        )
+        rows = (
+            src.select("_f", F.explode(entries).alias("e"))
+            .filter(F.col("e.pos").isNotNull())  # null values set no bits
+            .select(
+                "_f",
+                F.col("e.c").alias("c"),
+                (F.col("e.pos") / 64).cast("int").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(e.pos % 64 AS INT))"
+                ).alias("m"),
+            )
+            .groupBy("_f", "c", "w")
+            .agg(F.expr("bit_or(m)").alias("mask"))
+            .collect()
+        )
+        def _plain(uri: str) -> str:
+            # input_file_name renders "file:///p"; manifests store "/p"
+            if uri.startswith("file:"):
+                return "/" + uri[len("file:") :].lstrip("/")
+            return uri
+
+        n_words = bits // 64
+        bloom: dict[str, dict[str, dict]] = {}
+        for r in rows:
+            slot = bloom.setdefault(_plain(r["_f"]), {}).setdefault(
+                r["c"], {"bits": bits, "k": k, "words": [0] * n_words}
+            )
+            slot["words"][r["w"]] |= r["mask"]
+        return self._commit(
+            "bloom",
+            [],
+            merge=False,
+            keep_files=files,
+            base_version=base,
+            on_conflict="carry-appends",
+            new_bloom={f: bloom[_plain(f)] for f in files if _plain(f) in bloom},
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files not referenced by the ``keep_versions`` most
         recent snapshots (and drop older manifests). Returns deleted
