@@ -1352,3 +1352,57 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     return bm25_topk(docs, ["hash", "merge", "vector"], k=50)
+
+
+# ---------------------------------------------------------------------------
+# Q112 Bloom-index point lookup over a manifest table (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q112_bloom_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(value) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id = 7
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through BLOOM-FILTER file skipping
+    (``ManifestTable.build_bloom``): the events fixture lands in four
+    manifest files whose user_id ranges fully interleave (event_id % 4
+    chunking), so min/max stats cannot prune a ``user_id = 7`` probe at
+    all — the per-file Bloom filters (built distributedly, bit_or
+    aggregates, only files x 16 words collected) are what drop the
+    non-matching files before Spark plans a single scan task. The
+    result is the plain filtered aggregate, so the oracle is engine
+    semantics only; a pytest on the same construction asserts the
+    pruning itself. Sum snapped to DECIMAL(18,4) (fold-order-free).
+    """
+    import tempfile
+
+    from ..plans import ManifestTable
+
+    _cleanup_tmp("q112_bloom_")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", F.col("value").cast("decimal(18,4)").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="q112_bloom_")
+    t = ManifestTable(f"{root}/ev")
+    for i in range(4):
+        t.append(ev.filter(F.col("event_id") % 4 == i).coalesce(1))
+    t.build_bloom(spark, ["user_id"])
+    out = (
+        t.scan(spark, [("user_id", "=", 7)])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+    # eager materialization (the q70 rule: lazy frames over per-run /tmp
+    # manifest state are re-evaluation hazards for the caller)
+    return spark.createDataFrame(out.collect(), out.schema)

@@ -89,3 +89,32 @@ class TestBuildProbe:
         t.append(spark.createDataFrame([Row(x=1.5)]))
         with pytest.raises(ValueError, match="only string/integer"):
             t.build_bloom(spark, ["x"])
+
+
+class TestQ112Construction:
+    def test_fixture_point_lookup_prunes(self, spark, tmp_path):
+        """The q112 shape: interleaved user_id ranges across files make
+        min/max useless; the bloom must actually drop files."""
+        from mb8600_clickhouse_spark.tables import load_tables
+        from pyspark.sql import functions as F
+
+        ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+            "event_id", "user_id"
+        )
+        t = ManifestTable(tmp_path / "ev")
+        for i in range(4):
+            t.append(ev.filter(F.col("event_id") % 4 == i).coalesce(1))
+        # min/max alone keeps all four files (ranges interleave)
+        assert len(t.prune_files([("user_id", "=", 7)])) == 4
+        t.build_bloom(spark, ["user_id"])
+        kept = t.prune_files([("user_id", "=", 7)])
+        with_user = {
+            r["f"]
+            for r in t.read(spark)
+            .filter("user_id = 7")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        # sound: every file truly containing the user survives
+        assert len(kept) >= len(with_user) > 0
