@@ -195,17 +195,6 @@ def with_perplexity(
     )
 
 
-def _count_tables(docb: DataFrame):
-    """(big (w1,w2,c2), uni (w1,c1), vocab 1-row (v)) from a per-doc
-    bigram table — the raw-count form of the model (needed when scoring
-    must smooth UNSEEN bigrams: p = (c2+a)/(c1+a*V) with c2/c1
-    defaulting to 0, which a pre-divided p-table cannot express)."""
-    big = docb.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
-    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = big.agg(F.countDistinct("w2").alias("v"))
-    return big, uni, vocab
-
-
 def dsir_weights(
     df: DataFrame,
     target_col: str,
@@ -240,28 +229,35 @@ def dsir_weights(
         .groupBy("id", "w1", "w2", "_t")
         .agg(F.count("*").alias("n"))
     )
-    big_t, uni_t, voc_t = _count_tables(docb.filter(F.col("_t")))
-    big_s, uni_s, voc_s = _count_tables(docb)
+    # ONE combined count table: target counts ride along as conditional
+    # sums (a bigram absent from the target slice scores c2_t = 0 — the
+    # exact unseen-smoothing value), so scoring is a single INNER
+    # broadcast join (every scored bigram is in the source model by
+    # construction) instead of four left-joins over separate tables.
+    big = docb.groupBy("w1", "w2").agg(
+        F.sum("n").alias("c2_s"),
+        F.coalesce(F.sum(F.when(F.col("_t"), F.col("n"))), F.lit(0)).alias("c2_t"),
+    )
+    uni = big.groupBy("w1").agg(
+        F.sum("c2_s").alias("c1_s"), F.sum("c2_t").alias("c1_t")
+    )
+    voc = big.agg(
+        F.countDistinct("w2").alias("v_s"),
+        F.countDistinct(F.when(F.col("c2_t") > 0, F.col("w2"))).alias("v_t"),
+    )
     a = F.lit(alpha)
 
-    def _score(side: str, big, uni, voc):
-        c2 = F.coalesce(F.col(f"c2_{side}"), F.lit(0))
-        c1 = F.coalesce(F.col(f"c1_{side}"), F.lit(0))
-        return (c2 + a) / (c1 + a * F.col(f"v_{side}"))
+    def _score(side: str):
+        return (F.col(f"c2_{side}") + a) / (
+            F.col(f"c1_{side}") + a * F.col(f"v_{side}")
+        )
 
     scored = (
-        docb.join(
-            F.broadcast(big_t.withColumnRenamed("c2", "c2_t")), ["w1", "w2"], "left"
-        )
-        .join(F.broadcast(uni_t.withColumnRenamed("c1", "c1_t")), ["w1"], "left")
-        .crossJoin(F.broadcast(voc_t.withColumnRenamed("v", "v_t")))
-        .join(
-            F.broadcast(big_s.withColumnRenamed("c2", "c2_s")), ["w1", "w2"], "left"
-        )
-        .join(F.broadcast(uni_s.withColumnRenamed("c1", "c1_s")), ["w1"], "left")
-        .crossJoin(F.broadcast(voc_s.withColumnRenamed("v", "v_s")))
-        .withColumn("p_t", _score("t", big_t, uni_t, voc_t))
-        .withColumn("p_s", _score("s", big_s, uni_s, voc_s))
+        docb.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(uni), ["w1"])
+        .crossJoin(F.broadcast(voc))
+        .withColumn("p_t", _score("t"))
+        .withColumn("p_s", _score("s"))
     )
     pt8 = F.col("p_t").cast("decimal(18,8)")
     ps8 = F.col("p_s").cast("decimal(18,8)")
