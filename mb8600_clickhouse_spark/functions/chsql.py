@@ -437,6 +437,30 @@ def _rewrite_global_and_format(sql: str) -> str:
     fmt = _top_level_matches(sql, r"\bFORMAT\s+\w+\s*$")
     if fmt:
         sql = sql[: fmt[0].start()].rstrip()
+    # Known-unsupported forms fail HERE with an actionable message, not
+    # three layers down with a Spark parser error (the documented-
+    # failure contract): WITH FILL/INTERPOLATE is gap-filling (the
+    # fill_gaps/interpolate_linear operators, q66/q67); the neighbor/
+    # runningDifference/runningAccumulate family depends on ClickHouse
+    # block-processing order (explicitly non-deterministic there, and
+    # deprecated upstream) — the deterministic Spark spelling is a
+    # window function with an explicit ORDER BY.
+    wf = _top_level_matches(sql, r"\bWITH\s+FILL\b|\bINTERPOLATE\s*\(")
+    if wf:
+        raise ChSqlError(
+            f"{wf[0].group(0)!r}: ORDER BY ... WITH FILL [INTERPOLATE] has no "
+            "SQL rewrite here; use operators/timeseries.fill_gaps / "
+            "interpolate_linear (declared as q66/q67)"
+        )
+    rd = _top_level_matches(
+        sql, r"\b(?:neighbor|runningDifference|runningAccumulate)\s*\("
+    )
+    if rd:
+        raise ChSqlError(
+            f"{rd[0].group(0).rstrip('(').strip()!r}: block-order-dependent "
+            "(non-deterministic in ClickHouse, deprecated upstream); spell it "
+            "as a window function — lag()/lead()/sum() OVER (ORDER BY ...)"
+        )
     return sql
 
 

@@ -754,3 +754,36 @@ class TestGlobalAndFormat:
         assert rw(q1) == q1
         q2 = "SELECT a FROM t WHERE v > ANY (SELECT v FROM u)"
         assert rw(q2) == q2
+
+
+class TestKnownUnsupportedReject:
+    """Unsupported dialect fails at rewrite time with an actionable
+    message, never three layers down as a Spark parse error."""
+
+    def test_with_fill_rejected(self):
+        with pytest.raises(ChSqlError, match="fill_gaps"):
+            rw(
+                "SELECT ts, v FROM events ORDER BY ts WITH FILL STEP 60"
+            )
+
+    def test_interpolate_rejected(self):
+        with pytest.raises(ChSqlError, match="interpolate_linear"):
+            rw(
+                "SELECT ts, v FROM events ORDER BY ts WITH FILL INTERPOLATE (v)"
+            )
+
+    def test_neighbor_family_rejected(self):
+        for fn in ("neighbor(v, -1)", "runningDifference(v)", "runningAccumulate(st)"):
+            with pytest.raises(ChSqlError, match="window function"):
+                rw(f"SELECT {fn} FROM events")
+
+    def test_inside_subquery_also_rejected(self):
+        with pytest.raises(ChSqlError, match="window function"):
+            rw(
+                "SELECT * FROM (SELECT runningDifference(v) AS d FROM events) t"
+            )
+
+    def test_identifier_named_interpolate_ok(self):
+        # only the call/clause forms reject; a column named like it is fine
+        out = rw("SELECT interpolate FROM t")
+        assert out == "SELECT interpolate FROM t"
