@@ -1162,3 +1162,130 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q113 incremental vector-index maintenance (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q113_ivf_incremental",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < 10
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 50
+    ),
+    qs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 13 AND vec_id < 18
+    ),
+    cos AS (
+      SELECT 'c' AS side, v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * v.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), i -> c.ce[i] * c.ce[i])))) AS sim
+      FROM corpus v, cents c
+      UNION ALL
+      SELECT 'q', v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * v.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), i -> c.ce[i] * c.ce[i])))) AS sim
+      FROM qs v, cents c
+    ),
+    ranked AS (
+      SELECT side, vec_id, cid,
+             row_number() OVER (PARTITION BY side, vec_id ORDER BY sim DESC, cid) AS rn
+      FROM cos
+    ),
+    ccell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'c' AND rn = 1),
+    qcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'q' AND rn <= 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(
+               list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * cv.e[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * qv.e[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(cv.e)), i -> cv.e[i] * cv.e[i]))))
+             AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+      FROM qcell q
+      JOIN ccell c ON c.cell = q.cell
+      JOIN qs qv ON qv.vec_id = q.vec_id
+      JOIN corpus cv ON cv.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 4
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL vector-index maintenance — the q106 arrival path for
+    embeddings: the IVF inverted file lives as a manifest TABLE
+    (vec_id, cell, vector); a new batch is assigned against the FIXED
+    coarse centroids and APPENDED — O(batch), the base corpus is never
+    re-assigned — and queries probe the union index. The oracle
+    computes the FULL-REBUILD IVF over base+batch, so the hash check
+    proves incremental maintenance == rebuild (the index-consistency
+    property a production vector store must keep while ingesting).
+
+    Scale: assignment is the zero-shuffle centroid-literal expression
+    path (q54's device) applied to the batch only; the persisted index
+    is bucketed by cell on disk in cell-major parquet order; probing
+    broadcasts (query, cell) pairs — the corpus side never self-joins.
+    Eager q70-style materialization (per-run /tmp manifest state)."""
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..operators import similarity
+    from ..plans import ManifestTable
+    from .pipeline import _cleanup_tmp
+
+    _cleanup_tmp("q113_ivf_")
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = similarity.centroid_literals(emb.filter(F.col("vec_id") < 10))
+    base = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 300))
+    batch = emb.filter(F.col("vec_id") >= 300)
+    root = tempfile.mkdtemp(prefix="q113_ivf_")
+    t = ManifestTable(f"{root}/index")
+    for part in (base, batch):  # second append IS the incremental step
+        t.append(
+            similarity.ivf_assign(part, cents)
+            .select("id", "cell", "v")
+            .sortWithinPartitions("cell")
+            .coalesce(1)
+        )
+    idx = (
+        t.read(spark)
+        .withColumnsRenamed({"id": "neighbor_id", "v": "cvec"})
+        .withColumn("_nc", similarity.norm(F.col("cvec")))
+    )
+    q = (
+        similarity.ivf_probe_cells(
+            emb.filter((F.col("vec_id") >= 13) & (F.col("vec_id") < 18)),
+            cents,
+            nprobe=3,
+        )
+        .withColumnsRenamed({"id": "query_id", "v": "qvec"})
+        .withColumn("_nq", similarity.norm(F.col("qvec")))
+    )
+    cos = similarity.dot(F.col("qvec"), F.col("cvec")) / (
+        F.col("_nq") * F.col("_nc")
+    )
+    scored = idx.join(F.broadcast(q), "cell").select(
+        "query_id", "neighbor_id", cos.alias("cosine_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select("query_id", "neighbor_id", round4(F.col("cosine_sim")).alias("cosine_sim"))
+        .orderBy("query_id", "neighbor_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
