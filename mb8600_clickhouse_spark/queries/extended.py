@@ -446,7 +446,11 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 4).alias("cdist"),
         )
-        .orderBy("o_orderkey")
+        # verification total order: single-partition sort instead of a
+        # global orderBy, whose range-sampling pass re-executes the
+        # window subtree (the q07 finding)
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
     )
 
 

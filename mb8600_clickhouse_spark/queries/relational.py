@@ -305,8 +305,12 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         F.array_join(F.transform("arr", lambda x: x["cs"]), ";").alias("channels"),
     )
-    # single-partition sort: 36k output rows — a global orderBy adds a
-    # range-partitioner sampling job for no benefit at this output size
+    # The total order exists for the differential hash check, not the
+    # operator: a global orderBy pays a range-sampling pass that
+    # RE-EXECUTES the aggregation subtree (measured +0.5 s at sf0.1);
+    # the single-partition sort skips it. At production scale neither
+    # belongs on a full-table result — drop the final sort or write
+    # range-partitioned output instead.
     return out.coalesce(1).sortWithinPartitions("modem_name", "timestamp")
 
 
