@@ -142,3 +142,39 @@ def bpe_reference(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
         merges.append((s1, s2))
         syms = {w: s.replace(s1 + SEP + s2, s1 + s2) for w, s in syms.items()}
     return merges
+
+
+def apply_best_merge(wsym: DataFrame) -> DataFrame:
+    """Apply round-one's argmax merge with the winning pair as DATA — a
+    1-row broadcast crossJoin feeding a dynamic-pattern ``replace`` —
+    rather than a driver-collected literal: the whole train+apply round
+    stays in one plan (and therefore inside the SQL-oracle's reach,
+    q114). Multi-round application goes through ``bpe_learn`` +
+    ``apply_merge`` literals instead (one collect per round)."""
+    pc = pair_counts(wsym)
+    best = pc.orderBy(F.desc("cnt"), "s1", "s2").limit(1).select("s1", "s2")
+    return (
+        wsym.crossJoin(F.broadcast(best))
+        .withColumn(
+            "syms",
+            F.replace(
+                F.col("syms"),
+                F.concat(F.col("s1"), F.lit(SEP), F.col("s2")),
+                F.concat(F.col("s1"), F.col("s2")),
+            ),
+        )
+        .drop("s1", "s2")
+    )
+
+
+def segment_with_merges(
+    wsym: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned merge list in order (the tokenizer's APPLY side):
+    each merge is one literal ``replace`` — M merges chain into one
+    narrow projection, zero shuffles, evaluated left-to-right exactly
+    like the reference segmentation."""
+    out = wsym
+    for s1, s2 in merges:
+        out = apply_merge(out, s1, s2)
+    return out

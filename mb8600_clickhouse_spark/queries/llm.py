@@ -2110,3 +2110,70 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("p_target")).alias("p_target"),
         round4(F.col("p_source")).alias("p_source"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q114 BPE merge APPLICATION (train round -> segment, round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q114_bpe_apply",
+    oracle="""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    occ AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm),
+    wc AS (SELECT word, COUNT(*) AS n FROM occ GROUP BY word),
+    pairs AS (
+      SELECT n,
+             unnest(list_transform(
+               generate_series(1, greatest(len(word) - 1, 0)),
+               i -> struct_pack(s1 := word[i], s2 := word[i+1])
+             )) AS p
+      FROM wc
+    ),
+    best AS (
+      SELECT p.s1 AS s1, p.s2 AS s2
+      FROM pairs GROUP BY p.s1, p.s2
+      ORDER BY SUM(n) DESC, p.s1, p.s2 LIMIT 1
+    ),
+    sy AS (
+      SELECT word, n,
+             array_to_string(list_transform(generate_series(1, len(word)),
+                                            i -> word[i]), chr(31)) AS syms
+      FROM wc
+    ),
+    applied AS (
+      SELECT word, n,
+             replace(syms, s1 || chr(31) || s2, s1 || s2) AS syms2
+      FROM sy CROSS JOIN best
+    )
+    SELECT word, CAST(n AS BIGINT) AS n,
+           CAST(len(string_split(syms2, chr(31))) AS INT) AS n_units,
+           replace(syms2, chr(31), '|') AS seg
+    FROM applied
+    ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY side: round-one's argmax merge segments the
+    corpus — with the winning pair as DATA (in-plan argmax, 1-row
+    broadcast, dynamic-pattern replace; ``bpe.apply_best_merge``), so
+    training round AND segmentation verify in one hash. Output: the 20
+    most frequent words with post-merge unit counts and the
+    '|'-rendered segmentation. Full learned-merge-list application
+    (``bpe.segment_with_merges`` — M chained literal replaces, zero
+    shuffles) is pytest-verified against the pure-Python reference."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    wsym = bpe.with_symbols(bpe.word_counts(docs))
+    applied = bpe.apply_best_merge(wsym)
+    return (
+        applied.select(
+            "word",
+            F.col("n").cast("bigint").alias("n"),
+            F.size(F.split(F.col("syms"), bpe.SEP)).alias("n_units"),
+            F.replace(F.col("syms"), F.lit(bpe.SEP), F.lit("|")).alias("seg"),
+        )
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )

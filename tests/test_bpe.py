@@ -33,3 +33,29 @@ class TestBpe:
         df = spark.createDataFrame([("aaa",)], "text string")
         pc = bpe.pair_counts(bpe.with_symbols(bpe.word_counts(df))).collect()
         assert [(r["s1"], r["s2"], r["cnt"]) for r in pc] == [("a", "a", 2)]
+
+
+class TestApply:
+    def test_segment_with_merges_matches_reference(self, spark):
+        merges = bpe.bpe_reference(TEXTS, 6)
+        # reference segmentation under the same merge list
+        wc = {}
+        for t in TEXTS:
+            for w in " ".join(t.lower().split()).split(" "):
+                wc[w] = wc.get(w, 0) + 1
+        ref = {w: bpe.SEP.join(w) for w in wc}
+        for s1, s2 in merges:
+            ref = {w: s.replace(s1 + bpe.SEP + s2, s1 + s2) for w, s in ref.items()}
+        wsym = bpe.with_symbols(bpe.word_counts(_df(spark)))
+        got = {
+            r["word"]: r["syms"]
+            for r in bpe.segment_with_merges(wsym, merges).collect()
+        }
+        assert got == ref
+
+    def test_apply_best_merge_equals_literal_round(self, spark):
+        wsym = bpe.with_symbols(bpe.word_counts(_df(spark)))
+        s1, s2, _ = bpe.best_pair(bpe.pair_counts(wsym))
+        lit = {r["word"]: r["syms"] for r in bpe.apply_merge(wsym, s1, s2).collect()}
+        dyn = {r["word"]: r["syms"] for r in bpe.apply_best_merge(wsym).collect()}
+        assert lit == dyn
