@@ -115,7 +115,7 @@ def bigram_lm_scores(
 ) -> DataFrame:
     """Score every document against the corpus-trained bigram model:
     (id, n_bigrams, avg_p, min_p). avg_p sums per-position probabilities
-    snapped to DECIMAL(18,8) — exact, fold-order-free addition — then
+    snapped to DECIMAL(12,8) — exact, fold-order-free addition — then
     divides by the position count; min_p is order-free by construction.
     Documents with <2 tokens produce no row."""
     occ = bigram_occurrences(df, id_col, text_col)
@@ -130,7 +130,13 @@ def bigram_lm_scores(
     # whose bigram vocabulary outgrows the broadcast threshold, drop the
     # hint and let AQE pick the shuffle join — the shape stays correct.
     scored = docb.join(F.broadcast(model), ["w1", "w2"])
-    pd8 = F.col("p").cast("decimal(18,8)")
+    # DECIMAL(12,8), not (18,8): Spark's decimal multiply adds the
+    # operand precisions, and (18,8) x bigint exceeds precision 38 —
+    # the result is silently rescaled to (38,7), dropping the 8th
+    # decimal that DuckDB (whose rules stay within 38 here) keeps: a
+    # cross-engine divergence in the snap itself, caught by the
+    # property differential. (12,8) x bigint = (33,8) — exact.
+    pd8 = F.col("p").cast("decimal(12,8)")
     return (
         scored.groupBy("id")
         .agg(
@@ -259,8 +265,10 @@ def dsir_weights(
         .withColumn("p_t", _score("t"))
         .withColumn("p_s", _score("s"))
     )
-    pt8 = F.col("p_t").cast("decimal(18,8)")
-    ps8 = F.col("p_s").cast("decimal(18,8)")
+    # (12,8): see bigram_lm_scores — (18,8) x bigint loses the 8th
+    # decimal to Spark's precision-38 rescale
+    pt8 = F.col("p_t").cast("decimal(12,8)")
+    ps8 = F.col("p_s").cast("decimal(12,8)")
     return scored.groupBy("id").agg(
         F.sum("n").alias("n_bigrams"),
         (F.sum(pt8 * F.col("n")).cast("double") / F.sum("n")).alias("p_target"),

@@ -1873,7 +1873,7 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w1, w2, COUNT(*) AS n FROM occ GROUP BY doc_id, w1, w2
     ),
     scored AS (
-      SELECT doc_id, n, CAST(p AS DECIMAL(18,8)) AS p8
+      SELECT doc_id, n, CAST(p AS DECIMAL(12,8)) AS p8
       FROM docb JOIN model USING (w1, w2)
     )
     SELECT doc_id,
@@ -1890,7 +1890,7 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, fully distributed (``operators/lm.py``): add-1-smoothed
     p(w2|w1), per-document average in the LINEAR domain so training AND
     scoring are bit-reproducible in the oracle (integer counts, one IEEE
-    division, DECIMAL(18,8) snap, exact decimal sums — no libm ln in the
+    division, DECIMAL(12,8) snap, exact decimal sums — no libm ln in the
     verified path; the classic exp(-avg ln p) perplexity twin is
     pytest-verified against a pure-Python reference). Low avg_p docs are
     the rare-transition outliers a perplexity bucket would also flag.
@@ -2070,9 +2070,9 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT d.doc_id, d.n,
              CAST((COALESCE(bt.c2, 0) + 1.0)
-                  / (COALESCE(ut.c1, 0) + 1.0 * voc_t.v) AS DECIMAL(18,8)) AS pt8,
+                  / (COALESCE(ut.c1, 0) + 1.0 * voc_t.v) AS DECIMAL(12,8)) AS pt8,
              CAST((COALESCE(bs.c2, 0) + 1.0)
-                  / (COALESCE(us.c1, 0) + 1.0 * voc_s.v) AS DECIMAL(18,8)) AS ps8
+                  / (COALESCE(us.c1, 0) + 1.0 * voc_s.v) AS DECIMAL(12,8)) AS ps8
       FROM docb d
       LEFT JOIN big_t bt ON bt.w1 = d.w1 AND bt.w2 = d.w2
       LEFT JOIN uni_t ut ON ut.w1 = d.w1
