@@ -549,6 +549,41 @@ def simhash_neardup_pairs(
 
 
 
+def span_occurrences(
+    df: DataFrame,
+    span_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h): one md5 per POSITIONAL word ``span_n``-gram occurrence —
+    the shared front end of span-level dedup (``dup_span_stats``) and
+    span-level decontamination (``span_contamination``). Width-corrected
+    input, INDEX explode + flat concat (the shingle_rows lessons), and
+    the guarded sequence for sub-width docs."""
+    toks = widen_if_narrow(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    n_sp = F.size("toks") - (span_n - 1)
+    idx = toks.select(
+        "id",
+        "toks",
+        F.explode(
+            F.when(n_sp > 0, F.sequence(F.lit(1), n_sp)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    return idx.select(
+        "id",
+        F.md5(
+            F.concat_ws(
+                " ", *[F.element_at("toks", F.col("i") + j) for j in range(span_n)]
+            )
+        ).alias("h"),
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     span_n: int = 8,
@@ -576,30 +611,7 @@ def dup_span_stats(
     is bounded: the window computes COUNT only — state per hash is one
     counter, not a buffered partition.
     """
-    toks = widen_if_narrow(df, id_col).select(
-        F.col(id_col).alias("id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
-    )
-    # INDEX explode + flat concat (exploding a transform() array
-    # re-evaluates it per output element — the shingle_rows lesson)
-    n_sp = F.size("toks") - (span_n - 1)
-    idx = toks.select(
-        "id",
-        "toks",
-        F.explode(
-            F.when(n_sp > 0, F.sequence(F.lit(1), n_sp)).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("i"),
-    )
-    occ = idx.select(
-        "id",
-        F.md5(
-            F.concat_ws(
-                " ", *[F.element_at("toks", F.col("i") + j) for j in range(span_n)]
-            )
-        ).alias("h"),
-    )
+    occ = span_occurrences(df, span_n, id_col, text_col)
     w = W.partitionBy("h")
     counted = occ.withColumn("n_occ", F.count("*").over(w))
     return (
@@ -741,4 +753,41 @@ def minhash_lsh_survivors(
         )
         .filter(~F.col("_dropped"))
         .select("id", *carry_cols)
+    )
+
+
+def span_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    span_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SPAN-level benchmark decontamination (Lee et al. 2021 practice;
+    the span-granular twin of document-level n-gram contamination):
+    for every corpus document, how many of its positional word
+    ``span_n``-gram occurrences appear ANYWHERE in the benchmark/eval
+    set. Returns (id, n_spans, n_hit, hit_frac) — the caller drops or
+    audits docs with n_hit > 0.
+
+    Scale: benchmark span hashes are DISTINCT and broadcast (eval sets
+    are MBs against a TB corpus — the asymmetry is the whole point);
+    the corpus side is one pass: occurrence stream -> broadcast left
+    join -> per-doc rollup, a single data exchange on id. 16-byte
+    hashes only; no text moves."""
+    c = span_occurrences(corpus, span_n, id_col, text_col)
+    b = (
+        span_occurrences(benchmark, span_n, id_col, text_col)
+        .select("h")
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("bigint"))
+    )
+    return (
+        c.join(F.broadcast(b), "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.coalesce(F.sum("_hit"), F.lit(0).cast("bigint")).alias("n_hit"),
+        )
+        .withColumn("hit_frac", F.try_divide(F.col("n_hit"), F.col("n_spans")))
     )

@@ -2177,3 +2177,90 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q115 span-level benchmark decontamination (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q115_span_decontamination",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 25
+    ),
+    crawl AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 25
+      UNION ALL
+      -- the eval set leaked into the crawl verbatim
+      SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 25
+    ),
+    cs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 7, 0)),
+               i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+             )) AS h
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+            FROM crawl)
+    ),
+    bs AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, greatest(len(w) - 7, 0)),
+               i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+             )) AS h
+      FROM (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+            FROM bench)
+    ),
+    per_doc AS (
+      SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COALESCE(SUM(CASE WHEN b.h IS NOT NULL THEN 1 END), 0) AS BIGINT)
+               AS n_hit
+      FROM cs c LEFT JOIN bs b ON b.h = c.h
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_spans, n_hit,
+           CAST(CAST(CAST(n_hit AS DOUBLE) / n_spans AS DECIMAL(38,4)) AS DOUBLE)
+             AS hit_frac
+    FROM per_doc
+    WHERE n_hit > 0
+    ORDER BY doc_id
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination (``dedup.span_contamination``): the
+    eval set (doc_id < 25) leaked verbatim into the crawl; every crawl
+    document reports how many of its word-8-gram occurrences appear
+    anywhere in the benchmark. Leaked copies hit on ~every span;
+    incidental 8-gram collisions in clean docs are the honest noise
+    floor — span granularity is what catches PARTIAL leaks that q64's
+    document-level overlap washes out.
+
+    Scale: benchmark hashes broadcast DISTINCT (an eval set is MBs
+    against a TB crawl); the crawl side is one occurrence pass + one
+    exchange on id; 16-byte hashes only."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    crawl = (
+        docs.filter(F.col("doc_id") >= 25)
+        .select("doc_id", "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") < 25).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+    )
+    s = dedup.span_contamination(crawl, bench, span_n=8)
+    return (
+        s.filter(F.col("n_hit") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_spans",
+            "n_hit",
+            round4(F.col("hit_frac")).alias("hit_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -342,3 +342,29 @@ class TestSubShingleDocs:
         )
         out = dedup.dup_span_stats(df, span_n=4).collect()
         assert [r["id"] for r in out] == [2]
+
+
+class TestSpanContamination:
+    def test_leaked_doc_flagged_clean_doc_not(self, spark):
+        bench = spark.createDataFrame(
+            [Row(doc_id=1, text="the secret eval answer is forty two exactly here")]
+        )
+        crawl = spark.createDataFrame(
+            [
+                # full leak
+                Row(doc_id=10, text="the secret eval answer is forty two exactly here"),
+                # PARTIAL leak: benchmark prefix + new tail
+                Row(
+                    doc_id=11,
+                    text="the secret eval answer is forty two exactly more words after",
+                ),
+                Row(doc_id=12, text="entirely unrelated content with no overlap at all ok"),
+            ]
+        )
+        got = {
+            r["id"]: r
+            for r in dedup.span_contamination(crawl, bench, span_n=8).collect()
+        }
+        assert got[10]["n_hit"] == got[10]["n_spans"]  # verbatim: every span hits
+        assert 0 < got[11]["n_hit"] < got[11]["n_spans"]  # partial leak caught
+        assert got[12]["n_hit"] == 0
