@@ -746,6 +746,101 @@ def _rewrite_topk(sql: str) -> str:
 # ---------------------------------------------------------------------------
 # 2b. PREWHERE -> WHERE; trailing SETTINGS stripped
 # ---------------------------------------------------------------------------
+_TSDIFF_UNITS = {
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+}
+
+_INTERVAL_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _rewrite_scalar_calls(sql: str) -> str:
+    """Variadic / keyword-argument scalar forms a fixed-arity SQL UDF
+    cannot alias:
+
+    - ``multiIf(c1, v1, ..., else)`` -> CASE WHEN chain (exact).
+    - ``dateDiff('unit', a, b)`` -> ``timestampdiff(UNIT,
+      date_trunc(unit, a), date_trunc(unit, b))`` — ClickHouse counts
+      crossed unit BOUNDARIES ('hour' of 08:30->10:00 is 2) while
+      Spark's bare timestampdiff counts FULL elapsed units (1); the
+      truncation restores the boundary semantics exactly.
+    - ``toStartOfInterval(ts, INTERVAL n unit)`` ->
+      epoch-modulo truncation for second/minute/hour/day (fixed-width
+      units align identically on the session's UTC timeline); month+
+      intervals raise (CH anchors them to a calendar origin a literal
+      rewrite cannot reproduce faithfully).
+    """
+    while True:
+        m = _first_match(sql, r"\bmultiIf\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise ChSqlError(
+                f"multiIf expects (cond, val, ..., else) — odd argument "
+                f"count >= 3, got {len(args)}"
+            )
+        whens = "".join(
+            f" WHEN {args[i]} THEN {args[i + 1]}"
+            for i in range(0, len(args) - 1, 2)
+        )
+        rep = f"(CASE{whens} ELSE {args[-1]} END)"
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    while True:
+        m = _first_match(sql, r"\bdateDiff\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 3:
+            raise ChSqlError(f"dateDiff expects 3 arguments, got {len(args)}")
+        um = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+        if not um or um.group(1).lower() not in _TSDIFF_UNITS:
+            raise ChSqlError(
+                f"dateDiff unit must be a literal of {sorted(_TSDIFF_UNITS)}, "
+                f"got {args[0]!r}"
+            )
+        u = um.group(1).lower()
+        rep = (
+            f"timestampdiff({u.upper()}, date_trunc('{u}', {args[1]}), "
+            f"date_trunc('{u}', {args[2]}))"
+        )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    while True:
+        m = _first_match(sql, r"\btoStartOfInterval\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 2:
+            raise ChSqlError(
+                f"toStartOfInterval expects 2 arguments, got {len(args)}"
+            )
+        im = re.fullmatch(
+            r"\s*INTERVAL\s+(\d+)\s+(\w+?)s?\s*", args[1], re.IGNORECASE
+        )
+        if not im or im.group(2).lower() not in _INTERVAL_SECONDS:
+            raise ChSqlError(
+                "toStartOfInterval supports INTERVAL n second/minute/hour/"
+                f"day (fixed-width units), got {args[1]!r} — month-class "
+                "intervals are calendar-anchored in ClickHouse and have no "
+                "faithful literal rewrite"
+            )
+        secs = int(im.group(1)) * _INTERVAL_SECONDS[im.group(2).lower()]
+        ts = args[0]
+        rep = (
+            f"timestamp_seconds(unix_seconds({ts}) - "
+            f"(unix_seconds({ts}) % {secs}))"
+        )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+    return sql
+
+
 def _rewrite_prewhere_settings(sql: str) -> str:
     """``PREWHERE c`` is ClickHouse's manual scan-stage filter hint —
     semantically a WHERE conjunct (Catalyst's predicate pushdown IS the
@@ -1020,6 +1115,7 @@ def rewrite_clickhouse_sql(
     nesting level."""
     sql, blocks = _mask_subselects(sql, final_tables, sample_by)
     sql = _rewrite_combinators(sql)
+    sql = _rewrite_scalar_calls(sql)
     sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
     sql = _rewrite_global_and_format(sql)

@@ -125,6 +125,55 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     "arrayMax": ("(arr ARRAY<DOUBLE>)", "DOUBLE", "array_max(arr)"),
     "arrayMin": ("(arr ARRAY<DOUBLE>)", "DOUBLE", "array_min(arr)"),
     "arrayDistinct": ("(arr ARRAY<STRING>)", "ARRAY<STRING>", "array_distinct(arr)"),
+    # round-6 additions (gap probe against realistic dashboard SQL)
+    "toStartOfFiveMinute": (
+        "(ts TIMESTAMP)",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(ts) - (unix_seconds(ts) % 300))",
+    ),
+    "toStartOfTenMinutes": (
+        "(ts TIMESTAMP)",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(ts) - (unix_seconds(ts) % 600))",
+    ),
+    "today": ("()", "DATE", "current_date()"),
+    "yesterday": ("()", "DATE", "date_sub(current_date(), 1)"),
+    "addMinutes": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "ts + make_interval(0, 0, 0, 0, 0, n, 0)",
+    ),
+    "addSeconds": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "ts + make_interval(0, 0, 0, 0, 0, 0, n)",
+    ),
+    # CH returns UInt8 0/1; NULL propagates (Nullable) in both engines
+    "empty": ("(s STRING)", "INT", "cast(length(s) = 0 AS INT)"),
+    "notEmpty": ("(s STRING)", "INT", "cast(length(s) > 0 AS INT)"),
+    "trimBoth": ("(s STRING)", "STRING", "trim(s)"),
+    "trimLeft": ("(s STRING)", "STRING", "ltrim(s)"),
+    "trimRight": ("(s STRING)", "STRING", "rtrim(s)"),
+    "leftPad": ("(s STRING, n INT, p STRING)", "STRING", "lpad(s, n, p)"),
+    "rightPad": ("(s STRING, n INT, p STRING)", "STRING", "rpad(s, n, p)"),
+    "toFloat64OrZero": (
+        "(s STRING)",
+        "DOUBLE",
+        "coalesce(try_cast(s AS DOUBLE), 0D)",
+    ),
+    "toInt64OrZero": (
+        "(s STRING)",
+        "BIGINT",
+        "coalesce(try_cast(s AS BIGINT), 0L)",
+    ),
+    # CH roundBankers = half-to-even; Spark round() is half-up, bround
+    # is the exact match
+    "roundBankers": ("(v DOUBLE)", "DOUBLE", "bround(v)"),
+    "intDivOrZero": (
+        "(a BIGINT, b BIGINT)",
+        "BIGINT",
+        "CASE WHEN b = 0 THEN 0L ELSE a div b END",
+    ),
 }
 
 #: dialect forms that are NOT scalar functions and therefore cannot be
@@ -152,6 +201,11 @@ DIALECT_NOTES: dict[str, str] = {
     "groupArray(x) / groupUniqArray(x)": "runs verbatim via chsql (collect_list/collect_set; arbitrary order in both engines)",
     "anyIf / uniqIf / uniqExactIf (x, cond)": "runs verbatim via chsql (CASE-WHEN-gated aggregate)",
     "GROUP BY ... WITH ROLLUP / WITH CUBE": "identical syntax in Spark - passes through unchanged (test-pinned)",
+    "multiIf(c1, v1, ..., else)": "runs verbatim via chsql (CASE WHEN chain — exact)",
+    "dateDiff('unit', a, b)": "runs verbatim via chsql (timestampdiff over date_trunc'd operands — CH counts unit-boundary CROSSINGS, bare timestampdiff counts full units; 'hour' of 08:30->10:00 is 2 in both CH and the rewrite)",
+    "toStartOfInterval(ts, INTERVAL n unit)": "runs verbatim via chsql for second/minute/hour/day (epoch-modulo truncation); month-class intervals raise (calendar-anchored in CH)",
+    "ORDER BY ... WITH FILL [INTERPOLATE]": "raises ChSqlError pointing at operators/timeseries.fill_gaps / interpolate_linear (q66/q67)",
+    "neighbor / runningDifference / runningAccumulate": "raise ChSqlError (block-order-dependent and deprecated in CH) — spell as lag/lead/sum OVER (ORDER BY ...)",
     "dialect forms inside subqueries / CTEs": "run verbatim as of round 6 — chsql recurses into every parenthesized SELECT/WITH block, each level rewritten independently (q95 exercises three levels); un-parenthesized top-level UNION branches remain out of scope",
 }
 

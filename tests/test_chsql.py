@@ -787,3 +787,45 @@ class TestKnownUnsupportedReject:
         # only the call/clause forms reject; a column named like it is fine
         out = rw("SELECT interpolate FROM t")
         assert out == "SELECT interpolate FROM t"
+
+
+class TestScalarCallRewrites:
+    """multiIf / dateDiff / toStartOfInterval — variadic or
+    keyword-argument forms a fixed-arity SQL UDF cannot alias."""
+
+    def test_multiif_chain(self, spark):
+        out = rw("SELECT multiIf(1 > 3, 'a', 2 > 1, 'b', 'c') AS x")
+        assert spark.sql(out).collect()[0]["x"] == "b"
+
+    def test_multiif_bad_arity(self):
+        with pytest.raises(ChSqlError, match="odd argument"):
+            rw("SELECT multiIf(a, b) FROM t")
+
+    def test_datediff_counts_boundaries_not_full_units(self, spark):
+        # ClickHouse semantics: 08:30 -> 10:00 crosses TWO hour marks
+        out = rw(
+            "SELECT dateDiff('hour', timestamp'2024-01-01 08:30:00',"
+            " timestamp'2024-01-01 10:00:00') AS x"
+        )
+        assert spark.sql(out).collect()[0]["x"] == 2
+
+    def test_datediff_bad_unit(self):
+        with pytest.raises(ChSqlError, match="unit"):
+            rw("SELECT dateDiff('fortnight', a, b) FROM t")
+
+    def test_tostartofinterval_fixed_width(self, spark):
+        out = rw(
+            "SELECT toStartOfInterval(timestamp'2024-01-01 10:07:33',"
+            " INTERVAL 10 minute) AS x"
+        )
+        assert str(spark.sql(out).collect()[0]["x"]) == "2024-01-01 10:00:00"
+
+    def test_tostartofinterval_month_rejected(self):
+        with pytest.raises(ChSqlError, match="calendar-anchored"):
+            rw("SELECT toStartOfInterval(ts, INTERVAL 1 month) FROM t")
+
+    def test_nested_in_subquery(self, spark):
+        out = rw(
+            "SELECT x FROM (SELECT multiIf(2 > 1, 10, 0) AS x) s"
+        )
+        assert spark.sql(out).collect()[0]["x"] == 10

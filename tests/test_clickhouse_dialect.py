@@ -112,3 +112,35 @@ class TestRound5DateAliases:
         assert rows["mon"] == dt.date(2026, 8, 10)  # 2026-08-14 is a Friday
         assert rows["s15"] == dt.datetime(2026, 8, 14, 13, 45, 0)
         assert rows["rh"] == 25
+
+
+class TestRound6Scalars:
+    """Round-6 scalar additions (dashboard gap probe)."""
+
+    def test_values(self, spark):
+        cases = {
+            "toStartOfFiveMinute(timestamp'2024-01-01 10:07:33')": "2024-01-01 10:05:00",
+            "empty('')": 1,
+            "empty('x')": 0,
+            "notEmpty('x')": 1,
+            "trimBoth('  x ')": "x",
+            "leftPad('a', 3, '0')": "00a",
+            "rightPad('a', 3, '0')": "a00",
+            "toFloat64OrZero('nope')": 0.0,
+            "toFloat64OrNull('nope')": None,
+            "toInt64OrZero('12')": 12,
+            "roundBankers(2.5)": 2.0,  # half-to-even, NOT round()'s 3
+            "roundBankers(3.5)": 4.0,
+            "intDivOrZero(10, 0)": 0,
+            "intDivOrZero(10, 3)": 3,
+            # addDays keeps its original TIMESTAMP signature (DATE input
+            # implicitly widens — CH would keep Date; documented)
+            "addDays(DATE'2024-01-10', -7)": "2024-01-03 00:00:00",
+            "addHours(timestamp'2024-01-01 10:00:00', 25)": "2024-01-02 11:00:00",
+        }
+        for expr, want in cases.items():
+            got = spark.sql(f"SELECT {expr} AS x").collect()[0]["x"]
+            if want is None:
+                assert got is None, expr
+            else:
+                assert str(got) == str(want), (expr, got, want)
