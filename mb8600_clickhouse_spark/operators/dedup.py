@@ -612,8 +612,16 @@ def dup_span_stats(
     counter, not a buffered partition.
     """
     occ = span_occurrences(df, span_n, id_col, text_col)
-    w = W.partitionBy("h")
-    counted = occ.withColumn("n_occ", F.count("*").over(w))
+    # Corpus-frequency attachment via partial-aggregated groupBy + an
+    # equi-join back — NOT a count-over-hash window: a window partition
+    # cannot be split, so a degenerate corpus (one boilerplate span in
+    # a large fraction of documents) would serialize every occurrence
+    # of the hot hash onto one task. The groupBy's map-side combine
+    # collapses the hot key per input partition BEFORE the exchange,
+    # and the join-back (counts side: ONE row per hash) is exactly the
+    # shape AQE's skew-join splitting handles.
+    counts = occ.groupBy("h").agg(F.count("*").alias("n_occ"))
+    counted = occ.join(counts, "h")
     return (
         counted.groupBy("id")
         .agg(

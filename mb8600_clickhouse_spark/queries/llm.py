@@ -1823,11 +1823,14 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_frac approaches 1; chance 8-gram collisions in unrelated docs
     are the honest noise floor.
 
-    Scale shape (``dedup.dup_span_stats``): two exchanges total — a
-    count-over-md5-hash window (occurrences carry 16-byte hashes, never
-    span text) then the per-doc rollup; no join-back, no O(n^2) pair
-    step anywhere. Reported here: only docs with at least one duplicated
-    span."""
+    Scale shape (``dedup.dup_span_stats``): occurrences carry 16-byte
+    md5 hashes (never span text) into a partial-aggregated frequency
+    count joined back on the hash — the skew-safe shape (map-side
+    combine collapses a boilerplate span before the exchange, and AQE
+    can split the join's probe side; a count-over-hash window cannot be
+    split and would serialize the hot hash onto one task) — then the
+    per-doc rollup. No O(n^2) pair step anywhere. Reported here: only
+    docs with at least one duplicated span."""
     docs = load_tables(spark, sf_dir)["documents"]
     stats = dedup.dup_span_stats(_neardup_corpus(docs), span_n=8)
     return (

@@ -305,14 +305,16 @@ class TestDupSpanStats:
         # spans: abcd, bcda, cdab, dabc, abcd -> 'a b c d' occurs twice
         assert r["n_dup_spans"] == 2
 
-    def test_exchange_count(self, spark):
-        # 3 = the compute-width repartition (in-memory frames count as
-        # derived -> always widened) + count-over-hash window + per-doc
-        # rollup. The DATA exchanges are the latter two; no join-back.
+    def test_plan_shape_skew_safe(self, spark):
+        # corpus-frequency attachment must be the partial-agg groupBy +
+        # join-back (AQE can split a skewed probe side), NEVER a
+        # count-over-hash window (a window partition cannot be split —
+        # a boilerplate span would serialize onto one task)
         plan = dedup.dup_span_stats(
             self._df(spark), span_n=4
         )._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange") == 3
+        assert "Window" not in plan
+        assert plan.count("Exchange") <= 5
 
 
 class TestSubShingleDocs:
