@@ -664,7 +664,6 @@ def minhash_lsh_survivors(
     shingle_n: int = 3,
     k: int = 12,
     bands: int = 4,
-    max_bucket: int | None = None,
     input_partitions: int | None = None,
 ) -> DataFrame:
     """Documents SURVIVING the single-pass near-dup rule ('drop the
@@ -676,17 +675,20 @@ def minhash_lsh_survivors(
     text) ride through the signature pipeline, so the caller doesn't
     anti-join the drop set back against the input (which would consume
     the input subtree twice and force a persist). Equivalence with the
-    pair rule: in a sorted bucket every member except the minimum is
-    the higher id of some pair, so 'dropped' == 'row_number > 1 in any
-    (band, key) bucket'. The ``max_bucket`` cap marks only ranks in
-    (1, max_bucket] as droppable — beyond-cap rows keep flowing (flag
-    false) so capped-out documents still reach the output, exactly the
-    anti-join form's semantics.
+    pair rule: in a bucket every member except the minimum id is the
+    higher id of some pair, so 'dropped' == 'id > min(bucket)' for any
+    of the doc's buckets — computed as a MIN-AGGREGATE + flag join, not
+    a row_number window (see the in-line note: aggregates map-side
+    combine and AQE can split the join's skewed probe side; a window's
+    hot partition cannot be split). No ``max_bucket`` lever: the pair
+    forms cap to bound pair GENERATION, but this form never generates
+    pairs — a degenerate bucket costs one combined aggregate row, not
+    O(m^2) work.
 
-    Exchanges: signature groupBy(id) -> bucket window (band, key) ->
-    survivor groupBy(id). Shuffled payload: 16-byte band keys + the
-    carry columns; text never moves past the first projection.
-    Returns (id, *carry_cols).
+    Exchanges: signature groupBy(id) -> bucket-min groupBy(band, key)
+    -> flag join -> survivor groupBy(id). Shuffled payload: 16-byte
+    band keys + the carry columns; text never moves past the first
+    projection. Returns (id, *carry_cols).
 
     CONTRACT: documents with fewer than ``shingle_n`` tokens have no
     shingles, no signature, and therefore NO output row (the anti-join
@@ -748,11 +750,22 @@ def minhash_lsh_survivors(
             for b in range(bands)
         ]
     )
+    # Drop rule as a MIN-AGGREGATE, no window, no cap: in any bucket
+    # every member except the minimum id is the higher id of some
+    # candidate pair, so ``dropped == id > min(bucket)`` — EXACTLY the
+    # uncapped pair-derived drop set. The min is a map-side-combined
+    # aggregate (a degenerate boilerplate bucket collapses to one row
+    # per input partition before the exchange) and the flag join's
+    # skewed probe side is AQE-splittable — unlike a row_number window,
+    # whose hot partition must serialize onto a single task. No
+    # ``max_bucket`` lever here because nothing is quadratic: the pair
+    # forms need the cap to bound PAIR GENERATION; this form only ever
+    # aggregates.
     buckets = sig.select("id", *carry_cols, F.posexplode(band_keys).alias("band", "key"))
-    w = W.partitionBy("band", "key").orderBy("id")
-    rn = F.row_number().over(w)
-    flag = (rn > 1) if max_bucket is None else ((rn > 1) & (rn <= max_bucket))
-    flagged = buckets.withColumn("_drop", flag)
+    bucketmin = buckets.groupBy("band", "key").agg(F.min("id").alias("_mn"))
+    flagged = buckets.join(bucketmin, ["band", "key"]).withColumn(
+        "_drop", F.col("id") > F.col("_mn")
+    )
     return (
         flagged.groupBy("id")
         .agg(

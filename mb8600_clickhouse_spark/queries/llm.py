@@ -1062,9 +1062,10 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. exact dedup on the q33 content fingerprint (lowest-id keeper) —
        drops the planted +100000 exact copies;
-    2. MinHash(12)+LSH(4x3) near-dup removal (q40's capped candidate
-       generator; the HIGHER id of every candidate pair is dropped —
-       a deterministic single-pass rule, no iterative closure);
+    2. MinHash(12)+LSH(4x3) near-dup removal (q40's signature family;
+       the HIGHER id of every candidate pair is dropped — computed as
+       the bucket-min aggregate rule, a deterministic single-pass form
+       with no pair generation and no iterative closure);
     3. quality gate: >= 5 whitespace tokens (q35's dialect);
     4. per-language quota: first 40 docs in deterministic md5 order
        (q62/q65's replay-stable sampling).
@@ -1126,7 +1127,6 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         k=12,
         bands=4,
-        max_bucket=10_000,
     ).withColumnRenamed("id", "doc_id")
     # stages 3+4: narrow gate + ONE language-quota window exchange.
     s4 = (

@@ -370,3 +370,19 @@ class TestSpanContamination:
         assert got[10]["n_hit"] == got[10]["n_spans"]  # verbatim: every span hits
         assert 0 < got[11]["n_hit"] < got[11]["n_spans"]  # partial leak caught
         assert got[12]["n_hit"] == 0
+
+
+class TestSurvivorsEquivalence:
+    def test_survivors_equal_anti_join_of_dropped_ids(self, spark):
+        """The min-aggregate survivor rule must produce EXACTLY the
+        complement of the (uncapped) pair-derived drop set."""
+        rows = [Row(doc_id=i, text=DOC_A) for i in range(6)] + [
+            Row(doc_id=10, text=DOC_A_NEAR),
+            Row(doc_id=11, text=DOC_B),
+        ]
+        df = spark.createDataFrame(rows)
+        surv = {r["id"] for r in dedup.minhash_lsh_survivors(df).collect()}
+        dropped = {r["id"] for r in dedup.minhash_lsh_dropped_ids(df).collect()}
+        all_ids = {r["doc_id"] for r in df.collect()}
+        assert surv == all_ids - dropped
+        assert 0 in surv and dropped >= {1, 2, 3, 4, 5}
