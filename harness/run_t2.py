@@ -1,10 +1,19 @@
 """Run the full differential correctness suite (Spark vs DuckDB oracle).
 
 Usage: python -m harness.run_t2 [sf_dir] [query_name ...]
+
+``SPARK_GRAFT_MIMIC=1`` runs the sweep on a DEFAULT-CONFIG SparkSession
+(UTC only — the one conf correctness legitimately requires) instead of
+the engine session: the external driver's runner builds its own session,
+and config-dependent divergences hide from the tuned session (the q70
+class: its two-round driver-red hash survived every local sweep until a
+default-config reproduction). A mimic sweep staying green certifies the
+registry's results do not depend on AQE/CBO/advisory/partition tuning.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -18,7 +27,18 @@ def main() -> int:
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
 
-    spark = get_spark("t2-harness")
+    if os.environ.get("SPARK_GRAFT_MIMIC") == "1":
+        from pyspark.sql import SparkSession
+
+        print("# driver-mimic mode: default-config SparkSession (+UTC)")
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("t2-mimic")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("t2-harness")
     con = make_duckdb(sf_dir)
     specs = all_queries()
     if names:
