@@ -39,6 +39,10 @@ def bow_feature_rows(
     """(id, j, n): hashed-BoW count features in long form — the sparse
     layout that scales (no dense dim-array per doc, map-side combine on
     (id, j))."""
+    # NOT width-corrected: at one md5 per token the chain is ~12x
+    # lighter than the shingle-signature pipelines — A/B at sf0.1
+    # measured the widening exchange as a net loss here (q109 flat,
+    # q91 +0.2 s)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
