@@ -55,6 +55,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY", "8m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # rank-limit pushdown (WindowGroupLimit) fires only when the
+        # filter's limit is <= this threshold (default 1000). The LSH
+        # bucket caps use max_bucket=10_000 — below the default they get
+        # NO map-side limiting, so a degenerate bucket's full membership
+        # would hit the window task before the cap applies. Raised so
+        # every rank filter in the engine is limited map-side (the
+        # pushed operator streams first-k per key after the local sort —
+        # O(1) state, no memory risk).
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "1048576")
         # cost-based optimizer (SURVEY §4.3): join reordering from table/
         # column stats. Stats come from ANALYZE TABLE on registered
         # tables (see analyze_tables); file-scan DataFrames fall back to
