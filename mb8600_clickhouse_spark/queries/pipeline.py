@@ -1406,3 +1406,140 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager materialization (the q70 rule: lazy frames over per-run /tmp
     # manifest state are re-evaluation hazards for the caller)
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Q116 in-STREAM curation: redelivery dedup + PII scrub + quality gate
+# ---------------------------------------------------------------------------
+@query(
+    "q116_stream_curation",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567 now'
+             ELSE text END AS text
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+           + len(regexp_extract_all(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '[PII]', 'g'),
+               '\\+?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}')) AS n_pii,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '[PII]', 'g'),
+               '\\+?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}', '[PII]', 'g'
+             ) AS clean
+      FROM c
+    ),
+    g AS (
+      SELECT doc_id, lang, n_pii,
+             len(string_split_regex(trim(clean), '\\s+')) AS n_tokens
+      FROM e
+      WHERE len(string_split_regex(trim(clean), '\\s+')) >= 5
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_pii) AS BIGINT) AS total_pii
+    FROM g GROUP BY lang ORDER BY lang
+    """,
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION INSIDE THE STREAM — the arrival-time form of q86's
+    batch pass: documents (PII planted on doc_id % 4, every doc
+    REDELIVERED twice in one manifest commit — the q101 retry shape)
+    flow through ``dropDuplicatesWithinWatermark`` (exactly-once,
+    watermark-bounded state), the q97 PII scrub chain, and the >= 5
+    post-redaction-token quality gate as STREAMING narrow expressions —
+    nothing lands un-scrubbed, the raw feed is never persisted. The
+    availableNow drain's per-language rollup hash-matches the same
+    rules run as plain SQL over the undoubled fixture.
+
+    Scale: dedup state is (watermark delay x doc arrival rate); the
+    scrub and gate are per-row expressions with zero state; the landing
+    aggregate is the only exchange."""
+    import tempfile
+
+    from ..operators import text as text_ops
+    from ..plans import ManifestTable
+    from ..sources import manifest_datasource
+
+    manifest_datasource.register(spark)
+    _cleanup_tmp("q116_cur_")
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="q116_cur_")
+    ManifestTable(f"{root}/docs").append(docs.unionAll(docs).coalesce(2))
+
+    email, phone = (
+        text_ops.PII_PATTERNS["email"],
+        text_ops.PII_PATTERNS["phone"],
+    )
+    s = (
+        spark.readStream.format("manifest")
+        .option("path", f"{root}/docs")
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .withColumn(
+            "n_pii",
+            F.regexp_count("text", F.lit(email))
+            + F.regexp_count(
+                F.regexp_replace("text", email, "[PII]"), F.lit(phone)
+            ),
+        )
+        .withColumn(
+            "clean",
+            F.regexp_replace(
+                F.regexp_replace("text", email, "[PII]"), phone, "[PII]"
+            ),
+        )
+        .withColumn("n_tokens", text_ops.token_count(F.col("clean")))
+        .filter(F.col("n_tokens") >= 5)
+        .select("doc_id", "lang", "n_pii", "n_tokens")
+    )
+    name = "q116_curated"
+    q = (
+        s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/ck")
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("q116 availableNow stream did not finish in 180s")
+    out = (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_pii").cast("bigint").alias("total_pii"),
+        )
+        .orderBy("lang")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
