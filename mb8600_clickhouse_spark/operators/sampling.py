@@ -61,3 +61,67 @@ def hash_split(
     for name, bound in reversed(cuts[:-1]):
         expr = F.when(h < bound, name).otherwise(expr)
     return expr
+
+
+def temperature_sample(
+    df: "DataFrame",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "temp-v1",
+) -> "DataFrame":
+    """Temperature-based group rebalancing — the multilingual
+    alpha-sampling of XLM/mT5 (Conneau & Lample 2019; Xue et al. 2021):
+    groups are kept with probability proportional to n_g^(alpha-1), so
+    low-resource groups keep (relatively) more and the head is
+    down-sampled; rates normalize so the most up-weighted group keeps
+    everything. Returns the input rows that survive, plus the per-row
+    ``_rate`` applied.
+
+    REPLAY-STABLE and engine-exact by construction: membership is
+    ``md5_frac(salted id) < rate_g`` where md5_frac is the first 8 hex
+    digits over 2^32 (an exact dyadic rational) and, for the default
+    alpha=0.5, rate_g = sqrt(n_min/n_g)... precisely: n_g^(-1/2)
+    normalized by the group minimum count's weight — every arithmetic
+    step (IEEE sqrt is correctly rounded, one division, one compare) is
+    bit-identical in any IEEE-754 engine, so a SQL oracle reproduces
+    the EXACT kept set, not a statistical approximation.
+
+    Scale: one count aggregation (map-side combined), a broadcast
+    rate table (|groups| rows), and a narrow filter — sampling at scan
+    speed, no shuffle of the data itself. alpha values other than 0.5
+    use pow(), which is only ulp-reproducible across engines — keep
+    oracle-checked pipelines on 0.5 (sqrt) or verify rows-only.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    if alpha == 0.5:
+        w = 1.0 / F.sqrt(F.col("_n").cast("double"))
+    else:
+        w = F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0))
+    rates = counts.select(
+        group_col, w.alias("_w")
+    )
+    wmax = rates.agg(F.max("_w").alias("_wmax"))
+    rates = rates.crossJoin(F.broadcast(wmax)).select(
+        group_col, (F.col("_w") / F.col("_wmax")).alias("_rate")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("_frac", frac)
+        .filter(F.col("_frac") < F.col("_rate"))
+        .drop("_frac")
+    )

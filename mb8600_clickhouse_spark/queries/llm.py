@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators import bpe, classifier, dedup, lm, similarity, text
+from ..operators import bpe, classifier, dedup, lm, sampling, similarity, text
 from ..operators.multimodal import with_payload
 from ..tables import load_tables
 from . import query
@@ -2266,4 +2266,72 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(F.col("hit_frac")).alias("hit_frac"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q117 temperature-based multilingual sampling (round 6)
+# ---------------------------------------------------------------------------
+_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+    for i in range(1, 9)
+)
+
+
+@query(
+    "q117_temperature_sample",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    wts AS (
+      SELECT lang, n, 1.0 / sqrt(CAST(n AS DOUBLE)) AS w FROM counts
+    ),
+    rates AS (
+      SELECT lang, n, w / (SELECT MAX(w) FROM wts) AS rate FROM wts
+    ),
+    hashed AS (
+      SELECT d.doc_id, d.lang, r.rate, r.n,
+             substr(md5('temp-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents d JOIN rates r USING (lang)
+    ),
+    kept AS (
+      SELECT doc_id, lang, rate, n
+      FROM hashed
+      WHERE CAST(({_HEX8}) AS DOUBLE) / 4294967296.0 < rate
+    )
+    SELECT lang,
+           CAST(MIN(n) AS BIGINT) AS n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(MIN(rate) AS DECIMAL(38,4)) AS DOUBLE) AS rate
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual REBALANCING (the XLM/mT5
+    alpha-sampling, alpha=0.5): per-language keep rates proportional to
+    1/sqrt(n) normalized to the rarest language, membership by salted
+    md5 fraction (``sampling.temperature_sample``) — so the head
+    language is down-sampled, the tail kept whole, and the EXACT kept
+    set (not a statistical approximation) is replay-stable and
+    hash-verified: IEEE sqrt is correctly rounded and the md5 fraction
+    is an exact dyadic rational, so both engines keep identical rows.
+
+    Scale: one count aggregation + a broadcast |languages|-row rate
+    table + a narrow filter — sampling at scan speed; the corpus never
+    shuffles."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    kept = sampling.temperature_sample(docs, group_col="lang", id_col="doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            round4(F.min("_rate")).alias("rate"),
+        )
+        .join(
+            F.broadcast(
+                docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+            ),
+            "lang",
+        )
+        .select("lang", "n_before", "n_kept", "rate")
+        .orderBy("lang")
     )

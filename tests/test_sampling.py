@@ -47,3 +47,32 @@ def test_two_way_split(spark):
     counts = {r["s"]: r["n"] for r in lab.groupBy("s").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {"train", "holdout"}
     assert abs(counts["holdout"] / 5000 - 0.05) < 0.015
+
+
+class TestTemperatureSample:
+    def _df(self, spark):
+        from pyspark.sql import Row
+
+        rows = [Row(doc_id=i, lang="en") for i in range(400)] + [
+            Row(doc_id=1000 + i, lang="zh") for i in range(16)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_rarest_group_kept_whole(self, spark):
+        from mb8600_clickhouse_spark.operators import sampling
+
+        kept = sampling.temperature_sample(self._df(spark), "lang", "doc_id")
+        by = {r["lang"]: 0 for r in kept.collect()}
+        for r in kept.collect():
+            by[r["lang"]] += 1
+        # zh weight 1/sqrt(16) is the max -> rate 1.0 -> all 16 kept
+        assert by["zh"] == 16
+        # en rate = sqrt(16/400) = 0.2 -> substantially down-sampled
+        assert 0 < by["en"] < 200
+
+    def test_replay_stable(self, spark):
+        from mb8600_clickhouse_spark.operators import sampling
+
+        a = {r["doc_id"] for r in sampling.temperature_sample(self._df(spark)).collect()}
+        b = {r["doc_id"] for r in sampling.temperature_sample(self._df(spark)).collect()}
+        assert a == b
