@@ -96,3 +96,31 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )
     return f.join(d, [key, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Operational PRE-FLIGHT for a big join/aggregation key: the
+    per-key frequency distribution summarized as ONE row —
+    (n_keys, n_rows, max_count, mean, p50, p90, skew_ratio) — the
+    numbers that decide whether a key needs salting (``salted_join``/
+    ``salted_agg``), an AQE skew-join threshold bump, or nothing.
+    skew_ratio = max/mean; >~10 on a join key means the hottest task
+    runs ~skew_ratio x the median task absent mitigation.
+
+    Scale: one map-side-combined count per key, then a single-row
+    summary aggregate over |keys| rows (exact percentiles over the
+    COUNT distribution, which is key-cardinality-, not corpus-,
+    sized)."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_count"),
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_count"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+        (
+            F.max("n").cast("double")
+            / (F.sum("n").cast("double") / F.count("*"))
+        ).alias("skew_ratio"),
+    )

@@ -1293,3 +1293,60 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "neighbor_id")
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Q118 join-key skew profile (operational pre-flight, round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q118_skew_profile",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN event_type = 'view' THEN 0 ELSE user_id END AS k
+      FROM events
+    ),
+    counts AS (SELECT k, COUNT(*) AS n FROM keyed GROUP BY k),
+    prof AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_count,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_c,
+             quantile_cont(n, 0.5) AS p50_c,
+             quantile_cont(n, 0.9) AS p90_c
+      FROM counts
+    )
+    SELECT n_keys, n_rows, max_count,
+           CAST(CAST(mean_c AS DECIMAL(38,4)) AS DOUBLE) AS mean_count,
+           CAST(CAST(p50_c AS DECIMAL(38,4)) AS DOUBLE) AS p50,
+           CAST(CAST(p90_c AS DECIMAL(38,4)) AS DOUBLE) AS p90,
+           CAST(CAST(max_count / mean_c AS DECIMAL(38,4)) AS DOUBLE) AS skew_ratio
+    FROM prof
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational PRE-FLIGHT for a 100 TB join: profile the key's
+    frequency distribution before shuffling on it
+    (``skew.key_skew_profile``). The fixture plants a hot key (every
+    'view' event collapses onto key 0 — the classic null-like/default-
+    value hot key of real event data); the one-row summary (max, mean,
+    exact p50/p90 of the per-key counts, skew_ratio = max/mean) is what
+    decides between ``salted_join``, an AQE skew threshold bump, or
+    nothing. Exact interpolated percentiles over key-cardinality-sized
+    data — both engines share the linear-interpolation definition."""
+    from ..operators.skew import key_skew_profile
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.when(F.col("event_type") == "view", F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    p = key_skew_profile(ev, "k")
+    return p.select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        round4(F.col("mean_count")).alias("mean_count"),
+        round4(F.col("p50")).alias("p50"),
+        round4(F.col("p90")).alias("p90"),
+        round4(F.col("skew_ratio")).alias("skew_ratio"),
+    )
