@@ -79,3 +79,31 @@ def pack_sequences(
         )
         keys = keys + [F.col("_shard")]
     return df.groupBy(*keys).applyInPandas(_pack, schema + ", pack_id bigint")
+
+
+def balanced_shards(
+    df,
+    n_shards: int,
+    size_col: str,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+):
+    """Deterministic BALANCED shard assignment for training output:
+    within each group, items rank by descending size (ties by id) and
+    take ``rank % n_shards`` — sorted round-robin, the SQL-able cousin
+    of LPT bin packing (big items spread first; per-shard totals land
+    within ~largest-item of each other, which for corpus shards is
+    sub-percent). Returns the input plus ``shard``.
+
+    Scale: the rank window partitions by ``group_cols`` (language,
+    source, ...) — NO global sort; each group sorts independently and
+    groups are the natural parallel unit of corpus writes. A single
+    global row_number would serialize 100 TB through one task — that
+    shape is deliberately not offered."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy(*group_cols).orderBy(F.desc(size_col), id_col)
+    return df.withColumn(
+        "shard", (F.row_number().over(w) - 1) % n_shards
+    )

@@ -2335,3 +2335,57 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_before", "n_kept", "rate")
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q119 balanced training-shard assignment (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q119_balanced_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             (row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_tokens DESC, doc_id) - 1) % 8
+               AS shard
+      FROM toks
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM ranked GROUP BY shard ORDER BY shard
+    """,
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side shard BALANCING for training output
+    (``packing.balanced_shards``): within each language, docs rank by
+    descending token count and round-robin across 8 shards — the
+    SQL-able cousin of LPT bin packing; per-shard token totals land
+    within ~one-largest-doc of each other (pytest asserts <5% spread)
+    while every shard sees every language. The window partitions by
+    LANGUAGE — no global sort; a global row_number would serialize the
+    corpus through one task and is deliberately not offered."""
+    from ..operators.packing import balanced_shards
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    sharded = balanced_shards(
+        toks, n_shards=8, size_col="n_tokens", group_cols=["lang"]
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )

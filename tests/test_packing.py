@@ -105,3 +105,27 @@ class TestShardedPacking:
             for r in pack_sequences(df, ["g"], "i", "n", 10).collect()
         )
         assert [p for _, p in out] == [0, 0, 1, 2, 3]
+
+
+class TestBalancedShards:
+    def test_balance_and_determinism(self, spark):
+        from pyspark.sql import Row, functions as F
+
+        from mb8600_clickhouse_spark.operators.packing import balanced_shards
+
+        rows = [
+            Row(doc_id=i, lang="en" if i % 3 else "zh", n=(i * 37) % 400 + 20)
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows)
+        out = balanced_shards(df, n_shards=8, size_col="n", group_cols=["lang"])
+        tot = {
+            r["shard"]: r["t"]
+            for r in out.groupBy("shard").agg(F.sum("n").alias("t")).collect()
+        }
+        assert len(tot) == 8
+        assert max(tot.values()) / min(tot.values()) < 1.05  # <5% spread
+        again = balanced_shards(df, n_shards=8, size_col="n", group_cols=["lang"])
+        a = sorted((r["doc_id"], r["shard"]) for r in out.collect())
+        b = sorted((r["doc_id"], r["shard"]) for r in again.collect())
+        assert a == b
