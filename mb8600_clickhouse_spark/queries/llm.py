@@ -2389,3 +2389,99 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q120 split-leakage audit: near-dups crossing train/val/test (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q120_split_leakage",
+    oracle=f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+    ),
+    mh AS (
+      SELECT doc_id, i, min(md5(s || ':' || i)) AS h
+      FROM exploded, range(12) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, (i // 3) AS band, md5(string_agg(h, ',' ORDER BY i)) AS key
+      FROM mh GROUP BY doc_id, (i // 3)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    labeled AS (
+      SELECT id_a, id_b,
+             CASE WHEN substr(md5('split-v1:' || CAST(id_a AS VARCHAR)), 1, 4) < 'cccd'
+                    THEN 'train'
+                  WHEN substr(md5('split-v1:' || CAST(id_a AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val' ELSE 'test' END AS split_a,
+             CASE WHEN substr(md5('split-v1:' || CAST(id_b AS VARCHAR)), 1, 4) < 'cccd'
+                    THEN 'train'
+                  WHEN substr(md5('split-v1:' || CAST(id_b AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val' ELSE 'test' END AS split_b
+      FROM pairs
+    ),
+    canon AS (
+      SELECT least(split_a, split_b) AS s1, greatest(split_a, split_b) AS s2
+      FROM labeled
+    )
+    SELECT s1 AS split_a, s2 AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (s1 <> s2) AS is_leak
+    FROM canon GROUP BY s1, s2 ORDER BY split_a, split_b
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE audit — the eval-hygiene check run after q100's
+    split and q40's near-dup detection: every LSH candidate pair whose
+    members landed in DIFFERENT splits is a leak (a val/test doc whose
+    near-duplicate sits in train inflates eval). Pairs label with the
+    q100 hash-split, canonicalize to an unordered split pair, and roll
+    up — the off-diagonal rows ARE the leakage report; random hash
+    splitting guarantees leaks whenever near-dup clusters exist, which
+    is exactly why dedup (q86/q105) must precede splitting. Composes
+    two verified operators; the hash pins their composition.
+
+    Scale: the pair set is the bucketed LSH candidate output (never
+    O(n^2)); labels are narrow md5 expressions; one rollup exchange."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup.minhash_lsh_candidates(
+        _neardup_corpus(docs), shingle_n=3, k=12, bands=4, max_bucket=10_000
+    )
+    from ..operators.sampling import hash_split
+
+    labeled = pairs.select(
+        hash_split(F.col("id_a")).alias("split_a"),
+        hash_split(F.col("id_b")).alias("split_b"),
+    ).select(
+        F.least("split_a", "split_b").alias("s1"),
+        F.greatest("split_a", "split_b").alias("s2"),
+    )
+    return (
+        labeled.groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.col("s1").alias("split_a"),
+            F.col("s2").alias("split_b"),
+            "n_pairs",
+            (F.col("s1") != F.col("s2")).alias("is_leak"),
+        )
+        .orderBy("split_a", "split_b")
+    )
