@@ -445,13 +445,26 @@ def _rewrite_global_and_format(sql: str) -> str:
     # block-processing order (explicitly non-deterministic there, and
     # deprecated upstream) — the deterministic Spark spelling is a
     # window function with an explicit ORDER BY.
-    wf = _top_level_matches(sql, r"\bWITH\s+FILL\b|\bINTERPOLATE\s*\(")
-    if wf:
-        raise ChSqlError(
-            f"{wf[0].group(0)!r}: ORDER BY ... WITH FILL [INTERPOLATE] has no "
-            "SQL rewrite here; use operators/timeseries.fill_gaps / "
-            "interpolate_linear (declared as q66/q67)"
-        )
+    # only the CLAUSE position rejects: WITH FILL is grammatically part
+    # of ORDER BY, so a match counts only when a top-level ORDER BY
+    # precedes it — a CTE or identifier literally named 'fill'
+    # ('WITH fill AS (...)') or a column named 'interpolate' must pass
+    obs = _top_level_matches(sql, r"\bORDER\s+BY\b")
+    if obs:
+        first_ob = obs[0].start()
+        wf = [
+            m
+            for m in _top_level_matches(
+                sql, r"\bWITH\s+FILL\b|\bINTERPOLATE\s*\("
+            )
+            if m.start() > first_ob
+        ]
+        if wf:
+            raise ChSqlError(
+                f"{wf[0].group(0)!r}: ORDER BY ... WITH FILL [INTERPOLATE] has no "
+                "SQL rewrite here; use operators/timeseries.fill_gaps / "
+                "interpolate_linear (declared as q66/q67)"
+            )
     rd = _top_level_matches(
         sql, r"\b(?:neighbor|runningDifference|runningAccumulate)\s*\("
     )

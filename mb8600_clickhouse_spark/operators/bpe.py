@@ -42,11 +42,17 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_symbols(wc: DataFrame) -> DataFrame:
     """Adds ``syms``: the word as SEP-joined single-character symbols —
-    the working representation merges rewrite in place."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.substring(F.col("word"), i, F.lit(1)),
-    )
+    the working representation merges rewrite in place. Guarded for the
+    empty word (a whitespace-only document's split yields ''):
+    sequence(1, 0) counts DOWN and would fabricate two phantom empty
+    symbols ('\x1f') that the oracles and the reference never see."""
+    chars = F.when(
+        F.length("word") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return wc.withColumn("syms", F.array_join(chars, SEP))
 
 
@@ -54,21 +60,27 @@ def pair_counts(wsym: DataFrame) -> DataFrame:
     """(s1, s2, cnt): adjacent-symbol pair frequencies weighted by word
     count — every occurrence inside a word counts. One exchange (the
     groupBy), map-side combined."""
-    arr = F.split(F.col("syms"), SEP)
-    n_pairs = F.size(arr) - 1
-    idx = F.when(n_pairs > 0, F.sequence(F.lit(1), n_pairs)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pair = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(arr, i).alias("s1"),
-            F.element_at(arr, i + 1).alias("s2"),
-        ),
+    # index-explode + flat element projection (exploding a transform()
+    # array re-evaluates it per output element — the shingle_rows lesson,
+    # O(L^2) per word otherwise, and this runs once per merge round)
+    arrd = wsym.withColumn("_arr", F.split(F.col("syms"), SEP))
+    n_pairs = F.size("_arr") - 1
+    idx = arrd.select(
+        "n",
+        "_arr",
+        F.explode(
+            F.when(n_pairs > 0, F.sequence(F.lit(1), n_pairs)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
     )
     return (
-        wsym.select("n", F.explode(pair).alias("p"))
-        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        idx.select(
+            "n",
+            F.element_at("_arr", F.col("i")).alias("s1"),
+            F.element_at("_arr", F.col("i") + 1).alias("s2"),
+        )
+        .groupBy("s1", "s2")
         .agg(F.sum("n").alias("cnt"))
     )
 
@@ -83,12 +95,30 @@ def best_pair(pc: DataFrame) -> tuple[str, str, int] | None:
     return r["s1"], r["s2"], r["cnt"]
 
 
+def _merge_pattern(s1: str, s2: str) -> str:
+    """Symbol-boundary-anchored regex for merging adjacent (s1, s2):
+    a bare string replace of ``s1+SEP+s2`` would also fire when s1 is a
+    SUFFIX of the preceding multi-char symbol (or s2 a prefix of the
+    next) — e.g. after (b,c), word 'abc' is 'a\x1fbc' and a later
+    (a,b) merge must NOT match across the boundary. The left anchor is
+    start-of-string or a fixed-width lookbehind on SEP; the right
+    anchor is a LOOKAHEAD (zero-width — consuming the trailing SEP
+    would break adjacent repeats: a,b,a,b must become ab,ab). This is
+    exactly Sennrich et al.'s (?<!\S)pair(?!\S) anchoring transposed
+    to the SEP alphabet; Java and Python regex agree on it."""
+    import re as _re
+
+    q1, q2 = _re.escape(s1), _re.escape(s2)
+    return f"(?:^|(?<={SEP})){q1}{SEP}{q2}(?=$|{SEP})"
+
+
 def apply_merge(wsym: DataFrame, s1: str, s2: str) -> DataFrame:
     """Rewrites every word's symbol string, merging adjacent (s1, s2)
-    left-to-right non-overlapping (``str.replace`` semantics — the
-    standard BPE convention). Pure per-row expression, zero shuffle."""
+    left-to-right non-overlapping at SYMBOL boundaries (see
+    ``_merge_pattern``). Pure per-row expression, zero shuffle."""
     return wsym.withColumn(
-        "syms", F.replace(F.col("syms"), F.lit(s1 + SEP + s2), F.lit(s1 + s2))
+        "syms",
+        F.regexp_replace(F.col("syms"), F.lit(_merge_pattern(s1, s2)), F.lit(s1 + s2)),
     )
 
 
@@ -140,7 +170,10 @@ def bpe_reference(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
         if cnt < 2:
             break
         merges.append((s1, s2))
-        syms = {w: s.replace(s1 + SEP + s2, s1 + s2) for w, s in syms.items()}
+        import re as _re
+
+        pat = _re.compile(_merge_pattern(s1, s2))
+        syms = {w: pat.sub(s1 + s2, s) for w, s in syms.items()}
     return merges
 
 
@@ -149,8 +182,11 @@ def apply_best_merge(wsym: DataFrame) -> DataFrame:
     1-row broadcast crossJoin feeding a dynamic-pattern ``replace`` —
     rather than a driver-collected literal: the whole train+apply round
     stays in one plan (and therefore inside the SQL-oracle's reach,
-    q114). Multi-round application goes through ``bpe_learn`` +
-    ``apply_merge`` literals instead (one collect per round)."""
+    q114). The UN-anchored literal replace is exact HERE and only here:
+    round one's symbols are all single characters, so any occurrence of
+    ``s1+SEP+s2`` necessarily sits on symbol boundaries — multi-round
+    application (merged multi-char symbols) must use the anchored
+    ``apply_merge`` instead."""
     pc = pair_counts(wsym)
     best = pc.orderBy(F.desc("cnt"), "s1", "s2").limit(1).select("s1", "s2")
     return (

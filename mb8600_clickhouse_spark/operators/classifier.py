@@ -108,27 +108,38 @@ def logreg_train(
     Returns (w, bias). Verified by pytest against a numpy reference
     (libm exp keeps this off the SQL-oracle path)."""
     spark = feat.sparkSession
-    wvec = [0.0] * dim
-    b = 0.0
-    for _ in range(steps):
-        wdf = spark.createDataFrame(
-            [(j, wj) for j, wj in enumerate(wvec)], "j int, w double"
-        )
-        bdf = spark.createDataFrame([(b,)], "bias double")
-        m = linear_margins(feat, wdf, bdf)
-        p = m.select("id", (1.0 / (1.0 + F.exp(-F.col("margin")))).alias("p"))
-        resid = p.join(labels, "id").select(
-            "id", (F.col("p") - F.col("y")).alias("r")
-        )
+    # loop-invariant inputs are persisted for the training run (the
+    # feature lineage — tokenize + bucket + count — would otherwise
+    # re-evaluate for the margin join, the gradient join and the count,
+    # every step) and the label count is hoisted: one action, not one
+    # per step
+    feat = feat.persist()
+    labels = labels.persist()
+    try:
         tot = labels.count()
-        grad_rows = (
-            feat.join(resid, "id")
-            .groupBy("j")
-            .agg((F.sum(F.col("n") * F.col("r")) / F.lit(float(tot))).alias("g"))
-            .collect()
-        )
-        gb = resid.agg((F.sum("r") / F.lit(float(tot))).alias("g")).collect()[0]["g"]
-        grad = {r["j"]: r["g"] for r in grad_rows}
-        wvec = [wj - lr * grad.get(j, 0.0) for j, wj in enumerate(wvec)]
-        b -= lr * gb
+        wvec = [0.0] * dim
+        b = 0.0
+        for _ in range(steps):
+            wdf = spark.createDataFrame(
+                [(j, wj) for j, wj in enumerate(wvec)], "j int, w double"
+            )
+            bdf = spark.createDataFrame([(b,)], "bias double")
+            m = linear_margins(feat, wdf, bdf)
+            p = m.select("id", (1.0 / (1.0 + F.exp(-F.col("margin")))).alias("p"))
+            resid = p.join(labels, "id").select(
+                "id", (F.col("p") - F.col("y")).alias("r")
+            )
+            grad_rows = (
+                feat.join(resid, "id")
+                .groupBy("j")
+                .agg((F.sum(F.col("n") * F.col("r")) / F.lit(float(tot))).alias("g"))
+                .collect()
+            )
+            gb = resid.agg((F.sum("r") / F.lit(float(tot))).alias("g")).collect()[0]["g"]
+            grad = {r["j"]: r["g"] for r in grad_rows}
+            wvec = [wj - lr * grad.get(j, 0.0) for j, wj in enumerate(wvec)]
+            b -= lr * gb
+    finally:
+        feat.unpersist()
+        labels.unpersist()
     return wvec, b

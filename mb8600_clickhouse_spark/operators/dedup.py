@@ -554,13 +554,15 @@ def span_occurrences(
     span_n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    widen: bool = True,
 ) -> DataFrame:
     """(id, h): one md5 per POSITIONAL word ``span_n``-gram occurrence —
     the shared front end of span-level dedup (``dup_span_stats``) and
     span-level decontamination (``span_contamination``). Width-corrected
     input, INDEX explode + flat concat (the shingle_rows lessons), and
     the guarded sequence for sub-width docs."""
-    toks = widen_if_narrow(df, id_col).select(
+    src = widen_if_narrow(df, id_col) if widen else df
+    toks = src.select(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
     )
@@ -603,13 +605,13 @@ def dup_span_stats(
     Returns (id, n_spans, n_dup_spans, dup_frac) for documents with at
     least one span (fewer than ``span_n`` tokens -> no row).
 
-    Scale: exactly two exchanges. Span occurrences carry a 16-byte md5,
-    never span text, into a count-over-hash window (one exchange on the
-    hash — strictly better than groupBy+join-back, which shuffles the
-    occurrence set twice); the per-doc rollup is the second exchange on
-    id. Corpus-frequency skew (a boilerplate span in millions of docs)
-    is bounded: the window computes COUNT only — state per hash is one
-    counter, not a buffered partition.
+    Scale: span occurrences carry a 16-byte md5 (never span text) into
+    a map-side-combined frequency count JOINED back on the hash, then
+    the per-doc rollup. The join-back shape is deliberate — see the
+    in-line note: a count-over-hash window cannot split its hot
+    partition, so a boilerplate span in millions of docs would
+    serialize onto one task; the groupBy's combiner collapses the hot
+    key per input partition and AQE can split the join's probe side.
     """
     occ = span_occurrences(df, span_n, id_col, text_col)
     # Corpus-frequency attachment via partial-aggregated groupBy + an
@@ -797,8 +799,11 @@ def span_contamination(
     join -> per-doc rollup, a single data exchange on id. 16-byte
     hashes only; no text moves."""
     c = span_occurrences(corpus, span_n, id_col, text_col)
+    # benchmark side: widen=False — repartitioning an MB-sized eval set
+    # to defaultParallelism just to immediately distinct+broadcast it
+    # is a wasted exchange
     b = (
-        span_occurrences(benchmark, span_n, id_col, text_col)
+        span_occurrences(benchmark, span_n, id_col, text_col, widen=False)
         .select("h")
         .distinct()
         .withColumn("_hit", F.lit(1).cast("bigint"))

@@ -178,22 +178,41 @@ def _file_may_match(stats: dict[str, list] | None, col: str, op: str, value) -> 
 # bit-identical — the engine's standard portability device.
 
 
-def _bloom_positions_py(value, bits: int, k: int) -> list[int]:
+def _bloom_render(value) -> str | None:
+    """Render a probe value EXACTLY as build_bloom's
+    CAST(col AS STRING) rendered the column — or None when no faithful
+    rendering exists (the probe must then fall back to min/max only;
+    a mismatched rendering would hash to different bits and UNSOUNDLY
+    prune files that do contain matches, e.g. probing a bigint column
+    with float 7.0: str() gives '7.0', the build hashed '7')."""
+    if isinstance(value, bool):
+        return None  # never an indexed type
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        return str(int(value)) if value.is_integer() else None
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _bloom_positions_py(rendered: str, bits: int, k: int) -> list[int]:
     """The probe-side twin of the build expression: position j =
-    int(md5(str(value) + ':' + j)[:8], 16) % bits. Values are compared
-    through their Spark CAST(... AS STRING) rendering, so bloom columns
-    are restricted to string/integer types (float renderings differ)."""
+    int(md5(rendered + ':' + j)[:8], 16) % bits."""
     import hashlib
 
     return [
-        int(hashlib.md5(f"{value}:{j}".encode()).hexdigest()[:8], 16) % bits
+        int(hashlib.md5(f"{rendered}:{j}".encode()).hexdigest()[:8], 16) % bits
         for j in range(k)
     ]
 
 
 def _bloom_may_contain(b: dict, value) -> bool:
+    rendered = _bloom_render(value)
+    if rendered is None:
+        return True  # unprobeable value type: keep the file (sound)
     words = b["words"]
-    for pos in _bloom_positions_py(value, b["bits"], b["k"]):
+    for pos in _bloom_positions_py(rendered, b["bits"], b["k"]):
         if not (words[pos // 64] >> (pos % 64)) & 1:
             return False
     return True

@@ -276,20 +276,24 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'c' AND rn = 1),
     qcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'q' AND rn <= 2),
     scored AS (
+      -- rank on the RAW cosine (the Spark side ranks raw and rounds
+      -- only for display); snapping before the row_number would create
+      -- 4-decimal rank ties the engine never sees
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(CAST(
-               list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * cv.e[i]))
+             list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * cv.e[i]))
                / (sqrt(list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * qv.e[i])))
                 * sqrt(list_sum(list_transform(generate_series(1, len(cv.e)), i -> cv.e[i] * cv.e[i]))))
-             AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+             AS cos_raw
       FROM qcell q
       JOIN ccell c ON c.cell = q.cell
       JOIN qs qv ON qv.vec_id = q.vec_id
       JOIN corpus cv ON cv.vec_id = c.vec_id
     )
-    SELECT query_id, neighbor_id, cosine_sim FROM (
+    SELECT query_id, neighbor_id,
+           CAST(CAST(cos_raw AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+    FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+                                   ORDER BY cos_raw DESC, neighbor_id) AS rn
       FROM scored
     ) WHERE rn <= 5
     ORDER BY query_id, neighbor_id
@@ -1207,20 +1211,23 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'c' AND rn = 1),
     qcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'q' AND rn <= 3),
     scored AS (
+      -- rank on the RAW cosine (see q54: snapping before row_number
+      -- fabricates 4-decimal rank ties the Spark side never sees)
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(CAST(
-               list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * cv.e[i]))
+             list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * cv.e[i]))
                / (sqrt(list_sum(list_transform(generate_series(1, len(qv.e)), i -> qv.e[i] * qv.e[i])))
                 * sqrt(list_sum(list_transform(generate_series(1, len(cv.e)), i -> cv.e[i] * cv.e[i]))))
-             AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+             AS cos_raw
       FROM qcell q
       JOIN ccell c ON c.cell = q.cell
       JOIN qs qv ON qv.vec_id = q.vec_id
       JOIN corpus cv ON cv.vec_id = c.vec_id
     )
-    SELECT query_id, neighbor_id, cosine_sim FROM (
+    SELECT query_id, neighbor_id,
+           CAST(CAST(cos_raw AS DECIMAL(38,4)) AS DOUBLE) AS cosine_sim
+    FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+                                   ORDER BY cos_raw DESC, neighbor_id) AS rn
       FROM scored
     ) WHERE rn <= 4
     ORDER BY query_id, neighbor_id

@@ -118,3 +118,25 @@ class TestQ112Construction:
         }
         # sound: every file truly containing the user survives
         assert len(kept) >= len(with_user) > 0
+
+
+class TestProbeValueRendering:
+    """A probe value whose str() differs from Spark's CAST-to-string of
+    the column must never unsoundly prune (the float-7.0-on-bigint
+    case)."""
+
+    def test_integral_float_probes_like_int(self, spark, table):
+        table.build_bloom(spark, ["doc_id"])
+        assert table.prune_files([("doc_id", "=", 4.0)]) == table.prune_files(
+            [("doc_id", "=", 4)]
+        )
+        got = table.scan(spark, [("doc_id", "=", 4.0)]).collect()
+        want = table.read(spark).filter("doc_id = 4.0").collect()
+        assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in want)
+
+    def test_non_integral_float_skips_bloom(self, spark, table):
+        table.build_bloom(spark, ["doc_id"])
+        # 4.5 matches no row; bloom must NOT be consulted (rendering
+        # mismatch) — min/max may keep files, scan result stays correct
+        got = table.scan(spark, [("doc_id", "=", 4.5)]).collect()
+        assert got == []

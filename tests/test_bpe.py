@@ -59,3 +59,35 @@ class TestApply:
         lit = {r["word"]: r["syms"] for r in bpe.apply_merge(wsym, s1, s2).collect()}
         dyn = {r["word"]: r["syms"] for r in bpe.apply_best_merge(wsym).collect()}
         assert lit == dyn
+
+
+class TestBoundaryAnchoring:
+    def test_merge_never_crosses_symbol_boundary(self, spark):
+        """'abc' after merge (b,c) is ['a','bc']; a later (a,b) merge
+        must NOT fuse across the boundary (the un-anchored replace
+        would yield one 'abc' symbol)."""
+        df = spark.createDataFrame([("abc",)], "text string")
+        wsym = bpe.with_symbols(bpe.word_counts(df))
+        m1 = bpe.apply_merge(wsym, "b", "c")
+        m2 = bpe.apply_merge(m1, "a", "b")
+        (r,) = m2.collect()
+        assert r["syms"] == "a" + bpe.SEP + "bc"  # unchanged by (a,b)
+
+    def test_adjacent_repeats_all_merge(self, spark):
+        # a,b,a,b -> ab,ab (the zero-width right anchor must not
+        # consume the separator between occurrences)
+        df = spark.createDataFrame([("abab",)], "text string")
+        wsym = bpe.with_symbols(bpe.word_counts(df))
+        (r,) = bpe.apply_merge(wsym, "a", "b").collect()
+        assert r["syms"] == "ab" + bpe.SEP + "ab"
+
+    def test_blank_document_contributes_nothing(self, spark):
+        df = spark.createDataFrame([("   ",), ("a b a b",)], "text string")
+        pc = {(r["s1"], r["s2"]): r["cnt"]
+              for r in bpe.pair_counts(bpe.with_symbols(bpe.word_counts(df))).collect()}
+        assert ("", "") not in pc
+
+    def test_reference_agrees_after_anchoring(self, spark):
+        texts = ["abc abc bc bc bc ab ab", "aab aab abc"]
+        got = bpe.bpe_learn(spark.createDataFrame([(t,) for t in texts], "text string"), 5)
+        assert got == bpe.bpe_reference(texts, 5)

@@ -829,3 +829,14 @@ class TestScalarCallRewrites:
             "SELECT x FROM (SELECT multiIf(2 > 1, 10, 0) AS x) s"
         )
         assert spark.sql(out).collect()[0]["x"] == 10
+
+
+class TestFillRejectionScope:
+    def test_cte_named_fill_passes(self, spark):
+        out = rw("WITH fill AS (SELECT 1 AS x) SELECT x FROM fill")
+        assert spark.sql(out).collect()[0]["x"] == 1
+
+    def test_column_named_interpolate_after_order_by_ok(self):
+        # only the call form INTERPOLATE( rejects, not the identifier
+        assert rw("SELECT interpolate FROM t ORDER BY interpolate") \
+            == "SELECT interpolate FROM t ORDER BY interpolate"
