@@ -1543,3 +1543,71 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Q121 snapshot time travel: version diff as a declared query (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q121_time_travel_diff",
+    oracle="""
+    WITH v0 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+    v1_added AS (SELECT * FROM events WHERE event_id % 3 <> 0)
+    SELECT 'v0' AS snapshot, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM v0 GROUP BY event_type
+    UNION ALL
+    SELECT 'delta', event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id
+    FROM v1_added GROUP BY event_type
+    ORDER BY snapshot, event_type
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL as a verified query: two manifest commits, then (a)
+    the table AS OF version 0 and (b) the delta BETWEEN versions —
+    derived purely from snapshot metadata (version 1's ``added`` file
+    list), never by diffing data — aggregated side by side. The oracle
+    recomputes both from the fixture's commit predicates, so the hash
+    proves snapshot isolation (v0 reads see no later rows) AND the
+    manifest's per-commit delta bookkeeping (the same `added` list the
+    streaming source consumes as offsets).
+
+    Scale: version reads and commit deltas are manifest METADATA
+    lookups — cost is proportional to the files touched, never a scan
+    of other snapshots."""
+    import tempfile
+
+    from ..plans import ManifestTable
+
+    _cleanup_tmp("q121_tt_")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="q121_tt_")
+    t = ManifestTable(f"{root}/ev")
+    t.append(ev.filter(F.col("event_id") % 3 == 0).coalesce(1))
+    t.append(ev.filter(F.col("event_id") % 3 != 0).coalesce(1))
+
+    def agg(df, label):
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("event_id").alias("min_id"),
+            )
+            .select(F.lit(label).alias("snapshot"), "event_type", "n", "min_id")
+        )
+
+    v0 = t.read(spark, version=0)
+    added = t._read_manifest(1)["added"]
+    st = t.table_schema(1)
+    delta = (spark.read.schema(st) if st else spark.read).parquet(*added)
+    out = (
+        agg(v0, "v0")
+        .unionAll(agg(delta, "delta"))
+        .orderBy("snapshot", "event_type")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
