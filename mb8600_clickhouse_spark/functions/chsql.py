@@ -846,9 +846,12 @@ def _rewrite_scalar_calls(sql: str) -> str:
             )
         secs = int(im.group(1)) * _INTERVAL_SECONDS[im.group(2).lower()]
         ts = args[0]
+        # pmod, not %: Spark's % takes the dividend's sign, so a negative
+        # epoch (pre-1970, representable in CH DateTime64) would round
+        # toward zero — an interval start AFTER the input. pmod floors.
         rep = (
             f"timestamp_seconds(unix_seconds({ts}) - "
-            f"(unix_seconds({ts}) % {secs}))"
+            f"pmod(unix_seconds({ts}), {secs}))"
         )
         sql = sql[: m.start()] + rep + sql[c + 1 :]
     return sql

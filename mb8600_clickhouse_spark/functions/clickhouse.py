@@ -58,11 +58,12 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     ),
     # Spark's 'week' truncation is Monday-based — exactly CH's toMonday
     "toMonday": ("(ts TIMESTAMP)", "DATE", "cast(date_trunc('week', ts) AS DATE)"),
-    # CH DateTime is unsigned (post-1970 only), so floor==truncate here
+    # pmod (not div/%): CH DateTime is unsigned but DateTime64 reaches
+    # pre-1970; % / div round toward zero there, pmod floors for any sign
     "toStartOfFifteenMinutes": (
         "(ts TIMESTAMP)",
         "TIMESTAMP",
-        "timestamp_seconds((unix_seconds(ts) div 900) * 900)",
+        "timestamp_seconds(unix_seconds(ts) - pmod(unix_seconds(ts), 900))",
     ),
     "toRelativeHourNum": ("(ts TIMESTAMP)", "BIGINT", "unix_seconds(ts) div 3600"),
     "toUnixTimestamp": ("(ts TIMESTAMP)", "BIGINT", "unix_seconds(ts)"),
@@ -129,12 +130,12 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     "toStartOfFiveMinute": (
         "(ts TIMESTAMP)",
         "TIMESTAMP",
-        "timestamp_seconds(unix_seconds(ts) - (unix_seconds(ts) % 300))",
+        "timestamp_seconds(unix_seconds(ts) - pmod(unix_seconds(ts), 300))",
     ),
     "toStartOfTenMinutes": (
         "(ts TIMESTAMP)",
         "TIMESTAMP",
-        "timestamp_seconds(unix_seconds(ts) - (unix_seconds(ts) % 600))",
+        "timestamp_seconds(unix_seconds(ts) - pmod(unix_seconds(ts), 600))",
     ),
     "today": ("()", "DATE", "current_date()"),
     "yesterday": ("()", "DATE", "date_sub(current_date(), 1)"),

@@ -26,15 +26,26 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
 
-#: symbol separator inside a word's working representation; U+001F never
-#: appears in normalized text
+#: symbol separator inside a word's working representation. U+001F is a C0
+#: control char that normalize_text does NOT remove (it only collapses regex
+#: whitespace), so a raw crawl document could carry it and inject fake symbol
+#: boundaries — word_counts therefore strips ALL C0 controls from words before
+#: any symbol work, making the separator genuinely unreachable.
 SEP = "\x1f"
+
+#: C0 control range stripped from words (see SEP note). \x00-\x08 \x0e-\x1f
+#: plus \x0b\x0c\x7f; \t\n\r are already regex whitespace and collapsed away.
+_C0_RE = "[\\x00-\\x1f\\x7f]"
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, n): the distinct-word table all rounds run over."""
+    """(word, n): the distinct-word table all rounds run over. C0 control
+    characters are stripped from words so SEP (U+001F) can never occur
+    inside a symbol sequence (a word of only controls becomes '', which
+    with_symbols already guards)."""
     return (
-        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"))
+        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("raw"))
+        .select(F.regexp_replace("raw", _C0_RE, "").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -96,7 +107,7 @@ def best_pair(pc: DataFrame) -> tuple[str, str, int] | None:
 
 
 def _merge_pattern(s1: str, s2: str) -> str:
-    """Symbol-boundary-anchored regex for merging adjacent (s1, s2):
+    r"""Symbol-boundary-anchored regex for merging adjacent (s1, s2):
     a bare string replace of ``s1+SEP+s2`` would also fire when s1 is a
     SUFFIX of the preceding multi-char symbol (or s2 a prefix of the
     next) — e.g. after (b,c), word 'abc' is 'a\x1fbc' and a later

@@ -40,6 +40,16 @@ from pyspark.sql import functions as F
 from .text import normalize_text
 
 
+def _hint(df: DataFrame, broadcast: bool) -> DataFrame:
+    """Model-side join hint: broadcast by default (the (w1,w2) tables are
+    bigram-vocab-bounded and typically MBs), but the bound is
+    corpus-vocabulary-squared in the worst case — many GB at the 100 TB
+    design point — so every scoring entry point exposes
+    ``broadcast_model=False`` to fall back to AQE's shuffle join instead
+    of an unconditional driver/executor-OOM hint."""
+    return F.broadcast(df) if broadcast else df
+
+
 def bigram_occurrences(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -112,6 +122,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Score every document against the corpus-trained bigram model:
     (id, n_bigrams, avg_p, min_p). avg_p sums per-position probabilities
@@ -124,12 +135,13 @@ def bigram_lm_scores(
     # aggregation of the token stream — the model derives from it
     docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
     model = bigram_model_from_docb(docb, alpha)
-    # broadcast the model: (w1,w2,p) is bigram-vocab-bounded — the scoring
-    # join then needs NO re-shuffle of docb (whose aggregation exchange is
-    # shared with the model derivation via ReuseExchange). On a corpus
-    # whose bigram vocabulary outgrows the broadcast threshold, drop the
-    # hint and let AQE pick the shuffle join — the shape stays correct.
-    scored = docb.join(F.broadcast(model), ["w1", "w2"])
+    # broadcast the model by default: (w1,w2,p) is bigram-vocab-bounded —
+    # the scoring join then needs NO re-shuffle of docb (whose aggregation
+    # exchange is shared with the model derivation via ReuseExchange). On
+    # a corpus whose bigram vocabulary outgrows the broadcast budget, pass
+    # broadcast_model=False for AQE's shuffle join — the shape stays
+    # correct (see _hint).
+    scored = docb.join(_hint(model, broadcast_model), ["w1", "w2"])
     # DECIMAL(12,8), not (18,8): Spark's decimal multiply adds the
     # operand precisions, and (18,8) x bigint exceeds precision 38 —
     # the result is silently rescaled to (38,7), dropping the 8th
@@ -184,15 +196,17 @@ def with_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """(id, n_bigrams, ppl) — exp(-avg ln p): the classic CCNet bucket
     key. Log-domain (libm ``ln`` is ulp- not bit-reproducible across
     engines) so its verification is the pytest differential against
-    ``perplexity_reference``, not the SQL oracle."""
+    ``perplexity_reference``, not the SQL oracle. ``broadcast_model``:
+    see _hint — pass False on vocab-explosive corpora."""
     occ = bigram_occurrences(df, id_col, text_col)
     docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
     model = bigram_model_from_docb(docb, alpha)
-    scored = docb.join(F.broadcast(model), ["w1", "w2"])
+    scored = docb.join(_hint(model, broadcast_model), ["w1", "w2"])
     return scored.groupBy("id").agg(
         F.sum("n").alias("n_bigrams"),
         F.exp(
@@ -207,6 +221,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023), the
     n-gram-model instantiation: rank every document by how much more it
@@ -259,8 +274,8 @@ def dsir_weights(
         )
 
     scored = (
-        docb.join(F.broadcast(big), ["w1", "w2"])
-        .join(F.broadcast(uni), ["w1"])
+        docb.join(_hint(big, broadcast_model), ["w1", "w2"])
+        .join(_hint(uni, broadcast_model), ["w1"])
         .crossJoin(F.broadcast(voc))
         .withColumn("p_t", _score("t"))
         .withColumn("p_s", _score("s"))

@@ -2001,7 +2001,8 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents
     ),
-    occ AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm),
+    raww AS (SELECT unnest(string_split(t, ' ')) AS raw FROM norm),
+    occ AS (SELECT regexp_replace(raw, '[\\x00-\\x1f\\x7f]', '', 'g') AS word FROM raww),
     wc AS (SELECT word, COUNT(*) AS n FROM occ GROUP BY word),
     pairs AS (
       SELECT n,
@@ -2125,7 +2126,8 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents
     ),
-    occ AS (SELECT unnest(string_split(t, ' ')) AS word FROM norm),
+    raww AS (SELECT unnest(string_split(t, ' ')) AS raw FROM norm),
+    occ AS (SELECT regexp_replace(raw, '[\\x00-\\x1f\\x7f]', '', 'g') AS word FROM raww),
     wc AS (SELECT word, COUNT(*) AS n FROM occ GROUP BY word),
     pairs AS (
       SELECT n,

@@ -1362,7 +1362,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(CAST(SUM(value) AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
     FROM events
     WHERE user_id = 7
     GROUP BY event_type

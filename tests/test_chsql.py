@@ -820,6 +820,16 @@ class TestScalarCallRewrites:
         )
         assert str(spark.sql(out).collect()[0]["x"]) == "2024-01-01 10:00:00"
 
+    def test_tostartofinterval_pre_epoch_floors(self, spark):
+        # Negative epoch (CH DateTime64 reaches pre-1970): the start of
+        # the interval must be <= the input. A sign-following % would
+        # round toward zero and land AFTER the input.
+        out = rw(
+            "SELECT toStartOfInterval(timestamp'1969-12-31 23:57:10',"
+            " INTERVAL 5 minute) AS x"
+        )
+        assert str(spark.sql(out).collect()[0]["x"]) == "1969-12-31 23:55:00"
+
     def test_tostartofinterval_month_rejected(self):
         with pytest.raises(ChSqlError, match="calendar-anchored"):
             rw("SELECT toStartOfInterval(ts, INTERVAL 1 month) FROM t")

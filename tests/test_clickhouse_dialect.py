@@ -120,6 +120,10 @@ class TestRound6Scalars:
     def test_values(self, spark):
         cases = {
             "toStartOfFiveMinute(timestamp'2024-01-01 10:07:33')": "2024-01-01 10:05:00",
+            # pre-1970 (negative epoch) must still FLOOR, not round to zero
+            "toStartOfFiveMinute(timestamp'1969-12-31 23:57:10')": "1969-12-31 23:55:00",
+            "toStartOfTenMinutes(timestamp'1969-12-31 23:57:10')": "1969-12-31 23:50:00",
+            "toStartOfFifteenMinutes(timestamp'1969-12-31 23:57:10')": "1969-12-31 23:45:00",
             "empty('')": 1,
             "empty('x')": 0,
             "notEmpty('x')": 1,
