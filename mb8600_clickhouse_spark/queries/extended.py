@@ -298,6 +298,7 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 5
     ORDER BY query_id, neighbor_id
     """,
+    prepare=False,
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: vec_id<8 as coarse centroids (driver-inlined literals ->
@@ -777,6 +778,7 @@ _Q83_COS = (
            CAST(CAST(avg(cos_raw) AS DECIMAL(38,4)) AS DOUBLE) AS mean_cosine
     FROM a2 GROUP BY cell ORDER BY cell
     """,
+    prepare=False,
 )
 def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means training closes the ANN loop: the
@@ -976,6 +978,7 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY e.query_id
     ORDER BY e.query_id
     """,
+    prepare=False,
 )
 def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN QUALITY as a first-class differential metric: recall@5 of
@@ -1232,6 +1235,7 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 4
     ORDER BY query_id, neighbor_id
     """,
+    prepare=False,
 )
 def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL vector-index maintenance — the q106 arrival path for

@@ -1539,6 +1539,7 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, min(lab) AS component
     FROM reach GROUP BY node ORDER BY doc_id
     """,
+    prepare=False,
 )
 def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup CLUSTERING: the LSH candidate graph (q40's
@@ -1641,6 +1642,7 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR c.doc_id NOT IN (SELECT node FROM comp)
     ORDER BY c.doc_id
     """,
+    prepare=False,
 )
 def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative RETENTION: q99's connected components

@@ -265,6 +265,7 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) > 0
     ORDER BY cohort
     """,
+    prepare=False,
 )
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``TTL ... GROUP BY`` across tables, end-to-end on the
@@ -343,6 +344,7 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE event_type = 'click'
     GROUP BY cohort ORDER BY cohort
     """,
+    prepare=False,
 )
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance, driven END-TO-END by
@@ -710,6 +712,7 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     ORDER BY click_id, purchase_id
     """,
+    prepare=False,
 )
 def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STREAM interval join through the REAL machinery (the
@@ -808,6 +811,7 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_chars: 'BIGINT', text: 'VARCHAR'}})
     GROUP BY lang ORDER BY lang
     """,
+    prepare=False,
 )
 def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL round-trip — the interchange format training corpora
@@ -922,6 +926,7 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
                   header = true, quote = '"', escape = '"')
     GROUP BY lang ORDER BY lang
     """,
+    prepare=False,
 )
 def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV round-trip with ADVERSARIAL content: every text field is
@@ -1046,6 +1051,7 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang ORDER BY lang
     """,
+    prepare=False,
 )
 def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC round-trip — the third columnar interchange surface next to
@@ -1145,6 +1151,7 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(event_id) AS max_id
     FROM events GROUP BY event_type ORDER BY event_type
     """,
+    prepare=False,
 )
 def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once ingest made exactly-once INSIDE the stream: every
@@ -1368,6 +1375,7 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     ORDER BY event_type
     """,
+    prepare=False,
 )
 def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup through BLOOM-FILTER file skipping
@@ -1451,6 +1459,7 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_pii) AS BIGINT) AS total_pii
     FROM g GROUP BY lang ORDER BY lang
     """,
+    prepare=False,
 )
 def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CURATION INSIDE THE STREAM — the arrival-time form of q86's
@@ -1564,6 +1573,7 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v1_added GROUP BY event_type
     ORDER BY snapshot, event_type
     """,
+    prepare=False,
 )
 def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL as a verified query: two manifest commits, then (a)

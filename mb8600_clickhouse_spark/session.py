@@ -35,10 +35,16 @@ def get_spark(
       read only the struct leaves they touch.
     """
     n = cpus or DEFAULT_CPUS
+    # explicit shuffle-partition choices (arg or env) are PINNED: the
+    # data-proportional autosizer in tables.load_tables respects them
+    explicit_sp = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    )
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{n}]"))
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.shuffle.partitions", str(explicit_sp or n))
+        .config("spark.graft.shuffle.pinned", "true" if explicit_sp else "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # respect the advisory size when coalescing instead of refusing
