@@ -323,46 +323,60 @@ def with_repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
       boilerplate/spam signal) — pure per-row HOFs, zero shuffle;
     - ``top_bigram_frac``: occurrences of the doc's most frequent word
       bigram / total bigrams (the MassiveText "top n-gram fraction") —
-      explode + two partially-aggregated exchanges on (id, bigram) then
-      (id), the q63 document-frequency shape.
+      ALSO per-row: sort the doc's bigram array and take the longest
+      equal run (run starts = positions whose bigram differs from the
+      predecessor; run lengths = gaps between consecutive starts). The
+      r06 explode + two-exchange spelling shuffled every bigram
+      occurrence of the corpus for a statistic whose group key is one
+      source row (the q07 identity) — measured 1.03 -> 0.72 s warm at
+      sf0.1, and at 100 TB the removed exchanges are the whole token
+      stream. zip_with (not transform+element_at) builds the bigrams:
+      measured 20% cheaper per element.
 
-    Returns (id_col, dup_word_frac, top_bigram_frac); join back to the
-    corpus on ``id_col``. Documents with fewer than 2 tokens get
-    ``top_bigram_frac`` 0.0 (no bigrams — nothing repeated)."""
-    toks = df.select(F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("t"))
-    per_row = toks.select(
-        id_col,
-        F.coalesce(
-            1.0
-            - F.try_divide(
-                F.size(F.array_distinct("t")).cast("double"),
-                F.size("t").cast("double"),
-            ),
-            F.lit(0.0),
-        ).alias("dup_word_frac"),
-        F.col("t"),
+    Returns (id_col, dup_word_frac, top_bigram_frac) — narrow, zero
+    shuffle; join back to the corpus on ``id_col``. Documents with
+    fewer than 2 tokens get ``top_bigram_frac`` 0.0 (no bigrams —
+    nothing repeated)."""
+    d = df.select(
+        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("t")
     )
-    bi = per_row.select(
-        id_col,
-        "dup_word_frac",
-        F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("t", i), F.element_at("t", i + 1)
-                    ),
-                ),
-            ).otherwise(F.array(F.lit(None).cast("string")))
-        ).alias("bg"),
+    dup = F.coalesce(
+        1.0
+        - F.try_divide(
+            F.size(F.array_distinct("t")).cast("double"),
+            F.size("t").cast("double"),
+        ),
+        F.lit(0.0),
     )
-    cnt = bi.groupBy(id_col, "dup_word_frac", "bg").agg(F.count("bg").alias("n"))
-    return cnt.groupBy(id_col, "dup_word_frac").agg(
-        F.coalesce(
-            F.try_divide(F.max("n").cast("double"), F.sum("n").cast("double")),
-            F.lit(0.0),
-        ).alias("top_bigram_frac")
+    n_bg = F.greatest(F.size("t") - 1, F.lit(0))
+    bgs = F.zip_with(
+        F.slice("t", 1, n_bg),
+        F.slice("t", 2, n_bg),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    d = d.select(F.col(id_col), dup.alias("dup_word_frac"), F.array_sort(bgs).alias("srt"))
+    n = F.size("srt")
+    # guarded sequence (sequence(1, 0) counts DOWN — the shingle_rows
+    # lesson); the i-1 probe is clamped to 1 because `|` does not
+    # short-circuit in vectorized eval and element_at(_, 0) raises
+    starts = F.filter(
+        F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: (i == 1)
+        | (
+            F.element_at("srt", i)
+            != F.element_at("srt", F.greatest(i - 1, F.lit(1)))
+        ),
+    )
+    run_ends = F.concat(F.slice(starts, 2, F.size(starts)), F.array(n + 1))
+    best = F.array_max(F.zip_with(run_ends, starts, lambda e, s: e - s))
+    top = F.when(
+        n > 0,
+        F.coalesce(F.try_divide(best.cast("double"), n.cast("double")), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        id_col, "dup_word_frac", top.alias("top_bigram_frac")
     )
 
 

@@ -108,11 +108,17 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     - sort BEFORE projecting: the ORDER BY keys are scan columns, so
       sorting the raw columns and projecting after keeps the arithmetic
       out of the range-partitioner's sampling subtree and out of the
-      exchange's key comparison path; projection preserves order."""
+      exchange's key comparison path; projection preserves order.
+    - explicit repartitionByRange + sortWithinPartitions instead of
+      orderBy: the SAME total order (range partitions are globally
+      ordered, rows sorted within), measured 0.88 -> 0.55 s warm at
+      sf0.1 — orderBy's AQE interplay re-plans the sort stage, the
+      explicit spelling doesn't."""
     li = load_tables(spark, sf_dir)["lineitem"]
     return (
         li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
+        .repartitionByRange("l_orderkey", "l_linenumber")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -278,40 +284,37 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     The native array<struct> round-trip (assembly = inverse of explode)
     is asserted in tests/test_plans.py::test_q07_struct_roundtrip."""
     d = load_tables(spark, sf_dir)["docsis"]
-    # the per-element decimal rendering happens HERE, on the exploded
-    # rows BEFORE the aggregation exchange — post-agg the frame is
-    # AQE-coalesced to a few partitions and a transform() over every
-    # array element would run the decimal formatter single-task
-    # (measured: 0.6 s of the old 2.4 s at sf0.1). Sorting by
-    # (channel_id, rendered) == sorting by (channel_id, snr): channel_id
-    # is unique within a group.
-    e = d.select(
-        "modem_name", "timestamp", F.explode("downstream_channels").alias("u")
-    ).select(
-        "modem_name",
-        "timestamp",
-        F.col("u.channel_id").alias("channel_id"),
-        F.concat_ws(
+    # ZERO-SHUFFLE form: the "assembly" group key (modem_name, timestamp)
+    # is exactly one source row -- explode + groupBy + collect_list is an
+    # identity round-trip through an exchange. Recognizing that, the
+    # whole operator is narrow array algebra on the stored array:
+    # array_sort on the struct array orders by its FIRST field
+    # (channel_id, unique per row -- later fields never break a tie),
+    # then one transform renders each element. Measured at sf0.1:
+    # 0.87 s warm (explode+agg form, r06) -> 0.47 s; at 100 TB the win
+    # is a full corpus shuffle that no longer exists. The size>0 guard
+    # keeps explode's drop-empty/null semantics (the oracle's unnest
+    # likewise emits nothing for them).
+    arr = F.transform(
+        F.array_sort("downstream_channels"),
+        lambda u: F.concat_ws(
             ":",
-            F.col("u.channel_id"),
-            F.col("u.snr").cast("double").cast(T.DecimalType(18, 4)),
-        ).alias("cs"),
+            u["channel_id"],
+            u["snr"].cast("double").cast(T.DecimalType(18, 4)),
+        ),
     )
-    g = e.groupBy("modem_name", "timestamp").agg(
-        F.sort_array(F.collect_list(F.struct("channel_id", "cs"))).alias("arr")
-    )
-    out = g.select(
+    out = d.where(F.size("downstream_channels") > 0).select(
         "modem_name",
         "timestamp",
-        F.array_join(F.transform("arr", lambda x: x["cs"]), ";").alias("channels"),
+        F.array_join(arr, ";").alias("channels"),
     )
     # The total order exists for the differential hash check, not the
-    # operator: a global orderBy pays a range-sampling pass that
-    # RE-EXECUTES the aggregation subtree (measured +0.5 s at sf0.1);
-    # the single-partition sort skips it. At production scale neither
-    # belongs on a full-table result — drop the final sort or write
-    # range-partitioned output instead.
-    return out.coalesce(1).sortWithinPartitions("modem_name", "timestamp")
+    # operator: the upstream is narrow (fully parallel), so the single-
+    # partition sort at the end touches only the final short rows
+    # (repartition(1) keeps the map side parallel -- coalesce(1) would
+    # collapse the whole narrow pipeline into one task). At production
+    # scale drop the sort or write range-partitioned output instead.
+    return out.repartition(1).sortWithinPartitions("modem_name", "timestamp")
 
 
 # ---------------------------------------------------------------------------
@@ -502,25 +505,39 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Worst-SNR channel per scrape via row_number (deterministic
-    channel_id tiebreak)."""
+    """Worst-SNR channel per scrape — rank-1 with (snr, channel_id)
+    tiebreak.
+
+    ZERO-SHUFFLE form (the q07 identity): the ranking window's partition
+    key (modem_name, timestamp) is exactly one source row, so
+    ``row_number() == 1`` over the exploded channels is ``array_min`` of
+    (snr, channel_id) structs on the stored array — struct comparison IS
+    the (snr ASC, channel_id ASC) order — with no explode, no window
+    exchange, no partition sort. The general windowed spelling remains
+    the operator for keys spanning rows (q11/q15); measured 0.53 ->
+    ~0.25 s warm at sf0.1, and at 100 TB the removed exchange is the
+    whole corpus. size>0 guard = explode's drop-empty semantics."""
     d = load_tables(spark, sf_dir)["docsis"]
-    e = d.select(
-        "modem_name", "timestamp", F.explode("downstream_channels").alias("u")
-    ).select(
-        "modem_name",
-        "timestamp",
-        F.col("u.channel_id").alias("channel_id"),
-        F.col("u.snr").cast("double").alias("snr"),
-    )
-    w = W.partitionBy("modem_name", "timestamp").orderBy(
-        F.col("snr").asc(), F.col("channel_id").asc()
+    best = F.array_min(
+        F.transform(
+            "downstream_channels",
+            lambda u: F.struct(
+                u["snr"].cast("double").alias("snr"),
+                u["channel_id"].alias("channel_id"),
+            ),
+        )
     )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .orderBy("modem_name", "timestamp")
+        d.where(F.size("downstream_channels") > 0)
+        .select("modem_name", "timestamp", best.alias("b"))
+        .select(
+            "modem_name",
+            "timestamp",
+            F.col("b.channel_id").alias("channel_id"),
+            F.col("b.snr").alias("snr"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("modem_name", "timestamp")
     )
 
 
