@@ -109,6 +109,29 @@ def main() -> None:
             "hash-verified at sf0.01 by the correctness gate"
         ),
     }
+    # Floor classification (r06 verdict #4): some ratio rows measure
+    # machinery, not the analytic plan, and oracle jitter of milliseconds
+    # swings them 100s of x (q81 "went" 172x -> 550x on noise). Keyed out
+    # of the data-proportional map so the ratio signal isn't buried:
+    #   stream_setup  - real Structured Streaming queries; per-invocation
+    #                   cost is checkpoint/stream startup, throughput is
+    #                   what scales (q73/q84/q101/q116)
+    #   codec         - pure-Python reference codecs (JPEG/FLAC/AVI);
+    #                   the oracle reads pre-extracted metadata, the
+    #                   Spark side decodes actual bytes (q78/q80/q81)
+    #   sub_floor     - oracle under ORACLE_FLOOR_S: the comparison is
+    #                   Spark's fixed per-query overhead vs ~0, not plan
+    #                   vs plan (assigned dynamically below)
+    FLOOR_CLASS: dict[str, str] = {
+        "q73_stream_rollup": "stream_setup",
+        "q84_stream_stream_join": "stream_setup",
+        "q101_stream_dedup": "stream_setup",
+        "q116_stream_curation": "stream_setup",
+        "q78_jpeg_decode": "codec",
+        "q80_flac_decode": "codec",
+        "q81_video_decode": "codec",
+    }
+    ORACLE_FLOOR_S = 0.15
     oracle_times: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_ORACLE", "1") != "0":
         import duckdb
@@ -131,6 +154,25 @@ def main() -> None:
             con.execute(sql).fetchall()
             oracle_times[name] = round(time.perf_counter() - t0, 3)
             print(f"# oracle {name}: {oracle_times[name]:.3f}s", file=sys.stderr)
+
+    floor_class = dict(FLOOR_CLASS)
+    for n, t in oracle_times.items():
+        if n not in floor_class and t < ORACLE_FLOOR_S:
+            floor_class[n] = "sub_floor"
+    ratio_dp = {
+        n: round(per_query[n] / oracle_times[n], 2)
+        for n in oracle_times
+        if oracle_times[n] > 0 and n not in floor_class
+    }
+    ratio_floor = {
+        n: round(per_query[n] / oracle_times[n], 2)
+        for n in oracle_times
+        if oracle_times[n] > 0 and n in floor_class
+    }
+    dp_sorted = sorted(ratio_dp.values())
+    median_dp = (
+        round(dp_sorted[len(dp_sorted) // 2], 2) if dp_sorted else None
+    )
 
     load1_end = _load1()
     # load1_end includes this bench's own tail (one Spark JVM winding
@@ -158,6 +200,10 @@ def main() -> None:
                             for n in oracle_times
                             if oracle_times[n] > 0
                         },
+                        "ratio_data_proportional": ratio_dp,
+                        "ratio_floor": ratio_floor,
+                        "floor_class": floor_class,
+                        "median_ratio_data_proportional": median_dp,
                     }
                     if oracle_times
                     else {}

@@ -324,14 +324,18 @@ def with_repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
     - ``top_bigram_frac``: occurrences of the doc's most frequent word
       bigram / total bigrams (the MassiveText "top n-gram fraction") —
       ALSO per-row: sort the doc's bigram array and take the longest
-      equal run (run starts = positions whose bigram differs from the
-      predecessor; run lengths = gaps between consecutive starts). The
-      r06 explode + two-exchange spelling shuffled every bigram
-      occurrence of the corpus for a statistic whose group key is one
-      source row (the q07 identity) — measured 1.03 -> 0.72 s warm at
-      sf0.1, and at 100 TB the removed exchanges are the whole token
-      stream. zip_with (not transform+element_at) builds the bigrams:
-      measured 20% cheaper per element.
+      equal run via a single ``aggregate`` fold carrying
+      (prev, current_run, best_run) state. The r06 explode +
+      two-exchange spelling shuffled every bigram occurrence of the
+      corpus for a statistic whose group key is one source row (the
+      q07 identity); the fold replaces a filter-over-sequence +
+      element_at-probe spelling that materialized a position array per
+      doc (measured 0.58 -> 0.50 s warm at sf0.1 for the q98 frame;
+      the explode form was 1.03 s — and at 100 TB the removed
+      exchanges are the whole token stream). zip_with (not
+      transform+element_at) builds the bigrams: measured 20% cheaper
+      per element. String bigrams beat struct bigrams in the sort
+      (binary compare vs per-field; struct form measured 60% slower).
 
     Returns (id_col, dup_word_frac, top_bigram_frac) — narrow, zero
     shuffle; join back to the corpus on ``id_col``. Documents with
@@ -356,21 +360,22 @@ def with_repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
     )
     d = d.select(F.col(id_col), dup.alias("dup_word_frac"), F.array_sort(bgs).alias("srt"))
     n = F.size("srt")
-    # guarded sequence (sequence(1, 0) counts DOWN — the shingle_rows
-    # lesson); the i-1 probe is clamped to 1 because `|` does not
-    # short-circuit in vectorized eval and element_at(_, 0) raises
-    starts = F.filter(
-        F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda i: (i == 1)
-        | (
-            F.element_at("srt", i)
-            != F.element_at("srt", F.greatest(i - 1, F.lit(1)))
-        ),
+    # one-pass longest-equal-run fold over the sorted bigrams; the
+    # null-prev initial state never equals a bigram, so the first
+    # element always starts a run of 1
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).alias("c"),
+        F.lit(0).alias("b"),
     )
-    run_ends = F.concat(F.slice(starts, 2, F.size(starts)), F.array(n + 1))
-    best = F.array_max(F.zip_with(run_ends, starts, lambda e, s: e - s))
+
+    def _step(acc, x):
+        cur = F.when(x == acc["p"], acc["c"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("p"), cur.alias("c"), F.greatest(acc["b"], cur).alias("b")
+        )
+
+    best = F.aggregate("srt", state0, _step)["b"]
     top = F.when(
         n > 0,
         F.coalesce(F.try_divide(best.cast("double"), n.cast("double")), F.lit(0.0)),
