@@ -1652,3 +1652,105 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("snapshot", "event_type")
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Q122 manifest interop: a FOREIGN reader consumes a committed snapshot
+# ---------------------------------------------------------------------------
+@query(
+    "q122_manifest_interop",
+    oracle="""
+    WITH v0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(MIN(doc_id) AS BIGINT) AS min_id,
+             CAST(MAX(doc_id) AS BIGINT) AS max_id
+      FROM v0 GROUP BY lang
+    )
+    SELECT reader, lang, n_docs, total_chars, min_id, max_id
+    FROM per CROSS JOIN (VALUES ('duckdb_manifest'), ('engine')) AS r(reader)
+    ORDER BY reader, lang
+    """,
+    prepare=False,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-FORMAT INTEROP as a verified query (r06 verdict #6): the
+    manifest contract must be consumable by readers that are not this
+    engine, the way Delta/Iceberg manifests are. Two commits land
+    ``documents`` in a ManifestTable (v0: even doc_ids; v1 appends the
+    rest); then the SAME snapshot-0 aggregate is computed twice —
+
+    - ``engine``: ``ManifestTable.read(version=0)`` (the engine's own
+      snapshot read), and
+    - ``duckdb_manifest``: an in-process DuckDB connection handed
+      nothing but ``snapshot_files(0)`` — the manifest's public file
+      list — via ``read_parquet([...])``; no engine code touches the
+      bytes.
+
+    The driver's oracle recomputes the aggregate from the fixture's
+    commit predicate for BOTH reader labels, so the hash proves (a)
+    snapshot isolation (neither reader sees v1 rows) and (b) that a
+    foreign engine reproduces the engine's read bit-for-bit from the
+    manifest metadata alone — the q87/q94 differential pattern applied
+    to the table format itself.
+
+    Scale: the interop surface is a metadata file list — cost for any
+    reader is proportional to the snapshot's files; the verification
+    aggregate here is bounded (per-lang rollup collected once).
+
+    Reference parity: stands in for tables.sql:30,57's MergeTree
+    durability contract being readable by any ClickHouse-protocol
+    client, not just the writing server."""
+    import tempfile
+
+    import duckdb as _duckdb
+
+    from ..plans import ManifestTable
+
+    _cleanup_tmp("q122_interop_")
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="q122_interop_")
+    t = ManifestTable(f"{root}/docs")
+    t.append(docs.filter(F.col("doc_id") % 2 == 0).coalesce(1))
+    t.append(docs.filter(F.col("doc_id") % 2 != 0).coalesce(1))
+
+    # engine-side snapshot read
+    eng = (
+        t.read(spark, version=0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .select(F.lit("engine").alias("reader"), "lang", "n_docs", "total_chars", "min_id", "max_id")
+    )
+
+    # foreign-reader snapshot read: DuckDB sees only the manifest's
+    # version-0 file list (absolute parquet paths), never the engine
+    files = t.snapshot_files(0)
+    con = _duckdb.connect()
+    try:
+        flist = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+        rows = con.execute(
+            f"""
+            SELECT 'duckdb_manifest' AS reader, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_id
+            FROM read_parquet([{flist}])
+            GROUP BY lang
+            """
+        ).fetchall()
+    finally:
+        con.close()
+    foreign = spark.createDataFrame(rows, schema=eng.schema)
+
+    out = foreign.unionAll(eng).orderBy("reader", "lang")
+    return spark.createDataFrame(out.collect(), out.schema)

@@ -608,3 +608,31 @@ class TestZorderCompact:
         assert len(t.prune_files([("b", "<", 32)])) < 8
         # and results are intact
         assert t.read(spark).count() == 256
+
+
+class TestForeignReaderInterop:
+    def test_duckdb_reads_snapshot_by_version(self, spark, tmp_path):
+        """The manifest contract is consumable OUTSIDE the engine: a
+        DuckDB connection handed only snapshot_files(v) reproduces the
+        engine's versioned read exactly — including snapshot isolation
+        (v0's list never surfaces later appends). The q122 pattern."""
+        import duckdb
+
+        t = ManifestTable(str(tmp_path / "t"))
+        v0 = t.append(_df(spark, 0, 5))
+        t.append(_df(spark, 5, 9))
+
+        con = duckdb.connect()
+        try:
+            for version, expect in ((v0, list(range(5))), (1, list(range(9)))):
+                files = t.snapshot_files(version)
+                flist = ", ".join(f"'{f}'" for f in files)
+                got = sorted(
+                    r[0]
+                    for r in con.execute(
+                        f"SELECT k FROM read_parquet([{flist}])"
+                    ).fetchall()
+                )
+                assert got == expect == _keys(t.read(spark, version=version))
+        finally:
+            con.close()
