@@ -20,7 +20,7 @@ from ..operators import bpe, classifier, dedup, lm, sampling, similarity, text
 from ..operators.multimodal import with_payload
 from ..tables import load_tables
 from . import query
-from .relational import round4, round6
+from .relational import round4, round6, vsort
 
 # ---------------------------------------------------------------------------
 # duplicated corpora (used by Spark + oracle identically)
@@ -1318,9 +1318,13 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.embedding_neardup(
         vecs, threshold=0.95, id_col="doc_id", vec_col="e"
     )
-    return out.select(
-        "id_a", "id_b", round4(F.col("cosine_sim")).alias("cosine_sim")
-    ).orderBy("id_a", "id_b")
+    return vsort(
+        out.select(
+            "id_a", "id_b", round4(F.col("cosine_sim")).alias("cosine_sim")
+        ),
+        "id_a",
+        "id_b",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1840,15 +1844,14 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with at least one duplicated span."""
     docs = load_tables(spark, sf_dir)["documents"]
     stats = dedup.dup_span_stats(_neardup_corpus(docs), span_n=8)
-    return (
-        stats.filter(F.col("n_dup_spans") > 0)
-        .select(
+    return vsort(
+        stats.filter(F.col("n_dup_spans") > 0).select(
             F.col("id").alias("doc_id"),
             "n_spans",
             "n_dup_spans",
             round4(F.col("dup_frac")).alias("dup_frac"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1911,12 +1914,15 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin, never a collected scalar."""
     docs = load_tables(spark, sf_dir)["documents"]
     s = lm.bigram_lm_scores(docs)
-    return s.select(
-        F.col("id").alias("doc_id"),
-        "n_bigrams",
-        round4(F.col("avg_p")).alias("avg_p"),
-        round4(F.col("min_p")).alias("min_p"),
-    ).orderBy("doc_id")
+    return vsort(
+        s.select(
+            F.col("id").alias("doc_id"),
+            "n_bigrams",
+            round4(F.col("avg_p")).alias("avg_p"),
+            round4(F.col("min_p")).alias("min_p"),
+        ),
+        "doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1991,11 +1997,14 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w, bias = classifier.logreg_zero_init_step(feat, labels)
     m = classifier.linear_margins(feat, w, bias)
-    return m.select(
-        F.col("id").alias("doc_id"),
-        round4(F.col("margin")).alias("margin"),
-        (F.col("margin") > 0).alias("pred"),
-    ).orderBy("doc_id")
+    return vsort(
+        m.select(
+            F.col("id").alias("doc_id"),
+            round4(F.col("margin")).alias("margin"),
+            (F.col("margin") > 0).alias("pred"),
+        ),
+        "doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2115,12 +2124,15 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = lm.dsir_weights(
         docs.withColumn("is_en", F.col("lang") == "en"), target_col="is_en"
     )
-    return s.select(
-        F.col("id").alias("doc_id"),
-        "n_bigrams",
-        round4(F.col("p_target")).alias("p_target"),
-        round4(F.col("p_source")).alias("p_source"),
-    ).orderBy("doc_id")
+    return vsort(
+        s.select(
+            F.col("id").alias("doc_id"),
+            "n_bigrams",
+            round4(F.col("p_target")).alias("p_target"),
+            round4(F.col("p_source")).alias("p_source"),
+        ),
+        "doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------

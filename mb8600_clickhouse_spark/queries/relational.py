@@ -41,6 +41,19 @@ def round6(c: Column) -> Column:
     return c.cast(T.DecimalType(38, 6)).cast("double")
 
 
+def vsort(df: DataFrame, *cols) -> DataFrame:
+    """Verification total order for a SMALL final result: repartition(1)
+    + sortWithinPartitions. A global ``orderBy`` pays a range-sampling
+    job that RE-EXECUTES the sort's child plan (for a narrow child, the
+    whole subtree — measured +0.58 s on q98's HOF chain at sf0.1) plus a
+    range exchange; the single-partition sort touches only the final
+    short rows and keeps every upstream stage parallel (repartition, not
+    coalesce — coalesce(1) would collapse the narrow upstream into one
+    task). Verification-only: at production scale drop the sort or write
+    range-partitioned output."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def dsum4(c: Column) -> Column:
     """Order-independent exact sum of a double column -> double.
 
