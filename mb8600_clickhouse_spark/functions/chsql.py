@@ -461,20 +461,117 @@ def _rewrite_global_and_format(sql: str) -> str:
         ]
         if wf:
             raise ChSqlError(
-                f"{wf[0].group(0)!r}: ORDER BY ... WITH FILL [INTERPOLATE] has no "
-                "SQL rewrite here; use operators/timeseries.fill_gaps / "
-                "interpolate_linear (declared as q66/q67)"
+                f"{wf[0].group(0)!r}: ORDER BY ... WITH FILL [INTERPOLATE] needs "
+                "schema analysis (type defaults for filled rows) — run the "
+                "statement through chsql.ch_sql(spark, sql) instead of the "
+                "string rewriter, or use operators/timeseries.fill_gaps / "
+                "interpolate_linear directly (declared as q66/q67)"
             )
-    rd = _top_level_matches(
-        sql, r"\b(?:neighbor|runningDifference|runningAccumulate)\s*\("
-    )
+    rd = _top_level_matches(sql, r"\brunningAccumulate\s*\(")
     if rd:
         raise ChSqlError(
-            f"{rd[0].group(0).rstrip('(').strip()!r}: block-order-dependent "
-            "(non-deterministic in ClickHouse, deprecated upstream); spell it "
-            "as a window function — lag()/lead()/sum() OVER (ORDER BY ...)"
+            "'runningAccumulate': depends on ClickHouse aggregate-state "
+            "internals and block order; spell it as sum()/... OVER "
+            "(ORDER BY ... ROWS UNBOUNDED PRECEDING)"
         )
     return sql
+
+
+def _rewrite_running(sql: str) -> str:
+    """``runningDifference(x)`` and ``neighbor(x, off, default)`` mapped
+    to deterministic window spellings (r06 verdict #8 — the last
+    dialect-bridge gaps a migrating dashboard hits).
+
+    ClickHouse computes both over BLOCK order, which its own docs call
+    non-deterministic (the family is deprecated upstream in favor of
+    window functions). The only deterministic reading is the
+    statement's OWN top-level ``ORDER BY``, so the rewrite anchors
+    there and REQUIRES one:
+
+    - ``runningDifference(x)`` -> ``coalesce((x) - lag(x) OVER (ORDER
+      BY ...), 0)`` — first row 0, matching CH for the numeric columns
+      the function is defined on (CH date/datetime day/second variants
+      are not bridged).
+    - ``neighbor(x, off, dflt)`` -> ``lead``/``lag(x, |off|, dflt)
+      OVER (ORDER BY ...)``; ``off`` must be an integer literal (so the
+      lag/lead direction is static). The 2-argument form rejects
+      loudly: CH falls back to the column's TYPE default, which a
+      string rewriter cannot know — callers pass it explicitly.
+    """
+    pat = r"\b(neighbor|runningDifference)\s*\("
+    if not _first_match(sql, pat):
+        return sql
+    obs = _top_level_matches(sql, r"\bORDER\s+BY\b")
+    if not obs:
+        raise ChSqlError(
+            "neighbor()/runningDifference() need a deterministic total "
+            "order: add a top-level ORDER BY (ClickHouse block order is "
+            "non-deterministic; the rewrite anchors its window there)"
+        )
+    ob = obs[-1]
+    ends = [
+        m.start()
+        for m in _top_level_matches(sql, r"\bLIMIT\b|\bSETTINGS\b")
+        if m.start() > ob.end()
+    ]
+    obtxt = sql[ob.start() : min(ends) if ends else len(sql)].strip()
+    if _first_match(obtxt, pat):
+        raise ChSqlError(
+            "neighbor()/runningDifference() inside ORDER BY itself has no "
+            "deterministic anchor; order by the underlying expression"
+        )
+    # Spark rejects lateral (select-list) alias references inside a
+    # window's ORDER BY — inline `expr AS alias` bindings from the
+    # statement's own select list into the anchor text
+    sel = _first_match(sql, r"\bSELECT\b(?:\s+DISTINCT\b)?")
+    frm_kw = _top_level_matches(sql, r"\bFROM\b")
+    if sel and frm_kw:
+        for item in _split_top_commas(sql[sel.end() : frm_kw[0].start()]):
+            am = re.fullmatch(
+                r"(?s)\s*(?P<expr>.+?)\s+AS\s+(`?)(?P<alias>\w+)\2\s*", item
+            )
+            if am and not _first_match(am.group("expr"), pat):
+                obtxt = re.sub(
+                    rf"(?<![\w.`]){re.escape(am.group('alias'))}\b",
+                    lambda _m, e=am.group("expr"): f"({e})",
+                    obtxt,
+                )
+    over = f"OVER ({obtxt})"
+    while True:
+        m = _first_match(sql, pat)
+        if not m:
+            return sql
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+        if m.group(1) == "runningDifference":
+            if len(args) != 1:
+                raise ChSqlError("runningDifference takes exactly one argument")
+            x = args[0]
+            repl = f"coalesce(({x}) - lag({x}) {over}, 0)"
+        else:
+            if len(args) == 2:
+                raise ChSqlError(
+                    "neighbor(x, off) without an explicit default: ClickHouse "
+                    "falls back to the column's TYPE default, which the "
+                    "rewriter cannot know — pass the third argument"
+                )
+            if len(args) != 3:
+                raise ChSqlError("neighbor takes (x, offset, default)")
+            x, off, dflt = args
+            if not re.fullmatch(r"[+-]?\d+", off):
+                raise ChSqlError(
+                    "neighbor offset must be an integer literal (the lag/lead "
+                    "direction must be static)"
+                )
+            n = int(off)
+            if n == 0:
+                repl = f"({x})"
+            elif n > 0:
+                repl = f"lead({x}, {n}, {dflt}) {over}"
+            else:
+                repl = f"lag({x}, {-n}, {dflt}) {over}"
+        sql = sql[: m.start()] + repl + sql[c + 1 :]
 
 
 def _replace_ident(sql: str, name: str, repl: str) -> str:
@@ -1135,6 +1232,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
     sql = _rewrite_global_and_format(sql)
+    sql = _rewrite_running(sql)
     sql = _rewrite_prewhere_settings(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_sample(sql, sample_by)
@@ -1145,3 +1243,216 @@ def rewrite_clickhouse_sql(
     for token, body in blocks.items():
         sql = sql.replace(f"({token})", f"({body})")
     return sql
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ... WITH FILL — the session-aware front door (round 7)
+# ---------------------------------------------------------------------------
+_WF_TAIL = re.compile(
+    r"\bWITH\s+FILL\b"
+    r"(?:\s+FROM\s+(?P<frm>.+?))?"
+    r"(?:\s+TO\s+(?P<to>.+?))?"
+    r"(?:\s+STEP\s+(?P<step>.+?))?"
+    r"(?:\s+INTERPOLATE\s*(?P<interp>\(.*\))?)?"
+    r"\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _extract_with_fill(sql: str):
+    """Parse a top-level ``ORDER BY <key> [ASC|DESC] WITH FILL [FROM ..]
+    [TO ..] [STEP ..] [INTERPOLATE (..)]`` tail. Returns None when the
+    statement has no top-level WITH FILL, else ``(inner_sql, spec)``
+    where ``inner_sql`` keeps the plain ORDER BY and ``spec`` carries
+    key text, direction, from/to/step literals and interpolate columns.
+
+    Restrictions (reject loudly, never silently approximate): single
+    fill key; no LIMIT after the fill (ClickHouse applies LIMIT to the
+    FILLED result and the composition is rarely what a dashboard
+    means); INTERPOLATE only in the identity / bare form (arbitrary
+    previous-row expressions are not bridged)."""
+    obs = _top_level_matches(sql, r"\bORDER\s+BY\b")
+    if not obs:
+        return None
+    ob = obs[-1]
+    wfs = [
+        m
+        for m in _top_level_matches(sql, r"\bWITH\s+FILL\b")
+        if m.start() > ob.end()
+    ]
+    if not wfs:
+        return None
+    if len(wfs) > 1:
+        raise ChSqlError(
+            "multiple WITH FILL keys are not bridged — fill one axis"
+        )
+    lim = [
+        m
+        for m in _top_level_matches(sql, r"\bLIMIT\b|\bSETTINGS\b")
+        if m.start() > ob.end()
+    ]
+    if lim:
+        raise ChSqlError(
+            "LIMIT/SETTINGS after ORDER BY ... WITH FILL is not bridged "
+            "(ClickHouse limits the FILLED result; apply the limit to the "
+            "returned DataFrame instead)"
+        )
+    tail = sql[wfs[0].start() :]
+    m = _WF_TAIL.match(tail)
+    if not m:
+        raise ChSqlError(f"unparseable WITH FILL tail: {tail!r}")
+    keyseg = sql[ob.end() : wfs[0].start()].strip()
+    if len(_split_top_commas(keyseg)) != 1:
+        raise ChSqlError(
+            "WITH FILL over a multi-key ORDER BY is not bridged — fill the "
+            "single series axis and sort the rest upstream"
+        )
+    dm = re.fullmatch(r"(?P<key>.+?)\s+(?P<dir>ASC|DESC)", keyseg, re.IGNORECASE)
+    key, desc = (
+        (dm.group("key"), dm.group("dir").upper() == "DESC")
+        if dm
+        else (keyseg, False)
+    )
+    interp = m.group("interp")
+    interp_cols: list[str] | None
+    if re.search(r"\bINTERPOLATE\b", tail, re.IGNORECASE):
+        if interp is None:
+            interp_cols = ["*"]  # bare INTERPOLATE: carry all non-key cols
+        else:
+            cols = []
+            for item in _split_top_commas(interp.strip()[1:-1]):
+                im = re.fullmatch(
+                    r"\s*(`?)(\w+)\1(?:\s+AS\s+(.+?))?\s*",
+                    item,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise ChSqlError(f"unparseable INTERPOLATE item {item!r}")
+                name, expr = im.group(2), im.group(3)
+                if expr is not None and expr.strip().strip("`") != name:
+                    raise ChSqlError(
+                        f"INTERPOLATE ({item.strip()}): only the identity "
+                        "(carry-previous-value) form is bridged; compute "
+                        "derived fills on the returned DataFrame"
+                    )
+                cols.append(name)
+            interp_cols = cols
+    else:
+        interp_cols = None
+    inner = sql[: ob.end()] + " " + keyseg
+    return inner, {
+        "key": key.strip().strip("`"),
+        "desc": desc,
+        "from": (m.group("frm") or "").strip() or None,
+        "to": (m.group("to") or "").strip() or None,
+        "step": (m.group("step") or "").strip() or None,
+        "interpolate": interp_cols,
+    }
+
+
+def _apply_with_fill(spark, src, spec):
+    """Materialize ClickHouse WITH FILL semantics over ``src``: every
+    source row is retained; grid points of ``sequence(FROM|min(key),
+    TO|max(key), STEP)`` absent from the source are inserted with
+    ClickHouse TYPE DEFAULTS for the other columns (0 for numerics, ''
+    for strings, false for booleans — NULL for types whose CH default,
+    e.g. epoch dates, would be a silent lie) and, for INTERPOLATE
+    columns, the previous source row's value carried forward.
+
+    Scale: the fill axis is ONE dashboard series (CH semantics), so the
+    bounds aggregate is a 2-scalar collect, the grid is a generated
+    column, and only the INTERPOLATE path needs a total-order window —
+    partition multi-series frames upstream, as in CH."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    key = spec["key"]
+    if key not in src.columns:
+        raise ChSqlError(
+            f"WITH FILL key {key!r} must be a named output column of the "
+            f"SELECT (have: {src.columns})"
+        )
+    ktype = src.schema[key].dataType
+    if spec["from"] is None or spec["to"] is None:
+        row = src.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        if row["lo"] is None:
+            return src  # empty source: CH fills nothing without FROM/TO
+        lo, hi = F.lit(row["lo"]), F.lit(row["hi"])
+    frm = F.expr(spec["from"]) if spec["from"] else (hi if spec["desc"] else lo)
+    to = F.expr(spec["to"]) if spec["to"] else (lo if spec["desc"] else hi)
+    # CH STEP is a positive magnitude; a DESC fill walks downward
+    step_txt = (
+        ("-(" + spec["step"] + ")")
+        if (spec["desc"] and spec["step"])
+        else (spec["step"] or ("-1" if spec["desc"] else "1"))
+    )
+    step = F.expr(step_txt)
+    grid = spark.range(1).select(
+        F.explode(F.sequence(frm.cast(ktype), to.cast(ktype), step)).alias(key)
+    )
+    if spec["to"]:  # CH's TO bound is exclusive; sequence() is inclusive
+        cmp = F.col(key) > F.expr(spec["to"]) if spec["desc"] else F.col(
+            key
+        ) < F.expr(spec["to"])
+        grid = grid.where(cmp)
+
+    interp = spec["interpolate"]
+    if interp == ["*"]:
+        interp = [c for c in src.columns if c != key]
+    interp = interp or []
+
+    def _default(f):
+        if f.name in interp:
+            return F.lit(None).cast(f.dataType)
+        if isinstance(f.dataType, T.BooleanType):
+            return F.lit(False)
+        if isinstance(f.dataType, T.StringType):
+            return F.lit("")
+        if isinstance(f.dataType, T.NumericType):
+            return F.lit(0).cast(f.dataType)
+        return F.lit(None).cast(f.dataType)
+
+    missing = grid.join(
+        src.select(key).where(F.col(key).isNotNull()).distinct(),
+        key,
+        "left_anti",
+    )
+    filled = missing.select(
+        F.col(key),
+        *[_default(f).alias(f.name) for f in src.schema.fields if f.name != key],
+    )
+    out = src.withColumn("__wf_fill", F.lit(False)).unionByName(
+        filled.withColumn("__wf_fill", F.lit(True))
+    )
+    order = F.col(key).desc() if spec["desc"] else F.col(key).asc()
+    if interp:
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+        for c in interp:
+            out = out.withColumn(
+                c,
+                F.when(
+                    F.col("__wf_fill"),
+                    F.last(
+                        F.when(~F.col("__wf_fill"), F.col(c)), ignorenulls=True
+                    ).over(w),
+                ).otherwise(F.col(c)),
+            )
+    return out.drop("__wf_fill").orderBy(order)
+
+
+def ch_sql(spark, sql: str, final_tables: dict | None = None,
+           sample_by: dict | None = None):
+    """Execute a ClickHouse-dialect SELECT on Spark: the string rewrite
+    (``rewrite_clickhouse_sql``) plus the forms that need a session —
+    today ``ORDER BY ... WITH FILL [INTERPOLATE]``, whose inserted rows
+    take per-column TYPE defaults that only schema analysis can supply.
+    Returns a DataFrame."""
+    ext = _extract_with_fill(sql)
+    if ext is None:
+        return spark.sql(rewrite_clickhouse_sql(sql, final_tables, sample_by))
+    inner, spec = ext
+    src = spark.sql(rewrite_clickhouse_sql(inner, final_tables, sample_by))
+    return _apply_with_fill(spark, src, spec)

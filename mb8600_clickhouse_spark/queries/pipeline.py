@@ -1754,3 +1754,109 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = foreign.unionAll(eng).orderBy("reader", "lang")
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Q123 ORDER BY ... WITH FILL through the session-aware dialect bridge
+# ---------------------------------------------------------------------------
+_Q123_CLICKHOUSE_SQL = """
+    SELECT intDiv(event_id, 500) AS bucket,
+           count() AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    WHERE event_type = 'error' AND user_id % 19 = 3
+    GROUP BY bucket
+    ORDER BY bucket WITH FILL FROM 0 TO 250 STEP 1
+"""
+
+
+@query(
+    "q123_with_fill",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id // 500 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events
+      WHERE event_type = 'error' AND user_id % 19 = 3
+      GROUP BY 1
+    ),
+    grid AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 250))
+    SELECT g.bucket,
+           COALESCE(s.n, 0) AS n,
+           COALESCE(s.total, 0.0) AS total
+    FROM grid g LEFT JOIN src s USING (bucket)
+    ORDER BY bucket
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ... WITH FILL`` running end-to-end (r06 verdict #8 —
+    the last dashboard-dialect gap): a sparse per-bucket error-rate
+    series is zero-filled onto the [0, 250) grid by
+    ``chsql.ch_sql`` — the session-aware front door that knows the
+    SELECT's output schema and can therefore insert ClickHouse TYPE
+    defaults (0 for the count and the decimal-snapped double) rather
+    than NULLs. The oracle recomputes the fill as grid LEFT JOIN +
+    COALESCE, so the hash pins grid bounds (TO exclusive), step
+    arithmetic, retained-source-row semantics, and the per-type
+    defaults at once.
+
+    Scale: the fill grid is a generated column (no data shuffle) and
+    the anti-join keys are the series axis — fill cost is O(grid +
+    series), independent of the event stream behind the aggregate."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q123_CLICKHOUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q124 neighbor / runningDifference through the window-anchor rewrite
+# ---------------------------------------------------------------------------
+_Q124_CLICKHOUSE_SQL = """
+    SELECT bucket, n,
+           runningDifference(n) AS dn,
+           neighbor(n, -1, 0) AS prev_n,
+           neighbor(n, 2, -1) AS n2
+    FROM (SELECT intDiv(event_id, 500) AS bucket, count() AS n
+          FROM events WHERE event_type = 'click' GROUP BY bucket)
+    ORDER BY bucket
+"""
+
+
+@query(
+    "q124_running_neighbor",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id // 500 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT bucket, n,
+           COALESCE(n - lag(n) OVER (ORDER BY bucket), 0) AS dn,
+           COALESCE(lag(n) OVER (ORDER BY bucket), 0) AS prev_n,
+           COALESCE(lead(n, 2) OVER (ORDER BY bucket), -1) AS n2
+    FROM src ORDER BY bucket
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's deprecated block-order family running DETERMINISTIC
+    (r06 verdict #8): ``runningDifference`` and both ``neighbor``
+    directions in one dashboard statement, rewritten by
+    ``chsql._rewrite_running`` onto windows anchored to the statement's
+    own top-level ORDER BY — the only reading of CH block order that is
+    reproducible at all. The oracle spells the same query with explicit
+    lag/lead windows; the hash pins the anchor choice, the
+    first-row-0 contract, and the explicit-default neighbor mapping.
+
+    Scale: one window over the aggregated series (not the raw stream);
+    the rewrite itself is textual and type-blind — the 2-arg neighbor
+    form (CH type-default fallback) rejects loudly instead of guessing."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q124_CLICKHOUSE_SQL)

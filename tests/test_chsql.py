@@ -772,16 +772,26 @@ class TestKnownUnsupportedReject:
                 "SELECT ts, v FROM events ORDER BY ts WITH FILL INTERPOLATE (v)"
             )
 
-    def test_neighbor_family_rejected(self):
-        for fn in ("neighbor(v, -1)", "runningDifference(v)", "runningAccumulate(st)"):
-            with pytest.raises(ChSqlError, match="window function"):
+    def test_running_family_without_anchor_rejected(self):
+        # round 7: neighbor/runningDifference are BRIDGED when the
+        # statement has an ORDER BY anchor (TestRunningNeighborBridge);
+        # without one they still reject, as does runningAccumulate always
+        for fn, msg in (
+            ("neighbor(v, -1, 0)", "deterministic total order"),
+            ("runningDifference(v)", "deterministic total order"),
+            ("runningAccumulate(st)", "runningAccumulate"),
+        ):
+            with pytest.raises(ChSqlError, match=msg):
                 rw(f"SELECT {fn} FROM events")
 
-    def test_inside_subquery_also_rejected(self):
-        with pytest.raises(ChSqlError, match="window function"):
-            rw(
-                "SELECT * FROM (SELECT runningDifference(v) AS d FROM events) t"
-            )
+    def test_inside_subquery_also_anchored(self):
+        # a subquery with its own ORDER BY anchors at its own level
+        out = rw(
+            "SELECT * FROM (SELECT runningDifference(v) AS d FROM events ORDER BY v) t"
+        )
+        assert "lag(v) OVER (ORDER BY v)" in out
+        with pytest.raises(ChSqlError, match="deterministic total order"):
+            rw("SELECT * FROM (SELECT runningDifference(v) AS d FROM events) t")
 
     def test_identifier_named_interpolate_ok(self):
         # only the call/clause forms reject; a column named like it is fine
@@ -850,3 +860,125 @@ class TestFillRejectionScope:
         # only the call form INTERPOLATE( rejects, not the identifier
         assert rw("SELECT interpolate FROM t ORDER BY interpolate") \
             == "SELECT interpolate FROM t ORDER BY interpolate"
+
+
+class TestRunningNeighborBridge:
+    """runningDifference/neighbor -> windows anchored on the statement's
+    own top-level ORDER BY (round 7; q124 is the oracle-verified twin)."""
+
+    def test_running_difference_rewrite(self):
+        out = rw("SELECT b, runningDifference(n) AS d FROM t ORDER BY b")
+        assert "coalesce((n) - lag(n) OVER (ORDER BY b), 0)" in out
+
+    def test_neighbor_directions(self):
+        out = rw("SELECT neighbor(n, -2, 0) AS p, neighbor(n, 3, -1) AS q FROM t ORDER BY b DESC")
+        assert "lag(n, 2, 0) OVER (ORDER BY b DESC)" in out
+        assert "lead(n, 3, -1) OVER (ORDER BY b DESC)" in out
+
+    def test_neighbor_zero_offset_is_identity(self):
+        assert "(n)" in rw("SELECT neighbor(n, 0, 7) FROM t ORDER BY b")
+
+    def test_select_alias_inlined_into_anchor(self, spark):
+        out = rw(
+            "SELECT id + 1 AS k, runningDifference(id) AS d "
+            "FROM range(3) ORDER BY k"
+        )
+        # the window may not reference the lateral alias k
+        assert "OVER (ORDER BY (id + 1))" in out
+        got = [r["d"] for r in spark.sql(out).collect()]
+        assert got == [0, 1, 1]
+
+    def test_no_order_by_rejects(self):
+        with pytest.raises(ChSqlError, match="deterministic total order"):
+            rw("SELECT runningDifference(n) FROM t")
+
+    def test_two_arg_neighbor_rejects(self):
+        with pytest.raises(ChSqlError, match="TYPE default"):
+            rw("SELECT neighbor(n, 1) FROM t ORDER BY n")
+
+    def test_non_literal_offset_rejects(self):
+        with pytest.raises(ChSqlError, match="integer literal"):
+            rw("SELECT neighbor(n, k, 0) FROM t ORDER BY n")
+
+    def test_running_accumulate_still_rejects(self):
+        with pytest.raises(ChSqlError, match="runningAccumulate"):
+            rw("SELECT runningAccumulate(s) FROM t ORDER BY n")
+
+    def test_limit_not_in_anchor(self):
+        out = rw("SELECT runningDifference(n) FROM t ORDER BY n LIMIT 5")
+        assert "OVER (ORDER BY n)" in out and out.rstrip().endswith("LIMIT 5")
+
+
+class TestWithFillBridge:
+    """ch_sql's schema-aware ORDER BY ... WITH FILL (round 7; q123 is
+    the oracle-verified twin)."""
+
+    @pytest.fixture()
+    def src_view(self, spark):
+        spark.range(0, 10).selectExpr(
+            "id", "id * 2 AS v", "concat('s', id) AS s"
+        ).where("id % 3 != 1").createOrReplaceTempView("wf_t")
+
+    def test_fill_type_defaults(self, spark, src_view):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        df = ch_sql(
+            spark,
+            "SELECT id AS k, sum(v) AS total, max(s) AS tag FROM wf_t "
+            "GROUP BY k ORDER BY k WITH FILL FROM 0 TO 12 STEP 1",
+        )
+        rows = {r["k"]: r for r in df.collect()}
+        assert sorted(rows) == list(range(12))  # TO is exclusive
+        assert rows[1]["total"] == 0 and rows[1]["tag"] == ""  # type defaults
+        assert rows[2]["total"] == 4 and rows[2]["tag"] == "s2"
+
+    def test_fill_bounds_default_to_min_max(self, spark, src_view):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        df = ch_sql(
+            spark,
+            "SELECT id AS k, sum(v) AS total FROM wf_t GROUP BY k "
+            "ORDER BY k WITH FILL",
+        )
+        assert [r["k"] for r in df.collect()] == list(range(10))
+
+    def test_interpolate_carries_previous_source_value(self, spark, src_view):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        df = ch_sql(
+            spark,
+            "SELECT id AS k, sum(v) AS total FROM wf_t GROUP BY k "
+            "ORDER BY k WITH FILL INTERPOLATE (total)",
+        )
+        rows = {r["k"]: r["total"] for r in df.collect()}
+        assert rows[4] == 6 and rows[7] == 12  # carried from k=3 / k=6
+
+    def test_desc_fill(self, spark, src_view):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        df = ch_sql(
+            spark,
+            "SELECT id AS k, sum(v) AS total FROM wf_t GROUP BY k "
+            "ORDER BY k DESC WITH FILL STEP 1",
+        )
+        assert [r["k"] for r in df.collect()] == list(range(9, -1, -1))
+
+    def test_limit_after_fill_rejects(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        with pytest.raises(ChSqlError, match="LIMIT"):
+            ch_sql(spark, "SELECT 1 AS k ORDER BY k WITH FILL LIMIT 3")
+
+    def test_derived_interpolate_rejects(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        with pytest.raises(ChSqlError, match="identity"):
+            ch_sql(
+                spark,
+                "SELECT 1 AS k, 2 AS v ORDER BY k "
+                "WITH FILL INTERPOLATE (v AS v + 1)",
+            )
+
+    def test_string_rewriter_still_rejects_with_pointer(self):
+        with pytest.raises(ChSqlError, match="ch_sql"):
+            rw("SELECT 1 AS k ORDER BY k WITH FILL")
