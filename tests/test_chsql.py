@@ -982,3 +982,22 @@ class TestWithFillBridge:
     def test_string_rewriter_still_rejects_with_pointer(self):
         with pytest.raises(ChSqlError, match="ch_sql"):
             rw("SELECT 1 AS k ORDER BY k WITH FILL")
+
+    def test_timestamp_axis_interval_step(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.sql(
+            "SELECT * FROM VALUES"
+            " (timestamp'2026-01-01 00:00:00', 1.0),"
+            " (timestamp'2026-01-01 03:00:00', 2.0),"
+            " (timestamp'2026-01-01 05:00:00', 3.0) AS t(h, v)"
+        ).createOrReplaceTempView("wf_ts")
+        df = ch_sql(
+            spark,
+            "SELECT h, sum(v) AS total FROM wf_ts GROUP BY h "
+            "ORDER BY h WITH FILL STEP INTERVAL 1 HOUR",
+        )
+        got = [(str(r["h"]), r["total"]) for r in df.collect()]
+        assert len(got) == 6  # hourly grid 00..05
+        assert got[1] == ("2026-01-01 01:00:00", 0.0)
+        assert got[3] == ("2026-01-01 03:00:00", 2.0)
