@@ -690,3 +690,59 @@ def quantize_int8(v: Column, scale: Column) -> Column:
 
 def dequantize(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def semdedup(
+    assigned: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "id",
+    vec_col: str = "v",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding
+    clustering — candidate pairs exist ONLY within a k-means cell, so
+    the quadratic pair step is bounded by the largest cell, never the
+    corpus (the paper's entire scaling argument). This is the
+    deterministic keep-lowest-id variant: a vector is dropped iff some
+    SAME-CELL vector with a smaller id has cosine >= ``threshold``
+    (the paper keeps one representative per epsilon-neighborhood; the
+    lowest-id rule makes the kept set replay-stable and
+    oracle-expressible, the q33/q40 retention discipline).
+
+    Input is an assignment frame (id, vector, cell) — e.g.
+    ``ivf_assign_pandas`` over ``kmeans_fit`` centroids. Returns
+    (id_col, cell_col, kept).
+
+    Scale shape: one self-join on the cell key with vectors CARRIED
+    through (payload-carrying, no re-fetch join-backs — the q49 rule);
+    map-side the id inequality halves the pair stream; AQE can split a
+    skewed cell's probe side. Levers: k (cell granularity — the n^2
+    bound), ``threshold``. The kept flag derives from a distinct on the
+    dropped side, never a window over the pair stream."""
+    a = assigned.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    drops = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, cell_col)
+        .join(drops, id_col, "left")
+        .select(
+            id_col,
+            cell_col,
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

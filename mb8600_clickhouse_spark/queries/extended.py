@@ -16,7 +16,7 @@ from ..operators import text as text_ops
 from ..operators.asof import asof_join
 from ..tables import load_tables
 from . import query
-from .relational import dsum4, round4
+from .relational import dsum4, round4, vsort
 
 
 # ---------------------------------------------------------------------------
@@ -1360,4 +1360,99 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("p50")).alias("p50"),
         round4(F.col("p90")).alias("p90"),
         round4(F.col("skew_ratio")).alias("skew_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q125 SemDeDup — semantic (embedding-cluster) deduplication (round 7)
+# ---------------------------------------------------------------------------
+@query(
+    "q125_semdedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 200000 AS vec_id, e FROM base WHERE vec_id % 9 = 0
+    ),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    a1p AS (
+      SELECT v.vec_id, v.e, i.cell,
+             {_Q83_COS.format(a='v.e', b='i.c')} AS cos1
+      FROM v CROSS JOIN init i
+    ),
+    a1 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos1 DESC, cell
+        ) AS rn FROM a1p
+      ) WHERE rn = 1
+    ),
+    u AS (
+      SELECT cell, gs.j, avg(e[gs.j]) AS m
+      FROM a1 CROSS JOIN generate_series(1, 64) gs(j)
+      GROUP BY cell, gs.j
+    ),
+    newc AS (SELECT cell, list(m ORDER BY j) AS c FROM u GROUP BY cell),
+    cents AS (
+      SELECT i.cell, COALESCE(n.c, i.c) AS c
+      FROM init i LEFT JOIN newc n USING (cell)
+    ),
+    a2p AS (
+      SELECT v.vec_id, v.e, ct.cell,
+             {_Q83_COS.format(a='v.e', b='ct.c')} AS cos_raw
+      FROM v CROSS JOIN cents ct
+    ),
+    a2 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_raw DESC, cell
+        ) AS rn FROM a2p
+      ) WHERE rn = 1
+    ),
+    drops AS (
+      SELECT DISTINCT y.vec_id
+      FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {_Q83_COS.format(a='x.e', b='y.e')} >= 0.99
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM a2 a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """,
+    prepare=False,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: exact-duplicate vectors
+    are planted under high ids (vec_id % 9 = 0 -> +200000), the corpus
+    is clustered by the q83 one-Lloyd spherical k-means (deterministic
+    lowest-id init, k=8), and ``similarity.semdedup`` drops every
+    vector with a smaller-id same-cell neighbor at cosine >= 0.99.
+    The oracle replays init, one Lloyd update, re-assignment, the
+    within-cell pair scan and the keep-lowest-id rule — one hash pins
+    the whole semantic-dedup pipeline. The output carries only the
+    BOOLEAN verdict (cosines near the threshold would hash fp noise;
+    planted pairs sit at ~1.0, random pairs far below — the decision
+    is fp-robust even though the raw cosine's last ulp is not).
+
+    Scale: the pair step is quadratic ONLY within a cell (k is the
+    lever); everything else is the verified q83 training shape."""
+    from ..operators import similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    corpus = emb.unionAll(
+        emb.where(F.col("vec_id") % 9 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = similarity.kmeans_fit(corpus, k=8, n_iter=1)
+    assigned = similarity.ivf_assign_pandas(corpus, cents)
+    out = similarity.semdedup(assigned, threshold=0.99)
+    return vsort(
+        out.select(F.col("id").alias("vec_id"), "cell", "kept"), "vec_id"
     )

@@ -280,3 +280,42 @@ class TestMultimodalTransforms:
         # deterministic across runs
         again = mm.sample_frames(self._payloads(spark), every_nth=10, max_frames=8).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestSemDeDup:
+    """similarity.semdedup — SemDeDup's cell-bounded pair scan with the
+    deterministic keep-lowest-id rule (q125 is the oracle twin)."""
+
+    def _assigned(self, spark):
+        # two cells; ids 1/2 are near-identical in cell 0, id 3 alone in
+        # cell 1, id 4 a same-cell exact copy of 2 (chain 1~2~4)
+        rows = [
+            Row(id=1, v=[1.0, 0.0, 0.0], cell=0),
+            Row(id=2, v=[0.9999, 0.001, 0.0], cell=0),
+            Row(id=4, v=[0.9999, 0.001, 0.0], cell=0),
+            Row(id=3, v=[0.0, 1.0, 0.0], cell=1),
+            Row(id=7, v=[0.0, 1.0, 0.0], cell=1),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_keep_lowest_id_within_cell(self, spark):
+        out = {r["id"]: r["kept"] for r in sim.semdedup(self._assigned(spark), 0.99).collect()}
+        assert out == {1: True, 2: False, 4: False, 3: True, 7: False}
+
+    def test_cells_isolate_pairs(self, spark):
+        # identical vectors in DIFFERENT cells are never compared
+        rows = [
+            Row(id=1, v=[1.0, 0.0], cell=0),
+            Row(id=2, v=[1.0, 0.0], cell=1),
+        ]
+        out = {r["id"]: r["kept"] for r in sim.semdedup(spark.createDataFrame(rows), 0.9).collect()}
+        assert out == {1: True, 2: True}
+
+    def test_threshold_gates(self, spark):
+        rows = [
+            Row(id=1, v=[1.0, 0.0], cell=0),
+            Row(id=2, v=[0.8, 0.6], cell=0),  # cosine 0.8
+        ]
+        df = spark.createDataFrame(rows)
+        assert all(r["kept"] for r in sim.semdedup(df, 0.9).collect())
+        assert {r["id"]: r["kept"] for r in sim.semdedup(df, 0.7).collect()} == {1: True, 2: False}
