@@ -501,3 +501,58 @@ def bm25_topk(df, query_terms: list[str], k: int = 50, k1: float = 1.2,
         .orderBy(F.col("bm25").desc(), id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule filtering (Raffel et al. 2020) — round 7
+# ---------------------------------------------------------------------------
+def c4_rules(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bad_words: tuple = ("badword",),
+):
+    """The classic C4 cleaning rules as one narrow projection — the
+    rule-based sibling of the statistical Gopher filters
+    (``with_repetition_signals``):
+
+    - LINE level: keep only lines that end in terminal punctuation
+      (. ! ? ") AND have at least 5 words;
+    - DOC level: at least 3 sentences (terminal-punctuation count over
+      the kept lines, ``translate``-based — exact in both engines), no
+      "lorem ipsum", no curly brace, no word from ``bad_words``
+      (word-boundary match on the lowercased doc).
+
+    Returns (id_col, n_lines, n_kept_lines, n_sentences, flag_lorem,
+    flag_brace, flag_badword, kept). Pure per-row string expressions —
+    zero shuffle, scan-bound at any corpus size; every predicate is
+    spelled with cross-engine-exact primitives (substring probes and
+    replace-based counting, no regex dialect surface except the
+    word-boundary bad-word check, whose \\b semantics agree between
+    Spark's Java regex and DuckDB's RE2 for ASCII word characters)."""
+    lines = F.split(F.col(text_col), "\n")
+    is_kept = lambda ln: (
+        F.substring(ln, -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(F.trim(ln), " ")) >= 5)
+    )
+    kept_lines = F.filter(lines, is_kept)
+    joined = F.array_join(kept_lines, "\n")
+    n_sent = F.length(joined) - F.length(F.translate(joined, ".!?", ""))
+    low = F.lower(F.col(text_col))
+    flag_lorem = low.contains("lorem ipsum")
+    flag_brace = low.contains("{") | low.contains("}")
+    bad = F.lit(False)
+    for w in bad_words:
+        bad = bad | low.rlike(rf"\b{w}\b")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept_lines).alias("n_kept_lines"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        flag_lorem.alias("flag_lorem"),
+        flag_brace.alias("flag_brace"),
+        bad.alias("flag_badword"),
+        (
+            (n_sent >= 3) & ~flag_lorem & ~flag_brace & ~bad
+        ).alias("kept"),
+    )

@@ -2506,3 +2506,99 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q126 C4 rule-based cleaning (Raffel et al. 2020) — round 7
+# ---------------------------------------------------------------------------
+@query(
+    "q126_c4_rules",
+    oracle="""
+    WITH page AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               substr(text, 1, 80) || '.',
+               'buy now',
+               CASE WHEN doc_id % 5 <> 0 THEN substr(text, 81, 80) || '!' END,
+               CASE WHEN doc_id % 7 <> 0 THEN substr(text, 161, 80) || '?' END,
+               CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+               CASE WHEN doc_id % 13 = 0 THEN 'var x = {{' END,
+               CASE WHEN doc_id % 17 = 0
+                    THEN 'this document mentions badword here today.' END
+             ) AS text
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)),
+               ln -> substr(ln, -1, 1) IN ('.', '!', '?', '"')
+                     AND len(string_split(trim(ln), ' ')) >= 5) AS kept_lines,
+             lower(text) AS low
+      FROM page
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+             CAST(length(list_aggregate(kept_lines, 'string_agg', chr(10)))
+                  - length(translate(list_aggregate(kept_lines, 'string_agg', chr(10)), '.!?', ''))
+                  AS BIGINT) AS n_sentences,
+             contains(low, 'lorem ipsum') AS flag_lorem,
+             (contains(low, '{{') OR contains(low, '}}')) AS flag_brace,
+             regexp_matches(low, '\\bbadword\\b') AS flag_badword
+      FROM per
+    )
+    SELECT doc_id, n_lines, n_kept_lines,
+           COALESCE(n_sentences, 0) AS n_sentences,
+           flag_lorem, flag_brace, flag_badword,
+           (COALESCE(n_sentences, 0) >= 3 AND NOT flag_lorem
+            AND NOT flag_brace AND NOT flag_badword) AS kept
+    FROM sig ORDER BY doc_id
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's rule-based cleaning (Raffel et al. 2020) end-to-end — the
+    rule-filter sibling of the statistical Gopher pass (q98): page
+    structure is PLANTED deterministically (the fixture corpus is
+    flat word soup — same device as q98's boilerplate): three
+    substring "sentences" with per-doc_id presence (%5/%7 drop one
+    each), an always-dropped junk line, and %11/%13/%17 plant lorem
+    ipsum / a curly brace / a bad word. ``text.c4_rules`` then applies
+    the line filter (terminal punctuation + >=5 words), the
+    >=3-sentences gate, and the three doc-level flags; the oracle
+    replays the planting AND the rules, so one hash pins line
+    splitting, the substring probes, translate-based sentence counting
+    and the \\b word-boundary dialect agreement.
+
+    Scale: planting + rules are one narrow projection — scan-bound,
+    zero shuffle (the vsort is the verification order only)."""
+    from ..operators.text import c4_rules
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    nl = F.lit("\n")
+    page = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 80), F.lit(".")),
+            F.lit("buy now"),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(F.substring("text", 81, 80), F.lit("!")),
+            ),
+            F.when(
+                F.col("doc_id") % 7 != 0,
+                F.concat(F.substring("text", 161, 80), F.lit("?")),
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("lorem ipsum dolor sit amet.")
+            ),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("var x = {")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("this document mentions badword here today."),
+            ),
+        ).alias("text"),
+    )
+    return vsort(c4_rules(page), "doc_id")

@@ -97,3 +97,44 @@ class TestBigramLmProperty:
             assert got[i]["n_bigrams"] == len(mine)
             assert abs(got[i]["avg_p"] - want_avg) < 1e-12, (i, got[i], want_avg)
             assert got[i]["min_p"] == float(min(terms))
+
+
+class TestC4Rules:
+    """text.c4_rules — the C4 line/doc rule filter (q126 is the oracle
+    twin; these pin the rule semantics on hand-built pages)."""
+
+    def test_line_and_doc_rules(self, spark):
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.operators.text import c4_rules
+
+        page = (
+            "one two three four five.\n"      # kept line, 1 sentence
+            "short.\n"                         # terminal but <5 words
+            "no terminal six seven eight\n"    # >=5 words, no terminal
+            "a b c d e f!\n"                   # kept, 1 sentence
+            'quoted line with five words"'     # kept (quote terminal)
+        )
+        rows = [
+            Row(doc_id=1, text=page + "\nlast one two three four?"),  # 3+ sents
+            Row(doc_id=2, text=page),                                  # 2 sents
+            Row(doc_id=3, text=page + "\nlorem ipsum dolor sit amet."),
+            Row(doc_id=4, text=page + "\ncode line { six seven eight nine."),
+            Row(doc_id=5, text=page + "\nthis text has badword in it today?"),
+        ]
+        out = {r["doc_id"]: r for r in c4_rules(spark.createDataFrame(rows)).collect()}
+        assert out[1]["kept"] and out[1]["n_sentences"] >= 3
+        assert not out[2]["kept"]  # only 2 terminal marks in kept lines
+        assert out[3]["flag_lorem"] and not out[3]["kept"]
+        assert out[4]["flag_brace"] and not out[4]["kept"]
+        assert out[5]["flag_badword"] and not out[5]["kept"]
+        assert out[2]["n_lines"] == 5 and out[2]["n_kept_lines"] == 3
+
+    def test_badword_is_word_bounded(self, spark):
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.operators.text import c4_rules
+
+        rows = [Row(doc_id=1, text="notabadwordhere is fine today ok.")]
+        out = c4_rules(spark.createDataFrame(rows)).collect()[0]
+        assert not out["flag_badword"]
