@@ -231,6 +231,48 @@ def _rewrite_combinators(sql: str) -> str:
         arg = sql[o + 1 : c].strip()
         sql = sql[: m.start()] + f"percentile_approx({arg}, 0.5)" + sql[c + 1 :]
 
+    # -State / -Merge combinators (the AggregatingMergeTree materialized-
+    # view pattern, round 7): a partial aggregate STATE is stored per
+    # fine-grained group, then MERGED at query time across groups. The
+    # Spark spellings are exact for the algebraic aggregates (a count/
+    # sum/min/max partial state IS its value; merge = sum/sum/min/max),
+    # a (sum, count) struct for avg, and the DataSketches HLL pair
+    # (hll_sketch_agg / hll_union_agg + estimate) for uniq — the same
+    # mergeable-sketch contract as ClickHouse's uniqState, different
+    # sketch constants (estimates are engine-specific either way; both
+    # promise merged == single-pass, which is what q127 verifies).
+    for ch, fmt in (
+        (r"\buniqState\s*\(", "hll_sketch_agg({x})"),
+        (r"\buniqMerge\s*\(", "hll_sketch_estimate(hll_union_agg({x}))"),
+        (r"\bcountState\s*\(", "count({star})"),
+        (r"\bcountMerge\s*\(", "sum({x})"),
+        (r"\bsumState\s*\(", "sum({x})"),
+        (r"\bsumMerge\s*\(", "sum({x})"),
+        (r"\bminState\s*\(", "min({x})"),
+        (r"\bminMerge\s*\(", "min({x})"),
+        (r"\bmaxState\s*\(", "max({x})"),
+        (r"\bmaxMerge\s*\(", "max({x})"),
+        (
+            r"\bavgState\s*\(",
+            "named_struct('s', sum({x}), 'c', count({x}))",
+        ),
+        # CAST to double BEFORE dividing: CH avg returns Float64, and a
+        # decimal-state sum would otherwise divide in decimal (scale
+        # truncation at 6 digits diverges from the IEEE quotient)
+        (r"\bavgMerge\s*\(", "(CAST(sum({x}.s) AS DOUBLE) / sum({x}.c))"),
+    ):
+        while True:
+            m = _first_match(sql, ch)
+            if not m:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            x = sql[o + 1 : c].strip()
+            # str.replace, not .format: the argument text may itself
+            # contain braces (string literals)
+            rep = fmt.replace("{x}", x).replace("{star}", x or "*")
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
+
     # uniqExact(x) -> count(DISTINCT x); uniq(x) -> approx_count_distinct(x)
     while True:
         m = _first_match(sql, r"\b(uniqExact|uniq)\s*\(")

@@ -183,6 +183,7 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
 #: rest are the migration cheat-sheet.
 DIALECT_NOTES: dict[str, str] = {
     "uniq(x) / uniqExact(x)": "runs verbatim via chsql.rewrite_clickhouse_sql",
+    "-State / -Merge combinators (AggregatingMergeTree MVs)": "bridged as of round 7 — count/sum/min/max states are their values (merge = sum/sum/min/max), avgState a (sum,count) struct, uniqState/uniqMerge the DataSketches HLL pair (hll_sketch_agg / hll_union_agg + estimate; same mergeable contract, engine-specific constants). q127 verifies merged == single-pass and estimate-vs-exact",
     "quantile(0.95)(x)": "runs verbatim via chsql (percentile_approx; quantileExact -> exact percentile)",
     "quantileTDigest(0.95)(x)": "runs verbatim via chsql (q67's tolerance-gated form)",
     "quantiles(0.5, 0.9)(x) / quantilesExact(...)": "runs verbatim via chsql (array-returning percentile forms)",

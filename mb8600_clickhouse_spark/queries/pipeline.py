@@ -1860,3 +1860,100 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return ch_sql(spark, _Q124_CLICKHOUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q127 -State/-Merge combinators: the AggregatingMergeTree MV pattern
+# ---------------------------------------------------------------------------
+_Q127_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           countMerge(cs) AS n,
+           CAST(sumMerge(ss) AS DOUBLE) AS total,
+           minMerge(mns) AS min_id,
+           maxMerge(mxs) AS max_id,
+           CAST(avgMerge(avs) AS DOUBLE) AS avg_value,
+           uniqMerge(us) AS uniq_users_est
+    FROM (
+      SELECT event_type, intDiv(event_id, 2000) AS part,
+             countState() AS cs,
+             sumState(CAST(value AS DECIMAL(18,4))) AS ss,
+             minState(event_id) AS mns,
+             maxState(event_id) AS mxs,
+             avgState(CAST(value AS DECIMAL(18,4))) AS avs,
+             uniqState(user_id) AS us
+      FROM events
+      GROUP BY event_type, part
+    )
+    GROUP BY event_type
+"""
+
+
+@query(
+    "q127_state_merge_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(value) AS DOUBLE) AS avg_value,
+           TRUE AS merge_consistent,
+           TRUE AS uniq_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's ``-State``/``-Merge`` combinator family — the
+    AggregatingMergeTree materialized-view pattern (reference
+    ``tables.sql``'s storage-side rollup idiom, §2.E/§4.2) — running on
+    Spark: partial aggregate STATES per (event_type, part) in the inner
+    SELECT, MERGED across parts in the outer, all via
+    ``chsql._rewrite_combinators`` (count/sum/min/max states are their
+    values, avg is a (sum,count) struct, uniq is the DataSketches HLL
+    pair hll_sketch_agg / hll_union_agg + estimate — the same
+    mergeable-sketch contract, different sketch constants).
+
+    Exact columns (n/total/min/max/avg — the sum rides the DECIMAL
+    snap so partial-then-merge is fold-order-free) hash against the
+    oracle's direct recompute; the sketch column is verified by TWO
+    booleans the oracle pins TRUE: ``merge_consistent`` (merged
+    partial sketches == one single-pass sketch, the mergeability
+    invariant that makes pre-aggregation sound at 100 TB) and
+    ``uniq_within_5pct`` (estimate vs exact distinct count).
+
+    Scale: this IS the 100 TB pattern — states pre-aggregate per
+    partition/day at ingest (map-side, small), queries merge states
+    instead of rescanning raw events."""
+    from ..functions.chsql import rewrite_clickhouse_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    merged = spark.sql(rewrite_clickhouse_sql(_Q127_CLICKHOUSE_SQL))
+    direct = spark.sql(
+        "SELECT event_type AS et,"
+        " hll_sketch_estimate(hll_sketch_agg(user_id)) AS direct_est,"
+        " count(DISTINCT user_id) AS exact_u"
+        " FROM events GROUP BY event_type"
+    )
+    return (
+        merged.join(direct, merged["event_type"] == direct["et"])
+        .select(
+            "event_type",
+            "n",
+            "total",
+            "min_id",
+            "max_id",
+            "avg_value",
+            (F.col("uniq_users_est") == F.col("direct_est")).alias(
+                "merge_consistent"
+            ),
+            (
+                F.abs(F.col("uniq_users_est") - F.col("exact_u"))
+                / F.col("exact_u")
+                <= 0.05
+            ).alias("uniq_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

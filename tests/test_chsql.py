@@ -1001,3 +1001,57 @@ class TestWithFillBridge:
         assert len(got) == 6  # hourly grid 00..05
         assert got[1] == ("2026-01-01 01:00:00", 0.0)
         assert got[3] == ("2026-01-01 03:00:00", 2.0)
+
+
+class TestStateMergeCombinators:
+    """-State/-Merge (AggregatingMergeTree MV pattern, round 7; q127 is
+    the oracle twin)."""
+
+    def test_rewrites(self):
+        got = rw(
+            "SELECT countState() AS c, sumState(v) AS s, uniqState(u) AS us,"
+            " avgState(v) AS a, minState(v) AS mn FROM t GROUP BY k"
+        )
+        assert "count(*) AS c" in got
+        assert "sum(v) AS s" in got
+        assert "hll_sketch_agg(u) AS us" in got
+        assert "named_struct('s', sum(v), 'c', count(v)) AS a" in got
+        assert "min(v) AS mn" in got
+        got = rw("SELECT countMerge(c), uniqMerge(us), avgMerge(a) FROM p")
+        assert "sum(c)" in got
+        assert "hll_sketch_estimate(hll_union_agg(us))" in got
+        assert "CAST(sum(a.s) AS DOUBLE) / sum(a.c)" in got
+
+    def test_merged_equals_direct(self, spark):
+        spark.range(0, 300).selectExpr(
+            "id % 4 AS part", "id % 2 AS k", "CAST(id AS DOUBLE) AS v",
+            "id % 23 AS u"
+        ).createOrReplaceTempView("sm_t")
+        inner = rw(
+            "SELECT k, part, countState() AS c, sumState(v) AS s,"
+            " uniqState(u) AS us, avgState(v) AS a"
+            " FROM sm_t GROUP BY k, part"
+        )
+        spark.sql(inner).createOrReplaceTempView("sm_p")
+        merged = {
+            r["k"]: r
+            for r in spark.sql(
+                rw(
+                    "SELECT k, countMerge(c) AS n, sumMerge(s) AS s,"
+                    " uniqMerge(us) AS u, avgMerge(a) AS a"
+                    " FROM sm_p GROUP BY k"
+                )
+            ).collect()
+        }
+        direct = {
+            r["k"]: r
+            for r in spark.sql(
+                "SELECT k, count(*) AS n, sum(v) AS s,"
+                " count(DISTINCT u) AS u, avg(v) AS a FROM sm_t GROUP BY k"
+            ).collect()
+        }
+        for k in (0, 1):
+            assert merged[k]["n"] == direct[k]["n"]
+            assert merged[k]["s"] == direct[k]["s"]
+            assert merged[k]["u"] == direct[k]["u"]  # 23 distinct: HLL exact
+            assert merged[k]["a"] == direct[k]["a"]
