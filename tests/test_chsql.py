@@ -1055,3 +1055,56 @@ class TestStateMergeCombinators:
             assert merged[k]["s"] == direct[k]["s"]
             assert merged[k]["u"] == direct[k]["u"]  # 23 distinct: HLL exact
             assert merged[k]["a"] == direct[k]["a"]
+
+
+class TestWithFillProperty:
+    def test_fill_matches_python_reference(self, spark):
+        """Property: for random sparse integer series and random
+        FROM/TO/STEP, ch_sql's WITH FILL equals a direct Python
+        reference of the CH semantics (source rows retained, grid gaps
+        inserted zero-filled, TO exclusive)."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            keys=st.sets(st.integers(0, 30), min_size=1, max_size=10),
+            frm=st.one_of(st.none(), st.integers(0, 10)),
+            to=st.one_of(st.none(), st.integers(11, 35)),
+            step=st.sampled_from([1, 2, 3]),
+        )
+        def check(keys, frm, to, step):
+            rows = [(k, float(k * 10)) for k in sorted(keys)]
+            spark.createDataFrame(rows, "k int, v double").createOrReplaceTempView(
+                "wfp_t"
+            )
+            tail = " WITH FILL"
+            if frm is not None:
+                tail += f" FROM {frm}"
+            if to is not None:
+                tail += f" TO {to}"
+            tail += f" STEP {step}"
+            got = [
+                (r["k"], r["v"])
+                for r in ch_sql(
+                    spark,
+                    "SELECT k, sum(v) AS v FROM wfp_t GROUP BY k ORDER BY k"
+                    + tail,
+                ).collect()
+            ]
+            lo = frm if frm is not None else min(keys)
+            hi_incl = to - 1 if to is not None else max(keys)
+            grid = set(range(lo, hi_incl + 1, step))
+            expect = sorted(
+                [(k, float(k * 10)) for k in keys]
+                + [(g, 0.0) for g in grid - keys]
+            )
+            assert got == expect
+
+        check()
