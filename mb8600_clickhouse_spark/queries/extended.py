@@ -130,12 +130,15 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.split(text_ops.normalize_text(F.col("text")), " ").alias("toks"),
     )
-    return toks.select(
+    return vsort(
+        toks.select(
+            "doc_id",
+            text_ops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+            F.md5(F.array_join("toks", " ")).alias("fp"),
+        ),
         "doc_id",
-        text_ops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
-        F.md5(F.array_join("toks", " ")).alias("fp"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -451,10 +454,14 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 4).alias("cdist"),
         )
-        # verification total order: single-partition sort instead of a
-        # global orderBy, whose range-sampling pass re-executes the
-        # window subtree (the q07 finding)
-        .coalesce(1)
+        # verification total order: repartition(1), not coalesce(1)
+        # (coalesce collapses the window stage itself into one task) and
+        # not orderBy (range sampling re-runs the window subtree).
+        # Measured warm at sf0.1: 0.56 s vs 0.61 (coalesce) vs 0.89
+        # (orderBy); the residual cost is the window semantics — 5
+        # priority partitions cap parallelism at 5 tasks regardless of
+        # cores, inherent to partition-level distribution functions.
+        .repartition(1)
         .sortWithinPartitions("o_orderkey")
     )
 
