@@ -473,8 +473,10 @@ def _rewrite_global_and_format(sql: str) -> str:
     )
     if bad:
         raise ChSqlError(
-            f"{bad[0].group(0)!r}: ClickHouse ANY/ALL/ASOF join strictness has "
-            "no Spark SQL equivalent (use the DataFrame as-of/dedup operators)"
+            f"{bad[0].group(0)!r}: ClickHouse ANY/ALL join strictness has no "
+            "Spark SQL equivalent (use the DataFrame dedup operators); ASOF "
+            "JOIN is bridged by the session-aware chsql.ch_sql(spark, sql) "
+            "front door (q128), not the string rewriter"
         )
     fmt = _top_level_matches(sql, r"\bFORMAT\s+\w+\s*$")
     if fmt:
@@ -1490,11 +1492,161 @@ def ch_sql(spark, sql: str, final_tables: dict | None = None,
     """Execute a ClickHouse-dialect SELECT on Spark: the string rewrite
     (``rewrite_clickhouse_sql``) plus the forms that need a session —
     today ``ORDER BY ... WITH FILL [INTERPOLATE]``, whose inserted rows
-    take per-column TYPE defaults that only schema analysis can supply.
-    Returns a DataFrame."""
+    take per-column TYPE defaults that only schema analysis can supply,
+    and ``ASOF [LEFT|INNER] JOIN``, which routes through the DataFrame
+    as-of operator. Returns a DataFrame."""
+    asof = _extract_asof_join(sql)
+    if asof is not None:
+        return _apply_asof_join(spark, sql, asof, final_tables, sample_by)
     ext = _extract_with_fill(sql)
     if ext is None:
         return spark.sql(rewrite_clickhouse_sql(sql, final_tables, sample_by))
     inner, spec = ext
     src = spark.sql(rewrite_clickhouse_sql(inner, final_tables, sample_by))
     return _apply_with_fill(spark, src, spec)
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN — the session-aware bridge (round 7)
+# ---------------------------------------------------------------------------
+_ASOF_FROM = re.compile(
+    r"\bFROM\s+(?P<lt>\w+)(?:\s+(?!ASOF\b)(?P<la>\w+))?"
+    r"\s+ASOF\s+(?P<kind>LEFT\s+|INNER\s+)?JOIN\s+"
+    r"(?P<rt>\w+)(?:\s+(?!ON\b)(?P<ra>\w+))?\s+ON\b",
+    re.IGNORECASE,
+)
+_ASOF_COND = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*(>=|<=|=|>|<)\s*(\w+)\.(\w+)\s*$"
+)
+
+#: monotonically increasing suffix for the bridge's temp views (unique
+#: within a session; Date/RNG are avoided everywhere in this repo)
+_ASOF_SEQ = [0]
+
+
+def _extract_asof_join(sql: str):
+    """Parse a top-level ``FROM l [la] ASOF [LEFT|INNER] JOIN r [ra] ON
+    <equi-conds AND one ts inequality>``. Returns None when absent, else
+    a dict with table names, aliases, keys, ts columns, strictness,
+    join kind, and the (start, end) span of the FROM..ON-conds segment.
+
+    Supported: named tables/views on both sides, equality conditions on
+    columns, exactly ONE ts inequality. Subquery sides or computed
+    conditions reject loudly (register a view first)."""
+    ms = _top_level_matches(sql, _ASOF_FROM.pattern)
+    if not ms:
+        if _top_level_matches(
+            sql, r"\bASOF\s+(?:LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b"
+        ):
+            raise ChSqlError(
+                "ASOF JOIN: only `FROM <view> [a] ASOF [LEFT|INNER] JOIN "
+                "<view> [b] ON a.k = b.k AND a.ts >= b.ts` is bridged — "
+                "register subqueries as views first"
+            )
+        return None
+    if len(ms) > 1:
+        raise ChSqlError("multiple ASOF JOINs are not bridged")
+    m = _ASOF_FROM.search(sql, ms[0].start())
+    # ON conditions end at the next top-level clause keyword
+    stops = [
+        s.start()
+        for s in _top_level_matches(
+            sql,
+            r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION)\b",
+        )
+        if s.start() > m.end()
+    ]
+    end = min(stops) if stops else len(sql)
+    conds = _split_top_commas(sql[m.end() : end].strip())  # no top commas
+    parts = re.split(r"\bAND\b", conds[0] if conds else "", flags=re.IGNORECASE)
+    la = m.group("la") or m.group("lt")
+    ra = m.group("ra") or m.group("rt")
+    keys, ineq = [], None
+    for p in parts:
+        cm = _ASOF_COND.match(p)
+        if not cm:
+            raise ChSqlError(
+                f"ASOF JOIN condition {p.strip()!r}: only `alias.col OP "
+                "alias.col` conjunctions are bridged"
+            )
+        a1, c1, op, a2, c2 = cm.groups()
+        if {a1, a2} != {la, ra}:
+            raise ChSqlError(
+                f"ASOF JOIN condition {p.strip()!r} must relate the two "
+                f"join sides ({la!r}, {ra!r})"
+            )
+        # normalize to left-side-first
+        if a1 != la:
+            a1, c1, a2, c2 = a2, c2, a1, c1
+            op = {">=": "<=", "<=": ">=", ">": "<", "<": ">", "=": "="}[op]
+        if op == "=":
+            keys.append((c1, c2))
+        else:
+            if ineq is not None:
+                raise ChSqlError("ASOF JOIN needs exactly one inequality")
+            ineq = (c1, op, c2)
+    if ineq is None:
+        raise ChSqlError("ASOF JOIN needs exactly one ts inequality")
+    if ineq[1] in ("<=", "<"):
+        raise ChSqlError(
+            "ASOF JOIN with left_ts <= right_ts (match the EARLIEST "
+            "following row) is not bridged; flip the inequality or "
+            "pre-negate the ts column"
+        )
+    kind = (m.group("kind") or "").strip().upper() or "INNER"
+    return {
+        "span": (m.start(), end),
+        "lt": m.group("lt"),
+        "rt": m.group("rt"),
+        "la": la,
+        "ra": ra,
+        "keys": keys,
+        "left_ts": ineq[0],
+        "right_ts": ineq[2],
+        "strict": ineq[1] == ">",
+        "kind": kind,
+    }
+
+
+def _apply_asof_join(spark, sql: str, spec, final_tables, sample_by):
+    """Execute the bridged ASOF JOIN: run the DataFrame as-of operator
+    (`operators/asof.py` — union + one key-partitioned window merge, no
+    range explosion), register the result, and textually remap the
+    query's alias references onto it (left columns keep their names,
+    right columns surface under the operator's ``asof_`` prefix)."""
+    from ..operators.asof import asof_join
+
+    left, right = spark.table(spec["lt"]), spark.table(spec["rt"])
+    lk = [k for k, _ in spec["keys"]]
+    rk = [k for _, k in spec["keys"]]
+    # the operator joins on shared key names; align right to left's names
+    r2 = right
+    for a, b in zip(lk, rk):
+        if a != b:
+            r2 = r2.withColumnRenamed(b, a)
+    joined = asof_join(
+        left,
+        r2,
+        on=lk,
+        left_ts=spec["left_ts"],
+        right_ts=spec["right_ts"],
+        strict=spec["strict"],
+    )
+    from pyspark.sql import functions as F
+
+    if spec["kind"] == "INNER":  # CH bare ASOF JOIN drops unmatched rows
+        joined = joined.filter(
+            F.col(f"asof_{spec['right_ts']}").isNotNull()
+        )
+    _ASOF_SEQ[0] += 1
+    view = f"__asof_bridge_{_ASOF_SEQ[0]}"
+    joined.createOrReplaceTempView(view)
+    s, e = spec["span"]
+    out = sql[:s] + f"FROM {view} " + sql[e:]
+    # alias remapping: left alias drops, right alias prefixes. The right
+    # side's KEY columns live under the left name post-join.
+    for a, b in zip(lk, rk):
+        out = re.sub(rf"\b{re.escape(spec['ra'])}\.{re.escape(b)}\b", a, out)
+    out = re.sub(rf"\b{re.escape(spec['ra'])}\.(\w+)", r"asof_\1", out)
+    out = re.sub(rf"\b{re.escape(spec['la'])}\.(\w+)", r"\1", out)
+    return spark.sql(rewrite_clickhouse_sql(out, final_tables, sample_by))

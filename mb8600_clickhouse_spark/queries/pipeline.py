@@ -1961,3 +1961,53 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q128 ClickHouse ASOF JOIN through the session-aware bridge
+# ---------------------------------------------------------------------------
+_Q128_CLICKHOUSE_SQL = """
+    SELECT v.user_id, v.event_id, v.ts AS view_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM q128_views v ASOF LEFT JOIN q128_purchases p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    ORDER BY v.user_id, v.event_id
+"""
+
+
+@query(
+    "q128_asof_join_sql",
+    oracle="""
+    SELECT v.user_id, v.event_id, v.ts AS view_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    ORDER BY v.user_id, v.event_id
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ASOF LEFT JOIN`` running as SQL (round 7 — the last
+    loudly-rejected join form): ``chsql.ch_sql`` parses the FROM..ON
+    segment, routes it through the DataFrame as-of operator
+    (`operators/asof.py` — union + ONE key-partitioned window merge,
+    no range explosion, the q51 engine), registers the merge as a view
+    and remaps the statement's alias references onto it. Same query as
+    q51, arriving via the dialect front door instead of the DataFrame
+    API; DuckDB's native ASOF JOIN is the oracle. Strictness (`>` vs
+    `>=`), INNER vs LEFT, and reversed-inequality spellings are parsed;
+    subquery sides reject loudly (register a view first).
+
+    Scale: identical plan to q51 — one shuffle per side on the join
+    key, a single merged window pass, never an inequality-range
+    explosion."""
+    from ..functions.chsql import ch_sql
+
+    ev = load_tables(spark, sf_dir)["events"]
+    ev.filter(F.col("event_type") == "view").createOrReplaceTempView(
+        "q128_views"
+    )
+    ev.filter(F.col("event_type") == "purchase").createOrReplaceTempView(
+        "q128_purchases"
+    )
+    return ch_sql(spark, _Q128_CLICKHOUSE_SQL)

@@ -1108,3 +1108,89 @@ class TestWithFillProperty:
             assert got == expect
 
         check()
+
+
+class TestAsofJoinBridge:
+    """ch_sql's ASOF JOIN routing through operators/asof.py (round 7;
+    q128 is the oracle twin)."""
+
+    @pytest.fixture()
+    def views(self, spark):
+        from pyspark.sql import Row
+
+        spark.createDataFrame(
+            [Row(k=1, ts=10, a="x"), Row(k=1, ts=20, a="y"), Row(k=2, ts=10, a="z")]
+        ).createOrReplaceTempView("asof_l")
+        spark.createDataFrame(
+            [Row(k=1, ts=5, b=1.0), Row(k=1, ts=20, b=2.0), Row(k=3, ts=1, b=9.0)]
+        ).createOrReplaceTempView("asof_r")
+
+    def test_left_nonstrict(self, spark, views):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        got = {
+            (r["k"], r["ts"]): r["rb"]
+            for r in ch_sql(
+                spark,
+                "SELECT l.k, l.ts, r.b AS rb FROM asof_l l "
+                "ASOF LEFT JOIN asof_r r ON l.k = r.k AND l.ts >= r.ts "
+                "ORDER BY l.k, l.ts",
+            ).collect()
+        }
+        assert got == {(1, 10): 1.0, (1, 20): 2.0, (2, 10): None}
+
+    def test_inner_strict_and_reversed_inequality(self, spark, views):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        # strict `>`: the ts-equal right row no longer matches at (1,20)
+        rows = ch_sql(
+            spark,
+            "SELECT l.k, l.ts, r.b AS rb FROM asof_l l "
+            "ASOF JOIN asof_r r ON r.ts <= l.ts AND l.k = r.k "
+            "ORDER BY l.k, l.ts",
+        ).collect()
+        assert [(r["k"], r["ts"], r["rb"]) for r in rows] == [
+            (1, 10, 1.0),
+            (1, 20, 2.0),
+        ]
+        strict = ch_sql(
+            spark,
+            "SELECT l.k, l.ts, r.b AS rb FROM asof_l l "
+            "ASOF JOIN asof_r r ON l.k = r.k AND l.ts > r.ts "
+            "ORDER BY l.k, l.ts",
+        ).collect()
+        assert [(r["k"], r["ts"], r["rb"]) for r in strict] == [
+            (1, 10, 1.0),
+            (1, 20, 1.0),
+        ]
+
+    def test_right_key_reference_maps(self, spark, views):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        got = ch_sql(
+            spark,
+            "SELECT r.k AS rk, count(*) AS n FROM asof_l l "
+            "ASOF JOIN asof_r r ON l.k = r.k AND l.ts >= r.ts "
+            "GROUP BY rk ORDER BY rk",
+        ).collect()
+        assert [(r["rk"], r["n"]) for r in got] == [(1, 2)]
+
+    def test_subquery_side_rejects(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        with pytest.raises(ChSqlError, match="register"):
+            ch_sql(
+                spark,
+                "SELECT 1 FROM (SELECT 1 AS k) l ASOF JOIN asof_r r "
+                "ON l.k = r.k AND l.ts >= r.ts",
+            )
+
+    def test_earliest_following_rejects(self, spark, views):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        with pytest.raises(ChSqlError, match="EARLIEST"):
+            ch_sql(
+                spark,
+                "SELECT l.k FROM asof_l l ASOF JOIN asof_r r "
+                "ON l.k = r.k AND l.ts <= r.ts",
+            )
