@@ -452,12 +452,13 @@ def _rewrite_global_and_format(sql: str) -> str:
       is dropped; semantics are identical.
     - trailing ``FORMAT <name>`` — a client wire-format directive, not
       query semantics; the sink chooses the format here. Stripped.
-    - ``ANY``/``ALL`` join strictness and ``ASOF JOIN`` have NO Spark
-      SQL equivalent (ANY keeps one arbitrary match per row — a
-      semantics change, not a spelling change) and raise loudly;
-      ``LEFT SEMI``/``ANTI JOIN`` parse natively in Spark and pass
-      through. The as-of operator exists in the DataFrame API
-      (``operators/asof.py``) for callers who need it.
+    - ``ALL`` join strictness is ClickHouse's DEFAULT join semantics —
+      identical to plain SQL JOIN — so the keyword is simply stripped
+      (round 7; previously rejected). ``ANY`` (one match per row) and
+      ``ASOF`` change semantics and need the session-aware
+      ``ch_sql`` front door (q128/q129); they raise HERE with that
+      pointer. ``LEFT SEMI``/``ANTI JOIN`` parse natively in Spark and
+      pass through.
     """
     for m in reversed(
         _top_level_matches(
@@ -465,18 +466,24 @@ def _rewrite_global_and_format(sql: str) -> str:
         )
     ):
         sql = sql[: m.start()] + sql[m.end() :]
+    for m in reversed(
+        _top_level_matches(
+            sql, r"\bALL\s+(?=(?:LEFT|RIGHT|INNER|FULL)\s+JOIN\b|JOIN\b)"
+        )
+    ):
+        sql = sql[: m.start()] + sql[m.end() :]
     bad = _top_level_matches(
         sql,
-        r"\b(?:(?:ANY|ALL)\s+(?:LEFT|RIGHT|INNER|FULL)\s+JOIN"
-        r"|(?:LEFT|RIGHT|INNER|FULL)\s+(?:ANY|ALL)\s+JOIN"
+        r"\b(?:ANY\s+(?:LEFT|RIGHT|INNER|FULL)\s+JOIN"
+        r"|(?:LEFT|RIGHT|INNER|FULL)\s+ANY\s+JOIN"
         r"|ASOF\s+(?:LEFT\s+|RIGHT\s+)?JOIN)\b",
     )
     if bad:
         raise ChSqlError(
-            f"{bad[0].group(0)!r}: ClickHouse ANY/ALL join strictness has no "
-            "Spark SQL equivalent (use the DataFrame dedup operators); ASOF "
-            "JOIN is bridged by the session-aware chsql.ch_sql(spark, sql) "
-            "front door (q128), not the string rewriter"
+            f"{bad[0].group(0)!r}: ANY and ASOF join strictness change row "
+            "multiplicity and are bridged by the session-aware "
+            "chsql.ch_sql(spark, sql) front door (q128/q129), not the "
+            "string rewriter"
         )
     fmt = _top_level_matches(sql, r"\bFORMAT\s+\w+\s*$")
     if fmt:
@@ -1498,6 +1505,9 @@ def ch_sql(spark, sql: str, final_tables: dict | None = None,
     asof = _extract_asof_join(sql)
     if asof is not None:
         return _apply_asof_join(spark, sql, asof, final_tables, sample_by)
+    anyj = _extract_any_join(sql)
+    if anyj is not None:
+        return _apply_any_join(spark, sql, anyj, final_tables, sample_by)
     ext = _extract_with_fill(sql)
     if ext is None:
         return spark.sql(rewrite_clickhouse_sql(sql, final_tables, sample_by))
@@ -1649,4 +1659,100 @@ def _apply_asof_join(spark, sql: str, spec, final_tables, sample_by):
         out = re.sub(rf"\b{re.escape(spec['ra'])}\.{re.escape(b)}\b", a, out)
     out = re.sub(rf"\b{re.escape(spec['ra'])}\.(\w+)", r"asof_\1", out)
     out = re.sub(rf"\b{re.escape(spec['la'])}\.(\w+)", r"\1", out)
+    return spark.sql(rewrite_clickhouse_sql(out, final_tables, sample_by))
+
+
+# ---------------------------------------------------------------------------
+# ANY JOIN — deterministic one-match-per-key bridge (round 7)
+# ---------------------------------------------------------------------------
+_ANY_JOIN = re.compile(
+    r"\b(?:ANY\s+(?P<k1>LEFT|INNER)?\s*JOIN|(?P<k2>LEFT|INNER)\s+ANY\s+JOIN)"
+    r"\s+(?P<rt>\w+)(?:\s+(?!ON\b)(?P<ra>\w+))?\s+ON\b",
+    re.IGNORECASE,
+)
+
+
+def _extract_any_join(sql: str):
+    """Parse a top-level ``[l alias] ANY [LEFT|INNER] JOIN r [ra] ON
+    <equi-conds>`` (either strictness-first or direction-first keyword
+    order). Returns None when absent, else the join segment's span,
+    right table/alias, join kind, and the right-side key columns."""
+    ms = _top_level_matches(sql, _ANY_JOIN.pattern)
+    if not ms:
+        return None
+    if len(ms) > 1:
+        raise ChSqlError("multiple ANY JOINs are not bridged")
+    m = _ANY_JOIN.search(sql, ms[0].start())
+    stops = [
+        s.start()
+        for s in _top_level_matches(
+            sql,
+            r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION)\b",
+        )
+        if s.start() > m.end()
+    ]
+    end = min(stops) if stops else len(sql)
+    ra = m.group("ra") or m.group("rt")
+    rkeys = []
+    for p in re.split(r"\bAND\b", sql[m.end() : end], flags=re.IGNORECASE):
+        cm = _ASOF_COND.match(p)
+        if not cm or cm.group(3) != "=":
+            raise ChSqlError(
+                f"ANY JOIN condition {p.strip()!r}: only equality "
+                "conjunctions on `alias.col` are bridged"
+            )
+        a1, c1, _op, a2, c2 = cm.groups()
+        if a1 == ra:
+            rkeys.append(c1)
+        elif a2 == ra:
+            rkeys.append(c2)
+        else:
+            raise ChSqlError(
+                f"ANY JOIN condition {p.strip()!r} does not reference the "
+                f"right side {ra!r}"
+            )
+    kind = (m.group("k1") or m.group("k2") or "INNER").upper()
+    return {
+        "span": (m.start(), m.end() - 2),  # keep the trailing 'ON'
+        "rt": m.group("rt"),
+        "ra": ra,
+        "keys": rkeys,
+        "kind": kind,
+    }
+
+
+def _apply_any_join(spark, sql: str, spec, final_tables, sample_by):
+    """Execute the bridged ANY JOIN: ClickHouse keeps ONE ARBITRARY
+    match per key; the bridge refines that to the DETERMINISTIC
+    lowest-full-row match (right side deduped per join key by
+    row_number over ALL right columns in table order — a valid "any",
+    replay-stable, and oracle-expressible). Right sides with
+    non-orderable columns (maps) would need an explicit projection
+    first; Spark raises there.
+
+    Scale: the dedup is one window over the RIGHT side only (partial
+    ranking per key; no pair blow-up), then a plain join Catalyst
+    plans normally (broadcast if small)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    right = spark.table(spec["rt"])
+    w = W.partitionBy(*spec["keys"]).orderBy(
+        *[F.col(c) for c in right.columns]
+    )
+    dedup = (
+        right.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    _ASOF_SEQ[0] += 1
+    view = f"__any_bridge_{_ASOF_SEQ[0]}"
+    dedup.createOrReplaceTempView(view)
+    s, e = spec["span"]
+    out = (
+        sql[:s]
+        + f"{'LEFT ' if spec['kind'] == 'LEFT' else ''}JOIN {view} "
+        + f"{spec['ra']} "
+        + sql[e:]
+    )
     return spark.sql(rewrite_clickhouse_sql(out, final_tables, sample_by))

@@ -2011,3 +2011,50 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q128_purchases"
     )
     return ch_sql(spark, _Q128_CLICKHOUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q129 ClickHouse ANY LEFT JOIN through the deterministic bridge
+# ---------------------------------------------------------------------------
+_Q129_CLICKHOUSE_SQL = """
+    SELECT c.c_custkey, c.c_name, o.o_orderdate, o.o_totalprice
+    FROM customer c ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+"""
+
+
+@query(
+    "q129_any_join_sql",
+    oracle="""
+    WITH od AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+        ) AS rn FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderdate, o.o_totalprice
+    FROM customer c LEFT JOIN od o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ANY LEFT JOIN`` running as SQL (round 7 — the last
+    join-strictness gap): CH keeps ONE ARBITRARY match per key; the
+    bridge (`chsql._apply_any_join`) refines that to the DETERMINISTIC
+    lowest-full-row match (right side deduped per join key by
+    row_number over all right columns in table order — a valid "any"
+    that is replay-stable and oracle-expressible; the oracle spells
+    the identical dedup). ``ALL`` strictness — CH's default, identical
+    to plain JOIN — is stripped by the string rewriter with no bridge
+    needed.
+
+    Scale: the dedup is one window over the RIGHT side only (rank
+    within key, no pair blow-up); the join itself is then whatever
+    Catalyst picks (broadcast here — customer/orders fixture sizes)."""
+    from ..functions.chsql import ch_sql
+
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q129_CLICKHOUSE_SQL)

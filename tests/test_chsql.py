@@ -1194,3 +1194,63 @@ class TestAsofJoinBridge:
                 "SELECT l.k FROM asof_l l ASOF JOIN asof_r r "
                 "ON l.k = r.k AND l.ts <= r.ts",
             )
+
+
+class TestAnyAllJoinBridge:
+    """ALL strictness strips (it IS plain JOIN); ANY routes through the
+    deterministic one-match bridge (round 7; q129 is the oracle twin)."""
+
+    def test_all_join_strips(self):
+        got = rw("SELECT a FROM l ALL LEFT JOIN r ON l.k = r.k")
+        assert got == "SELECT a FROM l LEFT JOIN r ON l.k = r.k"
+        got = rw("SELECT a FROM l LEFT ALL JOIN r ON l.k = r.k")
+        assert got == "SELECT a FROM l LEFT JOIN r ON l.k = r.k"
+        # UNION ALL and quantified ALL untouched
+        q = "SELECT a FROM t UNION ALL SELECT a FROM u"
+        assert rw(q) == q
+        q = "SELECT a FROM t WHERE v > ALL (SELECT v FROM u)"
+        assert rw(q) == q
+
+    def test_any_join_string_path_rejects_with_pointer(self):
+        with pytest.raises(ChSqlError, match="ch_sql"):
+            rw("SELECT a FROM l ANY LEFT JOIN r ON l.k = r.k")
+
+    def test_any_left_join_deterministic(self, spark):
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(k=1, a="x"), Row(k=2, a="y")]
+        ).createOrReplaceTempView("any_l")
+        spark.createDataFrame(
+            [Row(k=1, b=5), Row(k=1, b=3), Row(k=3, b=9)]
+        ).createOrReplaceTempView("any_r")
+        got = {
+            r["k"]: r["rb"]
+            for r in ch_sql(
+                spark,
+                "SELECT l.k, r.b AS rb FROM any_l l "
+                "ANY LEFT JOIN any_r r ON l.k = r.k ORDER BY l.k",
+            ).collect()
+        }
+        # lowest-full-row match: (1,3) beats (1,5); unmatched keeps null
+        assert got == {1: 3, 2: None}
+
+    def test_any_inner_join(self, spark):
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(k=1, a="x"), Row(k=2, a="y")]
+        ).createOrReplaceTempView("any_l")
+        spark.createDataFrame(
+            [Row(k=1, b=5), Row(k=1, b=3)]
+        ).createOrReplaceTempView("any_r")
+        rows = ch_sql(
+            spark,
+            "SELECT l.k, r.b AS rb FROM any_l l "
+            "ANY JOIN any_r r ON l.k = r.k ORDER BY l.k",
+        ).collect()
+        assert [(r["k"], r["rb"]) for r in rows] == [(1, 3)]
