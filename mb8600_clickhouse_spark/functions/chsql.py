@@ -525,6 +525,36 @@ def _rewrite_global_and_format(sql: str) -> str:
             "internals and block order; spell it as sum()/... OVER "
             "(ORDER BY ... ROWS UNBOUNDED PRECEDING)"
         )
+    # Known-unbridged behavioral-analytics / dictionary functions fail
+    # with the engine's equivalent named, not a Spark unknown-function
+    # error three layers down (the documented-failure contract).
+    for pat, msg in (
+        (
+            r"\b(?:sequenceMatch|sequenceCount)\b",
+            "CH sequence pattern matching: use the funnel operator "
+            "(queries/extended.py q89 — ordered-step min-ts chain), or "
+            "spell the steps as windowed min/max conditions",
+        ),
+        (
+            r"\bwindowFunnel\b",
+            "CH windowFunnel: use the funnel operator (q89) — ordered "
+            "event-step chain with per-step first-timestamps",
+        ),
+        (
+            r"\bretention\b(?=\s*\()",
+            "CH retention(): use the cohort-retention query shape "
+            "(q90 — first-seen cohort x activity-period pivot)",
+        ),
+        (
+            r"\bdictGet\w*\b",
+            "CH external dictionaries: load the dictionary source as a "
+            "table and JOIN (broadcast for dimension-sized dicts) — no "
+            "dictionary server exists in this engine",
+        ),
+    ):
+        hit = _top_level_matches(sql, pat)
+        if hit:
+            raise ChSqlError(f"{hit[0].group(0)!r}: {msg}")
     return sql
 
 

@@ -1254,3 +1254,23 @@ class TestAnyAllJoinBridge:
             "ANY JOIN any_r r ON l.k = r.k ORDER BY l.k",
         ).collect()
         assert [(r["k"], r["rb"]) for r in rows] == [(1, 3)]
+
+
+class TestBehavioralFunctionRejects:
+    """Known-unbridged CH behavioral/dictionary functions fail with the
+    engine's equivalent named (documented-failure contract, round 7)."""
+
+    def test_rejects_point_at_equivalents(self):
+        for frag, msg in (
+            ("sequenceMatch('(?1).*(?2)')(ts, a, b)", "funnel"),
+            ("windowFunnel(3600)(ts, a, b)", "q89"),
+            ("retention(a, b, c)", "q90"),
+            ("dictGetString('d', 'attr', k)", "JOIN"),
+        ):
+            with pytest.raises(ChSqlError, match=msg):
+                rw(f"SELECT {frag} FROM t")
+
+    def test_retention_as_identifier_passes(self):
+        # only the CALL form rejects; a column named retention is fine
+        q = "SELECT retention FROM t WHERE retention > 0"
+        assert rw(q) == q
