@@ -127,6 +127,38 @@ def main() -> int:
         "bpe pair-count + 1 merge, 16x salted corpus",
         lambda: _one_merge(salted16),
     )
+
+    # -- SemDeDup: one MEGA-CELL (the k-lever's worst case) -----------------
+    # all vectors forced into a single cell: the per-cell matmul runs the
+    # full n^2 in blockwise slabs — wall should grow ~quadratically in
+    # vectors but memory stays slab-bounded (block x n)
+    from pyspark.sql import functions as FF
+
+    from mb8600_clickhouse_spark.operators import similarity as sim
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    for mult in (1, 4):
+        reps_m = spark.range(mult).select(F.col("id").alias("rep"))
+        corpus = (
+            emb.crossJoin(F.broadcast(reps_m))
+            .select(
+                (F.col("vec_id") + F.col("rep") * 1_000_000).alias("id"),
+                FF.transform("embedding", lambda x: x.cast("double")).alias(
+                    "v"
+                ),
+            )
+            .withColumn("cell", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        n = corpus.count()
+        _timed(
+            f"semdedup mega-cell, n={n:,} (full n^2 in one cell)",
+            lambda c=corpus: sim.semdedup(c, threshold=0.99)
+            .where(~F.col("kept"))
+            .count(),
+        )
     return 0
 
 
