@@ -2602,3 +2602,101 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return vsort(c4_rules(page), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q130 CCNet head/middle/tail perplexity bucketing + per-bucket sampling
+# ---------------------------------------------------------------------------
+@query(
+    "q130_ccnet_buckets",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1])
+             )) AS pr
+      FROM toks
+    ),
+    occ AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM pairs),
+    big AS (SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY w1, w2),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM occ),
+    model AS (
+      SELECT w1, w2, (c2 + 1.0) / (c1 + 1.0 * v) AS p
+      FROM big JOIN uni USING (w1) CROSS JOIN vocab
+    ),
+    docb AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS n FROM occ GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+      SELECT doc_id, n, CAST(p AS DECIMAL(12,8)) AS p8
+      FROM docb JOIN model USING (w1, w2)
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(CAST(CAST(SUM(p8 * n) AS DOUBLE) / SUM(n) AS DECIMAL(38,4))
+                  AS DOUBLE) AS avg_p
+      FROM scored GROUP BY doc_id
+    ),
+    bkt AS (
+      SELECT doc_id, avg_p,
+             CAST(ntile(3) OVER (ORDER BY avg_p DESC, doc_id) AS INT) AS bucket
+      FROM per
+    )
+    SELECT doc_id, bucket,
+           CASE bucket
+             WHEN 1 THEN TRUE
+             WHEN 2 THEN substr(md5('ccnet-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+             ELSE substr(md5('ccnet-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+           END AS kept
+    FROM bkt ORDER BY doc_id
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
+    documents ranked by their self-trained bigram-LM fluency (the q108
+    scores — linear-domain avg_p, so higher = more fluent = CCNet's
+    'head'), cut into terciles, then sampled per bucket at the classic
+    keep rates (head 1.0, middle 0.5, tail 0.1) with the salted-md5
+    membership device (q100/q117) so the KEPT SET itself is
+    replay-stable and hash-verified — not just bucket counts.
+
+    Tercile cuts are ``ntile(3)`` with a doc_id tiebreak — exact and
+    interpolation-free in both engines (percentile_cont's lerp differs
+    in operation ORDER between engines, a latent ulp flake; rank-based
+    cuts have no such hazard). The snapped avg_p (DECIMAL 38,4) is the
+    ordering key, proven bit-equal cross-engine by q108.
+
+    Scale: scoring is the verified q108 shape; the tercile window is a
+    single global sort of (doc_id, avg_p) pairs — at 100 TB replace
+    with approx-quantile cut points broadcast as scalars (the same
+    CCNet semantics, documented trade); sampling is a narrow md5
+    expression."""
+    from pyspark.sql import Window as W2
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = lm.bigram_lm_scores(docs)
+    per = s.select(
+        F.col("id").alias("doc_id"), round4(F.col("avg_p")).alias("avg_p")
+    )
+    w = W2.orderBy(F.col("avg_p").desc(), F.col("doc_id"))
+    b = per.withColumn("bucket", F.ntile(3).over(w))
+    h = F.substring(
+        F.md5(F.concat(F.lit("ccnet-v1:"), F.col("doc_id").cast("string"))),
+        1,
+        4,
+    )
+    kept = (
+        F.when(F.col("bucket") == 1, F.lit(True))
+        .when(F.col("bucket") == 2, h < "8000")
+        .otherwise(h < "1999")
+    )
+    return vsort(
+        b.select("doc_id", "bucket", kept.alias("kept")), "doc_id"
+    )
