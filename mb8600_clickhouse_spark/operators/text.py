@@ -556,3 +556,67 @@ def c4_rules(
             (n_sent >= 3) & ~flag_lorem & ~flag_brace & ~bad
         ).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL normalization + policy filtering (RefinedWeb-class, round 7)
+# ---------------------------------------------------------------------------
+def url_normalize(url: Column, strip_param_prefixes: tuple = ("utm_",)) -> Column:
+    """Canonical URL form for URL-level dedup and policy filtering — the
+    first stage of a RefinedWeb-class web-corpus pipeline (Penedo et
+    al. 2023 dedupe and filter BY URL before touching content):
+
+    - scheme folded to https (http/https are the same resource for
+      dedup purposes);
+    - host lowercased, leading ``www.`` and default ports (:80/:443)
+      stripped;
+    - path kept case-sensitive, trailing slash stripped;
+    - query params with a ``strip_param_prefixes`` prefix (tracking:
+      utm_*) removed, the rest kept IN ORIGINAL ORDER (re-sorting
+      would merge ?a=1&b=2 with ?b=2&a=1 — semantically safe for GET
+      but not verifiable byte-wise, so not done);
+    - fragment dropped.
+
+    Pure narrow regex/HOF expressions with a deliberately small ASCII
+    pattern surface (regexp dialect parity with RE2 is what the q131
+    oracle checks). Unparseable inputs (no scheme://host) yield
+    ``NULL`` — the caller's quarantine signal, never a silent
+    passthrough."""
+    host_raw = F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#]+)", 1)
+    host = F.lower(host_raw)
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(url, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept_params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & ~reduce_or(
+            [p.startswith(pref) for pref in strip_param_prefixes]
+        ),
+    )
+    qs = F.array_join(kept_params, "&")
+    norm = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(host_raw != "", norm).otherwise(F.lit(None))
+
+
+def reduce_or(conds: list) -> Column:
+    """OR-fold a non-empty list of boolean Columns."""
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased, www-stripped, port-stripped host of ``url`` (the
+    blocklist/quota key; '' when unparseable)."""
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":(80|443)$", "")

@@ -2700,3 +2700,120 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vsort(
         b.select("doc_id", "bucket", kept.alias("kept")), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q131 URL normalization + policy filter + URL-level dedup (RefinedWeb)
+# ---------------------------------------------------------------------------
+@query(
+    "q131_url_curation",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        (CASE doc_id % 6
+           WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'www.example.com'
+           WHEN 2 THEN 'example.com:80' WHEN 3 THEN 'news.site.org'
+           WHEN 4 THEN 'ads.tracker.example' ELSE 'bad.site.xxx' END) ||
+        '/a/' || CAST(doc_id % 50 AS VARCHAR) ||
+        (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0
+              THEN '?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE '' END) ||
+        (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+          '^www\.', ''), ':(80|443)$', '') AS host,
+        regexp_replace(
+          regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+          '/$', '') AS path,
+        array_to_string(list_filter(
+          string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+          p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS qs
+      FROM u
+    ),
+    normed AS (
+      SELECT doc_id, host,
+        'https://' || host || path ||
+        CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS norm_url
+      FROM parts
+    ),
+    keep AS (SELECT norm_url, MIN(doc_id) AS keeper FROM normed GROUP BY norm_url)
+    SELECT n.doc_id, n.norm_url, n.host,
+           (n.host = 'ads.tracker.example' OR n.host LIKE '%.xxx') AS blocked,
+           (n.doc_id = k.keeper) AS is_canonical
+    FROM normed n JOIN keep k USING (norm_url)
+    ORDER BY n.doc_id
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-class URL curation (Penedo et al. 2023 — dedupe and
+    filter BY URL before touching content): URLs are PLANTED
+    deterministically over the fixture (the q126 device — mixed-case
+    hosts, www prefixes, default ports, trailing slashes, utm tracking
+    params, fragments, an ad-tracker host and a blocklisted TLD), then
+
+    - ``text.url_normalize`` canonicalizes (https fold, host
+      lower/www/port strip, trailing-slash strip, utm_* param removal
+      preserving other params in order, fragment drop),
+    - the host feeds the policy filter (blocklist host + TLD), and
+    - URL-level dedup keeps the lowest doc_id per normalized URL
+      (hosts 0/1/2 + shared path collapse to the SAME canonical URL
+      across docs — the planted collision).
+
+    The oracle replays planting, regex parsing, param filtering and the
+    keeper rule; regex dialect parity (Java vs RE2, anchored
+    single-match replaces only) is exactly what the hash pins.
+
+    Scale: normalization is a narrow projection; the dedup is one
+    groupBy(norm_url) min + an equi-join back (AQE-splittable — never
+    a window over the URL stream)."""
+    from ..operators.text import url_host, url_normalize
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    d = F.col("doc_id")
+    host_lit = (
+        F.when(d % 6 == 0, F.lit("Example.COM"))
+        .when(d % 6 == 1, F.lit("www.example.com"))
+        .when(d % 6 == 2, F.lit("example.com:80"))
+        .when(d % 6 == 3, F.lit("news.site.org"))
+        .when(d % 6 == 4, F.lit("ads.tracker.example"))
+        .otherwise(F.lit("bad.site.xxx"))
+    )
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        host_lit,
+        F.lit("/a/"),
+        (d % 50).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), (d % 3).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    normed = docs.select(
+        "doc_id",
+        url_normalize(url).alias("norm_url"),
+        url_host(url).alias("host"),
+    )
+    keep = normed.groupBy("norm_url").agg(F.min("doc_id").alias("keeper"))
+    out = (
+        normed.join(keep, "norm_url")
+        .select(
+            "doc_id",
+            "norm_url",
+            "host",
+            (
+                (F.col("host") == "ads.tracker.example")
+                | F.col("host").endswith(".xxx")
+            ).alias("blocked"),
+            (F.col("doc_id") == F.col("keeper")).alias("is_canonical"),
+        )
+    )
+    return vsort(out, "doc_id")

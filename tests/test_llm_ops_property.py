@@ -138,3 +138,28 @@ class TestC4Rules:
         rows = [Row(doc_id=1, text="notabadwordhere is fine today ok.")]
         out = c4_rules(spark.createDataFrame(rows)).collect()[0]
         assert not out["flag_badword"]
+
+
+class TestUrlNormalize:
+    """text.url_normalize / url_host — RefinedWeb URL canonicalization
+    (q131 is the oracle twin)."""
+
+    def test_normalization_rules(self, spark):
+        from pyspark.sql import Row
+
+        from pyspark.sql import functions as F
+
+        from mb8600_clickhouse_spark.operators.text import url_normalize
+
+        cases = [
+            ("http://WWW.Example.COM:80/a/7/?utm_source=x&ref=2#sec",
+             "https://example.com/a/7?ref=2"),
+            ("https://example.com:443/a/7", "https://example.com/a/7"),
+            ("https://news.site.org/Path/Case", "https://news.site.org/Path/Case"),
+            ("https://h.io/p?utm_a=1&utm_b=2", "https://h.io/p"),
+            ("https://h.io/p?b=2&a=1", "https://h.io/p?b=2&a=1"),  # order kept
+            ("not a url", None),
+        ]
+        df = spark.createDataFrame([Row(u=u) for u, _ in cases])
+        got = [r["n"] for r in df.select(url_normalize(F.col("u")).alias("n")).collect()]
+        assert got == [want for _, want in cases]
