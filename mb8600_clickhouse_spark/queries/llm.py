@@ -1144,8 +1144,10 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # quota output is bounded at 40 x #langs rows, so the total order is
     # a single-partition sort (a global orderBy would add a range-
-    # partitioner sampling job)
-    return s4.coalesce(1).sortWithinPartitions("doc_id")
+    # partitioner sampling job; repartition(1), NOT coalesce(1) — the
+    # q57 finding: coalesce collapses the quota window's stage itself
+    # into one task)
+    return s4.repartition(1).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
