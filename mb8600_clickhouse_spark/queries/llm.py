@@ -2819,3 +2819,109 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return vsort(out, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q132 corpus datasheet — the per-language summary a dataset ships with
+# ---------------------------------------------------------------------------
+@query(
+    "q132_corpus_datasheet",
+    oracle="""
+    WITH per AS (
+      SELECT doc_id, lang, source,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, n_tok,
+             row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM per
+    ),
+    p50 AS (
+      SELECT lang, n_tok AS p50_tokens FROM ranked
+      WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_tok * n_tok) AS BIGINT) AS ssq,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      FROM per GROUP BY lang
+    )
+    SELECT a.lang, a.n_docs, a.total_tokens,
+           CAST(CAST(CAST(a.total_tokens AS DOUBLE) / a.n_docs
+                AS DECIMAL(38,4)) AS DOUBLE) AS avg_tokens,
+           CAST(CAST(
+             sqrt((a.n_docs * CAST(a.ssq AS DOUBLE)
+                   - CAST(a.total_tokens AS DOUBLE) * CAST(a.total_tokens AS DOUBLE))
+                  / (CAST(a.n_docs AS DOUBLE) * (a.n_docs - 1)))
+             AS DECIMAL(38,4)) AS DOUBLE) AS sd_tokens,
+           p.p50_tokens,
+           a.n_sources, a.n_short
+    FROM agg a JOIN p50 p USING (lang)
+    ORDER BY a.lang
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS DATASHEET (Gebru et al. 2021's "datasheets for
+    datasets", the summary table a released training set ships with):
+    per language — document and token counts, mean and standard
+    deviation of document length, exact median length, source count,
+    and the short-document tally.
+
+    Exactness discipline: every statistic reduces to INTEGER sums
+    (token counts, squared counts, flags) before one explicitly-spelled
+    double expression — sd via the textbook (n·Σx² − (Σx)²)/(n(n−1))
+    with the SAME operation order in both engines (a running Welford
+    fold would be partition-order-dependent; integer sums are
+    fold-order-free), median via rank ceil(n/2) with doc_id tiebreak
+    (rank-based — no interpolation dialect, the q130 rule), then
+    DECIMAL(38,4) snaps.
+
+    Scale: one tokenize pass, one partial-aggregated exchange on lang,
+    plus the median's per-lang window (partitioned by the group key —
+    never global)."""
+    from pyspark.sql import Window as W3
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    per = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(text.normalize_text(F.col("text")), " ")).alias("n_tok"),
+    )
+    wr = W3.partitionBy("lang").orderBy("n_tok", "doc_id")
+    wn = W3.partitionBy("lang")
+    p50 = (
+        per.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .where(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select("lang", F.col("n_tok").alias("p50_tokens"))
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.col("n_tok") * F.col("n_tok")).alias("ssq"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum((F.col("n_tok") < 30).cast("bigint")).alias("n_short"),
+    )
+    nd = F.col("n_docs")
+    tt = F.col("total_tokens").cast("double")
+    sd = F.sqrt(
+        (nd * F.col("ssq").cast("double") - tt * tt)
+        / (nd.cast("double") * (nd - 1))
+    )
+    out = agg.join(p50, "lang").select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        round4(tt / nd).alias("avg_tokens"),
+        round4(sd).alias("sd_tokens"),
+        "p50_tokens",
+        "n_sources",
+        "n_short",
+    )
+    return vsort(out, "lang")
