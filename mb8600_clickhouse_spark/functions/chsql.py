@@ -1347,11 +1347,17 @@ def _extract_with_fill(sql: str):
     where ``inner_sql`` keeps the plain ORDER BY and ``spec`` carries
     key text, direction, from/to/step literals and interpolate columns.
 
-    Restrictions (reject loudly, never silently approximate): single
-    fill key; no LIMIT after the fill (ClickHouse applies LIMIT to the
-    FILLED result and the composition is rarely what a dashboard
-    means); INTERPOLATE only in the identity / bare form (arbitrary
-    previous-row expressions are not bridged)."""
+    Multi-key ORDER BY is supported in the dashboard shape (round 7):
+    plain SERIES keys first, the fill axis LAST — ``ORDER BY lang,
+    bucket WITH FILL`` fills per lang group, bounds per group unless
+    FROM/TO pin them globally (ClickHouse's restart-on-prefix-change
+    semantics). A WITH FILL on a non-final key is not bridged.
+
+    Restrictions (reject loudly, never silently approximate): one fill
+    key (the last); no LIMIT after the fill (ClickHouse applies LIMIT
+    to the FILLED result and the composition is rarely what a
+    dashboard means); INTERPOLATE only in the identity / bare form
+    (arbitrary previous-row expressions are not bridged)."""
     obs = _top_level_matches(sql, r"\bORDER\s+BY\b")
     if not obs:
         return None
@@ -1383,11 +1389,19 @@ def _extract_with_fill(sql: str):
     if not m:
         raise ChSqlError(f"unparseable WITH FILL tail: {tail!r}")
     keyseg = sql[ob.end() : wfs[0].start()].strip()
-    if len(_split_top_commas(keyseg)) != 1:
-        raise ChSqlError(
-            "WITH FILL over a multi-key ORDER BY is not bridged — fill the "
-            "single series axis and sort the rest upstream"
+    segs = [s.strip() for s in _split_top_commas(keyseg)]
+    prefix_keys = []
+    for pseg in segs[:-1]:
+        pm = re.fullmatch(
+            r"(`?)(\w+)\1(?:\s+ASC)?", pseg, re.IGNORECASE
         )
+        if not pm:
+            raise ChSqlError(
+                f"WITH FILL series key {pseg!r}: only plain ascending "
+                "column names are bridged ahead of the fill axis"
+            )
+        prefix_keys.append(pm.group(2))
+    keyseg = segs[-1]
     dm = re.fullmatch(r"(?P<key>.+?)\s+(?P<dir>ASC|DESC)", keyseg, re.IGNORECASE)
     key, desc = (
         (dm.group("key"), dm.group("dir").upper() == "DESC")
@@ -1420,9 +1434,14 @@ def _extract_with_fill(sql: str):
             interp_cols = cols
     else:
         interp_cols = None
-    inner = sql[: ob.end()] + " " + keyseg
+    inner = (
+        sql[: ob.end()]
+        + " "
+        + ", ".join(prefix_keys + [keyseg])
+    )
     return inner, {
         "key": key.strip().strip("`"),
+        "prefix": prefix_keys,
         "desc": desc,
         "from": (m.group("frm") or "").strip() or None,
         "to": (m.group("to") or "").strip() or None,
@@ -1440,30 +1459,29 @@ def _apply_with_fill(spark, src, spec):
     e.g. epoch dates, would be a silent lie) and, for INTERPOLATE
     columns, the previous source row's value carried forward.
 
-    Scale: the fill axis is ONE dashboard series (CH semantics), so the
-    bounds aggregate is a 2-scalar collect, the grid is a generated
-    column, and only the INTERPOLATE path needs a total-order window —
-    partition multi-series frames upstream, as in CH."""
+    Multi-key form (round 7): with SERIES keys ahead of the fill axis
+    the grid is built PER PREFIX GROUP — bounds from a
+    groupBy(prefix).min/max when FROM/TO don't pin them (ClickHouse's
+    restart-on-prefix-change semantics), the anti-join and the
+    INTERPOLATE window partition by the prefix.
+
+    Scale: single-series bounds are a 2-scalar collect and the grid a
+    generated column; multi-series bounds are one partial-aggregated
+    exchange on the series keys and the grid explodes per group — and
+    the INTERPOLATE window is series-partitioned, never global."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     key = spec["key"]
-    if key not in src.columns:
-        raise ChSqlError(
-            f"WITH FILL key {key!r} must be a named output column of the "
-            f"SELECT (have: {src.columns})"
-        )
+    prefix = spec.get("prefix") or []
+    for k in [key] + prefix:
+        if k not in src.columns:
+            raise ChSqlError(
+                f"WITH FILL key {k!r} must be a named output column of "
+                f"the SELECT (have: {src.columns})"
+            )
     ktype = src.schema[key].dataType
-    if spec["from"] is None or spec["to"] is None:
-        row = src.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
-        ).first()
-        if row["lo"] is None:
-            return src  # empty source: CH fills nothing without FROM/TO
-        lo, hi = F.lit(row["lo"]), F.lit(row["hi"])
-    frm = F.expr(spec["from"]) if spec["from"] else (hi if spec["desc"] else lo)
-    to = F.expr(spec["to"]) if spec["to"] else (lo if spec["desc"] else hi)
     # CH STEP is a positive magnitude; a DESC fill walks downward
     step_txt = (
         ("-(" + spec["step"] + ")")
@@ -1471,9 +1489,40 @@ def _apply_with_fill(spark, src, spec):
         else (spec["step"] or ("-1" if spec["desc"] else "1"))
     )
     step = F.expr(step_txt)
-    grid = spark.range(1).select(
-        F.explode(F.sequence(frm.cast(ktype), to.cast(ktype), step)).alias(key)
-    )
+
+    def _seq(frm, to):
+        return F.sequence(frm.cast(ktype), to.cast(ktype), step)
+
+    if prefix:
+        bounds = src.groupBy(*prefix).agg(
+            F.min(key).alias("__wf_lo"), F.max(key).alias("__wf_hi")
+        )
+        frm = (
+            F.expr(spec["from"])
+            if spec["from"]
+            else (F.col("__wf_hi") if spec["desc"] else F.col("__wf_lo"))
+        )
+        to = (
+            F.expr(spec["to"])
+            if spec["to"]
+            else (F.col("__wf_lo") if spec["desc"] else F.col("__wf_hi"))
+        )
+        grid = bounds.select(
+            *prefix, F.explode(_seq(frm, to)).alias(key)
+        )
+    else:
+        if spec["from"] is None or spec["to"] is None:
+            row = src.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            if row["lo"] is None:
+                return src  # empty source: CH fills nothing without FROM/TO
+            lo, hi = F.lit(row["lo"]), F.lit(row["hi"])
+        frm = (
+            F.expr(spec["from"]) if spec["from"] else (hi if spec["desc"] else lo)
+        )
+        to = F.expr(spec["to"]) if spec["to"] else (lo if spec["desc"] else hi)
+        grid = spark.range(1).select(F.explode(_seq(frm, to)).alias(key))
     if spec["to"]:  # CH's TO bound is exclusive; sequence() is inclusive
         cmp = F.col(key) > F.expr(spec["to"]) if spec["desc"] else F.col(
             key
@@ -1481,8 +1530,9 @@ def _apply_with_fill(spark, src, spec):
         grid = grid.where(cmp)
 
     interp = spec["interpolate"]
+    gkeys = prefix + [key]
     if interp == ["*"]:
-        interp = [c for c in src.columns if c != key]
+        interp = [c for c in src.columns if c not in gkeys]
     interp = interp or []
 
     def _default(f):
@@ -1497,20 +1547,29 @@ def _apply_with_fill(spark, src, spec):
         return F.lit(None).cast(f.dataType)
 
     missing = grid.join(
-        src.select(key).where(F.col(key).isNotNull()).distinct(),
-        key,
+        src.select(*gkeys).where(F.col(key).isNotNull()).distinct(),
+        gkeys,
         "left_anti",
     )
     filled = missing.select(
-        F.col(key),
-        *[_default(f).alias(f.name) for f in src.schema.fields if f.name != key],
+        *[F.col(k) for k in gkeys],
+        *[
+            _default(f).alias(f.name)
+            for f in src.schema.fields
+            if f.name not in gkeys
+        ],
     )
     out = src.withColumn("__wf_fill", F.lit(False)).unionByName(
         filled.withColumn("__wf_fill", F.lit(True))
     )
-    order = F.col(key).desc() if spec["desc"] else F.col(key).asc()
+    korder = F.col(key).desc() if spec["desc"] else F.col(key).asc()
+    order = [F.col(k).asc() for k in prefix] + [korder]
     if interp:
-        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+        w = (
+            (Window.partitionBy(*prefix) if prefix else Window)
+            .orderBy(korder)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         for c in interp:
             out = out.withColumn(
                 c,
@@ -1521,7 +1580,7 @@ def _apply_with_fill(spark, src, spec):
                     ).over(w),
                 ).otherwise(F.col(c)),
             )
-    return out.drop("__wf_fill").orderBy(order)
+    return out.drop("__wf_fill").orderBy(*order)
 
 
 def ch_sql(spark, sql: str, final_tables: dict | None = None,

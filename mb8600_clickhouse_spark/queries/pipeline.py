@@ -2091,3 +2091,59 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return ch_sql(spark, _Q129_CLICKHOUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q133 multi-series WITH FILL (per-group time axis, round 7)
+# ---------------------------------------------------------------------------
+_Q133_CLICKHOUSE_SQL = """
+    SELECT event_type, intDiv(event_id, 500) AS bucket, count() AS n
+    FROM events
+    WHERE user_id % 11 = 3
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket WITH FILL STEP 1
+"""
+
+
+@query(
+    "q133_with_fill_series",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, CAST(event_id // 500 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id % 11 = 3
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM src GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS bucket
+      FROM bounds
+    )
+    SELECT g.event_type, g.bucket, COALESCE(s.n, 0) AS n
+    FROM grid g LEFT JOIN src s USING (event_type, bucket)
+    ORDER BY g.event_type, g.bucket
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-SERIES ``WITH FILL`` (round 7, the real dashboard shape):
+    ``ORDER BY event_type, bucket WITH FILL`` fills the bucket axis PER
+    event_type group — ClickHouse's restart-on-prefix-change semantics
+    — with bounds from each group's own min/max (one partial-aggregated
+    exchange on the series key, grid exploded per group, anti-join and
+    final order on (series, axis)). The oracle recomputes the per-group
+    grids with generate_series + LEFT JOIN + COALESCE.
+
+    Scale: everything partitions by the series key — bounds, grid,
+    anti-join, and (when used) the INTERPOLATE carry-forward window;
+    nothing is global, unlike the single-series q123 path whose
+    verification-scale global window is documented."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q133_CLICKHOUSE_SQL)

@@ -1274,3 +1274,51 @@ class TestBehavioralFunctionRejects:
         # only the CALL form rejects; a column named retention is fine
         q = "SELECT retention FROM t WHERE retention > 0"
         assert rw(q) == q
+
+    def test_multikey_per_group_fill(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.sql(
+            "SELECT * FROM VALUES ('a',0,1.0),('a',3,2.0),('b',5,4.0),"
+            "('b',9,6.0) AS t(g,k,v)"
+        ).createOrReplaceTempView("wf_multi")
+        got = [
+            (r["g"], r["k"], r["total"])
+            for r in ch_sql(
+                spark,
+                "SELECT g, k, sum(v) AS total FROM wf_multi GROUP BY g, k "
+                "ORDER BY g, k WITH FILL STEP 1",
+            ).collect()
+        ]
+        # per-group bounds: a fills 0..3, b fills 5..9 (never 0..9)
+        assert [x[:2] for x in got] == [("a", i) for i in range(4)] + [
+            ("b", i) for i in range(5, 10)
+        ]
+        assert got[0][2] == 1.0 and got[1][2] == 0.0
+
+    def test_multikey_interpolate_partitions_by_series(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.sql(
+            "SELECT * FROM VALUES ('a',0,1.0),('a',2,2.0),('b',0,7.0),"
+            "('b',2,9.0) AS t(g,k,v)"
+        ).createOrReplaceTempView("wf_multi2")
+        rows = {
+            (r["g"], r["k"]): r["total"]
+            for r in ch_sql(
+                spark,
+                "SELECT g, k, sum(v) AS total FROM wf_multi2 GROUP BY g, k "
+                "ORDER BY g, k WITH FILL INTERPOLATE (total)",
+            ).collect()
+        }
+        # carry-forward never crosses the series boundary
+        assert rows[("a", 1)] == 1.0 and rows[("b", 1)] == 7.0
+
+    def test_fill_on_non_final_key_rejects(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        with pytest.raises(ChSqlError, match="series key"):
+            ch_sql(
+                spark,
+                "SELECT 1 AS a, 2 AS b ORDER BY a + 1, b WITH FILL",
+            )
