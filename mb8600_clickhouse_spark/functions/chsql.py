@@ -528,22 +528,15 @@ def _rewrite_global_and_format(sql: str) -> str:
     # Known-unbridged behavioral-analytics / dictionary functions fail
     # with the engine's equivalent named, not a Spark unknown-function
     # error three layers down (the documented-failure contract).
+    # sequenceMatch/windowFunnel/retention are BRIDGED (2a2); only
+    # sequenceCount still rejects (its greedy non-overlapping count
+    # semantics have no clean one-fold spelling).
     for pat, msg in (
         (
-            r"\b(?:sequenceMatch|sequenceCount)\b",
-            "CH sequence pattern matching: use the funnel operator "
-            "(queries/extended.py q89 — ordered-step min-ts chain), or "
-            "spell the steps as windowed min/max conditions",
-        ),
-        (
-            r"\bwindowFunnel\b",
-            "CH windowFunnel: use the funnel operator (q89) — ordered "
-            "event-step chain with per-step first-timestamps",
-        ),
-        (
-            r"\bretention\b(?=\s*\()",
-            "CH retention(): use the cohort-retention query shape "
-            "(q90 — first-seen cohort x activity-period pivot)",
+            r"\bsequenceCount\b",
+            "CH sequenceCount: non-overlapping greedy match counting is "
+            "not bridged — sequenceMatch (bridged) answers existence; "
+            "spell counts via the funnel operator (q89) shape",
         ),
         (
             r"\bdictGet\w*\b",
@@ -935,6 +928,207 @@ def _rewrite_topk(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# 2a2. Behavioral-analytics aggregates: retention / windowFunnel /
+#      sequenceMatch (round 8 — the last reject-only dialect rows)
+# ---------------------------------------------------------------------------
+def _parametric_call(sql: str, name: str):
+    """Locate ``name(params)(args)`` — ClickHouse's parametric-aggregate
+    syntax (two adjacent balanced lists). Returns (start, params_text,
+    args_list, end_after_second_list) or None."""
+    m = _first_match(sql, rf"\b{name}\s*\(")
+    if m is None:
+        return None
+    p_open = sql.index("(", m.end() - 1)
+    p_close = _match_paren(sql, p_open)
+    m2 = re.match(r"\s*\(", sql[p_close + 1 :])
+    if not m2:
+        raise ChSqlError(
+            f"{name}(...) is parametric — it needs a second argument list: "
+            f"{name}(params)(timestamp, cond1, ...)"
+        )
+    a_open = p_close + 1 + m2.end() - 1
+    a_close = _match_paren(sql, a_open)
+    args = [a.strip() for a in _split_top_commas(sql[a_open + 1 : a_close])]
+    return m.start(), sql[p_open + 1 : p_close].strip(), args, a_close + 1
+
+
+def _behavior_events(ts: str, conds: list[str]) -> str:
+    """Sorted per-group event list for the sequence aggregates: ONLY
+    events matching >=1 condition are kept (ClickHouse semantics —
+    non-matching events are invisible to chains/adjacency; it also
+    bounds the collected state to condition-relevant events), each as
+    (t epoch-seconds double, c condition-flag array), time-ordered with
+    the flag array as a deterministic tiebreak (CH leaves same-second
+    order undefined; we don't)."""
+    carr = "array(" + ", ".join(f"coalesce(({c}), false)" for c in conds) + ")"
+    anycond = " OR ".join(f"({c})" for c in conds)
+    ev = (
+        f"CASE WHEN {anycond} THEN named_struct("
+        f"'t', CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE), 'c', {carr}) END"
+    )
+    return f"array_sort(collect_list({ev}))"
+
+
+def _rewrite_retention(sql: str) -> str:
+    """``retention(c1, ..., cN)`` → exact aggregate expansion.
+
+    ClickHouse semantics (AggregateFunctionRetention): each condition is
+    OR-ed across the group's rows; r[1] = cond1 seen, r[i] = cond1 seen
+    AND cond_i seen. That is plain ``max(CASE...)`` algebra — no state
+    machine, no order dependence — so the bridge is a pure expression
+    rewrite and the result is bit-identical to CH."""
+    while True:
+        m = _first_match(sql, r"\bretention\s*\(")
+        if m is None:
+            return sql
+        open_i = sql.index("(", m.end() - 1)
+        close_i = _match_paren(sql, open_i)
+        conds = [c.strip() for c in _split_top_commas(sql[open_i + 1 : close_i])]
+        if not conds or not conds[0]:
+            raise ChSqlError("retention() needs at least one condition")
+        flags = [f"max(CASE WHEN ({c}) THEN 1 ELSE 0 END)" for c in conds]
+        items = [flags[0]] + [f"{flags[0]} * {f}" for f in flags[1:]]
+        repl = "array(" + ", ".join(items) + ")"
+        sql = sql[: m.start()] + repl + sql[close_i + 1 :]
+
+
+def _rewrite_window_funnel(sql: str) -> str:
+    """``windowFunnel(w)(ts, c1, ..., cN)`` → an exact one-pass fold.
+
+    Semantics (CH default mode): the deepest level L such that a chain
+    of events e1..eL exists with cond_i(e_i), non-decreasing times, all
+    within ``w`` seconds of e1. The bridge collects the group's
+    condition-relevant events time-sorted and folds a DP array where
+    slot i holds the MAXIMUM chain-start time of any chain reaching
+    level i+1 (maximizing the start makes the window constraint the
+    loosest — the standard funnel DP); ``transform`` reads the
+    PREVIOUS event's state (old-acc), so one event never chains to
+    itself, while equal-timestamp events may chain in sort order
+    (CH: same-second order undefined; the sort tiebreak pins it).
+    Answer = count of non-null slots (levels are prefix-monotone).
+
+    Scale: per-group state is the filtered event list — the same
+    per-entity-bounded assumption CH's own implementation makes (it
+    also materializes the group's events); modes (strict_order /
+    strict_dedup / strict_increase) are not bridged and reject."""
+    while True:
+        pc = _parametric_call(sql, "windowFunnel")
+        if pc is None:
+            return sql
+        start, params, args, end = pc
+        try:
+            float(params)
+        except ValueError:
+            raise ChSqlError(
+                f"windowFunnel({params!r}): only the default mode with a "
+                "numeric window (seconds) is bridged; strict_* modes need "
+                "the manual spelling (q89's funnel shape)"
+            ) from None
+        if len(args) < 2:
+            raise ChSqlError("windowFunnel needs (timestamp, cond1, ...)")
+        ts, conds = args[0], args[1:]
+        n = len(conds)
+        lst = _behavior_events(ts, conds)
+        step = (
+            f"(acc, e) -> transform(acc, (s, i) -> CASE "
+            f"WHEN NOT e.c[i] THEN s "
+            f"WHEN i = 0 THEN greatest(s, e.t) "
+            f"WHEN element_at(acc, i) IS NOT NULL "
+            f"AND e.t - element_at(acc, i) <= {params} "
+            f"THEN greatest(s, element_at(acc, i)) ELSE s END)"
+        )
+        repl = (
+            f"size(filter(aggregate({lst}, "
+            f"array_repeat(CAST(NULL AS DOUBLE), {n}), {step}), "
+            f"s -> s IS NOT NULL))"
+        )
+        sql = sql[:start] + repl + sql[end:]
+
+
+def _parse_seq_pattern(pat: str) -> list[tuple[int, bool]]:
+    """Restricted sequenceMatch pattern: ``(?N)`` refs optionally
+    separated by ``.*``. Returns [(cond_index_0based, gap_before)].
+    Time constraints ``(?t op value)`` and single ``.`` reject with the
+    manual spelling named."""
+    steps: list[tuple[int, bool]] = []
+    pending_gap = False
+    i = 0
+    while i < len(pat):
+        if pat.startswith(".*", i):
+            pending_gap = True
+            i += 2
+            continue
+        m = re.match(r"\(\?(\d+)\)", pat[i:])
+        if not m:
+            raise ChSqlError(
+                f"sequenceMatch pattern {pat!r}: only '(?N)' refs and '.*' "
+                "gaps are bridged ('(?t...)' time constraints and single "
+                "'.' need the manual windowed-conditions spelling)"
+            )
+        steps.append((int(m.group(1)) - 1, pending_gap))
+        pending_gap = False
+        i += m.end()
+    if not steps:
+        raise ChSqlError("sequenceMatch pattern has no (?N) refs")
+    return steps
+
+
+def _rewrite_sequence_match(sql: str) -> str:
+    """``sequenceMatch('(?1).*(?2)')(ts, c1, ..., cN)`` → an exact
+    one-pass regex-over-events fold.
+
+    CH semantics: events matching NO condition are invisible; adjacent
+    ``(?i)(?j)`` refs must match CONSECUTIVE visible events; ``.*``
+    allows any number of visible events between. The fold carries per
+    pattern position p a 2-bit state over the visible, time-sorted
+    sequence: bit0 (A) = a match of the prefix ends EXACTLY at the
+    previous event; bit1 (B) = a prefix match ended at or before the
+    previous event. A new event extends: adjacency consumes A of p-1,
+    a '.*' gap accepts A|B of p-1; the pattern is unanchored, so
+    position 0 matches anywhere. Matched = last position's state > 0
+    after the fold."""
+    while True:
+        pc = _parametric_call(sql, "sequenceMatch")
+        if pc is None:
+            return sql
+        start, params, args, end = pc
+        mpat = re.fullmatch(r"'([^']*)'", params)
+        if not mpat:
+            raise ChSqlError(
+                "sequenceMatch needs a quoted literal pattern: "
+                "sequenceMatch('(?1)(?2)')(ts, cond1, cond2)"
+            )
+        steps = _parse_seq_pattern(mpat.group(1))
+        if len(args) < 2:
+            raise ChSqlError("sequenceMatch needs (timestamp, cond1, ...)")
+        ts, conds = args[0], args[1:]
+        for ci, _ in steps:
+            if not (0 <= ci < len(conds)):
+                raise ChSqlError(
+                    f"sequenceMatch pattern ref (?{ci + 1}) has no matching "
+                    f"condition (got {len(conds)})"
+                )
+        p_n = len(steps)
+        lst = _behavior_events(ts, conds)
+        cidx = "array(" + ", ".join(str(ci) for ci, _ in steps) + ")"
+        garr = "array(" + ", ".join(
+            "true" if g else "false" for _, g in steps
+        ) + ")"
+        step = (
+            f"(acc, e) -> transform(acc, (s, p) -> "
+            f"(CASE WHEN e.c[{cidx}[p]] AND (p = 0 OR (CASE WHEN {garr}[p] "
+            f"THEN element_at(acc, p) > 0 "
+            f"ELSE pmod(element_at(acc, p), 2) = 1 END)) "
+            f"THEN 1 ELSE 0 END) + (CASE WHEN s > 0 THEN 2 ELSE 0 END))"
+        )
+        repl = (
+            f"CAST(element_at(aggregate({lst}, array_repeat(0, {p_n}), "
+            f"{step}), {p_n}) > 0 AS INT)"
+        )
+        sql = sql[:start] + repl + sql[end:]
+
+
+# ---------------------------------------------------------------------------
 # 2b. PREWHERE -> WHERE; trailing SETTINGS stripped
 # ---------------------------------------------------------------------------
 _TSDIFF_UNITS = {
@@ -1312,6 +1506,9 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_scalar_calls(sql)
     sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
+    sql = _rewrite_retention(sql)
+    sql = _rewrite_window_funnel(sql)
+    sql = _rewrite_sequence_match(sql)
     sql = _rewrite_global_and_format(sql)
     sql = _rewrite_running(sql)
     sql = _rewrite_prewhere_settings(sql)

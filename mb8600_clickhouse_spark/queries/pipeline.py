@@ -2147,3 +2147,219 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return ch_sql(spark, _Q133_CLICKHOUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q134-Q136 ClickHouse behavioral-analytics aggregates through the bridge
+# (functions/chsql.py 2a2 — retention / windowFunnel / sequenceMatch)
+# ---------------------------------------------------------------------------
+_Q134_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           retention(event_type = 'view', event_type = 'click',
+                     event_type = 'purchase') AS r
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query(
+    "q134_ch_retention",
+    oracle="""
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT)
+             AS r_view,
+           CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT)
+             AS r_click,
+           CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+             AS r_purchase
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention()`` run VERBATIM through the dialect
+    bridge: each condition ORs across the group, r[1] = cond1 seen,
+    r[i] = cond1 AND cond_i seen — rewritten to exact max(CASE) algebra
+    (chsql._rewrite_retention), bit-identical to CH, order-free. The
+    returned UInt8 array is unpacked to INT columns for the driver's
+    canonicalizer (the q07 list-cell rule). Pure hash aggregation —
+    one exchange on user_id, map-side combined, no state machine."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q134_CLICKHOUSE_SQL).selectExpr(
+        "user_id",
+        "r[0] AS r_view",
+        "r[1] AS r_click",
+        "r[2] AS r_purchase",
+    )
+
+
+_Q135_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           windowFunnel(900)(ts, event_type = 'view', event_type = 'click',
+                             event_type = 'purchase') AS lvl
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query(
+    "q135_ch_window_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             list_sort(list([epoch(ts),
+               CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END,
+               CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END]))
+               AS evs
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    ),
+    dp AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend([NULL, NULL, NULL]::DOUBLE[], evs),
+               (acc, e) -> [
+                 CASE WHEN e[2] = 1
+                      THEN greatest(coalesce(acc[1], e[1]), e[1])
+                      ELSE acc[1] END,
+                 CASE WHEN e[3] = 1 AND acc[1] IS NOT NULL
+                           AND e[1] - acc[1] <= 900
+                      THEN greatest(coalesce(acc[2], acc[1]), acc[1])
+                      ELSE acc[2] END,
+                 CASE WHEN e[4] = 1 AND acc[2] IS NOT NULL
+                           AND e[1] - acc[2] <= 900
+                      THEN greatest(coalesce(acc[3], acc[2]), acc[2])
+                      ELSE acc[3] END
+               ]) AS st
+      FROM ev
+    )
+    SELECT u.user_id,
+           COALESCE(CAST(len(list_filter(d.st, s -> s IS NOT NULL)) AS INT), 0)
+             AS lvl
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN dp d USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(900)(ts, ...)`` VERBATIM through the
+    dialect bridge: deepest conversion level view→click→purchase within
+    15 minutes of the chain's first event. The rewrite
+    (chsql._rewrite_window_funnel) folds each user's time-sorted,
+    condition-relevant events through a max-chain-start DP — one pass,
+    no joins, no window functions; the oracle recomputes the SAME DP
+    with DuckDB list lambdas, so the hash pins fold semantics
+    (restart-on-later-start, window-vs-first-event, old-state chaining)
+    across engines.
+
+    Scale: one exchange on user_id; per-group state is the filtered
+    event list (bounded per entity — the same assumption ClickHouse's
+    implementation makes when it materializes the group's events).
+    Conditions here are disjoint (event_type equality); for OVERLAPPING
+    conditions CH's per-(event, condition) entries can chain a single
+    row onto itself at equal timestamps, which the bridge's old-state
+    fold deliberately does not — documented divergence."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q135_CLICKHOUSE_SQL)
+
+
+_Q136_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           sequenceMatch('(?1)(?2)')(ts, event_type = 'view',
+                                     event_type = 'click') AS m_adj,
+           sequenceMatch('(?1).*(?2)')(ts, event_type = 'error',
+                                       event_type = 'purchase') AS m_gap
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query(
+    "q136_ch_sequence_match",
+    oracle="""
+    WITH ev1 AS (
+      SELECT user_id,
+             list_sort(list([epoch(ts),
+               CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END,
+               CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END]))
+               AS evs
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id
+    ),
+    m1 AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend([0, 0]::DOUBLE[], evs),
+               (acc, e) -> [
+                 CASE WHEN e[2] = 1 THEN 1 ELSE 0 END
+                   + CASE WHEN acc[1] > 0 THEN 2 ELSE 0 END,
+                 CASE WHEN e[3] = 1 AND acc[1] % 2 = 1 THEN 1 ELSE 0 END
+                   + CASE WHEN acc[2] > 0 THEN 2 ELSE 0 END
+               ]) AS st
+      FROM ev1
+    ),
+    ev2 AS (
+      SELECT user_id,
+             list_sort(list([epoch(ts),
+               CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END]))
+               AS evs
+      FROM events WHERE event_type IN ('error', 'purchase')
+      GROUP BY user_id
+    ),
+    m2 AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend([0, 0]::DOUBLE[], evs),
+               (acc, e) -> [
+                 CASE WHEN e[2] = 1 THEN 1 ELSE 0 END
+                   + CASE WHEN acc[1] > 0 THEN 2 ELSE 0 END,
+                 CASE WHEN e[3] = 1 AND acc[1] > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN acc[2] > 0 THEN 2 ELSE 0 END
+               ]) AS st
+      FROM ev2
+    )
+    SELECT u.user_id,
+           COALESCE(CAST(m1.st[2] > 0 AS INT), 0) AS m_adj,
+           COALESCE(CAST(m2.st[2] > 0 AS INT), 0) AS m_gap
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN m1 USING (user_id)
+    LEFT JOIN m2 USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch`` VERBATIM through the dialect bridge,
+    both pattern classes: ``(?1)(?2)`` (a click IMMEDIATELY after a view
+    among condition-relevant events — CH's visibility rule: events
+    matching no condition are invisible to adjacency) and
+    ``(?1).*(?2)`` (a purchase any time after an error). The rewrite
+    (chsql._rewrite_sequence_match) folds a 2-bit-per-pattern-position
+    regex state machine over each user's visible, time-sorted events;
+    the oracle replays the SAME automaton with DuckDB list lambdas —
+    the hash pins adjacency, gap, and visibility semantics (the CH docs'
+    own n=1,n=3,n=2 example is the pytest unit case).
+
+    Scale: same shape as q135 — one user_id exchange, per-group state
+    bounded by condition-relevant events, no joins in the Spark plan
+    (each sequenceMatch is an independent aggregate expression)."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q136_CLICKHOUSE_SQL)

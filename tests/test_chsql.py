@@ -1257,14 +1257,15 @@ class TestAnyAllJoinBridge:
 
 
 class TestBehavioralFunctionRejects:
-    """Known-unbridged CH behavioral/dictionary functions fail with the
-    engine's equivalent named (documented-failure contract, round 7)."""
+    """Unbridged CH behavioral/dictionary functions fail with the
+    engine's equivalent named (documented-failure contract, round 7).
+    retention/windowFunnel/sequenceMatch graduated to real bridges in
+    round 8 (TestBehavioralAggregates); sequenceCount and dictGet*
+    still reject."""
 
     def test_rejects_point_at_equivalents(self):
         for frag, msg in (
-            ("sequenceMatch('(?1).*(?2)')(ts, a, b)", "funnel"),
-            ("windowFunnel(3600)(ts, a, b)", "q89"),
-            ("retention(a, b, c)", "q90"),
+            ("sequenceCount('(?1).*(?2)')(ts, a, b)", "q89"),
             ("dictGetString('d', 'attr', k)", "JOIN"),
         ):
             with pytest.raises(ChSqlError, match=msg):
@@ -1322,3 +1323,99 @@ class TestBehavioralFunctionRejects:
                 spark,
                 "SELECT 1 AS a, 2 AS b ORDER BY a + 1, b WITH FILL",
             )
+
+
+class TestBehavioralAggregates:
+    """retention / windowFunnel / sequenceMatch bridges (chsql 2a2) —
+    semantics pinned against hand-computed ClickHouse behavior,
+    including the sequenceMatch visibility example from the CH docs."""
+
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(u=u, ts=f"2024-01-01 00:00:{s:02d}", et=et) for u, s, et in rows]
+        ).selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts", "et")
+
+    def test_retention_requires_first_condition(self, spark):
+        self._events(
+            spark, [(1, 1, "view"), (1, 2, "click"), (2, 3, "click")]
+        ).createOrReplaceTempView("ev_ret")
+        out = spark.sql(
+            rw(
+                "SELECT u, retention(et = 'view', et = 'click') AS r "
+                "FROM ev_ret GROUP BY u ORDER BY u"
+            )
+        ).collect()
+        assert [list(r.r) for r in out] == [[1, 1], [0, 0]]
+
+    def test_window_funnel_window_and_restart(self, spark):
+        self._events(
+            spark,
+            [
+                # u=1: view@1 click@11 purchase@21; w=15 cuts purchase
+                (1, 1, "view"), (1, 11, "click"), (1, 21, "purchase"),
+                # u=2: same but within w=25 -> 3
+                (2, 1, "view"), (2, 11, "click"), (2, 21, "purchase"),
+                # u=3: late view restarts the chain (max start DP)
+                (3, 1, "view"), (3, 30, "view"), (3, 35, "click"),
+                # u=4: steps out of order -> stuck at 1
+                (4, 5, "click"), (4, 9, "view"),
+            ],
+        ).createOrReplaceTempView("ev_wf")
+
+        def lvls(w):
+            out = spark.sql(
+                rw(
+                    f"SELECT u, windowFunnel({w})(ts, et = 'view', "
+                    "et = 'click', et = 'purchase') AS lvl "
+                    "FROM ev_wf GROUP BY u ORDER BY u"
+                )
+            ).collect()
+            return {r.u: r.lvl for r in out}
+
+        assert lvls(15) == {1: 2, 2: 2, 3: 2, 4: 1}
+        assert lvls(25) == {1: 3, 2: 3, 3: 2, 4: 1}
+        assert lvls(5) == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    def test_sequence_match_visibility(self, spark):
+        # the ClickHouse docs example: t=1 n=1, t=2 n=3, t=3 n=2.
+        # With conds (n=1, n=2): the n=3 event matches no condition ->
+        # invisible -> '(?1)(?2)' matches. Adding n=3 as a condition
+        # makes it visible and breaks adjacency; '(?1).*(?2)' still
+        # matches.
+        self._events(
+            spark, [(1, 1, "n1"), (1, 2, "n3"), (1, 3, "n2")]
+        ).createOrReplaceTempView("ev_sm")
+        q2 = rw(
+            "SELECT sequenceMatch('(?1)(?2)')(ts, et = 'n1', et = 'n2') "
+            "AS m FROM ev_sm GROUP BY u"
+        )
+        assert spark.sql(q2).collect()[0].m == 1
+        q3 = rw(
+            "SELECT sequenceMatch('(?1)(?2)')(ts, et = 'n1', et = 'n2', "
+            "et = 'n3') AS m FROM ev_sm GROUP BY u"
+        )
+        assert spark.sql(q3).collect()[0].m == 0
+        q3g = rw(
+            "SELECT sequenceMatch('(?1).*(?2)')(ts, et = 'n1', et = 'n2', "
+            "et = 'n3') AS m FROM ev_sm GROUP BY u"
+        )
+        assert spark.sql(q3g).collect()[0].m == 1
+
+    def test_sequence_match_no_match_and_order(self, spark):
+        # n2 before n1 only -> no ordered match
+        self._events(
+            spark, [(1, 1, "n2"), (1, 2, "n1")]
+        ).createOrReplaceTempView("ev_sm2")
+        q = rw(
+            "SELECT sequenceMatch('(?1)(?2)')(ts, et = 'n1', et = 'n2') "
+            "AS m FROM ev_sm2 GROUP BY u"
+        )
+        assert spark.sql(q).collect()[0].m == 0
+
+    def test_rejects_unbridged_forms(self, spark):
+        with pytest.raises(ChSqlError, match="sequenceCount"):
+            rw("SELECT sequenceCount('(?1)')(ts, a = 1) FROM t GROUP BY u")
+        with pytest.raises(ChSqlError, match="time constraints|bridged"):
+            rw("SELECT sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) FROM t GROUP BY u")
+        with pytest.raises(ChSqlError, match="strict"):
+            rw("SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM t GROUP BY u")
