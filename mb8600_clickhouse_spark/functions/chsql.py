@@ -528,16 +528,9 @@ def _rewrite_global_and_format(sql: str) -> str:
     # Known-unbridged behavioral-analytics / dictionary functions fail
     # with the engine's equivalent named, not a Spark unknown-function
     # error three layers down (the documented-failure contract).
-    # sequenceMatch/windowFunnel/retention are BRIDGED (2a2); only
-    # sequenceCount still rejects (its greedy non-overlapping count
-    # semantics have no clean one-fold spelling).
+    # retention/windowFunnel/sequenceMatch/sequenceCount are BRIDGED
+    # (2a2); dictGet* keeps rejecting (no dictionary server exists).
     for pat, msg in (
-        (
-            r"\bsequenceCount\b",
-            "CH sequenceCount: non-overlapping greedy match counting is "
-            "not bridged — sequenceMatch (bridged) answers existence; "
-            "spell counts via the funnel operator (q89) shape",
-        ),
         (
             r"\bdictGet\w*\b",
             "CH external dictionaries: load the dictionary source as a "
@@ -1128,6 +1121,67 @@ def _rewrite_sequence_match(sql: str) -> str:
         sql = sql[:start] + repl + sql[end:]
 
 
+def _rewrite_sequence_count(sql: str) -> str:
+    """``sequenceCount('pat')(ts, c1, ..., cN)`` → the q136 automaton
+    with ClickHouse's GREEDY NON-OVERLAPPING counting: the fold state
+    grows one slot (the count); when any match of the full pattern
+    completes at the current event — earliest-completion, which is
+    exactly greedy left-to-right search — the count increments and
+    every position resets, so the next match must start strictly after
+    the completing event (CH resumes its search there too)."""
+    while True:
+        pc = _parametric_call(sql, "sequenceCount")
+        if pc is None:
+            return sql
+        start, params, args, end = pc
+        mpat = re.fullmatch(r"'([^']*)'", params)
+        if not mpat:
+            raise ChSqlError(
+                "sequenceCount needs a quoted literal pattern: "
+                "sequenceCount('(?1)(?2)')(ts, cond1, cond2)"
+            )
+        steps = _parse_seq_pattern(mpat.group(1))
+        if len(args) < 2:
+            raise ChSqlError("sequenceCount needs (timestamp, cond1, ...)")
+        ts, conds = args[0], args[1:]
+        for ci, _ in steps:
+            if not (0 <= ci < len(conds)):
+                raise ChSqlError(
+                    f"sequenceCount pattern ref (?{ci + 1}) has no matching "
+                    f"condition (got {len(conds)})"
+                )
+        p_n = len(steps)
+        lst = _behavior_events(ts, conds)
+        cidx = "array(" + ", ".join(str(ci) for ci, _ in steps) + ")"
+        garr = "array(" + ", ".join(
+            "true" if g else "false" for _, g in steps
+        ) + ")"
+        last_ci, last_gap = steps[-1]
+        if p_n == 1:
+            complete = f"e.c[{last_ci}]"
+        else:
+            gate = (
+                f"element_at(acc, {p_n - 1}) > 0"
+                if last_gap
+                else f"pmod(element_at(acc, {p_n - 1}), 2) = 1"
+            )
+            complete = f"(e.c[{last_ci}] AND {gate})"
+        step = (
+            f"(acc, e) -> transform(acc, (s, p) -> "
+            f"CASE WHEN p = {p_n} THEN s + (CASE WHEN {complete} THEN 1 ELSE 0 END) "
+            f"WHEN {complete} THEN 0 "
+            f"ELSE (CASE WHEN e.c[{cidx}[p]] AND (p = 0 OR (CASE WHEN {garr}[p] "
+            f"THEN element_at(acc, p) > 0 "
+            f"ELSE pmod(element_at(acc, p), 2) = 1 END)) "
+            f"THEN 1 ELSE 0 END) + (CASE WHEN s > 0 THEN 2 ELSE 0 END) END)"
+        )
+        repl = (
+            f"CAST(element_at(aggregate({lst}, array_repeat(0, {p_n + 1}), "
+            f"{step}), {p_n + 1}) AS BIGINT)"
+        )
+        sql = sql[:start] + repl + sql[end:]
+
+
 # ---------------------------------------------------------------------------
 # 2b. PREWHERE -> WHERE; trailing SETTINGS stripped
 # ---------------------------------------------------------------------------
@@ -1509,6 +1563,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_retention(sql)
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence_match(sql)
+    sql = _rewrite_sequence_count(sql)
     sql = _rewrite_global_and_format(sql)
     sql = _rewrite_running(sql)
     sql = _rewrite_prewhere_settings(sql)

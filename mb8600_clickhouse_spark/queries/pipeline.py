@@ -2363,3 +2363,62 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return ch_sql(spark, _Q136_CLICKHOUSE_SQL)
+
+
+_Q137_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           sequenceCount('(?1).*(?2)')(ts, event_type = 'error',
+                                       event_type = 'purchase') AS n_chains
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query(
+    "q137_ch_sequence_count",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             list_sort(list([epoch(ts),
+               CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END]))
+               AS evs
+      FROM events WHERE event_type IN ('error', 'purchase')
+      GROUP BY user_id
+    ),
+    dp AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend([0, 0]::DOUBLE[], evs),
+               (acc, e) -> CASE
+                 WHEN e[3] = 1 AND acc[1] > 0 THEN [0, acc[2] + 1]
+                 ELSE [CASE WHEN e[2] = 1 THEN 1 ELSE 0 END
+                         + CASE WHEN acc[1] > 0 THEN 2 ELSE 0 END,
+                       acc[2]]
+               END) AS st
+      FROM ev
+    )
+    SELECT u.user_id,
+           COALESCE(CAST(d.st[2] AS BIGINT), 0) AS n_chains
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN dp d USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount`` VERBATIM through the bridge: greedy
+    NON-OVERLAPPING error→purchase chains per user — the q136 automaton
+    plus a count slot; a completing match resets every position, so the
+    next chain must start strictly after it (exactly CH's resume-after-
+    match search). The oracle replays the same reset-on-completion fold
+    (slot algebra reduced to the live position + count for P=2), so the
+    hash pins the GREEDY semantics, not just existence. Same scale
+    shape as q135/q136: one user exchange, per-group state bounded by
+    condition-relevant events."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q137_CLICKHOUSE_SQL)

@@ -1259,13 +1259,12 @@ class TestAnyAllJoinBridge:
 class TestBehavioralFunctionRejects:
     """Unbridged CH behavioral/dictionary functions fail with the
     engine's equivalent named (documented-failure contract, round 7).
-    retention/windowFunnel/sequenceMatch graduated to real bridges in
-    round 8 (TestBehavioralAggregates); sequenceCount and dictGet*
-    still reject."""
+    retention/windowFunnel/sequenceMatch/sequenceCount graduated to
+    real bridges in round 8 (TestBehavioralAggregates); dictGet*
+    still rejects."""
 
     def test_rejects_point_at_equivalents(self):
         for frag, msg in (
-            ("sequenceCount('(?1).*(?2)')(ts, a, b)", "q89"),
             ("dictGetString('d', 'attr', k)", "JOIN"),
         ):
             with pytest.raises(ChSqlError, match=msg):
@@ -1412,10 +1411,39 @@ class TestBehavioralAggregates:
         )
         assert spark.sql(q).collect()[0].m == 0
 
+    def test_sequence_count_greedy_nonoverlap(self, spark):
+        # a b a b -> 2 adjacent (view,click) matches; the overlapping
+        # start at the second 'a' is consumed by the greedy reset.
+        self._events(
+            spark,
+            [
+                (1, 1, "n1"), (1, 2, "n2"), (1, 3, "n1"), (1, 4, "n2"),
+                # u=2: a a b -> ONE match (greedy: completes once at b)
+                (2, 1, "n1"), (2, 2, "n1"), (2, 3, "n2"),
+                # u=3: no completion
+                (3, 1, "n2"), (3, 2, "n2"),
+            ],
+        ).createOrReplaceTempView("ev_sc")
+        q = rw(
+            "SELECT u, sequenceCount('(?1)(?2)')(ts, et = 'n1', et = 'n2') "
+            "AS c FROM ev_sc GROUP BY u ORDER BY u"
+        )
+        assert [(r.u, r.c) for r in spark.sql(q).collect()] == [
+            (1, 2), (2, 1), (3, 0)
+        ]
+        # single-ref pattern counts every matching event
+        q1 = rw(
+            "SELECT u, sequenceCount('(?1)')(ts, et = 'n1') AS c "
+            "FROM ev_sc GROUP BY u ORDER BY u"
+        )
+        assert [(r.u, r.c) for r in spark.sql(q1).collect()] == [
+            (1, 2), (2, 2), (3, 0)
+        ]
+
     def test_rejects_unbridged_forms(self, spark):
-        with pytest.raises(ChSqlError, match="sequenceCount"):
-            rw("SELECT sequenceCount('(?1)')(ts, a = 1) FROM t GROUP BY u")
         with pytest.raises(ChSqlError, match="time constraints|bridged"):
             rw("SELECT sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) FROM t GROUP BY u")
         with pytest.raises(ChSqlError, match="strict"):
             rw("SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM t GROUP BY u")
+        with pytest.raises(ChSqlError, match="quoted literal"):
+            rw("SELECT sequenceCount(pat)(ts, a) FROM t GROUP BY u")
