@@ -125,3 +125,71 @@ def temperature_sample(
         .filter(F.col("_frac") < F.col("_rate"))
         .drop("_frac")
     )
+
+
+def budget_mix(
+    df: "DataFrame",
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix-v1",
+) -> "DataFrame":
+    """Token-budget source mixing — the Dolma/RedPajama/DataComp recipe
+    for assembling a training corpus to a fixed size: source ``s`` gets
+    a token target of ``token_budget * weights[s]``; its documents are
+    taken in salted-md5 order (a deterministic, unbiased shuffle —
+    replay-stable across runs and engines) until the running token
+    total CROSSES the target. The crossing document is kept (the fill
+    rule: every source with enough data reaches at least its target;
+    a source with less contributes everything). Sources absent from
+    ``weights`` are dropped (weight 0).
+
+    Returns the kept rows plus ``n_tokens`` and ``cum_before`` (tokens
+    taken from the source before this document — the audit columns a
+    mixing report needs). Exact by construction: token counts are
+    integers, the keep rule is an integer comparison, and the md5 sort
+    key is an engine-portable string — a SQL oracle reproduces the
+    EXACT kept set.
+
+    Scale shape: one narrow projection (token count at scan speed),
+    then ONE window partitioned by source ordered by the salted key —
+    per-source parallel; a single giant source serializes onto one
+    task's sort, and the documented upgrade at the 100 TB point is
+    two-phase: range-partition the source by key prefix, partial token
+    sums per range, broadcast the prefix offsets, local cumsum (the
+    q119 balanced-shard device). The fixture-scale window is the clear
+    spelling of the same order-then-scan semantics."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .text import norm_tokens
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, int(token_budget * w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, _target long",
+    )
+    key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ).alias("_k")
+    d = df.select(
+        id_col,
+        source_col,
+        F.size(norm_tokens(F.col(text_col))).alias("n_tokens"),
+        key,
+    )
+    win = (
+        W.partitionBy(source_col)
+        .orderBy("_k", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(tgt), source_col)
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+        )
+        .filter(F.col("cum_before") < F.col("_target"))
+        .drop("_k", "_target")
+    )

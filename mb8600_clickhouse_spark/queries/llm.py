@@ -2965,3 +2965,63 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_short",
     )
     return vsort(out, "lang")
+
+
+# ---------------------------------------------------------------------------
+# Q138 token-budget source mixing (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q138_budget_mix",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_tokens,
+             md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    t AS (
+      SELECT * FROM (VALUES ('src0', 3000), ('src1', 1800), ('src2', 1200))
+        AS t(source, target)
+    ),
+    c AS (
+      SELECT d.doc_id, d.source, d.n_tokens, t.target,
+             COALESCE(SUM(d.n_tokens) OVER (
+               PARTITION BY d.source ORDER BY d.k, d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM d JOIN t USING (source)
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM c WHERE cum_before < target
+    ORDER BY doc_id
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing (``sampling.budget_mix`` — the
+    Dolma / RedPajama / DataComp corpus-assembly recipe): a 6,000-token
+    training mix at weights src0 0.5 / src1 0.3 / src2 0.2; per source,
+    documents are taken in salted-md5 order until the running token
+    total crosses the source's target (crossing doc kept; unlisted
+    sources dropped). The oracle replays tokenize → salted order →
+    windowed cumsum → integer cut, so the hash pins the EXACT kept set
+    and the audit columns, not just counts. One scan-speed projection +
+    one source-partitioned window; the 100 TB upgrade (two-phase
+    range-partitioned cumsum for a giant single source) is documented
+    on the operator."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = sampling.budget_mix(
+        docs,
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        token_budget=6000,
+    )
+    return vsort(
+        out.select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("cum_before").cast("bigint").alias("cum_before"),
+        ),
+        "doc_id",
+    )

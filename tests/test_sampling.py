@@ -76,3 +76,46 @@ class TestTemperatureSample:
         a = {r["doc_id"] for r in sampling.temperature_sample(self._df(spark)).collect()}
         b = {r["doc_id"] for r in sampling.temperature_sample(self._df(spark)).collect()}
         assert a == b
+
+
+class TestBudgetMix:
+    """sampling.budget_mix — the fill-until-crossing contract."""
+
+    def test_crossing_doc_kept_and_weights(self, spark):
+        from mb8600_clickhouse_spark.operators.sampling import budget_mix
+
+        df = spark.createDataFrame(
+            [
+                # src a: 4 docs x 10 tokens each
+                *[(i, "a", "tok " * 10) for i in range(4)],
+                # src b: 2 docs x 10
+                *[(10 + i, "b", "tok " * 10) for i in range(2)],
+                # src c: unlisted -> dropped
+                (20, "c", "tok " * 10),
+            ],
+            "doc_id: long, source: string, text: string",
+        )
+        out = budget_mix(
+            df, weights={"a": 0.5, "b": 0.5}, token_budget=50
+        ).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        # target 25 tokens each: src a takes 3 docs (10+10 before the
+        # third, 20 < 25 -> crossing doc kept; 30 >= 25 stops the 4th)
+        assert len(by_src["a"]) == 3
+        assert sorted(r.cum_before for r in by_src["a"]) == [0, 10, 20]
+        # src b has only 20 tokens -> contributes everything
+        assert len(by_src["b"]) == 2
+        assert "c" not in by_src
+
+    def test_replay_stable(self, spark):
+        from mb8600_clickhouse_spark.operators.sampling import budget_mix
+
+        df = spark.createDataFrame(
+            [(i, "a", f"w{i} " * (i % 7 + 1)) for i in range(40)],
+            "doc_id: long, source: string, text: string",
+        )
+        a = sorted(r.doc_id for r in budget_mix(df, {"a": 1.0}, 60).collect())
+        b = sorted(r.doc_id for r in budget_mix(df, {"a": 1.0}, 60).collect())
+        assert a == b and 0 < len(a) < 40
