@@ -532,9 +532,11 @@ def _rewrite_global_and_format(sql: str) -> str:
     # (2a2); dictGet* keeps rejecting (no dictionary server exists).
     for pat, msg in (
         (
-            r"\bdictGet\w*\b",
-            "CH external dictionaries: load the dictionary source as a "
-            "table and JOIN (broadcast for dimension-sized dicts) — no "
+            r"\bdict(?:Get|Has)\w*\b",
+            "CH external dictionaries: register the dictionary as a view "
+            "and pass dictionaries={'name': 'key_col'} to ch_sql / "
+            "rewrite_clickhouse_sql (bridged as correlated lookups -> "
+            "broadcast joins), or spell the lookup as a JOIN — no "
             "dictionary server exists in this engine",
         ),
     ):
@@ -1121,6 +1123,110 @@ def _rewrite_sequence_match(sql: str) -> str:
         sql = sql[:start] + repl + sql[end:]
 
 
+#: typed dictGet suffix -> the ClickHouse missing-key default the typed
+#: variant returns (plain dictGet's per-attribute type default needs
+#: schema knowledge the string layer lacks — it bridges as NULL with the
+#: divergence documented on ch_sql)
+_DICTGET_DEFAULTS = {
+    "String": "''",
+    "Int8": "0", "Int16": "0", "Int32": "0", "Int64": "0",
+    "UInt8": "0", "UInt16": "0", "UInt32": "0", "UInt64": "0",
+    "Float32": "CAST(0 AS DOUBLE)", "Float64": "CAST(0 AS DOUBLE)",
+    "Date": "DATE '1970-01-01'",
+    "DateTime": "TIMESTAMP '1970-01-01 00:00:00'",
+}
+
+_DICT_FN = (
+    r"\bdict(?:Has|Get(?:OrDefault)?"
+    r"(?:String|U?Int(?:8|16|32|64)|Float(?:32|64)|DateTime|Date)?)\s*\("
+)
+
+
+def _rewrite_dictget(sql: str, dictionaries: dict[str, str] | None) -> str:
+    """``dictGet*('d', 'attr', key)`` family → correlated scalar
+    subqueries against a REGISTERED dictionary view (Catalyst rewrites
+    them to a left-outer broadcast join — exactly what a dimension-sized
+    CH dictionary is). ``dictionaries`` maps dictionary name → its key
+    column; names not in the map (or a None map) keep the loud reject.
+
+    Missing-key semantics: typed variants return CH's documented type
+    default (coalesce), ``dictGetOrDefault`` its explicit default;
+    PLAIN ``dictGet`` yields NULL where CH would synthesize the
+    attribute type's default — the one divergence, documented here and
+    on ``ch_sql``. ``dictHas`` → correlated count > 0. Composite
+    (tuple) keys are not bridged and reject."""
+    if not dictionaries:
+        return sql
+    seq = 0
+    while True:
+        m = _first_match(sql, _DICT_FN)
+        if m is None:
+            return sql
+        # inner projection renames the dictionary's columns to reserved
+        # names BEFORE the correlated predicate: a bare column in the
+        # key expression must resolve to the OUTER query — with the
+        # dictionary's own columns in scope, `dictGet('d','a',k)` where
+        # d also has a column k would silently correlate d.k = d.k
+        # (every row matches). The rename leaves only __chd*_ names in
+        # the inner scope.
+        kc, vc = f"__chd{seq}_k", f"__chd{seq}_v"
+        seq += 1
+        fn = m.group(0)[: m.group(0).index("(")].strip()
+        open_i = sql.index("(", m.end() - 1)
+        close_i = _match_paren(sql, open_i)
+        args = [a.strip() for a in _split_top_commas(sql[open_i + 1 : close_i])]
+        mname = re.fullmatch(r"'([^']*)'", args[0]) if args else None
+        if not mname:
+            raise ChSqlError(f"{fn}: the dictionary name must be a quoted literal")
+        dname = mname.group(1)
+        if dname not in dictionaries:
+            raise ChSqlError(
+                f"{fn}({args[0]}): dictionary {dname!r} is not registered — "
+                "pass dictionaries={'" + dname + "': '<key_col>'} to ch_sql/"
+                "rewrite_clickhouse_sql (the view itself must be registered), "
+                "or spell the lookup as a broadcast JOIN"
+            )
+        key_col = dictionaries[dname]
+        if fn == "dictHas":
+            if len(args) != 2:
+                raise ChSqlError("dictHas needs ('dict', key)")
+            keyexpr = args[1]
+            repl = (
+                f"((SELECT count(1) FROM (SELECT {key_col} AS {kc} "
+                f"FROM {dname}) WHERE {kc} = ({keyexpr})) > 0)"
+            )
+        else:
+            or_default = fn.startswith("dictGetOrDefault")
+            want = 4 if or_default else 3
+            if len(args) != want:
+                raise ChSqlError(
+                    f"{fn} needs ('dict', 'attr', key"
+                    + (", default)" if or_default else ")")
+                )
+            mattr = re.fullmatch(r"'([^']*)'", args[1])
+            if not mattr:
+                raise ChSqlError(
+                    f"{fn}: the attribute name must be a quoted literal"
+                )
+            attr, keyexpr = mattr.group(1), args[2]
+            if re.match(r"(?:tuple\s*)?\(", keyexpr, re.IGNORECASE):
+                raise ChSqlError(
+                    f"{fn}: composite (tuple) dictionary keys are not "
+                    "bridged — spell the lookup as a JOIN on all key parts"
+                )
+            sub = (
+                f"(SELECT {vc} FROM (SELECT {key_col} AS {kc}, "
+                f"{attr} AS {vc} FROM {dname}) WHERE {kc} = ({keyexpr}))"
+            )
+            if or_default:
+                repl = f"coalesce({sub}, ({args[3]}))"
+            else:
+                suffix = fn[len("dictGet"):]
+                dflt = _DICTGET_DEFAULTS.get(suffix)
+                repl = f"coalesce({sub}, {dflt})" if dflt else sub
+        sql = sql[: m.start()] + repl + sql[close_i + 1 :]
+
+
 def _rewrite_sequence_count(sql: str) -> str:
     """``sequenceCount('pat')(ts, c1, ..., cN)`` → the q136 automaton
     with ClickHouse's GREEDY NON-OVERLAPPING counting: the fold state
@@ -1495,7 +1601,8 @@ def _rewrite_limit_by(sql: str) -> str:
 
 
 def _mask_subselects(
-    sql: str, final_tables: dict | None, sample_by: dict | None
+    sql: str, final_tables: dict | None, sample_by: dict | None,
+    dictionaries: dict | None = None,
 ) -> tuple[str, dict[str, str]]:
     """Replace every parenthesized SELECT/WITH block with an inert
     identifier token, RECURSIVELY rewriting each block's content first.
@@ -1532,7 +1639,7 @@ def _mask_subselects(
             close = _match_paren(sql, i)
             token = f"__CHSQL_SUB_{len(blocks)}__"
             blocks[token] = rewrite_clickhouse_sql(
-                sql[i + 1 : close], final_tables, sample_by
+                sql[i + 1 : close], final_tables, sample_by, dictionaries
             )
             out.append(f"({token})")
             i = close + 1
@@ -1546,6 +1653,7 @@ def rewrite_clickhouse_sql(
     sql: str,
     final_tables: dict | None = None,
     sample_by: dict | None = None,
+    dictionaries: dict | None = None,
 ) -> str:
     """Rewrite the supported non-scalar ClickHouse forms of a SELECT
     statement — INCLUDING all of its subqueries and CTE bodies, each
@@ -1555,7 +1663,7 @@ def rewrite_clickhouse_sql(
     ``_rewrite_final``); ``sample_by`` supplies the sampling key for
     ``FROM t SAMPLE f`` (see ``_rewrite_sample``); both apply at every
     nesting level."""
-    sql, blocks = _mask_subselects(sql, final_tables, sample_by)
+    sql, blocks = _mask_subselects(sql, final_tables, sample_by, dictionaries)
     sql = _rewrite_combinators(sql)
     sql = _rewrite_scalar_calls(sql)
     sql = _rewrite_format_datetime(sql)
@@ -1564,6 +1672,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence_match(sql)
     sql = _rewrite_sequence_count(sql)
+    sql = _rewrite_dictget(sql, dictionaries)
     sql = _rewrite_global_and_format(sql)
     sql = _rewrite_running(sql)
     sql = _rewrite_prewhere_settings(sql)
@@ -1836,7 +1945,8 @@ def _apply_with_fill(spark, src, spec):
 
 
 def ch_sql(spark, sql: str, final_tables: dict | None = None,
-           sample_by: dict | None = None):
+           sample_by: dict | None = None,
+           dictionaries: dict | None = None):
     """Execute a ClickHouse-dialect SELECT on Spark: the string rewrite
     (``rewrite_clickhouse_sql``) plus the forms that need a session —
     today ``ORDER BY ... WITH FILL [INTERPOLATE]``, whose inserted rows
@@ -1851,9 +1961,13 @@ def ch_sql(spark, sql: str, final_tables: dict | None = None,
         return _apply_any_join(spark, sql, anyj, final_tables, sample_by)
     ext = _extract_with_fill(sql)
     if ext is None:
-        return spark.sql(rewrite_clickhouse_sql(sql, final_tables, sample_by))
+        return spark.sql(
+            rewrite_clickhouse_sql(sql, final_tables, sample_by, dictionaries)
+        )
     inner, spec = ext
-    src = spark.sql(rewrite_clickhouse_sql(inner, final_tables, sample_by))
+    src = spark.sql(
+        rewrite_clickhouse_sql(inner, final_tables, sample_by, dictionaries)
+    )
     return _apply_with_fill(spark, src, spec)
 
 

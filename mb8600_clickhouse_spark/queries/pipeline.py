@@ -2422,3 +2422,53 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return ch_sql(spark, _Q137_CLICKHOUSE_SQL)
+
+
+_Q139_CLICKHOUSE_SQL = """
+    SELECT c_custkey,
+           dictGetString('nation', 'n_name', c_nationkey) AS nation,
+           dictGetOrDefault('nation', 'n_name', c_nationkey + 1000, 'NONE')
+             AS missing_dflt,
+           dictHas('nation', c_nationkey) AS has_key
+    FROM customer
+    ORDER BY c_custkey
+"""
+
+
+@query(
+    "q139_ch_dictget",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(n1.n_name, '') AS nation,
+           COALESCE(n2.n_name, 'NONE') AS missing_dflt,
+           (n3.n_nationkey IS NOT NULL) AS has_key
+    FROM customer c
+    LEFT JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    LEFT JOIN nation n2 ON n2.n_nationkey = c.c_nationkey + 1000
+    LEFT JOIN nation n3 ON n3.n_nationkey = c.c_nationkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse external-dictionary lookups VERBATIM through the
+    bridge (``chsql._rewrite_dictget``): ``dictGetString`` (missing key
+    → CH's typed default ''), ``dictGetOrDefault`` (explicit default,
+    probed with a guaranteed-missing key), and ``dictHas`` — each
+    rewritten to a correlated lookup against the registered ``nation``
+    view, which Catalyst plans as a broadcast LeftSingle join with
+    column-pruned dictionary scans (verified in the plan): exactly what
+    a dimension-sized CH dictionary is operationally. The oracle spells
+    the same three lookups as LEFT JOINs. Plain ``dictGet``'s
+    missing-key divergence (NULL here vs CH's attribute-type default)
+    is documented on the rewrite; the typed/OrDefault forms used here
+    are exact."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(
+        spark,
+        _Q139_CLICKHOUSE_SQL,
+        dictionaries={"nation": "n_nationkey"},
+    )

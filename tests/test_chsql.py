@@ -1447,3 +1447,46 @@ class TestBehavioralAggregates:
             rw("SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM t GROUP BY u")
         with pytest.raises(ChSqlError, match="quoted literal"):
             rw("SELECT sequenceCount(pat)(ts, a) FROM t GROUP BY u")
+
+
+class TestDictGetBridge:
+    """dictGet*/dictHas → correlated-lookup rewrites (chsql 2a2)."""
+
+    def test_lookup_defaults_and_has(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [(1, "one", 10), (2, "two", 20)], "k: int, name: string, v: int"
+        ).createOrReplaceTempView("dict_d")
+        spark.createDataFrame(
+            [(1,), (2,), (3,)], "k: int"
+        ).createOrReplaceTempView("dict_f")
+        rows = ch_sql(
+            spark,
+            "SELECT k, dictGetString('dict_d', 'name', k) AS nm, "
+            "dictGetInt64('dict_d', 'v', k) AS v, "
+            "dictGetOrDefault('dict_d', 'name', k, 'dflt') AS nd, "
+            "dictHas('dict_d', k) AS h "
+            "FROM dict_f ORDER BY k",
+            dictionaries={"dict_d": "k"},
+        ).collect()
+        assert [(r.k, r.nm, r.v, r.nd, r.h) for r in rows] == [
+            (1, "one", 10, "one", True),
+            (2, "two", 20, "two", True),
+            # missing key: typed default '' / 0, explicit default, has=False
+            (3, "", 0, "dflt", False),
+        ]
+
+    def test_unregistered_and_composite_reject(self):
+        with pytest.raises(ChSqlError, match="not registered"):
+            rw(
+                "SELECT dictGetString('nope', 'a', k) FROM t",
+                dictionaries={"other": "k"},
+            )
+        with pytest.raises(ChSqlError, match="composite"):
+            rw(
+                "SELECT dictGetString('d', 'a', tuple(k1, k2)) FROM t",
+                dictionaries={"d": "k"},
+            )
+        with pytest.raises(ChSqlError, match="dictionaries="):
+            rw("SELECT dictGetString('d', 'a', k) FROM t")
