@@ -817,3 +817,76 @@ def span_contamination(
         )
         .withColumn("hit_frac", F.try_divide(F.col("n_hit"), F.col("n_spans")))
     )
+
+
+def paragraph_dedup(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> "DataFrame":
+    """Paragraph-level exact dedup — the Dolma recipe (Soldaini et al.
+    2024; also RefinedWeb's line-dedup variant): every duplicate
+    paragraph ANYWHERE in the corpus is dropped except its first
+    occurrence (lowest (doc, position)), and each document is
+    reassembled from its surviving paragraphs in original order.
+    Returns (id, text: deduped, n_paras, n_kept); documents that lose
+    every paragraph remain with text ''.
+
+    Distributed shape: posexplode paragraphs → md5 fingerprint per
+    normalized paragraph (16-byte keys, the span-dedup rule: paragraph
+    TEXT never shuffles past its own document) → one partial-aggregated
+    keeper min per fingerprint → join back on the fingerprint →
+    per-document sort_array((pos, para)) reassembly (group key is the
+    source document — the q07 identity, one exchange). Keeper order is
+    the engine-portable encoded key id * 2^20 + pos (positions are
+    bounded by the per-document paragraph count; the encode is exact in
+    any INT64 engine, unlike a struct-min whose tie semantics differ
+    across SQL dialects).
+
+    Scale: the frequency side carries (fingerprint, keeper) only —
+    map-side combined; a boilerplate paragraph repeated across the
+    corpus collapses to ONE keeper row before the exchange (the q107
+    skew rule); no window over the paragraph stream."""
+    from pyspark.sql import functions as F
+
+    from .text import normalize_text
+
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep).cast("string"))).alias(
+            "pos", "para"
+        ),
+    )
+    occ = paras.select(
+        "id",
+        "pos",
+        "para",
+        F.md5(normalize_text(F.col("para"))).alias("h"),
+        (F.col("id").cast("bigint") * (1 << 20) + F.col("pos")).alias("_ord"),
+    )
+    keep = occ.groupBy("h").agg(F.min("_ord").alias("_keeper"))
+    kept = occ.join(keep, "h").filter(F.col("_ord") == F.col("_keeper"))
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = paras.groupBy("id").agg(F.count("*").alias("n_paras"))
+    return (
+        totals.join(out, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

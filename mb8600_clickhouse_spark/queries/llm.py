@@ -3025,3 +3025,94 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q140 paragraph-level exact dedup (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q140_paragraph_dedup",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || chr(10) ||
+                     'Subscribe to our newsletter for updates!'
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || chr(10) ||
+                     'All rights reserved. Copyright 2024.'
+                ELSE '' END AS text
+      FROM documents
+    ),
+    lists AS (
+      SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM src
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(l) - 1)) AS pos,
+             unnest(l) AS para
+      FROM lists
+    ),
+    o AS (
+      SELECT doc_id, pos, para,
+             md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g'))) AS h,
+             doc_id * 1048576 + pos AS ord
+      FROM p
+    ),
+    k AS (SELECT h, MIN(ord) AS keeper FROM o GROUP BY h),
+    kept AS (SELECT o.* FROM o JOIN k USING (h) WHERE o.ord = k.keeper),
+    agg AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS t,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM p GROUP BY doc_id)
+    SELECT tot.doc_id,
+           COALESCE(agg.t, '') AS text,
+           CAST(tot.n_paras AS BIGINT) AS n_paras,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+    FROM tot LEFT JOIN agg USING (doc_id)
+    ORDER BY tot.doc_id
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (``dedup.paragraph_dedup`` — the
+    Dolma recipe): boilerplate paragraphs PLANTED corpus-wide (a
+    newsletter plea on doc_id % 3, a copyright line on doc_id % 5 — the
+    q98 device) survive only at their first (doc, position) occurrence;
+    every document reassembles from its surviving paragraphs in
+    original order. The oracle replays split → fingerprint → keeper-min
+    → join-back → ordered reassembly, so the hash pins the REASSEMBLED
+    TEXTS, not just counts. Fingerprints-only shuffle (paragraph text
+    never leaves its document's partition except via the bounded
+    keeper join); repeated boilerplate collapses map-side before the
+    exchange — the q107 skew rule."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sep = "\n\n"
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(sep + "Subscribe to our newsletter for updates!"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(sep + "All rights reserved. Copyright 2024."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = dedup.paragraph_dedup(planted, id_col="doc_id", text_col="text")
+    return vsort(
+        out.select(
+            F.col("id").alias("doc_id"),
+            "text",
+            F.col("n_paras").cast("bigint").alias("n_paras"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+        ),
+        "doc_id",
+    )

@@ -386,3 +386,39 @@ class TestSurvivorsEquivalence:
         all_ids = {r["doc_id"] for r in df.collect()}
         assert surv == all_ids - dropped
         assert 0 in surv and dropped >= {1, 2, 3, 4, 5}
+
+
+class TestParagraphDedup:
+    """dedup.paragraph_dedup — first-occurrence keeper + reassembly."""
+
+    def test_keeper_and_reassembly(self, spark):
+        from mb8600_clickhouse_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "unique one\n\nBOILER\n\nunique two"),
+                (2, "BOILER\n\nother text"),
+                (3, "BOILER"),  # loses its only paragraph -> ''
+            ],
+            "doc_id: long, text: string",
+        )
+        out = {r.id: r for r in paragraph_dedup(df).collect()}
+        assert out[1].text == "unique one\n\nBOILER\n\nunique two"
+        assert (out[1].n_paras, out[1].n_kept) == (3, 3)
+        assert out[2].text == "other text"
+        assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+        assert out[3].text == ""
+        assert (out[3].n_paras, out[3].n_kept) == (1, 0)
+
+    def test_normalized_matching(self, spark):
+        from mb8600_clickhouse_spark.operators.dedup import paragraph_dedup
+
+        # case/whitespace variants are the SAME paragraph
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world")],
+            "doc_id: long, text: string",
+        )
+        out = {r.id: r for r in paragraph_dedup(df).collect()}
+        assert out[1].n_kept == 1 and out[2].n_kept == 0
+        # the kept SPELLING is the first occurrence's original text
+        assert out[1].text == "Hello   World"
