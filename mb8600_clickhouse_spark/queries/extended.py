@@ -55,8 +55,13 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The total order is vsort, not orderBy: the range sampler would
     RE-EXECUTE the whole session aggregation subtree to pick range
-    bounds (the q98 finding) — warm 0.93 → ~0.5 s at sf0.1."""
-    ev = load_tables(spark, sf_dir)["events"]
+    bounds (the q98 finding). NARROW_CHAIN profile (AQE off,
+    session-local): scan → session-window exchange → vsort is a fixed
+    join-free chain. Both together: warm 0.93 → 0.34 s at sf0.1."""
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN
+
+    ev = load_tables(exec_profile(spark, NARROW_CHAIN), sf_dir)["events"]
     return vsort(
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), dsum4(F.col("value")).alias("sum_value"))
