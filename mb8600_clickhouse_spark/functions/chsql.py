@@ -1852,7 +1852,15 @@ def _apply_with_fill(spark, src, spec):
     step = F.expr(step_txt)
 
     def _seq(frm, to):
-        return F.sequence(frm.cast(ktype), to.cast(ktype), step)
+        # An empty fill range (FROM beyond the data's max, or TO before
+        # its min) inserts nothing in ClickHouse; Spark's sequence()
+        # instead raises on reversed bounds, so guard with the walk
+        # direction and fall back to an empty grid.
+        f, t = frm.cast(ktype), to.cast(ktype)
+        ok = (f >= t) if spec["desc"] else (f <= t)
+        return F.when(ok, F.sequence(f, t, step)).otherwise(
+            F.array().cast(T.ArrayType(ktype))
+        )
 
     if prefix:
         bounds = src.groupBy(*prefix).agg(

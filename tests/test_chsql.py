@@ -942,6 +942,20 @@ class TestWithFillBridge:
         )
         assert [r["k"] for r in df.collect()] == list(range(10))
 
+    def test_empty_fill_range_inserts_nothing(self, spark, src_view):
+        # FROM beyond the data's max: CH fills nothing; Spark's
+        # sequence() would raise on the reversed bounds (hypothesis
+        # found keys={0}, FROM 1 — pinned here deterministically)
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.sql("SELECT 0 AS k, 1 AS v").createOrReplaceTempView("wf_one")
+        df = ch_sql(
+            spark,
+            "SELECT k, sum(v) AS total FROM wf_one GROUP BY k "
+            "ORDER BY k WITH FILL FROM 1 STEP 1",
+        )
+        assert [(r["k"], r["total"]) for r in df.collect()] == [(0, 1)]
+
     def test_interpolate_carries_previous_source_value(self, spark, src_view):
         from mb8600_clickhouse_spark.functions.chsql import ch_sql
 
