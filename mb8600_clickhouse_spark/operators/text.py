@@ -571,6 +571,100 @@ def c4_rules(
     )
 
 
+#: The Gopher "required stopwords" set (Rae et al. 2021 §A.1.1): a doc
+#: must contain at least 2 of these to pass the quality gate. ASCII so
+#: the same literals embed in the DuckDB oracle.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+):
+    """The Gopher / MassiveText doc-level quality heuristics (Rae et
+    al. 2021 §A.1.1) as one narrow projection — the threshold-rule
+    sibling of ``with_repetition_signals`` (which carries the paper's
+    repetition half) and ``c4_rules``:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (# and ``...``) at most 0.1;
+    - at most 90% of lines starting with a bullet (``- `` / ``* ``);
+    - at most 30% of lines ending in an ellipsis;
+    - at least 80% of words containing an alphabetic character;
+    - at least 2 of the 8 ``GOPHER_STOPWORDS`` present.
+
+    Every gate is evaluated in INTEGER arithmetic (``10*n_sym <=
+    n_words`` instead of a float ratio compare), so the kept/dropped
+    verdict is bit-exact across engines with no rounding surface; the
+    raw counters are returned alongside ``kept`` for downstream
+    threshold re-tuning. Pure per-row string/array expressions — zero
+    shuffle, scan-bound at any corpus size (the 100 TB posture: this
+    runs inside WholeStageCodegen on the scan, the same class as
+    ``c4_rules``)."""
+    lines = F.split(F.col(text_col), "\n")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    n_words = F.size(words).cast("bigint")
+    n_word_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast(
+        "bigint"
+    )
+    n_stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    ).cast("bigint")
+    raw = F.col(text_col)
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / 3
+    n_symbols = (n_hash + n_ellipsis).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    is_bullet = lambda ln: F.trim(ln).startswith("- ") | F.trim(ln).startswith(
+        "* "
+    )
+    n_bullet = F.size(F.filter(lines, is_bullet)).cast("bigint")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda ln: ln.endswith("..."))
+    ).cast("bigint")
+    kept = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (n_word_chars >= min_mean_word_len * n_words)
+        & (n_word_chars <= max_mean_word_len * n_words)
+        & (10 * n_symbols <= n_words)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ell_lines <= 3 * n_lines)
+        & (5 * n_alpha_words >= 4 * n_words)
+        & (n_stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop_hits.alias("n_stop_hits"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell_lines.alias("n_ellipsis_lines"),
+        kept.alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # URL normalization + policy filtering (RefinedWeb-class, round 7)
 # ---------------------------------------------------------------------------

@@ -3116,3 +3116,101 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q141 Gopher quality rules (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q141_gopher_rules",
+    oracle="""
+    WITH page AS (
+      SELECT doc_id, concat_ws(chr(10),
+        text,
+        CASE WHEN doc_id % 3 = 0 THEN '- special offer today' END,
+        CASE WHEN doc_id % 3 = 0 THEN '- click here now' END,
+        CASE WHEN doc_id % 4 = 0 THEN 'read more...' END,
+        CASE WHEN doc_id % 7 = 0 THEN '### trending ## tags #' END,
+        CASE WHEN doc_id % 11 = 0 THEN '123 456 7890 2024 99' END,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'pages that have with the best of links' END
+      ) AS text FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS l,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+      FROM page
+    ),
+    cnt AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               AS n_word_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(
+               ['the','be','to','of','and','that','have','with'],
+               s -> list_contains(w, s))) AS BIGINT) AS n_stop_hits,
+             CAST(n_hash + n_ell AS BIGINT) AS n_symbols,
+             CAST(len(l) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(l,
+               x -> starts_with(trim(x), '- ') OR starts_with(trim(x), '* ')))
+               AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(l, x -> ends_with(x, '...'))) AS BIGINT)
+               AS n_ellipsis_lines
+      FROM sig
+    )
+    SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop_hits,
+           n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+           (n_words >= 50 AND n_words <= 100000
+            AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_bullet_lines <= 9 * n_lines
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_stop_hits >= 2) AS kept
+    FROM cnt ORDER BY doc_id
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher / MassiveText doc-level quality gate (Rae et al. 2021
+    §A.1.1; ``text.gopher_rules``) — the threshold-rule complement of
+    q98's repetition half and q126's C4 rules: word-count bounds, mean
+    word length, symbol (#/ellipsis) ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction and the 2-of-8 required
+    stopwords. Page structure is PLANTED deterministically on the word
+    soup (the q126/q140 device): %3 plants two bullet lines, %4 an
+    ellipsis line, %7 a hash-symbol line, %11 an all-digit line, %2 the
+    stopword line — so every rule has both firing and passing docs and
+    the fixture's natural 30–80-word spread straddles the 50-word
+    minimum. Every gate is INTEGER arithmetic (``10*n_sym <= n_words``),
+    so kept is bit-exact cross-engine; the oracle replays planting AND
+    rules, pinning tokenization, replace-based symbol counting and the
+    line predicates.
+
+    Scale: one narrow projection — zero shuffle, scan-bound (the vsort
+    is verification order only)."""
+    from ..operators.text import gopher_rules
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    page = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("- special offer today")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("- click here now")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("read more...")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("### trending ## tags #")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("123 456 7890 2024 99")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("pages that have with the best of links"),
+            ),
+        ).alias("text"),
+    )
+    return vsort(gopher_rules(page), "doc_id")

@@ -140,6 +140,54 @@ class TestC4Rules:
         assert not out["flag_badword"]
 
 
+class TestGopherRules:
+    """text.gopher_rules — the Gopher doc-level quality gate (q141 is
+    the oracle twin; these pin each rule on hand-built docs)."""
+
+    def test_each_rule_fires(self, spark):
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.operators.text import gopher_rules
+
+        good = "the cat sat with that dog and they have fun near " * 6  # 60 words
+        rows = [
+            Row(doc_id=1, text=good.strip()),
+            Row(doc_id=2, text="the cat sat with that"),  # < min_words
+            Row(doc_id=3, text=("a b " * 30 + "the that").strip()),  # mean len < 3
+            Row(doc_id=4, text=(good + "# " * 12).strip()),  # symbol ratio > 0.1
+            Row(doc_id=5, text=good.strip() + ("\n- b" * 30)),  # >90% bullets...
+            Row(doc_id=6, text=good.strip() + ("\nx..." * 9)),  # >30% ellipsis lines
+            Row(doc_id=7, text=("12 34 " * 30 + "the that").strip()),  # alpha < 80%
+            Row(doc_id=8, text=("cat dog run sun big red hot icy " * 8).strip()),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in gopher_rules(spark.createDataFrame(rows), min_words=40).collect()
+        }
+        assert out[1]["kept"]
+        assert not out[2]["kept"] and out[2]["n_words"] == 5
+        assert not out[3]["kept"]  # mean word length below 3
+        assert not out[4]["kept"] and out[4]["n_symbols"] == 12
+        assert not out[5]["kept"] and out[5]["n_bullet_lines"] == 30
+        assert not out[6]["kept"] and out[6]["n_ellipsis_lines"] == 9
+        assert not out[7]["kept"]  # <80% alphabetic words
+        assert not out[8]["kept"] and out[8]["n_stop_hits"] == 0
+
+    def test_integer_gate_boundaries(self, spark):
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.operators.text import gopher_rules
+
+        # exactly 10% symbols (5 of 50 words) passes: <= not <
+        body = ("the cat sat with that dog and they have fun " * 5).strip()  # 50
+        fifty = body.rsplit(" ", 5)[0] + " # # # # #"  # 45 words + 5 hashes
+        out = gopher_rules(
+            spark.createDataFrame([Row(doc_id=1, text=fifty)]), min_words=40
+        ).collect()[0]
+        assert out["n_words"] == 50 and out["n_symbols"] == 5
+        assert out["kept"]
+
+
 class TestUrlNormalize:
     """text.url_normalize / url_host — RefinedWeb URL canonicalization
     (q131 is the oracle twin)."""
