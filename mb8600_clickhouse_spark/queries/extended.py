@@ -1473,3 +1473,130 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vsort(
         out.select(F.col("id").alias("vec_id"), "cell", "kept"), "vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q142 product quantization + ADC top-k (IVFPQ's storage half, round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q142_pq_adc",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 50
+    ),
+    sub AS (
+      SELECT vec_id, gs.mi, e[gs.mi*16+1 : gs.mi*16+16] AS x
+      FROM v CROSS JOIN generate_series(0, 3) gs(mi)
+    ),
+    init AS (
+      SELECT mi, row_number() OVER (PARTITION BY mi ORDER BY vec_id) - 1
+               AS code, x AS c
+      FROM sub
+      QUALIFY row_number() OVER (PARTITION BY mi ORDER BY vec_id) <= 4
+    ),
+    d1 AS (
+      SELECT s.vec_id, s.mi, s.x, i.code,
+             list_sum(list_transform(generate_series(1,16),
+               j -> (s.x[j]-i.c[j])*(s.x[j]-i.c[j]))) AS d
+      FROM sub s JOIN init i USING (mi)
+    ),
+    a1 AS (
+      SELECT vec_id, mi, x, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT mi, code, gs.j,
+             CAST(CAST(avg(x[gs.j]) AS DECIMAL(18,8)) AS DOUBLE) AS mval
+      FROM a1 CROSS JOIN generate_series(1,16) gs(j)
+      GROUP BY mi, code, gs.j
+    ),
+    trained AS (
+      SELECT mi, code, list(mval ORDER BY j) AS c FROM upd GROUP BY mi, code
+    ),
+    bk AS (
+      SELECT i.mi, i.code, COALESCE(t.c, i.c) AS c
+      FROM init i LEFT JOIN trained t USING (mi, code)
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.mi, b.code,
+             list_sum(list_transform(generate_series(1,16),
+               j -> (s.x[j]-b.c[j])*(s.x[j]-b.c[j]))) AS d
+      FROM sub s JOIN bk b USING (mi)
+    ),
+    enc AS (
+      SELECT vec_id, mi, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT e.vec_id, flatten(list(b.c ORDER BY e.mi)) AS r
+      FROM enc e JOIN bk b USING (mi, code)
+      GROUP BY e.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+      SELECT q.qid, r.vec_id,
+        CAST(CAST(
+          list_sum(list_transform(generate_series(1,64), j -> qe[j] * r.r[j]))
+          / (sqrt(list_sum(list_transform(generate_series(1,64),
+               j -> qe[j]*qe[j])))
+           * sqrt(list_sum(list_transform(generate_series(1,64),
+               j -> r.r[j]*r.r[j]))))
+         AS DECIMAL(38,4)) AS DOUBLE) AS score
+      FROM q CROSS JOIN recon r
+    )
+    SELECT qid, rank, vec_id, score FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY qid, rank
+    """,
+    prepare=False,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (Jégou et al. 2011 — IVFPQ's
+    storage half, completing the ANN stack: q83 trains the coarse
+    quantizer, q54 probes cells, THIS trains the fine quantizer and
+    searches over codes): ``pq_fit`` (m=4 subspaces x 16 dims, ksub=4,
+    one Lloyd iteration — the q83 one-SQL-expressible-iteration
+    device), ``pq_assign_codes`` encodes the corpus to 4 ints per
+    vector, and ``pq_adc_topk`` scores 3 queries against the CODES
+    (cosine vs the codebook reconstruction — algebraically the ADC
+    lookup-table sum) for a top-5 per query.
+
+    Cross-engine exactness: trained means snap to DECIMAL(18,8) (the
+    q108 decimal-snap device) so codebooks are bit-identical despite
+    engine-order avg drift; assignments compare identical left-fold L2
+    distances (first-minimum = lowest code both sides); scores fold
+    over the same 64-double reconstruction and snap to DECIMAL(38,4)
+    with a vec_id tie-break (ksub=4 means only 256 distinct codes
+    exist, so score ties are STRUCTURAL — the snap+id order is what
+    makes the top-5 replay-stable).
+
+    Scale: corpus scans read 4 ints/row instead of 64 doubles (PQ's
+    point at 100 TB); training is one projection + one M*ksub-row
+    exchange per iteration; scoring is a broadcast cross join + rank
+    window — compose with q54's cell probe for sublinear IVFPQ."""
+    from ..operators import similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    books = similarity.pq_fit(corpus, m=4, ksub=4, n_iter=1, assign="expr")
+    codes = similarity.pq_assign_codes(corpus, books)
+    out = similarity.pq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 3), books, k=5
+    )
+    return vsort(
+        out.select("qid", F.col("rank").cast("int").alias("rank"),
+                   F.col("vec_id"), "score"),
+        "qid", "rank",
+    )

@@ -319,3 +319,72 @@ class TestSemDeDup:
         df = spark.createDataFrame(rows)
         assert all(r["kept"] for r in sim.semdedup(df, 0.9).collect())
         assert {r["id"]: r["kept"] for r in sim.semdedup(df, 0.7).collect()} == {1: True, 2: False}
+
+
+class TestProductQuantization:
+    """similarity.pq_fit / pq_assign_codes / pq_encode_pandas /
+    pq_adc_topk — the IVFPQ fine quantizer (q142 is the oracle twin)."""
+
+    def test_fit_deterministic_and_encode_paths_agree(self, spark):
+        df = _df(spark, _vectors())  # 30 x 8
+        books = sim.pq_fit(df, m=2, ksub=4, n_iter=2)
+        assert sim.pq_fit(df, m=2, ksub=4, n_iter=2) == books
+        assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+        a = {r["id"]: r["codes"] for r in sim.pq_assign_codes(df, books).collect()}
+        b = {r["id"]: r["codes"] for r in sim.pq_encode_pandas(df, books).collect()}
+        assert a == b and len(a) == 30
+
+    def test_more_iterations_do_not_worsen_distortion(self, spark):
+        import numpy as np
+
+        df = _df(spark, _vectors())
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in _vectors()])
+
+        def distortion(books):
+            C = [np.array(b) for b in books]
+            codes = {
+                r["id"]: r["codes"]
+                for r in sim.pq_assign_codes(df, books).collect()
+            }
+            err = 0.0
+            for i, v in enumerate(V):
+                rec = np.concatenate([C[mi][codes[i][mi]] for mi in range(2)])
+                err += float(((v - rec) ** 2).sum())
+            return err
+
+        d1 = distortion(sim.pq_fit(df, m=2, ksub=4, n_iter=1))
+        d5 = distortion(sim.pq_fit(df, m=2, ksub=4, n_iter=5))
+        assert d5 <= d1 + 1e-9
+
+    def test_adc_tracks_exact_topk_on_separated_clusters(self, spark):
+        # 3 well-separated direction clusters: ADC's top-1 for a query
+        # from cluster c must land in cluster c (PQ distortion is far
+        # smaller than the inter-cluster gap)
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(60):
+            c = i % 3
+            v = np.zeros(8)
+            v[c * 2 : c * 2 + 2] = 1.0
+            v += rng.normal(0, 0.02, 8)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = sim.pq_fit(df, m=2, ksub=4, n_iter=3)
+        codes = sim.pq_assign_codes(df, books)
+        q = df.filter("vec_id < 3")
+        got = sim.pq_adc_topk(codes, q, books, k=3).collect()
+        assert len(got) == 9
+        for r in got:
+            assert r["vec_id"] % 3 == r["qid"] % 3, r
+
+    def test_reconstruct_is_codebook_lookup(self, spark):
+        from pyspark.sql import functions as F
+
+        books = [[[1.0, 2.0], [3.0, 4.0]], [[5.0, 6.0], [7.0, 8.0]]]
+        df = spark.createDataFrame([(0, [1, 0])], "id long, codes array<int>")
+        got = df.select(
+            sim.pq_reconstruct(F.col("codes"), books).alias("r")
+        ).collect()[0]["r"]
+        assert got == [3.0, 4.0, 5.0, 6.0]
