@@ -518,13 +518,9 @@ def _rewrite_global_and_format(sql: str) -> str:
                 "string rewriter, or use operators/timeseries.fill_gaps / "
                 "interpolate_linear directly (declared as q66/q67)"
             )
-    rd = _top_level_matches(sql, r"\brunningAccumulate\s*\(")
-    if rd:
-        raise ChSqlError(
-            "'runningAccumulate': depends on ClickHouse aggregate-state "
-            "internals and block order; spell it as sum()/... OVER "
-            "(ORDER BY ... ROWS UNBOUNDED PRECEDING)"
-        )
+    # (runningAccumulate is bridged by _rewrite_running_accumulate,
+    # which runs first in the pipeline and rejects unbridgeable forms
+    # itself — nothing reaches here.)
     # Known-unbridged behavioral-analytics / dictionary functions fail
     # with the engine's equivalent named, not a Spark unknown-function
     # error three layers down (the documented-failure contract).
@@ -544,6 +540,121 @@ def _rewrite_global_and_format(sql: str) -> str:
         if hit:
             raise ChSqlError(f"{hit[0].group(0)!r}: {msg}")
     return sql
+
+
+def _order_anchor(sql: str, pat: str, family: str) -> str:
+    """The statement's own top-level ``ORDER BY ...`` text, validated as
+    the deterministic window anchor for the ClickHouse block-order
+    function ``family`` (whose call pattern is ``pat``): it must exist,
+    must not itself contain a ``pat`` call, and select-list aliases are
+    inlined (Spark rejects lateral alias references inside a window's
+    ORDER BY)."""
+    obs = _top_level_matches(sql, r"\bORDER\s+BY\b")
+    if not obs:
+        raise ChSqlError(
+            f"{family} need a deterministic total "
+            "order: add a top-level ORDER BY (ClickHouse block order is "
+            "non-deterministic; the rewrite anchors its window there)"
+        )
+    ob = obs[-1]
+    ends = [
+        m.start()
+        for m in _top_level_matches(sql, r"\bLIMIT\b|\bSETTINGS\b")
+        if m.start() > ob.end()
+    ]
+    obtxt = sql[ob.start() : min(ends) if ends else len(sql)].strip()
+    if _first_match(obtxt, pat):
+        raise ChSqlError(
+            f"{family} inside ORDER BY itself has no "
+            "deterministic anchor; order by the underlying expression"
+        )
+    sel = _first_match(sql, r"\bSELECT\b(?:\s+DISTINCT\b)?")
+    frm_kw = _top_level_matches(sql, r"\bFROM\b")
+    if sel and frm_kw:
+        for item in _split_top_commas(sql[sel.end() : frm_kw[0].start()]):
+            am = re.fullmatch(
+                r"(?s)\s*(?P<expr>.+?)\s+AS\s+(`?)(?P<alias>\w+)\2\s*", item
+            )
+            if am and not _first_match(am.group("expr"), pat):
+                obtxt = re.sub(
+                    rf"(?<![\w.`]){re.escape(am.group('alias'))}\b",
+                    lambda _m, e=am.group("expr"): f"({e})",
+                    obtxt,
+                )
+    return obtxt
+
+
+def _rewrite_running_accumulate(sql: str) -> str:
+    """``runningAccumulate(xxxState(args))`` — ClickHouse's running
+    cumulative aggregate over block order — bridged for the INLINE
+    -State form into the deterministic window spelling, anchored (like
+    ``_rewrite_running``) on the statement's own top-level ORDER BY:
+
+    - ``runningAccumulate(sumState(x))`` -> ``sum(sum(x)) OVER (ORDER
+      BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` — the
+      outer aggregate is the state's MERGE function over the
+      accumulated prefix (sum for sum/count states, min/max for
+      min/max states, merged (s, c) quotient for avg);
+    - runs BEFORE ``_rewrite_combinators`` (which would erase the
+      -State name the merge function is derived from);
+    - requires a GROUP BY (runningAccumulate without one collapses to
+      a single row in CH — nothing to accumulate) and a top-level
+      ORDER BY;
+    - a state column fed from a subquery alias rejects loudly: the
+      merge function is not recoverable from the outer statement —
+      spell the window directly.
+    """
+    pat = r"\brunningAccumulate\s*\("
+    if not _first_match(sql, pat):
+        return sql
+    if not _top_level_matches(sql, r"\bGROUP\s+BY\b"):
+        raise ChSqlError(
+            "runningAccumulate is bridged for the GROUP BY form "
+            "(runningAccumulate(sumState(x)) ... GROUP BY k ORDER BY k); "
+            "without a GROUP BY spell the running total directly: "
+            "sum(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)"
+        )
+    obtxt = _order_anchor(sql, pat, "runningAccumulate()")
+    over = f"OVER ({obtxt} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    while True:
+        m = _first_match(sql, pat)
+        if not m:
+            return sql
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        inner = sql[o + 1 : c].strip()
+        im = re.match(
+            r"(sumState|countState|minState|maxState|avgState)\s*\(", inner
+        )
+        if not im or _match_paren(inner, inner.index("(", im.end() - 1)) != len(
+            inner
+        ) - 1:
+            raise ChSqlError(
+                "runningAccumulate is bridged only for an INLINE -State "
+                "aggregate (runningAccumulate(sumState(x)) and the count/"
+                "min/max/avg siblings); a state column from a subquery "
+                "does not carry its merge function — spell the window "
+                "directly: agg(x) OVER (ORDER BY ... ROWS UNBOUNDED "
+                "PRECEDING). uniqState accumulation needs sketch-merge "
+                "windows, which Spark's HLL aggregates do not support."
+            )
+        io = inner.index("(", im.end() - 1)
+        x = inner[io + 1 : _match_paren(inner, io)].strip()
+        fn = im.group(1)
+        if fn == "avgState":
+            rep = (
+                f"(CAST(sum(sum({x})) {over} AS DOUBLE) / "
+                f"sum(count({x})) {over})"
+            )
+        elif fn == "countState":
+            rep = f"sum(count({x or '*'})) {over}"
+        elif fn == "minState":
+            rep = f"min(min({x})) {over}"
+        elif fn == "maxState":
+            rep = f"max(max({x})) {over}"
+        else:
+            rep = f"sum(sum({x})) {over}"
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
 
 
 def _rewrite_running(sql: str) -> str:
@@ -570,41 +681,7 @@ def _rewrite_running(sql: str) -> str:
     pat = r"\b(neighbor|runningDifference)\s*\("
     if not _first_match(sql, pat):
         return sql
-    obs = _top_level_matches(sql, r"\bORDER\s+BY\b")
-    if not obs:
-        raise ChSqlError(
-            "neighbor()/runningDifference() need a deterministic total "
-            "order: add a top-level ORDER BY (ClickHouse block order is "
-            "non-deterministic; the rewrite anchors its window there)"
-        )
-    ob = obs[-1]
-    ends = [
-        m.start()
-        for m in _top_level_matches(sql, r"\bLIMIT\b|\bSETTINGS\b")
-        if m.start() > ob.end()
-    ]
-    obtxt = sql[ob.start() : min(ends) if ends else len(sql)].strip()
-    if _first_match(obtxt, pat):
-        raise ChSqlError(
-            "neighbor()/runningDifference() inside ORDER BY itself has no "
-            "deterministic anchor; order by the underlying expression"
-        )
-    # Spark rejects lateral (select-list) alias references inside a
-    # window's ORDER BY — inline `expr AS alias` bindings from the
-    # statement's own select list into the anchor text
-    sel = _first_match(sql, r"\bSELECT\b(?:\s+DISTINCT\b)?")
-    frm_kw = _top_level_matches(sql, r"\bFROM\b")
-    if sel and frm_kw:
-        for item in _split_top_commas(sql[sel.end() : frm_kw[0].start()]):
-            am = re.fullmatch(
-                r"(?s)\s*(?P<expr>.+?)\s+AS\s+(`?)(?P<alias>\w+)\2\s*", item
-            )
-            if am and not _first_match(am.group("expr"), pat):
-                obtxt = re.sub(
-                    rf"(?<![\w.`]){re.escape(am.group('alias'))}\b",
-                    lambda _m, e=am.group("expr"): f"({e})",
-                    obtxt,
-                )
+    obtxt = _order_anchor(sql, pat, "neighbor()/runningDifference()")
     over = f"OVER ({obtxt})"
     while True:
         m = _first_match(sql, pat)
@@ -1664,6 +1741,9 @@ def rewrite_clickhouse_sql(
     ``FROM t SAMPLE f`` (see ``_rewrite_sample``); both apply at every
     nesting level."""
     sql, blocks = _mask_subselects(sql, final_tables, sample_by, dictionaries)
+    # before _rewrite_combinators: the -State name inside
+    # runningAccumulate(...) determines the window merge function
+    sql = _rewrite_running_accumulate(sql)
     sql = _rewrite_combinators(sql)
     sql = _rewrite_scalar_calls(sql)
     sql = _rewrite_format_datetime(sql)

@@ -208,7 +208,7 @@ DIALECT_NOTES: dict[str, str] = {
     "toStartOfInterval(ts, INTERVAL n unit)": "runs verbatim via chsql for second/minute/hour/day (epoch-modulo truncation); month-class intervals raise (calendar-anchored in CH)",
     "ORDER BY ... WITH FILL [INTERPOLATE]": "bridged as of round 7 via chsql.ch_sql(spark, sql) — session-aware rewrite: grid from sequence(FROM|min, TO-excl|max, STEP), CH type defaults (0/''/false) for filled rows, identity INTERPOLATE as carry-forward (q123 oracle-verifies; multi-key fill, LIMIT-after-fill, and derived INTERPOLATE exprs still raise)",
     "neighbor(x, off, dflt) / runningDifference(x)": "bridged as of round 7 — rewritten to lead/lag(x, |off|, dflt) / coalesce(x - lag(x), 0) OVER the statement's own top-level ORDER BY (the only deterministic reading of CH block order; q124 oracle-verifies). Missing ORDER BY, 2-arg neighbor (CH type-default fallback), and non-literal offsets raise",
-    "runningAccumulate": "raises ChSqlError (aggregate-state internals + block order) — spell as sum() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)",
+    "runningAccumulate": "runs verbatim for the inline -State form (runningAccumulate(sumState(x)) ... GROUP BY k ORDER BY k) — rewritten to the state's merge aggregate over an ORDER-BY-anchored window (q143); a state column from a subquery alias raises (merge function unrecoverable)",
     "dialect forms inside subqueries / CTEs": "run verbatim as of round 6 — chsql recurses into every parenthesized SELECT/WITH block, each level rewritten independently (q95 exercises three levels); un-parenthesized top-level UNION branches remain out of scope",
 }
 

@@ -1896,6 +1896,70 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q143 runningAccumulate through the -State-aware window rewrite
+# ---------------------------------------------------------------------------
+_Q143_CLICKHOUSE_SQL = """
+    SELECT intDiv(event_id, 500) AS bucket,
+           count() AS n,
+           runningAccumulate(countState()) AS cum_n,
+           CAST(runningAccumulate(sumState(CAST(value AS DECIMAL(18,4))))
+                AS DOUBLE) AS cum_value,
+           runningAccumulate(maxState(event_id)) AS cum_max_id,
+           CAST(runningAccumulate(avgState(CAST(value AS DECIMAL(18,4))))
+                AS DOUBLE) AS cum_avg
+    FROM events WHERE event_type = 'click'
+    GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query(
+    "q143_running_accumulate",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(event_id // 500 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,4))) AS s,
+             MAX(event_id) AS mx,
+             COUNT(value) AS cv
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT bucket, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+           CAST(CAST(SUM(s) OVER w AS DECIMAL(38,4)) AS DOUBLE) AS cum_value,
+           CAST(MAX(mx) OVER w AS BIGINT) AS cum_max_id,
+           CAST(CAST(SUM(s) OVER w AS DOUBLE) / SUM(cv) OVER w AS DOUBLE)
+             AS cum_avg
+    FROM src
+    WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY bucket
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``runningAccumulate`` — the last reject-only row of ClickHouse's
+    deprecated block-order family — bridged for the inline -State form
+    (``chsql._rewrite_running_accumulate``, which runs BEFORE the
+    -State combinator rewrite so the state's MERGE function is still
+    recoverable): count/sum/max/avg states in one dashboard statement
+    become their merge aggregates over a running window anchored to
+    the statement's own ORDER BY. The oracle spells the same running
+    totals with explicit windows over the aggregated series; decimal
+    states keep the running sums order-independent, so cum_value and
+    cum_avg hash exactly.
+
+    Scale: one window over the aggregated buckets (not the raw
+    stream); a global running total is inherently sequential at the
+    final step — at 100 TB the bucket series is already tiny (one row
+    per bucket) by the time it reaches the window."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q143_CLICKHOUSE_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Q127 -State/-Merge combinators: the AggregatingMergeTree MV pattern
 # ---------------------------------------------------------------------------
 _Q127_CLICKHOUSE_SQL = """

@@ -900,13 +900,65 @@ class TestRunningNeighborBridge:
         with pytest.raises(ChSqlError, match="integer literal"):
             rw("SELECT neighbor(n, k, 0) FROM t ORDER BY n")
 
-    def test_running_accumulate_still_rejects(self):
-        with pytest.raises(ChSqlError, match="runningAccumulate"):
-            rw("SELECT runningAccumulate(s) FROM t ORDER BY n")
-
     def test_limit_not_in_anchor(self):
         out = rw("SELECT runningDifference(n) FROM t ORDER BY n LIMIT 5")
         assert "OVER (ORDER BY n)" in out and out.rstrip().endswith("LIMIT 5")
+
+
+class TestRunningAccumulateBridge:
+    """runningAccumulate(xxxState(x)) -> the state's merge aggregate
+    over an ORDER-BY-anchored running window (round 8; q143 is the
+    oracle-verified twin). Must run BEFORE the -State combinator
+    rewrite (which would erase the merge-function name)."""
+
+    FRAME = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+    def test_sum_and_count_states(self):
+        out = rw(
+            "SELECT k, runningAccumulate(sumState(v)) AS r, "
+            "runningAccumulate(countState()) AS c "
+            "FROM t GROUP BY k ORDER BY k"
+        )
+        assert f"sum(sum(v)) OVER (ORDER BY k {self.FRAME})" in out
+        assert f"sum(count(*)) OVER (ORDER BY k {self.FRAME})" in out
+
+    def test_min_max_avg_states(self):
+        out = rw(
+            "SELECT k, runningAccumulate(maxState(v)) AS m, "
+            "runningAccumulate(minState(v)) AS n, "
+            "runningAccumulate(avgState(v)) AS a "
+            "FROM t GROUP BY k ORDER BY k"
+        )
+        assert f"max(max(v)) OVER (ORDER BY k {self.FRAME})" in out
+        assert f"min(min(v)) OVER (ORDER BY k {self.FRAME})" in out
+        assert "CAST(sum(sum(v)) OVER" in out and "/ sum(count(v)) OVER" in out
+
+    def test_executes_running_total(self, spark):
+        out = rw(
+            "SELECT id % 2 AS k, runningAccumulate(sumState(id)) AS r "
+            "FROM range(6) GROUP BY k ORDER BY k"
+        )
+        got = {r["k"]: r["r"] for r in spark.sql(out).collect()}
+        assert got == {0: 6, 1: 15}  # 0+2+4, then +1+3+5
+
+    def test_subquery_alias_state_rejects(self):
+        with pytest.raises(ChSqlError, match="INLINE -State"):
+            rw("SELECT k, runningAccumulate(s) FROM x GROUP BY k ORDER BY k")
+
+    def test_uniq_state_rejects(self):
+        with pytest.raises(ChSqlError, match="INLINE -State"):
+            rw(
+                "SELECT k, runningAccumulate(uniqState(v)) "
+                "FROM t GROUP BY k ORDER BY k"
+            )
+
+    def test_no_group_by_rejects(self):
+        with pytest.raises(ChSqlError, match="GROUP BY form"):
+            rw("SELECT runningAccumulate(sumState(v)) FROM t ORDER BY 1")
+
+    def test_no_order_by_rejects(self):
+        with pytest.raises(ChSqlError, match="deterministic total order"):
+            rw("SELECT k, runningAccumulate(sumState(v)) FROM t GROUP BY k")
 
 
 class TestWithFillBridge:
