@@ -898,24 +898,26 @@ def pq_adc_topk(
     Compose with IVF (``ivf_probe_cells`` -> per-cell code scan) for
     the sublinear IVFPQ read path; this operator is the per-cell
     scorer."""
-    recon = pq_reconstruct(F.col("codes"), books)
-    scored = (
-        corpus_codes.select(F.col("id").alias("cid"), F.col("codes"))
-        .crossJoin(
-            F.broadcast(
-                queries.select(
-                    F.col(id_col).alias("qid"),
-                    as_double_vec(F.col(vec_col)).alias("q"),
-                )
-            )
-        )
-        .select(
-            "qid",
-            "cid",
-            (
-                dot(F.col("q"), recon) / (norm(F.col("q")) * norm(recon))
-            ).cast(T.DecimalType(38, 4)).cast("double").alias("score"),
-        )
+    # reconstruction + its norm are per-CODE quantities: compute them
+    # once per corpus row BEFORE the pair blow-up (the cosine_topk
+    # norm-precompute rule), leaving only the dot fold per pair
+    rec = corpus_codes.select(
+        F.col("id").alias("cid"),
+        pq_reconstruct(F.col("codes"), books).alias("r"),
+    ).withColumn("rn", norm(F.col("r")))
+    qs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            as_double_vec(F.col(vec_col)).alias("q"),
+        ).withColumn("qn", norm(F.col("q")))
+    )
+    scored = rec.crossJoin(qs).select(
+        "qid",
+        "cid",
+        (dot(F.col("q"), F.col("r")) / (F.col("qn") * F.col("rn")))
+        .cast(T.DecimalType(38, 4))
+        .cast("double")
+        .alias("score"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
     return (
