@@ -3214,3 +3214,83 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return vsort(gopher_rules(page), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q144 audio spectral features (F5 frequency domain, round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q144_audio_spectral",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_frames,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 32
+                WHEN 2 THEN 16 ELSE 8 END AS INT) AS dom_bin,
+           round(CASE doc_id % 4
+                 WHEN 0 THEN 64.0
+                 WHEN 1 THEN 41.37258300203048
+                 WHEN 2 THEN 25.25145258287667
+                 ELSE 14.883053802576697 END, 4) AS centroid,
+           round(CASE doc_id % 4
+                 WHEN 0 THEN 0.0
+                 WHEN 1 THEN 0.0
+                 WHEN 2 THEN 0.8210669490340056
+                 ELSE 0.8131786634360738 END, 4) AS low_frac
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frequency-domain audio analysis through the distributed
+    pipeline (``multimodal.spectral_features``): each doc gets a
+    synthesized 512-sample square-wave WAV whose HALF-PERIOD is
+    2 << (doc_id % 4) samples, and the operator runs decode → frame
+    into two 256-sample windows → per-frame real FFT → averaged power
+    spectrum → dominant bin / spectral centroid / low-band fraction.
+
+    The oracle is ANALYTIC (the q72 device moved to the frequency
+    domain): a period-p square wave's 256-point DFT has closed-form
+    bin powers depending ONLY on the period class, so the four class
+    constants (computed once with the same numpy rfft and inlined at
+    full precision) are what the real decode+FFT must reproduce —
+    dom_bin is integer-exact; centroid/low_frac are amplitude-
+    invariant O(1) RATIOS (raw bin powers scale with amplitude^2
+    ~1e8, where a 4-decimal snap would be ulp-relative — the operator
+    returns ratios for exactly this reason) reproduced bit-identically
+    by numpy's deterministic rfft, with the 4-decimal snap as margin.
+    The two frames are identical by construction, so the frame mean is
+    exact ((x+x)/2), pinning the framing path too.
+
+    Scale: synth + decode + FFT are one Arrow-batched projection —
+    zero shuffle, embarrassingly parallel (the q71/q72 posture)."""
+    from ..operators.multimodal import spectral_features
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+
+    def _wav_batches(doc_id):
+        import struct as _s
+
+        import numpy as np
+
+        def make(i):
+            h = 2 << (int(i) % 4)
+            j = np.arange(512)
+            pcm = (10000 * (1 - 2 * ((j // h) % 2))).astype("<i2").tobytes()
+            fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            chunks = (
+                b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(pcm)) + pcm
+            )
+            return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        return doc_id.map(make)
+
+    _wav = F.pandas_udf(_wav_batches, "binary")
+    payloads = docs.select("doc_id", _wav(F.col("doc_id")).alias("payload"))
+    feats = spectral_features(payloads, strict=True)
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        "dom_bin",
+        F.round("centroid", 4).alias("centroid"),
+        F.round("low_frac", 4).alias("low_frac"),
+    ).orderBy("doc_id")

@@ -341,3 +341,45 @@ def test_png_interlace_rejected():
     ) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         mm.decode_png(bad)
+
+
+class TestSpectralFeatures:
+    """multimodal.spectral_features — frequency-domain rollup (q144 is
+    the analytic-oracle twin)."""
+
+    def test_pure_sine_dominant_bin(self, spark):
+        # a bin-exact sine (16 cycles over 256 samples) puts ALL
+        # non-DC power at bin 16: centroid == dom_bin, low_frac == 1
+        rate, n = 8000, 512
+        t = np.arange(n)
+        frames = (0.5 * np.sin(2 * np.pi * 16 * t / 256.0))[:, None]
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=bytearray(_wav_bytes(rate, frames)))]
+        )
+        out = mm.spectral_features(df, strict=True).collect()[0]
+        assert out["n_frames"] == 2
+        assert out["dom_bin"] == 16
+        assert abs(out["centroid"] - 16.0) < 1e-6
+        assert abs(out["low_frac"] - 1.0) < 1e-9
+
+    def test_high_frequency_has_zero_low_band(self, spark):
+        # Nyquist-adjacent sine: bin 100 of 128 — nothing below bin 16
+        frames = (0.5 * np.sin(2 * np.pi * 100 * np.arange(512) / 256.0))[:, None]
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=bytearray(_wav_bytes(8000, frames)))]
+        )
+        out = mm.spectral_features(df, strict=True).collect()[0]
+        assert out["dom_bin"] == 100 and out["low_frac"] < 1e-9
+
+    def test_short_payload_yields_zero_frames(self, spark):
+        frames = np.zeros((100, 1))  # < n_fft samples
+        df = spark.createDataFrame(
+            [Row(doc_id=1, payload=bytearray(_wav_bytes(8000, frames)))]
+        )
+        out = mm.spectral_features(df, strict=True).collect()[0]
+        assert out["n_frames"] == 0 and out["dom_bin"] == 0
+
+    def test_strict_rejects_unknown_format(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"ID3junk"))])
+        with pytest.raises(Exception, match="pure-numpy decoder"):
+            mm.spectral_features(df, strict=True).collect()
