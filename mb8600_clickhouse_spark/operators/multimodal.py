@@ -356,6 +356,67 @@ def decode_audio_features(
     return df.select(id_col, payload_col).mapInPandas(extract, FEATURES_SCHEMA)
 
 
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of an (h, w[, 3]) uint8 image:
+    grayscale (channel mean) → block-mean resize to 9x8 → per-row
+    adjacent-column comparisons → 64 bits, bit (row*8 + col) set when
+    the right block mean exceeds the left. The classic perceptual hash
+    for image near-dup: robust to re-encoding/resizing, 8 bytes per
+    image, Hamming-comparable (compose with ``dedup.simhash``'s
+    pigeonhole segment blocking for banded near-dup search at scale).
+    Returned as a Python int in [0, 2^64) (store as int64 with
+    wraparound for bit 63)."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    rows = [r.mean(axis=0) for r in np.array_split(g, 8, axis=0)]
+    cols = np.stack(
+        [np.array([c.mean() for c in np.array_split(r, 9)]) for r in rows]
+    )
+    bits = (cols[:, 1:] > cols[:, :-1]).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """(doc_id, dhash): Arrow-batched perceptual hashing over image
+    payloads — decode (PPM/BMP/PNG/baseline-JPEG, the ``decode_image``
+    sniffing) then ``dhash64``. The hash is stored as int64 (two's-
+    complement wraparound for bit 63). Pure projection: zero shuffle;
+    downstream dedup groups by the 8-byte hash, never the pixels."""
+
+    def _hash(p):
+        img = decode_image(bytes(p))
+        if img is None:
+            if strict:
+                raise NotImplementedError(
+                    "no pure-numpy decoder for this image format; plug a "
+                    "real backend (Pillow/libvips) into image_dhash"
+                )
+            return int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big")
+        return dhash64(img)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "dhash": pdf[payload_col]
+                    .map(_hash)
+                    .map(lambda u: u - (1 << 64) if u >= (1 << 63) else u)
+                    .astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, "doc_id long, dhash long"
+    )
+
+
 #: (doc_id, n_frames, dom_bin, centroid, low_frac) — the spectral rollup
 SPECTRAL_SCHEMA = (
     "doc_id long, n_frames int, dom_bin int, centroid double, low_frac double"

@@ -3294,3 +3294,72 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("centroid", 4).alias("centroid"),
         F.round("low_frac", 4).alias("low_frac"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q145 image perceptual-hash dedup (F5 x F1, round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q145_image_dhash_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST((doc_id % 16) * 72340172838076673 AS BIGINT) AS dhash
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, dhash,
+           doc_id = MIN(doc_id) OVER (PARTITION BY dhash) AS is_keeper
+    FROM h ORDER BY doc_id
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUP dedup by perceptual hash through the real decode
+    path (``multimodal.image_dhash`` — dHash: grayscale → 9x8
+    block-mean → adjacent-column gradient bits): each doc gets a
+    synthesized 9x8 PPM whose column values walk ±1 from 128 with step
+    directions taken from the BITS of doc_id % 16 — so the 64-bit
+    dHash is ANALYTIC: every row repeats the same 8 gradient bits,
+    hash = (doc_id % 16) * 0x0101010101010101, and the 100-doc corpus
+    collapses into exactly 16 perceptual clusters. Keeper = lowest
+    doc_id per hash (the exact-dedup rule over the 8-byte fingerprint).
+    The oracle replays the bit algebra in pure integer SQL — decode,
+    block means, gradient thresholds and the bit packing all pin
+    bit-exactly or the hash misses.
+
+    Scale: hashing is an Arrow-batched projection (pixels never
+    shuffle — the 8-byte hash is the only thing that reaches the
+    exchange); dedup is a groupBy/window on the hash. For NEAR-dup
+    (Hamming distance <= d) compose with the q42 pigeonhole segment
+    blocking over the same int64 — dHash is Hamming-comparable by
+    construction."""
+    from ..operators.multimodal import image_dhash
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+
+    def _ppm_batches(doc_id):
+        import numpy as np
+
+        from ..operators.multimodal import encode_ppm
+
+        def make(i):
+            m = int(i) % 16
+            steps = [1 if (m >> j) & 1 else -1 for j in range(8)]
+            v = np.concatenate(([128], 128 + np.cumsum(steps)))
+            img = np.repeat(v[None, :, None], 8, axis=0)
+            img = np.repeat(img, 3, axis=2).astype(np.uint8)
+            return encode_ppm(img)
+
+        return doc_id.map(make)
+
+    _ppm = F.pandas_udf(_ppm_batches, "binary")
+    payloads = docs.select("doc_id", _ppm(F.col("doc_id")).alias("payload"))
+    hashed = image_dhash(payloads, strict=True)
+    w = W.partitionBy("dhash")
+    return (
+        hashed.select(
+            "doc_id",
+            "dhash",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )

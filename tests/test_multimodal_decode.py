@@ -383,3 +383,44 @@ class TestSpectralFeatures:
         df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"ID3junk"))])
         with pytest.raises(Exception, match="pure-numpy decoder"):
             mm.spectral_features(df, strict=True).collect()
+
+
+class TestImageDhash:
+    """multimodal.dhash64 / image_dhash — perceptual image hashing
+    (q145 is the analytic-oracle twin)."""
+
+    def test_gradient_invariant_to_scale_and_encoding(self, spark):
+        # dHash is a resize-invariant: the same horizontal gradient at
+        # 9x8 and 36x32 hashes identically (block means preserve the
+        # column ordering), and brightness shifts don't change it
+        small = np.repeat(
+            np.repeat(np.arange(9, dtype=np.uint8)[None, :, None] * 10, 8, 0), 3, 2
+        )
+        big = np.repeat(np.repeat(small, 4, axis=0), 4, axis=1)
+        assert mm.dhash64(small) == mm.dhash64(big) == (1 << 64) - 1
+        assert mm.dhash64(small + 20) == mm.dhash64(small)
+
+    def test_solid_color_is_zero(self):
+        img = np.full((8, 9, 3), 77, dtype=np.uint8)
+        assert mm.dhash64(img) == 0
+
+    def test_spark_path_and_wraparound(self, spark):
+        # descending gradient: every comparison False except none ->
+        # hash 0; ascending -> all 64 bits -> int64 wraps to -1
+        asc = np.repeat(
+            np.repeat(np.arange(9, dtype=np.uint8)[None, :, None] * 10, 8, 0), 3, 2
+        )
+        desc = asc[:, ::-1, :]
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, payload=bytearray(mm.encode_ppm(asc))),
+                Row(doc_id=2, payload=bytearray(mm.encode_ppm(desc))),
+            ]
+        )
+        got = {r["doc_id"]: r["dhash"] for r in mm.image_dhash(df, strict=True).collect()}
+        assert got == {1: -1, 2: 0}
+
+    def test_strict_rejects_unknown_format(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"GIF89a"))])
+        with pytest.raises(Exception, match="pure-numpy decoder"):
+            mm.image_dhash(df, strict=True).collect()
