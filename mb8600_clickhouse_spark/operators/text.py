@@ -571,6 +571,56 @@ def c4_rules(
     )
 
 
+#: HTML entities decoded by ``html_to_text`` — the handful that survive
+#: tag stripping in real crawl text; plain string replaces so both
+#: engines share the literal table.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: decoding it earlier would re-expose e.g. &amp;lt;
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Crawl-grade HTML → text (the trafilatura-class extraction step a
+    web-corpus pipeline runs before any quality filter): drop script /
+    style blocks and comments (lazy-dot patterns — identical in Java
+    regex and RE2), strip remaining tags, decode the common entities
+    (``HTML_ENTITIES``, amp last), collapse whitespace. Deliberately
+    regex-only — no DOM — so it stays a narrow codegen projection at
+    100 TB and the exact same dialect-shared patterns replay in the
+    SQL oracle (q146)."""
+    t = F.regexp_replace(html, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_title(html: Column) -> Column:
+    """First ``<title>`` body (whitespace-collapsed), '' when absent."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_extract(html, r"(?is)<title>(.*?)</title>", 1), r"\s+", " "
+        )
+    )
+
+
+def html_link_count(html: Column) -> Column:
+    """Number of ``<a`` anchors (replace-based counting — exact in both
+    engines, the q141 symbol-count device)."""
+    low = F.lower(html)
+    return (
+        (F.length(low) - F.length(F.replace(low, F.lit("<a "), F.lit(""))))
+        / 3
+    ).cast("bigint")
+
+
 #: The Gopher "required stopwords" set (Rae et al. 2021 §A.1.1): a doc
 #: must contain at least 2 of these to pass the quality gate. ASCII so
 #: the same literals embed in the DuckDB oracle.

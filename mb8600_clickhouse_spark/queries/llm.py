@@ -3363,3 +3363,93 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q146 HTML text extraction (the web-pipeline ingestion step, round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q146_html_extract",
+    oracle="""
+    WITH page AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>.nav color red</style></head><body>'
+             || '<script>var t = 1;</script><h1>Header</h1><p>'
+             || substr(text, 1, 120)
+             || ' Tom &amp; Jerry &lt;3</p>'
+             || CASE WHEN doc_id % 3 = 0
+                THEN '<a href="/x">read</a> <a href="/y">more</a>'
+                ELSE '' END
+             || '<!-- hidden tracker --></body></html>' AS html
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   html,
+                   '(?is)<script\\b.*?</script>', ' ', 'g'),
+                   '(?is)<style\\b.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS text,
+             trim(regexp_replace(
+               regexp_extract(html, '(?is)<title>(.*?)</title>', 1),
+               '\\s+', ' ', 'g')) AS title,
+             CAST((length(lower(html))
+                   - length(replace(lower(html), '<a ', ''))) // 3
+                  AS BIGINT) AS n_links
+      FROM page
+    )
+    SELECT doc_id, title, n_links, text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM ext ORDER BY doc_id
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (``text.html_to_text`` — the
+    trafilatura-class step every web corpus runs BEFORE the q126/q141
+    quality gates): pages are PLANTED around the word soup (title with
+    the doc_id, a style block, a script block, entities ``&amp;`` /
+    ``&lt;`` in the body, anchors on doc_id % 3, an HTML comment), then
+    the operator drops script/style/comments, strips tags, decodes
+    entities (amp LAST — the double-escape rule), collapses whitespace,
+    and extracts the title and anchor count alongside. The oracle
+    replays planting AND extraction with the same dialect-shared
+    patterns, so the hash pins the lazy-dot block removal, the strip-
+    before-decode order, and the replace-based link counting.
+
+    Scale: one narrow regex projection — zero shuffle, scan-bound (the
+    reason the operator is regex-only, not a DOM parse)."""
+    from ..operators.text import html_link_count, html_title, html_to_text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>.nav color red</style></head><body>"),
+            F.lit("<script>var t = 1;</script><h1>Header</h1><p>"),
+            F.substring("text", 1, 120),
+            F.lit(" Tom &amp; Jerry &lt;3</p>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit('<a href="/x">read</a> <a href="/y">more</a>'),
+            ).otherwise(F.lit("")),
+            F.lit("<!-- hidden tracker --></body></html>"),
+        ).alias("html"),
+    )
+    out = page.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        html_link_count(F.col("html")).alias("n_links"),
+        html_to_text(F.col("html")).alias("text"),
+    )
+    return vsort(
+        out.withColumn("n_chars", F.length("text").cast("bigint")), "doc_id"
+    )

@@ -140,6 +140,52 @@ class TestC4Rules:
         assert not out["flag_badword"]
 
 
+class TestHtmlExtract:
+    """text.html_to_text / html_title / html_link_count (q146 is the
+    oracle twin)."""
+
+    def _one(self, spark, html):
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from mb8600_clickhouse_spark.operators.text import (
+            html_link_count,
+            html_title,
+            html_to_text,
+        )
+
+        return (
+            spark.createDataFrame([Row(h=html)])
+            .select(
+                html_to_text(F.col("h")).alias("t"),
+                html_title(F.col("h")).alias("title"),
+                html_link_count(F.col("h")).alias("links"),
+            )
+            .collect()[0]
+        )
+
+    def test_blocks_tags_entities(self, spark):
+        out = self._one(
+            spark,
+            "<html><head><title>A  B</title><style>p red</style></head>"
+            "<body><script>if (x < 3) go();</script><p>Tom &amp; Jerry "
+            "&lt;3</p><a href='x'>one</a><!-- note --><A HREF='y'>two</A>"
+            "</body></html>",
+        )
+        assert out["t"] == "A B Tom & Jerry <3 one two"
+        assert out["title"] == "A B"
+        assert out["links"] == 2  # case-insensitive: <A HREF counts too
+
+    def test_amp_decoded_last(self, spark):
+        # '&amp;lt;' must become the literal '&lt;', NOT '<'
+        out = self._one(spark, "<p>&amp;lt;</p>")
+        assert out["t"] == "&lt;"
+
+    def test_multiline_script_stripped(self, spark):
+        out = self._one(spark, "<script>\nvar a=1;\nvar b=2;\n</script>hi")
+        assert out["t"] == "hi"
+
+
 class TestGopherRules:
     """text.gopher_rules — the Gopher doc-level quality gate (q141 is
     the oracle twin; these pin each rule on hand-built docs)."""
