@@ -1117,29 +1117,67 @@ def _rewrite_window_funnel(sql: str) -> str:
         sql = sql[:start] + repl + sql[end:]
 
 
-def _parse_seq_pattern(pat: str) -> list[tuple[int, bool]]:
+def _parse_seq_pattern(
+    pat: str, allow_time: bool = False
+) -> list[tuple[int, bool, str | None, float]]:
     """Restricted sequenceMatch pattern: ``(?N)`` refs optionally
-    separated by ``.*``. Returns [(cond_index_0based, gap_before)].
-    Time constraints ``(?t op value)`` and single ``.`` reject with the
-    manual spelling named."""
-    steps: list[tuple[int, bool]] = []
+    separated by ``.*`` gaps and/or ``(?t op seconds)`` time
+    constraints (round 8; sequenceMatch only — ``allow_time``).
+    Returns [(cond_index_0based, gap_before, time_op, seconds)] where
+    ``time_op`` in {None, '<=', '<', '>=', '>'} bounds the seconds
+    between the events matching this ref and the previous ref.
+    ``==``/``!=`` time ops and single ``.`` reject with the manual
+    spelling named."""
+    steps: list[tuple[int, bool, str | None, float]] = []
     pending_gap = False
+    pending_op: str | None = None
+    pending_val = 0.0
     i = 0
     while i < len(pat):
         if pat.startswith(".*", i):
             pending_gap = True
             i += 2
             continue
+        mt = re.match(r"\(\?t\s*(<=|<|>=|>|==|!=)\s*(\d+(?:\.\d+)?)\)", pat[i:])
+        if mt:
+            if not allow_time:
+                raise ChSqlError(
+                    f"pattern {pat!r}: '(?t...)' time constraints are "
+                    "bridged for sequenceMatch only (sequenceCount's "
+                    "greedy reset + time bound needs the manual spelling)"
+                )
+            if mt.group(1) in ("==", "!="):
+                raise ChSqlError(
+                    f"pattern {pat!r}: '(?t{mt.group(1)}...)' exact-seconds "
+                    "constraints are not bridged (float-equality on event "
+                    "gaps; spell the window manually)"
+                )
+            if pending_op is not None:
+                raise ChSqlError(
+                    f"pattern {pat!r}: two consecutive time constraints"
+                )
+            if not steps:
+                raise ChSqlError(
+                    f"pattern {pat!r}: a time constraint needs a preceding "
+                    "(?N) ref"
+                )
+            pending_op, pending_val = mt.group(1), float(mt.group(2))
+            i += mt.end()
+            continue
         m = re.match(r"\(\?(\d+)\)", pat[i:])
         if not m:
             raise ChSqlError(
-                f"sequenceMatch pattern {pat!r}: only '(?N)' refs and '.*' "
-                "gaps are bridged ('(?t...)' time constraints and single "
-                "'.' need the manual windowed-conditions spelling)"
+                f"sequenceMatch pattern {pat!r}: only '(?N)' refs, '.*' "
+                "gaps and '(?t op seconds)' constraints are bridged "
+                "(single '.' needs the manual windowed-conditions spelling)"
             )
-        steps.append((int(m.group(1)) - 1, pending_gap))
-        pending_gap = False
+        steps.append((int(m.group(1)) - 1, pending_gap, pending_op, pending_val))
+        pending_gap, pending_op, pending_val = False, None, 0.0
         i += m.end()
+    if pending_op is not None:
+        raise ChSqlError(
+            f"pattern {pat!r}: a trailing time constraint has no (?N) ref"
+        )
     if not steps:
         raise ChSqlError("sequenceMatch pattern has no (?N) refs")
     return steps
@@ -1170,11 +1208,11 @@ def _rewrite_sequence_match(sql: str) -> str:
                 "sequenceMatch needs a quoted literal pattern: "
                 "sequenceMatch('(?1)(?2)')(ts, cond1, cond2)"
             )
-        steps = _parse_seq_pattern(mpat.group(1))
+        steps = _parse_seq_pattern(mpat.group(1), allow_time=True)
         if len(args) < 2:
             raise ChSqlError("sequenceMatch needs (timestamp, cond1, ...)")
         ts, conds = args[0], args[1:]
-        for ci, _ in steps:
+        for ci, *_rest in steps:
             if not (0 <= ci < len(conds)):
                 raise ChSqlError(
                     f"sequenceMatch pattern ref (?{ci + 1}) has no matching "
@@ -1182,22 +1220,80 @@ def _rewrite_sequence_match(sql: str) -> str:
                 )
         p_n = len(steps)
         lst = _behavior_events(ts, conds)
-        cidx = "array(" + ", ".join(str(ci) for ci, _ in steps) + ")"
+        cidx = "array(" + ", ".join(str(ci) for ci, *_ in steps) + ")"
         garr = "array(" + ", ".join(
-            "true" if g else "false" for _, g in steps
+            "true" if g else "false" for _, g, *_ in steps
         ) + ")"
-        step = (
-            f"(acc, e) -> transform(acc, (s, p) -> "
-            f"(CASE WHEN e.c[{cidx}[p]] AND (p = 0 OR (CASE WHEN {garr}[p] "
-            f"THEN element_at(acc, p) > 0 "
-            f"ELSE pmod(element_at(acc, p), 2) = 1 END)) "
-            f"THEN 1 ELSE 0 END) + (CASE WHEN s > 0 THEN 2 ELSE 0 END))"
-        )
-        repl = (
-            f"CAST(element_at(aggregate({lst}, array_repeat(0, {p_n}), "
-            f"{step}), {p_n}) > 0 AS INT)"
-        )
+        if any(top is not None for _, _, top, _ in steps):
+            repl = _timed_seq_match(steps, p_n, lst, cidx, garr)
+        else:
+            step = (
+                f"(acc, e) -> transform(acc, (s, p) -> "
+                f"(CASE WHEN e.c[{cidx}[p]] AND (p = 0 OR (CASE WHEN {garr}[p] "
+                f"THEN element_at(acc, p) > 0 "
+                f"ELSE pmod(element_at(acc, p), 2) = 1 END)) "
+                f"THEN 1 ELSE 0 END) + (CASE WHEN s > 0 THEN 2 ELSE 0 END))"
+            )
+            repl = (
+                f"CAST(element_at(aggregate({lst}, array_repeat(0, {p_n}), "
+                f"{step}), {p_n}) > 0 AS INT)"
+            )
         sql = sql[:start] + repl + sql[end:]
+
+
+def _timed_seq_match(steps, p_n: int, lst: str, cidx: str, garr: str) -> str:
+    """The time-constrained sequenceMatch fold (round 8). State = a
+    2*p_n double array: slots 1..p_n (A) hold the END TIME of a
+    prefix-p match ending EXACTLY at the previous visible event (NULL
+    if none); slots p_n+1..2*p_n (B) the BEST end time over matches
+    ending at-or-before it. "Best" is per-position: the transition
+    ENTERING position p compares dt = e.t - prefix_end against its
+    constraint, and since dt shrinks as the end time grows, a '<='/'<'
+    bound is loosest at the MAX candidate end and a '>='/'>' bound at
+    the MIN — each transition depends only on the previous position's
+    end time, so the per-position best-end relaxation decides
+    matchability EXACTLY (Viterbi over a chain). Adjacency consumes A
+    alone; a '.*' gap the best of A and B (greatest/least skip NULLs
+    identically in Spark and DuckDB). Matched = last A or B non-NULL,
+    read by aggregate()'s finish lambda."""
+    tops = {None: 0, "<=": 1, "<": 2, ">=": 3, ">": 4}
+    topop = "array(" + ", ".join(str(tops[t]) for _, _, t, _ in steps) + ")"
+    tval = "array(" + ", ".join(
+        f"CAST({v} AS DOUBLE)" for _, _, _, v in steps
+    ) + ")"
+    obj_enter = [t in (None, "<=", "<") for _, _, t, _ in steps]
+    obj_leave = obj_enter[1:] + [True]
+    obje = "array(" + ", ".join("true" if o else "false" for o in obj_enter) + ")"
+    objl = "array(" + ", ".join("true" if o else "false" for o in obj_leave) + ")"
+    cand = (
+        f"(CASE WHEN {garr}[i] THEN (CASE WHEN {obje}[i] "
+        f"THEN greatest(element_at(acc, i), element_at(acc, i + {p_n})) "
+        f"ELSE least(element_at(acc, i), element_at(acc, i + {p_n})) END) "
+        f"ELSE element_at(acc, i) END)"
+    )
+    passed = (
+        f"(CASE {topop}[i] WHEN 0 THEN {cand} IS NOT NULL "
+        f"WHEN 1 THEN e.t - {cand} <= {tval}[i] "
+        f"WHEN 2 THEN e.t - {cand} < {tval}[i] "
+        f"WHEN 3 THEN e.t - {cand} >= {tval}[i] "
+        f"ELSE e.t - {cand} > {tval}[i] END)"
+    )
+    step = (
+        f"(acc, e) -> transform(acc, (s, i) -> CASE WHEN i < {p_n} THEN "
+        f"(CASE WHEN e.c[{cidx}[i]] AND (i = 0 OR {passed}) "
+        f"THEN e.t ELSE CAST(NULL AS DOUBLE) END) "
+        f"ELSE (CASE WHEN {objl}[i - {p_n}] "
+        f"THEN greatest(element_at(acc, i + 1), "
+        f"element_at(acc, i - {p_n} + 1)) "
+        f"ELSE least(element_at(acc, i + 1), "
+        f"element_at(acc, i - {p_n} + 1)) END) END)"
+    )
+    return (
+        f"CAST(aggregate({lst}, "
+        f"array_repeat(CAST(NULL AS DOUBLE), {2 * p_n}), {step}, "
+        f"acc -> coalesce(element_at(acc, {p_n}), "
+        f"element_at(acc, {2 * p_n})) IS NOT NULL) AS INT)"
+    )
 
 
 #: typed dictGet suffix -> the ClickHouse missing-key default the typed
@@ -1327,7 +1423,7 @@ def _rewrite_sequence_count(sql: str) -> str:
         if len(args) < 2:
             raise ChSqlError("sequenceCount needs (timestamp, cond1, ...)")
         ts, conds = args[0], args[1:]
-        for ci, _ in steps:
+        for ci, *_rest in steps:
             if not (0 <= ci < len(conds)):
                 raise ChSqlError(
                     f"sequenceCount pattern ref (?{ci + 1}) has no matching "
@@ -1335,11 +1431,11 @@ def _rewrite_sequence_count(sql: str) -> str:
                 )
         p_n = len(steps)
         lst = _behavior_events(ts, conds)
-        cidx = "array(" + ", ".join(str(ci) for ci, _ in steps) + ")"
+        cidx = "array(" + ", ".join(str(ci) for ci, *_ in steps) + ")"
         garr = "array(" + ", ".join(
-            "true" if g else "false" for _, g in steps
+            "true" if g else "false" for _, g, *_ in steps
         ) + ")"
-        last_ci, last_gap = steps[-1]
+        last_ci, last_gap = steps[-1][0], steps[-1][1]
         if p_n == 1:
             complete = f"e.c[{last_ci}]"
         else:

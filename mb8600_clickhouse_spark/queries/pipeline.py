@@ -2429,6 +2429,96 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, _Q136_CLICKHOUSE_SQL)
 
 
+_Q147_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           sequenceMatch('(?1)(?t<=14400)(?2)')(ts, event_type = 'view',
+                                                event_type = 'click')
+             AS m_within,
+           sequenceMatch('(?1).*(?t>2200000)(?2)')(ts, event_type = 'view',
+                                                 event_type = 'click')
+             AS m_late_follow
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query(
+    "q147_ch_sequence_match_time",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             list_sort(list([epoch(ts),
+               CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END,
+               CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END]))
+               AS evs
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id
+    ),
+    m1 AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend([NULL, NULL, NULL, NULL]::DOUBLE[], evs),
+               (acc, e) -> [
+                 CASE WHEN e[2] = 1 THEN e[1] END,
+                 CASE WHEN e[3] = 1 AND e[1] - acc[1] <= 14400
+                      THEN e[1] END,
+                 greatest(acc[3], acc[1]),
+                 greatest(acc[4], acc[2])
+               ]) AS st
+      FROM ev
+    ),
+    m2 AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend([NULL, NULL, NULL, NULL]::DOUBLE[], evs),
+               (acc, e) -> [
+                 CASE WHEN e[2] = 1 THEN e[1] END,
+                 CASE WHEN e[3] = 1
+                      AND e[1] - least(acc[1], acc[3]) > 2200000
+                      THEN e[1] END,
+                 least(acc[3], acc[1]),
+                 greatest(acc[4], acc[2])
+               ]) AS st
+      FROM ev
+    )
+    SELECT u.user_id,
+           COALESCE(CAST((m1.st[2] IS NOT NULL OR m1.st[4] IS NOT NULL)
+                    AS INT), 0) AS m_within,
+           COALESCE(CAST((m2.st[2] IS NOT NULL OR m2.st[4] IS NOT NULL)
+                    AS INT), 0) AS m_late_follow
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN m1 USING (user_id)
+    LEFT JOIN m2 USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceMatch`` TIME CONSTRAINTS verbatim through the bridge
+    (round 8 — closes the documented-unsupported row): adjacent
+    view→click within 4 hours (``(?1)(?t<=14400)(?2)``) and a click
+    more than ~25 days after SOME earlier view
+    (``(?1).*(?t>2200000)(?2)`` — chosen to split the fixture).
+    The rewrite (chsql._timed_seq_match) upgrades the q136 bit
+    automaton to a timestamped one — per pattern position the END TIME
+    of a match ending exactly at the previous event (A) and the BEST
+    end over earlier matches (B, max for <=/< bounds, min for >=/> —
+    each transition depends only on the previous position's end, so
+    the per-position relaxation is exact). The oracle replays the SAME
+    timed fold with DuckDB list lambdas (greatest/least skip NULLs in
+    both engines — pinned by the hash).
+
+    Scale: identical shape to q136 — one user_id exchange, per-group
+    state bounded by condition-relevant events, O(pattern) doubles of
+    fold state."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q147_CLICKHOUSE_SQL)
+
+
 _Q137_CLICKHOUSE_SQL = """
     SELECT user_id,
            sequenceCount('(?1).*(?2)')(ts, event_type = 'error',

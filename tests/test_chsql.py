@@ -1507,12 +1507,91 @@ class TestBehavioralAggregates:
         ]
 
     def test_rejects_unbridged_forms(self, spark):
-        with pytest.raises(ChSqlError, match="time constraints|bridged"):
-            rw("SELECT sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) FROM t GROUP BY u")
         with pytest.raises(ChSqlError, match="strict"):
             rw("SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM t GROUP BY u")
         with pytest.raises(ChSqlError, match="quoted literal"):
             rw("SELECT sequenceCount(pat)(ts, a) FROM t GROUP BY u")
+        # time constraints: sequenceMatch-only, no ==/!=, no trailing op
+        with pytest.raises(ChSqlError, match="sequenceMatch only"):
+            rw("SELECT sequenceCount('(?1)(?t>10)(?2)')(ts, a, b) FROM t GROUP BY u")
+        with pytest.raises(ChSqlError, match="exact-seconds"):
+            rw("SELECT sequenceMatch('(?1)(?t==10)(?2)')(ts, a, b) FROM t GROUP BY u")
+        with pytest.raises(ChSqlError, match="trailing time"):
+            rw("SELECT sequenceMatch('(?1)(?t>10)')(ts, a) FROM t GROUP BY u")
+        with pytest.raises(ChSqlError, match="preceding"):
+            rw("SELECT sequenceMatch('(?t>10)(?1)')(ts, a) FROM t GROUP BY u")
+
+    def test_sequence_match_time_constraints(self, spark):
+        # (?1)(?t<=6)(?2): adjacent view->click within 6 s
+        # (?1).*(?t>8)(?2): any gap, >8 s from SOME earlier view
+        self._events(
+            spark,
+            [
+                # u=1: view@1 click@4 -> dt 3: <=6 yes; >8 no
+                (1, 1, "view"), (1, 4, "click"),
+                # u=2: view@1 click@15 -> adjacent dt 14: <=6 no; >8 yes
+                (2, 1, "view"), (2, 15, "click"),
+                # u=3: view@1 view@10 click@12 -> adjacency is the
+                # LATEST view (dt 2, <=6 yes: max-end relaxation); the
+                # >8 gap uses the EARLIEST view (dt 11: min-end)
+                (3, 1, "view"), (3, 10, "view"), (3, 12, "click"),
+                # u=4: click only -> neither
+                (4, 1, "click"),
+            ],
+        ).createOrReplaceTempView("ev_smt")
+        q = rw(
+            "SELECT u, "
+            "sequenceMatch('(?1)(?t<=6)(?2)')(ts, et = 'view', et = 'click')"
+            " AS m_le, "
+            "sequenceMatch('(?1).*(?t>8)(?2)')(ts, et = 'view', et = 'click')"
+            " AS m_gt FROM ev_smt GROUP BY u ORDER BY u"
+        )
+        got = {r.u: (r.m_le, r.m_gt) for r in spark.sql(q).collect()}
+        assert got == {1: (1, 0), 2: (0, 1), 3: (1, 1), 4: (0, 0)}
+
+    def test_sequence_match_time_with_invisible_events(self, spark):
+        # the visibility rule composes with time constraints: the n3
+        # event is invisible (matches no condition), so (?1)(?t<=5)(?2)
+        # sees n1@1, n2@3 as ADJACENT with dt 2
+        self._events(
+            spark, [(1, 1, "n1"), (1, 2, "n3"), (1, 3, "n2")]
+        ).createOrReplaceTempView("ev_smt2")
+        q = rw(
+            "SELECT sequenceMatch('(?1)(?t<=5)(?2)')(ts, et = 'n1', "
+            "et = 'n2') AS m FROM ev_smt2 GROUP BY u"
+        )
+        assert spark.sql(q).collect()[0].m == 1
+        # making n3 a condition breaks adjacency; '.*(?t<=5)' restores
+        q3 = rw(
+            "SELECT sequenceMatch('(?1)(?t<=5)(?2)')(ts, et = 'n1', "
+            "et = 'n2', et = 'n3') AS m FROM ev_smt2 GROUP BY u"
+        )
+        assert spark.sql(q3).collect()[0].m == 0
+        q3g = rw(
+            "SELECT sequenceMatch('(?1).*(?t<=5)(?2)')(ts, et = 'n1', "
+            "et = 'n2', et = 'n3') AS m FROM ev_smt2 GROUP BY u"
+        )
+        assert spark.sql(q3g).collect()[0].m == 1
+
+    def test_sequence_match_three_step_mixed_constraints(self, spark):
+        # (?1)(?t<=5)(?2).*(?t>3)(?3): tight adjacent pair then a
+        # loose-gap minimum separation
+        self._events(
+            spark,
+            [
+                (1, 1, "a"), (1, 3, "b"), (1, 9, "c"),   # dt1=2<=5, dt2=6>3 -> 1
+                (2, 1, "a"), (2, 3, "b"), (2, 5, "c"),   # dt2=2 not >3 -> 0
+                (3, 1, "a"), (3, 9, "b"), (3, 14, "c"),  # dt1=8 not <=5 -> 0
+            ],
+        ).createOrReplaceTempView("ev_smt3")
+        q = rw(
+            "SELECT u, sequenceMatch('(?1)(?t<=5)(?2).*(?t>3)(?3)')"
+            "(ts, et = 'a', et = 'b', et = 'c') AS m "
+            "FROM ev_smt3 GROUP BY u ORDER BY u"
+        )
+        assert [(r.u, r.m) for r in spark.sql(q).collect()] == [
+            (1, 1), (2, 0), (3, 0)
+        ]
 
 
 class TestDictGetBridge:
