@@ -890,8 +890,8 @@ def pq_adc_topk(
     against the reconstruction — algebraically the classic ADC
     lookup-table sum, expressed as fused lookup + fold so Catalyst
     keeps it in one codegen projection over the code scan. The corpus
-    side reads M ints per row instead of dim doubles (16x less I/O at
-    m=4/dim=64 — PQ's whole point at 100 TB); the query side is
+    side reads M ints per row instead of dim doubles (16 bytes vs 512
+    at m=4/dim=64 — PQ's whole point at 100 TB); the query side is
     broadcast; per-query top-k is the rank window over snapped scores
     (score DECIMAL(38,4) desc, id asc — replay-stable tie order).
 

@@ -659,10 +659,21 @@ def gopher_rules(
     shuffle, scan-bound at any corpus size (the 100 TB posture: this
     runs inside WholeStageCodegen on the scan, the same class as
     ``c4_rules``)."""
-    lines = F.split(F.col(text_col), "\n")
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    # materialize words/lines/raw ONCE: the split chains are the
+    # expensive subexpressions, and higher-order-function lambdas block
+    # Catalyst's codegen CSE — without this projection each consumer
+    # re-ran the regexp+split (measured 0.84 -> 0.36 s at sf0.1)
+    df = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__g_raw"),
+        F.split(F.col(text_col), "\n").alias("__g_lines"),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            " ",
+        ).alias("__g_words"),
     )
+    lines = F.col("__g_lines")
+    words = F.col("__g_words")
     n_words = F.size(words).cast("bigint")
     n_word_chars = F.aggregate(
         words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
@@ -676,7 +687,7 @@ def gopher_rules(
             lambda s: F.array_contains(words, s),
         )
     ).cast("bigint")
-    raw = F.col(text_col)
+    raw = F.col("__g_raw")
     n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
     n_ellipsis = (
         F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
