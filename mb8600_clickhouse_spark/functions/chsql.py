@@ -1088,19 +1088,35 @@ def _rewrite_window_funnel(sql: str) -> str:
         if pc is None:
             return sql
         start, params, args, end = pc
+        parts = [p.strip() for p in _split_top_commas(params)]
+        strict_increase = False
         try:
-            float(params)
+            float(parts[0])
         except ValueError:
             raise ChSqlError(
-                f"windowFunnel({params!r}): only the default mode with a "
-                "numeric window (seconds) is bridged; strict_* modes need "
-                "the manual spelling (q89's funnel shape)"
+                f"windowFunnel({params!r}): the first parameter must be a "
+                "numeric window (seconds)"
             ) from None
+        for mode in parts[1:]:
+            if mode == "'strict_increase'":
+                strict_increase = True
+            else:
+                raise ChSqlError(
+                    f"windowFunnel mode {mode}: only 'strict_increase' is "
+                    "bridged ('strict_order'/'strict_deduplication' have "
+                    "version-dependent early-exit corner semantics in "
+                    "ClickHouse — spell the funnel manually, q89's shape)"
+                )
+        window = parts[0]
         if len(args) < 2:
             raise ChSqlError("windowFunnel needs (timestamp, cond1, ...)")
         ts, conds = args[0], args[1:]
         n = len(conds)
         lst = _behavior_events(ts, conds)
+        if strict_increase:
+            sql = sql[:start] + _strict_increase_funnel(n, window, lst) + sql[end:]
+            continue
+        params = window
         step = (
             f"(acc, e) -> transform(acc, (s, i) -> CASE "
             f"WHEN NOT e.c[i] THEN s "
@@ -1115,6 +1131,42 @@ def _rewrite_window_funnel(sql: str) -> str:
             f"s -> s IS NOT NULL))"
         )
         sql = sql[:start] + repl + sql[end:]
+
+
+def _strict_increase_funnel(n: int, window: str, lst: str) -> str:
+    """The strict_increase windowFunnel fold (round 8): the default
+    mode's max-start DP upgraded with per-level chain (first, last)
+    timestamp pairs — ClickHouse's events_timestamp pair exactly —
+    because "timestamps strictly increase along the chain" needs the
+    previous chain EVENT's time, not just the chain start. State = a
+    2n double array (slots 1..n the chain-start F, n+1..2n the
+    chain-last L, NULL = level unreached); an event extends level p
+    when cond_p holds, e.t - F[p-1] <= window and L[p-1] < e.t
+    (the strict-increase gate — it also makes every same-timestamp
+    subtlety of the default mode moot), overwriting (F[p], L[p]) with
+    (F[p-1], e.t) — CH's overwrite-on-extend, which keeps the
+    latest-start chain per level. Level = count of non-NULL F slots
+    (prefix-monotone: a slot is only ever set from a set predecessor
+    and never cleared)."""
+    ext = (
+        f"(e.t - element_at(acc, i{{off}}) <= {window} "
+        f"AND element_at(acc, i{{off}} + {n}) < e.t)"
+    )
+    f_ext = ext.format(off="")
+    l_ext = ext.format(off=f" - {n}")
+    step = (
+        f"(acc, e) -> transform(acc, (s, i) -> CASE WHEN i < {n} THEN "
+        f"(CASE WHEN e.c[i] AND (i = 0 OR {f_ext}) "
+        f"THEN (CASE WHEN i = 0 THEN e.t ELSE element_at(acc, i) END) "
+        f"ELSE s END) "
+        f"ELSE (CASE WHEN e.c[i - {n}] AND (i = {n} OR {l_ext}) "
+        f"THEN e.t ELSE s END) END)"
+    )
+    return (
+        f"aggregate({lst}, array_repeat(CAST(NULL AS DOUBLE), {2 * n}), "
+        f"{step}, acc -> size(filter(slice(acc, 1, {n}), "
+        f"x -> x IS NOT NULL)))"
+    )
 
 
 def _parse_seq_pattern(

@@ -2519,6 +2519,110 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(spark, _Q147_CLICKHOUSE_SQL)
 
 
+_Q148_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           windowFunnel(86400)(toStartOfDay(ts),
+                               event_type IN ('view', 'click'),
+                               event_type = 'click',
+                               event_type = 'purchase') AS lvl_default,
+           windowFunnel(86400, 'strict_increase')(toStartOfDay(ts),
+                               event_type IN ('view', 'click'),
+                               event_type = 'click',
+                               event_type = 'purchase') AS lvl_strict
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+@query(
+    "q148_ch_funnel_strict_increase",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             list_sort(list([epoch(date_trunc('day', ts)),
+               CASE WHEN event_type IN ('view', 'click') THEN 1.0
+                    ELSE 0.0 END,
+               CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END]))
+               AS evs
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    ),
+    dflt AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend([NULL, NULL, NULL]::DOUBLE[], evs),
+               (acc, e) -> [
+                 CASE WHEN e[2] = 1 THEN greatest(acc[1], e[1])
+                      ELSE acc[1] END,
+                 CASE WHEN e[3] = 1 AND e[1] - acc[1] <= 86400
+                      THEN greatest(acc[2], acc[1]) ELSE acc[2] END,
+                 CASE WHEN e[4] = 1 AND e[1] - acc[2] <= 86400
+                      THEN greatest(acc[3], acc[2]) ELSE acc[3] END
+               ]) AS st
+      FROM ev
+    ),
+    strict AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend([NULL, NULL, NULL, NULL, NULL, NULL]::DOUBLE[],
+                            evs),
+               (acc, e) -> [
+                 CASE WHEN e[2] = 1 THEN e[1] ELSE acc[1] END,
+                 CASE WHEN e[3] = 1 AND e[1] - acc[1] <= 86400
+                      AND acc[4] < e[1] THEN acc[1] ELSE acc[2] END,
+                 CASE WHEN e[4] = 1 AND e[1] - acc[2] <= 86400
+                      AND acc[5] < e[1] THEN acc[2] ELSE acc[3] END,
+                 CASE WHEN e[2] = 1 THEN e[1] ELSE acc[4] END,
+                 CASE WHEN e[3] = 1 AND e[1] - acc[1] <= 86400
+                      AND acc[4] < e[1] THEN e[1] ELSE acc[5] END,
+                 CASE WHEN e[4] = 1 AND e[1] - acc[2] <= 86400
+                      AND acc[5] < e[1] THEN e[1] ELSE acc[6] END
+               ]) AS st
+      FROM ev
+    )
+    SELECT u.user_id,
+           COALESCE(CAST(len(list_filter(dflt.st,
+                    x -> x IS NOT NULL)) AS INT), 0) AS lvl_default,
+           COALESCE(CAST(len(list_filter(strict.st[1:3],
+                    x -> x IS NOT NULL)) AS INT), 0) AS lvl_strict
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN dflt USING (user_id)
+    LEFT JOIN strict USING (user_id)
+    ORDER BY u.user_id
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel`` STRICT_INCREASE verbatim through the bridge
+    (round 8): the default max-start DP upgraded to per-level chain
+    (first, last) timestamp pairs (chsql._strict_increase_funnel —
+    ClickHouse's events_timestamp pair), gating every extension on
+    the previous chain event's time being STRICTLY before the new
+    event. Timestamps are day-truncated (``toStartOfDay`` through the
+    scalar bridge) and the FIRST condition overlaps the second
+    (view-or-click, then click): at equal truncated times the engine's
+    deterministic flag-array tiebreak sorts the broader-flag event
+    first, so the default mode CAN step within one day bucket while
+    strict cannot — the fixture genuinely splits (both (3,1) and (3,2)
+    rows exist at sf0.01). The oracle replays both folds with DuckDB
+    list lambdas; the default column doubles as a q135 regression
+    anchor on a second timestamp/condition shape.
+
+    strict_order / strict_deduplication stay rejected: their CH
+    early-exit corner semantics are version-dependent — the reject
+    message says so (documented-failure contract).
+
+    Scale: the q135/q136 shape — one user_id exchange, fold state
+    2 x levels doubles."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q148_CLICKHOUSE_SQL)
+
+
 _Q137_CLICKHOUSE_SQL = """
     SELECT user_id,
            sequenceCount('(?1).*(?2)')(ts, event_type = 'error',

@@ -1521,6 +1521,45 @@ class TestBehavioralAggregates:
         with pytest.raises(ChSqlError, match="preceding"):
             rw("SELECT sequenceMatch('(?t>10)(?1)')(ts, a) FROM t GROUP BY u")
 
+    def test_window_funnel_strict_increase(self, spark):
+        # overlapping cond1 (n1 or n2) vs cond2 (n2): at equal
+        # timestamps the broader flag sorts first, so DEFAULT chains
+        # within the same second while strict_increase cannot
+        self._events(
+            spark,
+            [
+                (1, 5, "n1"), (1, 5, "n2"),          # same ts: default 2, strict 1
+                (2, 5, "n1"), (2, 9, "n2"),          # increasing: both 2
+                (3, 5, "n2"),                        # n2 alone matches cond1 too -> 1
+            ],
+        ).createOrReplaceTempView("ev_si")
+        q = rw(
+            "SELECT u, windowFunnel(100)(ts, et IN ('n1','n2'), et = 'n2')"
+            " AS d, windowFunnel(100, 'strict_increase')"
+            "(ts, et IN ('n1','n2'), et = 'n2') AS s "
+            "FROM ev_si GROUP BY u ORDER BY u"
+        )
+        got = {r.u: (r.d, r.s) for r in spark.sql(q).collect()}
+        assert got == {1: (2, 1), 2: (2, 2), 3: (1, 1)}
+
+    def test_window_funnel_strict_increase_window_still_applies(self, spark):
+        self._events(
+            spark, [(1, 1, "n1"), (1, 30, "n2")]
+        ).createOrReplaceTempView("ev_si2")
+        q = rw(
+            "SELECT windowFunnel(10, 'strict_increase')"
+            "(ts, et = 'n1', et = 'n2') AS s FROM ev_si2 GROUP BY u"
+        )
+        assert spark.sql(q).collect()[0].s == 1  # dt 29 > window 10
+
+    def test_window_funnel_other_strict_modes_reject(self):
+        for mode in ("strict_order", "strict_deduplication"):
+            with pytest.raises(ChSqlError, match="strict_increase"):
+                rw(
+                    f"SELECT windowFunnel(10, '{mode}')(ts, a, b) "
+                    "FROM t GROUP BY u"
+                )
+
     def test_sequence_match_time_constraints(self, spark):
         # (?1)(?t<=6)(?2): adjacent view->click within 6 s
         # (?1).*(?t>8)(?2): any gap, >8 s from SOME earlier view
