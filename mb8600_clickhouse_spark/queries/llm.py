@@ -3453,3 +3453,81 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vsort(
         out.withColumn("n_chars", F.length("text").cast("bigint")), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q149 WARC ingestion (the crawl container, round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q149_warc_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS INT) AS rec_idx,
+           'response' AS warc_type,
+           'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT)
+             AS status,
+           CASE WHEN doc_id % 13 = 0 THEN 'not found'
+                ELSE '<html><body><p>' || substr(text, 1, 100)
+                     || '</p></body></html>' END AS body
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion (``operators.warc.parse_warc`` — ISO 28500, the
+    container Common Crawl ships): each doc gets a synthesized WARC
+    file of TWO records (a warcinfo, then an HTTP response whose URL,
+    status — 404 on doc_id % 13 — and HTML body derive from the doc),
+    and the parser does the real work: length-directed record framing
+    (Content-Length octets, never a regex over the payload), CRLF
+    header parsing, HTTP status-line extraction, body slicing. The
+    oracle recomputes every parsed field from the planting formula, so
+    the hash pins the framing exactly — one byte of drift in the
+    Content-Length arithmetic mis-frames every later record. The
+    response row's rec_idx = 1 pins that the warcinfo record was
+    consumed in front of it. Compose with q146 (HTML→text) and q131
+    (URL curation) for the full crawl→corpus path.
+
+    Scale: a pure Arrow-batched flat-map over the payload scan — zero
+    shuffle; payload bytes never leave the scan."""
+    import pandas as pd
+
+    from ..operators.warc import encode_warc_response, encode_warcinfo, parse_warc
+
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    def _warc_batches(it):
+        for pdf in it:
+            def make(row):
+                did = int(row["doc_id"])
+                url = f"https://ex{did % 7}.example.com/p/{did}"
+                if did % 13 == 0:
+                    resp = encode_warc_response(url, "not found", 404, "Not Found")
+                else:
+                    html = (
+                        "<html><body><p>"
+                        + str(row["text"])[:100]
+                        + "</p></body></html>"
+                    )
+                    resp = encode_warc_response(url, html)
+                return encode_warcinfo() + resp
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf.apply(make, axis=1),
+                }
+            )
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        _warc_batches, "doc_id long, payload binary"
+    )
+    parsed = parse_warc(payloads)
+    return vsort(
+        parsed.filter(F.col("warc_type") == "response").select(
+            "doc_id", "rec_idx", "warc_type", "url",
+            F.col("status").cast("int").alias("status"), "body",
+        ),
+        "doc_id",
+    )
