@@ -1,0 +1,102 @@
+"""robots.txt parsing + URL policy filtering — the crawl-policy step a
+responsible web-corpus pipeline runs between WARC ingestion (q149) and
+URL curation (q131): drop documents whose URL the host's robots.txt
+disallows for the harvesting agent.
+
+Pure Catalyst throughout (split → posexplode → last-seen-group window →
+broadcast rule join → longest-match verdict): robots files are small
+per host and the rule table is dimension-sized, so the join side
+broadcasts and the corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, allow, prefix): the Allow/Disallow rules applying to
+    ``agent`` (group-membership semantics: a rule belongs to the most
+    recent ``User-agent:`` line above it; only groups naming ``agent``
+    or ``*`` apply — the standard simplification without wildcard
+    patterns). Empty-path ``Disallow:`` lines (allow-everything) are
+    dropped. One window over the exploded LINES of the robots files —
+    robots.txt is KB-sized per host, so this is dimension-table work."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "line"),
+    ).select("host", "pos", F.trim(F.col("line")).alias("line"))
+    low = F.lower(F.col("line"))
+    val = F.trim(F.substring_index(F.col("line"), ":", -1))
+    marked = lines.select(
+        "host",
+        "pos",
+        F.when(low.startswith("user-agent:"), F.lower(val)).alias("ua"),
+        F.when(low.startswith("disallow:"), F.lit(False))
+        .when(low.startswith("allow:"), F.lit(True))
+        .alias("allow"),
+        val.alias("path"),
+    )
+    w = W.partitionBy("host").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    grouped = marked.withColumn(
+        "group_ua", F.last("ua", ignorenulls=True).over(w)
+    )
+    return (
+        grouped.filter(
+            F.col("allow").isNotNull()
+            & F.col("group_ua").isin(agent.lower(), "*")
+            & (F.length("path") > 0)
+        )
+        .select("host", "allow", F.col("path").alias("prefix"))
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Adds ``crawl_allowed``: Google-documented longest-match
+    semantics — among the host's rules whose prefix the URL path
+    starts with, the LONGEST wins; Allow beats Disallow at equal
+    length; no matching rule means allowed. The rules collapse to ONE
+    broadcast row per host carrying its rule array, so the verdict is
+    a broadcast left join + a per-row higher-order fold — the URL
+    corpus never shuffles and never multiplies (no per-rule join
+    fan-out, no group-back)."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("__rules")
+    )
+    joined = urls.join(
+        F.broadcast(per_host.withColumnRenamed("host", "__r_host")),
+        F.col(host_col) == F.col("__r_host"),
+        "left",
+    )
+    matches = F.filter(
+        F.col("__rules"), lambda r: F.col(path_col).startswith(r["prefix"])
+    )
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    return (
+        joined.withColumn(
+            "crawl_allowed", F.coalesce(best["a"] == 1, F.lit(True))
+        )
+        .drop("__r_host", "__rules")
+    )

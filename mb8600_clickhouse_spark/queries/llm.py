@@ -3531,3 +3531,70 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q150 robots.txt policy filter (crawl ethics, round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q150_robots_filter",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS h,
+             CAST(doc_id AS VARCHAR) AS d
+      FROM documents
+    )
+    SELECT doc_id,
+           'ex' || h || '.example.com' AS host,
+           '/p/' || d AS path,
+           (NOT starts_with(d, h)) OR starts_with(d, h || h)
+             AS crawl_allowed
+    FROM u ORDER BY doc_id
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt policy filtering (``operators.robots`` — the
+    crawl-policy step between q149's WARC ingestion and q131's URL
+    curation): each of the 7 fixture hosts gets a PLANTED robots.txt
+    with an inapplicable ``evilbot`` group (pins group-membership), a
+    ``*`` group whose ``Disallow: /p/<h>`` prefix-blocks doc-ids
+    starting with the host digit, a LONGER ``Allow: /p/<h><h>`` that
+    overrides it (pins longest-match + allow-beats-disallow), and an
+    empty ``Disallow:`` line (pins the allow-everything form being
+    dropped). The Spark side PARSES the text for real (posexplode +
+    last-seen-group window) and applies the broadcast HOF verdict; the
+    oracle recomputes the verdict from the planting formula — one
+    mis-parsed group or off-by-one prefix flips hashes.
+
+    Scale: rules are KB-per-host dimension work collapsing to one
+    broadcast row per host; the URL corpus never shuffles (no per-rule
+    fan-out — the verdict is a per-row array fold)."""
+    from ..operators.robots import parse_robots, robots_filter
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("ex"), F.col("id").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.concat(
+            F.lit("# planted robots\nUser-agent: evilbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /p/"),
+            F.col("id").cast("string"),
+            F.lit("\nAllow: /p/"),
+            F.col("id").cast("string"),
+            F.col("id").cast("string"),
+            F.lit("\nDisallow:\n"),
+        ).alias("robots"),
+    )
+    rules = parse_robots(hosts)
+    out = robots_filter(urls, rules)
+    return vsort(
+        out.select("doc_id", "host", "path", "crawl_allowed"), "doc_id"
+    )

@@ -1,0 +1,69 @@
+"""operators.robots — robots.txt parsing + longest-match policy
+(q150 is the oracle twin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mb8600_clickhouse_spark.operators.robots import parse_robots, robots_filter
+
+ROBOTS = """# comment
+User-agent: specialbot
+Disallow: /only-special
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+Allow: /private/okra-not-really
+"""
+
+
+def _rules(spark, agent="*"):
+    df = spark.createDataFrame([Row(host="h1", robots=ROBOTS)])
+    return parse_robots(df, agent=agent)
+
+
+class TestParseRobots:
+    def test_star_group_only(self, spark):
+        got = {(r["allow"], r["prefix"]) for r in _rules(spark).collect()}
+        assert got == {
+            (False, "/private"),
+            (True, "/private/ok"),
+            (True, "/private/okra-not-really"),
+        }  # specialbot group excluded; empty Disallow dropped
+
+    def test_named_agent_gets_both_groups(self, spark):
+        got = {(r["allow"], r["prefix"]) for r in _rules(spark, "SpecialBot").collect()}
+        assert (False, "/only-special") in got and (False, "/private") in got
+
+
+class TestRobotsFilter:
+    def test_longest_match_and_default_allow(self, spark):
+        urls = spark.createDataFrame(
+            [
+                Row(doc_id=1, host="h1", path="/public/x"),     # no match
+                Row(doc_id=2, host="h1", path="/private/x"),    # disallow
+                Row(doc_id=3, host="h1", path="/private/ok/x"), # allow (longer)
+                Row(doc_id=4, host="h2", path="/private/x"),    # host w/o rules
+            ]
+        )
+        out = {
+            r["doc_id"]: r["crawl_allowed"]
+            for r in robots_filter(urls, _rules(spark)).collect()
+        }
+        assert out == {1: True, 2: False, 3: True, 4: True}
+
+    def test_allow_beats_disallow_at_equal_length(self, spark):
+        rules = spark.createDataFrame(
+            [Row(host="h", allow=False, prefix="/a/b"),
+             Row(host="h", allow=True, prefix="/a/c")]
+        )
+        # equal-length competing prefixes never both match one path;
+        # craft the true tie: same prefix listed as both allow+disallow
+        rules = rules.union(
+            spark.createDataFrame([Row(host="h", allow=True, prefix="/a/b")])
+        )
+        urls = spark.createDataFrame([Row(doc_id=1, host="h", path="/a/b/z")])
+        out = robots_filter(urls, rules).collect()[0]
+        assert out["crawl_allowed"] is True
