@@ -3119,6 +3119,176 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q151 quality funnel: C4 + Gopher + repetition, per-doc verdicts (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q151_quality_funnel",
+    oracle="""
+    WITH page AS (
+      SELECT doc_id, concat_ws(chr(10),
+        substr(text, 1, 80) || '.',
+        CASE WHEN doc_id % 5 <> 0 THEN substr(text, 81, 80) || '!' END,
+        CASE WHEN doc_id % 7 <> 0 THEN substr(text, 161, 80) || '?' END,
+        CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+        CASE WHEN doc_id % 3 = 0 THEN
+          'click here click here click here click here click here.' END,
+        CASE WHEN doc_id % 2 = 0 THEN
+          'pages that have with the best of links today.' END
+      ) AS text FROM documents
+    ),
+    c4per AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+               ln -> substr(ln, -1, 1) IN ('.', '!', '?', '"')
+                     AND len(string_split(trim(ln), ' ')) >= 5) AS kl,
+             lower(text) AS low
+      FROM page
+    ),
+    c4v AS (
+      SELECT doc_id,
+             (COALESCE(length(list_aggregate(kl, 'string_agg', chr(10)))
+               - length(translate(
+                   list_aggregate(kl, 'string_agg', chr(10)), '.!?', '')), 0)
+               >= 3
+              AND NOT contains(low, 'lorem ipsum')
+              AND NOT (contains(low, '{{') OR contains(low, '}}'))
+              AND NOT regexp_matches(low, '\\bbadword\\b')) AS kept_c4
+      FROM c4per
+    ),
+    gsig AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS l,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+      FROM page
+    ),
+    gv AS (
+      SELECT doc_id,
+             (len(w) >= 50 AND len(w) <= 100000
+              AND list_sum(list_transform(w, x -> length(x))) >= 3 * len(w)
+              AND list_sum(list_transform(w, x -> length(x))) <= 10 * len(w)
+              AND 10 * (n_hash + n_ell) <= len(w)
+              AND 10 * len(list_filter(l,
+                    x -> starts_with(trim(x), '- ')
+                         OR starts_with(trim(x), '* '))) <= 9 * len(l)
+              AND 10 * len(list_filter(l, x -> ends_with(x, '...')))
+                    <= 3 * len(l)
+              AND 5 * len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                    >= 4 * len(w)
+              AND len(list_filter(
+                    ['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(w, s))) >= 2) AS kept_gopher
+      FROM gsig
+    ),
+    rt AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM page
+    ),
+    rr AS (
+      SELECT doc_id,
+             1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                   / CAST(len(w) AS DOUBLE) AS dwf,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1]) AS bgs
+      FROM rt
+    ),
+    rx AS (SELECT doc_id, dwf, unnest(bgs) AS bg FROM rr),
+    rg AS (
+      SELECT doc_id, dwf, bg, count(*) AS n FROM rx GROUP BY doc_id, dwf, bg
+    ),
+    rv AS (
+      SELECT doc_id,
+             (max(dwf) <= 0.3
+              AND CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) <= 0.18)
+               AS kept_rep
+      FROM rg GROUP BY doc_id
+    )
+    SELECT c4v.doc_id, kept_c4, kept_gopher, kept_rep,
+           (kept_c4 AND kept_gopher AND kept_rep) AS kept_all
+    FROM c4v JOIN gv USING (doc_id) JOIN rv USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality FUNNEL — the Dolma/FineWeb ablation table's per-doc
+    substrate: three verified quality operators (q126 C4 rules, q141
+    Gopher gates, q98 repetition signals) composed over ONE planted
+    page per document, emitting each stage's verdict and the combined
+    keep decision. The planting exercises every stage: sentence lines
+    with per-doc presence, lorem ipsum on %11, a 'click here'
+    boilerplate run on %3 (drives top_bigram_frac), the stopword line
+    on %2 (drives the Gopher 2-of-8 gate), and the fixture's natural
+    word-count spread straddling the 50-word minimum. The oracle
+    replays all three operators' SQL from the same page CTE, so the
+    hash pins the COMPOSITION — per-stage attrition is then a trivial
+    ``sum(cast(int))`` rollup over this result.
+
+    Scale: three narrow zero-shuffle projections (C4/Gopher are pure
+    per-row; repetition's bigram mode is the q98 3-exchange chain)
+    joined on unique doc ids — AQE handles the join; nothing here is
+    hotter than its verified components."""
+    from ..operators.text import c4_rules, gopher_rules, with_repetition_signals
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    page = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 80), F.lit(".")),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(F.substring("text", 81, 80), F.lit("!")),
+            ),
+            F.when(
+                F.col("doc_id") % 7 != 0,
+                F.concat(F.substring("text", 161, 80), F.lit("?")),
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("lorem ipsum dolor sit amet.")
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    "click here click here click here click here click here."
+                ),
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("pages that have with the best of links today."),
+            ),
+        ).alias("text"),
+    )
+    c4 = c4_rules(page).select("doc_id", F.col("kept").alias("kept_c4"))
+    gopher = gopher_rules(page).select(
+        "doc_id", F.col("kept").alias("kept_gopher")
+    )
+    rep = with_repetition_signals(page).select(
+        "doc_id",
+        (
+            (F.col("dup_word_frac") <= 0.3) & (F.col("top_bigram_frac") <= 0.18)
+        ).alias("kept_rep"),
+    )
+    out = (
+        c4.join(gopher, "doc_id")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "kept_c4",
+            "kept_gopher",
+            "kept_rep",
+            (
+                F.col("kept_c4") & F.col("kept_gopher") & F.col("kept_rep")
+            ).alias("kept_all"),
+        )
+    )
+    return vsort(out, "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Q141 Gopher quality rules (round 8)
 # ---------------------------------------------------------------------------
 @query(
