@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -149,3 +150,75 @@ def cluster_representatives(
             F.md5(F.concat(F.lit(salt + ":"), F.col("node").cast("string"))),
         ).alias("representative")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (round 8) — the weighted host-authority iteration
+# ---------------------------------------------------------------------------
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count — the host-
+    authority signal web-curation pipelines rank domains by (the
+    CC-rank family), complementing ``connected_components`` as the
+    second distributed-iterative graph operator.
+
+    Each iteration is one join + one partial-aggregated exchange:
+    contributions = rank/out_weight * edge_weight flow along edges,
+    new rank = (1-d)/N + d * inflow. Ranks are SNAPPED to
+    DECIMAL(18,12) per iteration (the q108 decimal-snap device): the
+    inflow sum's fold order differs between engines and across
+    partitionings, so without the snap iteration-k ulp drift compounds
+    into iteration k+1's inputs; with it a SQL oracle unrolling the
+    same iterations reproduces the ranks bit-exactly. Dangling nodes
+    (no outlinks) keep the teleport term only — their mass is NOT
+    redistributed (documented simplification; the planted host graphs
+    this serves have none).
+
+    N (node count) is a collected scalar; nodes = distinct src ∪ dst.
+    At web scale each iteration shuffles one (node, rank) table on the
+    join key — the classic PageRank-on-MapReduce shape Catalyst plans
+    as broadcast or sort-merge by size."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        w.cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    snap = lambda c: c.cast(T.DecimalType(18, 12)).cast("double")
+    ranks = nodes.withColumn("rank", snap(F.lit(1.0 / n)))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(outw, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("ow") * F.col("w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                snap(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

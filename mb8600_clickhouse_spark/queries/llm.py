@@ -3289,6 +3289,107 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q152 host-graph PageRank (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q152_host_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id % 7 AS src, (doc_id * 3 + doc_id // 7 + 1) % 7 AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM documents GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+    n0 AS (SELECT unnest(generate_series(0, 6)) AS node),
+    r0 AS (
+      SELECT node,
+             CAST(CAST(CAST(1 AS DOUBLE) / 7 AS DECIMAL(18,12)) AS DOUBLE)
+               AS r
+      FROM n0
+    ),
+    i1 AS (
+      SELECT e.dst AS node, SUM(r0.r / ow.ow * e.w) AS inflow
+      FROM e JOIN ow USING (src) JOIN r0 ON r0.node = e.src
+      GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT n0.node, CAST(CAST(
+               (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 7
+               + CAST(0.85 AS DOUBLE) * COALESCE(i1.inflow, 0)
+             AS DECIMAL(18,12)) AS DOUBLE) AS r
+      FROM n0 LEFT JOIN i1 USING (node)
+    ),
+    i2 AS (
+      SELECT e.dst AS node, SUM(r1.r / ow.ow * e.w) AS inflow
+      FROM e JOIN ow USING (src) JOIN r1 ON r1.node = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT n0.node, CAST(CAST(
+               (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 7
+               + CAST(0.85 AS DOUBLE) * COALESCE(i2.inflow, 0)
+             AS DECIMAL(18,12)) AS DOUBLE) AS r
+      FROM n0 LEFT JOIN i2 USING (node)
+    ),
+    i3 AS (
+      SELECT e.dst AS node, SUM(r2.r / ow.ow * e.w) AS inflow
+      FROM e JOIN ow USING (src) JOIN r2 ON r2.node = e.src
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT n0.node, CAST(CAST(
+               (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 7
+               + CAST(0.85 AS DOUBLE) * COALESCE(i3.inflow, 0)
+             AS DECIMAL(18,12)) AS DOUBLE) AS r
+      FROM n0 LEFT JOIN i3 USING (node)
+    )
+    SELECT 'ex' || CAST(node AS VARCHAR) || '.example.com' AS host,
+           CAST(CAST(r AS DECIMAL(38,6)) AS DOUBLE) AS rank
+    FROM r3 ORDER BY host
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (``graph.pagerank`` — the CC-rank-class
+    domain-authority signal web curation ranks hosts by; the second
+    distributed-iterative graph operator after q99's components): a
+    deterministic 7-host outlink graph derives from the documents
+    (src = doc_id%7, dst = (3*doc_id + doc_id div 7 + 1)%7, weight =
+    doc count — multiple outlinks per host incl. a self-loop class),
+    then THREE weighted iterations at damping 0.85 from uniform 1/7.
+    Ranks snap to DECIMAL(18,12) per iteration (the q108 device) so
+    the oracle — the SAME three iterations unrolled as SQL — matches
+    bit-exactly despite inflow-sum fold-order differences; teleport
+    constants are spelled as double arithmetic on BOTH sides (DuckDB
+    would otherwise evaluate 0.15/7 in decimal).
+
+    Scale: each iteration is one edges⋈ranks join + one partial-
+    aggregated exchange on the node key — the classic PageRank shape;
+    N is a collected scalar, nothing else reaches the driver."""
+    from ..operators.graph import pagerank
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 7).alias("src"),
+            F.expr("(doc_id * 3 + doc_id div 7 + 1) % 7").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, n_iter=3, damping=0.85, weight="w")
+    return vsort(
+        ranks.select(
+            F.concat(
+                F.lit("ex"), F.col("node").cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            round6(F.col("rank")).alias("rank"),
+        ),
+        "host",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q141 Gopher quality rules (round 8)
 # ---------------------------------------------------------------------------
 @query(

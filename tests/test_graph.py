@@ -92,3 +92,50 @@ def test_cluster_representatives_deterministic(spark):
     c = {r.component: r.representative
          for r in cluster_representatives(comps, salt="other").collect()}
     assert c[1] in {1, 2, 3} and c[10] in {10, 11}
+
+
+class TestPageRank:
+    """graph.pagerank — fixed-iteration weighted PageRank (q152 is the
+    oracle twin)."""
+
+    def test_uniform_cycle_stays_uniform(self, spark):
+        # a pure cycle is doubly stochastic: ranks stay 1/N forever
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        from mb8600_clickhouse_spark.operators.graph import pagerank
+
+        out = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=4).collect()}
+        for v in out.values():
+            assert abs(v - 1 / 3) < 1e-9
+
+    def test_sink_authority_and_weights(self, spark):
+        from mb8600_clickhouse_spark.operators.graph import pagerank
+
+        # 0 and 1 both point at 2; 2 points back at 0. 2 accumulates.
+        edges = spark.createDataFrame(
+            [(0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+            "src long, dst long, w double",
+        )
+        # n_iter=50: the 0<->2 loop oscillates with period 2, so an
+        # under-converged even/odd cut can transiently rank 0 above 2
+        out = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=50, weight="w").collect()}
+        assert out[2] > out[0] > out[1]  # fixpoint: r2=0.4865, r0=0.4635
+        assert abs(sum(out.values()) - 1.0) < 1e-6
+        # weights steer the split: 0 now favors 1 heavily
+        edges2 = spark.createDataFrame(
+            [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+            "src long, dst long, w double",
+        )
+        out2 = {r["node"]: r["rank"] for r in pagerank(edges2, n_iter=10, weight="w").collect()}
+        assert out2[1] > out2[2]
+
+    def test_deterministic_across_runs(self, spark):
+        from mb8600_clickhouse_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i % 5, (i * 3 + 1) % 5) for i in range(25)], "src long, dst long"
+        )
+        a = sorted(map(tuple, pagerank(edges, n_iter=3).collect()))
+        b = sorted(map(tuple, pagerank(edges, n_iter=3).collect()))
+        assert a == b
