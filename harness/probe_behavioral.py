@@ -41,6 +41,16 @@ SEQC = (
     "SELECT u, sequenceCount('(?1).*(?2)')(ts, event_type = 'error', "
     "event_type = 'purchase') AS c FROM {v} GROUP BY u"
 )
+SEQT = (
+    "SELECT u, sequenceMatch('(?1)(?t<=900)(?2).*(?t>3600)(?3)')"
+    "(ts, event_type = 'view', event_type = 'click', "
+    "event_type = 'purchase') AS m FROM {v} GROUP BY u"
+)
+FUNNEL_SI = (
+    "SELECT u, windowFunnel(900, 'strict_increase')(ts, "
+    "event_type = 'view', event_type = 'click', "
+    "event_type = 'purchase') AS lvl FROM {v} GROUP BY u"
+)
 
 
 def _timed(label: str, fn) -> None:
@@ -109,8 +119,15 @@ def main() -> int:
     for label, view in (
         (f"sequenceCount, HOT entity (1 user x {n:,} ev)", "ev_hot"),
         (f"sequenceCount, HOT entity 16x (1 user x {16 * n:,} ev)", "ev_hot16"),
+        (f"timed sequenceMatch (q147 fold), HOT 16x (1 user x {16 * n:,} ev)", "__SEQT:ev_hot16"),
+        (f"strict_increase funnel (q148 fold), HOT 16x (1 user x {16 * n:,} ev)", "__FSI:ev_hot16"),
     ):
-        q = rewrite_clickhouse_sql(SEQC.format(v=view))
+        if view.startswith("__SEQT:"):
+            q = rewrite_clickhouse_sql(SEQT.format(v=view.split(":")[1]))
+        elif view.startswith("__FSI:"):
+            q = rewrite_clickhouse_sql(FUNNEL_SI.format(v=view.split(":")[1]))
+        else:
+            q = rewrite_clickhouse_sql(SEQC.format(v=view))
         _timed(
             label,
             lambda q=q: spark.sql(q)

@@ -927,6 +927,59 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ end-to-end (Jégou et al. 2011 — the composed read path the
+    component operators exist for): corpus vectors live as (cell,
+    codes) — coarse cell from ``ivf_assign_pandas``, M-byte PQ code
+    from ``pq_assign_codes`` — and a query touches only its ``nprobe``
+    nearest cells (``ivf_probe_cells``), scoring CODES by ADC
+    reconstruction cosine (snap + id tie-break, the ``pq_adc_topk``
+    rank contract) and never the original vectors.
+
+    Scale: this is the sublinear ANN shape — scan cost = (probed
+    cells' share of the corpus) x (M ints per row); the probe side is
+    queries x nprobe rows broadcast into the cell-partitioned code
+    table; the final rank is a WindowGroupLimit-pushable top-k."""
+    assigned = ivf_assign_pandas(corpus, cents, id_col=id_col, vec_col=vec_col)
+    codes = pq_assign_codes(corpus, books, id_col=id_col, vec_col=vec_col)
+    cell_codes = assigned.select("id", "cell").join(
+        codes.select("id", "codes"), "id"
+    )
+    probes = F.broadcast(
+        ivf_probe_cells(queries, cents, nprobe, id_col=id_col, vec_col=vec_col)
+        .select(F.col("id").alias("qid"), F.col("v").alias("q"), "cell")
+        .withColumn("qn", norm(F.col("q")))
+    )
+    rec = cell_codes.select(
+        "cell",
+        F.col("id").alias("cid"),
+        pq_reconstruct(F.col("codes"), books).alias("r"),
+    ).withColumn("rn_", norm(F.col("r")))
+    scored = rec.join(probes, "cell").select(
+        "qid",
+        "cid",
+        (dot(F.col("q"), F.col("r")) / (F.col("qn") * F.col("rn_")))
+        .cast(T.DecimalType(38, 4))
+        .cast("double")
+        .alias("score"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", F.col("cid").alias(id_col), "score")
+    )
+
+
 def semdedup(
     assigned: DataFrame,
     threshold: float = 0.99,

@@ -1600,3 +1600,128 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("vec_id"), "score"),
         "qid", "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q153 IVFPQ end-to-end: coarse cells + PQ codes + probed ADC (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q153_ivfpq_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < 8
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 50
+    ),
+    qs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 8 AND vec_id < 11
+    ),
+    cos AS (
+      SELECT 'c' AS side, v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * v.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), i -> c.ce[i] * c.ce[i])))) AS sim
+      FROM corpus v, cents c
+      UNION ALL
+      SELECT 'q', v.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * c.ce[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * v.e[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), i -> c.ce[i] * c.ce[i])))) AS sim
+      FROM qs v, cents c
+    ),
+    ranked AS (
+      SELECT side, vec_id, cid,
+             row_number() OVER (PARTITION BY side, vec_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM cos
+    ),
+    ccell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'c' AND rn = 1),
+    qcell AS (SELECT vec_id, cid AS cell FROM ranked WHERE side = 'q' AND rn <= 2),
+    books AS (
+      SELECT gs.mi, v.vec_id - 50 AS code, e[gs.mi*16+1 : gs.mi*16+16] AS c
+      FROM corpus v CROSS JOIN generate_series(0, 3) gs(mi)
+      WHERE v.vec_id < 54
+    ),
+    sub AS (
+      SELECT vec_id, gs.mi, e[gs.mi*16+1 : gs.mi*16+16] AS x
+      FROM corpus CROSS JOIN generate_series(0, 3) gs(mi)
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.mi, b.code,
+             list_sum(list_transform(generate_series(1,16),
+               j -> (s.x[j]-b.c[j])*(s.x[j]-b.c[j]))) AS d
+      FROM sub s JOIN books b USING (mi)
+    ),
+    enc AS (
+      SELECT vec_id, mi, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT e2.vec_id, flatten(list(b.c ORDER BY e2.mi)) AS r
+      FROM enc e2 JOIN books b USING (mi, code)
+      GROUP BY e2.vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, cc.vec_id AS nid,
+        CAST(CAST(
+          list_sum(list_transform(generate_series(1,64), j -> qv.e[j] * r.r[j]))
+          / (sqrt(list_sum(list_transform(generate_series(1,64),
+               j -> qv.e[j]*qv.e[j])))
+           * sqrt(list_sum(list_transform(generate_series(1,64),
+               j -> r.r[j]*r.r[j]))))
+         AS DECIMAL(38,4)) AS DOUBLE) AS score
+      FROM qcell q
+      JOIN ccell cc ON cc.cell = q.cell
+      JOIN qs qv ON qv.vec_id = q.vec_id
+      JOIN recon r ON r.vec_id = cc.vec_id
+    )
+    SELECT qid, rank, nid AS vec_id, score FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY qid ORDER BY score DESC, nid) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY qid, rank
+    """,
+    prepare=False,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ END-TO-END (``similarity.ivfpq_topk`` — the composed read
+    path q54/q83/q142 build toward): coarse cells from the q54 fixed
+    centroids (vec_id < 8), PQ codebooks from ``pq_fit(n_iter=0)``
+    (init = the 4 lowest corpus ids' subvectors — no training CTEs, so
+    the oracle stays assembled from PROVEN fragments), 3 queries
+    probing their 2 nearest cells, ADC cosine over the probed cells'
+    CODES only. The oracle concatenates the q54 probe ranking and the
+    q142 encode/reconstruct algebra and replays the cell-restricted
+    scoring — the hash pins the full sublinear composition: cell
+    assignment, probe choice, code encoding, reconstruction lookup and
+    the snap+id rank order.
+
+    Scale: the point of the composition — scan cost = probed share of
+    the corpus x 16 bytes/row; probes broadcast; the rank is
+    WindowGroupLimit-pushable."""
+    from ..operators import similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    cents = similarity.centroid_literals(emb.filter(F.col("vec_id") < 8))
+    books = similarity.pq_fit(corpus, m=4, ksub=4, n_iter=0)
+    out = similarity.ivfpq_topk(
+        corpus,
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 11)),
+        cents,
+        books,
+        k=5,
+        nprobe=2,
+    )
+    return vsort(
+        out.select("qid", F.col("rank").cast("int").alias("rank"),
+                   "vec_id", "score"),
+        "qid", "rank",
+    )

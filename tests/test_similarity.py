@@ -388,3 +388,48 @@ class TestProductQuantization:
             sim.pq_reconstruct(F.col("codes"), books).alias("r")
         ).collect()[0]["r"]
         assert got == [3.0, 4.0, 5.0, 6.0]
+
+
+class TestIvfPqTopk:
+    """similarity.ivfpq_topk — the composed IVFPQ read path (q153 is
+    the oracle twin)."""
+
+    def test_scores_only_probed_cells(self, spark):
+        # two well-separated direction clusters as cells; the query is
+        # axis-0-aligned with nprobe=1, so axis-1 corpus vectors must
+        # NEVER be scored even if their ADC cosine would rank
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(40):
+            v = np.zeros(8)
+            v[(i % 2) * 4 : (i % 2) * 4 + 2] = 1.0
+            v += rng.normal(0, 0.01, 8)
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = [(0, [1.0, 1, 0, 0, 0, 0, 0, 0]), (1, [0.0, 0, 0, 0, 1, 1, 0, 0])]
+        books = sim.pq_fit(df, m=2, ksub=4, n_iter=1)
+        q = spark.createDataFrame(
+            [(100, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = sim.ivfpq_topk(df, q, cents, books, k=40, nprobe=1).collect()
+        assert len(got) == 20  # only the axis-0 cell's members
+        assert all(r["vec_id"] % 2 == 0 for r in got)
+
+    def test_nprobe_widens_coverage(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        rows = [
+            (i, [float(x) for x in (np.eye(2)[i % 2].repeat(4) + rng.normal(0, 0.01, 8))])
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = [(0, [1.0] * 4 + [0.0] * 4), (1, [0.0] * 4 + [1.0] * 4)]
+        books = sim.pq_fit(df, m=2, ksub=4, n_iter=1)
+        q = df.filter("vec_id = 0")
+        n1 = sim.ivfpq_topk(df, q, cents, books, k=100, nprobe=1).count()
+        n2 = sim.ivfpq_topk(df, q, cents, books, k=100, nprobe=2).count()
+        assert n1 == 10 and n2 == 20
