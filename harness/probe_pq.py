@@ -57,11 +57,14 @@ def main() -> int:
     print(f"base corpus: {n_base} vectors; 16x replica: {n_16}")
     print("| probe | wall | result |\n|---|---|---|")
 
-    books, _ = _timed(
-        "pq_fit 1x (m=4, ksub=16, 1 iter)",
-        lambda: len(sim.pq_fit(emb, m=4, ksub=16, n_iter=1, assign="pandas")),
-    )
-    books = sim.pq_fit(emb, m=4, ksub=16, n_iter=1, assign="pandas")
+    fitted: dict = {}
+
+    def _fit_once():
+        fitted["books"] = sim.pq_fit(emb, m=4, ksub=16, n_iter=1, assign="pandas")
+        return len(fitted["books"])
+
+    _timed("pq_fit 1x (m=4, ksub=16, 1 iter)", _fit_once)
+    books = fitted["books"]
     _timed(
         "pq_fit 16x (m=4, ksub=16, 1 iter)",
         lambda: len(sim.pq_fit(emb16, m=4, ksub=16, n_iter=1, assign="pandas")),

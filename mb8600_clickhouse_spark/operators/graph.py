@@ -185,15 +185,18 @@ def pagerank(
     join key — the classic PageRank-on-MapReduce shape Catalyst plans
     as broadcast or sort-merge by size."""
     w = F.col(weight) if weight else F.lit(1.0)
+    # a zero/negative-weight edge is no edge: without this filter a
+    # source whose out-weight sums to 0 makes rank/ow NULL and its
+    # outgoing mass silently vanishes (nodes stay in the node set via
+    # the pre-filter select below, keeping teleport-only rank — the
+    # documented dangling convention)
+    nodes_src = edges.select(F.col(src).alias("node"))
+    nodes_dst = edges.select(F.col(dst).alias("node"))
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         w.cast("double").alias("w"),
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    ).filter(F.col("w") > 0)
+    nodes = nodes_src.unionAll(nodes_dst).distinct()
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))

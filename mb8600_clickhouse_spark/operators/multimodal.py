@@ -369,6 +369,14 @@ def dhash64(img: np.ndarray) -> int:
     g = img.astype(np.float64)
     if g.ndim == 3:
         g = g.mean(axis=2)
+    # images smaller than the 9x8 grid (tracking pixels are everywhere
+    # in real crawls) first nearest-neighbor upscale so no block is
+    # empty (an empty block's mean is NaN and every comparison bit
+    # silently collapses to 0)
+    if g.shape[0] < 8:
+        g = np.repeat(g, -(-8 // g.shape[0]), axis=0)
+    if g.shape[1] < 9:
+        g = np.repeat(g, -(-9 // g.shape[1]), axis=1)
     rows = [r.mean(axis=0) for r in np.array_split(g, 8, axis=0)]
     cols = np.stack(
         [np.array([c.mean() for c in np.array_split(r, 9)]) for r in rows]

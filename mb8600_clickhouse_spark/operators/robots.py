@@ -23,18 +23,23 @@ def parse_robots(
     agent: str = "*",
 ) -> DataFrame:
     """(host, allow, prefix): the Allow/Disallow rules applying to
-    ``agent`` (group-membership semantics: a rule belongs to the most
-    recent ``User-agent:`` line above it; only groups naming ``agent``
-    or ``*`` apply — the standard simplification without wildcard
-    patterns). Empty-path ``Disallow:`` lines (allow-everything) are
-    dropped. One window over the exploded LINES of the robots files —
-    robots.txt is KB-sized per host, so this is dimension-table work."""
+    ``agent`` with RFC 9309 group precedence — a crawler obeys ONLY the
+    most specific matching group, so when a host's robots.txt has a
+    group naming ``agent``, its ``*`` group is IGNORED (not merged);
+    ``*`` applies only as the fallback. A rule belongs to the most
+    recent ``User-agent:`` line above it; rule values take everything
+    after the FIRST colon (paths legally contain colons — query
+    strings, ports). Empty-path ``Disallow:`` lines (allow-everything)
+    are dropped. One window over the exploded LINES of the robots
+    files — robots.txt is KB-sized per host, dimension-table work."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "line"),
     ).select("host", "pos", F.trim(F.col("line")).alias("line"))
     low = F.lower(F.col("line"))
-    val = F.trim(F.substring_index(F.col("line"), ":", -1))
+    # everything after the FIRST colon (substring_index with -1 would
+    # take the text after the LAST colon and truncate '/a:b' to 'b')
+    val = F.trim(F.expr("substr(line, instr(line, ':') + 1)"))
     marked = lines.select(
         "host",
         "pos",
@@ -50,11 +55,19 @@ def parse_robots(
     grouped = marked.withColumn(
         "group_ua", F.last("ua", ignorenulls=True).over(w)
     )
+    rules = grouped.filter(
+        F.col("allow").isNotNull()
+        & F.col("group_ua").isin(agent.lower(), "*")
+        & (F.length("path") > 0)
+    )
+    named = F.max((F.col("group_ua") == agent.lower()).cast("int")).over(
+        W.partitionBy("host")
+    )
     return (
-        grouped.filter(
-            F.col("allow").isNotNull()
-            & F.col("group_ua").isin(agent.lower(), "*")
-            & (F.length("path") > 0)
+        rules.withColumn("__has_named", named)
+        .filter(
+            (F.col("group_ua") == agent.lower())
+            | (F.col("__has_named") == 0)
         )
         .select("host", "allow", F.col("path").alias("prefix"))
     )

@@ -904,17 +904,27 @@ def pq_adc_topk(
     rec = corpus_codes.select(
         F.col("id").alias("cid"),
         pq_reconstruct(F.col("codes"), books).alias("r"),
-    ).withColumn("rn", norm(F.col("r")))
+    ).withColumn("rn_", norm(F.col("r")))
     qs = F.broadcast(
         queries.select(
             F.col(id_col).alias("qid"),
             as_double_vec(F.col(vec_col)).alias("q"),
         ).withColumn("qn", norm(F.col("q")))
     )
-    scored = rec.crossJoin(qs).select(
+    return _adc_rank(rec.crossJoin(qs), k, id_col)
+
+
+def _adc_rank(pairs: DataFrame, k: int, id_col: str) -> DataFrame:
+    """The shared ADC scoring + rank contract of ``pq_adc_topk`` and
+    ``ivfpq_topk``: snapped reconstruction cosine (DECIMAL(38,4) —
+    ksub-bounded code counts make score ties STRUCTURAL, so the snap +
+    cid tie order is what keeps the top-k replay-stable), one
+    WindowGroupLimit-pushable row_number per query. ``pairs`` carries
+    (qid, q, qn) x (cid, r, rn_)."""
+    scored = pairs.select(
         "qid",
         "cid",
-        (dot(F.col("q"), F.col("r")) / (F.col("qn") * F.col("rn")))
+        (dot(F.col("q"), F.col("r")) / (F.col("qn") * F.col("rn_")))
         .cast(T.DecimalType(38, 4))
         .cast("double")
         .alias("score"),
@@ -964,20 +974,7 @@ def ivfpq_topk(
         F.col("id").alias("cid"),
         pq_reconstruct(F.col("codes"), books).alias("r"),
     ).withColumn("rn_", norm(F.col("r")))
-    scored = rec.join(probes, "cell").select(
-        "qid",
-        "cid",
-        (dot(F.col("q"), F.col("r")) / (F.col("qn") * F.col("rn_")))
-        .cast(T.DecimalType(38, 4))
-        .cast("double")
-        .alias("score"),
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", F.col("cid").alias(id_col), "score")
-    )
+    return _adc_rank(rec.join(probes, "cell"), k, id_col)
 
 
 def semdedup(

@@ -612,13 +612,12 @@ def html_title(html: Column) -> Column:
 
 
 def html_link_count(html: Column) -> Column:
-    """Number of ``<a`` anchors (replace-based counting — exact in both
-    engines, the q141 symbol-count device)."""
-    low = F.lower(html)
-    return (
-        (F.length(low) - F.length(F.replace(low, F.lit("<a "), F.lit(""))))
-        / 3
-    ).cast("bigint")
+    """Number of ``<a`` anchors: ``<a`` followed by any whitespace or
+    ``>`` — minified and newline-wrapped markup writes ``<a\\nhref`` and
+    bare ``<a>``, which a space-only probe undercounts. Non-overlapping
+    regex counting matches in both engines (DuckDB twin:
+    ``len(regexp_extract_all(lower(h), '<a[\\s>]'))``)."""
+    return F.regexp_count(F.lower(html), F.lit(r"<a[\s>]")).cast("bigint")
 
 
 #: The Gopher "required stopwords" set (Rae et al. 2021 §A.1.1): a doc

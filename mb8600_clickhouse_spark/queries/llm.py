@@ -3671,8 +3671,7 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
              trim(regexp_replace(
                regexp_extract(html, '(?is)<title>(.*?)</title>', 1),
                '\\s+', ' ', 'g')) AS title,
-             CAST((length(lower(html))
-                   - length(replace(lower(html), '<a ', ''))) // 3
+             CAST(len(regexp_extract_all(lower(html), '<a[\\s>]'))
                   AS BIGINT) AS n_links
       FROM page
     )

@@ -176,6 +176,12 @@ class TestHtmlExtract:
         assert out["title"] == "A B"
         assert out["links"] == 2  # case-insensitive: <A HREF counts too
 
+    def test_link_count_tolerates_newlines_and_bare_anchors(self, spark):
+        out = self._one(
+            spark, "<a\nhref='x'>one</a><a>two</a><a\thref='y'>three</a><abbr>no</abbr>"
+        )
+        assert out["links"] == 3
+
     def test_amp_decoded_last(self, spark):
         # '&amp;lt;' must become the literal '&lt;', NOT '<'
         out = self._one(spark, "<p>&amp;lt;</p>")

@@ -33,9 +33,18 @@ class TestParseRobots:
             (True, "/private/okra-not-really"),
         }  # specialbot group excluded; empty Disallow dropped
 
-    def test_named_agent_gets_both_groups(self, spark):
+    def test_named_agent_group_replaces_star(self, spark):
+        # RFC 9309: the most specific group WINS — '*' rules are
+        # ignored when a group names the agent
         got = {(r["allow"], r["prefix"]) for r in _rules(spark, "SpecialBot").collect()}
-        assert (False, "/only-special") in got and (False, "/private") in got
+        assert got == {(False, "/only-special")}
+
+    def test_rule_value_keeps_colons(self, spark):
+        df = spark.createDataFrame(
+            [Row(host="h", robots="User-agent: *\nDisallow: /a:b/c")]
+        )
+        got = [r["prefix"] for r in parse_robots(df).collect()]
+        assert got == ["/a:b/c"]
 
 
 class TestRobotsFilter:
