@@ -1758,3 +1758,172 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "vec_id", "score"),
         "qid", "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q154 PQ quantization recall@5 (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q154_pq_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id >= 50
+    ),
+    sub AS (
+      SELECT vec_id, gs.mi, e[gs.mi*8+1 : gs.mi*8+8] AS x
+      FROM v CROSS JOIN generate_series(0, 7) gs(mi)
+    ),
+    init AS (
+      SELECT mi, row_number() OVER (PARTITION BY mi ORDER BY vec_id) - 1
+               AS code, x AS c
+      FROM sub
+      QUALIFY row_number() OVER (PARTITION BY mi ORDER BY vec_id) <= 16
+    ),
+    d1 AS (
+      SELECT s.vec_id, s.mi, s.x, i.code,
+             list_sum(list_transform(generate_series(1,8),
+               j -> (s.x[j]-i.c[j])*(s.x[j]-i.c[j]))) AS d
+      FROM sub s JOIN init i USING (mi)
+    ),
+    a1 AS (
+      SELECT vec_id, mi, x, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT mi, code, gs.j,
+             CAST(CAST(avg(x[gs.j]) AS DECIMAL(18,8)) AS DOUBLE) AS mval
+      FROM a1 CROSS JOIN generate_series(1,8) gs(j)
+      GROUP BY mi, code, gs.j
+    ),
+    trained AS (
+      SELECT mi, code, list(mval ORDER BY j) AS c FROM upd GROUP BY mi, code
+    ),
+    bk AS (
+      SELECT i.mi, i.code, COALESCE(t.c, i.c) AS c
+      FROM init i LEFT JOIN trained t USING (mi, code)
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.mi, b.code,
+             list_sum(list_transform(generate_series(1,8),
+               j -> (s.x[j]-b.c[j])*(s.x[j]-b.c[j]))) AS d
+      FROM sub s JOIN bk b USING (mi)
+    ),
+    enc AS (
+      SELECT vec_id, mi, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, mi ORDER BY d, code) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT e2.vec_id, flatten(list(b.c ORDER BY e2.mi)) AS r
+      FROM enc e2 JOIN bk b USING (mi, code)
+      GROUP BY e2.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 3
+    ),
+    adc_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, r.vec_id,
+          CAST(CAST(
+            list_sum(list_transform(generate_series(1,64), j -> qe[j] * r.r[j]))
+            / (sqrt(list_sum(list_transform(generate_series(1,64),
+                 j -> qe[j]*qe[j])))
+             * sqrt(list_sum(list_transform(generate_series(1,64),
+                 j -> r.r[j]*r.r[j]))))
+           AS DECIMAL(38,4)) AS DOUBLE) AS score,
+          row_number() OVER (PARTITION BY q.qid ORDER BY
+            CAST(CAST(
+              list_sum(list_transform(generate_series(1,64), j -> qe[j] * r.r[j]))
+              / (sqrt(list_sum(list_transform(generate_series(1,64),
+                   j -> qe[j]*qe[j])))
+               * sqrt(list_sum(list_transform(generate_series(1,64),
+                   j -> r.r[j]*r.r[j]))))
+             AS DECIMAL(38,4)) AS DOUBLE) DESC, r.vec_id) AS rn
+        FROM q CROSS JOIN recon r
+      ) WHERE rn <= 5
+    ),
+    exact_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+          CAST(CAST(
+            list_sum(list_transform(generate_series(1,64), j -> qe[j] * c.e[j]))
+            / (sqrt(list_sum(list_transform(generate_series(1,64),
+                 j -> qe[j]*qe[j])))
+             * sqrt(list_sum(list_transform(generate_series(1,64),
+                 j -> c.e[j]*c.e[j]))))
+           AS DECIMAL(38,4)) AS DOUBLE) AS sim,
+          row_number() OVER (PARTITION BY q.qid ORDER BY
+            CAST(CAST(
+              list_sum(list_transform(generate_series(1,64), j -> qe[j] * c.e[j]))
+              / (sqrt(list_sum(list_transform(generate_series(1,64),
+                   j -> qe[j]*qe[j])))
+               * sqrt(list_sum(list_transform(generate_series(1,64),
+                   j -> c.e[j]*c.e[j]))))
+             AS DECIMAL(38,4)) AS DOUBLE) DESC, c.vec_id) AS rn
+        FROM q CROSS JOIN v c
+      ) WHERE rn <= 5
+    )
+    SELECT e.qid AS query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_common,
+           CAST(COUNT(a.vec_id) / 5.0 AS DOUBLE) AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN adc_top a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid ORDER BY e.qid
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ QUANTIZATION recall@5 — the q88 eval pattern applied to the
+    fine quantizer: the full-corpus ADC top-5 (a RICHER m=8/ksub=16
+    trainer than q142's — 16^8 possible codes; memoized per session)
+    against the exact
+    brute-force top-5, |ADC ∩ exact| / 5 per query. Where q88 measures
+    what CELL PRUNING gives up (nprobe), this measures what CODE
+    COMPRESSION gives up (ksub/m) — together they decompose IVFPQ's
+    accuracy budget, and the production tuning loop (grow ksub/m until
+    recall holds) runs exactly this query. The oracle replays training,
+    encoding, both rankings and the overlap; at this compression the
+    fixture measures recall ~0.2-0.6 — REAL losses, hash-pinned (m=4/
+    ksub=4 was probed first: recall 0 across the board — too coarse to
+    even evaluate, which is itself the tuning story).
+
+    Scale: both sides are rank windows over broadcast-query pair
+    scores; the ADC side reads codes only (the q142 posture)."""
+    from ..operators import similarity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    queries = emb.filter(F.col("vec_id") < 3)
+    books = _memo_train(
+        "q154_books",
+        spark,
+        sf_dir,
+        lambda: similarity.pq_fit(corpus, m=8, ksub=16, n_iter=1, assign="expr"),
+    )
+    codes = similarity.pq_assign_codes(corpus, books)
+    adc = similarity.pq_adc_topk(codes, queries, books, k=5).select(
+        "qid", "vec_id"
+    )
+    exact = similarity.cosine_topk(corpus, queries, k=5).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("e_vec"),
+    )
+    out = (
+        exact.join(
+            adc,
+            (adc["qid"] == exact["qid"]) & (adc["vec_id"] == exact["e_vec"]),
+            "left",
+        )
+        .groupBy(exact["qid"].alias("query_id"))
+        .agg(
+            F.count(adc["vec_id"]).cast("bigint").alias("n_common"),
+            (F.count(adc["vec_id"]) / 5.0).cast("double").alias("recall_at_5"),
+        )
+    )
+    return vsort(out, "query_id")
