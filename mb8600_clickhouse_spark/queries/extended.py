@@ -1904,9 +1904,14 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q154_books",
         spark,
         sf_dir,
-        lambda: similarity.pq_fit(corpus, m=8, ksub=16, n_iter=1, assign="expr"),
+        lambda: similarity.pq_fit(corpus, m=8, ksub=16, n_iter=1, assign="pandas"),
     )
-    codes = similarity.pq_assign_codes(corpus, books)
+    # Arrow matmul paths, NOT the Catalyst folds: m=8 x ksub=16 means
+    # 128 per-row L2 fold expressions — measured 19.7 s of codegen
+    # compile cold vs 2 s on the matmul path (the ivf_probe "largest
+    # codegen blob" failure mode); np.argmin agreement with the fold
+    # path is the pytest-asserted pq_encode_pandas contract
+    codes = similarity.pq_encode_pandas(corpus, books)
     adc = similarity.pq_adc_topk(codes, queries, books, k=5).select(
         "qid", "vec_id"
     )
