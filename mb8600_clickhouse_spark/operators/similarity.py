@@ -914,6 +914,78 @@ def pq_adc_topk(
     return _adc_rank(rec.crossJoin(qs), k, id_col)
 
 
+def pq_adc_scores_pandas(
+    corpus_codes: DataFrame,
+    query_rows: list[tuple[int, list[float]]],
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """(qid, cid, score): the textbook ADC LOOKUP-TABLE scorer — per
+    query, precompute dotLUT[m][j] = <q_m, books[m][j]> and
+    normLUT[m][j] = |books[m][j]|^2 driver-side (M x ksub doubles — the
+    centroid_literals collect rationale), then score each Arrow batch
+    of CODES by numpy fancy-index gathers: score = sum_m dotLUT / (|q|
+    * sqrt(sum_m normLUT)). No reconstruction column ever exists — this
+    is why ADC beats recompute at scale, and it also sidesteps the
+    Catalyst path's m*ksub*dsub literal-lookup codegen blob (measured
+    ~8 s of compile at m=8/ksub=16). Scores are raw doubles; snap +
+    rank downstream (``_adc_rank`` contract). numpy's gather-sum fold
+    order differs from the JVM left fold by ulps — the same accepted
+    class as ivf_assign_pandas, snapped away by the DECIMAL(38,4)."""
+    C = [np.array(b, dtype=np.float64) for b in books]  # m x (ksub x dsub)
+    m = len(books)
+    qids = [int(q) for q, _ in query_rows]
+    dot_luts, qnorms = [], []
+    norm_lut = np.stack([(cb * cb).sum(axis=1) for cb in C])  # m x ksub
+    dsub = C[0].shape[1]
+    for _, qv in query_rows:
+        qa = np.asarray(qv, dtype=np.float64)
+        dot_luts.append(
+            np.stack(
+                [C[mi] @ qa[mi * dsub : (mi + 1) * dsub] for mi in range(m)]
+            )
+        )  # m x ksub
+        qnorms.append(float(np.sqrt((qa * qa).sum())))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # n x m
+            rows = np.arange(m)
+            rnorm = np.sqrt(norm_lut[rows[None, :], codes].sum(axis=1))
+            for qi, qid in enumerate(qids):
+                s = dot_luts[qi][rows[None, :], codes].sum(axis=1) / (
+                    qnorms[qi] * rnorm
+                )
+                yield pd.DataFrame(
+                    {
+                        "qid": np.full(len(pdf), qid, dtype="int64"),
+                        "cid": pdf["id"].to_numpy(),
+                        "score": s,
+                    }
+                )
+
+    out = corpus_codes.select("id", "codes").mapInPandas(
+        score, "qid long, cid long, score double"
+    )
+    return out.select(
+        "qid",
+        "cid",
+        F.col("score").cast(T.DecimalType(38, 4)).cast("double").alias("score"),
+    )
+
+
+def rank_topk(scored: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame:
+    """The shared rank contract over (qid, cid, score) rows: snapped
+    score desc, cid asc, row_number <= k (WindowGroupLimit-pushable)."""
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", F.col("cid").alias(id_col), "score")
+    )
+
+
 def _adc_rank(pairs: DataFrame, k: int, id_col: str) -> DataFrame:
     """The shared ADC scoring + rank contract of ``pq_adc_topk`` and
     ``ivfpq_topk``: snapped reconstruction cosine (DECIMAL(38,4) —
@@ -929,12 +1001,7 @@ def _adc_rank(pairs: DataFrame, k: int, id_col: str) -> DataFrame:
         .cast("double")
         .alias("score"),
     )
-    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", F.col("cid").alias(id_col), "score")
-    )
+    return rank_topk(scored, k, id_col)
 
 
 def ivfpq_topk(

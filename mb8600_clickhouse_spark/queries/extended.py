@@ -1906,15 +1906,21 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: similarity.pq_fit(corpus, m=8, ksub=16, n_iter=1, assign="pandas"),
     )
-    # Arrow matmul paths, NOT the Catalyst folds: m=8 x ksub=16 means
-    # 128 per-row L2 fold expressions — measured 19.7 s of codegen
-    # compile cold vs 2 s on the matmul path (the ivf_probe "largest
-    # codegen blob" failure mode); np.argmin agreement with the fold
-    # path is the pytest-asserted pq_encode_pandas contract
+    # Arrow paths end-to-end, NOT the Catalyst folds: m=8 x ksub=16
+    # means 128 per-row L2 fold expressions at encode and a 1024-literal
+    # reconstruction lookup at score — measured 19.7 s of codegen
+    # compile cold vs ~3 s on the numpy paths (the ivf_probe "largest
+    # codegen blob" failure mode). pq_adc_scores_pandas is the textbook
+    # LUT scorer (no reconstruction column ever exists); agreement with
+    # the fold path is the pytest-asserted contract.
     codes = similarity.pq_encode_pandas(corpus, books)
-    adc = similarity.pq_adc_topk(codes, queries, books, k=5).select(
-        "qid", "vec_id"
-    )
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in queries.select("vec_id", "embedding").collect()
+    ]
+    adc = similarity.rank_topk(
+        similarity.pq_adc_scores_pandas(codes, qrows, books), k=5
+    ).select("qid", "vec_id")
     exact = similarity.cosine_topk(corpus, queries, k=5).select(
         F.col("query_id").alias("qid"),
         F.col("neighbor_id").alias("e_vec"),

@@ -433,3 +433,24 @@ class TestIvfPqTopk:
         n1 = sim.ivfpq_topk(df, q, cents, books, k=100, nprobe=1).count()
         n2 = sim.ivfpq_topk(df, q, cents, books, k=100, nprobe=2).count()
         assert n1 == 10 and n2 == 20
+
+
+class TestAdcLutScorer:
+    """pq_adc_scores_pandas — the lookup-table ADC scorer must agree
+    with the reconstruction fold path (pq_adc_topk) after the shared
+    DECIMAL(38,4) snap."""
+
+    def test_agrees_with_fold_path(self, spark):
+        df = _df(spark, _vectors())  # 30 x 8
+        books = sim.pq_fit(df, m=2, ksub=4, n_iter=2)
+        codes = sim.pq_assign_codes(df, books)
+        q = df.filter("vec_id < 2")
+        fold = sim.pq_adc_topk(codes, q, books, k=30).collect()
+        qrows = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in q.collect()
+        ]
+        lut = sim.rank_topk(
+            sim.pq_adc_scores_pandas(codes, qrows, books), k=30
+        ).collect()
+        assert sorted(map(tuple, fold)) == sorted(map(tuple, lut))
