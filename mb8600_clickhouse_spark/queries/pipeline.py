@@ -2269,7 +2269,6 @@ _Q135_CLICKHOUSE_SQL = """
                              event_type = 'purchase') AS lvl
     FROM events
     GROUP BY user_id
-    ORDER BY user_id
 """
 
 
@@ -2337,7 +2336,10 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return ch_sql(spark, _Q135_CLICKHOUSE_SQL)
+    from .relational import vsort
+
+    # vsort, not in-statement ORDER BY (range-sampler re-execution)
+    return vsort(ch_sql(spark, _Q135_CLICKHOUSE_SQL), "user_id")
 
 
 _Q136_CLICKHOUSE_SQL = """
@@ -2348,7 +2350,6 @@ _Q136_CLICKHOUSE_SQL = """
                                        event_type = 'purchase') AS m_gap
     FROM events
     GROUP BY user_id
-    ORDER BY user_id
 """
 
 
@@ -2426,7 +2427,10 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return ch_sql(spark, _Q136_CLICKHOUSE_SQL)
+    from .relational import vsort
+
+    # vsort, not in-statement ORDER BY (range-sampler re-execution)
+    return vsort(ch_sql(spark, _Q136_CLICKHOUSE_SQL), "user_id")
 
 
 _Q147_CLICKHOUSE_SQL = """
@@ -2439,7 +2443,6 @@ _Q147_CLICKHOUSE_SQL = """
              AS m_late_follow
     FROM events
     GROUP BY user_id
-    ORDER BY user_id
 """
 
 
@@ -2516,7 +2519,10 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return ch_sql(spark, _Q147_CLICKHOUSE_SQL)
+    from .relational import vsort
+
+    # vsort, not in-statement ORDER BY (range-sampler re-execution)
+    return vsort(ch_sql(spark, _Q147_CLICKHOUSE_SQL), "user_id")
 
 
 _Q148_CLICKHOUSE_SQL = """
@@ -2531,7 +2537,6 @@ _Q148_CLICKHOUSE_SQL = """
                                event_type = 'purchase') AS lvl_strict
     FROM events
     GROUP BY user_id
-    ORDER BY user_id
 """
 
 
@@ -2620,7 +2625,11 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return ch_sql(spark, _Q148_CLICKHOUSE_SQL)
+    # vsort, not an in-statement ORDER BY: a global sort's range
+    # sampler RE-EXECUTES the fold subtree (the q03/q48/q57 device)
+    from .relational import vsort
+
+    return vsort(ch_sql(spark, _Q148_CLICKHOUSE_SQL), "user_id")
 
 
 _Q137_CLICKHOUSE_SQL = """
@@ -2629,7 +2638,6 @@ _Q137_CLICKHOUSE_SQL = """
                                        event_type = 'purchase') AS n_chains
     FROM events
     GROUP BY user_id
-    ORDER BY user_id
 """
 
 
@@ -2679,7 +2687,10 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return ch_sql(spark, _Q137_CLICKHOUSE_SQL)
+    from .relational import vsort
+
+    # vsort, not in-statement ORDER BY (range-sampler re-execution)
+    return vsort(ch_sql(spark, _Q137_CLICKHOUSE_SQL), "user_id")
 
 
 _Q139_CLICKHOUSE_SQL = """
