@@ -636,6 +636,94 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    span_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ord_base: int = 1_048_576,
+) -> DataFrame:
+    """Duplicate-span REMOVAL — the other half of Lee et al. 2021
+    (``dup_span_stats`` reports; this CLEANS): every corpus-duplicated
+    ``span_n``-token window keeps its FIRST occurrence (lowest
+    ``doc_id * ord_base + position`` — the q140 keeper rule at span
+    granularity) and every other occurrence marks its covered token
+    positions for removal; each document reassembles from its
+    surviving tokens in order. Returns (id, text, n_tokens, n_kept).
+
+    Scale: occurrences carry 16-byte hashes only (the dup_span_stats
+    join-back rule — partial-aggregated counts, never a count-over-hash
+    window, so a corpus-wide boilerplate span cannot serialize onto one
+    task); removal positions are a bounded explode of the NON-KEEPER
+    occurrences (per-doc work), and reassembly is a per-doc sort of its
+    own surviving tokens — text never shuffles past its document except
+    as hashes."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    n_sp = F.size("toks") - (span_n - 1)
+    occ = toks.select(
+        "id",
+        F.explode(
+            F.when(n_sp > 0, F.sequence(F.lit(1), n_sp)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        "id",
+        "i",
+        F.md5(
+            F.concat_ws(
+                " ",
+                *[F.element_at("toks", F.col("i") + j) for j in range(span_n)],
+            )
+        ).alias("h"),
+    )
+    cnt = occ.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.col("id") * ord_base + F.col("i")).alias("keeper"),
+    )
+    nk = (
+        occ.join(cnt, "h")
+        .where(
+            (F.col("n_occ") >= 2)
+            & (F.col("id") * ord_base + F.col("i") != F.col("keeper"))
+        )
+        .select("id", "i")
+    )
+    removed = nk.select(
+        "id", F.explode(F.sequence(F.col("i"), F.col("i") + (span_n - 1))).alias("pos")
+    ).distinct()
+    tok = toks.select(
+        "id", F.posexplode("toks").alias("pos0", "tk")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tk")
+    kept = tok.join(removed, ["id", "pos"], "left_anti")
+    stats = toks.select("id", F.size("toks").cast("bigint").alias("n_tokens"))
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tk")))
+                ),
+                lambda s: s["tk"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+    )
+    return (
+        stats.join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def widen_if_narrow(
     df: DataFrame, key_col: str, input_partitions: int | None = None
 ) -> DataFrame:

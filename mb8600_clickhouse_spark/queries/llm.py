@@ -3289,6 +3289,118 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q155 duplicate-span REMOVAL (Lee et al. 2021's cleaning half, round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q155_span_removal",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'the quick brown fox jumps over the lazy sleeping dog '
+                       || text
+                  ELSE text END
+             || CASE WHEN doc_id % 6 = 0
+                  THEN ' the quick brown fox jumps over the lazy sleeping dog'
+                  ELSE '' END AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM src
+    ),
+    occ0 AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+      FROM t
+    ),
+    occ AS (
+      SELECT doc_id, i,
+             md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                           w[i+4], w[i+5], w[i+6], w[i+7])) AS h
+      FROM occ0
+    ),
+    cnt AS (
+      SELECT h, COUNT(*) AS n_occ,
+             MIN(doc_id * 1048576 + i) AS keeper
+      FROM occ GROUP BY h
+    ),
+    nk AS (
+      SELECT o.doc_id, o.i
+      FROM occ o JOIN cnt c USING (h)
+      WHERE c.n_occ >= 2 AND o.doc_id * 1048576 + o.i <> c.keeper
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS pos
+      FROM nk
+    ),
+    tok0 AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM t
+    ),
+    tok AS (SELECT doc_id, pos, w[pos] AS tk FROM tok0),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tk
+      FROM tok LEFT JOIN rem
+        ON rem.doc_id = tok.doc_id AND rem.pos = tok.pos
+      WHERE rem.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t)
+    SELECT tot.doc_id,
+           COALESCE(agg.text, '') AS text,
+           tot.n_tokens,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+    FROM tot LEFT JOIN agg USING (doc_id)
+    ORDER BY tot.doc_id
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL end-to-end (``dedup.remove_dup_spans`` —
+    the cleaning half of Lee et al. 2021; q107 is the reporting half):
+    a 10-word boilerplate sentence is PLANTED at the START of doc_id%4
+    docs and the END of doc_id%6 docs (the q140 device at span
+    granularity — the run spawns corpus-duplicated 8-grams at varying
+    positions), every duplicated 8-token window keeps only its first
+    (doc, position) occurrence, and each document reassembles from its
+    surviving tokens. The oracle replays tokenize → positional md5
+    spans → keeper-min → covered-position explode → anti-join →
+    ordered reassembly, so the hash pins the CLEANED TEXTS (overlap
+    handling included: consecutive duplicated windows union their
+    covered positions), not just counts.
+
+    Scale: the dup_span_stats shapes — hashes-only exchanges with
+    map-side-combined counts and an AQE-splittable join-back; token
+    text never leaves its document's rows."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    boiler = "the quick brown fox jumps over the lazy sleeping dog"
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(boiler + " ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" " + boiler)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = dedup.remove_dup_spans(planted, span_n=8)
+    return vsort(
+        out.select(
+            F.col("id").alias("doc_id"), "text", "n_tokens", "n_kept"
+        ),
+        "doc_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q152 host-graph PageRank (round 8)
 # ---------------------------------------------------------------------------
 @query(

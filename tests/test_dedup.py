@@ -422,3 +422,42 @@ class TestParagraphDedup:
         assert out[1].n_kept == 1 and out[2].n_kept == 0
         # the kept SPELLING is the first occurrence's original text
         assert out[1].text == "Hello   World"
+
+
+class TestRemoveDupSpans:
+    """dedup.remove_dup_spans — span-removal semantics (q155 is the
+    oracle twin)."""
+
+    def _clean(self, spark, rows, span_n=3):
+        from mb8600_clickhouse_spark.operators.dedup import remove_dup_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["id"]: (r["text"], r["n_tokens"], r["n_kept"])
+            for r in remove_dup_spans(df, span_n=span_n).collect()
+        }
+
+    def test_first_occurrence_kept_other_removed(self, spark):
+        out = self._clean(
+            spark,
+            [(1, "a b c x y"), (2, "p q a b c r")],
+        )
+        # 'a b c' duplicated; keeper = doc 1 (lower ord) -> doc 2 loses it
+        assert out[1] == ("a b c x y", 5, 5)
+        assert out[2] == ("p q r", 6, 3)
+
+    def test_within_doc_repeat_and_overlap_union(self, spark):
+        # 'a b c a b c a b c': windows overlap; the first window (pos 1)
+        # is the keeper, every other duplicated window's cover unions
+        out = self._clean(spark, [(1, "a b c a b c a b c")])
+        text, n_tokens, n_kept = out[1]
+        assert n_tokens == 9 and n_kept == 3 and text == "a b c"
+
+    def test_short_docs_untouched(self, spark):
+        out = self._clean(spark, [(1, "a b"), (2, "a b")])
+        assert out[1] == ("a b", 2, 2) and out[2] == ("a b", 2, 2)
+
+    def test_doc_fully_removed_yields_empty(self, spark):
+        out = self._clean(spark, [(1, "a b c"), (2, "a b c")])
+        assert out[1] == ("a b c", 3, 3)
+        assert out[2] == ("", 3, 0)
