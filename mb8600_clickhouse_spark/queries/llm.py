@@ -3289,6 +3289,130 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q156 crawl-to-corpus capstone: WARC → HTML → robots → quality (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q156_web_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             'https://ex' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+             'ex' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+             '/p/' || CAST(doc_id AS VARCHAR) AS path,
+             CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT)
+               AS status,
+             CASE WHEN doc_id % 13 = 0 THEN 'not found'
+                  ELSE trim(substr(text, 1, 100)) END AS extracted,
+             CAST(doc_id % 7 AS VARCHAR) AS h,
+             CAST(doc_id AS VARCHAR) AS d
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, url, status, extracted,
+             CAST(len(string_split(trim(regexp_replace(lower(extracted),
+                  '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words,
+             ((NOT starts_with(d, h)) OR starts_with(d, h || h))
+               AS crawl_allowed
+      FROM base
+    )
+    SELECT doc_id, url, status, crawl_allowed, extracted, n_words,
+           (status = 200 AND crawl_allowed AND n_words >= 10) AS kept
+    FROM sig ORDER BY doc_id
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl→corpus CAPSTONE — this round's web operators composed
+    end-to-end the way a real acquisition pipeline runs them: q149's
+    WARC payloads (warcinfo + HTTP response per doc, 404s on %13) →
+    ``warc.parse_warc`` record framing → ``text.html_to_text``
+    extraction of the response bodies → ``robots.parse_robots`` +
+    ``robots_filter`` against the q150 planted policies → a word-count
+    quality gate, emitting per-document provenance (url, status,
+    crawl_allowed) alongside the extracted text and the final keep
+    verdict. Every stage is REAL machinery over planted-formula inputs,
+    so the oracle stays fully analytic (the q149/q150 formulas
+    composed) while the hash pins byte framing, tag stripping, policy
+    parsing and the gate — one drifted stage breaks the chain.
+
+    Scale: parse+extract are Arrow/regex projections; robots rules
+    broadcast; the gate is a narrow filter — the only exchange in the
+    whole plan is the verification sort."""
+    import pandas as pd
+
+    from ..operators.robots import parse_robots, robots_filter
+    from ..operators.text import html_to_text, norm_tokens
+    from ..operators.warc import (
+        encode_warc_response,
+        encode_warcinfo,
+        parse_warc,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    def _warc_batches(it):
+        for pdf in it:
+            def make(row):
+                did = int(row["doc_id"])
+                url = f"https://ex{did % 7}.example.com/p/{did}"
+                if did % 13 == 0:
+                    return encode_warcinfo() + encode_warc_response(
+                        url, "not found", 404, "Not Found"
+                    )
+                html = (
+                    "<html><body><p>"
+                    + str(row["text"])[:100]
+                    + "</p></body></html>"
+                )
+                return encode_warcinfo() + encode_warc_response(url, html)
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf.apply(make, axis=1)}
+            )
+
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        _warc_batches, "doc_id long, payload binary"
+    )
+    responses = parse_warc(payloads).filter(F.col("warc_type") == "response")
+    extracted = responses.select(
+        "doc_id",
+        "url",
+        F.col("status").cast("int").alias("status"),
+        html_to_text(F.col("body")).alias("extracted"),
+        F.regexp_extract("url", r"https://([^/]+)(/.*)", 1).alias("host"),
+        F.regexp_extract("url", r"https://([^/]+)(/.*)", 2).alias("path"),
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("ex"), F.col("id").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.concat(
+            F.lit("# planted robots\nUser-agent: evilbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /p/"),
+            F.col("id").cast("string"),
+            F.lit("\nAllow: /p/"),
+            F.col("id").cast("string"),
+            F.col("id").cast("string"),
+            F.lit("\nDisallow:\n"),
+        ).alias("robots"),
+    )
+    policed = robots_filter(extracted, parse_robots(hosts))
+    out = policed.select(
+        "doc_id",
+        "url",
+        "status",
+        "crawl_allowed",
+        "extracted",
+        F.size(norm_tokens(F.col("extracted"))).cast("bigint").alias("n_words"),
+    ).withColumn(
+        "kept",
+        (F.col("status") == 200)
+        & F.col("crawl_allowed")
+        & (F.col("n_words") >= 10),
+    )
+    return vsort(out, "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Q155 duplicate-span REMOVAL (Lee et al. 2021's cleaning half, round 8)
 # ---------------------------------------------------------------------------
 @query(
