@@ -1674,3 +1674,98 @@ class TestDictGetBridge:
             )
         with pytest.raises(ChSqlError, match="dictionaries="):
             rw("SELECT dictGetString('d', 'a', k) FROM t")
+
+
+class TestTimedSequenceMatchProperty:
+    """Property: the timed sequenceMatch fold equals an INDEPENDENT
+    brute-force subsequence search over the visible events, for random
+    tiny event sets and a panel of timed patterns (the WITH FILL
+    property-test discipline applied to the round-8 automaton)."""
+
+    PATTERNS = [
+        ("(?1)(?2)", [(0, False, None, 0), (1, False, None, 0)]),
+        ("(?1)(?t<=5)(?2)", [(0, False, None, 0), (1, False, "<=", 5)]),
+        ("(?1).*(?t>4)(?2)", [(0, False, None, 0), (1, True, ">", 4)]),
+        ("(?1).*(?t<=3)(?2)", [(0, False, None, 0), (1, True, "<=", 3)]),
+        (
+            "(?1)(?t<6)(?2).*(?t>=2)(?1)",
+            [(0, False, None, 0), (1, False, "<", 6), (0, True, ">=", 2)],
+        ),
+    ]
+
+    @staticmethod
+    def _brute(events, steps):
+        """events: sorted visible [(t, flags)]; steps: (ci, gap, op, val)."""
+        ops = {
+            None: lambda d, v: True,
+            "<=": lambda d, v: d <= v,
+            "<": lambda d, v: d < v,
+            ">=": lambda d, v: d >= v,
+            ">": lambda d, v: d > v,
+        }
+
+        def search(step_i, prev_idx):
+            if step_i == len(steps):
+                return True
+            ci, gap, op, val = steps[step_i]
+            lo = 0 if prev_idx is None else prev_idx + 1
+            hi = len(events) if (gap or prev_idx is None) else min(
+                prev_idx + 2, len(events)
+            )
+            for v in range(lo, hi):
+                if not events[v][1][ci]:
+                    continue
+                if prev_idx is not None and not ops[op](
+                    events[v][0] - events[prev_idx][0], val
+                ):
+                    continue
+                if search(step_i + 1, v):
+                    return True
+            return False
+
+        return 1 if search(0, None) else 0
+
+    def test_matches_bruteforce(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        ev = st.tuples(
+            st.integers(0, 12), st.booleans(), st.booleans()
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(events=st.lists(ev, min_size=0, max_size=7))
+        def check(events):
+            rows = [
+                Row(u=1, ts=f"2024-01-01 00:00:{t:02d}", a=bool(a), b=bool(b))
+                for t, a, b in events
+            ]
+            if rows:
+                spark.createDataFrame(rows).selectExpr(
+                    "u", "CAST(ts AS TIMESTAMP) AS ts", "a", "b"
+                ).createOrReplaceTempView("tsm_t")
+            else:
+                spark.createDataFrame(
+                    [], "u int, ts timestamp, a boolean, b boolean"
+                ).createOrReplaceTempView("tsm_t")
+            # visible = any cond true, sorted by (t, [a, b]) — the
+            # engine's deterministic flag-array tiebreak
+            vis = sorted(
+                ((t, (a, b)) for t, a, b in events if a or b),
+                key=lambda e: (e[0], e[1][0], e[1][1]),
+            )
+            for pat, steps in self.PATTERNS:
+                q = rw(
+                    f"SELECT sequenceMatch('{pat}')(ts, a, b) AS m "
+                    "FROM tsm_t GROUP BY u"
+                )
+                got = spark.sql(q).collect()
+                got_m = got[0]["m"] if got else 0
+                want = self._brute(vis, steps)
+                assert got_m == want, (pat, events, vis, got_m, want)
+
+        check()
