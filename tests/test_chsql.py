@@ -1769,3 +1769,97 @@ class TestTimedSequenceMatchProperty:
                 assert got_m == want, (pat, events, vis, got_m, want)
 
         check()
+
+
+class TestWindowFunnelProperty:
+    """Property harness for the funnel folds: DEFAULT mode against an
+    independent brute-force max-level subsequence search (the max-start
+    DP is provably optimal there: a larger chain start is never tighter
+    under t_k - start <= w), and STRICT_INCREASE against a direct
+    Python simulation of the per-level (first, last) overwrite policy
+    (deliberately NOT brute-force max-level: the overwrite greed is
+    ClickHouse's own documented behavior and can under-shoot an
+    exhaustive search — the simulation IS the spec)."""
+
+    @staticmethod
+    def _visible(events):
+        return sorted(
+            ((t, (a, b, c)) for t, a, b, c in events if a or b or c),
+            key=lambda e: (e[0], e[1][0], e[1][1], e[1][2]),
+        )
+
+    @staticmethod
+    def _brute_default(vis, w):
+        best = 0
+        n = len(vis)
+
+        def ext(level, prev_idx, start_t):
+            nonlocal best
+            best = max(best, level)
+            if level == 3:
+                return
+            for v in range(prev_idx + 1, n):
+                t, flags = vis[v]
+                if flags[level] and (level == 0 or t - start_t <= w):
+                    ext(level + 1, v, t if level == 0 else start_t)
+
+        ext(0, -1, None)
+        return best
+
+    @staticmethod
+    def _simulate_strict(vis, w):
+        slots = [None, None, None]  # (first, last) per level
+        for t, flags in vis:
+            new = list(slots)
+            for p in range(3):
+                if not flags[p]:
+                    continue
+                if p == 0:
+                    new[p] = (t, t)
+                elif slots[p - 1] is not None:
+                    f, l = slots[p - 1]
+                    if t - f <= w and l < t:
+                        new[p] = (f, t)
+            slots = new
+        return sum(1 for s in slots if s is not None)
+
+    def test_matches_references(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        ev = st.tuples(
+            st.integers(0, 10), st.booleans(), st.booleans(), st.booleans()
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(events=st.lists(ev, min_size=0, max_size=7), w=st.sampled_from([2, 5, 30]))
+        def check(events, w):
+            rows = [
+                Row(u=1, ts=f"2024-01-01 00:00:{t:02d}", a=bool(a), b=bool(b), c=bool(c))
+                for t, a, b, c in events
+            ]
+            if rows:
+                spark.createDataFrame(rows).selectExpr(
+                    "u", "CAST(ts AS TIMESTAMP) AS ts", "a", "b", "c"
+                ).createOrReplaceTempView("wfp_ev")
+            else:
+                spark.createDataFrame(
+                    [], "u int, ts timestamp, a boolean, b boolean, c boolean"
+                ).createOrReplaceTempView("wfp_ev")
+            q = rw(
+                f"SELECT windowFunnel({w})(ts, a, b, c) AS d, "
+                f"windowFunnel({w}, 'strict_increase')(ts, a, b, c) AS s "
+                "FROM wfp_ev GROUP BY u"
+            )
+            got = spark.sql(q).collect()
+            got_d = got[0]["d"] if got else 0
+            got_s = got[0]["s"] if got else 0
+            vis = self._visible(events)
+            assert got_d == self._brute_default(vis, w), (events, w, got_d)
+            assert got_s == self._simulate_strict(vis, w), (events, w, got_s)
+
+        check()
