@@ -1863,3 +1863,58 @@ class TestWindowFunnelProperty:
             assert got_s == self._simulate_strict(vis, w), (events, w, got_s)
 
         check()
+
+
+class TestSequenceCountProperty:
+    """sequenceCount('(?1).*(?2)') against an independent greedy
+    leftmost-scan reference over the visible events."""
+
+    @staticmethod
+    def _brute(vis):
+        count, state = 0, 0  # state: 0 = want cond1, 1 = want cond2
+        for _t, (a, b) in vis:
+            if state == 0 and a:
+                state = 1
+            elif state == 1 and b:
+                count += 1
+                state = 0
+        return count
+
+    def test_matches_greedy_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        ev = st.tuples(st.integers(0, 10), st.booleans(), st.booleans())
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(events=st.lists(ev, min_size=0, max_size=8))
+        def check(events):
+            rows = [
+                Row(u=1, ts=f"2024-01-01 00:00:{t:02d}", a=bool(a), b=bool(b))
+                for t, a, b in events
+            ]
+            if rows:
+                spark.createDataFrame(rows).selectExpr(
+                    "u", "CAST(ts AS TIMESTAMP) AS ts", "a", "b"
+                ).createOrReplaceTempView("scp_ev")
+            else:
+                spark.createDataFrame(
+                    [], "u int, ts timestamp, a boolean, b boolean"
+                ).createOrReplaceTempView("scp_ev")
+            q = rw(
+                "SELECT sequenceCount('(?1).*(?2)')(ts, a, b) AS c "
+                "FROM scp_ev GROUP BY u"
+            )
+            got = spark.sql(q).collect()
+            got_c = got[0]["c"] if got else 0
+            vis = sorted(
+                ((t, (a, b)) for t, a, b in events if a or b),
+                key=lambda e: (e[0], e[1][0], e[1][1]),
+            )
+            assert got_c == self._brute(vis), (events, vis, got_c)
+
+        check()
