@@ -76,3 +76,46 @@ class TestRobotsFilter:
         urls = spark.createDataFrame([Row(doc_id=1, host="h", path="/a/b/z")])
         out = robots_filter(urls, rules).collect()[0]
         assert out["crawl_allowed"] is True
+
+
+class TestRobotsProperty:
+    """Property: robots_filter's broadcast longest-match verdict equals
+    a direct Python implementation of the RFC 9309 rule (longest
+    matching prefix wins, Allow beats Disallow at equal length, no
+    match = allowed) over random rule sets and paths."""
+
+    def test_matches_python_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        seg = st.sampled_from(["/a", "/b", "/a/b", "/a/c", "/b/a", "/abc"])
+        rule = st.tuples(st.booleans(), seg)
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            rules=st.lists(rule, min_size=0, max_size=6),
+            paths=st.lists(seg, min_size=1, max_size=5),
+        )
+        def check(rules, paths):
+            rules_df = spark.createDataFrame(
+                [Row(host="h", allow=a, prefix=p) for a, p in rules],
+                "host string, allow boolean, prefix string",
+            )
+            urls = spark.createDataFrame(
+                [Row(doc_id=i, host="h", path=p + "/x") for i, p in enumerate(paths)]
+            )
+            got = {
+                r["doc_id"]: r["crawl_allowed"]
+                for r in robots_filter(urls, rules_df).collect()
+            }
+            for i, p in enumerate(paths):
+                path = p + "/x"
+                matches = [(len(pre), al) for al, pre in rules if path.startswith(pre)]
+                want = max(matches)[1] if matches else True
+                assert got[i] == want, (rules, path, got[i], want)
+
+        check()
