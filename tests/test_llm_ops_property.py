@@ -263,3 +263,63 @@ class TestUrlNormalize:
         df = spark.createDataFrame([Row(u=u) for u, _ in cases])
         got = [r["n"] for r in df.select(url_normalize(F.col("u")).alias("n")).collect()]
         assert got == [want for _, want in cases]
+
+
+class TestGopherRulesProperty:
+    """Property: every gopher_rules counter equals a direct Python
+    computation over random small documents (newlines, bullets,
+    ellipses, hashes, digits and stopwords all in the alphabet)."""
+
+    def test_matches_python_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mb8600_clickhouse_spark.operators.text import (
+            GOPHER_STOPWORDS,
+            gopher_rules,
+        )
+
+        word = st.sampled_from(
+            ["cat", "dog", "the", "that", "have", "42", "#", "a...b", "x"]
+        )
+        line = st.lists(word, min_size=0, max_size=6).map(" ".join)
+        doc = st.lists(line, min_size=1, max_size=5).map("\n".join)
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(docs=st.lists(doc, min_size=1, max_size=4))
+        def check(docs):
+            from pyspark.sql import Row
+
+            df = spark.createDataFrame(
+                [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+            )
+            got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+            for i, t in enumerate(docs):
+                lines = t.split("\n")
+                w = " ".join(t.lower().split()).split(" ")
+                n_words = len(w)
+                n_chars = sum(len(x) for x in w)
+                n_alpha = sum(1 for x in w if any("a" <= ch <= "z" for ch in x))
+                n_stop = sum(1 for s in GOPHER_STOPWORDS if s in w)
+                n_sym = t.count("#") + t.count("...")
+                n_bul = sum(
+                    1
+                    for ln in lines
+                    if ln.strip().startswith("- ") or ln.strip().startswith("* ")
+                )
+                n_ell = sum(1 for ln in lines if ln.endswith("..."))
+                g = got[i]
+                assert (
+                    g["n_words"], g["n_word_chars"], g["n_alpha_words"],
+                    g["n_stop_hits"], g["n_symbols"], g["n_lines"],
+                    g["n_bullet_lines"], g["n_ellipsis_lines"],
+                ) == (
+                    n_words, n_chars, n_alpha, n_stop, n_sym,
+                    len(lines), n_bul, n_ell,
+                ), (i, t, dict(g.asDict()))
+
+        check()
