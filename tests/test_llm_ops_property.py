@@ -323,3 +323,43 @@ class TestGopherRulesProperty:
                 ), (i, t, dict(g.asDict()))
 
         check()
+
+
+class TestRemoveDupSpansProperty:
+    """Property: remove_dup_spans equals a brute-force Python
+    implementation (positional spans, global keeper-min, covered-
+    position union, ordered reassembly) on arbitrary tiny corpora."""
+
+    @given(corpus=corpus)
+    @settings(**_SETTINGS)
+    def test_matches_bruteforce(self, spark, corpus):
+        n = 3
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+        )
+        got = {
+            r["id"]: (r["text"], r["n_tokens"], r["n_kept"])
+            for r in dedup.remove_dup_spans(df, span_n=n).collect()
+        }
+        toks = {
+            i: (" ".join(t.lower().split()).split(" ") if True else [])
+            for i, t in enumerate(corpus)
+        }
+        spans: dict = {}
+        for i, w in toks.items():
+            for p in range(1, max(len(w) - n + 1, 0) + 1):
+                h = " ".join(w[p - 1 : p - 1 + n])
+                spans.setdefault(h, []).append((i, p))
+        removed: dict = {i: set() for i in toks}
+        for h, occs in spans.items():
+            if len(occs) < 2:
+                continue
+            keeper = min(occs, key=lambda ip: ip[0] * 1_048_576 + ip[1])
+            for (i, p) in occs:
+                if (i, p) != keeper:
+                    removed[i].update(range(p, p + n))
+        for i, w in toks.items():
+            kept = [tk for pos, tk in enumerate(w, 1) if pos not in removed[i]]
+            assert got[i] == (" ".join(kept), len(w), len(kept)), (
+                i, corpus, got[i], kept,
+            )

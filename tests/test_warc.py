@@ -66,3 +66,41 @@ class TestParseWarcSpark:
             (1, 1, "response", "https://a/"),
             (2, 0, "response", "https://b/"),
         ]
+
+
+class TestWarcRoundtripProperty:
+    """Property: arbitrary record sequences (random URLs, statuses,
+    bodies — including bodies containing WARC framing text and CRLFs)
+    survive encode → parse_warc_bytes exactly."""
+
+    def test_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        body = st.text(
+            alphabet=st.sampled_from(
+                list("abc \r\n") + ["W"]
+            ),
+            max_size=40,
+        ).map(lambda s: s + "")
+        rec = st.tuples(
+            st.sampled_from(["https://a/", "https://b/p?q=1", ""]),
+            st.sampled_from([200, 301, 404, 503]),
+            body,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(recs=st.lists(rec, min_size=0, max_size=5))
+        def check(recs):
+            payload = b"".join(
+                warc.encode_warc_response(u, b, s, "R") for u, s, b in recs
+            )
+            parsed = warc.parse_warc_bytes(payload)
+            assert len(parsed) == len(recs)
+            for (u, s, b), p in zip(recs, parsed):
+                assert p["warc_type"] == "response"
+                assert p["url"] == u
+                assert p["status"] == s
+                assert p["body"] == b
+
+        check()
