@@ -492,8 +492,16 @@ def simhash_neardup_pairs(
     bucket-locally after one groupBy shuffle; the exact Hamming filter
     then runs only on candidates. Same result set as brute force,
     linear-ish cost on near-dup-sparse corpora. Pass ``nbits`` matching
-    the fingerprint family (63 = xxhash64, 60 = portable md5) so no
-    segment degenerates to an always-zero key (one giant bucket).
+    the fingerprint family (63 = xxhash64, 60 = portable md5, 64 =
+    dHash) — segments are BALANCED over exactly [0, nbits) (round 8):
+    the old fixed-width split shifted the top segment past bit 63 at
+    nbits=64, where Spark's shift (Java ``>>``, shift & 63) silently
+    WRAPPED it onto segment 0 — T+1 effective segments became T, and
+    pairs at Hamming exactly T with one differing bit per segment (the
+    adversarial layout q158's per-row code bits produce naturally) were
+    MISSED. Balanced widths keep every shift < 64 and every segment
+    non-empty, restoring the pigeonhole proof for any nbits <= 64;
+    ``max_hamming + 1 > nbits`` raises (no non-empty split exists).
 
     ``max_bucket`` caps degenerate segment buckets, exactly like
     ``minhash_lsh_candidates``: a boilerplate-heavy corpus where many
@@ -505,13 +513,23 @@ def simhash_neardup_pairs(
     pathological corpora for bounded memory — pairs whose only shared
     segment was truncated are missed, the standard LSH-cap trade."""
     n_seg = max_hamming + 1
-    width = (nbits + n_seg - 1) // n_seg
+    base, extra = divmod(nbits, n_seg)
+    if base == 0:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_seg} non-empty segments "
+            f"but the fingerprint has only {nbits} bits"
+        )
+    offsets, pos = [], 0
+    for i in range(n_seg):
+        w_i = base + (1 if i < extra else 0)
+        offsets.append((pos, w_i))
+        pos += w_i
     seg_keys = F.array(
         *[
-            F.shiftright(F.col(fp_col), i * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            F.shiftrightunsigned(F.col(fp_col), off)
+            .bitwiseAND(F.lit((1 << w_i) - 1))
             .cast("long")
-            for i in range(n_seg)
+            for off, w_i in offsets
         ]
     )
     segs = fps.select(

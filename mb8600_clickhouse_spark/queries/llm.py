@@ -3289,6 +3289,77 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q158 image NEAR-dup: dHash + Hamming pigeonhole blocking (round 8)
+# ---------------------------------------------------------------------------
+@query(
+    "q158_image_neardup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(((doc_id % 16)
+                   + CASE WHEN doc_id % 5 = 0 THEN 16 ELSE 0 END)
+                  * 72340172838076673 AS BIGINT) AS dh
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= 8
+    ORDER BY id_a, id_b
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup detection — q145's perceptual hashing composed
+    with q42's Hamming pigeonhole blocking (the composition q145's
+    docstring promises): each doc gets a 9x8 PPM whose column walk
+    encodes a 5-BIT class (doc_id % 16, plus bit 4 on doc_id % 5 — the
+    'variant' that differs from its base class by EXACTLY 8 hash bits,
+    one per row), so Hamming <= 8 over the REAL decode+dHash pipeline
+    finds exact-class pairs (distance 0) AND every one-code-bit
+    neighbor (distance 8) — the oracle replays the bit algebra
+    (hash = class * 0x0101010101010101) and the full pair set with an
+    analytic self-join. Corpus bounded at doc_id < 200 by construction
+    (the q92 rule: pair-result size is fixture-bounded, not SF-bounded).
+
+    Scale: ``simhash_neardup_pairs`` generates candidates per
+    (segment, bits) bucket after ONE exchange — never the O(n^2)
+    self-join the oracle can afford at 200 rows; 64-bit fingerprints
+    keep the top segment sound (sign-extension is a function of the
+    fingerprint, so segment-key equality still means bit equality)."""
+    from ..operators.multimodal import image_dhash
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+
+    def _ppm_batches(doc_id):
+        import numpy as np
+
+        from ..operators.multimodal import encode_ppm
+
+        def make(i):
+            c = (int(i) % 16) + (16 if int(i) % 5 == 0 else 0)
+            steps = [1 if (c >> j) & 1 else -1 for j in range(8)]
+            v = np.concatenate(([128], 128 + np.cumsum(steps)))
+            img = np.repeat(v[None, :, None], 8, axis=0)
+            img = np.repeat(img, 3, axis=2).astype(np.uint8)
+            return encode_ppm(img)
+
+        return doc_id.map(make)
+
+    _ppm = F.pandas_udf(_ppm_batches, "binary")
+    payloads = docs.select("doc_id", _ppm(F.col("doc_id")).alias("payload"))
+    hashed = image_dhash(payloads, strict=True)
+    pairs = dedup.simhash_neardup_pairs(
+        hashed, max_hamming=8, id_col="doc_id", fp_col="dhash", nbits=64
+    )
+    return vsort(
+        pairs.select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+        ),
+        "id_a", "id_b",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q156 crawl-to-corpus capstone: WARC → HTML → robots → quality (round 8)
 # ---------------------------------------------------------------------------
 @query(
