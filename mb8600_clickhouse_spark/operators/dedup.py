@@ -524,14 +524,13 @@ def simhash_neardup_pairs(
         w_i = base + (1 if i < extra else 0)
         offsets.append((pos, w_i))
         pos += w_i
-    seg_keys = F.array(
-        *[
-            F.shiftrightunsigned(F.col(fp_col), off)
-            .bitwiseAND(F.lit((1 << w_i) - 1))
-            .cast("long")
-            for off, w_i in offsets
-        ]
-    )
+    def _seg(off: int, w_i: int):
+        shifted = F.shiftrightunsigned(F.col(fp_col), off)
+        if w_i >= 64:  # full-width segment (max_hamming=0): mask is identity
+            return shifted.cast("long")
+        return shifted.bitwiseAND(F.lit((1 << w_i) - 1)).cast("long")
+
+    seg_keys = F.array(*[_seg(off, w_i) for off, w_i in offsets])
     segs = fps.select(
         F.col(id_col).alias("id"), F.col(fp_col).alias("fp"), F.posexplode(seg_keys).alias("seg", "bits")
     )
@@ -573,12 +572,16 @@ def span_occurrences(
     id_col: str = "doc_id",
     text_col: str = "text",
     widen: bool = True,
+    with_pos: bool = False,
 ) -> DataFrame:
-    """(id, h): one md5 per POSITIONAL word ``span_n``-gram occurrence —
-    the shared front end of span-level dedup (``dup_span_stats``) and
-    span-level decontamination (``span_contamination``). Width-corrected
-    input, INDEX explode + flat concat (the shingle_rows lessons), and
-    the guarded sequence for sub-width docs."""
+    """(id, h) — or (id, i, h) with ``with_pos`` — one md5 per
+    POSITIONAL word ``span_n``-gram occurrence: the shared front end of
+    span-level dedup (``dup_span_stats``), span-level decontamination
+    (``span_contamination``) and span REMOVAL (``remove_dup_spans``,
+    which needs the 1-based position ``i`` to map hashes back to
+    covered tokens). Width-corrected input, INDEX explode + flat concat
+    (the shingle_rows lessons), and the guarded sequence for sub-width
+    docs."""
     src = widen_if_narrow(df, id_col) if widen else df
     toks = src.select(
         F.col(id_col).alias("id"),
@@ -594,14 +597,12 @@ def span_occurrences(
             )
         ).alias("i"),
     )
-    return idx.select(
-        "id",
-        F.md5(
-            F.concat_ws(
-                " ", *[F.element_at("toks", F.col("i") + j) for j in range(span_n)]
-            )
-        ).alias("h"),
-    )
+    h = F.md5(
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j) for j in range(span_n)]
+        )
+    ).alias("h")
+    return idx.select("id", "i", h) if with_pos else idx.select("id", h)
 
 
 def dup_span_stats(
@@ -659,15 +660,18 @@ def remove_dup_spans(
     span_n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    ord_base: int = 1_048_576,
 ) -> DataFrame:
     """Duplicate-span REMOVAL — the other half of Lee et al. 2021
     (``dup_span_stats`` reports; this CLEANS): every corpus-duplicated
-    ``span_n``-token window keeps its FIRST occurrence (lowest
-    ``doc_id * ord_base + position`` — the q140 keeper rule at span
-    granularity) and every other occurrence marks its covered token
-    positions for removal; each document reassembles from its
-    surviving tokens in order. Returns (id, text, n_tokens, n_kept).
+    ``span_n``-token window keeps its FIRST occurrence — the exact
+    lexicographic min of (doc_id, position) via a struct-min aggregate
+    (NOT an ``id * base + i`` arithmetic encoding, which silently
+    aliases across documents once a position reaches the base) — and
+    every other occurrence marks its covered token positions for
+    removal; each document reassembles from its surviving tokens in
+    order. Occurrence generation is ``span_occurrences(with_pos=True)``
+    — the same front end dup_span_stats and span_contamination use.
+    Returns (id, text, n_tokens, n_kept).
 
     Scale: occurrences carry 16-byte hashes only (the dup_span_stats
     join-back rule — partial-aggregated counts, never a count-over-hash
@@ -680,34 +684,19 @@ def remove_dup_spans(
         F.col(id_col).alias("id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
     )
-    n_sp = F.size("toks") - (span_n - 1)
-    occ = toks.select(
-        "id",
-        F.explode(
-            F.when(n_sp > 0, F.sequence(F.lit(1), n_sp)).otherwise(
-                F.array().cast("array<int>")
-            )
-        ).alias("i"),
-        "toks",
-    ).select(
-        "id",
-        "i",
-        F.md5(
-            F.concat_ws(
-                " ",
-                *[F.element_at("toks", F.col("i") + j) for j in range(span_n)],
-            )
-        ).alias("h"),
-    )
+    occ = span_occurrences(df, span_n, id_col, text_col, with_pos=True)
     cnt = occ.groupBy("h").agg(
         F.count("*").alias("n_occ"),
-        F.min(F.col("id") * ord_base + F.col("i")).alias("keeper"),
+        F.min(F.struct(F.col("id"), F.col("i"))).alias("keeper"),
     )
     nk = (
         occ.join(cnt, "h")
         .where(
             (F.col("n_occ") >= 2)
-            & (F.col("id") * ord_base + F.col("i") != F.col("keeper"))
+            & ~(
+                (F.col("id") == F.col("keeper.id"))
+                & (F.col("i") == F.col("keeper.i"))
+            )
         )
         .select("id", "i")
     )

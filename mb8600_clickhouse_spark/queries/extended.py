@@ -1850,23 +1850,18 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn <= 5
     ),
     exact_top AS (
+      -- rank on the RAW cosine, not the snapped one: cosine_topk ranks
+      -- raw (the q54/q88 oracle contract) — snapping before the
+      -- row_number would create 4-decimal rank ties the engine never
+      -- sees at the k boundary
       SELECT qid, vec_id FROM (
         SELECT q.qid, c.vec_id,
-          CAST(CAST(
+          row_number() OVER (PARTITION BY q.qid ORDER BY
             list_sum(list_transform(generate_series(1,64), j -> qe[j] * c.e[j]))
             / (sqrt(list_sum(list_transform(generate_series(1,64),
                  j -> qe[j]*qe[j])))
              * sqrt(list_sum(list_transform(generate_series(1,64),
-                 j -> c.e[j]*c.e[j]))))
-           AS DECIMAL(38,4)) AS DOUBLE) AS sim,
-          row_number() OVER (PARTITION BY q.qid ORDER BY
-            CAST(CAST(
-              list_sum(list_transform(generate_series(1,64), j -> qe[j] * c.e[j]))
-              / (sqrt(list_sum(list_transform(generate_series(1,64),
-                   j -> qe[j]*qe[j])))
-               * sqrt(list_sum(list_transform(generate_series(1,64),
-                   j -> c.e[j]*c.e[j]))))
-             AS DECIMAL(38,4)) AS DOUBLE) DESC, c.vec_id) AS rn
+                 j -> c.e[j]*c.e[j])))) DESC, c.vec_id) AS rn
         FROM q CROSS JOIN v c
       ) WHERE rn <= 5
     )

@@ -3323,9 +3323,12 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ``simhash_neardup_pairs`` generates candidates per
     (segment, bits) bucket after ONE exchange — never the O(n^2)
-    self-join the oracle can afford at 200 rows; 64-bit fingerprints
-    keep the top segment sound (sign-extension is a function of the
-    fingerprint, so segment-key equality still means bit equality)."""
+    self-join the oracle can afford at 200 rows. Writing this query is
+    what EXPOSED the operator's 64-bit wrap bug (Spark's shift masks
+    the amount with & 63, so the old fixed-width top segment aliased
+    segment 0 and exact-Hamming-8 pairs vanished) — fixed with
+    balanced segments over exactly [0, nbits); the oracle's exhaustive
+    pair set is the regression gate."""
     from ..operators.multimodal import image_dhash
 
     docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
@@ -3373,8 +3376,25 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
              '/p/' || CAST(doc_id AS VARCHAR) AS path,
              CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END AS INT)
                AS status,
+             -- replay html_to_text's FULL chain on the WRAPPED body
+             -- (exactly what the Spark side extracts from): fixture
+             -- text is single-spaced ASCII today, but a regenerated
+             -- fixture with double spaces, entities or angle brackets
+             -- must not flake the parity
              CASE WHEN doc_id % 13 = 0 THEN 'not found'
-                  ELSE trim(substr(text, 1, 100)) END AS extracted,
+                  ELSE trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                      regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(
+                        '<html><body><p>' || substr(text, 1, 100)
+                          || '</p></body></html>',
+                        '(?is)<script\b.*?</script>', ' ', 'g'),
+                        '(?is)<style\b.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                        '<[^>]*>', ' ', 'g'),
+                      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                    '\s+', ' ', 'g')) END AS extracted,
              CAST(doc_id % 7 AS VARCHAR) AS h,
              CAST(doc_id AS VARCHAR) AS d
       FROM documents
@@ -3518,6 +3538,8 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM occ0
     ),
     cnt AS (
+      -- arithmetic keeper == the operator's struct-min (doc_id, i)
+      -- keeper while positions stay < 1048576 (fixture max ~130 tokens)
       SELECT h, COUNT(*) AS n_occ,
              MIN(doc_id * 1048576 + i) AS keeper
       FROM occ GROUP BY h

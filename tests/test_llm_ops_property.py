@@ -342,7 +342,7 @@ class TestRemoveDupSpansProperty:
             for r in dedup.remove_dup_spans(df, span_n=n).collect()
         }
         toks = {
-            i: (" ".join(t.lower().split()).split(" ") if True else [])
+            i: " ".join(t.lower().split()).split(" ")
             for i, t in enumerate(corpus)
         }
         spans: dict = {}

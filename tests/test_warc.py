@@ -78,11 +78,9 @@ class TestWarcRoundtripProperty:
         from hypothesis import strategies as st
 
         body = st.text(
-            alphabet=st.sampled_from(
-                list("abc \r\n") + ["W"]
-            ),
+            alphabet=st.sampled_from(list("abc \r\n") + ["W"]),
             max_size=40,
-        ).map(lambda s: s + "")
+        )
         rec = st.tuples(
             st.sampled_from(["https://a/", "https://b/p?q=1", ""]),
             st.sampled_from([200, 301, 404, 503]),
