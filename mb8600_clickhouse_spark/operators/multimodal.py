@@ -391,11 +391,17 @@ def image_dhash(
     id_col: str = "doc_id",
     strict: bool = False,
 ) -> DataFrame:
-    """(doc_id, dhash): Arrow-batched perceptual hashing over image
-    payloads — decode (PPM/BMP/PNG/baseline-JPEG, the ``decode_image``
-    sniffing) then ``dhash64``. The hash is stored as int64 (two's-
-    complement wraparound for bit 63). Pure projection: zero shuffle;
-    downstream dedup groups by the 8-byte hash, never the pixels."""
+    """(doc_id, dhash, decode_ok): Arrow-batched perceptual hashing
+    over image payloads — decode (PPM/BMP/PNG/baseline-JPEG, the
+    ``decode_image`` sniffing) then ``dhash64``. The hash is stored as
+    int64 (two's-complement wraparound for bit 63). Undecodable
+    payloads under ``strict=False`` get a NULL dhash and
+    ``decode_ok=false`` — never a content-hash stand-in, which would
+    make byte-identical files look like distance-0 'perceptual' dups
+    while re-encoded identical images look unrelated (downstream
+    near-dup statistics must be able to separate the two populations).
+    Pure projection: zero shuffle; downstream dedup groups by the
+    8-byte hash, never the pixels."""
 
     def _hash(p):
         img = decode_image(bytes(p))
@@ -405,23 +411,23 @@ def image_dhash(
                     "no pure-numpy decoder for this image format; plug a "
                     "real backend (Pillow/libvips) into image_dhash"
                 )
-            return int.from_bytes(hashlib.md5(bytes(p)).digest()[:8], "big")
-        return dhash64(img)
+            return None
+        u = dhash64(img)
+        return u - (1 << 64) if u >= (1 << 63) else u
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            hashes = pdf[payload_col].map(_hash)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "dhash": pdf[payload_col]
-                    .map(_hash)
-                    .map(lambda u: u - (1 << 64) if u >= (1 << 63) else u)
-                    .astype("int64"),
+                    "dhash": hashes.astype("Int64"),
+                    "decode_ok": hashes.notna(),
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        extract, "doc_id long, dhash long"
+        extract, "doc_id long, dhash long, decode_ok boolean"
     )
 
 

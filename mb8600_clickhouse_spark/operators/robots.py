@@ -58,8 +58,12 @@ def parse_robots(
     rules = grouped.filter(
         F.col("allow").isNotNull()
         & F.col("group_ua").isin(agent.lower(), "*")
-        & (F.length("path") > 0)
     )
+    # group presence is decided BEFORE dropping empty-path rules: a
+    # named group containing only 'Disallow:' (allow everything) is
+    # still the group the crawler must obey — RFC 9309 precedence, the
+    # '*' group must NOT leak in just because every named rule was a
+    # no-op.
     named = F.max((F.col("group_ua") == agent.lower()).cast("int")).over(
         W.partitionBy("host")
     )
@@ -69,6 +73,7 @@ def parse_robots(
             (F.col("group_ua") == agent.lower())
             | (F.col("__has_named") == 0)
         )
+        .filter(F.length("path") > 0)
         .select("host", "allow", F.col("path").alias("prefix"))
     )
 
@@ -80,15 +85,34 @@ def robots_filter(
     path_col: str = "path",
 ) -> DataFrame:
     """Adds ``crawl_allowed``: Google-documented longest-match
-    semantics — among the host's rules whose prefix the URL path
-    starts with, the LONGEST wins; Allow beats Disallow at equal
-    length; no matching rule means allowed. The rules collapse to ONE
-    broadcast row per host carrying its rule array, so the verdict is
-    a broadcast left join + a per-row higher-order fold — the URL
-    corpus never shuffles and never multiplies (no per-rule join
-    fan-out, no group-back)."""
-    per_host = rules.groupBy("host").agg(
-        F.collect_list(F.struct("prefix", "allow")).alias("__rules")
+    semantics — among the host's rules matching the URL path, the
+    LONGEST (raw rule-path length, the spec's specificity measure)
+    wins; Allow beats Disallow at equal length; no matching rule means
+    allowed. Wildcards per the Google/RFC 9309 spec: ``*`` in a rule
+    path matches any character sequence and a TRAILING ``$`` anchors
+    the rule to the end of the path (a mid-rule ``$`` is literal);
+    rules without either stay on the plain-prefix fast path. The rules
+    collapse to ONE broadcast row per host carrying its rule array
+    (match regexes precompiled on the dimension-sized rule table), so
+    the verdict is a broadcast left join + a per-row higher-order
+    fold — the URL corpus never shuffles and never multiplies (no
+    per-rule join fan-out, no group-back)."""
+    esc = F.regexp_replace("prefix", r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    pat = F.regexp_replace(
+        F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*")),
+        r"\\\$$",
+        r"\$",
+    )
+    wild = F.col("prefix").contains("*") | F.col("prefix").endswith("$")
+    per_host = (
+        rules.withColumn("pat", pat)
+        .withColumn("wild", wild)
+        .groupBy("host")
+        .agg(
+            F.collect_list(
+                F.struct("prefix", "allow", "pat", "wild")
+            ).alias("__rules")
+        )
     )
     joined = urls.join(
         F.broadcast(per_host.withColumnRenamed("host", "__r_host")),
@@ -96,7 +120,10 @@ def robots_filter(
         "left",
     )
     matches = F.filter(
-        F.col("__rules"), lambda r: F.col(path_col).startswith(r["prefix"])
+        F.col("__rules"),
+        lambda r: F.when(
+            r["wild"], F.regexp_like(F.col(path_col), r["pat"])
+        ).otherwise(F.col(path_col).startswith(r["prefix"])),
     )
     best = F.array_max(
         F.transform(

@@ -37,9 +37,17 @@ def parse_warc_bytes(payload: bytes) -> list[dict]:
     records: list[dict] = []
     i = 0
     while True:
-        j = payload.find(b"WARC/1.0", i)
+        # any WARC/x.y version line — 1.0 and 1.1 (ISO 28500:2017) share
+        # the frame layout; an unrecognized major version fails loudly
+        # rather than parsing to zero records (the find starts past the
+        # previous record's length-framed block, so body bytes that
+        # happen to contain 'WARC/' are never scanned)
+        j = payload.find(b"WARC/", i)
         if j < 0:
             break
+        if payload[j : j + 7] != b"WARC/1.":
+            ver = payload[j : j + 8].decode("ascii", "replace")
+            raise ValueError(f"unsupported WARC version line {ver!r}")
         hdr_end = payload.find(b"\r\n\r\n", j)
         if hdr_end < 0:
             raise ValueError("WARC header block missing CRLF CRLF terminator")

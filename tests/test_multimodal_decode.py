@@ -424,3 +424,23 @@ class TestImageDhash:
         df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"GIF89a"))])
         with pytest.raises(Exception, match="pure-numpy decoder"):
             mm.image_dhash(df, strict=True).collect()
+
+    def test_non_strict_fallback_is_null_not_content_hash(self, spark):
+        # undecodable payloads must NOT get an md5 stand-in in the
+        # perceptual-hash column (byte-identical files would look like
+        # distance-0 'perceptual' dups); they get NULL + decode_ok=false
+        asc = np.repeat(
+            np.repeat(np.arange(9, dtype=np.uint8)[None, :, None] * 10, 8, 0), 3, 2
+        )
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, payload=bytearray(mm.encode_ppm(asc))),
+                Row(doc_id=2, payload=bytearray(b"GIF89a-opaque")),
+            ]
+        )
+        got = {
+            r["doc_id"]: (r["dhash"], r["decode_ok"])
+            for r in mm.image_dhash(df, strict=False).collect()
+        }
+        assert got[1] == (-1, True)
+        assert got[2] == (None, False)

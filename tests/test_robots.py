@@ -46,6 +46,19 @@ class TestParseRobots:
         got = [r["prefix"] for r in parse_robots(df).collect()]
         assert got == ["/a:b/c"]
 
+    def test_named_group_with_only_empty_disallow_blocks_star(self, spark):
+        # RFC 9309: a group naming the agent whose ONLY rule is the
+        # empty-path 'Disallow:' (allow everything) still EXISTS — the
+        # '*' group must not apply as a fallback
+        txt = (
+            "User-agent: specialbot\nDisallow:\n\n"
+            "User-agent: *\nDisallow: /\n"
+        )
+        df = spark.createDataFrame([Row(host="h", robots=txt)])
+        assert parse_robots(df, agent="specialbot").collect() == []
+        star = {(r["allow"], r["prefix"]) for r in parse_robots(df).collect()}
+        assert star == {(False, "/")}
+
 
 class TestRobotsFilter:
     def test_longest_match_and_default_allow(self, spark):
@@ -76,6 +89,38 @@ class TestRobotsFilter:
         urls = spark.createDataFrame([Row(doc_id=1, host="h", path="/a/b/z")])
         out = robots_filter(urls, rules).collect()[0]
         assert out["crawl_allowed"] is True
+
+    def test_wildcard_and_end_anchor(self, spark):
+        # Google/RFC 9309 special characters: '*' = any sequence,
+        # trailing '$' = end-of-path anchor, mid-rule '$' literal;
+        # regex metacharacters in rule paths stay literal
+        rules = spark.createDataFrame(
+            [
+                Row(host="h", allow=False, prefix="/*?"),       # any query
+                Row(host="h", allow=False, prefix="/fish$"),    # exact only
+                Row(host="h", allow=False, prefix="/a$b"),      # literal $
+                Row(host="h", allow=False, prefix="/p(1)"),     # literal ()
+                Row(host="h", allow=True, prefix="/shop/*?ok"), # longer allow
+            ]
+        )
+        urls = spark.createDataFrame(
+            [
+                Row(doc_id=1, host="h", path="/page?x=1"),      # /*? → deny
+                Row(doc_id=2, host="h", path="/page"),          # no match
+                Row(doc_id=3, host="h", path="/fish"),          # anchored deny
+                Row(doc_id=4, host="h", path="/fish/tank"),     # anchor miss
+                Row(doc_id=5, host="h", path="/a$b/x"),         # literal $ deny
+                Row(doc_id=6, host="h", path="/p(1)/y"),        # literal () deny
+                Row(doc_id=7, host="h", path="/shop/x?ok"),     # allow wins (longer)
+            ]
+        )
+        out = {
+            r["doc_id"]: r["crawl_allowed"]
+            for r in robots_filter(urls, rules).collect()
+        }
+        assert out == {
+            1: False, 2: True, 3: False, 4: True, 5: False, 6: False, 7: True,
+        }
 
 
 class TestRobotsProperty:

@@ -49,6 +49,19 @@ class TestParseWarcBytes:
     def test_empty_payload_yields_nothing(self):
         assert warc.parse_warc_bytes(b"") == []
 
+    def test_warc_1_1_parses(self):
+        # ISO 28500:2017 revision shares the 1.0 frame layout
+        payload = warc.encode_warc_response("https://a/", "hello").replace(
+            b"WARC/1.0", b"WARC/1.1", 1
+        )
+        recs = warc.parse_warc_bytes(payload)
+        assert len(recs) == 1 and recs[0]["body"] == "hello"
+
+    def test_unsupported_version_raises(self):
+        payload = warc.encode_warcinfo().replace(b"WARC/1.0", b"WARC/2.0", 1)
+        with pytest.raises(ValueError, match="unsupported WARC version"):
+            warc.parse_warc_bytes(payload)
+
 
 class TestParseWarcSpark:
     def test_explodes_records_per_doc(self, spark):
