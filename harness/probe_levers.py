@@ -1,0 +1,106 @@
+"""Round-8 scale probe for the two documented-then-built levers
+(r07 verdict #4): q138's two-phase range-partitioned cumsum and q130's
+broadcast approx-quantile CCNet cuts. Same methodology as the other
+probes (SURVEY §2.J): replicate the fixture 16x in the operator's WORST
+direction — here, ONE GIANT SOURCE (the exact case the one-window
+spelling serializes) — and show the lever's plan property (bucketed
+window / window-free) plus equal-or-better wall.
+
+Usage: python -m harness.probe_levers [sf_dir]
+Prints a markdown table ready for SURVEY §2.J.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from mb8600_clickhouse_spark.operators import lm, sampling
+from mb8600_clickhouse_spark.session import get_spark
+from mb8600_clickhouse_spark.tables import load_tables
+
+
+def _timed(label: str, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    print(f"| {label} | {dt:.2f}s | {out} |")
+    return out, dt
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("probe-levers")
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    # 16x replica, ALL in one source — the giant-single-source worst
+    # case where the one-window cumsum serializes onto a single task
+    reps = spark.range(16).select(F.col("id").alias("rep"))
+    giant = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.lit("web").alias("source"),
+            "text",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = giant.count()
+    print(f"giant single source: {n:,} docs")
+    print("| probe | wall | result |")
+    print("|---|---|---|")
+
+    budget = 2_000_000  # keeps ~a third of the giant source
+    w = {"web": 1.0}
+    (one, _), (two, _) = (
+        _timed(
+            "budget_mix ONE window (single task sorts the source)",
+            lambda: sampling.budget_mix(giant, w, budget)
+            .agg(F.count("*"), F.sum("n_tokens"))
+            .first(),
+        ),
+        _timed(
+            "budget_mix two_phase n_ranges=64 (bucket-parallel)",
+            lambda: sampling.budget_mix(
+                giant, w, budget, two_phase=True, n_ranges=64
+            )
+            .agg(F.count("*"), F.sum("n_tokens"))
+            .first(),
+        ),
+    )
+    print(f"| kept sets equal | — | {tuple(one) == tuple(two)} |")
+
+    # CCNet cuts: score the 16x corpus once, then bucket it both ways
+    per = lm.bigram_lm_scores(giant).select(
+        F.col("id").alias("doc_id"), "avg_p"
+    ).localCheckpoint(eager=True)
+    per.count()
+
+    from pyspark.sql import Window as W
+
+    wnt = W.orderBy(F.col("avg_p").desc(), F.col("doc_id"))
+    _timed(
+        "ntile(3) global window (single-task sort of all scores)",
+        lambda: per.withColumn("b", F.ntile(3).over(wnt))
+        .groupBy("b")
+        .count()
+        .orderBy("b")
+        .collect(),
+    )
+    _timed(
+        "ccnet_cut_buckets approx cuts (window-free projection)",
+        lambda: lm.ccnet_cut_buckets(per)
+        .groupBy("bucket")
+        .count()
+        .orderBy("bucket")
+        .collect(),
+    )
+    plan = lm.ccnet_cut_buckets(per)._jdf.queryExecution().optimizedPlan().toString()
+    print(f"| cut-bucket plan window-free | — | {'Window' not in plan} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

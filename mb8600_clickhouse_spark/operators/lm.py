@@ -184,6 +184,42 @@ def bigram_lm_scores(
     )
 
 
+def ccnet_cut_buckets(
+    per: DataFrame,
+    score_col: str = "avg_p",
+    n_buckets: int = 3,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing by APPROXIMATE quantile cut
+    points — the 100 TB replacement for q130's exact ``ntile`` (whose
+    global window moves every (id, score) pair through one task).
+    ``approxQuantile`` (Greenwald–Khanna) computes the n_buckets-1 cut
+    scores in one distributed pass with driver state bounded by
+    1/relative_error — the cuts come back as n_buckets-1 SCALARS and
+    the bucket assignment is a pure narrow projection (window-free,
+    scan-speed, embarrassingly parallel). Bucket 1 is the HEAD (highest
+    scores — CCNet's most-fluent tercile), matching the exact variant's
+    ``ntile(3) ORDER BY score DESC``.
+
+    Documented trade vs the exact window: documents within
+    ±relative_error of a cut may land one bucket off (CCNet itself cuts
+    at approximate percentiles — Wenzek et al. 2020 §4.3); bucket
+    POPULATIONS are equal only to the same tolerance. Exact-replay
+    pipelines (the q130 oracle) keep the window; production corpus
+    splits take this lever."""
+    cuts = per.approxQuantile(
+        score_col,
+        [i / n_buckets for i in range(1, n_buckets)],
+        relative_error,
+    )
+    # cuts ascend; one chained CASE, highest cut first:
+    # score > cut[k-2] -> 1 (head), ..., > cut[0] -> k-1, else k (tail)
+    expr = F.lit(n_buckets)
+    for i, c in enumerate(cuts):
+        expr = F.when(F.col(score_col) > F.lit(c), n_buckets - 1 - i).otherwise(expr)
+    return per.withColumn("bucket", expr.cast("int"))
+
+
 def perplexity_reference(
     texts: dict[int, str], alpha: float = 1.0
 ) -> dict[int, float]:

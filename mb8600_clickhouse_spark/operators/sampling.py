@@ -135,6 +135,8 @@ def budget_mix(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "mix-v1",
+    two_phase: bool = False,
+    n_ranges: int = 64,
 ) -> "DataFrame":
     """Token-budget source mixing — the Dolma/RedPajama/DataComp recipe
     for assembling a training corpus to a fixed size: source ``s`` gets
@@ -156,11 +158,17 @@ def budget_mix(
     Scale shape: one narrow projection (token count at scan speed),
     then ONE window partitioned by source ordered by the salted key —
     per-source parallel; a single giant source serializes onto one
-    task's sort, and the documented upgrade at the 100 TB point is
-    two-phase: range-partition the source by key prefix, partial token
-    sums per range, broadcast the prefix offsets, local cumsum (the
-    q119 balanced-shard device). The fixture-scale window is the clear
-    spelling of the same order-then-scan semantics."""
+    task's sort. ``two_phase=True`` is the 100 TB lever for that case:
+    the md5 key space is cut into ``n_ranges`` DETERMINISTIC buckets
+    (integer arithmetic on the key prefix — no RangePartitioner
+    sampling, so replay-stable), per-(source, bucket) token subtotals
+    cumulate over a tiny broadcast table into prefix offsets, and the
+    running total becomes offset + a LOCAL window partitioned by
+    (source, bucket) — the giant source's sort now runs ``n_ranges``
+    ways parallel with per-task input bounded at ~1/n_ranges of the
+    source. Bucket-major md5 order equals global md5 order (the bucket
+    IS the key prefix), so the kept set is IDENTICAL to the one-window
+    spelling (property-tested)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -180,16 +188,59 @@ def budget_mix(
         F.size(norm_tokens(F.col(text_col))).alias("n_tokens"),
         key,
     )
-    win = (
+    if not two_phase:
+        win = (
+            W.partitionBy(source_col)
+            .orderBy("_k", id_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return (
+            d.join(F.broadcast(tgt), source_col)
+            .withColumn(
+                "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+            )
+            .filter(F.col("cum_before") < F.col("_target"))
+            .drop("_k", "_target")
+        )
+    # phase 1: deterministic range bucket from the first 8 hex chars of
+    # the uniform md5 key — monotone in _k, so bucket-major (_k, id)
+    # order IS the global (_k, id) order; ties on the prefix stay in one
+    # bucket (the id tiebreak only matters within equal full keys)
+    width = (1 << 32) // n_ranges + 1
+    b = d.withColumn(
+        "_bkt", (F.conv(F.substring("_k", 1, 8), 16, 10).cast("long") / width)
+        .cast("int"),
+    )
+    # per-(source, bucket) subtotals -> prefix offsets: n_sources x
+    # n_ranges rows, a broadcast-sized ledger however big the corpus is
+    off_w = (
         W.partitionBy(source_col)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy(source_col, "_bkt")
+        .agg(F.sum("n_tokens").alias("_sub"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_sub").over(off_w), F.lit(0))
+        )
+        .drop("_sub")
+    )
+    # phase 2: local cumsum within each (source, bucket) — parallel
+    # across buckets, task input bounded by the bucket slice
+    loc_w = (
+        W.partitionBy(source_col, "_bkt")
         .orderBy("_k", id_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return (
-        d.join(F.broadcast(tgt), source_col)
+        b.join(F.broadcast(offsets), [source_col, "_bkt"])
+        .join(F.broadcast(tgt), source_col)
         .withColumn(
-            "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+            "cum_before",
+            F.col("_off")
+            + F.coalesce(F.sum("n_tokens").over(loc_w), F.lit(0)),
         )
         .filter(F.col("cum_before") < F.col("_target"))
-        .drop("_k", "_target")
+        .drop("_k", "_bkt", "_off", "_target")
     )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from mb8600_clickhouse_spark.operators import lm
 
@@ -51,6 +52,59 @@ class TestBigramLm:
         ppl = {r["id"]: r["ppl"] for r in lm.with_perplexity(_df(spark)).collect()}
         avg = {r["id"]: r["avg_p"] for r in lm.bigram_lm_scores(_df(spark)).collect()}
         assert max(ppl, key=ppl.get) == min(avg, key=avg.get) == 3
+
+
+class TestCcnetCutBuckets:
+    """lm.ccnet_cut_buckets — the window-free CCNet bucketing lever."""
+
+    def test_matches_exact_terciles_away_from_cuts(self, spark):
+        from pyspark.sql import Window as W
+
+        from mb8600_clickhouse_spark.operators.lm import ccnet_cut_buckets
+
+        # 300 well-separated scores: approx cuts at relative_error
+        # 0.001 are exact here, so buckets must equal ntile(3) DESC
+        per = spark.createDataFrame(
+            [(i, float(i)) for i in range(300)], "doc_id long, avg_p double"
+        )
+        w = W.orderBy(F.col("avg_p").desc(), F.col("doc_id"))
+        exact = {
+            r["doc_id"]: r["b"]
+            for r in per.withColumn("b", F.ntile(3).over(w)).collect()
+        }
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in ccnet_cut_buckets(per).collect()
+        }
+        mismatch = [k for k in exact if exact[k] != got[k]]
+        # ntile puts the boundary doc by rank, the cut variant by value
+        # threshold — at 300 distinct values they agree everywhere
+        assert not mismatch, mismatch[:5]
+
+    def test_bucket_monotone_in_score(self, spark):
+        from mb8600_clickhouse_spark.operators.lm import ccnet_cut_buckets
+
+        per = spark.createDataFrame(
+            [(i, float((i * 37) % 101)) for i in range(500)],
+            "doc_id long, avg_p double",
+        )
+        rows = ccnet_cut_buckets(per, n_buckets=4).collect()
+        by_score = sorted(rows, key=lambda r: -r["avg_p"])
+        buckets = [r["bucket"] for r in by_score]
+        assert buckets == sorted(buckets)  # higher score -> head-ward
+        assert set(buckets) == {1, 2, 3, 4}
+
+    def test_plan_is_window_free(self, spark):
+        from mb8600_clickhouse_spark.operators.lm import ccnet_cut_buckets
+
+        per = spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "doc_id long, avg_p double"
+        )
+        plan = (
+            ccnet_cut_buckets(per)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "Window" not in plan and "Sort" not in plan
 
 
 class TestDsir:

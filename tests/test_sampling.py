@@ -119,3 +119,53 @@ class TestBudgetMix:
         a = sorted(r.doc_id for r in budget_mix(df, {"a": 1.0}, 60).collect())
         b = sorted(r.doc_id for r in budget_mix(df, {"a": 1.0}, 60).collect())
         assert a == b and 0 < len(a) < 40
+
+    def test_two_phase_identical_kept_set(self, spark):
+        # the giant-single-source lever: bucket-major md5 order equals
+        # global md5 order, so the kept set and audit columns must be
+        # IDENTICAL to the one-window spelling — including with more
+        # buckets than rows and a multi-source mix
+        from mb8600_clickhouse_spark.operators.sampling import budget_mix
+
+        df = spark.createDataFrame(
+            [
+                *[(i, "giant", f"w{i} " * (i % 11 + 1)) for i in range(300)],
+                *[(1000 + i, "small", "tok " * 5) for i in range(8)],
+            ],
+            "doc_id: long, source: string, text: string",
+        )
+        w = {"giant": 0.8, "small": 0.2}
+        for n_ranges in (4, 64, 1024):
+            one = {
+                (r.doc_id, r.cum_before)
+                for r in budget_mix(df, w, 800).collect()
+            }
+            two = {
+                (r.doc_id, r.cum_before)
+                for r in budget_mix(
+                    df, w, 800, two_phase=True, n_ranges=n_ranges
+                ).collect()
+            }
+            assert one == two, f"n_ranges={n_ranges}"
+            assert 0 < len(two) < 308
+
+    def test_two_phase_window_is_bucket_partitioned(self, spark):
+        # plan shape: the corpus window must partition by (source,
+        # bucket), never by source alone — the lever's entire point
+        from mb8600_clickhouse_spark.operators.sampling import budget_mix
+
+        df = spark.createDataFrame(
+            [(i, "a", "tok tok") for i in range(10)],
+            "doc_id: long, source: string, text: string",
+        )
+        plan = (
+            budget_mix(df, {"a": 1.0}, 10, two_phase=True)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        import re
+
+        corpus_windows = [
+            ln for ln in plan.splitlines()
+            if "Window" in ln and "_k" in ln
+        ]
+        assert corpus_windows and all("_bkt" in ln for ln in corpus_windows)
