@@ -99,6 +99,32 @@ def main() -> int:
     )
     plan = lm.ccnet_cut_buckets(per)._jdf.queryExecution().optimizedPlan().toString()
     print(f"| cut-bucket plan window-free | — | {'Window' not in plan} |")
+
+    # -- pagerank production posture: n_iter=20 with dangling sinks ------
+    # host graph with ~30% dangling (every 3rd host has no outlinks);
+    # redistribute keeps sum(rank)=1 and checkpointing bounds the plan
+    from mb8600_clickhouse_spark.operators import graph
+
+    n_hosts = 20_000
+    edges = (
+        spark.range(n_hosts * 4)
+        .select(
+            (F.col("id") % n_hosts).alias("src"),
+            ((F.col("id") * 7 + 3) % n_hosts).alias("dst"),
+            (F.col("id") % 5 + 1).cast("double").alias("w"),
+        )
+        .filter(F.col("src") % 3 != 0)  # every 3rd host dangles
+        .localCheckpoint(eager=True)
+    )
+    for ck in (5, 1):
+        _timed(
+            f"pagerank n_iter=20 redistribute ck={ck}, "
+            f"{n_hosts:,} hosts (~1/3 dangling)",
+            lambda c=ck: graph.pagerank(
+                edges, n_iter=20, weight="w",
+                dangling="redistribute", checkpoint_every=c,
+            ).agg(F.round(F.sum("rank"), 6)).first()[0],
+        )
     return 0
 
 

@@ -162,6 +162,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    dangling: str = "keep",
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Weighted PageRank with a FIXED iteration count — the host-
     authority signal web-curation pipelines rank domains by (the
@@ -175,15 +177,38 @@ def pagerank(
     inflow sum's fold order differs between engines and across
     partitionings, so without the snap iteration-k ulp drift compounds
     into iteration k+1's inputs; with it a SQL oracle unrolling the
-    same iterations reproduces the ranks bit-exactly. Dangling nodes
-    (no outlinks) keep the teleport term only — their mass is NOT
-    redistributed (documented simplification; the planted host graphs
-    this serves have none).
+    same iterations reproduces the ranks bit-exactly.
+
+    ``dangling``: nodes with no outlinks sink rank mass. ``"keep"``
+    (default — the q152 oracle replays it) gives them the teleport term
+    only, so total rank DECAYS by the sunk mass per iteration — fine on
+    planted host graphs with no sinks, wrong on real web graphs (~30%
+    of crawled pages are dangling). ``"redistribute"`` adds the classic
+    correction (Page et al. 1999; what networkx does): each iteration
+    spreads the danglings' total rank uniformly, keeping sum(rank)=1.
+    The dangling mass stays IN the plan as a 1-row aggregate broadcast
+    by crossJoin — never a per-iteration driver collect.
+
+    ``checkpoint_every=k``: localCheckpoint (eager) the rank table
+    every k iterations, truncating lineage — without it each iteration
+    stacks a join+agg on the logical plan and analysis/optimization
+    cost grows superlinearly (n_iter=50 builds a 100-join tree);
+    k=5-10 bounds plan depth while keeping recovery granularity. 0
+    disables for ``keep`` (fine at the oracle's n_iter=3 — the tree is
+    linear in n_iter) but defaults to 1 for ``redistribute``, where the
+    dangling-mass aggregate references the rank table a SECOND time per
+    iteration and an untruncated logical tree DOUBLES per iteration
+    (2^n_iter subtrees — n_iter=20 hangs in the analyzer long before
+    any task runs; measured while building the pytest).
 
     N (node count) is a collected scalar; nodes = distinct src ∪ dst.
     At web scale each iteration shuffles one (node, rank) table on the
     join key — the classic PageRank-on-MapReduce shape Catalyst plans
     as broadcast or sort-merge by size."""
+    if dangling not in ("keep", "redistribute"):
+        raise ValueError("dangling must be 'keep' or 'redistribute'")
+    if dangling == "redistribute" and checkpoint_every == 0:
+        checkpoint_every = 1  # see docstring: the tree doubles per iter
     w = F.col(weight) if weight else F.lit(1.0)
     # a zero/negative-weight edge is no edge: without this filter a
     # source whose out-weight sums to 0 makes rank/ow NULL and its
@@ -203,7 +228,12 @@ def pagerank(
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     snap = lambda c: c.cast(T.DecimalType(18, 12)).cast("double")
     ranks = nodes.withColumn("rank", snap(F.lit(1.0 / n)))
-    for _ in range(n_iter):
+    # dangling = nodes with no positive-weight outlink (anti-join on
+    # the out-weight table); computed once, reused every iteration
+    dang = nodes.join(
+        outw.withColumnRenamed("src", "node"), "node", "left_anti"
+    )
+    for it in range(n_iter):
         contrib = (
             e.join(outw, "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -214,14 +244,24 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+        base = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
+            "inflow", F.lit(0.0)
+        )
+        joined = nodes.join(contrib, "node", "left")
+        if dangling == "redistribute":
+            dm = ranks.join(dang, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            ranks = joined.crossJoin(F.broadcast(dm)).select(
                 "node",
                 snap(
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    base + F.lit(damping) * F.col("_dm") / F.lit(float(n))
                 ).alias("rank"),
             )
-        )
+        else:
+            ranks = joined.select("node", snap(base).alias("rank"))
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (
+            it + 1
+        ) < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -139,3 +139,86 @@ class TestPageRank:
         a = sorted(map(tuple, pagerank(edges, n_iter=3).collect()))
         b = sorted(map(tuple, pagerank(edges, n_iter=3).collect()))
         assert a == b
+
+    @staticmethod
+    def _reference_pagerank(edge_list, n_iter, damping=0.85, dangling="keep"):
+        """Pure-Python fixed-iteration PageRank (the networkx-style
+        power iteration, incl. uniform dangling redistribution)."""
+        nodes = sorted({s for s, _, _ in edge_list} | {d for _, d, _ in edge_list})
+        n = len(nodes)
+        ow = {}
+        for s, _, w in edge_list:
+            if w > 0:
+                ow[s] = ow.get(s, 0.0) + w
+        r = {u: 1.0 / n for u in nodes}
+        for _ in range(n_iter):
+            inflow = {u: 0.0 for u in nodes}
+            for s, d, w in edge_list:
+                if w > 0:
+                    inflow[d] += r[s] / ow[s] * w
+            dm = sum(r[u] for u in nodes if u not in ow)
+            r = {
+                u: (1 - damping) / n
+                + damping * inflow[u]
+                + (damping * dm / n if dangling == "redistribute" else 0.0)
+                for u in nodes
+            }
+        return r
+
+    def test_redistribute_matches_reference_with_dangling_nodes(self, spark):
+        # graph WITH sinks: 3 and 4 have no outlinks; node 5 only dangles
+        from mb8600_clickhouse_spark.operators.graph import pagerank
+
+        el = [
+            (0, 1, 1.0), (0, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0),
+            (2, 4, 3.0), (1, 4, 1.0), (0, 5, 0.5),
+        ]
+        edges = spark.createDataFrame(el, "src long, dst long, w double")
+        for mode in ("keep", "redistribute"):
+            want = self._reference_pagerank(el, n_iter=12, dangling=mode)
+            got = {
+                r["node"]: r["rank"]
+                for r in pagerank(
+                    edges, n_iter=12, weight="w", dangling=mode
+                ).collect()
+            }
+            for u, v in want.items():
+                assert abs(got[u] - v) < 1e-8, (mode, u, got[u], v)
+        # redistribution conserves total mass; keep leaks it
+        tot_r = sum(
+            r["rank"]
+            for r in pagerank(
+                edges, n_iter=12, weight="w", dangling="redistribute"
+            ).collect()
+        )
+        assert abs(tot_r - 1.0) < 1e-6
+
+    def test_checkpoint_every_same_ranks(self, spark):
+        # lineage truncation must not change a single rank: keep mode
+        # n_iter=20 with and without checkpoints, redistribute mode
+        # auto-ck=1 vs explicit ck=5 (ck=0 redistribute would build a
+        # 2^20-subtree plan — the reason for the auto default)
+        from mb8600_clickhouse_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i % 7, (i * 3 + 1) % 7, 1.0 + i % 3) for i in range(30)],
+            "src long, dst long, w double",
+        )
+        keep_plain = sorted(
+            map(tuple, pagerank(edges, n_iter=20, weight="w").collect())
+        )
+        keep_chk = sorted(
+            map(tuple, pagerank(edges, n_iter=20, weight="w",
+                                checkpoint_every=5).collect())
+        )
+        assert keep_plain == keep_chk
+        rd1 = sorted(
+            map(tuple, pagerank(edges, n_iter=20, weight="w",
+                                dangling="redistribute").collect())
+        )
+        rd5 = sorted(
+            map(tuple, pagerank(edges, n_iter=20, weight="w",
+                                dangling="redistribute",
+                                checkpoint_every=5).collect())
+        )
+        assert rd1 == rd5
