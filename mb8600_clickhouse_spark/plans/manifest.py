@@ -582,6 +582,41 @@ class ManifestTable:
             "append", self._write_data_files(df), merge=True, extra=extra, schema=schema
         )
 
+    def add_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        extra: dict | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """Register EXISTING parquet files — e.g. written by DuckDB or
+        any other engine — as a transactional append WITHOUT rewriting
+        a byte (Delta's ``ADD FILES`` / Iceberg's ``add_files`` interop
+        path, the write-side twin of q122's foreign READ). The schema
+        is resolved from the files' own footers under the exact append
+        contract (type changes raise SchemaMismatch, new columns need
+        ``merge_schema=True``), and per-file min/max/null stats come
+        from the FOREIGN footers through the same pyarrow pass native
+        commits use — data skipping and later ``build_bloom`` passes
+        hold identically over mixed native/foreign snapshots (pytest-
+        verified on DuckDB-written files). The commit is recorded as a
+        plain ``append`` (concurrent-append carry logic applies) with
+        an ``ingest: foreign`` marker for audit. Files must be
+        immutable and outlive the table — the caller owns placement,
+        the standard add-files contract."""
+        files = [str(f) for f in files]
+        if not files:
+            raise ValueError("add_files requires at least one file")
+        df = spark.read.parquet(*files)
+        schema = self._resolve_append_schema(df, merge_schema)
+        return self._commit(
+            "append",
+            sorted(files),
+            merge=True,
+            extra={**(extra or {}), "ingest": "foreign"},
+            schema=schema,
+        )
+
     def committed_markers(self, key: str) -> set:
         """All values of manifest field ``key`` across committed
         versions — the generic replay ledger (streaming epochs, TTL

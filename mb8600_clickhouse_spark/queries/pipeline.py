@@ -1910,6 +1910,94 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q159 foreign-WRITE interop: DuckDB-written parquet ingested by add_files
+# ---------------------------------------------------------------------------
+@query(
+    "q159_foreign_ingest",
+    oracle="""
+    WITH cut AS (SELECT CAST(MAX(doc_id) / 2 AS BIGINT) AS c FROM documents),
+    lo AS (
+      SELECT doc_id, lang, n_chars FROM documents, cut WHERE doc_id <= c
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           1 AS files_pruned
+    FROM lo GROUP BY lang ORDER BY lang
+    """,
+    prepare=False,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEROP, THE WRITE SIDE (r07 verdict #6 — the inverse of q122's
+    foreign read): DuckDB WRITES two parquet files (its own footers,
+    stats and encodings — no Spark writer involved) splitting
+    ``documents`` at half the max doc_id; ``ManifestTable.add_files``
+    registers them without rewriting a byte, collecting min/max/null
+    stats from the FOREIGN footers through the same pyarrow pass native
+    commits use. The verified claims:
+
+    - the engine reads the foreign snapshot back correctly (the
+      per-lang aggregate over ``scan`` hashes against the fixture
+      recomputation), and
+    - data SKIPPING holds on foreign footers: the scan predicate
+      ``doc_id <= cut`` must prune exactly the high file —
+      ``files_pruned`` carries the real manifest-level count
+      (total files - pruned-list length) into the hashed output, so a
+      silently broken stats pass (0 pruned) hash-fails against the
+      oracle's literal 1.
+
+    Scale: add_files is a metadata commit (cost ∝ file count, zero data
+    movement) — the standard lakehouse migration path for petabytes of
+    pre-existing engine-foreign parquet.
+
+    Reference parity: tables.sql:30,57's MergeTree tables accept parts
+    written by any ClickHouse-protocol writer; this is the equivalent
+    open-format contract."""
+    import tempfile
+
+    import duckdb as _duckdb
+
+    from ..plans import ManifestTable
+
+    _cleanup_tmp("q159_ingest_")
+    root = tempfile.mkdtemp(prefix="q159_ingest_")
+    src = f"{sf_dir}/documents.parquet"
+    con = _duckdb.connect()
+    try:
+        cut = con.execute(
+            f"SELECT CAST(MAX(doc_id)/2 AS BIGINT) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        for name, pred in (("lo", f"doc_id <= {cut}"), ("hi", f"doc_id > {cut}")):
+            con.execute(
+                f"COPY (SELECT doc_id, lang, n_chars FROM read_parquet('{src}') "
+                f"WHERE {pred} ORDER BY doc_id) "
+                f"TO '{root}/{name}.parquet' (FORMAT PARQUET)"
+            )
+    finally:
+        con.close()
+
+    t = ManifestTable(f"{root}/docs")
+    t.add_files(spark, [f"{root}/lo.parquet", f"{root}/hi.parquet"])
+    preds = [("doc_id", "<=", cut)]
+    n_pruned = len(t.snapshot_files()) - len(t.prune_files(preds))
+    out = (
+        t.scan(spark, preds)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .withColumn("files_pruned", F.lit(n_pruned).cast("int"))
+        .orderBy("lang")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+# ---------------------------------------------------------------------------
 # Q123 ORDER BY ... WITH FILL through the session-aware dialect bridge
 # ---------------------------------------------------------------------------
 _Q123_CLICKHOUSE_SQL = """

@@ -297,6 +297,98 @@ class TestDataSkipping:
         assert _keys(t.scan(spark, [("k", "<", 10)])) == list(range(10))
 
 
+class TestAddFilesForeign:
+    """add_files: parquet written by a FOREIGN engine (DuckDB — its own
+    footers, stats, encodings) registered without a byte rewritten; the
+    write-side twin of the q122 foreign read."""
+
+    @staticmethod
+    def _duckdb_files(tmp_path, ranges):
+        import duckdb
+
+        con = duckdb.connect()
+        files = []
+        for i, (lo, hi) in enumerate(ranges):
+            f = str(tmp_path / f"duck_{i}.parquet")
+            con.execute(
+                f"COPY (SELECT r AS k, 'row' || CAST(r AS VARCHAR) AS v "
+                f"FROM range({lo}, {hi}) t(r)) TO '{f}' (FORMAT PARQUET)"
+            )
+            files.append(f)
+        con.close()
+        return files
+
+    def test_foreign_files_read_back(self, spark, tmp_path):
+        files = self._duckdb_files(tmp_path, [(0, 5), (5, 9)])
+        t = ManifestTable(str(tmp_path / "t"))
+        v = t.add_files(spark, files)
+        assert v == 0
+        assert _keys(t.read(spark)) == list(range(9))
+        m = json.loads(t._manifest_path(v).read_text())
+        assert m["op"] == "append" and m["ingest"] == "foreign"
+
+    def test_foreign_footer_stats_prune(self, spark, tmp_path):
+        # data skipping must work off DUCKDB's footers: the file whose
+        # k-range cannot match is dropped before Spark plans the scan
+        files = self._duckdb_files(tmp_path, [(0, 100), (100, 200), (200, 300)])
+        t = ManifestTable(str(tmp_path / "t"))
+        t.add_files(spark, files)
+        m = json.loads(t._manifest_path(0).read_text())
+        assert set(m["stats"]) == set(m["files"])
+        assert all("k" in s and "v" in s for s in m["stats"].values())
+        pruned = t.prune_files([("k", ">=", 200)])
+        assert len(pruned) == 1
+        assert _keys(t.scan(spark, [("k", "<", 3)])) == [0, 1, 2]
+        assert t.prune_files([("k", "=", 999)]) == []
+
+    def test_mixed_native_and_foreign_snapshot(self, spark, tmp_path):
+        files = self._duckdb_files(tmp_path, [(0, 10)])
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 10, 20))            # native Spark write
+        t.add_files(spark, files)               # foreign DuckDB files
+        assert _keys(t.read(spark)) == list(range(20))
+        # skipping still sound across mixed footers
+        assert _keys(t.scan(spark, [("k", ">=", 15)])) == list(range(15, 20))
+        assert _keys(t.scan(spark, [("k", "<", 5)])) == list(range(5))
+
+    def test_bloom_over_foreign_files(self, spark, tmp_path):
+        files = self._duckdb_files(tmp_path, [(0, 50), (50, 100)])
+        t = ManifestTable(str(tmp_path / "t"))
+        t.add_files(spark, files)
+        t.build_bloom(spark, ["v"])
+        m = json.loads(t._manifest_path(t.latest_version()).read_text())
+        assert set(m["bloom"]) == set(m["files"])
+        hit = t.prune_files([("v", "=", "row7")])
+        assert len(hit) == 1  # bloom narrows to the one file holding it
+
+    def test_foreign_schema_contract(self, spark, tmp_path):
+        import duckdb
+        import pytest
+
+        from mb8600_clickhouse_spark.plans.manifest import SchemaMismatch
+
+        t = ManifestTable(str(tmp_path / "t"))
+        t.append(_df(spark, 0, 3))
+        con = duckdb.connect()
+        bad = str(tmp_path / "bad.parquet")
+        con.execute(
+            f"COPY (SELECT 'oops' AS k, 'x' AS v) TO '{bad}' (FORMAT PARQUET)"
+        )
+        extra = str(tmp_path / "extra.parquet")
+        con.execute(
+            f"COPY (SELECT CAST(99 AS BIGINT) AS k, 'x' AS v, 1.5 AS score) "
+            f"TO '{extra}' (FORMAT PARQUET)"
+        )
+        con.close()
+        with pytest.raises(SchemaMismatch):
+            t.add_files(spark, [bad])           # type change
+        with pytest.raises(SchemaMismatch):
+            t.add_files(spark, [extra])         # new column w/o opt-in
+        t.add_files(spark, [extra], merge_schema=True)
+        rows = {r["k"]: r["score"] for r in t.read(spark).collect()}
+        assert rows[99] == 1.5 and rows[0] is None
+
+
 class TestSchemaEvolution:
     """Delta's append contract: subset appends fill nulls, new columns
     need merge_schema=True, type changes always raise, and every read
