@@ -304,10 +304,16 @@ def dsir_weights(
     labels = df.select(
         F.col(id_col).alias("id"), F.col(target_col).cast("boolean").alias("_t")
     )
+    # aggregate FIRST, label after: _t is a function of id, so joining
+    # the (id,w1,w2,n) table instead of the raw occurrence stream halves
+    # the join's probe side — and the join key matches docb's id
+    # partitioning (widen_if_narrow), so the docb side never re-shuffles
+    # whether AQE picks broadcast (fixture scale) or a co-located
+    # shuffle join (corpus-sized label tables at 100 TB)
     docb = (
-        occ.join(labels, "id")
-        .groupBy("id", "w1", "w2", "_t")
+        occ.groupBy("id", "w1", "w2")
         .agg(F.count("*").alias("n"))
+        .join(labels, "id")
     )
     # ONE combined count table: target counts ride along as conditional
     # sums (a bigram absent from the target slice scores c2_t = 0 — the

@@ -451,10 +451,17 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions over per-priority price order:
-    quartile bucket, percent rank, cumulative distribution."""
+    quartile bucket, percent rank, cumulative distribution.
+
+    NARROW_CHAIN profile: join-free fixed chain (one window exchange +
+    the verification sort); AQE stage materialization is pure overhead
+    (0.58 -> 0.48 s warm at sf0.1)."""
     from pyspark.sql import Window as W
 
-    orders = load_tables(spark, sf_dir)["orders"]
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN
+
+    orders = load_tables(exec_profile(spark, NARROW_CHAIN), sf_dir)["orders"]
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
         orders.select(
@@ -1597,9 +1604,16 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus scans read 4 ints/row instead of 64 doubles (PQ's
     point at 100 TB); training is one projection + one M*ksub-row
     exchange per iteration; scoring is a broadcast cross join + rank
-    window — compose with q54's cell probe for sublinear IVFPQ."""
-    from ..operators import similarity
+    window — compose with q54's cell probe for sublinear IVFPQ.
 
+    NARROW_CHAIN profile: fixed shape, the one join an explicit
+    broadcast of the 16-row codebook reconstruction (0.41 -> 0.32 s
+    warm at sf0.1)."""
+    from ..operators import similarity
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN
+
+    spark = exec_profile(spark, NARROW_CHAIN)
     emb = load_tables(spark, sf_dir)["embeddings"]
     corpus = emb.filter(F.col("vec_id") >= 50)
     books = _memo_train(

@@ -1942,8 +1942,15 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the trained model is a (w1,w2,p) table bounded by the bigram
     vocabulary; documents pre-aggregate their bigrams with multiplicity
-    before the single model equi-join; V enters as a broadcast 1-row
-    crossJoin, never a collected scalar."""
+    before the single model equi-join; V is a window aggregate over the
+    vocab-bounded count table, never a collected scalar.
+
+    NARROW_CHAIN profile: fixed-shape plan whose one join is the
+    explicitly hinted broadcast of the vocab-bounded model — AQE's
+    per-exchange stage materialization is pure scheduling overhead here
+    (measured 0.41 -> 0.30 s warm at sf0.1); MIMIC ignores the profile
+    so the correctness gate stays config-independent."""
+    spark = exec_profile(spark, NARROW_CHAIN)
     docs = load_tables(spark, sf_dir)["documents"]
     s = lm.bigram_lm_scores(docs)
     return vsort(
@@ -2161,7 +2168,11 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-bounded broadcast count tables, EXACT unseen-bigram smoothing
     via left-joined raw counts (a pre-divided p-table cannot express
     c2=0/c1=0), linear-domain decimal-snapped averages so both models
-    and the scoring verify bit-for-bit against the oracle."""
+    and the scoring verify bit-for-bit against the oracle.
+
+    NARROW_CHAIN profile (the q108 rationale — fixed shape, hinted
+    broadcast model; 0.52 -> 0.38 s warm at sf0.1)."""
+    spark = exec_profile(spark, NARROW_CHAIN)
     docs = load_tables(spark, sf_dir)["documents"]
     s = lm.dsir_weights(
         docs.withColumn("is_en", F.col("lang") == "en"), target_col="is_en"
@@ -2716,12 +2727,16 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering key, proven bit-equal cross-engine by q108.
 
     Scale: scoring is the verified q108 shape; the tercile window is a
-    single global sort of (doc_id, avg_p) pairs — at 100 TB replace
-    with approx-quantile cut points broadcast as scalars (the same
-    CCNet semantics, documented trade); sampling is a narrow md5
-    expression."""
+    single global sort of (doc_id, avg_p) pairs — at 100 TB use
+    ``lm.ccnet_cut_buckets`` (approx-quantile cut points broadcast as
+    scalars, window-free — the same CCNet semantics, built and probed
+    in harness/probe_levers.py); sampling is a narrow md5 expression.
+
+    NARROW_CHAIN profile (the q108 rationale; 0.49 -> 0.30 s warm at
+    sf0.1)."""
     from pyspark.sql import Window as W2
 
+    spark = exec_profile(spark, NARROW_CHAIN)
     docs = load_tables(spark, sf_dir)["documents"]
     s = lm.bigram_lm_scores(docs)
     per = s.select(
@@ -3793,10 +3808,11 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     line predicates.
 
     Scale: one narrow projection — zero shuffle, scan-bound (the vsort
-    is verification order only)."""
+    is verification order only). NARROW_CHAIN profile (join-free fixed
+    chain; 0.43 -> 0.38 s warm at sf0.1)."""
     from ..operators.text import gopher_rules
 
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = load_tables(exec_profile(spark, NARROW_CHAIN), sf_dir)["documents"]
     page = docs.select(
         "doc_id",
         F.concat_ws(

@@ -2827,10 +2827,16 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     message says so (documented-failure contract).
 
     Scale: the q135/q136 shape — one user_id exchange, fold state
-    2 x levels doubles."""
+    2 x levels doubles.
+
+    NARROW_CHAIN profile: one exchange + fold, no joins — the q57/q108
+    rationale (0.57 -> 0.43 s warm at sf0.1)."""
     from ..functions.chsql import ch_sql
     from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN
 
+    spark = exec_profile(spark, NARROW_CHAIN)
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     # vsort, not an in-statement ORDER BY: a global sort's range
