@@ -1041,6 +1041,97 @@ def _behavior_events(ts: str, conds: list[str]) -> str:
     return f"array_sort(collect_list({ev}))"
 
 
+def _rewrite_moving(sql: str) -> str:
+    """``groupArrayMovingSum[(w)](x, k)`` / ``groupArrayMovingAvg[(w)](x, k)``
+    → exact array-fold expansion.
+
+    ClickHouse semantics (AggregateFunctionMovingSum/Avg): an array the
+    length of the group where element i is the sum of ``x`` over the
+    last ``w`` rows ending at i (``w`` omitted = the running prefix
+    sum); MovingAvg divides EVERY element by the window size — leading
+    elements with fewer than w predecessors still divide by w (and the
+    unbounded form divides by the group's row count). CH folds in BLOCK
+    order, which is non-deterministic — so the bridge REQUIRES a second
+    argument ``k``, the explicit intra-group sort key (the same
+    pinned-order extension discipline as the sequence aggregates'
+    timestamp tiebreak); the verbatim 1-argument CH spelling rejects
+    loudly with that explanation.
+
+    Exactness: values snap to DECIMAL(18,4) and fold as SCALED BIGINTs
+    (the dsum4 device), so prefix sums and the windowed differences
+    run[i] - run[i-w] are integer-exact — bit-identical in any engine —
+    and the final /10000.0 (and /w for Avg) are single IEEE ops.
+
+    Scale: per-group state is the collected (k, x) list — the
+    collect_list contract every behavioral aggregate here shares."""
+    for fam, avg in (("groupArrayMovingSum", False), ("groupArrayMovingAvg", True)):
+        while True:
+            m = _first_match(sql, rf"\b{fam}\s*\(")
+            if m is None:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            m2 = re.match(r"\s*\(", sql[c + 1 :])
+            if m2:  # parametric: fam(w)(x, k)
+                try:
+                    w = int(sql[o + 1 : c].strip())
+                except ValueError:
+                    raise ChSqlError(
+                        f"{fam}({sql[o + 1:c]!r}): the window parameter "
+                        "must be an integer row count"
+                    ) from None
+                if w <= 0:
+                    raise ChSqlError(f"{fam} window must be positive")
+                a_open = c + 1 + m2.end() - 1
+                a_close = _match_paren(sql, a_open)
+                start, end = m.start(), a_close + 1
+                args = _split_top_commas(sql[a_open + 1 : a_close])
+            else:  # plain: fam(x, k) — unbounded running form
+                start, end, w = m.start(), c + 1, None
+                args = _split_top_commas(sql[o + 1 : c])
+            args = [a.strip() for a in args]
+            if len(args) != 2:
+                raise ChSqlError(
+                    f"{fam} is bridged with an EXPLICIT intra-group sort "
+                    f"key: {fam}[(w)](x, k). ClickHouse's 1-argument form "
+                    "folds in block order, which is non-deterministic — "
+                    "pass the ordering column as the second argument"
+                )
+            x, k = args
+            lst = (
+                f"transform(array_sort(collect_list(named_struct("
+                f"'o', {k}, 'v', CAST(CAST({x} AS DECIMAL(18,4)) * 10000 "
+                f"AS BIGINT)))), s -> s.v)"
+            )
+            run = (
+                f"aggregate({lst}, named_struct("
+                f"'a', CAST(array() AS ARRAY<BIGINT>), 'r', CAST(0 AS BIGINT)), "
+                f"(acc, v) -> named_struct("
+                f"'a', concat(acc.a, array(acc.r + v)), 'r', acc.r + v)).a"
+            )
+            if w is None:
+                if avg:
+                    # unbounded avg: divide by the group size
+                    fin = (
+                        f"transform(arr, s -> CAST(s AS DOUBLE) / 10000.0 "
+                        f"/ size(arr))"
+                    )
+                else:
+                    fin = "transform(arr, s -> CAST(s AS DOUBLE) / 10000.0)"
+            else:
+                div = f" / {w}" if avg else ""
+                fin = (
+                    f"transform(arr, (s, i) -> CAST(s - CASE WHEN i + 1 > {w} "
+                    f"THEN element_at(arr, i + 1 - {w}) ELSE CAST(0 AS BIGINT) "
+                    f"END AS DOUBLE) / 10000.0{div})"
+                )
+            # bind the run array ONCE via a single-element-array lambda
+            # (HOF lambdas defeat codegen CSE — the q141 finding)
+            repl = f"element_at(transform(array({run}), arr -> {fin}), 1)"
+            sql = sql[:start] + repl + sql[end:]
+    return sql
+
+
 def _rewrite_retention(sql: str) -> str:
     """``retention(c1, ..., cN)`` → exact aggregate expansion.
 
@@ -1896,6 +1987,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_scalar_calls(sql)
     sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
+    sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)
     sql = _rewrite_window_funnel(sql)
     sql = _rewrite_sequence_match(sql)

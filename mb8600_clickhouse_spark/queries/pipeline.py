@@ -2907,6 +2907,88 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vsort(ch_sql(spark, _Q137_CLICKHOUSE_SQL), "user_id")
 
 
+# ---------------------------------------------------------------------------
+# Q160 groupArrayMovingSum / groupArrayMovingAvg through the bridge (round 8)
+# ---------------------------------------------------------------------------
+_Q160_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           groupArrayMovingSum(value, event_id) AS run_sum,
+           groupArrayMovingSum(5)(value, event_id) AS msum5,
+           groupArrayMovingAvg(5)(value, event_id) AS mavg5,
+           groupArrayMovingAvg(value, event_id) AS mavg_all
+    FROM events
+    WHERE user_id % 23 = 7
+    GROUP BY user_id
+"""
+
+
+@query(
+    "q160_moving_aggregates",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+      FROM events WHERE user_id % 23 = 7
+    ),
+    g AS (
+      SELECT user_id, list(v ORDER BY event_id) AS xs FROM src GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, len(xs) AS n,
+             list_transform(generate_series(1, len(xs)),
+                            i -> list_sum(list_slice(xs, 1, i))) AS run
+      FROM g
+    )
+    SELECT user_id,
+           list_transform(run, s -> CAST(s AS DOUBLE) / 10000.0) AS run_sum,
+           list_transform(generate_series(1, n),
+             i -> CAST(run[i] - CASE WHEN i > 5 THEN run[i-5] ELSE 0 END
+                       AS DOUBLE) / 10000.0) AS msum5,
+           list_transform(generate_series(1, n),
+             i -> CAST(run[i] - CASE WHEN i > 5 THEN run[i-5] ELSE 0 END
+                       AS DOUBLE) / 10000.0 / 5) AS mavg5,
+           list_transform(run, s -> CAST(s AS DOUBLE) / 10000.0 / n)
+             AS mavg_all
+    FROM r ORDER BY user_id
+    """,
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingSum`` / ``groupArrayMovingAvg``
+    VERBATIM through the bridge (``chsql._rewrite_moving``): per-user
+    arrays of running and 5-row-window sums/averages of ``value`` —
+    CH's moving-aggregate family (AggregateFunctionMovingSum/Avg),
+    including its counter-intuitive Avg contract (every element divides
+    by the WINDOW size, leading elements included; the unbounded form
+    divides by the group's row count). CH folds in non-deterministic
+    block order, so the bridge requires the explicit sort-key second
+    argument (event_id) — the same pinned-order extension the sequence
+    aggregates use for same-second events.
+
+    Exactness: values snap to DECIMAL(18,4) and fold as scaled BIGINTs
+    (the dsum4 device), so the prefix sums and windowed differences
+    run[i] - run[i-w] are integer-exact; the oracle replays the same
+    scaled fold and the hash pins every array element bit-for-bit.
+
+    Scale: one user_id exchange; per-group state is the collected
+    (event_id, value) list — the behavioral-aggregate contract
+    (q135-q148), probed linear on hot entities.
+
+    Reference parity: extends the §2.E ClickHouse aggregate surface
+    (tables.sql's docsis rollups are this family's natural consumer).
+
+    NARROW_CHAIN profile: one exchange + fold, no joins (the q148
+    rationale)."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q160_CLICKHOUSE_SQL), "user_id")
+
+
 _Q139_CLICKHOUSE_SQL = """
     SELECT c_custkey,
            dictGetString('nation', 'n_name', c_nationkey) AS nation,

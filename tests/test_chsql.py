@@ -1918,3 +1918,71 @@ class TestSequenceCountProperty:
             assert got_c == self._brute(vis), (events, vis, got_c)
 
         check()
+
+
+class TestMovingAggregatesProperty:
+    """groupArrayMovingSum/Avg bridge vs a scaled-integer Python
+    reference (the CH AggregateFunctionMovingSum/Avg contract: windowed
+    sums ending at each row; Avg divides EVERY element by the window
+    size — the unbounded form by the group's row count)."""
+
+    @staticmethod
+    def _ref(xs, w=None, avg=False):
+        scaled = [round(x * 10000) for x in xs]
+        run, acc = [], 0
+        for v in scaled:
+            acc += v
+            run.append(acc)
+        n = len(scaled)
+        if w is None:
+            out = [s / 10000.0 for s in run]
+            return [v / n for v in out] if avg else out
+        out = [
+            (run[i] - (run[i - w] if i >= w else 0)) / 10000.0
+            for i in range(n)
+        ]
+        return [v / w for v in out] if avg else out
+
+    def test_matches_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        val = st.decimals(
+            min_value=-99, max_value=99, places=3, allow_nan=False
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(vals=st.lists(val, min_size=1, max_size=12),
+               w=st.integers(1, 6))
+        def check(vals, w):
+            xs = [float(v) for v in vals]
+            rows = [Row(g=1, x=x, k=i) for i, x in enumerate(xs)]
+            spark.createDataFrame(rows).createOrReplaceTempView("mov_t")
+            got = ch_sql(
+                spark,
+                f"SELECT g, groupArrayMovingSum(x, k) AS rs, "
+                f"groupArrayMovingSum({w})(x, k) AS ms, "
+                f"groupArrayMovingAvg({w})(x, k) AS ma, "
+                f"groupArrayMovingAvg(x, k) AS maall "
+                f"FROM mov_t GROUP BY g",
+            ).collect()[0]
+            assert got["rs"] == self._ref(xs), (xs, "rs")
+            assert got["ms"] == self._ref(xs, w), (xs, w, "ms")
+            assert got["ma"] == self._ref(xs, w, avg=True), (xs, w, "ma")
+            assert got["maall"] == self._ref(xs, avg=True), (xs, "maall")
+
+        check()
+
+    def test_one_arg_form_rejects(self, spark):
+        import pytest
+
+        from mb8600_clickhouse_spark.functions.chsql import ChSqlError, ch_sql
+
+        with pytest.raises(ChSqlError, match="sort"):
+            ch_sql(spark, "SELECT groupArrayMovingSum(x) FROM t GROUP BY g")
