@@ -1041,6 +1041,33 @@ def _behavior_events(ts: str, conds: list[str]) -> str:
     return f"array_sort(collect_list({ev}))"
 
 
+def _rewrite_uniq_upto(sql: str) -> str:
+    """``uniqUpTo(N)(x)`` → ``least(count(DISTINCT x), N + 1)`` — CH's
+    bounded-cardinality counter (exact up to N, N+1 means "more than
+    N"). CH implements it with an N-bounded hash set per group; Spark's
+    exact distinct count then a clamp is semantically identical (the
+    clamp is what makes it cheap in CH; Spark pays the full distinct —
+    fine, the operator CONTRACT is the bounded answer)."""
+    while True:
+        pc = None
+        if _first_match(sql, r"\buniqUpTo\s*\("):
+            pc = _parametric_call(sql, "uniqUpTo")
+        if pc is None:
+            return sql
+        start, params, args, end = pc
+        try:
+            n = int(params)
+        except ValueError:
+            raise ChSqlError("uniqUpTo(N) needs an integer N") from None
+        if n <= 0 or len(args) != 1:
+            raise ChSqlError("uniqUpTo(N)(x): N positive, one argument")
+        sql = (
+            sql[:start]
+            + f"least(count(DISTINCT {args[0]}), {n + 1})"
+            + sql[end:]
+        )
+
+
 def _rewrite_moving(sql: str) -> str:
     """``groupArrayMovingSum[(w)](x, k)`` / ``groupArrayMovingAvg[(w)](x, k)``
     → exact array-fold expansion.
@@ -1987,6 +2014,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_scalar_calls(sql)
     sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
+    sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)
     sql = _rewrite_window_funnel(sql)

@@ -2915,7 +2915,8 @@ _Q160_CLICKHOUSE_SQL = """
            groupArrayMovingSum(value, event_id) AS run_sum,
            groupArrayMovingSum(5)(value, event_id) AS msum5,
            groupArrayMovingAvg(5)(value, event_id) AS mavg5,
-           groupArrayMovingAvg(value, event_id) AS mavg_all
+           groupArrayMovingAvg(value, event_id) AS mavg_all,
+           uniqUpTo(3)(event_type) AS types_upto3
     FROM events
     WHERE user_id % 23 = 7
     GROUP BY user_id
@@ -2948,8 +2949,14 @@ _Q160_CLICKHOUSE_SQL = """
              i -> CAST(run[i] - CASE WHEN i > 5 THEN run[i-5] ELSE 0 END
                        AS DOUBLE) / 10000.0 / 5) AS mavg5,
            list_transform(run, s -> CAST(s AS DOUBLE) / 10000.0 / n)
-             AS mavg_all
-    FROM r ORDER BY user_id
+             AS mavg_all,
+           u.types_upto3
+    FROM r
+    JOIN (SELECT user_id,
+                 LEAST(COUNT(DISTINCT event_type), 4) AS types_upto3
+          FROM events WHERE user_id % 23 = 7 GROUP BY user_id) u
+      USING (user_id)
+    ORDER BY user_id
     """,
 )
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2962,7 +2969,9 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides by the group's row count). CH folds in non-deterministic
     block order, so the bridge requires the explicit sort-key second
     argument (event_id) — the same pinned-order extension the sequence
-    aggregates use for same-second events.
+    aggregates use for same-second events. ``uniqUpTo(3)(event_type)``
+    rides along — CH's bounded-cardinality counter, bridged to
+    least(count(DISTINCT x), N+1).
 
     Exactness: values snap to DECIMAL(18,4) and fold as scaled BIGINTs
     (the dsum4 device), so the prefix sums and windowed differences

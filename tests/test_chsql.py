@@ -1986,3 +1986,30 @@ class TestMovingAggregatesProperty:
 
         with pytest.raises(ChSqlError, match="sort"):
             ch_sql(spark, "SELECT groupArrayMovingSum(x) FROM t GROUP BY g")
+
+
+class TestUniqUpTo:
+    def test_exact_below_and_clamped_above(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = [Row(g=1, x=f"v{i % 2}") for i in range(6)] + [
+            Row(g=2, x=f"v{i}") for i in range(7)
+        ]
+        spark.createDataFrame(rows).createOrReplaceTempView("uut_t")
+        got = {
+            r["g"]: r["n"]
+            for r in ch_sql(
+                spark, "SELECT g, uniqUpTo(3)(x) AS n FROM uut_t GROUP BY g"
+            ).collect()
+        }
+        assert got == {1: 2, 2: 4}  # exact 2; 7 distinct clamps to N+1=4
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        from mb8600_clickhouse_spark.functions.chsql import ChSqlError, ch_sql
+
+        with pytest.raises(ChSqlError):
+            ch_sql(spark, "SELECT uniqUpTo(0)(x) FROM t")
+        with pytest.raises(ChSqlError):
+            ch_sql(spark, "SELECT uniqUpTo(2)(x, y) FROM t")
