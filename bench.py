@@ -135,6 +135,13 @@ def main() -> None:
     #   sub_floor     - oracle under ORACLE_FLOOR_S: the comparison is
     #                   Spark's fixed per-query overhead vs ~0, not plan
     #                   vs plan (assigned dynamically below)
+    #   materialization - queries whose SEMANTICS include per-run
+    #                   physical writes (manifest commits, index builds:
+    #                   q70's TTL demotion, q112's bloom build, q113's
+    #                   incremental IVF ingest); the oracle computes the
+    #                   logical result with zero I/O, so the ratio
+    #                   measures parquet-write machinery, not the plan —
+    #                   the stream_setup argument applied to table state
     FLOOR_CLASS: dict[str, str] = {
         "q73_stream_rollup": "stream_setup",
         "q84_stream_stream_join": "stream_setup",
@@ -143,6 +150,9 @@ def main() -> None:
         "q78_jpeg_decode": "codec",
         "q80_flac_decode": "codec",
         "q81_video_decode": "codec",
+        "q70_ttl_demote": "materialization",
+        "q112_bloom_scan": "materialization",
+        "q113_ivf_incremental": "materialization",
     }
     ORACLE_FLOOR_S = 0.15
     oracle_times: dict[str, float] = {}
