@@ -1041,6 +1041,61 @@ def _behavior_events(ts: str, conds: list[str]) -> str:
     return f"array_sort(collect_list({ev}))"
 
 
+def _rewrite_map_aggs(sql: str) -> str:
+    """``sumMap(karr, varr)`` / ``minMap`` / ``maxMap`` → exact
+    array-fold expansion of ClickHouse's map-aggregate family: per
+    group, every row contributes its (key, value) pairs and the result
+    is a struct of the SORTED distinct keys plus the per-key
+    sum/min/max — CH returns the same as a tuple of parallel arrays
+    (bridge divergence: named fields ``k``/``v`` instead of tuple
+    positions ``.1``/``.2``).
+
+    Exactness: values snap to DECIMAL(18,4) and fold as scaled BIGINTs
+    (the groupArrayMovingSum device), so per-key sums are
+    integer-exact regardless of collect order; min/max are order-free
+    by construction. The collected pair list binds ONCE through the
+    single-element-array lambda (HOF lambdas defeat codegen CSE).
+
+    Only the 2-array CH form is bridged; the Map-typed 1-argument form
+    rejects loudly. Scale: per-group state is the pair list — the
+    behavioral-aggregate collect contract."""
+    folds = {
+        "sumMap": "aggregate(filter(ps, p -> p.k <=> key), "
+        "CAST(0 AS BIGINT), (a, p) -> a + p.v)",
+        "minMap": "array_min(transform(filter(ps, p -> p.k <=> key), p -> p.v))",
+        "maxMap": "array_max(transform(filter(ps, p -> p.k <=> key), p -> p.v))",
+    }
+    for fam, fold in folds.items():
+        while True:
+            m = _first_match(sql, rf"\b{fam}\s*\(")
+            if m is None:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+            if len(args) != 2:
+                raise ChSqlError(
+                    f"{fam} is bridged for the 2-array form "
+                    f"{fam}(key_array, value_array); the Map-typed "
+                    "1-argument form is not bridged"
+                )
+            k, v = args
+            pairs = (
+                f"flatten(collect_list(transform({k}, (x, i) -> "
+                f"named_struct('k', x, 'v', CAST(CAST(element_at({v}, i + 1) "
+                f"AS DECIMAL(18,4)) * 10000 AS BIGINT)))))"
+            )
+            repl = (
+                f"element_at(transform(array({pairs}), ps -> "
+                f"element_at(transform(array(array_sort(array_distinct("
+                f"transform(ps, p -> p.k)))), ks -> named_struct("
+                f"'k', ks, 'v', transform(ks, key -> "
+                f"CAST({fold} AS DOUBLE) / 10000.0))), 1)), 1)"
+            )
+            sql = sql[: m.start()] + repl + sql[c + 1 :]
+    return sql
+
+
 def _rewrite_uniq_upto(sql: str) -> str:
     """``uniqUpTo(N)(x)`` → ``least(count(DISTINCT x), N + 1)`` — CH's
     bounded-cardinality counter (exact up to N, N+1 means "more than
@@ -2014,6 +2069,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_scalar_calls(sql)
     sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
+    sql = _rewrite_map_aggs(sql)
     sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)

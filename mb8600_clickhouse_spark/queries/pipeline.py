@@ -2998,6 +2998,76 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vsort(ch_sql(spark, _Q160_CLICKHOUSE_SQL), "user_id")
 
 
+# ---------------------------------------------------------------------------
+# Q161 sumMap / minMap / maxMap through the bridge (round 8)
+# ---------------------------------------------------------------------------
+_Q161_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           sumMap(array(event_type), array(value)).k AS type_keys,
+           sumMap(array(event_type), array(value)).v AS totals,
+           minMap(array(event_type), array(value)).v AS mins,
+           maxMap(array(event_type), array(value)).v AS maxs
+    FROM events
+    WHERE user_id % 29 = 3
+    GROUP BY user_id
+"""
+
+
+@query(
+    "q161_map_aggregates",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_type AS k,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+      FROM events WHERE user_id % 29 = 3
+    ),
+    per AS (
+      SELECT user_id, k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+      FROM src GROUP BY user_id, k
+    )
+    SELECT user_id,
+           list(k ORDER BY k) AS type_keys,
+           list(CAST(s AS DOUBLE) / 10000.0 ORDER BY k) AS totals,
+           list(CAST(mn AS DOUBLE) / 10000.0 ORDER BY k) AS mins,
+           list(CAST(mx AS DOUBLE) / 10000.0 ORDER BY k) AS maxs
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap``/``minMap``/``maxMap`` VERBATIM through the
+    bridge (``chsql._rewrite_map_aggs``): per-user, per-event-type
+    value totals/minima/maxima as sorted parallel key/value arrays —
+    CH's map-aggregate family (the canonical per-dimension-rollup
+    idiom its docs demo on metric maps; bridge divergence: named
+    struct fields k/v instead of tuple positions). Values snap to
+    DECIMAL(18,4) and fold as scaled BIGINTs, so every per-key sum is
+    integer-exact regardless of collect order and the oracle replays
+    the identical arithmetic — the hash pins keys, order, and every
+    value bit. The declared output flattens the struct into parallel
+    array COLUMNS (type_keys/totals/mins/maxs) — struct cells render
+    differently between Arrow and non-Arrow sessions in pandas
+    interchange, and the registry's outputs stay interchange-neutral.
+
+    Scale: one user_id exchange; per-group state is the (key, value)
+    pair list — the behavioral-aggregate collect contract (bounded by
+    per-entity event counts, the q135-q148 assumption).
+
+    Reference parity: extends §2.E's ClickHouse aggregate surface
+    (tables.sql's per-channel metric maps are this family's natural
+    consumer).
+
+    NARROW_CHAIN profile: one exchange + folds, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q161_CLICKHOUSE_SQL), "user_id")
+
+
 _Q139_CLICKHOUSE_SQL = """
     SELECT c_custkey,
            dictGetString('nation', 'n_name', c_nationkey) AS nation,

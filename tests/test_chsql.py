@@ -2013,3 +2013,39 @@ class TestUniqUpTo:
             ch_sql(spark, "SELECT uniqUpTo(0)(x) FROM t")
         with pytest.raises(ChSqlError):
             ch_sql(spark, "SELECT uniqUpTo(2)(x, y) FROM t")
+
+
+class TestMapAggregates:
+    """sumMap/minMap/maxMap bridge — CH's map-aggregate family as exact
+    scaled-BIGINT folds over collected (key, value) pairs."""
+
+    def test_multi_row_multi_key(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = [
+            Row(g=1, ks=["b", "a"], vs=[1.5, 2.25]),
+            Row(g=1, ks=["a", "c"], vs=[0.5, -1.0]),
+            Row(g=2, ks=["x"], vs=[7.0]),
+        ]
+        spark.createDataFrame(rows).createOrReplaceTempView("map_t")
+        got = {
+            r["g"]: r
+            for r in ch_sql(
+                spark,
+                "SELECT g, sumMap(ks, vs) AS s, minMap(ks, vs) AS mn, "
+                "maxMap(ks, vs) AS mx FROM map_t GROUP BY g",
+            ).collect()
+        }
+        assert got[1]["s"]["k"] == ["a", "b", "c"]
+        assert got[1]["s"]["v"] == [2.75, 1.5, -1.0]
+        assert got[1]["mn"]["v"] == [0.5, 1.5, -1.0]
+        assert got[1]["mx"]["v"] == [2.25, 1.5, -1.0]
+        assert got[2]["s"]["v"] == [7.0]
+
+    def test_map_form_rejects(self, spark):
+        import pytest
+
+        from mb8600_clickhouse_spark.functions.chsql import ChSqlError, ch_sql
+
+        with pytest.raises(ChSqlError, match="2-array"):
+            ch_sql(spark, "SELECT sumMap(m) FROM t")
