@@ -164,3 +164,53 @@ class TestRobotsProperty:
                 assert got[i] == want, (rules, path, got[i], want)
 
         check()
+
+    def test_wildcard_rules_match_python_reference(self, spark):
+        import re as _re
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        frag = st.sampled_from(["/a", "/b", "/a/b", "?x", "/fish"])
+        suffix = st.sampled_from(["", "*", "$", "*?"])
+        rule = st.tuples(st.booleans(), frag, suffix)
+        path = st.sampled_from(
+            ["/a/b/x", "/a?x=1", "/fish", "/fish/tank", "/b?x", "/a/b"]
+        )
+
+        def py_match(prefix: str, p: str) -> bool:
+            if "*" not in prefix and not prefix.endswith("$"):
+                return p.startswith(prefix)
+            pat = "^" + _re.escape(prefix).replace(r"\*", ".*")
+            if pat.endswith(r"\$"):
+                pat = pat[:-2] + "$"
+            return _re.search(pat, p) is not None
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(rules=st.lists(rule, min_size=0, max_size=5),
+               paths=st.lists(path, min_size=1, max_size=4))
+        def check(rules, paths):
+            rl = [(a, f + s) for a, f, s in rules]
+            rules_df = spark.createDataFrame(
+                [Row(host="h", allow=a, prefix=p) for a, p in rl],
+                "host string, allow boolean, prefix string",
+            )
+            urls = spark.createDataFrame(
+                [Row(doc_id=i, host="h", path=p) for i, p in enumerate(paths)]
+            )
+            got = {
+                r["doc_id"]: r["crawl_allowed"]
+                for r in robots_filter(urls, rules_df).collect()
+            }
+            for i, p in enumerate(paths):
+                matches = [
+                    (len(pre), al) for al, pre in rl if py_match(pre, p)
+                ]
+                want = max(matches)[1] if matches else True
+                assert got[i] == want, (rl, p, got[i], want)
+
+        check()
