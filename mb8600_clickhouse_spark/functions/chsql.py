@@ -1041,6 +1041,107 @@ def _behavior_events(ts: str, conds: list[str]) -> str:
     return f"array_sort(collect_list({ev}))"
 
 
+def _rewrite_lttb(sql: str) -> str:
+    """``largestTriangleThreeBuckets(n)(x, y)`` (alias ``lttb``) →
+    exact sequential-fold expansion of ClickHouse's time-series
+    downsampler (Steinarsson 2013): keep the first and last points,
+    split the middle into n-2 equal float-width buckets, and per bucket
+    select the point maximizing the triangle area with the PREVIOUSLY
+    selected point and the NEXT bucket's average — the visual-fidelity
+    downsampling every plotting pipeline runs before rendering millions
+    of points.
+
+    Exactness: y snaps to DECIMAL(18,4) and scales to integral doubles,
+    x is expected integral-valued (epoch seconds — the caller's
+    contract), so every triangle area is an exact integer-in-double and
+    the argmax has no ulp hazard; ties break to the FIRST maximal point
+    (strictly-greater fold). Bucket boundaries replay the same
+    floor((i*(sz-2)/(n-2))) float arithmetic in any IEEE engine.
+
+    Returns a named_struct('x' array<double>, 'y' array<double>) with y
+    descaled; groups with <= n points return every point (CH contract).
+    Scale: per-group state is the collected series — the behavioral
+    collect contract; the fold is O(sz) per group."""
+    for fam in ("largestTriangleThreeBuckets", "lttb"):
+        while True:
+            if not _first_match(sql, rf"\b{fam}\s*\("):
+                break
+            pc = _parametric_call(sql, fam)
+            start, params, args, end = pc
+            try:
+                n = int(params)
+            except ValueError:
+                raise ChSqlError(f"{fam}(n) needs an integer n") from None
+            if n < 3 or len(args) != 2:
+                raise ChSqlError(f"{fam}(n)(x, y): n >= 3, two arguments")
+            x, y = args
+            ps = (
+                f"array_sort(collect_list(named_struct("
+                f"'x', CAST({x} AS DOUBLE), "
+                f"'y', CAST(CAST(CAST({y} AS DECIMAL(18,4)) * 10000 "
+                f"AS BIGINT) AS DOUBLE))))"
+            )
+            sz = "size(ps)"
+            every = f"(CAST({sz} - 2 AS DOUBLE) / {n - 2})"
+            # 1-based slice bounds from the 0-based reference formula
+            a_lo = f"(CAST(floor((i + 1) * {every}) AS INT) + 2)"
+            a_len = (
+                f"greatest(0, CAST(least(floor((i + 2) * {every}) + 1, "
+                f"CAST({sz} AS DOUBLE)) AS INT) "
+                f"- CAST(floor((i + 1) * {every}) AS INT) - 1)"
+            )
+            r_lo = f"(CAST(floor(i * {every}) AS INT) + 2)"
+            r_len = (
+                f"(CAST(floor((i + 1) * {every}) AS INT) "
+                f"- CAST(floor(i * {every}) AS INT))"
+            )
+            nb0 = f"slice(ps, {a_lo}, {a_len})"
+            nb = (
+                f"CASE WHEN size({nb0}) = 0 "
+                f"THEN array(element_at(ps, {sz})) ELSE {nb0} END"
+            )
+            area = (
+                "abs((acc.prev.x - nav.nx) * (c.y - acc.prev.y) "
+                "- (acc.prev.x - c.x) * (nav.ny - acc.prev.y))"
+            )
+            argmax = (
+                f"aggregate(bk, named_struct('a', CAST(-1 AS DOUBLE), "
+                f"'p', element_at(bk, 1)), (b, c) -> "
+                f"CASE WHEN {area} > b.a "
+                f"THEN named_struct('a', {area}, 'p', c) ELSE b END)"
+            )
+            step = (
+                f"element_at(transform(array({nb}), nbx -> "
+                f"element_at(transform(array(named_struct("
+                f"'nx', aggregate(nbx, CAST(0 AS DOUBLE), (a, p) -> a + p.x) / size(nbx), "
+                f"'ny', aggregate(nbx, CAST(0 AS DOUBLE), (a, p) -> a + p.y) / size(nbx))), "
+                f"nav -> element_at(transform(array(slice(ps, {r_lo}, {r_len})), bk -> "
+                f"element_at(transform(array({argmax}), best -> named_struct("
+                f"'out', concat(acc.out, array(best.p)), 'prev', best.p)), 1)"
+                f"), 1)), 1)), 1)"
+            )
+            fold = (
+                f"aggregate(sequence(0, {n - 3}), "
+                f"named_struct('out', array(element_at(ps, 1)), "
+                f"'prev', element_at(ps, 1)), (acc, i) -> {step})"
+            )
+            full = (
+                f"element_at(transform(array({fold}), st -> named_struct("
+                f"'x', transform(concat(st.out, array(element_at(ps, {sz}))), p -> p.x), "
+                f"'y', transform(concat(st.out, array(element_at(ps, {sz}))), p -> p.y / 10000.0)"
+                f")), 1)"
+            )
+            repl = (
+                f"element_at(transform(array({ps}), ps -> "
+                f"CASE WHEN {sz} <= {n} THEN named_struct("
+                f"'x', transform(ps, p -> p.x), "
+                f"'y', transform(ps, p -> p.y / 10000.0)) "
+                f"ELSE {full} END), 1)"
+            )
+            sql = sql[:start] + repl + sql[end:]
+    return sql
+
+
 def _rewrite_map_aggs(sql: str) -> str:
     """``sumMap(karr, varr)`` / ``minMap`` / ``maxMap`` → exact
     array-fold expansion of ClickHouse's map-aggregate family: per
@@ -2069,6 +2170,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_scalar_calls(sql)
     sql = _rewrite_format_datetime(sql)
     sql = _rewrite_topk(sql)
+    sql = _rewrite_lttb(sql)
     sql = _rewrite_map_aggs(sql)
     sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)

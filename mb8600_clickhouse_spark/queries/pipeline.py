@@ -3068,6 +3068,135 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vsort(ch_sql(spark, _Q161_CLICKHOUSE_SQL), "user_id")
 
 
+# ---------------------------------------------------------------------------
+# Q162 largestTriangleThreeBuckets (LTTB downsampling) through the bridge
+# ---------------------------------------------------------------------------
+_Q162_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           largestTriangleThreeBuckets(10)(unix_timestamp(ts), value).x
+             AS xs,
+           largestTriangleThreeBuckets(10)(unix_timestamp(ts), value).y
+             AS ys
+    FROM events
+    WHERE user_id % 31 = 4
+    GROUP BY user_id
+"""
+
+
+def _lttb_oracle_sql(n: int = 10, filt: str = "user_id % 31 = 4") -> str:
+    """Generated DuckDB oracle for q162: the LTTB fold UNROLLED into one
+    CTE chain per bucket (the q152 pagerank device) with the per-bucket
+    argmax as list_max + list_position over a transformed area list.
+
+    Why generated and reduce-free: DuckDB 1.0.0\'s vectorized
+    ``list_reduce`` returns ANOTHER ROW\'s fold result when rows carry
+    different list lengths through sliced inputs (reproduced: 5-user
+    batch where user 128 received user 4\'s argmax; every single-row
+    run is correct) — so this oracle never folds, it unrolls. Areas are
+    exact integers-in-doubles (scaled y, integral epoch x), making the
+    list_position equality lookup safe."""
+    nbk = n - 2
+    head = f"""
+    WITH src AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc(\'second\', ts)) AS DOUBLE) AS x,
+             CAST(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                  AS DOUBLE) AS y
+      FROM events WHERE {filt}
+    ),
+    g0 AS (
+      SELECT user_id, list([x, y] ORDER BY x, y) AS pts,
+             CAST(len(list([x, y])) AS DOUBLE) AS sz,
+             [list([x, y] ORDER BY x, y)[1][1],
+              list([x, y] ORDER BY x, y)[1][2]] AS out
+      FROM src GROUP BY user_id
+    )"""
+    steps = []
+    for i in range(nbk):
+        r_lo = f"CAST(floor({i} * (sz - 2) / {nbk}) AS INT) + 2"
+        r_hi = f"CAST(floor({i + 1} * (sz - 2) / {nbk}) AS INT) + 1"
+        a_lo = f"CAST(floor({i + 1} * (sz - 2) / {nbk}) AS INT) + 2"
+        a_hi = f"CAST(least(floor({i + 2} * (sz - 2) / {nbk}) + 1, sz) AS INT)"
+        nb = (f"(CASE WHEN len(list_slice(pts, {a_lo}, {a_hi})) = 0 "
+              f"THEN [pts[CAST(sz AS INT)]] "
+              f"ELSE list_slice(pts, {a_lo}, {a_hi}) END)")
+        steps.append(f""",
+    b{i} AS (
+      SELECT user_id, pts, sz, out,
+             list_slice(pts, {r_lo}, {r_hi}) AS bucket,
+             list_sum(list_transform({nb}, p -> p[1])) / len({nb}) AS navx,
+             list_sum(list_transform({nb}, p -> p[2])) / len({nb}) AS navy
+      FROM g{i}
+    ),
+    a{i} AS (
+      SELECT user_id, pts, sz, out, bucket,
+             list_transform(bucket,
+               c -> abs((out[-2] - navx) * (c[2] - out[-1])
+                        - (out[-2] - c[1]) * (navy - out[-1]))) AS areas
+      FROM b{i}
+    ),
+    g{i + 1} AS (
+      SELECT user_id, pts, sz,
+             list_concat(out,
+               CASE WHEN len(bucket) = 0 THEN []::DOUBLE[]
+                    ELSE [bucket[list_position(areas, list_max(areas))][1],
+                          bucket[list_position(areas, list_max(areas))][2]]
+               END) AS out
+      FROM a{i}
+    )""")
+    tail = f""",
+    folded AS (
+      SELECT user_id,
+             CASE WHEN sz <= {n} THEN flatten(pts)
+                  ELSE list_concat(out, [pts[CAST(sz AS INT)][1],
+                                         pts[CAST(sz AS INT)][2]]) END AS flat
+      FROM g{nbk}
+    )
+    SELECT user_id,
+           list_transform(generate_series(1, len(flat) // 2),
+                          j -> flat[2*j - 1]) AS xs,
+           list_transform(generate_series(1, len(flat) // 2),
+                          j -> flat[2*j] / 10000.0) AS ys
+    FROM folded ORDER BY user_id"""
+    return head + "".join(steps) + tail
+
+
+@query(
+    "q162_lttb_downsample",
+    oracle=_lttb_oracle_sql(),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets`` VERBATIM through the
+    bridge (``chsql._rewrite_lttb``): per-user event series downsampled
+    to 10 visually-representative points — Steinarsson's LTTB, the
+    downsampler CH ships for plotting pipelines (first/last kept, the
+    middle split into equal float-width buckets, each bucket
+    contributing the point that maximizes the triangle area with the
+    previously selected point and the next bucket's average). The
+    oracle replays the identical sequential fold with DuckDB list
+    lambdas (flat interleaved [x, y] state — the q148 list_reduce
+    device), so the hash pins bucket boundaries, the area argmax, the
+    first-max tiebreak, and every selected coordinate.
+
+    Exactness: y snaps to DECIMAL(18,4) and scales to integral doubles
+    and x is integral epoch seconds, so triangle areas are exact
+    integers-in-doubles — no ulp hazard in the argmax on either engine.
+
+    Scale: one user_id exchange; per-group state is the collected
+    series (the behavioral-aggregate contract); the fold is O(sz).
+
+    NARROW_CHAIN profile: one exchange + fold, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q162_CLICKHOUSE_SQL), "user_id")
+
+
 _Q139_CLICKHOUSE_SQL = """
     SELECT c_custkey,
            dictGetString('nation', 'n_name', c_nationkey) AS nation,

@@ -2049,3 +2049,83 @@ class TestMapAggregates:
 
         with pytest.raises(ChSqlError, match="2-array"):
             ch_sql(spark, "SELECT sumMap(m) FROM t")
+
+
+class TestLttbProperty:
+    """largestTriangleThreeBuckets bridge vs a pure-Python Steinarsson
+    reference over random series (y pre-scaled to integral doubles —
+    the exact-area contract)."""
+
+    @staticmethod
+    def _ref(pts, n):
+        import math
+
+        sz = len(pts)
+        if n >= sz:
+            return list(pts)
+        every = (sz - 2) / (n - 2)
+        out = [pts[0]]
+        prev = pts[0]
+        for i in range(n - 2):
+            a_lo = math.floor((i + 1) * every) + 1
+            a_hi = min(math.floor((i + 2) * every) + 1, sz)
+            nb = pts[a_lo:a_hi] or [pts[sz - 1]]
+            nav = (sum(p[0] for p in nb) / len(nb),
+                   sum(p[1] for p in nb) / len(nb))
+            bucket = pts[math.floor(i * every) + 1:
+                         math.floor((i + 1) * every) + 1]
+            best, best_a = bucket[0], -1.0
+            for c in bucket:
+                area = abs((prev[0] - nav[0]) * (c[1] - prev[1])
+                           - (prev[0] - c[0]) * (nav[1] - prev[1]))
+                if area > best_a:
+                    best, best_a = c, area
+            out.append(best)
+            prev = best
+        out.append(pts[sz - 1])
+        return out
+
+    def test_matches_reference(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        pt = st.tuples(
+            st.integers(0, 100000),
+            st.decimals(min_value=-99, max_value=99, places=3,
+                        allow_nan=False),
+        )
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(raw=st.lists(pt, min_size=1, max_size=30, unique_by=lambda p: p[0]),
+               n=st.integers(3, 8))
+        def check(raw, n):
+            data = sorted((float(x), float(y)) for x, y in raw)
+            rows = [Row(g=1, x=x, y=y) for x, y in data]
+            spark.createDataFrame(rows).createOrReplaceTempView("lttb_pt")
+            got = ch_sql(
+                spark,
+                f"SELECT g, largestTriangleThreeBuckets({n})(x, y) AS s "
+                f"FROM lttb_pt GROUP BY g",
+            ).collect()[0]["s"]
+            scaled = [(x, float(round(y * 10000))) for x, y in data]
+            want = self._ref(scaled, n)
+            assert list(got["x"]) == [p[0] for p in want], (data, n)
+            assert list(got["y"]) == [p[1] / 10000.0 for p in want], (data, n)
+
+        check()
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+
+        from mb8600_clickhouse_spark.functions.chsql import ChSqlError, ch_sql
+
+        with pytest.raises(ChSqlError):
+            ch_sql(spark, "SELECT lttb(2)(x, y) FROM t")
+        with pytest.raises(ChSqlError):
+            ch_sql(spark, "SELECT largestTriangleThreeBuckets(5)(x) FROM t")
