@@ -306,6 +306,9 @@ def _rewrite_combinators(sql: str) -> str:
         # (parallelism-dependent) order — identical contracts
         (r"\bgroupUniqArray\s*\(", "collect_set("),
         (r"\bgroupArray\s*\(", "collect_list("),
+        # bare ascending arraySort only (CH's lambda form would need a
+        # comparator translation this rename cannot express)
+        (r"\barraySort\s*\(", "sort_array("),
         # moment aggregates: identical population/sample contracts
         (r"\bstddevPop\s*\(", "stddev_pop("),
         (r"\bstddevSamp\s*\(", "stddev_samp("),
@@ -1883,6 +1886,77 @@ def _rewrite_scalar_calls(sql: str) -> str:
         rep = (
             f"timestamp_seconds(unix_seconds({ts}) - "
             f"pmod(unix_seconds({ts}), {secs}))"
+        )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    # simpleLinearRegression(x, y) — CH's least-squares aggregate
+    # returning (k, b). Inputs snap to DECIMAL(18,4); the four moment
+    # sums are exact decimals (x up to epoch scale fits precision 38),
+    # and k/b derive from them through one fixed IEEE expression — so
+    # an oracle spelling the same formula over the same snapped sums is
+    # bit-identical (CH's own float accumulation is partitioning-
+    # dependent; the snap-then-derive form is the deterministic
+    # equivalent, same trade as the uniq sketch mappings). Returns a
+    # named_struct('k','b') — tuple positions in CH.
+    while True:
+        m = _first_match(sql, r"\bsimpleLinearRegression\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 2:
+            raise ChSqlError("simpleLinearRegression expects (x, y)")
+        x, y = (a.strip() for a in args)
+        dx = f"CAST({x} AS DECIMAL(18,4))"
+        dy = f"CAST({y} AS DECIMAL(18,4))"
+        stats = (
+            f"named_struct("
+            f"'n', CAST(count({x}) AS DOUBLE), "
+            f"'sx', CAST(sum({dx}) AS DOUBLE), "
+            f"'sy', CAST(sum({dy}) AS DOUBLE), "
+            f"'sxy', CAST(sum({dx} * {dy}) AS DOUBLE), "
+            f"'sxx', CAST(sum({dx} * {dx}) AS DOUBLE))"
+        )
+        rep = (
+            f"element_at(transform(array({stats}), s -> element_at("
+            f"transform(array((s.n * s.sxy - s.sx * s.sy) / "
+            f"(s.n * s.sxx - s.sx * s.sx)), k -> named_struct("
+            f"'k', k, 'b', (s.sy - k * s.sx) / s.n)), 1)), 1)"
+        )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    # arrayCumSum / arrayDifference — CH array scalars, exact integer
+    # algebra when fed integral arrays (the bridge keeps the element
+    # type for arrayDifference; arrayCumSum folds in DOUBLE — CH keeps
+    # the widened input type, a documented divergence)
+    while True:
+        m = _first_match(sql, r"\barrayCumSum\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        a = sql[o + 1 : c].strip()
+        rep = (
+            f"aggregate({a}, named_struct("
+            f"'o', CAST(array() AS ARRAY<DOUBLE>), 'r', CAST(0 AS DOUBLE)), "
+            f"(acc, v) -> named_struct("
+            f"'o', concat(acc.o, array(acc.r + v)), 'r', acc.r + v)).o"
+        )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+    while True:
+        m = _first_match(sql, r"\barrayDifference\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        a = sql[o + 1 : c].strip()
+        # i is 0-based; element_at is 1-based, so element_at(a, i) IS
+        # the previous element; v - v pins the leading 0 to the
+        # array's own element type (element_at(a, 0) would raise)
+        rep = (
+            f"transform({a}, (v, i) -> "
+            f"if(i = 0, v - v, v - element_at({a}, i)))"
         )
         sql = sql[: m.start()] + rep + sql[c + 1 :]
     return sql

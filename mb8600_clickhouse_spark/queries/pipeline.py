@@ -3197,6 +3197,89 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vsort(ch_sql(spark, _Q162_CLICKHOUSE_SQL), "user_id")
 
 
+# ---------------------------------------------------------------------------
+# Q163 simpleLinearRegression + arrayCumSum/arrayDifference (round 8)
+# ---------------------------------------------------------------------------
+_Q163_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           simpleLinearRegression(
+             (unix_timestamp(ts) - 1704067200) / 86400.0, value).k AS slope,
+           simpleLinearRegression(
+             (unix_timestamp(ts) - 1704067200) / 86400.0, value).b
+             AS intercept,
+           arrayCumSum(arraySort(groupArray(CAST(round(value) AS BIGINT))))
+             AS cum_values,
+           arrayDifference(arraySort(groupArray(CAST(round(value) AS BIGINT))))
+             AS value_gaps
+    FROM events
+    WHERE user_id % 17 = 5
+    GROUP BY event_type
+"""
+
+
+@query(
+    "q163_regression_arrays",
+    oracle="""
+    WITH src AS (
+      SELECT event_type,
+             CAST(CAST((epoch(date_trunc('second', ts)) - 1704067200)
+                       / 86400.0 AS DECIMAL(18,4)) AS DOUBLE) AS xd,
+             CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS yd,
+             CAST(round(value) AS BIGINT) AS vi
+      FROM events WHERE user_id % 17 = 5
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(xd AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yd AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xd AS DECIMAL(18,4)) * CAST(yd AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xd AS DECIMAL(18,4)) * CAST(xd AS DECIMAL(18,4)))
+                  AS DOUBLE) AS sxx,
+             list_sort(list(vi)) AS vs
+      FROM src GROUP BY event_type
+    )
+    SELECT event_type,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           list_transform(generate_series(1, len(vs)),
+             i -> CAST(list_sum(list_slice(vs, 1, i)) AS DOUBLE))
+             AS cum_values,
+           list_transform(generate_series(1, len(vs)),
+             i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                       ELSE vs[i] - vs[i-1] END) AS value_gaps
+    FROM mom ORDER BY event_type
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression`` + ``arrayCumSum`` /
+    ``arrayDifference`` VERBATIM through the bridge: per-event-type
+    least-squares trend of ``value`` over days-since-2024 (slope and
+    intercept from DECIMAL(18,4)-snapped moment sums — the sums are
+    exact decimals, k/b one fixed IEEE expression over them, so the
+    oracle spelling the same formula is bit-identical; CH's own float
+    accumulation is partitioning-dependent, the snap-then-derive form
+    is the deterministic equivalent) plus the array-scalar pair over
+    the sorted per-group integer values (cumulative sums and adjacent
+    gaps — both integer-exact).
+
+    Scale: one event_type exchange; moments are plain partial-agg
+    sums, the arrays ride the behavioral collect contract.
+
+    NARROW_CHAIN profile: one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q163_CLICKHOUSE_SQL), "event_type")
+
+
 _Q139_CLICKHOUSE_SQL = """
     SELECT c_custkey,
            dictGetString('nation', 'n_name', c_nationkey) AS nation,

@@ -2129,3 +2129,40 @@ class TestLttbProperty:
             ch_sql(spark, "SELECT lttb(2)(x, y) FROM t")
         with pytest.raises(ChSqlError):
             ch_sql(spark, "SELECT largestTriangleThreeBuckets(5)(x) FROM t")
+
+
+class TestRegressionAndArrayScalars:
+    def test_simple_linear_regression_exact_line(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        # exact line: slope/intercept recovered exactly from snapped sums
+        rows = [Row(g=1, x=float(i), y=2.5 * i + 3.0) for i in range(12)]
+        spark.createDataFrame(rows).createOrReplaceTempView("slr_x")
+        r = ch_sql(
+            spark,
+            "SELECT g, simpleLinearRegression(x, y) AS lr FROM slr_x GROUP BY g",
+        ).collect()[0]["lr"]
+        assert r["k"] == 2.5 and r["b"] == 3.0
+
+    def test_array_scalars(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(arr=[3, 1, 4, 1, 5])]
+        ).createOrReplaceTempView("arr_x")
+        r = ch_sql(
+            spark,
+            "SELECT arrayCumSum(arr) AS cs, arrayDifference(arr) AS df, "
+            "arrayCumSum(arraySort(arr)) AS css FROM arr_x",
+        ).collect()[0]
+        assert r["cs"] == [3.0, 4.0, 8.0, 9.0, 14.0]
+        assert r["df"] == [0, -2, 3, -3, 4]
+        assert r["css"] == [1.0, 2.0, 5.0, 9.0, 14.0]
+
+    def test_regression_rejects_bad_arity(self, spark):
+        import pytest
+
+        from mb8600_clickhouse_spark.functions.chsql import ChSqlError, ch_sql
+
+        with pytest.raises(ChSqlError):
+            ch_sql(spark, "SELECT simpleLinearRegression(x) FROM t")
