@@ -27,6 +27,13 @@ they cannot be a scalar alias and need a textual rewrite before
   syntax, test-pinned).
 - ``topK(k)(x)`` → an EXACT per-group frequency-join rewrite under a
   tight, loudly-failing contract (see ``_rewrite_topk``).
+- The statistical aggregate family — ``avgWeighted`` / ``skewPop`` /
+  ``skewSamp`` / ``kurtPop`` / ``kurtSamp`` / ``covarPop`` /
+  ``covarSamp`` / ``boundingRatio`` / ``entropy`` / ``studentTTest`` /
+  ``welchTTest`` / ``mannWhitneyUTest`` → exact scaled-moment algebra
+  (128-bit integer sums, one correctly rounded IEEE tail; see
+  ``stats_agg_sql`` / ``_rewrite_stats_aggs``), hash-verifiable in a
+  second engine, unlike the natives' order-dependent accumulation.
 - ``FROM t SAMPLE f`` → a replay-stable md5-prefix filter, given the
   sampling key via ``sample_by`` (see ``_rewrite_sample``).
 - Bare ``count()`` → ``count(*)``.
@@ -314,8 +321,10 @@ def _rewrite_combinators(sql: str) -> str:
         (r"\bstddevSamp\s*\(", "stddev_samp("),
         (r"\bvarPop\s*\(", "var_pop("),
         (r"\bvarSamp\s*\(", "var_samp("),
-        (r"\bcovarPop\s*\(", "covar_pop("),
-        (r"\bcovarSamp\s*\(", "covar_samp("),
+        # covarPop/covarSamp are NOT renamed to the native functions:
+        # their streaming accumulation is partition-order-dependent in
+        # the last ulps, so _rewrite_stats_aggs expands them to exact
+        # scaled-moment algebra instead (hash-verifiable, q164)
     ):
         while True:
             m = _first_match(sql, ch)
@@ -1318,6 +1327,318 @@ def _rewrite_moving(sql: str) -> str:
     return sql
 
 
+# ---------------------------------------------------------------------------
+# statistical aggregates (round 8): avgWeighted / skew / kurt / covar /
+# boundingRatio / entropy / studentTTest / welchTTest / mannWhitneyUTest
+# ---------------------------------------------------------------------------
+_INT128_SPARK = "DECIMAL(38,0)"
+
+
+def _sv128(e: str, int128: str) -> str:
+    """DECIMAL(18,4)-snapped value as a scaled 128-bit integer (the
+    dsum4 device widened so 4th-power moment terms stay exact: Spark
+    spells the 128-bit lane DECIMAL(38,0), DuckDB HUGEINT — both exact
+    to 1e38, so sums/products over |x| <= ~3e5 never round)."""
+    return f"CAST(CAST(CAST({e} AS DECIMAL(18,4)) * 10000 AS BIGINT) AS {int128})"
+
+
+def _struct2(dialect: str, f1: str, v1: str, f2: str, v2: str) -> str:
+    if dialect == "spark":
+        return f"named_struct('{f1}', {v1}, '{f2}', {v2})"
+    return f"struct_pack({f1} := {v1}, {f2} := {v2})"
+
+
+def _struct3(dialect: str, fields: list[tuple[str, str]]) -> str:
+    if dialect == "spark":
+        inner = ", ".join(f"'{f}', {v}" for f, v in fields)
+        return f"named_struct({inner})"
+    inner = ", ".join(f"{f} := {v}" for f, v in fields)
+    return f"struct_pack({inner})"
+
+
+def _dbl128(e: str, dialect: str) -> str:
+    """Correctly rounded 128-bit-integer -> DOUBLE. Spark's
+    DECIMAL(38,0) cast goes through BigDecimal.doubleValue (correctly
+    rounded; verified on 8k adversarial 70-bit values), but DuckDB's
+    HUGEINT cast is a two-limb add that DOUBLE-ROUNDS above 2^53
+    (61/8000 adversarial values off by 1 ulp) — its VARCHAR round-trip
+    (strtod) is correctly rounded, so the duck dialect spells that.
+    Counts stay plain casts (exact below 2^53 in any engine)."""
+    if dialect == "spark":
+        return f"CAST({e} AS DOUBLE)"
+    return f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"
+
+
+def _moment_tails(x: str, int128: str, dialect: str) -> dict[str, str]:
+    """The population/sample moment expression family from exact scaled
+    sums. Every division/multiplication/sqrt below is a correctly
+    rounded IEEE op over identical inputs, so an oracle emitting the
+    SAME text (with its own int128/cast spelling) is bit-identical — no
+    decimal snap needed on the outputs (unlike the log-domain entropy,
+    where libm log2 differs across engines ulp-wise)."""
+    v = _sv128(x, int128)
+    n = f"count({x})"
+    s1 = f"sum({v})"
+    s2 = f"sum({v} * {v})"
+    s3 = f"sum({v} * {v} * {v})"
+    s4 = f"sum({v} * {v} * {v} * {v})"
+    nd = f"CAST({n} AS DOUBLE)"
+    mu = f"({_dbl128(s1, dialect)} / {nd})"
+    r2 = f"({_dbl128(s2, dialect)} / {nd})"
+    r3 = f"({_dbl128(s3, dialect)} / {nd})"
+    r4 = f"({_dbl128(s4, dialect)} / {nd})"
+    m2 = f"({r2} - {mu} * {mu})"
+    m3 = f"({r3} - 3.0 * {mu} * {r2} + 2.0 * {mu} * {mu} * {mu})"
+    m4 = (
+        f"({r4} - 4.0 * {mu} * {r3} + 6.0 * {mu} * {mu} * {r2}"
+        f" - 3.0 * {mu} * {mu} * {mu} * {mu})"
+    )
+    vs = f"({m2} * ({nd} / nullif({nd} - 1.0, 0.0)))"
+    # nullif guards: a constant group (m2 = 0) or n = 1 yields NULL, not
+    # an ANSI divide-by-zero (documented divergence from CH's nan)
+    return {
+        "skewPop": f"({m3} / nullif({m2} * sqrt({m2}), 0.0))",
+        "skewSamp": f"({m3} / nullif({vs} * sqrt({vs}), 0.0))",
+        "kurtPop": f"({m4} / nullif({m2} * {m2}, 0.0))",
+        "kurtSamp": f"({m4} / nullif({vs} * {vs}, 0.0))",
+    }
+
+
+def _ttest_expr(fam: str, x: str, g: str, int128: str, dialect: str) -> str:
+    """studentTTest / welchTTest (x, sample_index) from exact per-sample
+    moment sums. ClickHouse returns a (t, p) tuple; the p-value needs
+    the regularized incomplete beta, which neither Spark nor DuckDB
+    exposes — the bridge returns named fields (t_stat, df) instead,
+    from which any client can look up p (documented divergence; the
+    q161 named-fields rule)."""
+    parts = {}
+    for k in (0, 1):
+        guard = f"(({g}) = {k} AND ({x}) IS NOT NULL)"
+        xv = f"CASE WHEN {guard} THEN ({x}) END"
+        v = _sv128(xv, int128)
+        nk = f"count(CASE WHEN {guard} THEN 1 END)"
+        s1 = f"sum({v})"
+        s2 = f"sum({v} * {v})"
+        nd = f"CAST({nk} AS DOUBLE)"
+        mu = f"({_dbl128(s1, dialect)} / {nd})"
+        ssc = (
+            f"({_dbl128(s2, dialect)} - {_dbl128(s1, dialect)} * "
+            f"{_dbl128(s1, dialect)} / {nd})"
+        )
+        parts[k] = (nd, mu, ssc)
+    nd0, mu0, ssc0 = parts[0]
+    nd1, mu1, ssc1 = parts[1]
+    ok = f"({nd0} >= 2.0 AND {nd1} >= 2.0)"
+    if fam == "studentTTest":
+        sp2 = f"(({ssc0} + {ssc1}) / nullif({nd0} + {nd1} - 2.0, 0.0))"
+        t = (
+            f"(({mu0} - {mu1}) / "
+            f"nullif(sqrt({sp2} * (1.0 / {nd0} + 1.0 / {nd1})), 0.0))"
+        )
+        df = f"({nd0} + {nd1} - 2.0)"
+    else:
+        q0 = f"(({ssc0} / nullif({nd0} - 1.0, 0.0)) / {nd0})"
+        q1 = f"(({ssc1} / nullif({nd1} - 1.0, 0.0)) / {nd1})"
+        t = f"(({mu0} - {mu1}) / nullif(sqrt({q0} + {q1}), 0.0))"
+        df = (
+            f"((({q0} + {q1}) * ({q0} + {q1})) / "
+            f"nullif({q0} * {q0} / nullif({nd0} - 1.0, 0.0) + "
+            f"{q1} * {q1} / nullif({nd1} - 1.0, 0.0), 0.0))"
+        )
+    # a sample with < 2 rows has no variance estimate: NULL, not an
+    # ANSI divide-by-zero (CH raises; documented divergence)
+    t = f"(CASE WHEN {ok} THEN {t} END)"
+    df = f"(CASE WHEN {ok} THEN {df} END)"
+    return _struct2(dialect, "t_stat", t, "df", df)
+
+
+def mw_tail(r0: str, n0: str, n1: str, n: str, tsum: str, dialect: str = "spark") -> str:
+    """The Mann-Whitney tail over exact inputs: rank-sum ``r0`` (exact
+    halves), sample sizes, and the tie term ``tsum`` = sum(t^3 - t) over
+    tied groups (exact integer). u0/u1 are the two U statistics; z the
+    tie-corrected normal approximation (no continuity correction —
+    documented contract; CH returns (u, p), same p-value divergence as
+    the t-tests). Exposed so q165's oracle can compute the inputs
+    RELATIONALLY (window ranks — DuckDB's list_reduce has the q162
+    row-varying-slice vectorization bug, so no list folds in oracles)
+    and still share this exact IEEE tail text."""
+    ok = f"(({n0}) >= 1.0 AND ({n1}) >= 1.0 AND ({n}) >= 2.0)"
+    u0 = f"(CASE WHEN {ok} THEN ({r0}) - ({n0}) * (({n0}) + 1.0) / 2.0 END)"
+    u1 = f"(CASE WHEN {ok} THEN ({n0}) * ({n1}) - {u0} END)"
+    # all-tied values zero the variance bracket: NULL z, not an ANSI
+    # divide-by-zero (CH raises on degenerate samples; documented)
+    z = (
+        f"(({u0} - ({n0}) * ({n1}) / 2.0) / "
+        f"nullif(sqrt((({n0}) * ({n1}) / 12.0) * ((({n}) + 1.0) - "
+        f"CAST({tsum} AS DOUBLE) / nullif(({n}) * (({n}) - 1.0), 0.0))), "
+        f"0.0))"
+    )
+    return _struct3(dialect, [("u0", u0), ("u1", u1), ("z", z)])
+
+
+def entropy_tail(n: str, sl: str) -> str:
+    """Shannon entropy from the exact count ``n`` and the DOUBLE plogp
+    sum ``sl``; the final CAST to DECIMAL(18,6) absorbs BOTH the
+    cross-engine libm log2 ulp spread (measured: Spark's Java log2
+    differs from DuckDB's libm on ~23% of integer inputs) AND the
+    double-sum order noise — combined absolute error on H is ~1e-13,
+    so a 1e-6 grid flips with probability ~1e-7 (the quantized-output
+    device, same trade as the LTTB scaled areas). This is the ONE
+    family member whose output is snapped; the moment/t-test/U tails
+    are correctly-rounded-only IEEE trees and stay raw doubles."""
+    return (
+        f"CAST(log2(CAST({n} AS DOUBLE)) - CAST({sl} AS DOUBLE) / "
+        f"CAST({n} AS DOUBLE) AS DECIMAL(18,6))"
+    )
+
+
+def _mw_expr(x: str, g: str, dialect: str) -> str:
+    if dialect != "spark":
+        raise ChSqlError(
+            "mannWhitneyUTest's fold form is Spark-side only — oracle "
+            "engines spell ranks relationally and share mw_tail()"
+        )
+    pair = (
+        f"CASE WHEN ({x}) IS NOT NULL AND ({g}) IS NOT NULL THEN "
+        f"named_struct('v', CAST(CAST({x} AS DECIMAL(18,4)) * 10000 "
+        f"AS BIGINT), 'g', CAST({g} AS INT)) END"
+    )
+    n0 = "CAST(size(filter(ps, p -> p.g = 0)) AS DOUBLE)"
+    n1 = "CAST(size(filter(ps, p -> p.g <> 0)) AS DOUBLE)"
+    n = "CAST(size(ps) AS DOUBLE)"
+    # avg rank of p = |{q: q.v < p.v}| + (|{q: q.v = p.v}| + 1)/2 —
+    # exact halves, so the double fold is order-free (< 2^53)
+    r0 = (
+        "aggregate(filter(ps, p -> p.g = 0), CAST(0.0 AS DOUBLE), "
+        "(a, p) -> a + CAST(size(filter(ps, q -> q.v < p.v)) AS DOUBLE) + "
+        "(CAST(size(filter(ps, q -> q.v = p.v)) AS DOUBLE) + 1.0) / 2.0)"
+    )
+    tsum = (
+        "aggregate(transform(array_distinct(transform(ps, p -> p.v)), "
+        "u -> CAST(size(filter(ps, q -> q.v = u)) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, t) -> a + t * t * t - t)"
+    )
+    body = mw_tail(r0, n0, n1, n, tsum, dialect="spark")
+    return (
+        f"element_at(transform(array(collect_list({pair})), ps -> {body}), 1)"
+    )
+
+
+def _entropy_expr(x: str) -> str:
+    xs = f"collect_list(CAST({x} AS STRING))"
+    cnt = "CAST(size(filter(xs, e -> e = u)) AS DOUBLE)"
+    sl = (
+        f"aggregate(array_sort(array_distinct(xs)), "
+        f"CAST(0.0 AS DOUBLE), "
+        f"(a, u) -> a + {cnt} * log2({cnt}))"
+    )
+    body = entropy_tail("size(xs)", sl)
+    body = f"CASE WHEN size(xs) > 0 THEN {body} END"
+    return f"element_at(transform(array({xs}), xs -> {body}), 1)"
+
+
+def stats_agg_sql(
+    fam: str, args: list[str], *, int128: str = _INT128_SPARK,
+    dialect: str = "spark",
+) -> str:
+    """Expression text for one statistical-aggregate family member —
+    shared by the Spark rewrite and by oracle GENERATION (the q162
+    device: one emitter, two int128/struct spellings, so the IEEE
+    expression tails are textually identical and therefore
+    bit-identical over the exact integer inputs)."""
+    if fam == "avgWeighted":
+        x, w = args
+        guard = f"(({x}) IS NOT NULL AND ({w}) IS NOT NULL)"
+        xv = _sv128(f"CASE WHEN {guard} THEN ({x}) END", int128)
+        wv = _sv128(f"CASE WHEN {guard} THEN ({w}) END", int128)
+        return (
+            f"(({_dbl128(f'sum({xv} * {wv})', dialect)} / "
+            f"nullif({_dbl128(f'sum({wv})', dialect)}, 0.0)) / 10000.0)"
+        )
+    if fam in ("skewPop", "skewSamp", "kurtPop", "kurtSamp"):
+        (x,) = args
+        return _moment_tails(x, int128, dialect)[fam]
+    if fam in ("covarPop", "covarSamp"):
+        x, y = args
+        guard = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+        xv = _sv128(f"CASE WHEN {guard} THEN ({x}) END", int128)
+        yv = _sv128(f"CASE WHEN {guard} THEN ({y}) END", int128)
+        n = f"count(CASE WHEN {guard} THEN 1 END)"
+        nd = f"CAST({n} AS DOUBLE)"
+        sx = _dbl128(f"sum({xv})", dialect)
+        sy = _dbl128(f"sum({yv})", dialect)
+        sxy = _dbl128(f"sum({xv} * {yv})", dialect)
+        if fam == "covarPop":
+            return (
+                f"((({sxy} / nullif({nd}, 0.0)) - ({sx} / nullif({nd}, 0.0))"
+                f" * ({sy} / nullif({nd}, 0.0))) / 100000000.0)"
+            )
+        return (
+            f"((({sxy} - {sx} * {sy} / nullif({nd}, 0.0)) / "
+            f"nullif({nd} - 1.0, 0.0)) / 100000000.0)"
+        )
+    if fam == "boundingRatio":
+        x, y = args
+        guard = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+        xv = _sv128(f"CASE WHEN {guard} THEN ({x}) END", "BIGINT")
+        yv = _sv128(f"CASE WHEN {guard} THEN ({y}) END", "BIGINT")
+        st = f"CASE WHEN {guard} THEN {_struct2(dialect, 'x', xv, 'y', yv)} END"
+        return (
+            f"((CAST(max({st}).y AS DOUBLE) - CAST(min({st}).y AS DOUBLE))"
+            f" / nullif(CAST(max({st}).x AS DOUBLE) - "
+            f"CAST(min({st}).x AS DOUBLE), 0.0))"
+        )
+    if fam in ("studentTTest", "welchTTest"):
+        x, g = args
+        return _ttest_expr(fam, x, g, int128, dialect)
+    if fam == "mannWhitneyUTest":
+        x, g = args
+        return _mw_expr(x, g, dialect)
+    if fam == "entropy":
+        if dialect != "spark":
+            raise ChSqlError(
+                "entropy's fold form is Spark-side only — oracles count "
+                "relationally and share entropy_tail()"
+            )
+        (x,) = args
+        return _entropy_expr(x)
+    raise ChSqlError(f"unknown stats aggregate {fam}")
+
+
+_STATS_ARITY = {
+    "avgWeighted": 2, "skewPop": 1, "skewSamp": 1, "kurtPop": 1,
+    "kurtSamp": 1, "covarPop": 2, "covarSamp": 2, "boundingRatio": 2,
+    "studentTTest": 2, "welchTTest": 2, "mannWhitneyUTest": 2,
+    "entropy": 1,
+}
+
+
+def _rewrite_stats_aggs(sql: str) -> str:
+    """ClickHouse's statistical aggregate family → exact scaled-moment
+    algebra (see ``stats_agg_sql``). Definitions match ClickHouse's
+    (src/AggregateFunctions/StatCommon.h moment forms): central moments
+    are always /n; only the variance denominator switches between Pop
+    (/n) and Samp (/(n-1)); kurt* is NON-excess (no -3). Domain: the
+    DECIMAL(18,4) snap bounds |x| <= ~3e5 for the 4th-power moments to
+    stay inside the 128-bit lane — larger magnitudes raise on overflow
+    (ANSI), never silently round."""
+    for fam, arity in _STATS_ARITY.items():
+        while True:
+            m = _first_match(sql, rf"\b{fam}\s*\(")
+            if m is None:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+            if len(args) != arity:
+                raise ChSqlError(
+                    f"{fam} expects {arity} argument(s), got {len(args)}"
+                )
+            rep = stats_agg_sql(fam, args)
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
+    return sql
+
+
 def _rewrite_retention(sql: str) -> str:
     """``retention(c1, ..., cN)`` → exact aggregate expansion.
 
@@ -2246,6 +2567,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_topk(sql)
     sql = _rewrite_lttb(sql)
     sql = _rewrite_map_aggs(sql)
+    sql = _rewrite_stats_aggs(sql)
     sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)

@@ -82,6 +82,13 @@ def query(name: str, oracle: Optional[str] = None, prepare: bool = True):
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registers everything
-    from . import relational, llm, streaming_batch, extended, pipeline  # noqa: F401
+    from . import (  # noqa: F401
+        analytics,
+        extended,
+        llm,
+        pipeline,
+        relational,
+        streaming_batch,
+    )
 
     return QUERIES

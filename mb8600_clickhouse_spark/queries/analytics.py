@@ -1,0 +1,233 @@
+"""Statistical-aggregate declared queries (round 8): the ClickHouse
+stats family — avgWeighted / skew / kurt / covar / boundingRatio /
+entropy (q164) and the hypothesis tests studentTTest / welchTTest /
+mannWhitneyUTest (q165) — VERBATIM through the dialect bridge.
+
+Oracles are GENERATED from the same expression emitters the bridge
+uses (``chsql.stats_agg_sql`` with the DuckDB int128/cast spelling —
+the q162 device), so the IEEE tails are textually identical and the
+outputs bit-identical over the exact scaled-integer moment sums. The
+one snapped output is entropy (libm log2 is not cross-engine
+bit-stable; measured ~23% of integer inputs differ between Spark's
+Java log2 and DuckDB's libm — the DECIMAL(18,6) output snap absorbs
+the ~1e-13 combined error).
+
+Reference parity: extends §2.E's ClickHouse aggregate surface — the
+reference's consumers run these over the docsis rollups
+(`tables.sql:5-30` is the natural home for skew/kurt SNR monitoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.chsql import entropy_tail, mw_tail, stats_agg_sql
+from ..tables import register_views
+from . import query
+
+_DUCK = dict(int128="HUGEINT", dialect="duck")
+
+# ---------------------------------------------------------------------------
+# Q164 statistical aggregate family over events
+# ---------------------------------------------------------------------------
+_Q164_CLICKHOUSE_SQL = """
+    SELECT concat(event_type, '_', CAST(user_id % 13 AS STRING)) AS grp,
+           avgWeighted(value, user_id + 1) AS aw,
+           skewPop(value) AS skew_pop,
+           skewSamp(value) AS skew_samp,
+           kurtPop(value) AS kurt_pop,
+           kurtSamp(value) AS kurt_samp,
+           covarPop(value, user_id) AS covar_p,
+           covarSamp(value, user_id) AS covar_s,
+           boundingRatio(toUnixTimestamp(ts), value) AS brat,
+           CAST(entropy(user_id % 7) AS DOUBLE) AS ent
+    FROM events
+    GROUP BY grp
+"""
+
+
+def _q164_oracle() -> str:
+    cols = {
+        "aw": stats_agg_sql("avgWeighted", ["value", "user_id + 1"], **_DUCK),
+        "skew_pop": stats_agg_sql("skewPop", ["value"], **_DUCK),
+        "skew_samp": stats_agg_sql("skewSamp", ["value"], **_DUCK),
+        "kurt_pop": stats_agg_sql("kurtPop", ["value"], **_DUCK),
+        "kurt_samp": stats_agg_sql("kurtSamp", ["value"], **_DUCK),
+        "covar_p": stats_agg_sql("covarPop", ["value", "user_id"], **_DUCK),
+        "covar_s": stats_agg_sql("covarSamp", ["value", "user_id"], **_DUCK),
+        "brat": stats_agg_sql(
+            "boundingRatio",
+            ["CAST(floor(epoch(ts)) AS BIGINT)", "value"],
+            **_DUCK,
+        ),
+    }
+    agg = ", ".join(f"{v} AS {k}" for k, v in cols.items())
+    ent = entropy_tail(
+        "SUM(cnt)", "SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type || '_' || CAST(user_id % 13 AS VARCHAR) AS grp,
+             {agg}
+      FROM events GROUP BY grp
+    ),
+    ent AS (
+      SELECT grp, CAST({ent} AS DOUBLE) AS ent FROM (
+        SELECT event_type || '_' || CAST(user_id % 13 AS VARCHAR) AS grp,
+               CAST(user_id % 7 AS VARCHAR) AS xv, COUNT(*) AS cnt
+        FROM events GROUP BY grp, xv
+      ) GROUP BY grp
+    )
+    SELECT base.*, ent.ent FROM base JOIN ent USING (grp)
+    ORDER BY grp
+    """
+
+
+@query("q164_stats_aggregates", oracle=_q164_oracle())
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's statistical aggregate family VERBATIM through the
+    bridge (``chsql._rewrite_stats_aggs``): weighted mean, population/
+    sample skewness and (non-excess) kurtosis, covariances, the
+    leftmost-to-rightmost slope ``boundingRatio``, and Shannon
+    ``entropy`` — per (event_type, user-bucket) group.
+
+    Exactness: every family member folds DECIMAL(18,4)-snapped values
+    as scaled 128-bit integers (Spark DECIMAL(38,0) / oracle HUGEINT —
+    both exact to 1e38, so the 4th-power moment sums never round), then
+    derives the statistic through ONE fixed IEEE expression of
+    correctly rounded ops (divide/multiply/sqrt). Two cross-engine
+    hazards are handled explicitly: DuckDB's HUGEINT->DOUBLE cast
+    double-rounds above 2^53 (the oracle spells the correctly rounded
+    VARCHAR round-trip instead), and libm log2 is not bit-stable
+    (entropy's output snaps to DECIMAL(18,6), absorbing ~1e-13 of
+    combined log+sum-order noise). covarPop/covarSamp deliberately do
+    NOT map to Spark's native covar_pop/covar_samp: their streaming
+    accumulation is partition-order-dependent in the last ulps.
+
+    Divergences from ClickHouse (documented in the rewrite): degenerate
+    groups (n < 2, zero variance, zero weight/x-range) return NULL
+    rather than nan/exception; boundingRatio ties on x resolve by the
+    (x, y) struct order; entropy treats the value as its string form.
+
+    Scale: one map-side-combined exchange on the group key; every
+    aggregate is a constant number of partial sums — the same shape as
+    q09's hash aggregation, no collected state (entropy's fold is over
+    the per-group DISTINCT values of a 7-value bucket column).
+
+    Reference parity: `tables.sql:5-30`'s docsis rollups are the
+    natural consumer (SNR skew/kurtosis monitoring).
+
+    NARROW_CHAIN profile: scan -> one exchange -> project, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q164_CLICKHOUSE_SQL), "grp")
+
+
+# ---------------------------------------------------------------------------
+# Q165 hypothesis tests over a bounded event slice
+# ---------------------------------------------------------------------------
+_Q165_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           studentTTest(value, user_id % 2).t_stat AS t_student,
+           studentTTest(value, user_id % 2).df AS df_student,
+           welchTTest(value, user_id % 2).t_stat AS t_welch,
+           welchTTest(value, user_id % 2).df AS df_welch,
+           mannWhitneyUTest(value, user_id % 2).u0 AS mw_u0,
+           mannWhitneyUTest(value, user_id % 2).u1 AS mw_u1,
+           mannWhitneyUTest(value, user_id % 2).z AS mw_z
+    FROM events
+    WHERE user_id % 97 = 13
+    GROUP BY event_type
+"""
+
+
+def _q165_oracle() -> str:
+    tt = stats_agg_sql("studentTTest", ["value", "user_id % 2"], **_DUCK)
+    wt = stats_agg_sql("welchTTest", ["value", "user_id % 2"], **_DUCK)
+    mw = mw_tail("r0", "n0", "n1", "n", "tsum", dialect="duck")
+    return f"""
+    WITH e AS (SELECT * FROM events WHERE user_id % 97 = 13),
+    base AS (
+      SELECT event_type,
+             ({tt}).t_stat AS t_student, ({tt}).df AS df_student,
+             ({wt}).t_stat AS t_welch, ({wt}).df AS df_welch
+      FROM e GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS g,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+             RANK() OVER (PARTITION BY event_type ORDER BY
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS teq
+      FROM e
+    ),
+    mwin AS (
+      SELECT event_type,
+             SUM(CASE WHEN g = 0 THEN CAST(rk AS DOUBLE) +
+                 (CAST(teq AS DOUBLE) - 1.0) / 2.0 END) AS r0,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(SUM(CASE WHEN g <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM r GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type, SUM(tc * tc * tc - tc) AS tsum FROM (
+        SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS tc
+        FROM r GROUP BY event_type, v
+      ) GROUP BY event_type
+    )
+    SELECT base.*, ({mw}).u0 AS mw_u0, ({mw}).u1 AS mw_u1, ({mw}).z AS mw_z
+    FROM base JOIN mwin USING (event_type) JOIN ties USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@query("q165_hypothesis_tests", oracle=_q165_oracle())
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``studentTTest`` / ``welchTTest`` /
+    ``mannWhitneyUTest`` VERBATIM through the bridge — the A/B-testing
+    aggregate trio, split on user parity over a bounded slice.
+
+    The t-tests are pure moment algebra (per-sample exact scaled sums
+    -> one IEEE tree: pooled/unpooled variance, t statistic, Welch-
+    Satterthwaite df); the U test needs the values' RANKS, which the
+    Spark side derives inside one aggregate expression — collect the
+    (value, sample) pairs, fold avg-ranks as exact halves (order-free:
+    every addend is an exact multiple of 0.5 below 2^53), with the
+    classic tie-corrected normal z. The ORACLE computes the identical
+    ranks RELATIONALLY (window rank + tie counts — no list folds:
+    DuckDB 1.0's list_reduce has the q162 row-varying-slice
+    vectorization bug) and shares the bridge's IEEE tail text, so the
+    hash pins both computation paths to the same bits.
+
+    Divergence from ClickHouse (documented in the rewrite): CH returns
+    (statistic, p-value) tuples; the p-value needs the regularized
+    incomplete beta / normal CDF, which neither engine exposes — the
+    bridge returns (t_stat, df) / (u0, u1, z), from which p is a pure
+    client-side lookup. Degenerate samples return NULL, not nan.
+
+    Scale: the t-tests are scan-speed partial sums (no per-group
+    state). The U fold collects the group's (v, g) pairs and rank-folds
+    in O(n^2) per group — correct for the bounded slices this query
+    contracts (the behavioral-aggregate collect rule, q135-q148); the
+    window-rank spelling the oracle uses IS the distributed upgrade
+    path (rank + tie counts over a keyed window, no collect) when a
+    group's cardinality is unbounded.
+
+    NARROW_CHAIN profile: filtered scan -> one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q165_CLICKHOUSE_SQL), "event_type")

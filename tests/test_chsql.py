@@ -628,7 +628,10 @@ class TestQuantilesPluralAndMoments:
         assert rw("SELECT stddevPop(v), varSamp(v) FROM t") == (
             "SELECT stddev_pop(v), var_samp(v) FROM t"
         )
-        assert rw("SELECT covarPop(a, b) FROM t") == "SELECT covar_pop(a, b) FROM t"
+        # covarPop expands to exact scaled-moment algebra (round 8) —
+        # the native covar_pop rename was ulp-order-dependent
+        out = rw("SELECT covarPop(a, b) FROM t")
+        assert "covar_pop" not in out and "sum(" in out
 
     def test_quantiles_executes(self, spark):
         df = spark.range(1, 101).selectExpr("id AS v")
@@ -2166,3 +2169,181 @@ class TestRegressionAndArrayScalars:
 
         with pytest.raises(ChSqlError):
             ch_sql(spark, "SELECT simpleLinearRegression(x) FROM t")
+
+
+class TestStatsAggregates:
+    """Round-8 statistical aggregate bridge: exact scaled-moment algebra
+    (chsql._rewrite_stats_aggs) vs pure-Python references computed with
+    the same definitions (central moments /n; Pop vs Samp switches only
+    the variance denominator; kurt is non-excess; MW uses avg ranks +
+    tie-corrected z, no continuity correction)."""
+
+    @pytest.fixture(scope="class")
+    def stats_view(self, spark):
+        import random
+
+        rng = random.Random("stats-agg-13")
+        rows = [
+            Row(
+                g="a" if i % 3 else "b",
+                x=round(rng.uniform(-50.0, 150.0), 4),
+                w=float(1 + i % 7),
+                s=i % 2,
+                t=1_700_000_000 + i * 37,
+            )
+            for i in range(400)
+        ]
+        # every 11th row reuses row 0's x: planted ties exercise the
+        # MW tie-correction path
+        spark.createDataFrame(
+            [Row(g=r.g, x=r.x if i % 11 else rows[0].x, w=r.w, s=r.s, t=r.t)
+             for i, r in enumerate(rows)]
+        ).createOrReplaceTempView("stats_t")
+        return [
+            (r.g, r.x if i % 11 else rows[0].x, r.w, r.s, r.t)
+            for i, r in enumerate(rows)
+        ]
+
+    def _snap(self, v):
+        from decimal import Decimal
+
+        return int(Decimal(str(v)).quantize(Decimal("0.0001")) * 10000)
+
+    def test_moments_match_python(self, spark, stats_view):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT g, skewPop(x) AS sp, skewSamp(x) AS ss, "
+            "kurtPop(x) AS kp, kurtSamp(x) AS ks, "
+            "avgWeighted(x, w) AS aw, covarPop(x, w) AS cp, "
+            "covarSamp(x, w) AS cs FROM stats_t GROUP BY g ORDER BY g",
+        ).collect()
+        import math
+
+        for r in rows:
+            xs = [self._snap(x) for (g, x, w, s, t) in stats_view if g == r.g]
+            ws = [self._snap(w) for (g, x, w, s, t) in stats_view if g == r.g]
+            n = len(xs)
+            mu = sum(xs) / n
+            m2 = sum(v * v for v in xs) / n - mu * mu
+            r3 = sum(v ** 3 for v in xs) / n
+            r2 = sum(v * v for v in xs) / n
+            m3 = r3 - 3 * mu * r2 + 2 * mu ** 3
+            m4 = (
+                sum(v ** 4 for v in xs) / n
+                - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu ** 4
+            )
+            vs = m2 * (n / (n - 1))
+            assert r.sp == pytest.approx(m3 / (m2 * math.sqrt(m2)), rel=1e-9)
+            assert r.ss == pytest.approx(m3 / (vs * math.sqrt(vs)), rel=1e-9)
+            assert r.kp == pytest.approx(m4 / (m2 * m2), rel=1e-9)
+            assert r.ks == pytest.approx(m4 / (vs * vs), rel=1e-9)
+            aw = sum(x * w for x, w in zip(xs, ws)) / sum(ws) / 10000.0
+            assert r.aw == pytest.approx(aw, rel=1e-9)
+            sxy = sum(x * w for x, w in zip(xs, ws))
+            cp = (sxy / n - (sum(xs) / n) * (sum(ws) / n)) / 1e8
+            cs = (sxy - sum(xs) * sum(ws) / n) / (n - 1) / 1e8
+            assert r.cp == pytest.approx(cp, rel=1e-9)
+            assert r.cs == pytest.approx(cs, rel=1e-9)
+
+    def test_ttests_and_mw_match_python(self, spark, stats_view):
+        import math
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT g, studentTTest(x, s).t_stat AS ts, "
+            "welchTTest(x, s).t_stat AS tw, welchTTest(x, s).df AS dfw, "
+            "mannWhitneyUTest(x, s).u0 AS u0, mannWhitneyUTest(x, s).u1 "
+            "AS u1, mannWhitneyUTest(x, s).z AS z "
+            "FROM stats_t GROUP BY g ORDER BY g",
+        ).collect()
+        for r in rows:
+            a = [self._snap(x) for (g, x, w, s, t) in stats_view
+                 if g == r.g and s == 0]
+            b = [self._snap(x) for (g, x, w, s, t) in stats_view
+                 if g == r.g and s == 1]
+            n0, n1 = len(a), len(b)
+            mu0, mu1 = sum(a) / n0, sum(b) / n1
+            ss0 = sum(v * v for v in a) - sum(a) ** 2 / n0
+            ss1 = sum(v * v for v in b) - sum(b) ** 2 / n1
+            sp2 = (ss0 + ss1) / (n0 + n1 - 2)
+            ts = (mu0 - mu1) / math.sqrt(sp2 * (1 / n0 + 1 / n1))
+            q0, q1 = ss0 / (n0 - 1) / n0, ss1 / (n1 - 1) / n1
+            tw = (mu0 - mu1) / math.sqrt(q0 + q1)
+            dfw = (q0 + q1) ** 2 / (q0 * q0 / (n0 - 1) + q1 * q1 / (n1 - 1))
+            assert r.ts == pytest.approx(ts, rel=1e-9)
+            assert r.tw == pytest.approx(tw, rel=1e-9)
+            assert r.dfw == pytest.approx(dfw, rel=1e-9)
+            both = a + b
+            nn = len(both)
+            r0 = sum(
+                sum(1 for q in both if q < v)
+                + (sum(1 for q in both if q == v) + 1) / 2
+                for v in a
+            )
+            u0 = r0 - n0 * (n0 + 1) / 2
+            assert r.u0 == u0 and r.u1 == n0 * n1 - u0
+            from collections import Counter
+
+            tsum = sum(c ** 3 - c for c in Counter(both).values())
+            z = (u0 - n0 * n1 / 2) / math.sqrt(
+                (n0 * n1 / 12) * ((nn + 1) - tsum / (nn * (nn - 1)))
+            )
+            assert r.z == pytest.approx(z, rel=1e-9)
+
+    def test_entropy_matches_python(self, spark, stats_view):
+        import math
+        from collections import Counter
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT g, CAST(entropy(s) AS DOUBLE) AS h FROM stats_t "
+            "GROUP BY g ORDER BY g",
+        ).collect()
+        for r in rows:
+            c = Counter(s for (g, x, w, s, t) in stats_view if g == r.g)
+            n = sum(c.values())
+            h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+            assert r.h == pytest.approx(h, abs=2e-6)
+
+    def test_degenerate_groups_null_not_error(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(g="one", x=5.0, s=0), Row(g="tied", x=7.0, s=0),
+             Row(g="tied", x=7.0, s=1)]
+        ).createOrReplaceTempView("stats_degen")
+        r = ch_sql(
+            spark,
+            "SELECT g, skewPop(x) AS sp, skewSamp(x) AS ss, "
+            "covarSamp(x, x) AS cv, boundingRatio(x, x) AS br, "
+            "studentTTest(x, s).t_stat AS ts, "
+            "mannWhitneyUTest(x, s).z AS z "
+            "FROM stats_degen GROUP BY g ORDER BY g",
+        ).collect()
+        one = r[0]
+        assert one.sp is None and one.ss is None and one.cv is None
+        assert one.br is None and one.ts is None and one.z is None
+        tied = r[1]  # two equal values: zero variance, tied ranks
+        assert tied.sp is None and tied.ts is None and tied.z is None
+
+    def test_arity_rejects(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT skewPop(a, b) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT avgWeighted(a) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT mannWhitneyUTest(a) FROM t")
+
+    def test_oracle_dialect_rejects_fold_families(self):
+        from mb8600_clickhouse_spark.functions.chsql import stats_agg_sql
+
+        with pytest.raises(ChSqlError):
+            stats_agg_sql("entropy", ["x"], dialect="duck")
+        with pytest.raises(ChSqlError):
+            stats_agg_sql("mannWhitneyUTest", ["x", "g"], dialect="duck")
