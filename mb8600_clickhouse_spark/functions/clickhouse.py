@@ -175,6 +175,120 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "BIGINT",
         "CASE WHEN b = 0 THEN 0L ELSE a div b END",
     ),
+    # ------------------------------------------------------------------
+    # URL functions (round 8) — ClickHouse's URL vocabulary as pure
+    # regex projections (Catalyst-inlined, codegen-friendly; the regex
+    # subset is RE2-compatible so a DuckDB oracle replays it verbatim —
+    # the q131 dialect-parity rule: anchored single-match replaces,
+    # no backreference PATTERNS, no lookaround). Semantics follow CH
+    # docs; documented deltas: invalid/relative URLs yield '' (CH
+    # mostly agrees), topLevelDomain of a dotless host is '' (CH: ''),
+    # and percent-decoding is NOT applied anywhere (CH agrees).
+    "protocol": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)",
+    ),
+    "domain": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1)",
+    ),
+    "domainWithoutWWW": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_replace(regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1), "
+        r"'^www\\.', '')",
+    ),
+    "topLevelDomain": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_extract(regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1), "
+        r"'\\.([^.]+)$', 1)",
+    ),
+    # CH resolves the "first significant subdomain" against a public-
+    # suffix-style list; this alias implements the canonical rule only
+    # (second-level generic labels com/net/org/co/biz/gov/mil/edu under
+    # a ccTLD step one label deeper) — documented approximation
+    "firstSignificantSubdomain": (
+        "(url STRING)",
+        "STRING",
+        r"CASE WHEN size(split(regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1), "
+        r"'\\.')) <= 1 THEN '' "
+        r"WHEN size(split(regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1), "
+        r"'\\.')) >= 3 AND element_at(split(regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1), "
+        r"'\\.'), -2) IN ('com','net','org','co','biz','gov','mil','edu') "
+        r"THEN element_at(split(regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1), "
+        r"'\\.'), -3) "
+        r"ELSE element_at(split(regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)', 1), "
+        r"'\\.'), -2) END",
+    ),
+    "path": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)', 1)",
+    ),
+    "pathFull": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*(.*)$', 1)",
+    ),
+    "queryString": (
+        "(url STRING)",
+        "STRING",
+        r"CASE WHEN url RLIKE '^[^#]*\\?' "
+        r"THEN regexp_extract(url, '\\?([^#]*)', 1) ELSE '' END",
+    ),
+    "fragment": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_extract(url, '#(.*)$', 1)",
+    ),
+    "queryStringAndFragment": (
+        "(url STRING)",
+        "STRING",
+        r"CASE WHEN url RLIKE '^[^#]*\\?' "
+        r"THEN regexp_extract(url, '\\?(.*)$', 1) "
+        r"WHEN url RLIKE '#' THEN regexp_extract(url, '(#.*)$', 1) "
+        r"ELSE '' END",
+    ),
+    "extractURLParameter": (
+        "(url STRING, p STRING)",
+        "STRING",
+        r"regexp_extract(url, concat('[?&]\\Q', p, '\\E=([^&#]*)'), 1)",
+    ),
+    "cutQueryString": (
+        "(url STRING)",
+        "STRING",
+        r"concat(regexp_extract(url, '^([^#?]*)', 1), "
+        r"regexp_extract(url, '(#.*)$', 1))",
+    ),
+    "cutFragment": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_replace(url, '#.*$', '')",
+    ),
+    "cutQueryStringAndFragment": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_extract(url, '^([^#?]*)', 1)",
+    ),
+    "cutWWW": (
+        "(url STRING)",
+        "STRING",
+        r"regexp_replace(url, "
+        r"'^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?)www\\.', '$1')",
+    ),
 }
 
 #: dialect forms that are NOT scalar functions and therefore cannot be
@@ -187,7 +301,9 @@ DIALECT_NOTES: dict[str, str] = {
     "quantile(0.95)(x)": "runs verbatim via chsql (percentile_approx; quantileExact -> exact percentile)",
     "quantileTDigest(0.95)(x)": "runs verbatim via chsql (q67's tolerance-gated form)",
     "quantiles(0.5, 0.9)(x) / quantilesExact(...)": "runs verbatim via chsql (array-returning percentile forms)",
-    "stddevPop/stddevSamp/varPop/varSamp/covarPop/covarSamp": "runs verbatim via chsql (identical moment contracts)",
+    "stddevPop/stddevSamp/varPop/varSamp": "runs verbatim via chsql (identical moment contracts)",
+    "avgWeighted/skewPop/skewSamp/kurtPop/kurtSamp/covarPop/covarSamp/boundingRatio/entropy": "bridged as of round 8 (chsql._rewrite_stats_aggs) — exact 128-bit scaled-moment algebra with one correctly rounded IEEE tail, hash-verifiable cross-engine (q164); degenerate groups -> NULL, kurt is non-excess, entropy snaps to 1e-6 (libm log2 is not bit-stable)",
+    "studentTTest/welchTTest/mannWhitneyUTest(x, sample_idx)": "bridged as of round 8 — (t_stat, df) / (u0, u1, z) named structs from exact moment/rank algebra (q165); CH's p-values need incomplete-beta/normal CDFs neither engine exposes (client-side lookup); MW's fold form is O(n^2)-per-group for bounded slices, window-rank spelling is the unbounded path",
     "countIf / sumIf / avgIf / minIf / maxIf": "runs verbatim via chsql",
     "formatDateTime(ts, '%Y-%m-%d ...')": "runs verbatim via chsql (exact %-code subset; ambiguous codes raise)",
     "GROUP BY ... WITH TOTALS": "runs verbatim via chsql (GROUPING SETS ((keys), ()) — exact; q82)",

@@ -231,3 +231,155 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q165_CLICKHOUSE_SQL), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q166 URL function family over a planted URL corpus
+# ---------------------------------------------------------------------------
+_Q166_URL_PLANT_CH = """
+      SELECT doc_id,
+        concat(
+          CASE WHEN doc_id % 3 = 0 THEN 'https://'
+               WHEN doc_id % 3 = 1 THEN 'http://' ELSE '' END,
+          CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END,
+          CASE doc_id % 6
+            WHEN 0 THEN 'www.Example.COM' WHEN 1 THEN 'news.site.org'
+            WHEN 2 THEN 'example.com.tr' WHEN 3 THEN 'a.b.co'
+            WHEN 4 THEN 'files.example.net' ELSE 'deep.sub.example.com' END,
+          CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END,
+          CASE doc_id % 4
+            WHEN 0 THEN '' WHEN 1 THEN '/x'
+            WHEN 2 THEN concat('/a/', CAST(doc_id % 50 AS STRING))
+            ELSE '/a/b/c/' END,
+          CASE doc_id % 5
+            WHEN 1 THEN '?p=1'
+            WHEN 2 THEN concat('?p=', CAST(doc_id % 9 AS STRING), '&q=2')
+            WHEN 3 THEN '?utm=z&p=7' ELSE '' END,
+          CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END
+        ) AS url
+      FROM documents
+"""
+
+_Q166_CLICKHOUSE_SQL = f"""
+    SELECT doc_id, url,
+           protocol(url) AS proto,
+           domain(url) AS host,
+           domainWithoutWWW(url) AS host_nw,
+           topLevelDomain(url) AS tld,
+           firstSignificantSubdomain(url) AS fss,
+           path(url) AS upath,
+           pathFull(url) AS upath_full,
+           queryString(url) AS qs,
+           fragment(url) AS frag,
+           queryStringAndFragment(url) AS qsf,
+           extractURLParameter(url, 'p') AS param_p,
+           cutQueryString(url) AS cut_qs,
+           cutFragment(url) AS cut_frag,
+           cutQueryStringAndFragment(url) AS cut_qsf,
+           cutWWW(url) AS cut_www
+    FROM ({_Q166_URL_PLANT_CH})
+"""
+
+_Q166_HOSTRE = r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)'"
+
+
+def _q166_oracle() -> str:
+    d = f"regexp_extract(url, {_Q166_HOSTRE}, 1)"
+    labels = f"string_split({d}, '.')"
+    return rf"""
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 3 = 0 THEN 'https://'
+              WHEN doc_id % 3 = 1 THEN 'http://' ELSE '' END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END) ||
+        (CASE doc_id % 6
+           WHEN 0 THEN 'www.Example.COM' WHEN 1 THEN 'news.site.org'
+           WHEN 2 THEN 'example.com.tr' WHEN 3 THEN 'a.b.co'
+           WHEN 4 THEN 'files.example.net' ELSE 'deep.sub.example.com' END) ||
+        (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+        (CASE doc_id % 4
+           WHEN 0 THEN '' WHEN 1 THEN '/x'
+           WHEN 2 THEN '/a/' || CAST(doc_id % 50 AS VARCHAR)
+           ELSE '/a/b/c/' END) ||
+        (CASE doc_id % 5
+           WHEN 1 THEN '?p=1'
+           WHEN 2 THEN '?p=' || CAST(doc_id % 9 AS VARCHAR) || '&q=2'
+           WHEN 3 THEN '?utm=z&p=7' ELSE '' END) ||
+        (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+      regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS proto,
+      {d} AS host,
+      regexp_replace({d}, '^www\.', '') AS host_nw,
+      regexp_extract({d}, '\.([^.]+)$', 1) AS tld,
+      CASE WHEN len({labels}) <= 1 THEN ''
+           WHEN len({labels}) >= 3 AND {labels}[-2] IN
+             ('com','net','org','co','biz','gov','mil','edu')
+           THEN {labels}[-3]
+           ELSE {labels}[-2] END AS fss,
+      regexp_extract(url,
+        '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS upath,
+      regexp_extract(url,
+        '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*(.*)$', 1) AS upath_full,
+      CASE WHEN regexp_matches(url, '^[^#]*\?')
+           THEN regexp_extract(url, '\?([^#]*)', 1) ELSE '' END AS qs,
+      regexp_extract(url, '#(.*)$', 1) AS frag,
+      CASE WHEN regexp_matches(url, '^[^#]*\?')
+           THEN regexp_extract(url, '\?(.*)$', 1)
+           WHEN regexp_matches(url, '#')
+           THEN regexp_extract(url, '(#.*)$', 1)
+           ELSE '' END AS qsf,
+      regexp_extract(url, '[?&]\Qp\E=([^&#]*)', 1) AS param_p,
+      regexp_extract(url, '^([^#?]*)', 1) ||
+        regexp_extract(url, '(#.*)$', 1) AS cut_qs,
+      regexp_replace(url, '#.*$', '') AS cut_frag,
+      regexp_extract(url, '^([^#?]*)', 1) AS cut_qsf,
+      regexp_replace(url,
+        '^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?)www\.', '\1')
+        AS cut_www
+    FROM u
+    ORDER BY doc_id
+    """
+
+
+@query("q166_url_functions", oracle=_q166_oracle())
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's URL function vocabulary VERBATIM as registered
+    scalars (``functions/clickhouse.py`` round-8 block): protocol /
+    domain / domainWithoutWWW / topLevelDomain /
+    firstSignificantSubdomain / path / pathFull / queryString /
+    fragment / queryStringAndFragment / extractURLParameter /
+    cutQueryString / cutFragment / cutQueryStringAndFragment / cutWWW —
+    over URLs PLANTED deterministically on the fixture (the q126/q131
+    device: schemes incl. scheme-less, userinfo, mixed-case www hosts,
+    ccTLD chains like example.com.tr, ports, empty/deep/trailing-slash
+    paths, repeated params, fragments — every branch of every regex).
+
+    Every function is a pure RE2-compatible regex projection, so the
+    DuckDB oracle replays the IDENTICAL patterns (the q131
+    dialect-parity contract: anchored single-match replaces, \\Q..\\E
+    literal quoting for the dynamic parameter name, no lookaround) and
+    the hash pins Java-vs-RE2 regex behavior across all 16 outputs.
+    Documented deltas from ClickHouse: firstSignificantSubdomain uses
+    the canonical generic-second-level rule, not CH's embedded
+    public-suffix list; invalid/relative URLs yield '' everywhere.
+
+    Scale: one narrow scan-speed projection — no exchange at all
+    (Catalyst-inlined SQL functions, whole-stage codegen; the same
+    shape as q126/q131's curation projections).
+
+    Reference parity: extends the §2.E dialect surface; the crawl
+    pipeline (q131/q150/q156) consumes domain/path policy decisions
+    built from exactly these primitives.
+
+    NARROW_CHAIN profile: pure projection, nothing for AQE to adapt."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q166_CLICKHOUSE_SQL), "doc_id")

@@ -148,3 +148,52 @@ class TestRound6Scalars:
                 assert got is None, expr
             else:
                 assert str(got) == str(want), (expr, got, want)
+
+
+class TestUrlFunctions:
+    """Round-8 URL vocabulary: pure RE2-compatible regex projections
+    (q166 hash-pins the cross-engine behavior; these pin the per-edge
+    CH semantics the docstrings claim)."""
+
+    def test_url_family_edges(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            # (expr) -> expected
+            "protocol('https://x.com/a')": "https",
+            "protocol('x.com/a')": "",
+            "domain('http://user:pw@news.site.org:8080/p')": "news.site.org",
+            "domain('example.com/bare?q=5')": "example.com",
+            "domain('/relative/only')": "",
+            "domainWithoutWWW('https://www.Example.COM/a')": "Example.COM",
+            "topLevelDomain('https://a.b.co.jp/x')": "jp",
+            "topLevelDomain('localhost:9000/x')": "",
+            "firstSignificantSubdomain('http://www.example.com.tr/i')": "example",
+            "firstSignificantSubdomain('https://a.b.co.jp/x')": "b",
+            "firstSignificantSubdomain('https://deep.sub.example.com/')": "example",
+            "path('https://example.com/a/b?x=1#f')": "/a/b",
+            "path('https://example.com')": "",
+            "pathFull('https://example.com/a?x=1#f')": "/a?x=1#f",
+            "queryString('https://e.com/a?x=1&y=2#f')": "x=1&y=2",
+            # '?' inside the fragment is NOT a query string
+            "queryString('https://e.com/a#f?notaquery')": "",
+            "fragment('https://e.com/a#f?x')": "f?x",
+            "queryStringAndFragment('https://e.com/a?x=1#f')": "x=1#f",
+            "queryStringAndFragment('https://e.com/a#f')": "#f",
+            "extractURLParameter('https://e.com/?p=1&pp=2', 'p')": "1",
+            "extractURLParameter('https://e.com/?a=1', 'p')": "",
+            # regex metacharacters in the parameter name stay literal
+            "extractURLParameter('https://e.com/?a.b=7', 'a.b')": "7",
+            "extractURLParameter('https://e.com/?axb=7', 'a.b')": "",
+            "cutQueryString('https://e.com/a?x=1#f')": "https://e.com/a#f",
+            "cutFragment('https://e.com/a?x=1#f#g')": "https://e.com/a?x=1",
+            "cutQueryStringAndFragment('https://e.com/a?x=1#f')": "https://e.com/a",
+            "cutWWW('http://user@www.e.com/a')": "http://user@e.com/a",
+            "cutWWW('https://notwww.e.com/')": "https://notwww.e.com/",
+        }
+        for expr, want in cases.items():
+            got = spark.sql(f"SELECT {expr} AS x").collect()[0]["x"]
+            assert got == want, (expr, got, want)
