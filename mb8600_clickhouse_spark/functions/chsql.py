@@ -316,6 +316,11 @@ def _rewrite_combinators(sql: str) -> str:
         # bare ascending arraySort only (CH's lambda form would need a
         # comparator translation this rename cannot express)
         (r"\barraySort\s*\(", "sort_array("),
+        # window navigation: CH's lagInFrame/leadInFrame respect the
+        # window FRAME where Spark's lag/lead ignore it — identical for
+        # the default (whole-partition) frame, the only bridged form
+        (r"\blagInFrame\s*\(", "lag("),
+        (r"\bleadInFrame\s*\(", "lead("),
         # moment aggregates: identical population/sample contracts
         (r"\bstddevPop\s*\(", "stddev_pop("),
         (r"\bstddevSamp\s*\(", "stddev_samp("),
@@ -1324,6 +1329,136 @@ def _rewrite_moving(sql: str) -> str:
             # (HOF lambdas defeat codegen CSE — the q141 finding)
             repl = f"element_at(transform(array({run}), arr -> {fin}), 1)"
             sql = sql[:start] + repl + sql[end:]
+    return sql
+
+
+def _rewrite_delta_ema(sql: str) -> str:
+    """Counter/time-series aggregates (round 8):
+
+    - ``deltaSum(x, k)`` / ``deltaSumTimestamp(x, t)`` → sum of the
+      POSITIVE consecutive differences of ``x`` in ``k``/``t`` order.
+      ClickHouse's 1-argument ``deltaSum`` folds in non-deterministic
+      block order, so the bridge REQUIRES the explicit intra-group sort
+      key (the groupArrayMovingSum discipline); deltaSumTimestamp's
+      second argument IS that key by definition. Exact: DECIMAL(18,4)
+      snap, scaled-BIGINT differences, ties broken by the value
+      (array_sort struct order — deterministic, documented).
+    - ``exponentialMovingAverage(hl)(v, t)`` → the time-decayed
+      weighted mean CH documents: sum(v_i * 2^((t_i - t_max)/hl)) /
+      sum(2^((t_i - t_max)/hl)), t in seconds, half-life ``hl``.
+      2^x is libm (not cross-engine bit-stable) and the sums are
+      order-sensitive in the last ulps, so the OUTPUT snaps to
+      DECIMAL(18,6) — the entropy device; combined relative error
+      ~1e-15 against a 1e-6 grid. Centering on the group max keeps
+      every weight in (0, 1] (no overflow at epoch scale); ancient
+      points underflow to weight 0, which is semantically right.
+    - ``nonNegativeDerivative(x, t) OVER (...)`` → per-second rate
+      clamped at zero: (x - lag(x)) / (t - lag(t)) over the SAME window
+      spec, negative rates to 0, first row / zero dt to NULL (CH's
+      window-function form; ``t`` must be numeric seconds — pass
+      ``toUnixTimestamp(ts)``; the INTERVAL third argument is not
+      bridged and raises via arity).
+    """
+    for fam in ("deltaSumTimestamp", "deltaSum"):
+        while True:
+            m = _first_match(sql, rf"\b{fam}\s*\(")
+            if m is None:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+            if len(args) != 2:
+                raise ChSqlError(
+                    f"{fam} is bridged with an EXPLICIT sort key: "
+                    f"{fam}(x, order_col). ClickHouse's 1-argument "
+                    "deltaSum folds in block order, which is "
+                    "non-deterministic — pass the ordering column"
+                )
+            x, k = args
+            lst = (
+                f"transform(array_sort(collect_list(CASE WHEN ({x}) IS NOT "
+                f"NULL AND ({k}) IS NOT NULL THEN named_struct('o', {k}, "
+                f"'v', CAST(CAST({x} AS DECIMAL(18,4)) * 10000 AS BIGINT)) "
+                f"END)), s -> s.v)"
+            )
+            fold = (
+                f"aggregate({lst}, named_struct('p', CAST(NULL AS BIGINT), "
+                f"'d', CAST(0 AS BIGINT)), (acc, v) -> named_struct('p', v, "
+                f"'d', acc.d + CASE WHEN acc.p IS NOT NULL AND v > acc.p "
+                f"THEN v - acc.p ELSE CAST(0 AS BIGINT) END)).d"
+            )
+            rep = f"(CAST({fold} AS DOUBLE) / 10000.0)"
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    while True:
+        pc = None
+        if _first_match(sql, r"\bexponentialMovingAverage\s*\("):
+            pc = _parametric_call(sql, "exponentialMovingAverage")
+        if pc is None:
+            break
+        start, params, args, end = pc
+        try:
+            hl = float(params)
+        except ValueError:
+            raise ChSqlError(
+                "exponentialMovingAverage(halflife) needs a numeric "
+                "half-life parameter"
+            ) from None
+        if hl <= 0 or len(args) != 2:
+            raise ChSqlError(
+                "exponentialMovingAverage(hl)(value, time_seconds): "
+                "positive half-life, two arguments"
+            )
+        v, t = args
+        ps = (
+            f"collect_list(CASE WHEN ({v}) IS NOT NULL AND ({t}) IS NOT "
+            f"NULL THEN named_struct('t', CAST({t} AS DOUBLE), "
+            f"'v', CAST({v} AS DOUBLE)) END)"
+        )
+        wgt = f"power(CAST(2.0 AS DOUBLE), (p.t - tmax) / CAST({hl!r} AS DOUBLE))"
+        body = (
+            f"CAST(aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> "
+            f"a + p.v * {wgt}) / aggregate(ps, CAST(0.0 AS DOUBLE), "
+            f"(a, p) -> a + {wgt}) AS DECIMAL(18,6))"
+        )
+        rep = (
+            f"element_at(transform(array({ps}), ps -> element_at("
+            f"transform(array(array_max(transform(ps, q -> q.t))), "
+            f"tmax -> {body}), 1)), 1)"
+        )
+        sql = sql[:start] + rep + sql[end:]
+
+    while True:
+        m = _first_match(sql, r"\bnonNegativeDerivative\s*\(")
+        if m is None:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+        if len(args) != 2:
+            raise ChSqlError(
+                "nonNegativeDerivative is bridged as "
+                "nonNegativeDerivative(x, t_seconds) OVER (...); the "
+                "INTERVAL unit argument is not supported — scale t"
+            )
+        mo = re.match(r"\s*OVER\s*\(", sql[c + 1 :], re.IGNORECASE)
+        if not mo:
+            raise ChSqlError(
+                "nonNegativeDerivative is a WINDOW function — it needs "
+                "an inline OVER (...) clause (named windows not bridged)"
+            )
+        w_open = c + 1 + mo.end() - 1
+        w_close = _match_paren(sql, w_open)
+        over = sql[w_open : w_close + 1]
+        x, t = args
+        num = f"(CAST({x} AS DOUBLE) - lag(CAST({x} AS DOUBLE)) OVER {over})"
+        den = f"(CAST({t} AS DOUBLE) - lag(CAST({t} AS DOUBLE)) OVER {over})"
+        rep = (
+            f"(CASE WHEN {num} IS NULL OR {den} IS NULL OR {den} = 0.0 "
+            f"THEN CAST(NULL AS DOUBLE) WHEN {num} / {den} < 0.0 "
+            f"THEN 0.0 ELSE {num} / {den} END)"
+        )
+        sql = sql[: m.start()] + rep + sql[w_close + 1 :]
     return sql
 
 
@@ -2568,6 +2703,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_lttb(sql)
     sql = _rewrite_map_aggs(sql)
     sql = _rewrite_stats_aggs(sql)
+    sql = _rewrite_delta_ema(sql)
     sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)

@@ -383,3 +383,192 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q166_CLICKHOUSE_SQL), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q167 counter/time-series aggregates: deltaSum / deltaSumTimestamp / EMA
+# ---------------------------------------------------------------------------
+_Q167_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           deltaSum(value, event_id) AS dsum,
+           deltaSumTimestamp(value, toUnixTimestamp(ts)) AS dsum_ts,
+           CAST(exponentialMovingAverage(3600)(value, toUnixTimestamp(ts))
+                AS DOUBLE) AS ema_1h,
+           CAST(exponentialMovingAverage(86400)(value, toUnixTimestamp(ts))
+                AS DOUBLE) AS ema_1d
+    FROM events
+    WHERE user_id % 23 = 7
+    GROUP BY user_id
+"""
+
+_Q167_ORACLE = """
+    WITH e AS (
+      SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events WHERE user_id % 23 = 7
+    ),
+    s AS (
+      SELECT user_id, event_id, tsec,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+             CAST(value AS DOUBLE) AS vr
+      FROM e
+    ),
+    p AS (
+      SELECT user_id,
+             GREATEST(v - lag(v) OVER
+               (PARTITION BY user_id ORDER BY event_id, v), 0) AS d1,
+             GREATEST(v - lag(v) OVER
+               (PARTITION BY user_id ORDER BY tsec, v), 0) AS d2
+      FROM s
+    ),
+    dd AS (SELECT user_id, SUM(d1) AS ds, SUM(d2) AS dst FROM p
+           GROUP BY user_id),
+    w AS (
+      SELECT user_id, vr,
+             power(CAST(2.0 AS DOUBLE), (CAST(tsec AS DOUBLE) -
+               max(CAST(tsec AS DOUBLE)) OVER (PARTITION BY user_id)) /
+               CAST(3600.0 AS DOUBLE)) AS w1,
+             power(CAST(2.0 AS DOUBLE), (CAST(tsec AS DOUBLE) -
+               max(CAST(tsec AS DOUBLE)) OVER (PARTITION BY user_id)) /
+               CAST(86400.0 AS DOUBLE)) AS w2
+      FROM s
+    ),
+    d3 AS (
+      SELECT user_id,
+             CAST(CAST(SUM(vr * w1) / SUM(w1) AS DECIMAL(18,6))
+                  AS DOUBLE) AS ema_1h,
+             CAST(CAST(SUM(vr * w2) / SUM(w2) AS DECIMAL(18,6))
+                  AS DOUBLE) AS ema_1d
+      FROM w GROUP BY user_id
+    )
+    SELECT dd.user_id, CAST(dd.ds AS DOUBLE) / 10000.0 AS dsum,
+           CAST(dd.dst AS DOUBLE) / 10000.0 AS dsum_ts,
+           d3.ema_1h, d3.ema_1d
+    FROM dd JOIN d3 USING (user_id)
+    ORDER BY dd.user_id
+"""
+
+
+@query("q167_delta_ema", oracle=_Q167_ORACLE)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` / ``deltaSumTimestamp`` /
+    ``exponentialMovingAverage`` VERBATIM through the bridge
+    (``chsql._rewrite_delta_ema``): per-user sum of positive
+    consecutive value deltas (the counter-reset-tolerant rate family,
+    E10's aggregate sibling) in event order and in timestamp order,
+    plus time-decayed means at 1-hour and 1-day half-lives.
+
+    Exactness: deltas fold as DECIMAL(18,4)-scaled BIGINTs over an
+    explicitly keyed sort (CH's 1-arg block-order form rejects; ties
+    break by value — the groupArrayMovingSum discipline), so both
+    engines see identical integers; the oracle computes the SAME
+    deltas relationally (window lag) — two computation paths, one
+    exact answer. EMA weights are libm 2^x (not bit-stable) with
+    order-sensitive sums, so its output snaps to DECIMAL(18,6) — the
+    entropy device (~1e-15 relative error vs a 1e-6 grid); weights
+    center on the group's max timestamp so every weight is in (0, 1]
+    at epoch scale (ancient points underflow to 0 — semantically
+    right for a decay).
+
+    Scale: one user_id exchange; the delta folds carry the collected
+    per-entity list (the behavioral-aggregate contract, probed linear
+    on hot entities); EMA is two scan-speed weighted sums once the
+    group max is windowed.
+
+    Reference parity: the counter-delta upgrade of `mb8600.py`'s
+    codeword counters (SURVEY §2.E10) — deltaSum IS the CH idiom the
+    reference's dashboards would use for reset-tolerant rates.
+
+    NARROW_CHAIN profile: one exchange + folds, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q167_CLICKHOUSE_SQL), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q168 window navigation: lagInFrame / leadInFrame / nonNegativeDerivative
+# ---------------------------------------------------------------------------
+_Q168_CLICKHOUSE_SQL = """
+    SELECT event_id, user_id, value,
+           lagInFrame(value) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS prev_v,
+           leadInFrame(value) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS next_v,
+           lagInFrame(value, 3) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS prev3_v,
+           nonNegativeDerivative(value, toUnixTimestamp(ts)) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS rate_per_s
+    FROM events
+    WHERE user_id % 29 = 11
+"""
+
+_Q168_ORACLE = """
+    WITH e AS (
+      SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      FROM events WHERE user_id % 29 = 11
+    )
+    SELECT event_id, user_id, value,
+           lag(value) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS prev_v,
+           lead(value) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS next_v,
+           lag(value, 3) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS prev3_v,
+           (CASE WHEN (CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE))
+                  OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL
+                  OR (CAST(tsec AS DOUBLE) - lag(CAST(tsec AS DOUBLE))
+                  OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL
+                  OR (CAST(tsec AS DOUBLE) - lag(CAST(tsec AS DOUBLE))
+                  OVER (PARTITION BY user_id ORDER BY event_id)) = 0.0
+             THEN CAST(NULL AS DOUBLE)
+             WHEN (CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE))
+                  OVER (PARTITION BY user_id ORDER BY event_id)) /
+                  (CAST(tsec AS DOUBLE) - lag(CAST(tsec AS DOUBLE))
+                  OVER (PARTITION BY user_id ORDER BY event_id)) < 0.0
+             THEN 0.0
+             ELSE (CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE))
+                  OVER (PARTITION BY user_id ORDER BY event_id)) /
+                  (CAST(tsec AS DOUBLE) - lag(CAST(tsec AS DOUBLE))
+                  OVER (PARTITION BY user_id ORDER BY event_id)) END)
+             AS rate_per_s
+    FROM e
+    ORDER BY event_id
+"""
+
+
+@query("q168_window_navigation", oracle=_Q168_ORACLE)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``lagInFrame`` / ``leadInFrame`` /
+    ``nonNegativeDerivative`` VERBATIM — the window-navigation trio a
+    CH dashboard uses for per-entity time series. lagInFrame/
+    leadInFrame rename to Spark's lag/lead (identical for the default
+    whole-partition frame — CH's frame-respecting behavior under a
+    custom frame is a documented divergence); nonNegativeDerivative
+    expands to the clamped per-second rate (x - lag(x)) / (t - lag(t))
+    over the SAME window spec, with first-row / zero-dt -> NULL (CH's
+    window-function form; the exact division tree is mirrored in the
+    oracle, so the hash pins the IEEE behavior).
+
+    Scale: one user_id exchange shared by all four windows (Catalyst
+    collapses same-spec windows into a single Window operator —
+    plan-verified in the E12 family); the derivative adds no second
+    exchange.
+
+    Reference parity: §2.E10/E12 — the rate the reference's poller
+    derives from uptime/codeword counters, spelled as CH window SQL.
+
+    NARROW_CHAIN profile: one exchange + window, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q168_CLICKHOUSE_SQL), "event_id")

@@ -2347,3 +2347,90 @@ class TestStatsAggregates:
             stats_agg_sql("entropy", ["x"], dialect="duck")
         with pytest.raises(ChSqlError):
             stats_agg_sql("mannWhitneyUTest", ["x", "g"], dialect="duck")
+
+
+class TestDeltaEmaBridge:
+    """Round-8 counter/time-series bridges (chsql._rewrite_delta_ema):
+    deltaSum/deltaSumTimestamp keyed folds, EMA weighted mean, and the
+    nonNegativeDerivative window expansion."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def _data(self, spark):
+        register_clickhouse_functions(spark)
+        # one user: counter 10 -> 15 -> 12 (reset) -> 20; dt = 10s each
+        rows = [
+            Row(u=1, k=1, t=1000, v=10.0),
+            Row(u=1, k=2, t=1010, v=15.0),
+            Row(u=1, k=3, t=1020, v=12.0),
+            Row(u=1, k=4, t=1030, v=20.0),
+            Row(u=2, k=1, t=1000, v=5.0),
+        ]
+        spark.createDataFrame(rows).createOrReplaceTempView("delta_t")
+
+    def test_delta_sum_skips_resets(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT u, deltaSum(v, k) AS ds FROM delta_t GROUP BY u "
+            "ORDER BY u",
+        ).collect()
+        # 10->15 (+5), 15->12 (reset, 0), 12->20 (+8) = 13
+        assert [(r.u, r.ds) for r in rows] == [(1, 13.0), (2, 0.0)]
+
+    def test_ema_matches_python(self, spark):
+        import math
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT CAST(exponentialMovingAverage(10)(v, t) AS DOUBLE) "
+            "AS e FROM delta_t WHERE u = 1",
+        ).collect()[0].e
+        ts, vs = [1000, 1010, 1020, 1030], [10.0, 15.0, 12.0, 20.0]
+        ws = [2.0 ** ((t - max(ts)) / 10.0) for t in ts]
+        want = sum(v * w for v, w in zip(vs, ws)) / sum(ws)
+        assert r == pytest.approx(want, abs=2e-6)
+
+    def test_nonnegative_derivative_clamps(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT k, nonNegativeDerivative(v, t) OVER "
+            "(PARTITION BY u ORDER BY k) AS d FROM delta_t WHERE u = 1 "
+            "ORDER BY k",
+        ).collect()
+        # +5/10s, reset clamps to 0, +8/10s; first row NULL
+        assert [(r.k, r.d) for r in rows] == [
+            (1, None), (2, 0.5), (3, 0.0), (4, 0.8),
+        ]
+
+    def test_lag_lead_in_frame(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT k, lagInFrame(v) OVER w AS pv, leadInFrame(v, 2) "
+            "OVER w AS nv2 FROM delta_t WHERE u = 1 "
+            "WINDOW w AS (ORDER BY k) ORDER BY k",
+        ).collect()
+        assert [(r.k, r.pv, r.nv2) for r in rows] == [
+            (1, None, 12.0), (2, 10.0, 20.0), (3, 15.0, None),
+            (4, 12.0, None),
+        ]
+
+    def test_rejects(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT deltaSum(v) FROM t GROUP BY u")
+        with pytest.raises(ChSqlError):
+            rw("SELECT exponentialMovingAverage(0)(v, t) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT exponentialMovingAverage('x')(v, t) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT nonNegativeDerivative(v, t) OVER w FROM t "
+               "WINDOW w AS (ORDER BY k)")
+        with pytest.raises(ChSqlError):
+            rw("SELECT nonNegativeDerivative(v, t, INTERVAL 1 SECOND) "
+               "OVER (ORDER BY k) FROM t")
