@@ -176,6 +176,150 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN b = 0 THEN 0L ELSE a div b END",
     ),
     # ------------------------------------------------------------------
+    # array vocabulary (round 8) — index-lambda spellings that stay
+    # empty-array-safe (no sequence(1, 0) descending-range trap)
+    "arrayEnumerate": (
+        "(arr ARRAY<STRING>)",
+        "ARRAY<INT>",
+        "transform(arr, (x, i) -> i + 1)",
+    ),
+    # CH semantics: 1-based occurrence index of each element among its
+    # equals so far (the ARRAY JOIN dedup idiom). O(n^2) per array —
+    # fine for the document/tag arrays this vocabulary serves
+    "arrayEnumerateUniq": (
+        "(arr ARRAY<STRING>)",
+        "ARRAY<INT>",
+        "transform(arr, (x, i) -> "
+        "size(filter(slice(arr, 1, i + 1), e -> e <=> x)))",
+    ),
+    # consecutive-duplicate removal; element_at(arr, s.i) is 1-based =
+    # the PREVIOUS element of the 0-based lambda index
+    "arrayCompact": (
+        "(arr ARRAY<STRING>)",
+        "ARRAY<STRING>",
+        "transform(filter(transform(arr, (x, i) -> "
+        "named_struct('x', x, 'i', i)), s -> s.i = 0 OR "
+        "NOT (s.x <=> element_at(arr, s.i))), s -> s.x)",
+    ),
+    # CH returns the distinct intersection in UNSPECIFIED order; the
+    # alias sorts for determinism (documented upgrade, the vsort rule)
+    "arrayIntersect": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>)",
+        "ARRAY<STRING>",
+        "sort_array(array_intersect(a, b))",
+    ),
+    "hasAll": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>)",
+        "BOOLEAN",
+        "forall(b, x -> array_contains(a, x))",
+    ),
+    "hasAny": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>)",
+        "BOOLEAN",
+        "exists(b, x -> array_contains(a, x))",
+    ),
+    "indexOf": (
+        "(arr ARRAY<STRING>, x STRING)",
+        "BIGINT",
+        "array_position(arr, x)",  # 1-based, 0 when absent — CH-exact
+    ),
+    "countEqual": (
+        "(arr ARRAY<STRING>, x STRING)",
+        "INT",
+        "size(filter(arr, e -> e <=> x))",
+    ),
+    "arrayReverse": ("(arr ARRAY<STRING>)", "ARRAY<STRING>", "reverse(arr)"),
+    "arrayUniq": (
+        "(arr ARRAY<STRING>)",
+        "INT",
+        "size(array_distinct(arr))",
+    ),
+    "arraySlice": (
+        "(arr ARRAY<STRING>, o INT, n INT)",
+        "ARRAY<STRING>",
+        "slice(arr, o, n)",  # both engines: 1-based, negative offsets
+    ),
+    "arrayPushBack": (
+        "(arr ARRAY<STRING>, x STRING)",
+        "ARRAY<STRING>",
+        "concat(arr, array(x))",
+    ),
+    "arrayPushFront": (
+        "(arr ARRAY<STRING>, x STRING)",
+        "ARRAY<STRING>",
+        "concat(array(x), arr)",
+    ),
+    "arrayPopBack": (
+        "(arr ARRAY<STRING>)",
+        "ARRAY<STRING>",
+        "slice(arr, 1, greatest(size(arr) - 1, 0))",
+    ),
+    "arrayPopFront": (
+        "(arr ARRAY<STRING>)",
+        "ARRAY<STRING>",
+        "CASE WHEN size(arr) <= 1 THEN array() "
+        "ELSE slice(arr, 2, size(arr) - 1) END",
+    ),
+    # ------------------------------------------------------------------
+    # string search (round 8)
+    # NOTE: ClickHouse's position(haystack, needle) cannot be aliased —
+    # Spark refuses to replace its builtin position(substr, str), whose
+    # argument order is the REVERSE of CH's. DIALECT_NOTES warns; use
+    # instr(s, needle) or positionCH below
+    "positionCH": (
+        "(s STRING, needle STRING)",
+        "INT",
+        "instr(s, needle)",  # 1-based, 0 absent — CH argument order
+    ),
+    "positionCaseInsensitive": (
+        "(s STRING, needle STRING)",
+        "INT",
+        "instr(lower(s), lower(needle))",
+    ),
+    "multiSearchAny": (
+        "(s STRING, needles ARRAY<STRING>)",
+        "BOOLEAN",
+        "exists(needles, p -> instr(s, p) > 0)",
+    ),
+    "multiSearchAnyCaseInsensitive": (
+        "(s STRING, needles ARRAY<STRING>)",
+        "BOOLEAN",
+        "exists(needles, p -> instr(lower(s), lower(p)) > 0)",
+    ),
+    # non-overlapping occurrence count (CH advances past each match);
+    # the replace identity is exactly that contract
+    "countSubstrings": (
+        "(s STRING, needle STRING)",
+        "INT",
+        "CASE WHEN length(needle) = 0 THEN 0 ELSE "
+        "CAST((length(s) - length(replace(s, needle, ''))) / "
+        "length(needle) AS INT) END",
+    ),
+    # CH extractAll returns capture group 1 when the pattern has one,
+    # else the whole match; a SQL alias cannot inspect the pattern, so
+    # the bridge fixes GROUP 0 (whole match) — documented divergence
+    "extractAll": (
+        "(s STRING, re STRING)",
+        "ARRAY<STRING>",
+        "regexp_extract_all(s, re, 0)",
+    ),
+    "ngrams": (
+        "(s STRING, n INT)",
+        "ARRAY<STRING>",
+        "CASE WHEN char_length(s) < n THEN array() "
+        "ELSE transform(sequence(1, char_length(s) - n + 1), "
+        "i -> substring(s, i, n)) END",
+    ),
+    # CH tokens(): split on runs of non-alphanumeric ASCII, drop empties
+    "tokens": (
+        "(s STRING)",
+        "ARRAY<STRING>",
+        "filter(split(s, '[^a-zA-Z0-9]+'), x -> x <> '')",
+    ),
+    # startsWith/endsWith need no alias: Spark's startswith/endswith
+    # are semantically identical and function names resolve
+    # case-insensitively — verbatim CH runs natively (test-pinned)
+    # ------------------------------------------------------------------
     # URL functions (round 8) — ClickHouse's URL vocabulary as pure
     # regex projections (Catalyst-inlined, codegen-friendly; the regex
     # subset is RE2-compatible so a DuckDB oracle replays it verbatim —
@@ -325,6 +469,7 @@ DIALECT_NOTES: dict[str, str] = {
     "ORDER BY ... WITH FILL [INTERPOLATE]": "bridged as of round 7 via chsql.ch_sql(spark, sql) — session-aware rewrite: grid from sequence(FROM|min, TO-excl|max, STEP), CH type defaults (0/''/false) for filled rows, identity INTERPOLATE as carry-forward (q123 oracle-verifies; multi-key fill, LIMIT-after-fill, and derived INTERPOLATE exprs still raise)",
     "neighbor(x, off, dflt) / runningDifference(x)": "bridged as of round 7 — rewritten to lead/lag(x, |off|, dflt) / coalesce(x - lag(x), 0) OVER the statement's own top-level ORDER BY (the only deterministic reading of CH block order; q124 oracle-verifies). Missing ORDER BY, 2-arg neighbor (CH type-default fallback), and non-literal offsets raise",
     "runningAccumulate": "runs verbatim for the inline -State form (runningAccumulate(sumState(x)) ... GROUP BY k ORDER BY k) — rewritten to the state's merge aggregate over an ORDER-BY-anchored window (q143); a state column from a subquery alias raises (merge function unrecoverable)",
+    "position(haystack, needle)": "NOT aliasable — Spark's builtin position(substr, str) takes the arguments in the REVERSE order and cannot be replaced by a SQL function; a verbatim CH query silently flips haystack/needle. Use instr(haystack, needle) or the registered positionCH alias",
     "dialect forms inside subqueries / CTEs": "run verbatim as of round 6 — chsql recurses into every parenthesized SELECT/WITH block, each level rewritten independently (q95 exercises three levels); un-parenthesized top-level UNION branches remain out of scope",
 }
 

@@ -572,3 +572,158 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q168_CLICKHOUSE_SQL), "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q169 array vocabulary over tokenized documents
+# ---------------------------------------------------------------------------
+
+_Q169_ORACLE = """
+    WITH src AS (
+      SELECT doc_id, list_slice(string_split(text, ' '), 1, 8) AS a
+      FROM documents
+    )
+    SELECT doc_id, a,
+      generate_series(1, len(a)) AS enum,
+      list_transform(generate_series(1, len(a)),
+        i -> CAST(len(list_filter(a[1:i], e -> e = a[i])) AS INT))
+        AS enum_uniq,
+      list_transform(list_filter(generate_series(1, len(a)),
+        i -> i = 1 OR a[i] <> a[i-1]), i -> a[i]) AS compacted,
+      list_sort(list_distinct(list_filter(a,
+        e -> list_contains(['table', 'join', 'spark', 'row'], e))))
+        AS isect,
+      len(list_filter(['table', 'row'],
+        x -> list_contains(a, x))) = 2 AS has_all,
+      len(list_filter(['table', 'row'],
+        x -> list_contains(a, x))) > 0 AS has_any,
+      coalesce(list_position(a, 'table'), 0) AS idx_table,
+      CAST(len(list_filter(a, e -> e = 'row')) AS INT) AS n_row,
+      list_reverse(a) AS rev,
+      CAST(len(list_distinct(a)) AS INT) AS n_uniq,
+      list_slice(a, 2, 4) AS mid,
+      list_append(a[2:len(a)], 'EOL') AS rotated
+    FROM src
+    ORDER BY doc_id
+"""
+
+
+@query("q169_array_vocabulary", oracle=_Q169_ORACLE)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's array vocabulary VERBATIM as registered scalars
+    (round-8 block): arrayEnumerate / arrayEnumerateUniq (the ARRAY
+    JOIN dedup idiom) / arrayCompact / arrayIntersect / hasAll /
+    hasAny / indexOf / countEqual / arrayReverse / arrayUniq /
+    arraySlice / arrayPushBack+arrayPopFront — over the documents'
+    first-8-token arrays.
+
+    Exactness: pure integer/string array algebra, no floats anywhere —
+    the oracle replays each operation with DuckDB's list vocabulary
+    (generate_series for the index lambdas duck 1.0 lacks, inclusive
+    list_slice ends mapped from Spark's length-based slice, NULL
+    list_position coalesced to CH's 0). Documented deltas:
+    arrayIntersect is SORTED for determinism (CH: unspecified order);
+    index lambdas make arrayEnumerateUniq O(n^2) per array — fine at
+    tag/token cardinality, an explode+window spelling is the unbounded
+    path.
+
+    Scale: one narrow scan-speed projection, no exchange (the q166
+    shape); every function whole-stage-codegens.
+
+    NARROW_CHAIN profile: pure projection."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    sql = """
+    SELECT doc_id, a,
+           arrayEnumerate(a) AS enum,
+           arrayEnumerateUniq(a) AS enum_uniq,
+           arrayCompact(a) AS compacted,
+           arrayIntersect(a, array('table', 'join', 'spark', 'row')) AS isect,
+           hasAll(a, array('table', 'row')) AS has_all,
+           hasAny(a, array('table', 'row')) AS has_any,
+           indexOf(a, 'table') AS idx_table,
+           countEqual(a, 'row') AS n_row,
+           arrayReverse(a) AS rev,
+           arrayUniq(a) AS n_uniq,
+           arraySlice(a, 2, 3) AS mid,
+           arrayPushBack(arrayPopFront(a), 'EOL') AS rotated
+    FROM (SELECT doc_id, arraySlice(splitByChar(' ', text), 1, 8) AS a
+          FROM documents)
+    """
+    return vsort(ch_sql(spark, sql), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q170 string-search vocabulary over documents
+# ---------------------------------------------------------------------------
+_Q170_ORACLE = """
+    SELECT doc_id,
+      CAST(coalesce(nullif(instr(text, 'table'), 0), 0) AS INT) AS pos_table,
+      CAST(instr(lower(text), lower('SPARK')) AS INT) AS pos_spark_ci,
+      len(list_filter(['join', 'window', 'zzz'],
+        p -> instr(text, p) > 0)) > 0 AS any_needle,
+      CAST(CASE WHEN len('row') = 0 THEN 0 ELSE
+        (len(text) - len(replace(text, 'row', ''))) / len('row') END
+        AS INT) AS n_row_substr,
+      regexp_extract_all(text, '[a-z]{{6,}}', 0) AS long_words,
+      CASE WHEN len(substring(text, 1, 12)) < 5 THEN []
+           ELSE list_transform(generate_series(1,
+             len(substring(text, 1, 12)) - 4),
+             i -> substring(substring(text, 1, 12), i, 5)) END AS grams5,
+      list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+        x -> x <> '') AS toks,
+      starts_with(text, 'key') AS sw,
+      text LIKE '%value' AS ew
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@query("q170_string_search", oracle=_Q170_ORACLE)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's string-search vocabulary VERBATIM: positionCH (CH's
+    position(haystack, needle) — the verbatim name is NOT aliasable,
+    Spark's builtin has reversed arguments and refuses replacement;
+    DIALECT_NOTES warns loudly) / positionCaseInsensitive /
+    multiSearchAny / countSubstrings (non-overlapping, the replace
+    identity) / extractAll (group-0 contract, documented divergence
+    from CH's group-1-if-present) / ngrams / tokens / startsWith /
+    endsWith (the last two run natively — case-insensitive function
+    resolution; pin test in test_clickhouse_dialect).
+
+    Exactness: pure string/integer algebra; the regex ('[a-z]{6,}')
+    stays in the Java/RE2-common subset so DuckDB replays it verbatim
+    (the q131/q166 parity rule). The oracle spells tokens() with
+    string_split_regex and ngrams with generate_series windows.
+
+    Scale: one narrow scan-speed projection, no exchange.
+
+    NARROW_CHAIN profile: pure projection."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    sql = """
+    SELECT doc_id,
+           positionCH(text, 'table') AS pos_table,
+           positionCaseInsensitive(text, 'SPARK') AS pos_spark_ci,
+           multiSearchAny(text, array('join', 'window', 'zzz')) AS any_needle,
+           countSubstrings(text, 'row') AS n_row_substr,
+           extractAll(text, '[a-z]{6,}') AS long_words,
+           ngrams(substring(text, 1, 12), 5) AS grams5,
+           tokens(text) AS toks,
+           startsWith(text, 'key') AS sw,
+           endsWith(text, 'value') AS ew
+    FROM documents
+    """
+    return vsort(ch_sql(spark, sql), "doc_id")

@@ -197,3 +197,50 @@ class TestUrlFunctions:
         for expr, want in cases.items():
             got = spark.sql(f"SELECT {expr} AS x").collect()[0]["x"]
             assert got == want, (expr, got, want)
+
+
+class TestArrayStringVocabulary:
+    """Round-8 array/string-search scalars (q169/q170 hash-pin the
+    cross-engine behavior; these pin per-edge CH semantics)."""
+
+    def test_array_family_edges(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            "arrayEnumerate(CAST(array() AS ARRAY<STRING>))": [],
+            "arrayEnumerateUniq(array('a','b','a','a','b'))": [1, 1, 2, 3, 2],
+            "arrayCompact(array('a','a','b','b','a'))": ["a", "b", "a"],
+            "arrayIntersect(array('c','a','b'), array('b','c','d'))": ["b", "c"],
+            "hasAll(array('a'), CAST(array() AS ARRAY<STRING>))": True,
+            "indexOf(array('a'), 'z')": 0,
+            "arraySlice(array('a','b','c','d'), -2, 2)": ["c", "d"],
+            "arrayPopBack(CAST(array() AS ARRAY<STRING>))": [],
+            "arrayPopFront(CAST(array() AS ARRAY<STRING>))": [],
+            "countSubstrings('aaa', 'aa')": 1,  # non-overlapping
+            "countSubstrings('abc', '')": 0,
+            "ngrams('ab', 3)": [],
+            "positionCH('hello world', 'world')": 7,
+            "tokens('Hello, world! 42')": ["Hello", "world", "42"],
+            # startsWith/endsWith resolve to the native builtins
+            # case-insensitively — verbatim CH needs no alias
+            "startsWith('hello', 'he')": True,
+            "endsWith('hello', 'lo')": True,
+        }
+        for expr, want in cases.items():
+            got = spark.sql(f"SELECT {expr} AS x").collect()[0]["x"]
+            got = list(got) if isinstance(got, list) else got
+            assert got == want, (expr, got, want)
+
+    def test_position_builtin_not_replaceable(self, spark):
+        # the trap DIALECT_NOTES documents: Spark's position() survives
+        # registration with REVERSED (substr, haystack) argument order
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        got = spark.sql("SELECT position('lo', 'hello') AS x").collect()[0].x
+        assert got == 4  # Spark semantics: needle FIRST
