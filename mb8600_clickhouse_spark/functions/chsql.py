@@ -1332,6 +1332,85 @@ def _rewrite_moving(sql: str) -> str:
     return sql
 
 
+def _rewrite_interval_aggs(sql: str) -> str:
+    """Interval aggregates (round 8), all over HALF-OPEN [s, e)
+    integer intervals (the bridge casts both bounds to BIGINT; CH also
+    accepts floats — pass scaled integers, documented contract):
+
+    - ``intervalLengthSum(s, e)`` → length of the UNION of the group's
+      intervals: sort by (s, e), sweep with a running cover-end,
+      add max(0, e - max(s, cover)). Exact BIGINT algebra.
+    - ``maxIntersections(s, e)`` → the maximum number of simultaneously
+      open intervals: ±1 events sorted by (x, delta) — an end (-1)
+      sorts BEFORE a start (+1) at the same coordinate, so touching
+      intervals do NOT intersect (the half-open reading; CH's closed
+      reading of ends is a documented divergence).
+    - ``maxIntersectionsPosition(s, e)`` → the coordinate where that
+      maximum is FIRST reached (the left edge of the densest stretch).
+
+    The fold orders are total (struct sort on (x, delta) / (s, e)), so
+    the result is partitioning-independent; the oracle replays the
+    sweep RELATIONALLY (UNION ALL events + running-sum window) — two
+    computation paths, one exact integer answer. Per-group state is
+    the collected interval list (the behavioral-aggregate contract).
+    Degenerate/empty groups: 0 for the sums, NULL position."""
+    ivs = {
+        "intervalLengthSum": None, "maxIntersectionsPosition": None,
+        "maxIntersections": None,
+    }
+    for fam in ivs:
+        while True:
+            m = _first_match(sql, rf"\b{fam}\s*\(")
+            if m is None:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+            if len(args) != 2:
+                raise ChSqlError(f"{fam} expects (start, end)")
+            s, e = args
+            pair = (
+                f"CASE WHEN ({s}) IS NOT NULL AND ({e}) IS NOT NULL THEN "
+                f"named_struct('s', CAST({s} AS BIGINT), "
+                f"'e', CAST({e} AS BIGINT)) END"
+            )
+            if fam == "intervalLengthSum":
+                rep = (
+                    f"aggregate(array_sort(collect_list({pair})), "
+                    f"named_struct('c', CAST(-9223372036854775808 AS "
+                    f"BIGINT), 't', CAST(0 AS BIGINT)), (a, iv) -> "
+                    f"named_struct('c', greatest(a.c, iv.e), 't', a.t + "
+                    f"greatest(CAST(0 AS BIGINT), iv.e - greatest(iv.s, "
+                    f"a.c)))).t"
+                )
+            else:
+                ev = (
+                    f"array_sort(flatten(collect_list(CASE WHEN ({s}) IS "
+                    f"NOT NULL AND ({e}) IS NOT NULL THEN array("
+                    f"named_struct('x', CAST({s} AS BIGINT), 'd', "
+                    f"CAST(1 AS BIGINT)), named_struct('x', "
+                    f"CAST({e} AS BIGINT), 'd', CAST(-1 AS BIGINT))) END)))"
+                )
+                if fam == "maxIntersections":
+                    rep = (
+                        f"aggregate({ev}, named_struct('c', CAST(0 AS "
+                        f"BIGINT), 'b', CAST(0 AS BIGINT)), (a, p) -> "
+                        f"named_struct('c', a.c + p.d, 'b', "
+                        f"greatest(a.b, a.c + p.d))).b"
+                    )
+                else:
+                    rep = (
+                        f"aggregate({ev}, named_struct('c', CAST(0 AS "
+                        f"BIGINT), 'b', CAST(0 AS BIGINT), 'p', "
+                        f"CAST(NULL AS BIGINT)), (a, p) -> named_struct("
+                        f"'c', a.c + p.d, 'b', greatest(a.b, a.c + p.d), "
+                        f"'p', CASE WHEN p.d = 1 AND a.c + p.d > a.b "
+                        f"THEN p.x ELSE a.p END)).p"
+                    )
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
+    return sql
+
+
 def _rewrite_delta_ema(sql: str) -> str:
     """Counter/time-series aggregates (round 8):
 
@@ -2704,6 +2783,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_map_aggs(sql)
     sql = _rewrite_stats_aggs(sql)
     sql = _rewrite_delta_ema(sql)
+    sql = _rewrite_interval_aggs(sql)
     sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)

@@ -727,3 +727,110 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """
     return vsort(ch_sql(spark, sql), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q171 interval aggregates: union length + max concurrency + its position
+# ---------------------------------------------------------------------------
+_Q171_CLICKHOUSE_SQL = """
+    WITH iv AS (
+      SELECT event_type,
+             toUnixTimestamp(ts) AS s,
+             toUnixTimestamp(ts) + 60 +
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) % 600
+               AS e
+      FROM events WHERE user_id % 11 = 3
+    )
+    SELECT event_type,
+           intervalLengthSum(s, e) AS covered_s,
+           maxIntersections(s, e) AS max_conc,
+           maxIntersectionsPosition(s, e) AS max_conc_at
+    FROM iv
+    GROUP BY event_type
+"""
+
+_Q171_ORACLE = """
+    WITH iv AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 60 +
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) % 600
+               AS e
+      FROM events WHERE user_id % 11 = 3
+    ),
+    swept AS (
+      SELECT event_type, s, e,
+             GREATEST(0, e - GREATEST(s, coalesce(max(e) OVER
+               (PARTITION BY event_type ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -9223372036854775808))) AS add_len
+      FROM iv
+    ),
+    len AS (
+      SELECT event_type, CAST(SUM(add_len) AS BIGINT) AS covered_s FROM swept
+      GROUP BY event_type
+    ),
+    ev AS (
+      SELECT event_type, s AS x, CAST(1 AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT event_type, e AS x, CAST(-1 AS BIGINT) AS d FROM iv
+    ),
+    run AS (
+      SELECT event_type, x, d,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY x, d
+               ROWS UNBOUNDED PRECEDING) AS c
+      FROM ev
+    ),
+    mx AS (
+      SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_conc FROM run GROUP BY event_type
+    ),
+    pos AS (
+      SELECT run.event_type, MIN(run.x) AS max_conc_at
+      FROM run JOIN mx ON run.event_type = mx.event_type
+        AND CAST(run.c AS BIGINT) = mx.max_conc AND run.d = 1
+      GROUP BY run.event_type
+    )
+    SELECT len.event_type, len.covered_s, mx.max_conc, pos.max_conc_at
+    FROM len JOIN mx USING (event_type) JOIN pos USING (event_type)
+    ORDER BY len.event_type
+"""
+
+
+@query("q171_interval_aggregates", oracle=_Q171_ORACLE)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` / ``maxIntersections`` /
+    ``maxIntersectionsPosition`` VERBATIM through the bridge
+    (``chsql._rewrite_interval_aggs``): per event type, the total
+    covered seconds of the union of planted [start, end) sessions, the
+    peak number of simultaneously open sessions, and the coordinate
+    where that peak is first reached — the classic sweep-line trio.
+
+    Exactness: pure BIGINT sweep algebra over half-open intervals
+    (end events sort before start events at equal coordinates, so
+    touching intervals don't intersect — documented divergence from
+    CH's closed ends). The Spark side folds a sorted collected list
+    (total struct order -> partitioning-independent); the oracle
+    replays the SAME sweep relationally (running-sum window over the
+    ±1 event stream, cover-end window for the union length) — two
+    computation paths, one exact answer, and tie groups (equal (x, d)
+    rows) are provably order-invariant for max/argmin.
+
+    Scale: one event_type exchange; per-group state is the collected
+    interval list (behavioral-aggregate contract). The oracle's
+    window spelling IS the unbounded upgrade path: a keyed
+    running-sum window over the event stream never collects.
+
+    Reference parity: uptime/downtime coverage over `mb8600.py:30`'s
+    uptime samples is exactly intervalLengthSum; concurrent-session
+    peaks are the dashboard sibling.
+
+    NARROW_CHAIN profile: filtered scan -> one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q171_CLICKHOUSE_SQL), "event_type")

@@ -2434,3 +2434,73 @@ class TestDeltaEmaBridge:
         with pytest.raises(ChSqlError):
             rw("SELECT nonNegativeDerivative(v, t, INTERVAL 1 SECOND) "
                "OVER (ORDER BY k) FROM t")
+
+
+class TestIntervalAggregates:
+    """Round-8 interval sweep aggregates: known-answer pins for the
+    half-open contract and first-peak position (q171 hash-pins the
+    relational-vs-fold equivalence)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def _data(self, spark):
+        register_clickhouse_functions(spark)
+        # [0,10) [5,15) [20,30) [30,40): union 35; peak 2 at x=5;
+        # touching 30 does NOT intersect (half-open)
+        rows = [
+            Row(g="a", s=0, e=10), Row(g="a", s=5, e=15),
+            Row(g="a", s=20, e=30), Row(g="a", s=30, e=40),
+            # overlapping triple for the position check
+            Row(g="b", s=0, e=100), Row(g="b", s=10, e=50),
+            Row(g="b", s=20, e=30), Row(g="b", s=60, e=70),
+        ]
+        spark.createDataFrame(rows).createOrReplaceTempView("iv_t")
+
+    def test_known_answers(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT g, intervalLengthSum(s, e) AS ls, "
+            "maxIntersections(s, e) AS mi, "
+            "maxIntersectionsPosition(s, e) AS mp "
+            "FROM iv_t GROUP BY g ORDER BY g",
+        ).collect()
+        a, b = rows
+        assert (a.ls, a.mi, a.mp) == (35, 2, 5)
+        assert (b.ls, b.mi, b.mp) == (100, 3, 20)
+
+    def test_property_vs_bruteforce(self, spark):
+        import random
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rng = random.Random("interval-sweep-7")
+        rows = []
+        want = {}
+        for g in range(6):
+            ivs = []
+            for _ in range(rng.randint(1, 25)):
+                s = rng.randint(0, 200)
+                e = s + rng.randint(1, 60)
+                ivs.append((s, e))
+                rows.append(Row(g=str(g), s=s, e=e))
+            pts = set()
+            for s, e in ivs:
+                pts.update(range(s, e))
+            peak = max(
+                sum(1 for s, e in ivs if s <= x < e)
+                for x in range(0, 261)
+            )
+            want[str(g)] = (len(pts), peak)
+        spark.createDataFrame(rows).createOrReplaceTempView("iv_rand")
+        got = ch_sql(
+            spark,
+            "SELECT g, intervalLengthSum(s, e) AS ls, "
+            "maxIntersections(s, e) AS mi FROM iv_rand GROUP BY g",
+        ).collect()
+        for r in got:
+            assert (r.ls, r.mi) == want[r.g], r.g
+
+    def test_arity_reject(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT intervalLengthSum(s) FROM t")
