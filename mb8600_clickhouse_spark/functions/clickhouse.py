@@ -320,6 +320,55 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # are semantically identical and function names resolve
     # case-insensitively — verbatim CH runs natively (test-pinned)
     # ------------------------------------------------------------------
+    # IPv4 functions (round 8) — pure integer algebra over the UInt32
+    # form (BIGINT here; bits via div/mod, no engine bit-op dialect).
+    # Documented deltas: malformed strings -> NULL (CH IPv4StringToNum
+    # RAISES; its OrNull variant is this exact contract), CIDRToRange
+    # takes/returns numeric addresses (CH takes the IPv4 type) as a
+    # (lo, hi) struct
+    "IPv4NumToString": (
+        "(n BIGINT)",
+        "STRING",
+        "concat(CAST((n div 16777216) % 256 AS STRING), '.', "
+        "CAST((n div 65536) % 256 AS STRING), '.', "
+        "CAST((n div 256) % 256 AS STRING), '.', "
+        "CAST(n % 256 AS STRING))",
+    ),
+    "isIPv4String": (
+        "(s STRING)",
+        "BOOLEAN",
+        r"s RLIKE '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$' "
+        r"AND forall(split(s, '\\.'), o -> try_cast(o AS INT) <= 255)",
+    ),
+    "IPv4StringToNum": (
+        "(s STRING)",
+        "BIGINT",
+        r"CASE WHEN s RLIKE '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$' "
+        r"AND forall(split(s, '\\.'), o -> try_cast(o AS INT) <= 255) "
+        r"THEN CAST(element_at(split(s, '\\.'), 1) AS BIGINT) * 16777216 "
+        r"+ CAST(element_at(split(s, '\\.'), 2) AS BIGINT) * 65536 "
+        r"+ CAST(element_at(split(s, '\\.'), 3) AS BIGINT) * 256 "
+        r"+ CAST(element_at(split(s, '\\.'), 4) AS BIGINT) END",
+    ),
+    "IPv4StringToNumOrNull": (
+        "(s STRING)",
+        "BIGINT",
+        r"CASE WHEN s RLIKE '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$' "
+        r"AND forall(split(s, '\\.'), o -> try_cast(o AS INT) <= 255) "
+        r"THEN CAST(element_at(split(s, '\\.'), 1) AS BIGINT) * 16777216 "
+        r"+ CAST(element_at(split(s, '\\.'), 2) AS BIGINT) * 65536 "
+        r"+ CAST(element_at(split(s, '\\.'), 3) AS BIGINT) * 256 "
+        r"+ CAST(element_at(split(s, '\\.'), 4) AS BIGINT) END",
+    ),
+    "IPv4CIDRToRange": (
+        "(n BIGINT, p INT)",
+        "STRUCT<lo: BIGINT, hi: BIGINT>",
+        "named_struct('lo', (n div CAST(pow(2, 32 - p) AS BIGINT)) * "
+        "CAST(pow(2, 32 - p) AS BIGINT), 'hi', (n div CAST(pow(2, 32 - p) "
+        "AS BIGINT)) * CAST(pow(2, 32 - p) AS BIGINT) + "
+        "CAST(pow(2, 32 - p) AS BIGINT) - 1)",
+    ),
+    # ------------------------------------------------------------------
     # URL functions (round 8) — ClickHouse's URL vocabulary as pure
     # regex projections (Catalyst-inlined, codegen-friendly; the regex
     # subset is RE2-compatible so a DuckDB oracle replays it verbatim —

@@ -834,3 +834,110 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q171_CLICKHOUSE_SQL), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q172 IPv4 vocabulary over planted addresses
+# ---------------------------------------------------------------------------
+_Q172_CLICKHOUSE_SQL = """
+    WITH ips AS (
+      SELECT event_id,
+             (event_id * 2654435761) % 4294967296 AS n,
+             CASE WHEN event_id % 7 = 0 THEN '999.1.2.3'
+                  WHEN event_id % 7 = 1 THEN '10.0.0'
+                  WHEN event_id % 7 = 2 THEN 'not.an.ip.addr'
+                  ELSE IPv4NumToString((event_id * 2654435761) % 4294967296)
+             END AS s,
+             CAST(8 + event_id % 17 AS INT) AS p
+      FROM events WHERE event_id % 13 = 5
+    )
+    SELECT event_id, n, s,
+           IPv4NumToString(n) AS quad,
+           isIPv4String(s) AS is_v4,
+           IPv4StringToNum(s) AS back,
+           IPv4CIDRToRange(n, 24).lo AS lo24,
+           IPv4CIDRToRange(n, 24).hi AS hi24,
+           IPv4CIDRToRange(n, p).lo AS lo_p,
+           IPv4CIDRToRange(n, p).hi AS hi_p
+    FROM ips
+"""
+
+_Q172_ORACLE = """
+    WITH ips AS (
+      SELECT event_id,
+             (event_id * 2654435761) % 4294967296 AS n,
+             CASE WHEN event_id % 7 = 0 THEN '999.1.2.3'
+                  WHEN event_id % 7 = 1 THEN '10.0.0'
+                  WHEN event_id % 7 = 2 THEN 'not.an.ip.addr'
+                  ELSE
+                    CAST(((event_id * 2654435761) % 4294967296 // 16777216)
+                         % 256 AS VARCHAR) || '.' ||
+                    CAST(((event_id * 2654435761) % 4294967296 // 65536)
+                         % 256 AS VARCHAR) || '.' ||
+                    CAST(((event_id * 2654435761) % 4294967296 // 256)
+                         % 256 AS VARCHAR) || '.' ||
+                    CAST((event_id * 2654435761) % 4294967296 % 256
+                         AS VARCHAR)
+             END AS s,
+             CAST(8 + event_id % 17 AS INT) AS p
+      FROM events WHERE event_id % 13 = 5
+    ),
+    chk AS (
+      SELECT *,
+        regexp_matches(s, '^[0-9]{{1,3}}(\\.[0-9]{{1,3}}){{3}}$') AND
+          len(list_filter(string_split(s, '.'),
+            o -> TRY_CAST(o AS INTEGER) > 255)) = 0 AS is_v4
+      FROM ips
+    )
+    SELECT event_id, n, s,
+      CAST((n // 16777216) % 256 AS VARCHAR) || '.' ||
+      CAST((n // 65536) % 256 AS VARCHAR) || '.' ||
+      CAST((n // 256) % 256 AS VARCHAR) || '.' ||
+      CAST(n % 256 AS VARCHAR) AS quad,
+      is_v4,
+      CASE WHEN is_v4 THEN
+        CAST(string_split(s, '.')[1] AS BIGINT) * 16777216 +
+        CAST(string_split(s, '.')[2] AS BIGINT) * 65536 +
+        CAST(string_split(s, '.')[3] AS BIGINT) * 256 +
+        CAST(string_split(s, '.')[4] AS BIGINT) END AS back,
+      (n // 256) * 256 AS lo24,
+      (n // 256) * 256 + 255 AS hi24,
+      (n // CAST(pow(2, 32 - p) AS BIGINT)) *
+        CAST(pow(2, 32 - p) AS BIGINT) AS lo_p,
+      (n // CAST(pow(2, 32 - p) AS BIGINT)) *
+        CAST(pow(2, 32 - p) AS BIGINT) +
+        CAST(pow(2, 32 - p) AS BIGINT) - 1 AS hi_p
+    FROM chk
+    ORDER BY event_id
+"""
+
+
+@query("q172_ipv4_functions", oracle=_Q172_ORACLE)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's IPv4 vocabulary VERBATIM as registered scalars:
+    IPv4NumToString / IPv4StringToNum(+OrNull) / isIPv4String /
+    IPv4CIDRToRange — planted addresses (a multiplicative-hash spread
+    over the full UInt32 space) plus malformed strings (out-of-range
+    octet, short quad, non-numeric) exercising the validation path.
+
+    Exactness: pure integer algebra — octets via div/mod (no
+    engine-specific bit-operator dialect), CIDR blocks via exact
+    pow(2, k) BIGINT arithmetic, validation via an RE2-safe regex +
+    octet-range check the oracle replays verbatim. Documented deltas:
+    malformed input -> NULL where CH's unsuffixed IPv4StringToNum
+    raises (the OrNull contract), CIDRToRange takes/returns numeric
+    addresses as a (lo, hi) struct (flattened to columns here — the
+    q161 interchange rule).
+
+    Scale: narrow scan-speed projection, no exchange (q166 shape).
+
+    NARROW_CHAIN profile: pure projection."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q172_CLICKHOUSE_SQL), "event_id")

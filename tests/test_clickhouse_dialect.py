@@ -244,3 +244,32 @@ class TestArrayStringVocabulary:
         register_clickhouse_functions(spark)
         got = spark.sql("SELECT position('lo', 'hello') AS x").collect()[0].x
         assert got == 4  # Spark semantics: needle FIRST
+
+
+class TestIPv4Functions:
+    def test_ipv4_edges(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            "IPv4NumToString(3232235777)": "192.168.1.1",
+            "IPv4NumToString(0)": "0.0.0.0",
+            "IPv4NumToString(4294967295)": "255.255.255.255",
+            "IPv4StringToNum('192.168.1.1')": 3232235777,
+            "IPv4StringToNum('256.1.1.1')": None,  # octet out of range
+            "IPv4StringToNum('1.2.3')": None,
+            "IPv4StringToNum('a.b.c.d')": None,
+            "isIPv4String('10.0.0.1')": True,
+            "isIPv4String('999.0.0.1')": False,
+            "isIPv4String('10.0.0.1.5')": False,
+            "IPv4CIDRToRange(3232235777, 24).lo": 3232235776,
+            "IPv4CIDRToRange(3232235777, 24).hi": 3232236031,
+            "IPv4CIDRToRange(3232235777, 32).lo": 3232235777,
+            "IPv4CIDRToRange(3232235777, 0).lo": 0,
+            "IPv4CIDRToRange(3232235777, 0).hi": 4294967295,
+        }
+        for expr, want in cases.items():
+            got = spark.sql(f"SELECT {expr} AS x").collect()[0]["x"]
+            assert got == want, (expr, got, want)
