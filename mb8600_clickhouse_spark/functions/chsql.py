@@ -1332,6 +1332,150 @@ def _rewrite_moving(sql: str) -> str:
     return sql
 
 
+def ks_tail(dmax_num: str, n0: str, n1: str, dialect: str = "spark") -> str:
+    """Kolmogorov-Smirnov D from the EXACT integer numerator
+    max|n1*F0 - n0*F1| and the sample sizes: one IEEE division. CH
+    returns (d, p); the p-value needs the KS distribution (no shared
+    spelling) — named field ``d`` only, the q165 contract."""
+    d = f"(CAST({dmax_num} AS DOUBLE) / (({n0}) * ({n1})))"
+    if dialect == "spark":
+        return f"named_struct('d', {d})"
+    return f"struct_pack(d := {d})"
+
+
+def assoc_tail(chi2: str, n: str, r: str, c: str) -> str:
+    """Cramér's V from chi-squared — one sqrt over a snapped chi2.
+    The chi2 SUM is order-sensitive in last ulps (doubles), so chi2
+    itself snaps to DECIMAL(18,6) first (the entropy device) and V
+    derives from the snapped value: identical in any engine and any
+    summation order."""
+    chis = f"CAST(CAST({chi2} AS DECIMAL(18,6)) AS DOUBLE)"
+    return (
+        f"CAST(sqrt({chis} / (({n}) * "
+        f"least(({r}) - 1.0, ({c}) - 1.0))) AS DECIMAL(18,6))"
+    )
+
+
+def _ks_expr(x: str, g: str) -> str:
+    """kolmogorovSmirnovTest(x, sample_idx) as one aggregate fold:
+    collect (v, g) pairs; for each DISTINCT value u the ECDF gap
+    numerator |n1*count0(<=u) - n0*count1(<=u)| is an exact integer;
+    D = max / (n0*n1). O(n*d) per group — the bounded-slice collect
+    contract (q165's MW rule); relational window counts are the
+    unbounded path."""
+    pair = (
+        f"CASE WHEN ({x}) IS NOT NULL AND ({g}) IS NOT NULL THEN "
+        f"named_struct('v', CAST(CAST({x} AS DECIMAL(18,4)) * 10000 "
+        f"AS BIGINT), 'g', CAST({g} AS INT)) END"
+    )
+    n0 = "CAST(size(filter(ps, p -> p.g = 0)) AS DOUBLE)"
+    n1 = "CAST(size(filter(ps, p -> p.g <> 0)) AS DOUBLE)"
+    c0 = "CAST(size(filter(ps, q -> q.g = 0 AND q.v <= u)) AS BIGINT)"
+    c1 = "CAST(size(filter(ps, q -> q.g <> 0 AND q.v <= u)) AS BIGINT)"
+    dnum = (
+        f"array_max(transform(array_distinct(transform(ps, p -> p.v)), "
+        f"u -> abs(CAST({n1} AS BIGINT) * {c0} - "
+        f"CAST({n0} AS BIGINT) * {c1})))"
+    )
+    body = ks_tail(dnum, n0, n1, dialect="spark")
+    guard = f"CASE WHEN {n0} >= 1.0 AND {n1} >= 1.0 THEN {body} END"
+    return (
+        f"element_at(transform(array(collect_list({pair})), ps -> "
+        f"{guard}), 1)"
+    )
+
+
+def _assoc_expr(fam: str, a: str, b: str) -> str:
+    """cramersV / contingency / theilsU over two categorical columns,
+    as one aggregate fold over the collected (a, b) pair list (string
+    form; NULL pairs dropped). chi2-based members snap chi2 to 1e-6
+    before the closed form (see assoc_tail); theilsU lives in the log
+    domain and snaps its output (the entropy device). Sorted distinct
+    folds keep the Spark-side order deterministic; the ORACLE computes
+    the same sums relationally in arbitrary order — the snap absorbs
+    both engines' ulp spread."""
+    pair = (
+        f"CASE WHEN ({a}) IS NOT NULL AND ({b}) IS NOT NULL THEN "
+        f"named_struct('a', CAST({a} AS STRING), "
+        f"'b', CAST({b} AS STRING)) END"
+    )
+    n = "CAST(size(ps) AS DOUBLE)"
+    ra = "CAST(size(filter(ps, q -> q.a = c.a)) AS DOUBLE)"
+    cb = "CAST(size(filter(ps, q -> q.b = c.b)) AS DOUBLE)"
+    o = "CAST(size(filter(ps, q -> q.a = c.a AND q.b = c.b)) AS DOUBLE)"
+    cells = "array_distinct(ps)"
+    chi2 = (
+        f"aggregate({cells}, CAST(0.0 AS DOUBLE), (acc, c) -> "
+        f"acc + ({o} - {ra} * {cb} / {n}) * ({o} - {ra} * {cb} / {n}) "
+        f"/ ({ra} * {cb} / {n}))"
+    )
+    nr = "CAST(size(array_distinct(transform(ps, p -> p.a))) AS DOUBLE)"
+    nc = "CAST(size(array_distinct(transform(ps, p -> p.b))) AS DOUBLE)"
+    if fam == "cramersV":
+        # a single-category side has no association to measure: NULL
+        # (CH returns nan), and the guard also keeps the min(r,c)-1
+        # denominator away from ANSI divide-by-zero
+        body = (
+            f"CASE WHEN {nr} > 1.0 AND {nc} > 1.0 THEN "
+            f"{assoc_tail(chi2, n, nr, nc)} END"
+        )
+    elif fam == "contingency":
+        # contingency coefficient: sqrt(chi2 / (chi2 + n))
+        chis = f"CAST(CAST({chi2} AS DECIMAL(18,6)) AS DOUBLE)"
+        body = f"CAST(sqrt({chis} / ({chis} + {n})) AS DECIMAL(18,6))"
+    elif fam == "theilsU":
+        # U(a|b) = (H(a) - H(a|b)) / H(a); CH's theilsU(a, b).
+        # H terms via counts * ln(counts) — exact integer counts into
+        # libm ln, output snapped (the entropy device)
+        ca = "CAST(size(filter(ps, q -> q.a = u)) AS DOUBLE)"
+        ha = (
+            f"(ln({n}) - aggregate(array_distinct(transform(ps, "
+            f"p -> p.a)), CAST(0.0 AS DOUBLE), (acc, u) -> "
+            f"acc + {ca} * ln({ca})) / {n})"
+        )
+        ocell = "CAST(size(filter(ps, q -> q.a = c.a AND q.b = c.b)) AS DOUBLE)"
+        cbv = "CAST(size(filter(ps, q -> q.b = c.b)) AS DOUBLE)"
+        # H(a|b) = -sum_cells (o/n) ln(o/cb)
+        hab = (
+            f"(-aggregate({cells}, CAST(0.0 AS DOUBLE), (acc, c) -> "
+            f"acc + ({ocell} / {n}) * ln({ocell} / {cbv})))"
+        )
+        body = (
+            f"CAST(CASE WHEN {ha} = 0.0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE ({ha} - {hab}) / {ha} END AS DECIMAL(18,6))"
+        )
+    else:  # pragma: no cover
+        raise ChSqlError(f"unknown association aggregate {fam}")
+    return (
+        f"element_at(transform(array(collect_list({pair})), ps -> "
+        f"{body}), 1)"
+    )
+
+
+def _rewrite_assoc_aggs(sql: str) -> str:
+    """kolmogorovSmirnovTest / cramersV / theilsU / contingency →
+    collect-fold aggregate expressions (see _ks_expr / _assoc_expr)."""
+    for fam, arity in (
+        ("kolmogorovSmirnovTest", 2), ("cramersV", 2), ("theilsU", 2),
+        ("contingency", 2),
+    ):
+        while True:
+            m = _first_match(sql, rf"\b{fam}\s*\(")
+            if m is None:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = [x.strip() for x in _split_top_commas(sql[o + 1 : c])]
+            if len(args) != arity:
+                raise ChSqlError(f"{fam} expects {arity} arguments")
+            if fam == "kolmogorovSmirnovTest":
+                rep = _ks_expr(args[0], args[1])
+            else:
+                rep = _assoc_expr(fam, args[0], args[1])
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
+    return sql
+
+
 def _rewrite_interval_aggs(sql: str) -> str:
     """Interval aggregates (round 8), all over HALF-OPEN [s, e)
     integer intervals (the bridge casts both bounds to BIGINT; CH also
@@ -2784,6 +2928,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_stats_aggs(sql)
     sql = _rewrite_delta_ema(sql)
     sql = _rewrite_interval_aggs(sql)
+    sql = _rewrite_assoc_aggs(sql)
     sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)

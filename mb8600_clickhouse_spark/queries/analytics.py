@@ -941,3 +941,146 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q172_CLICKHOUSE_SQL), "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q173 KS test + categorical association (cramersV / theilsU / contingency)
+# ---------------------------------------------------------------------------
+_Q173_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           kolmogorovSmirnovTest(value, user_id % 2).d AS ks_d,
+           CAST(cramersV(user_id % 5, (user_id % 5 + user_id % 2) % 5)
+                AS DOUBLE) AS cv,
+           CAST(contingency(user_id % 5, (user_id % 5 + user_id % 2) % 5)
+                AS DOUBLE) AS cont,
+           CAST(theilsU(user_id % 5, (user_id % 5 + user_id % 2) % 5)
+                AS DOUBLE) AS tu
+    FROM events
+    WHERE user_id % 89 = 7
+    GROUP BY event_type
+"""
+
+
+def _q173_oracle() -> str:
+    from ..functions.chsql import ks_tail
+
+    kst = ks_tail("ks.dnum", "CAST(tot.n0 AS DOUBLE)",
+                  "CAST(tot.n1 AS DOUBLE)", dialect="duck")
+    return f"""
+    WITH e AS (
+      SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+             CAST(user_id % 2 AS INT) AS s,
+             CAST(user_id % 5 AS VARCHAR) AS a,
+             CAST((user_id % 5 + user_id % 2) % 5 AS VARCHAR) AS b
+      FROM events WHERE user_id % 89 = 7
+    ),
+    tot AS (
+      SELECT g, CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM e GROUP BY g
+    ),
+    pv AS (
+      SELECT g, v, CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM e GROUP BY g, v
+    ),
+    cum AS (
+      SELECT g, v,
+             CAST(SUM(c0) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS k0,
+             CAST(SUM(c1) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS k1
+      FROM pv
+    ),
+    ks AS (
+      SELECT cum.g, CAST(MAX(ABS(tot.n1 * cum.k0 - tot.n0 * cum.k1))
+             AS BIGINT) AS dnum
+      FROM cum JOIN tot ON cum.g = tot.g GROUP BY cum.g
+    ),
+    cells AS (
+      SELECT g, a, b, CAST(COUNT(*) AS DOUBLE) AS o FROM e GROUP BY g, a, b
+    ),
+    rows_a AS (
+      SELECT g, a, CAST(COUNT(*) AS DOUBLE) AS ra FROM e GROUP BY g, a
+    ),
+    cols_b AS (
+      SELECT g, b, CAST(COUNT(*) AS DOUBLE) AS cb FROM e GROUP BY g, b
+    ),
+    dims AS (
+      SELECT g, CAST(COUNT(DISTINCT a) AS DOUBLE) AS nr,
+             CAST(COUNT(DISTINCT b) AS DOUBLE) AS nc
+      FROM e GROUP BY g
+    ),
+    chi AS (
+      SELECT cells.g,
+             SUM((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n))
+               AS chi2,
+             SUM((o / n) * ln(o / cb)) AS neg_hab
+      FROM cells
+      JOIN rows_a ON cells.g = rows_a.g AND cells.a = rows_a.a
+      JOIN cols_b ON cells.g = cols_b.g AND cells.b = cols_b.b
+      JOIN tot ON cells.g = tot.g
+      GROUP BY cells.g
+    ),
+    ha AS (
+      SELECT rows_a.g,
+             ln(tot.n) - SUM(ra * ln(ra)) / tot.n AS h_a
+      FROM rows_a JOIN tot ON rows_a.g = tot.g GROUP BY rows_a.g, tot.n
+    )
+    SELECT tot.g AS event_type,
+      CASE WHEN CAST(tot.n0 AS DOUBLE) >= 1.0 AND
+                CAST(tot.n1 AS DOUBLE) >= 1.0
+           THEN ({kst}).d END AS ks_d,
+      CAST(CASE WHEN dims.nr > 1.0 AND dims.nc > 1.0 THEN
+        CAST(sqrt(CAST(CAST(chi.chi2 AS DECIMAL(18,6)) AS DOUBLE) /
+             (tot.n * least(dims.nr - 1.0, dims.nc - 1.0)))
+             AS DECIMAL(18,6)) END AS DOUBLE) AS cv,
+      CAST(CAST(sqrt(CAST(CAST(chi.chi2 AS DECIMAL(18,6)) AS DOUBLE) /
+           (CAST(CAST(chi.chi2 AS DECIMAL(18,6)) AS DOUBLE) + tot.n))
+           AS DECIMAL(18,6)) AS DOUBLE) AS cont,
+      CAST(CAST(CASE WHEN ha.h_a = 0.0 THEN CAST(NULL AS DOUBLE)
+           ELSE (ha.h_a - (-chi.neg_hab)) / ha.h_a END
+           AS DECIMAL(18,6)) AS DOUBLE) AS tu
+    FROM tot
+    JOIN ks ON tot.g = ks.g
+    JOIN chi ON tot.g = chi.g
+    JOIN dims ON tot.g = dims.g
+    JOIN ha ON tot.g = ha.g
+    ORDER BY tot.g
+    """
+
+
+@query("q173_ks_association", oracle=_q173_oracle())
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest`` / ``cramersV`` /
+    ``theilsU`` / ``contingency`` VERBATIM through the bridge
+    (``chsql._rewrite_assoc_aggs``) — the two-sample distribution test
+    and the categorical-association trio, per event type over a
+    bounded user slice.
+
+    Exactness: the KS D statistic is EXACT — its numerator
+    max|n1*F0(u) - n0*F1(u)| is an integer over DECIMAL(18,4)-snapped
+    values (one IEEE division at the end; the oracle computes the same
+    numerator via relational cumulative counts). The chi-squared-based
+    members sum IEEE cell terms in engine-specific ORDER, so chi2
+    snaps to 1e-6 before the closed forms (the entropy device);
+    theilsU lives in the libm-log domain and snaps its output.
+    Degenerate groups (empty sample, single category) -> NULL (CH
+    returns nan; documented). CH's p-values need the KS distribution —
+    named field d only (the q165 contract).
+
+    Scale: one event_type exchange; per-group state is the collected
+    pair list with O(n*d) distinct-value folds — the bounded-slice
+    collect contract (q165's MW rule); the oracle's cumulative-count /
+    contingency-table spelling IS the unbounded relational path.
+
+    NARROW_CHAIN profile: filtered scan -> one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q173_CLICKHOUSE_SQL), "event_type")

@@ -2504,3 +2504,107 @@ class TestIntervalAggregates:
     def test_arity_reject(self):
         with pytest.raises(ChSqlError):
             rw("SELECT intervalLengthSum(s) FROM t")
+
+
+class TestKsAssociation:
+    """Round-8 KS + association bridges vs pure-Python references."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def _data(self, spark):
+        import random
+
+        register_clickhouse_functions(spark)
+        rng = random.Random("ks-assoc-5")
+        rows = [
+            Row(
+                g="x" if i % 2 else "y",
+                v=round(rng.uniform(0, 50) + (10 if i % 3 == 0 else 0), 4),
+                s=i % 3 % 2,
+                a=str(i % 4),
+                b=str((i % 4 + i % 2) % 4),
+            )
+            for i in range(300)
+        ]
+        spark.createDataFrame(rows).createOrReplaceTempView("ksa_t")
+        return rows
+
+    def test_ks_matches_python(self, spark, _data):
+        from decimal import Decimal
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        got = {
+            r.g: r.d
+            for r in ch_sql(
+                spark,
+                "SELECT g, kolmogorovSmirnovTest(v, s).d AS d FROM ksa_t "
+                "GROUP BY g",
+            ).collect()
+        }
+        for grp in ("x", "y"):
+            vs = [
+                (int(Decimal(str(r.v)).quantize(Decimal("0.0001")) * 10000),
+                 r.s)
+                for r in _data if r.g == grp
+            ]
+            a = [v for v, s in vs if s == 0]
+            b = [v for v, s in vs if s == 1]
+            n0, n1 = len(a), len(b)
+            dnum = max(
+                abs(n1 * sum(1 for x in a if x <= u)
+                    - n0 * sum(1 for x in b if x <= u))
+                for u in {v for v, _ in vs}
+            )
+            assert got[grp] == dnum / (n0 * n1), grp
+
+    def test_assoc_matches_python(self, spark, _data):
+        import math
+        from collections import Counter
+        from decimal import Decimal
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT g, CAST(cramersV(a, b) AS DOUBLE) AS cv, "
+            "CAST(contingency(a, b) AS DOUBLE) AS ct, "
+            "CAST(theilsU(a, b) AS DOUBLE) AS tu FROM ksa_t GROUP BY g",
+        ).collect()
+        for r in rows:
+            pairs = [(d.a, d.b) for d in _data if d.g == r.g]
+            n = len(pairs)
+            cells = Counter(pairs)
+            rac = Counter(p[0] for p in pairs)
+            cbc = Counter(p[1] for p in pairs)
+            chi2 = sum(
+                (o - rac[x] * cbc[y] / n) ** 2 / (rac[x] * cbc[y] / n)
+                for (x, y), o in cells.items()
+            )
+            chis = float(Decimal(str(chi2)).quantize(Decimal("0.000001")))
+            cv = math.sqrt(chis / (n * (min(len(rac), len(cbc)) - 1)))
+            ct = math.sqrt(chis / (chis + n))
+            ha = math.log(n) - sum(
+                c * math.log(c) for c in rac.values()
+            ) / n
+            hab = -sum(
+                (o / n) * math.log(o / cbc[y])
+                for (x, y), o in cells.items()
+            )
+            tu = (ha - hab) / ha
+            assert r.cv == pytest.approx(cv, abs=2e-6)
+            assert r.ct == pytest.approx(ct, abs=2e-6)
+            assert r.tu == pytest.approx(tu, abs=2e-6)
+
+    def test_degenerate_nulls(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(g="one", v=1.0, s=0, a="x", b="p"),
+             Row(g="one", v=2.0, s=0, a="x", b="q")]
+        ).createOrReplaceTempView("ksa_degen")
+        r = ch_sql(
+            spark,
+            "SELECT kolmogorovSmirnovTest(v, s).d AS d, "
+            "cramersV(a, b) AS cv FROM ksa_degen GROUP BY g",
+        ).collect()[0]
+        assert r.d is None and r.cv is None  # one-sample / one-category
