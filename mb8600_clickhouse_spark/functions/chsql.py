@@ -1452,6 +1452,109 @@ def _assoc_expr(fam: str, a: str, b: str) -> str:
     )
 
 
+def _rewrite_weighted_aggs(sql: str) -> str:
+    """Weighted/sorted parametric aggregates (round 8):
+
+    - ``quantileExactWeighted(p)(x, w)`` → exact weighted quantile,
+      ClickHouse's rule (QuantileExactWeighted): sort values,
+      accumulate integer weights, return the FIRST value whose
+      cumulative weight reaches ``p * total_weight`` (one IEEE
+      multiply for the threshold; the comparison operands are exact
+      integers, so the pick is deterministic in any engine).
+    - ``topKWeighted(k)(x, w)`` → the k values with the largest total
+      weight, weight desc / value asc (DETERMINISTIC — CH's is the
+      approximate Filtered Space-Saving sketch, same exact-upgrade
+      trade as topK). Returns a sorted value array.
+    - ``groupArraySorted(N)(x)`` → the N smallest values ascending
+      (CH-exact; slice of the sorted collected list).
+
+    Values/weights snap to DECIMAL(18,4) scaled BIGINTs (weights must
+    be non-negative integers in CH — the snap accepts any numeric and
+    keeps exactness). Per-group state is the collected pair list (the
+    behavioral-aggregate contract)."""
+    pc = None
+    while True:
+        pc = None
+        if _first_match(sql, r"\bquantileExactWeighted\s*\("):
+            pc = _parametric_call(sql, "quantileExactWeighted")
+        if pc is None:
+            break
+        start, params, args, end = pc
+        try:
+            p = float(params)
+        except ValueError:
+            raise ChSqlError(
+                "quantileExactWeighted(p) needs a numeric level"
+            ) from None
+        if not (0.0 <= p <= 1.0) or len(args) != 2:
+            raise ChSqlError(
+                "quantileExactWeighted(p)(x, w): level in [0, 1], "
+                "two arguments"
+            )
+        x, wt = args
+        pair = (
+            f"CASE WHEN ({x}) IS NOT NULL AND ({wt}) IS NOT NULL THEN "
+            f"named_struct('v', CAST(CAST({x} AS DECIMAL(18,4)) * 10000 "
+            f"AS BIGINT), 'w', CAST({wt} AS BIGINT)) END"
+        )
+        fold = (
+            "aggregate(ps, named_struct('c', CAST(0 AS BIGINT), "
+            "'a', CAST(NULL AS BIGINT)), (acc, p) -> named_struct("
+            "'c', acc.c + p.w, 'a', CASE WHEN acc.a IS NULL AND "
+            "CAST(acc.c + p.w AS DOUBLE) >= thr THEN p.v ELSE acc.a "
+            "END)).a"
+        )
+        rep = (
+            f"(CAST(element_at(transform(array(array_sort("
+            f"collect_list({pair}))), ps -> element_at(transform(array("
+            f"CAST({p!r} AS DOUBLE) * CAST(aggregate(ps, CAST(0 AS "
+            f"BIGINT), (a, p) -> a + p.w) AS DOUBLE)), thr -> {fold}), "
+            f"1)), 1) AS DOUBLE) / 10000.0)"
+        )
+        sql = sql[:start] + rep + sql[end:]
+
+    while True:
+        pc = None
+        if _first_match(sql, r"\btopKWeighted\s*\("):
+            pc = _parametric_call(sql, "topKWeighted")
+        if pc is None:
+            break
+        start, params, args, end = pc
+        if not params.strip().isdigit() or len(args) != 2:
+            raise ChSqlError("topKWeighted(k)(x, w): integer k, two args")
+        k = int(params)
+        x, wt = args
+        pair = (
+            f"CASE WHEN ({x}) IS NOT NULL AND ({wt}) IS NOT NULL THEN "
+            f"named_struct('v', ({x}), "
+            f"'w', CAST({wt} AS BIGINT)) END"
+        )
+        tw = "aggregate(filter(ps, q -> q.v = u), CAST(0 AS BIGINT), (a, q) -> a + q.w)"
+        rep = (
+            f"element_at(transform(array(collect_list({pair})), ps -> "
+            f"transform(slice(array_sort(transform(array_distinct("
+            f"transform(ps, p -> p.v)), u -> named_struct("
+            f"'nw', -{tw}, 'v', u))), 1, {k}), s -> s.v)), 1)"
+        )
+        sql = sql[:start] + rep + sql[end:]
+
+    while True:
+        pc = None
+        if _first_match(sql, r"\bgroupArraySorted\s*\("):
+            pc = _parametric_call(sql, "groupArraySorted")
+        if pc is None:
+            break
+        start, params, args, end = pc
+        if not params.strip().isdigit() or len(args) != 1:
+            raise ChSqlError("groupArraySorted(N)(x): integer N, one arg")
+        rep = (
+            f"slice(array_sort(collect_list({args[0]})), 1, "
+            f"{int(params)})"
+        )
+        sql = sql[:start] + rep + sql[end:]
+    return sql
+
+
 def _rewrite_assoc_aggs(sql: str) -> str:
     """kolmogorovSmirnovTest / cramersV / theilsU / contingency →
     collect-fold aggregate expressions (see _ks_expr / _assoc_expr)."""
@@ -2929,6 +3032,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_delta_ema(sql)
     sql = _rewrite_interval_aggs(sql)
     sql = _rewrite_assoc_aggs(sql)
+    sql = _rewrite_weighted_aggs(sql)
     sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)

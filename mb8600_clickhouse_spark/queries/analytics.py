@@ -1084,3 +1084,96 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q173_CLICKHOUSE_SQL), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q174 weighted/sorted parametric aggregates
+# ---------------------------------------------------------------------------
+_Q174_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           quantileExactWeighted(0.5)(value, 1 + user_id % 9) AS wmed,
+           quantileExactWeighted(0.9)(value, 1 + user_id % 9) AS wp90,
+           topKWeighted(3)(user_id % 20, CAST(value * 100 AS BIGINT))
+             AS heavy_buckets,
+           groupArraySorted(5)(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                               AS BIGINT)) AS low5
+    FROM events
+    WHERE user_id % 17 = 6
+    GROUP BY event_type
+"""
+
+_Q174_ORACLE = """
+    WITH e AS (
+      SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+             CAST(1 + user_id % 9 AS BIGINT) AS w,
+             user_id % 20 AS bkt,
+             CAST(value * 100 AS BIGINT) AS bw,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS vdec
+      FROM events WHERE user_id % 17 = 6
+    ),
+    tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY g),
+    cum AS (
+      SELECT g, v,
+             CAST(SUM(w) OVER (PARTITION BY g ORDER BY v, w
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      FROM e
+    ),
+    med AS (
+      SELECT cum.g,
+             CAST(MIN(CASE WHEN CAST(cw AS DOUBLE) >=
+               CAST(0.5 AS DOUBLE) * CAST(tw AS DOUBLE) THEN v END)
+               AS DOUBLE) / 10000.0 AS wmed,
+             CAST(MIN(CASE WHEN CAST(cw AS DOUBLE) >=
+               CAST(0.9 AS DOUBLE) * CAST(tw AS DOUBLE) THEN v END)
+               AS DOUBLE) / 10000.0 AS wp90
+      FROM cum JOIN tot ON cum.g = tot.g GROUP BY cum.g
+    ),
+    bw AS (
+      SELECT g, bkt, CAST(SUM(bw) AS BIGINT) AS wsum FROM e GROUP BY g, bkt
+    ),
+    topk AS (
+      SELECT g, list(bkt ORDER BY wsum DESC, bkt)[1:3] AS heavy_buckets
+      FROM bw GROUP BY g
+    ),
+    low AS (
+      SELECT g, list(vdec ORDER BY vdec)[1:5] AS low5 FROM e GROUP BY g
+    )
+    SELECT med.g AS event_type, med.wmed, med.wp90,
+           topk.heavy_buckets, low.low5
+    FROM med JOIN topk ON med.g = topk.g JOIN low ON med.g = low.g
+    ORDER BY med.g
+"""
+
+
+@query("q174_weighted_aggregates", oracle=_Q174_ORACLE)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted`` / ``topKWeighted`` /
+    ``groupArraySorted`` VERBATIM through the bridge
+    (``chsql._rewrite_weighted_aggs``), per event type over a bounded
+    slice: the weighted median and p90 of value (user-bucket weights),
+    the 3 heaviest user buckets by total value (CH's approximate
+    Filtered Space-Saving upgraded to the exact answer, weight desc /
+    value asc — the topK trade), and the 5 smallest snapped values.
+
+    Exactness: CH's QuantileExactWeighted pick rule — sorted values,
+    integer cumulative weights, first value whose cumulative weight
+    reaches p * total (one IEEE multiply; exact-integer comparison
+    operands, so the pick is engine-independent). The oracle replays
+    the pick via a relational cumulative-weight window, the top-k via
+    weight-sum sort — two computation paths, one exact answer.
+
+    Scale: one event_type exchange; collected pair-list state (the
+    behavioral-aggregate contract); the oracle's window spelling is
+    the unbounded path.
+
+    NARROW_CHAIN profile: filtered scan -> one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q174_CLICKHOUSE_SQL), "event_type")

@@ -2608,3 +2608,51 @@ class TestKsAssociation:
             "cramersV(a, b) AS cv FROM ksa_degen GROUP BY g",
         ).collect()[0]
         assert r.d is None and r.cv is None  # one-sample / one-category
+
+
+class TestWeightedAggregates:
+    @pytest.fixture(scope="class", autouse=True)
+    def _data(self, spark):
+        register_clickhouse_functions(spark)
+        rows = [Row(g="a", v=float(v), w=w)
+                for v, w in [(1, 1), (2, 3), (3, 1), (4, 5), (5, 2)]]
+        rows += [Row(g="u", v=float(v), w=1) for v in range(1, 11)]
+        spark.createDataFrame(rows).createOrReplaceTempView("wagg_t")
+
+    def test_quantile_exact_weighted_pick_rule(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT g, quantileExactWeighted(0.5)(v, w) AS med, "
+            "quantileExactWeighted(0.0)(v, w) AS q0, "
+            "quantileExactWeighted(1.0)(v, w) AS q1 "
+            "FROM wagg_t GROUP BY g ORDER BY g",
+        ).collect()
+        a, u = rows
+        # W=12, thr=6; cum 1,4,5,10 -> first >= 6 is v=4
+        assert (a.med, a.q0, a.q1) == (4.0, 1.0, 5.0)
+        # unit weights, n=10: thr=5 -> v=5 (CH's >= rule, lower median)
+        assert (u.med, u.q0, u.q1) == (5.0, 1.0, 10.0)
+
+    def test_topk_weighted_and_sorted(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT g, topKWeighted(2)(v, w) AS t2, "
+            "groupArraySorted(3)(v) AS s3 "
+            "FROM wagg_t GROUP BY g ORDER BY g",
+        ).collect()
+        a, u = rows
+        assert a.t2 == [4.0, 2.0]      # by weight 5, 3
+        assert u.t2 == [1.0, 2.0]      # all tied -> value asc
+        assert a.s3 == [1.0, 2.0, 3.0] and u.s3 == [1.0, 2.0, 3.0]
+
+    def test_rejects(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT quantileExactWeighted(1.5)(v, w) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT topKWeighted(k)(v, w) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT groupArraySorted(3)(v, w) FROM t")
