@@ -321,6 +321,11 @@ def _rewrite_combinators(sql: str) -> str:
         # the default (whole-partition) frame, the only bridged form
         (r"\blagInFrame\s*\(", "lag("),
         (r"\bleadInFrame\s*\(", "lead("),
+        # bitwise aggregates / scalar: exact integer contracts
+        (r"\bgroupBitAnd\s*\(", "bit_and("),
+        (r"\bgroupBitOr\s*\(", "bit_or("),
+        (r"\bgroupBitXor\s*\(", "bit_xor("),
+        (r"\bbitCount\s*\(", "bit_count("),
         # moment aggregates: identical population/sample contracts
         (r"\bstddevPop\s*\(", "stddev_pop("),
         (r"\bstddevSamp\s*\(", "stddev_samp("),
@@ -2706,6 +2711,57 @@ def _rewrite_scalar_calls(sql: str) -> str:
             f"(s.n * s.sxx - s.sx * s.sx)), k -> named_struct("
             f"'k', k, 'b', (s.sy - k * s.sx) / s.n)), 1)), 1)"
         )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    # arrayFold((acc, x) -> ..., arr, init) — CH's explicit fold; the
+    # lambda syntax is identical to Spark's aggregate(), only the
+    # ARGUMENT ORDER differs (function first in CH, last in Spark)
+    while True:
+        m = _first_match(sql, r"\barrayFold\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 3:
+            raise ChSqlError(
+                "arrayFold expects (lambda, array, init) — CH's "
+                "single-array form"
+            )
+        fn, arr, init = args
+        rep = f"aggregate({arr}, {init}, {fn})"
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    # arrayReduce('agg', arr) — a named aggregate applied to an array.
+    # Bridged for the order-free exact members; anything else raises
+    # with the aggregate-subquery spelling
+    _ARRAY_REDUCE = {
+        "sum": "aggregate({a}, CAST(0 AS DOUBLE), (x, y) -> x + y)",
+        "min": "array_min({a})",
+        "max": "array_max({a})",
+        "count": "size({a})",
+        "avg": (
+            "(aggregate({a}, CAST(0 AS DOUBLE), (x, y) -> x + y) / "
+            "size({a}))"
+        ),
+        "uniqExact": "size(array_distinct({a}))",
+    }
+    while True:
+        m = _first_match(sql, r"\barrayReduce\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 2:
+            raise ChSqlError("arrayReduce expects ('agg', array)")
+        am = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+        if not am or am.group(1) not in _ARRAY_REDUCE:
+            raise ChSqlError(
+                f"arrayReduce supports {sorted(_ARRAY_REDUCE)} — other "
+                "aggregates need the explode + aggregate spelling"
+            )
+        rep = _ARRAY_REDUCE[am.group(1)].format(a=args[1].strip())
         sql = sql[: m.start()] + rep + sql[c + 1 :]
 
     # arrayCumSum / arrayDifference — CH array scalars, exact integer

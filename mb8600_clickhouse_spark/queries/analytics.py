@@ -1177,3 +1177,87 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q174_CLICKHOUSE_SQL), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q175 bit aggregates + value mapping + array folds
+# ---------------------------------------------------------------------------
+_Q175_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           groupBitAnd(user_id % 256) AS band,
+           groupBitOr(user_id % 256) AS bor,
+           groupBitXor(user_id % 256) AS bxor,
+           bitCount(groupBitOr(user_id % 256)) AS or_bits,
+           transformCH(CAST(user_id % 4 AS STRING),
+                       array('0', '1', '2'),
+                       array('north', 'south', 'east'), 'other') AS region4,
+           arrayFold((acc, x) -> acc + x,
+                     array(user_id % 7, user_id % 11, user_id % 13),
+                     CAST(0 AS BIGINT)) AS fold_sum,
+           arrayReduce('max', array(user_id % 7, user_id % 11,
+                                    user_id % 13)) AS red_max,
+           arrayReduce('uniqExact', array(user_id % 7, user_id % 11,
+                                          user_id % 13)) AS red_uniq
+    FROM events
+    WHERE user_id % 19 = 2
+    GROUP BY event_type, region4, fold_sum, red_max, red_uniq
+"""
+
+_Q175_ORACLE = """
+    WITH e AS (
+      SELECT event_type, user_id % 256 AS m,
+             CASE CAST(user_id % 4 AS VARCHAR)
+               WHEN '0' THEN 'north' WHEN '1' THEN 'south'
+               WHEN '2' THEN 'east' ELSE 'other' END AS region4,
+             (user_id % 7) + (user_id % 11) + (user_id % 13) AS fold_sum,
+             GREATEST(user_id % 7, user_id % 11, user_id % 13) AS red_max,
+             CAST(len(list_distinct([user_id % 7, user_id % 11,
+                                     user_id % 13])) AS INT) AS red_uniq
+      FROM events WHERE user_id % 19 = 2
+    )
+    SELECT event_type,
+           CAST(BIT_AND(m) AS BIGINT) AS band,
+           CAST(BIT_OR(m) AS BIGINT) AS bor,
+           CAST(BIT_XOR(m) AS BIGINT) AS bxor,
+           CAST(bit_count(CAST(BIT_OR(m) AS BIGINT)) AS INT) AS or_bits,
+           region4,
+           fold_sum, red_max, red_uniq
+    FROM e
+    GROUP BY event_type, region4, fold_sum, red_max, red_uniq
+    ORDER BY event_type, region4, fold_sum, red_max, red_uniq
+"""
+
+
+@query("q175_bit_and_mapping", oracle=_Q175_ORACLE)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd/Or/Xor`` + ``bitCount`` (exact renames
+    onto Spark's bit_and/bit_or/bit_xor/bit_count), the ``transform``
+    value-mapper (as ``transformCH`` — the verbatim name IS Spark's
+    array HOF, DIALECT_NOTES warns), ``arrayFold`` (argument-order
+    rewrite onto aggregate()), and ``arrayReduce`` for the order-free
+    members (sum/min/max/count/avg/uniqExact; others raise with the
+    explode spelling) — grouped per (event type, mapped region).
+
+    Exactness: pure integer bit algebra and integer folds; the mapped
+    region is a literal CASE in the oracle (same map). Wait — fold_sum
+    / red_max / red_uniq are per-ROW deterministic functions of
+    user_id and join the GROUP BY key set (CH allows grouping by any
+    scalar expression; both engines see identical keys because every
+    input is exact integer algebra).
+
+    Scale: one exchange on the composite key; all aggregates are
+    constant-state partial folds.
+
+    NARROW_CHAIN profile: scan -> one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(
+        ch_sql(spark, _Q175_CLICKHOUSE_SQL),
+        "event_type", "region4", "fold_sum", "red_max", "red_uniq",
+    )

@@ -2656,3 +2656,34 @@ class TestWeightedAggregates:
             rw("SELECT topKWeighted(k)(v, w) FROM t")
         with pytest.raises(ChSqlError):
             rw("SELECT groupArraySorted(3)(v, w) FROM t")
+
+
+class TestBitFoldMapping:
+    def test_bit_renames_and_folds(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        register_clickhouse_functions(spark)
+        spark.createDataFrame(
+            [Row(g=1, m=0b1100), Row(g=1, m=0b1010), Row(g=1, m=0b1001)]
+        ).createOrReplaceTempView("bit_t")
+        r = ch_sql(
+            spark,
+            "SELECT groupBitAnd(m) AS a, groupBitOr(m) AS o, "
+            "groupBitXor(m) AS x, bitCount(groupBitOr(m)) AS bc, "
+            "arrayFold((acc, v) -> acc + v, array(1, 2, 3), "
+            "CAST(0 AS BIGINT)) AS fs, "
+            "arrayReduce('max', array(3, 1, 2)) AS rm, "
+            "arrayReduce('uniqExact', array(1, 1, 2)) AS ru, "
+            "transformCH('1', array('0','1'), array('a','b'), 'z') AS tr, "
+            "transformCH('9', array('0','1'), array('a','b'), 'z') AS trd "
+            "FROM bit_t GROUP BY g",
+        ).collect()[0]
+        assert (r.a, r.o, r.x, r.bc) == (0b1000, 0b1111, 0b1111, 4)
+        assert (r.fs, r.rm, r.ru) == (6, 3, 2)
+        assert (r.tr, r.trd) == ("b", "z")
+
+    def test_array_reduce_rejects_unknown(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT arrayReduce('median', arr) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT arrayFold((a, x) -> a + x, arr) FROM t")
