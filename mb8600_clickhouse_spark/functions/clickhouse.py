@@ -319,6 +319,28 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # startsWith/endsWith need no alias: Spark's startswith/endswith
     # are semantically identical and function names resolve
     # case-insensitively — verbatim CH runs natively (test-pinned)
+    # ROC AUC over paired (score, label) arrays — CH's ML-eval scalar.
+    # Rank formulation: AUC = (R_pos - nPos(nPos+1)/2) / (nPos*nNeg)
+    # with AVERAGE ranks (ties share rank), so the result is EXACT
+    # (half-integer rank sums below 2^53, one IEEE division) and
+    # independent of array order. O(n^2) per array — per-row arrays
+    # are small by contract. Degenerate (no positives or no negatives)
+    # -> NULL (CH returns nan)
+    "arrayAUC": (
+        "(s ARRAY<DOUBLE>, l ARRAY<INT>)",
+        "DOUBLE",
+        "CASE WHEN size(filter(l, x -> x = 1)) >= 1 AND "
+        "size(filter(l, x -> x <> 1)) >= 1 THEN "
+        "(aggregate(filter(zip_with(s, l, (a, b) -> "
+        "named_struct('s', a, 'l', b)), p -> p.l = 1), "
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + "
+        "CAST(size(filter(s, q -> q < p.s)) AS DOUBLE) + "
+        "(CAST(size(filter(s, q -> q = p.s)) AS DOUBLE) + 1.0) / 2.0) "
+        "- CAST(size(filter(l, x -> x = 1)) AS DOUBLE) * "
+        "(CAST(size(filter(l, x -> x = 1)) AS DOUBLE) + 1.0) / 2.0) / "
+        "(CAST(size(filter(l, x -> x = 1)) AS DOUBLE) * "
+        "CAST(size(filter(l, x -> x <> 1)) AS DOUBLE)) END",
+    ),
     # CH's transform(x, from, to, default) value-mapper cannot keep its
     # name — `transform` IS Spark's array higher-order function (and
     # the chsql rewriter maps CH arrayMap onto it); transformCH is the

@@ -1261,3 +1261,106 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch_sql(spark, _Q175_CLICKHOUSE_SQL),
         "event_type", "region4", "fold_sum", "red_max", "red_uniq",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q176 ROC AUC: per-row planted arrays + per-group paired collect
+# ---------------------------------------------------------------------------
+_Q176_CLICKHOUSE_SQL = """
+    WITH per_row AS (
+      SELECT event_id,
+             array(CAST(event_id % 17 AS DOUBLE) / 17.0,
+                   CAST(event_id % 13 AS DOUBLE) / 13.0,
+                   CAST(event_id % 11 AS DOUBLE) / 11.0,
+                   CAST(event_id % 7 AS DOUBLE) / 7.0,
+                   CAST(event_id % 5 AS DOUBLE) / 5.0) AS s,
+             array(CAST(event_id % 2 AS INT), CAST(event_id % 3 % 2 AS INT),
+                   CAST(event_id % 5 % 2 AS INT), CAST(event_id % 7 % 2 AS INT),
+                   CAST(event_id % 11 % 2 AS INT)) AS l
+      FROM events WHERE event_id % 41 = 9
+    )
+    SELECT event_id, arrayAUC(s, l) AS auc
+    FROM per_row
+"""
+
+_Q176_GROUP_CH = """
+    WITH pairs AS (
+      SELECT event_type,
+             groupArray((CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE),
+                         CAST(user_id % 2 AS INT))) AS ps
+      FROM events WHERE user_id % 43 = 11
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           arrayAUC(arrayMap(p -> p.col1, ps),
+                    arrayMap(p -> p.col2, ps)) AS auc
+    FROM pairs
+"""
+
+_Q176_ORACLE = """
+    WITH per_row AS (
+      SELECT event_id,
+             [CAST(event_id % 17 AS DOUBLE) / 17.0,
+              CAST(event_id % 13 AS DOUBLE) / 13.0,
+              CAST(event_id % 11 AS DOUBLE) / 11.0,
+              CAST(event_id % 7 AS DOUBLE) / 7.0,
+              CAST(event_id % 5 AS DOUBLE) / 5.0] AS s,
+             [CAST(event_id % 2 AS INT), CAST(event_id % 3 % 2 AS INT),
+              CAST(event_id % 5 % 2 AS INT), CAST(event_id % 7 % 2 AS INT),
+              CAST(event_id % 11 % 2 AS INT)] AS l
+      FROM events WHERE event_id % 41 = 9
+    ),
+    parts AS (
+      SELECT event_id,
+        list_transform(generate_series(1, len(s)),
+          i -> CASE WHEN l[i] = 1 THEN s[i] END) AS pos_scores,
+        CAST(len(list_filter(l, x -> x = 1)) AS DOUBLE) AS np,
+        CAST(len(list_filter(l, x -> x <> 1)) AS DOUBLE) AS nn,
+        s
+      FROM per_row
+    )
+    SELECT event_id,
+      CASE WHEN np >= 1 AND nn >= 1 THEN
+        (list_sum(list_transform(list_filter(pos_scores, p -> p IS NOT NULL),
+           p -> CAST(len(list_filter(s, q -> q < p)) AS DOUBLE) +
+                (CAST(len(list_filter(s, q -> q = p)) AS DOUBLE) + 1.0)
+                / 2.0))
+         - np * (np + 1.0) / 2.0) / (np * nn) END AS auc
+    FROM parts
+    ORDER BY event_id
+"""
+
+
+@query("q176_array_auc", oracle=_Q176_ORACLE)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayAUC`` VERBATIM as a registered scalar — ROC
+    AUC over paired (score, label) arrays, the ML-evaluation member of
+    the array vocabulary (the quality-classifier stack's natural
+    metric: q109's scores against planted labels).
+
+    Exactness: the rank formulation — AUC = (R_pos - nPos(nPos+1)/2) /
+    (nPos*nNeg) with AVERAGE ranks — is exact half-integer arithmetic
+    below 2^53 plus ONE IEEE division, and is independent of array
+    order (why it also composes safely with groupArray's arbitrary
+    collect order — the paired-collect spelling in the docstring
+    example needs no sort). Known answers pinned against sklearn's
+    roc_auc_score in pytest; degenerate single-class arrays -> NULL
+    (CH: nan). The oracle replays the identical rank counts with
+    DuckDB list lambdas (no folds — the q162 list_reduce rule).
+
+    Scale: pure scan-speed projection; O(n^2) per array is the per-row
+    contract (bounded arrays), the per-group path collects pairs (the
+    behavioral contract) and a window-rank relational spelling is the
+    unbounded lever (same machinery as q165's Mann-Whitney — AUC IS
+    U/(n0*n1)).
+
+    NARROW_CHAIN profile: pure projection."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q176_CLICKHOUSE_SQL), "event_id")

@@ -273,3 +273,50 @@ class TestIPv4Functions:
         for expr, want in cases.items():
             got = spark.sql(f"SELECT {expr} AS x").collect()[0]["x"]
             assert got == want, (expr, got, want)
+
+
+class TestArrayAUC:
+    def test_known_answers(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            # sklearn.roc_auc_score pins
+            "arrayAUC(array(0.1D, 0.4D, 0.35D, 0.8D), array(0, 0, 1, 1))": 0.75,
+            "arrayAUC(array(0.1D, 0.2D, 0.8D, 0.9D), array(0, 0, 1, 1))": 1.0,
+            "arrayAUC(array(0.9D, 0.8D, 0.1D), array(0, 0, 1))": 0.0,
+            "arrayAUC(array(0.5D, 0.5D, 0.5D, 0.5D), array(0, 1, 0, 1))": 0.5,
+            "arrayAUC(array(0.1D, 0.2D), array(1, 1))": None,  # one class
+        }
+        for expr, want in cases.items():
+            got = spark.sql(f"SELECT {expr} AS x").collect()[0].x
+            assert got == want, (expr, got, want)
+
+    def test_order_free(self, spark):
+        # rank formulation: permuting the paired arrays cannot change
+        # the result (why groupArray composition needs no sort)
+        import random
+
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        rng = random.Random("auc-17")
+        pairs = [(round(rng.random(), 3), rng.randint(0, 1))
+                 for _ in range(40)]
+        if not any(l for _, l in pairs):
+            pairs[0] = (pairs[0][0], 1)
+        vals = []
+        for _ in range(3):
+            rng.shuffle(pairs)
+            s = ", ".join(f"{v}D" for v, _ in pairs)
+            l = ", ".join(str(l) for _, l in pairs)
+            vals.append(
+                spark.sql(
+                    f"SELECT arrayAUC(array({s}), array({l})) AS x"
+                ).collect()[0].x
+            )
+        assert vals[0] == vals[1] == vals[2]
