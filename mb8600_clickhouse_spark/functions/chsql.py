@@ -1457,6 +1457,96 @@ def _assoc_expr(fam: str, a: str, b: str) -> str:
     )
 
 
+def _rewrite_sequence_next_node(sql: str) -> str:
+    """``sequenceNextNode(direction, base)(ts, ev, base_cond, c1...cN)``
+    → the event value FOLLOWING a matched condition chain (ClickHouse's
+    funnel-path explorer: "after users do A then B, what do they do
+    next?").
+
+    Bridged bases (the documented CH forms):
+    - ``'forward', 'head'``: the chain must match the group's FIRST
+      events — s[0] satisfies base_cond, s[i] satisfies c_{i+1} for
+      i < N; returns s[N].ev, NULL if the chain (or base) fails.
+    - ``'forward', 'first_match'``: the chain may start anywhere —
+      smallest i with s[i] satisfying base_cond AND the run of
+      conditions; returns s[i+N].ev (NULL when the chain ends the
+      sequence).
+    - ``'backward', 'tail'`` / ``'backward', 'last_match'``: the same
+      two shapes over the REVERSED sequence (what preceded the chain).
+
+    Events sort by (t, ev) — CH leaves same-timestamp order undefined,
+    the bridge pins it (the sequence-aggregate discipline). Condition
+    flags evaluate per ROW before collection, so the collected state
+    is (t, ev, flags) — the q136 automaton contract; the search is an
+    index filter over the sorted array (O(n * N) per group)."""
+    while True:
+        pc = None
+        if _first_match(sql, r"\bsequenceNextNode\s*\("):
+            pc = _parametric_call(sql, "sequenceNextNode")
+        if pc is None:
+            return sql
+        start, params, args, end = pc
+        pm = re.fullmatch(
+            r"\s*'(\w+)'\s*,\s*'(\w+)'\s*", params
+        )
+        if not pm:
+            raise ChSqlError(
+                "sequenceNextNode needs two literal parameters: "
+                "(direction, base)"
+            )
+        direction, base = pm.group(1).lower(), pm.group(2).lower()
+        if (direction, base) not in (
+            ("forward", "head"), ("forward", "first_match"),
+            ("backward", "tail"), ("backward", "last_match"),
+        ):
+            raise ChSqlError(
+                "sequenceNextNode is bridged for (forward, head), "
+                "(forward, first_match), (backward, tail), "
+                "(backward, last_match)"
+            )
+        if len(args) < 4:
+            raise ChSqlError(
+                "sequenceNextNode(dir, base)(ts, ev, base_cond, c1, ...)"
+                " needs at least one chain condition"
+            )
+        ts, ev, base_cond = args[0], args[1], args[2]
+        conds = args[3:]
+        n = len(conds)
+        flags = ", ".join(
+            f"coalesce(({c}), false)" for c in [base_cond] + conds
+        )
+        item = (
+            f"CASE WHEN ({ts}) IS NOT NULL THEN named_struct("
+            f"'t', CAST({ts} AS TIMESTAMP), 'e', CAST({ev} AS STRING), "
+            f"'f', array({flags})) END"
+        )
+        seq = f"array_sort(collect_list({item}))"
+        if direction == "backward":
+            seq = f"reverse({seq})"
+        # chain match at 0-based index i: base flag f[1] on s[i+1
+        # (1-based)], cond j on s[i+j]
+        conds_at = " AND ".join(
+            f"element_at(element_at(s, i + {j}).f, {j + 1})"
+            for j in range(1, n + 1)
+        )
+        ok_at = f"element_at(element_at(s, i + 1).f, 1) AND {conds_at}"
+        if base in ("head", "tail"):
+            srch = f"filter(array(0), i -> size(s) >= {n} AND {ok_at})"
+        else:
+            srch = (
+                f"CASE WHEN size(s) >= {n} THEN "
+                f"filter(sequence(0, size(s) - {n}), i -> {ok_at}) "
+                f"ELSE array() END"
+            )
+        rep = (
+            f"element_at(transform(array({seq}), s -> CASE WHEN "
+            f"size({srch}) > 0 AND element_at({srch}, 1) + {n} < size(s) "
+            f"THEN element_at(s, element_at({srch}, 1) + {n} + 1).e "
+            f"END), 1)"
+        )
+        sql = sql[:start] + rep + sql[end:]
+
+
 def _rewrite_weighted_aggs(sql: str) -> str:
     """Weighted/sorted parametric aggregates (round 8):
 
@@ -3089,6 +3179,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_interval_aggs(sql)
     sql = _rewrite_assoc_aggs(sql)
     sql = _rewrite_weighted_aggs(sql)
+    sql = _rewrite_sequence_next_node(sql)
     sql = _rewrite_uniq_upto(sql)
     sql = _rewrite_moving(sql)
     sql = _rewrite_retention(sql)

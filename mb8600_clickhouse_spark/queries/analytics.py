@@ -1364,3 +1364,78 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q176_CLICKHOUSE_SQL), "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q177 sequenceNextNode — the funnel-path explorer
+# ---------------------------------------------------------------------------
+_Q177_CLICKHOUSE_SQL = """
+    SELECT user_id,
+           sequenceNextNode('forward', 'head')(
+             ts, event_type, event_type = 'view',
+             event_type = 'view', event_type = 'click') AS after_head_vc,
+           sequenceNextNode('forward', 'first_match')(
+             ts, event_type, event_type = 'click',
+             event_type = 'click', event_type = 'purchase') AS after_cp,
+           sequenceNextNode('backward', 'tail')(
+             ts, event_type, event_type = 'error',
+             event_type = 'error') AS before_tail_err
+    FROM events
+    WHERE user_id % 37 = 5
+    GROUP BY user_id
+"""
+
+_Q177_ORACLE = """
+    WITH g AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_type) AS evs
+      FROM events WHERE user_id % 37 = 5 GROUP BY user_id
+    ),
+    fm AS (
+      SELECT user_id, evs,
+        list_filter(generate_series(1, len(evs) - 1),
+          i -> evs[i] = 'click' AND evs[i+1] = 'purchase') AS cp_starts
+      FROM g
+    )
+    SELECT user_id,
+      CASE WHEN len(evs) >= 3 AND evs[1] = 'view' AND evs[2] = 'click'
+           THEN evs[3] END AS after_head_vc,
+      CASE WHEN len(cp_starts) > 0 AND cp_starts[1] + 2 <= len(evs)
+           THEN evs[cp_starts[1] + 2] END AS after_cp,
+      CASE WHEN len(evs) >= 2 AND evs[len(evs)] = 'error'
+           THEN evs[len(evs) - 1] END AS before_tail_err
+    FROM fm
+    ORDER BY user_id
+"""
+
+
+@query("q177_sequence_next_node", oracle=_Q177_ORACLE)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode`` VERBATIM through the bridge
+    (``chsql._rewrite_sequence_next_node``) — the funnel-path explorer
+    ("after users view then click, what do they do NEXT?"): forward/
+    head (chain anchored at the user's first events), forward/
+    first_match (chain anywhere, first occurrence), backward/tail
+    (what PRECEDED the final event) — per user over a bounded slice.
+
+    Exactness: pure string/position algebra over the (t, event)-sorted
+    sequence (CH leaves same-timestamp order undefined; the bridge pins
+    the event value as tiebreak — the sequence-aggregate discipline).
+    Condition flags evaluate per row BEFORE collection (the q136
+    automaton contract); the oracle replays the search with ordered
+    lists and generate_series position scans (fold-free — the q162
+    rule).
+
+    Scale: one user_id exchange; per-group state is the collected
+    event list, search O(n * chain_len) — the behavioral contract,
+    probed linear on hot entities (probe_behavioral's family).
+
+    NARROW_CHAIN profile: filtered scan -> one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q177_CLICKHOUSE_SQL), "user_id")

@@ -2687,3 +2687,65 @@ class TestBitFoldMapping:
             rw("SELECT arrayReduce('median', arr) FROM t")
         with pytest.raises(ChSqlError):
             rw("SELECT arrayFold((a, x) -> a + x, arr) FROM t")
+
+
+class TestSequenceNextNode:
+    @pytest.fixture(scope="class", autouse=True)
+    def _data(self, spark):
+        from datetime import datetime as dt
+
+        register_clickhouse_functions(spark)
+
+        def T(s):
+            return dt(2024, 1, 1, 0, 0, s)
+
+        rows = [
+            Row(u=1, t=T(1), e="A"), Row(u=1, t=T(2), e="B"),
+            Row(u=1, t=T(3), e="C"), Row(u=1, t=T(4), e="D"),
+            Row(u=2, t=T(1), e="X"), Row(u=2, t=T(2), e="A"),
+            Row(u=2, t=T(3), e="B"),
+            Row(u=3, t=T(1), e="A"),
+        ]
+        spark.createDataFrame(rows).createOrReplaceTempView("snn_t")
+
+    def test_directions_and_bases(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT u, "
+            "sequenceNextNode('forward', 'head')(t, e, e = 'A', "
+            "e = 'A', e = 'B') AS nh, "
+            "sequenceNextNode('forward', 'first_match')(t, e, e = 'A', "
+            "e = 'A', e = 'B') AS nf, "
+            "sequenceNextNode('backward', 'tail')(t, e, e = 'D', "
+            "e = 'D', e = 'C') AS nb "
+            "FROM snn_t GROUP BY u ORDER BY u",
+        ).collect()
+        # u1 A B C D: head A->B next C; backward tail D,C previous B
+        assert [tuple(r) for r in rows] == [
+            (1, "C", "C", "B"),
+            (2, None, None, None),  # head is X; A->B ends the sequence
+            (3, None, None, None),  # single event, no chain
+        ]
+
+    def test_first_match_mid_sequence(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT sequenceNextNode('forward', 'first_match')"
+            "(t, e, e = 'B', e = 'B', e = 'C') AS x "
+            "FROM snn_t WHERE u = 1 GROUP BY u",
+        ).collect()[0].x
+        assert r == "D"  # chain B,C found mid-sequence; next is D
+
+    def test_rejects(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT sequenceNextNode('forward', 'last_match')"
+               "(t, e, c, c1) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT sequenceNextNode('sideways', 'head')"
+               "(t, e, c, c1) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT sequenceNextNode('forward', 'head')(t, e, c) FROM t")
