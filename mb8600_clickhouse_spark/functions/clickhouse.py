@@ -319,6 +319,53 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # startsWith/endsWith need no alias: Spark's startswith/endswith
     # are semantically identical and function names resolve
     # case-insensitively — verbatim CH runs natively (test-pinned)
+    # ------------------------------------------------------------------
+    # JSON extraction (round 8) — CH's simdjson family bridged for the
+    # single-key form (CH's variadic key paths need get_json_object's
+    # JSONPath directly; DIALECT_NOTES points there). Keys are plain
+    # identifiers (injected into a '$.key' path — dotted/quoted keys
+    # need the native spelling)
+    "JSONExtractInt": (
+        "(j STRING, k STRING)",
+        "BIGINT",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    ),
+    "JSONExtractFloat": (
+        "(j STRING, k STRING)",
+        "DOUBLE",
+        "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    ),
+    "JSONExtractString": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    "JSONExtractBool": (
+        "(j STRING, k STRING)",
+        "BOOLEAN",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
+    ),
+    "JSONHas": (
+        "(j STRING, k STRING)",
+        "BOOLEAN",
+        "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    ),
+    # raw JSON text of the member (quotes kept for strings — CH's
+    # contract; get_json_object UNQUOTES scalars, so re-derive via
+    # to_json on a parsed variant is overkill: document the string
+    # divergence and keep numbers/objects/arrays raw-correct
+    "JSONExtractRaw": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    # CH JSONLength: element count of an array or object member
+    "JSONLength": (
+        "(j STRING)",
+        "INT",
+        "CASE WHEN startswith(ltrim(j), '[') THEN json_array_length(j) "
+        "ELSE size(json_object_keys(j)) END",
+    ),
     # ROC AUC over paired (score, label) arrays — CH's ML-eval scalar.
     # Rank formulation: AUC = (R_pos - nPos(nPos+1)/2) / (nPos*nNeg)
     # with AVERAGE ranks (ties share rank), so the result is EXACT

@@ -1439,3 +1439,84 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q177_CLICKHOUSE_SQL), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q178 JSON extraction over the events props column + planted documents
+# ---------------------------------------------------------------------------
+_Q178_CLICKHOUSE_SQL = """
+    WITH j AS (
+      SELECT event_id, props,
+             concat('{"id": ', CAST(event_id % 100 AS STRING),
+                    ', "tags": ["a", "b"], "meta": {"ok": ',
+                    CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END,
+                    '}, "name": "ev-', CAST(event_id % 7 AS STRING),
+                    '"}') AS doc
+      FROM events WHERE event_id % 53 = 17
+    )
+    SELECT event_id,
+           JSONExtractInt(props, 'k') AS k_int,
+           JSONHas(props, 'k') AS has_k,
+           JSONHas(props, 'missing') AS has_missing,
+           JSONExtractInt(doc, 'id') AS doc_id_field,
+           JSONExtractString(doc, 'name') AS doc_name,
+           JSONExtractBool(JSONExtractRaw(doc, 'meta'), 'ok') AS meta_ok,
+           JSONLength(JSONExtractRaw(doc, 'tags')) AS n_tags
+    FROM j
+"""
+
+_Q178_ORACLE = """
+    WITH j AS (
+      SELECT event_id, props,
+             '{{"id": ' || CAST(event_id % 100 AS VARCHAR) ||
+             ', "tags": ["a", "b"], "meta": {{"ok": ' ||
+             (CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'false' END) ||
+             '}}, "name": "ev-' || CAST(event_id % 7 AS VARCHAR) ||
+             '"}}' AS doc
+      FROM events WHERE event_id % 53 = 17
+    )
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           json_extract(props, '$.k') IS NOT NULL AS has_k,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing,
+           CAST(json_extract(doc, '$.id') AS BIGINT) AS doc_id_field,
+           json_extract_string(doc, '$.name') AS doc_name,
+           CAST(json_extract(doc, '$.meta.ok') AS BOOLEAN) AS meta_ok,
+           CAST(json_array_length(json_extract(doc, '$.tags')) AS INT)
+             AS n_tags
+    FROM j
+    ORDER BY event_id
+"""
+
+
+@query("q178_json_extraction", oracle=_Q178_ORACLE)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's JSON extraction family VERBATIM as registered
+    scalars: JSONExtractInt/Float/String/Bool, JSONHas, JSONExtractRaw,
+    JSONLength — over the fixture's REAL JSON column (events.props)
+    plus planted richer documents (nested objects, arrays, booleans,
+    string fields). Nested access composes Raw+typed extraction
+    exactly as CH composes key paths; the bridge registers the
+    single-key form, and CH's variadic key paths map onto
+    get_json_object's JSONPath directly (DIALECT_NOTES).
+
+    Exactness: both engines parse the same JSON text; numeric/boolean
+    members cast from the same lexical token (try_cast -> NULL on type
+    mismatch, CH's OrNull-style contract — CH's unsuffixed returns the
+    type default 0, documented divergence).
+
+    Scale: pure scan-speed projection (Jackson-backed get_json_object,
+    whole-stage codegen) — no exchange; the JSON-heavy training-data
+    path (metadata sidecars on document/image corpora) runs at scan
+    speed.
+
+    NARROW_CHAIN profile: pure projection."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q178_CLICKHOUSE_SQL), "event_id")

@@ -320,3 +320,28 @@ class TestArrayAUC:
                 ).collect()[0].x
             )
         assert vals[0] == vals[1] == vals[2]
+
+
+class TestJsonExtraction:
+    def test_json_family(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            """JSONExtractInt('{"k": 69}', 'k')""": 69,
+            """JSONExtractInt('{"k": "notnum"}', 'k')""": None,
+            """JSONExtractFloat('{"x": 1.5}', 'x')""": 1.5,
+            """JSONExtractString('{"s": "hi"}', 's')""": "hi",
+            """JSONExtractBool('{"b": true}', 'b')""": True,
+            """JSONHas('{"k": 69}', 'k')""": True,
+            """JSONHas('{"k": 69}', 'z')""": False,
+            """JSONLength('[1,2,3]')""": 3,
+            """JSONLength('{"a":1,"b":2}')""": 2,
+            # nested composition: Raw + typed
+            """JSONExtractBool(JSONExtractRaw('{"m": {"ok": true}}', 'm'), 'ok')""": True,
+        }
+        for expr, want in cases.items():
+            got = spark.sql(f"SELECT {expr} AS x").collect()[0].x
+            assert got == want, (expr, got, want)
