@@ -320,6 +320,39 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # are semantically identical and function names resolve
     # case-insensitively — verbatim CH runs natively (test-pinned)
     # ------------------------------------------------------------------
+    # geo (round 8)
+    # pointInPolygon over SCALED-INTEGER coordinates (the caller snaps
+    # degrees to 1e-4 BIGINT grid — the dsum4 device): even-odd ray
+    # casting where every comparison is an EXACT integer cross-product
+    # sign test (no division, no floats), so membership is
+    # bit-deterministic in any engine. Boundary points follow the
+    # even-odd crossing rule's half-open convention (documented — CH
+    # leaves boundaries unspecified across its grid variants). The
+    # ring closes itself (last vertex pairs with the first)
+    "pointInPolygon": (
+        "(px BIGINT, py BIGINT, poly ARRAY<STRUCT<x: BIGINT, y: BIGINT>>)",
+        "BOOLEAN",
+        "aggregate(transform(poly, (v, i) -> named_struct('a', v, 'b', "
+        "element_at(poly, CAST((i + 1) % size(poly) AS INT) + 1))), "
+        "false, (acc, e) -> CASE WHEN (e.a.y > py) != (e.b.y > py) AND "
+        "((e.b.x - e.a.x) * (py - e.a.y) - (px - e.a.x) * "
+        "(e.b.y - e.a.y)) * (CASE WHEN e.b.y > e.a.y THEN 1 ELSE -1 END)"
+        " > 0 THEN NOT acc ELSE acc END)",
+    ),
+    # haversine great-circle distance in meters (CH's WGS84-mean-radius
+    # form, R = 6371 km). Lives in libm trig — the output snaps to
+    # 1e-4 m (the entropy device; double trig ulp error is ~1e-9 of
+    # the distance, dwarfed by the grid)
+    "greatCircleDistance": (
+        "(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE)",
+        "DOUBLE",
+        "CAST(CAST(2.0 * 6371000.0 * asin(sqrt("
+        "pow(sin(radians(lat2 - lat1) / 2.0), 2) + "
+        "cos(radians(lat1)) * cos(radians(lat2)) * "
+        "pow(sin(radians(lon2 - lon1) / 2.0), 2))) "
+        "AS DECIMAL(18,4)) AS DOUBLE)",
+    ),
+    # ------------------------------------------------------------------
     # JSON extraction (round 8) — CH's simdjson family bridged for the
     # single-key form (CH's variadic key paths need get_json_object's
     # JSONPath directly; DIALECT_NOTES points there). Keys are plain

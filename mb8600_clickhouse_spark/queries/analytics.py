@@ -1520,3 +1520,99 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q178_CLICKHOUSE_SQL), "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q179 geo: exact integer point-in-polygon + snapped haversine
+# ---------------------------------------------------------------------------
+_Q179_POLY_CH = (
+    "array(named_struct('x', 0L, 'y', 0L), "
+    "named_struct('x', 200000L, 'y', 0L), "
+    "named_struct('x', 200000L, 'y', 200000L), "
+    "named_struct('x', 120000L, 'y', 80000L), "
+    "named_struct('x', 50000L, 'y', 180000L), "
+    "named_struct('x', 0L, 'y', 100000L))"
+)
+
+_Q179_CLICKHOUSE_SQL = f"""
+    WITH pts AS (
+      SELECT event_id,
+             (event_id * 48271) % 240000 - 20000 AS px,
+             (event_id * 69621) % 240000 - 20000 AS py,
+             CAST((event_id % 360) - 180 AS DOUBLE) + 0.5 AS lon1,
+             CAST((event_id % 170) - 85 AS DOUBLE) + 0.25 AS lat1
+      FROM events WHERE event_id % 47 = 21
+    )
+    SELECT event_id, px, py,
+           pointInPolygon(px, py, {_Q179_POLY_CH}) AS inside,
+           greatCircleDistance(lon1, lat1, 2.3522, 48.8566) AS to_paris_m
+    FROM pts
+"""
+
+_Q179_ORACLE = """
+    WITH poly AS (
+      SELECT [struct_pack(x := 0, y := 0),
+              struct_pack(x := 200000, y := 0),
+              struct_pack(x := 200000, y := 200000),
+              struct_pack(x := 120000, y := 80000),
+              struct_pack(x := 50000, y := 180000),
+              struct_pack(x := 0, y := 100000)] AS p
+    ),
+    pts AS (
+      SELECT event_id,
+             (event_id * 48271) % 240000 - 20000 AS px,
+             (event_id * 69621) % 240000 - 20000 AS py,
+             CAST((event_id % 360) - 180 AS DOUBLE) + 0.5 AS lon1,
+             CAST((event_id % 170) - 85 AS DOUBLE) + 0.25 AS lat1
+      FROM events WHERE event_id % 47 = 21
+    )
+    SELECT event_id, px, py,
+      len(list_filter(generate_series(1, len(p)), i ->
+        (p[i].y > py) <> (p[CAST(i % len(p) AS INT) + 1].y > py) AND
+        ((p[CAST(i % len(p) AS INT) + 1].x - p[i].x) * (py - p[i].y) -
+         (px - p[i].x) * (p[CAST(i % len(p) AS INT) + 1].y - p[i].y)) *
+        (CASE WHEN p[CAST(i % len(p) AS INT) + 1].y > p[i].y
+              THEN 1 ELSE -1 END) > 0)) % 2 = 1 AS inside,
+      CAST(CAST(2.0 * 6371000.0 * asin(sqrt(
+        pow(sin(radians(48.8566 - lat1) / 2.0), 2) +
+        cos(radians(lat1)) * cos(radians(48.8566)) *
+        pow(sin(radians(2.3522 - lon1) / 2.0), 2)))
+        AS DECIMAL(18,4)) AS DOUBLE) AS to_paris_m
+    FROM pts, poly
+    ORDER BY event_id
+"""
+
+
+@query("q179_geo_membership", oracle=_Q179_ORACLE)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``pointInPolygon`` + ``greatCircleDistance`` VERBATIM
+    as registered scalars: planted points against a fixed CONCAVE
+    six-vertex polygon (scaled-integer coordinates), plus haversine
+    distances to a fixed anchor.
+
+    Exactness: membership is even-odd ray casting where every
+    comparison is an exact integer cross-product sign test — no
+    division, no floats, bit-deterministic in any engine (the toggle
+    FOLD on the Spark side equals the crossing-COUNT PARITY the oracle
+    computes: toggling false->... n times is n % 2 — two computation
+    paths, one exact answer; property-tested against a Python ray
+    caster on random points). The haversine lives in libm trig, so its
+    output snaps to 1e-4 m (the entropy device; trig ulp error ~1e-9
+    of the distance). Boundary points follow the even-odd half-open
+    convention (CH leaves grid-variant boundaries unspecified —
+    documented).
+
+    Scale: pure scan-speed projection (polygon is a plan literal —
+    the broadcast-rules posture of q150's robots matcher); O(edges)
+    per point.
+
+    NARROW_CHAIN profile: pure projection."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q179_CLICKHOUSE_SQL), "event_id")

@@ -345,3 +345,58 @@ class TestJsonExtraction:
         for expr, want in cases.items():
             got = spark.sql(f"SELECT {expr} AS x").collect()[0].x
             assert got == want, (expr, got, want)
+
+
+class TestGeoFunctions:
+    def test_point_in_polygon_property(self, spark):
+        import random
+
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+
+        def pip(px, py, poly):
+            inside = False
+            n = len(poly)
+            for i in range(n):
+                ax, ay = poly[i]
+                bx, by = poly[(i + 1) % n]
+                if (ay > py) != (by > py):
+                    cross = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
+                    if cross * (1 if by > ay else -1) > 0:
+                        inside = not inside
+            return inside
+
+        rng = random.Random("geo-23")
+        poly = [(0, 0), (20, 0), (20, 20), (12, 8), (5, 18), (0, 10)]
+        polysql = "array(" + ", ".join(
+            f"named_struct('x', {x}L, 'y', {y}L)" for x, y in poly
+        ) + ")"
+        pts = [(rng.randint(-2, 22), rng.randint(-2, 22))
+               for _ in range(50)]
+        exprs = ", ".join(
+            f"pointInPolygon({x}L, {y}L, {polysql}) AS p{i}"
+            for i, (x, y) in enumerate(pts)
+        )
+        row = spark.sql(f"SELECT {exprs}").collect()[0]
+        for i, (x, y) in enumerate(pts):
+            assert row[f"p{i}"] == pip(x, y, poly), (x, y)
+
+    def test_great_circle_known(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        # London -> Paris ~ 343.5 km (haversine, R = 6371 km)
+        d = spark.sql(
+            "SELECT greatCircleDistance(-0.1278, 51.5074, "
+            "2.3522, 48.8566) AS d"
+        ).collect()[0].d
+        assert 342_000 < d < 345_000
+        z = spark.sql(
+            "SELECT greatCircleDistance(1.0, 2.0, 1.0, 2.0) AS d"
+        ).collect()[0].d
+        assert z == 0.0
