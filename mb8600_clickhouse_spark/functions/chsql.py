@@ -378,6 +378,66 @@ def _rewrite_combinators(sql: str) -> str:
             rep = f"{_IF_MAP[m.group(1).lower()]}({case})"
         sql = sql[: m.start()] + rep + sql[c + 1 :]
 
+    # argMaxIf/argMinIf (x, ord, cond) -> max_by/min_by over gated
+    # operands (NULL ordering rows are skipped by both engines)
+    while True:
+        m = _first_match(sql, r"\b(argMaxIf|argMinIf)\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 3:
+            raise ChSqlError(f"{m.group(1)} expects (x, ord, cond)")
+        fn = "max_by" if m.group(1).lower() == "argmaxif" else "min_by"
+        rep = (
+            f"{fn}(CASE WHEN {args[2]} THEN {args[0]} END, "
+            f"CASE WHEN {args[2]} THEN {args[1]} END)"
+        )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    # -Array combinators: the aggregate applied to every ELEMENT of the
+    # row arrays (CH folds arrays into the aggregate state). sum/avg
+    # promote to DOUBLE (CH widens too) — exact for integer-valued
+    # elements below 2^53, the fixture contract; min/max/count are
+    # type-preserving; uniqExactArray collects (bounded-group contract)
+    while True:
+        m = _first_match(
+            sql,
+            r"\b(sumArray|minArray|maxArray|avgArray|countArray|"
+            r"uniqExactArray)\s*\(",
+        )
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        a = sql[o + 1 : c].strip()
+        fam = m.group(1).lower()
+        fold = (
+            f"aggregate(filter({a}, e -> e IS NOT NULL), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+        if fam == "sumarray":
+            rep = f"sum({fold})"
+        elif fam == "avgarray":
+            rep = (
+                f"(sum({fold}) / "
+                f"sum(CAST(size(filter({a}, e -> e IS NOT NULL)) "
+                f"AS DOUBLE)))"
+            )
+        elif fam == "minarray":
+            rep = f"min(array_min({a}))"
+        elif fam == "maxarray":
+            rep = f"max(array_max({a}))"
+        elif fam == "countarray":
+            rep = f"sum(CAST(size({a}) AS BIGINT))"
+        else:  # uniqExactArray
+            rep = (
+                f"size(array_distinct(flatten(collect_list("
+                f"filter({a}, e -> e IS NOT NULL)))))"
+            )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
     # array higher-order functions: ClickHouse's lambda syntax (x -> e)
     # is IDENTICAL to Spark's, only the function names and argument
     # order differ (CH: lambda first, arrays after; Spark: array first).

@@ -1616,3 +1616,96 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q179_CLICKHOUSE_SQL), "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q180 -Array combinators + argMaxIf/argMinIf
+# ---------------------------------------------------------------------------
+_Q180_CLICKHOUSE_SQL = """
+    WITH src AS (
+      SELECT event_type, user_id, event_id,
+             array(CAST(event_id % 7 AS DOUBLE),
+                   CAST(event_id % 11 AS DOUBLE),
+                   CAST(event_id % 13 AS DOUBLE)) AS xs,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+      FROM events WHERE user_id % 13 = 8
+    )
+    SELECT event_type,
+           sumArray(xs) AS sarr,
+           avgArray(xs) AS aarr,
+           minArray(xs) AS mnarr,
+           maxArray(xs) AS mxarr,
+           countArray(xs) AS carr,
+           uniqExactArray(xs) AS uarr,
+           argMaxIf(event_id, v, user_id % 2 = 0) AS heaviest_even,
+           argMinIf(event_id, v, user_id % 2 = 1) AS lightest_odd
+    FROM src
+    GROUP BY event_type
+"""
+
+_Q180_ORACLE = """
+    WITH src AS (
+      SELECT event_type, user_id, event_id,
+             [CAST(event_id % 7 AS DOUBLE), CAST(event_id % 11 AS DOUBLE),
+              CAST(event_id % 13 AS DOUBLE)] AS xs,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+      FROM events WHERE user_id % 13 = 8
+    ),
+    flat AS (
+      SELECT event_type, unnest(xs) AS x FROM src
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(x) AS DOUBLE) AS sarr,
+             CAST(SUM(x) AS DOUBLE) / CAST(COUNT(x) AS DOUBLE) AS aarr,
+             MIN(x) AS mnarr, MAX(x) AS mxarr,
+             CAST(COUNT(x) AS BIGINT) AS carr,
+             CAST(COUNT(DISTINCT x) AS INT) AS uarr
+      FROM flat GROUP BY event_type
+    ),
+    am AS (
+      SELECT event_type,
+             arg_max(CASE WHEN user_id % 2 = 0 THEN event_id END,
+                     CASE WHEN user_id % 2 = 0 THEN v END)
+               AS heaviest_even,
+             arg_min(CASE WHEN user_id % 2 = 1 THEN event_id END,
+                     CASE WHEN user_id % 2 = 1 THEN v END)
+               AS lightest_odd
+      FROM src GROUP BY event_type
+    )
+    SELECT agg.*, am.heaviest_even, am.lightest_odd
+    FROM agg JOIN am USING (event_type)
+    ORDER BY event_type
+"""
+
+
+@query("q180_array_combinators", oracle=_Q180_ORACLE)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's ``-Array`` aggregate combinator family VERBATIM
+    (sumArray/avgArray/minArray/maxArray/countArray/uniqExactArray —
+    the aggregate applied across every ELEMENT of the row arrays) plus
+    ``argMaxIf``/``argMinIf`` (gated max_by/min_by).
+
+    Exactness: array elements are integer-valued doubles (exact below
+    2^53, so the per-row folds and cross-row sums are order-free);
+    argMax/MinIf tie-break hazard avoided by construction (v values
+    distinct per group to the snap grid — and CH's tie choice is
+    undefined anyway, the q11 max_by rule). The oracle spells the
+    combinators relationally (unnest + plain aggregates) — the
+    flatten-vs-explode equivalence IS what the hash pins.
+
+    Scale: sum/min/max/count combinators are constant-state partial
+    folds (scan-speed, map-side combined); uniqExactArray collects per
+    group (bounded contract; approx_count_distinct over an exploded
+    stream is the unbounded spelling).
+
+    NARROW_CHAIN profile: one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q180_CLICKHOUSE_SQL), "event_type")

@@ -2749,3 +2749,33 @@ class TestSequenceNextNode:
                "(t, e, c, c1) FROM t")
         with pytest.raises(ChSqlError):
             rw("SELECT sequenceNextNode('forward', 'head')(t, e, c) FROM t")
+
+
+class TestArrayCombinators:
+    def test_array_combinators_and_gated_argminmax(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        register_clickhouse_functions(spark)
+        spark.createDataFrame(
+            [
+                Row(g=1, xs=[1.0, 2.0], eid=10, v=5, even=True),
+                Row(g=1, xs=[2.0, 4.0], eid=20, v=9, even=False),
+                Row(g=1, xs=[], eid=30, v=7, even=True),
+            ]
+        ).createOrReplaceTempView("arrc_t")
+        r = ch_sql(
+            spark,
+            "SELECT sumArray(xs) AS s, avgArray(xs) AS a, "
+            "minArray(xs) AS mn, maxArray(xs) AS mx, "
+            "countArray(xs) AS c, uniqExactArray(xs) AS u, "
+            "argMaxIf(eid, v, even) AS amx, "
+            "argMinIf(eid, v, NOT even) AS amn "
+            "FROM arrc_t GROUP BY g",
+        ).collect()[0]
+        assert (r.s, r.a, r.mn, r.mx, r.c, r.u) == (9.0, 2.25, 1.0, 4.0, 4, 3)
+        assert r.amx == 30  # heaviest among even rows (v=7 > 5)
+        assert r.amn == 20  # only odd row
+
+    def test_arity_rejects(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT argMaxIf(x, v) FROM t")
