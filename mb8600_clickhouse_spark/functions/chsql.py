@@ -180,6 +180,11 @@ def _split_top_commas(s: str) -> list[str]:
 _QUANTILE_MAP = {
     "quantileexact": "percentile",
     "quantiletdigest": "percentile_approx",
+    # CH's timing/deterministic sketches: both land on the t-digest
+    # approximation (quantileDeterministic's sampling seed argument is
+    # DROPPED — ours is deterministic already; documented)
+    "quantiletiming": "percentile_approx",
+    "quantiledeterministic": "percentile_approx",
     "quantile": "percentile_approx",
 }
 _IF_MAP = {
@@ -201,8 +206,9 @@ def _rewrite_combinators(sql: str) -> str:
     while True:
         m = _first_match(
             sql,
-            r"\b(quantilesExact|quantilesTDigest|quantiles"
-            r"|quantileExact|quantileTDigest|quantile)\s*\(",
+            r"\b(quantilesExact|quantilesTDigest|quantilesTiming|quantiles"
+            r"|quantileExact|quantileTDigest|quantileTiming"
+            r"|quantileDeterministic|quantile)\s*\(",
         )
         if not m:
             break
@@ -220,6 +226,14 @@ def _rewrite_combinators(sql: str) -> str:
         p = sql[p_open + 1 : p_close].strip()
         x = sql[x_open + 1 : x_close].strip()
         name = m.group(1).lower()
+        if name == "quantiledeterministic":
+            xa = _split_top_commas(x)
+            if len(xa) != 2:
+                raise ChSqlError(
+                    "quantileDeterministic(p)(x, determinator) takes "
+                    "two arguments"
+                )
+            x = xa[0]  # the determinator seeds CH's sampling; dropped
         if name.startswith("quantiles"):
             fn = _QUANTILE_MAP[name.replace("quantiles", "quantile", 1)]
             rep = f"{fn}({x}, array({p}))"
@@ -228,15 +242,27 @@ def _rewrite_combinators(sql: str) -> str:
             rep = f"{fn}({x}, {p})"
         sql = sql[: m.start()] + rep + sql[x_close + 1 :]
 
-    # median(x) == quantile(0.5)(x): argument-position rewrite
+    # median family == quantile*(0.5): argument-position rewrites.
+    # medianExactWeighted re-spells as quantileExactWeighted(0.5)(...)
+    # and is finished by _rewrite_weighted_aggs later in the pipeline
     while True:
-        m = _first_match(sql, r"\bmedian\s*\(")
+        m = _first_match(
+            sql, r"\b(medianExactWeighted|medianExact|medianTiming"
+                 r"|median)\s*\("
+        )
         if not m:
             break
         o = sql.index("(", m.end() - 1)
         c = _match_paren(sql, o)
         arg = sql[o + 1 : c].strip()
-        sql = sql[: m.start()] + f"percentile_approx({arg}, 0.5)" + sql[c + 1 :]
+        name = m.group(1).lower()
+        if name == "medianexactweighted":
+            rep = f"quantileExactWeighted(0.5)({arg})"
+        elif name == "medianexact":
+            rep = f"percentile({arg}, 0.5)"
+        else:
+            rep = f"percentile_approx({arg}, 0.5)"
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
 
     # -State / -Merge combinators (the AggregatingMergeTree materialized-
     # view pattern, round 7): a partial aggregate STATE is stored per

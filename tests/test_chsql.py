@@ -2779,3 +2779,26 @@ class TestArrayCombinators:
     def test_arity_rejects(self):
         with pytest.raises(ChSqlError):
             rw("SELECT argMaxIf(x, v) FROM t")
+
+
+class TestMedianQuantileVariants:
+    def test_rewrites(self):
+        assert rw("SELECT quantileTiming(0.9)(v) FROM t") == (
+            "SELECT percentile_approx(v, 0.9) FROM t"
+        )
+        assert rw("SELECT quantileDeterministic(0.5)(v, seed) FROM t") == (
+            "SELECT percentile_approx(v, 0.5) FROM t"
+        )
+        assert rw("SELECT medianExact(v) FROM t") == (
+            "SELECT percentile(v, 0.5) FROM t"
+        )
+        assert rw("SELECT medianTiming(v) FROM t") == (
+            "SELECT percentile_approx(v, 0.5) FROM t"
+        )
+        # medianExactWeighted chains into the weighted-quantile rewrite
+        out = rw("SELECT medianExactWeighted(v, w) FROM t GROUP BY g")
+        assert "collect_list" in out and "0.5" in out
+
+    def test_deterministic_arity_reject(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT quantileDeterministic(0.5)(v) FROM t")
