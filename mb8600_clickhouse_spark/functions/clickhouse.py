@@ -319,6 +319,34 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # startsWith/endsWith need no alias: Spark's startswith/endswith
     # are semantically identical and function names resolve
     # case-insensitively — verbatim CH runs natively (test-pinned)
+    # string replace/search conveniences (round 8) — exact renames
+    "replaceAll": (
+        "(s STRING, a STRING, b STRING)",
+        "STRING",
+        "replace(s, a, b)",  # literal, all occurrences — CH-exact
+    ),
+    "replaceRegexpAll": (
+        "(s STRING, re STRING, rep STRING)",
+        "STRING",
+        # Spark regexp_replace replaces ALL matches (Java replaceAll) —
+        # exactly CH's contract; RE2-subset patterns only (q131 rule)
+        "regexp_replace(s, re, rep)",
+    ),
+    "countMatches": (
+        "(s STRING, re STRING)",
+        "INT",
+        "CAST(regexp_count(s, re) AS INT)",
+    ),
+    "concatWithSeparator": (
+        "(sep STRING, a STRING, b STRING)",
+        "STRING",
+        "concat_ws(sep, a, b)",  # 2-value form; variadic needs native
+    ),
+    "substringIndex": (
+        "(s STRING, delim STRING, n INT)",
+        "STRING",
+        "substring_index(s, delim, n)",
+    ),
     # ------------------------------------------------------------------
     # geo (round 8)
     # pointInPolygon over SCALED-INTEGER coordinates (the caller snaps
@@ -629,6 +657,7 @@ DIALECT_NOTES: dict[str, str] = {
     "ORDER BY ... WITH FILL [INTERPOLATE]": "bridged as of round 7 via chsql.ch_sql(spark, sql) — session-aware rewrite: grid from sequence(FROM|min, TO-excl|max, STEP), CH type defaults (0/''/false) for filled rows, identity INTERPOLATE as carry-forward (q123 oracle-verifies; multi-key fill, LIMIT-after-fill, and derived INTERPOLATE exprs still raise)",
     "neighbor(x, off, dflt) / runningDifference(x)": "bridged as of round 7 — rewritten to lead/lag(x, |off|, dflt) / coalesce(x - lag(x), 0) OVER the statement's own top-level ORDER BY (the only deterministic reading of CH block order; q124 oracle-verifies). Missing ORDER BY, 2-arg neighbor (CH type-default fallback), and non-literal offsets raise",
     "runningAccumulate": "runs verbatim for the inline -State form (runningAccumulate(sumState(x)) ... GROUP BY k ORDER BY k) — rewritten to the state's merge aggregate over an ORDER-BY-anchored window (q143); a state column from a subquery alias raises (merge function unrecoverable)",
+    "replaceRegexpOne(s, re, rep)": "NOT aliased — Spark has no replace-FIRST-match regexp primitive (regexp_replace replaces all); anchored patterns make the two identical, unanchored first-only semantics need a manual spelling (regexp_extract the prefix + replace + suffix)",
     "transform(x, [from...], [to...], default)": "NOT aliasable under its CH name — `transform` is Spark's array higher-order function (and the arrayMap target). Registered as transformCH (map_from_arrays lookup + default); same 4-argument contract",
     "cityHash64 / sipHash64 / farmHash64": "NOT bridgeable — ClickHouse's hash constants are engine-specific and Spark's xxhash64/hash use different algorithms; any query whose RESULT depends on CH hash values (sampling by cityHash, hash-keyed joins) must re-key on a portable hash (md5 — the bridge's SAMPLE rewrite already does exactly this, documented there)",
     "position(haystack, needle)": "NOT aliasable — Spark's builtin position(substr, str) takes the arguments in the REVERSE order and cannot be replaced by a SQL function; a verbatim CH query silently flips haystack/needle. Use instr(haystack, needle) or the registered positionCH alias",

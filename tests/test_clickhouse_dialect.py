@@ -400,3 +400,23 @@ class TestGeoFunctions:
             "SELECT greatCircleDistance(1.0, 2.0, 1.0, 2.0) AS d"
         ).collect()[0].d
         assert z == 0.0
+
+
+class TestStringReplaceFamily:
+    def test_replace_and_search(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            "replaceAll('a-b-c', '-', '+')": "a+b+c",
+            "replaceRegexpAll('a1b22c', '[0-9]+', '#')": "a#b#c",
+            "countMatches('a1b22c333', '[0-9]+')": 3,
+            "concatWithSeparator('|', 'x', 'y')": "x|y",
+            "substringIndex('a.b.c', '.', 2)": "a.b",
+            "substringIndex('a.b.c', '.', -1)": "c",
+        }
+        for expr, want in cases.items():
+            got = spark.sql(f"SELECT {expr} AS x").collect()[0].x
+            assert got == want, (expr, got, want)
