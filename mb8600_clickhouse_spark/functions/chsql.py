@@ -34,6 +34,29 @@ they cannot be a scalar alias and need a textual rewrite before
   (128-bit integer sums, one correctly rounded IEEE tail; see
   ``stats_agg_sql`` / ``_rewrite_stats_aggs``), hash-verifiable in a
   second engine, unlike the natives' order-dependent accumulation.
+- ``kolmogorovSmirnovTest`` / ``cramersV`` / ``theilsU`` /
+  ``contingency`` → collect-fold expressions (exact integer ECDF-gap
+  numerator for KS; chi2/log outputs snapped — ``_rewrite_assoc_aggs``).
+- ``deltaSum(x, k)`` / ``deltaSumTimestamp`` /
+  ``exponentialMovingAverage(hl)(v, t)`` and the window form
+  ``nonNegativeDerivative(x, t) OVER (...)`` → ``_rewrite_delta_ema``;
+  ``lagInFrame``/``leadInFrame`` → lag/lead renames.
+- ``intervalLengthSum`` / ``maxIntersections`` /
+  ``maxIntersectionsPosition`` → exact half-open BIGINT sweep folds
+  (``_rewrite_interval_aggs``).
+- ``quantileExactWeighted(p)(x, w)`` (CH's exact pick rule) /
+  ``topKWeighted(k)(x, w)`` (exact upgrade) / ``groupArraySorted(N)``
+  → ``_rewrite_weighted_aggs``; the median family
+  (``medianExact[Weighted]``/``medianTiming``) re-spells as the
+  matching quantile at 0.5.
+- ``sequenceNextNode(direction, base)(ts, ev, base_cond, c...)`` →
+  the funnel-path explorer over (t, ev)-pinned sequences
+  (``_rewrite_sequence_next_node``).
+- ``-Array`` combinators (``sumArray``/``avgArray``/``minArray``/
+  ``maxArray``/``countArray``/``uniqExactArray``), ``argMaxIf``/
+  ``argMinIf``, ``groupBitAnd/Or/Xor``, ``arrayFold``/``arrayReduce``
+  → expression rewrites inside ``_rewrite_combinators``/
+  ``_rewrite_scalar_calls``.
 - ``FROM t SAMPLE f`` → a replay-stable md5-prefix filter, given the
   sampling key via ``sample_by`` (see ``_rewrite_sample``).
 - Bare ``count()`` → ``count(*)``.
