@@ -1566,6 +1566,63 @@ def _assoc_expr(fam: str, a: str, b: str) -> str:
     )
 
 
+def _rewrite_with_constants(sql: str) -> str:
+    """ClickHouse's scalar WITH form — ``WITH <expr> AS <name>[, ...]
+    SELECT ...`` (expression FIRST, no parentheses after the name) —
+    is not ANSI: Spark's WITH only takes CTE subqueries. The rewrite
+    substitutes every standalone ``name`` reference with ``(expr)``
+    and drops the item from the clause; genuine CTEs (``name AS
+    (subquery)``) in the same WITH are left in place. CH's
+    ``WITH (scalar subquery) AS name`` variant substitutes the
+    parenthesized subquery itself (Spark evaluates it as a scalar
+    subquery at each site — same value, the one-row contract is CH's
+    own). Runs on the MASKED statement (subqueries are opaque tokens),
+    so commas and AS inside them never confuse the split."""
+    m = _first_match(sql, r"^\s*WITH\b")
+    if not m:
+        return sql
+    # the WITH clause ends at the top-level SELECT
+    sel = None
+    for s in _top_level_matches(sql, r"\bSELECT\b"):
+        if s.start() > m.end():
+            sel = s
+            break
+    if sel is None:
+        return sql
+    items = _split_top_commas(sql[m.end() : sel.start()])
+    kept, subs = [], {}
+    for it in items:
+        it = it.strip()
+        if re.fullmatch(r"\w+\s+AS\s+\(.*\)", it, re.IGNORECASE | re.DOTALL):
+            kept.append(it)  # genuine CTE: name AS (subquery)
+            continue
+        im = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", it,
+                          re.IGNORECASE | re.DOTALL)
+        if not im:
+            return sql  # neither form; leave the statement untouched
+        expr, name = im.group(1).strip(), im.group(2)
+        if expr.startswith("(") and expr.endswith(")"):
+            subs[name] = expr  # scalar subquery: substitute verbatim
+        else:
+            subs[name] = f"({expr})"
+    if not subs:
+        return sql
+    body = sql[sel.start() :]
+    for name, expr in subs.items():
+        # string-literal-aware substitution; advance past each
+        # replacement so an expr containing the name cannot loop
+        pos = 0
+        while True:
+            mm = _first_match(body[pos:], rf"\b{re.escape(name)}\b")
+            if not mm:
+                break
+            start = pos + mm.start()
+            body = body[:start] + expr + body[pos + mm.end() :]
+            pos = start + len(expr)
+    head = f"WITH {', '.join(kept)} " if kept else ""
+    return sql[: m.start()] + head + body
+
+
 def _rewrite_sequence_next_node(sql: str) -> str:
     """``sequenceNextNode(direction, base)(ts, ev, base_cond, c1...cN)``
     → the event value FOLLOWING a matched condition chain (ClickHouse's
@@ -3274,6 +3331,8 @@ def rewrite_clickhouse_sql(
     ``FROM t SAMPLE f`` (see ``_rewrite_sample``); both apply at every
     nesting level."""
     sql, blocks = _mask_subselects(sql, final_tables, sample_by, dictionaries)
+    # first: CH's scalar WITH constants feed every later rewrite
+    sql = _rewrite_with_constants(sql)
     # before _rewrite_combinators: the -State name inside
     # runningAccumulate(...) determines the window merge function
     sql = _rewrite_running_accumulate(sql)

@@ -1709,3 +1709,69 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q180_CLICKHOUSE_SQL), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q181 scalar WITH constants — the CH dashboard parameterization idiom
+# ---------------------------------------------------------------------------
+_Q181_CLICKHOUSE_SQL = """
+    WITH 900 AS bucket_s,
+         (SELECT CAST(avg(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+          FROM events) AS global_avg
+    SELECT intDiv(toUnixTimestamp(ts), bucket_s) AS bucket,
+           count() AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(avg(CAST(value AS DECIMAL(18,4))) AS DOUBLE) - global_avg
+             AS delta_vs_global
+    FROM events
+    WHERE user_id % 31 = 9
+    GROUP BY bucket
+"""
+
+_Q181_ORACLE = """
+    WITH g AS (
+      SELECT CAST(avg(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        AS global_avg FROM events
+    )
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(AVG(CAST(value AS DECIMAL(18,4))) AS DOUBLE) - g.global_avg
+             AS delta_vs_global
+    FROM events, g
+    WHERE user_id % 31 = 9
+    GROUP BY bucket, g.global_avg
+    ORDER BY bucket
+"""
+
+
+@query("q181_with_constants", oracle=_Q181_ORACLE)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's scalar ``WITH`` forms VERBATIM — ``WITH 900 AS
+    bucket_s`` (expression-first constant, not ANSI; Spark's WITH only
+    takes CTEs) and ``WITH (SELECT ...) AS name`` (scalar subquery) —
+    the parameterization idiom every CH dashboard uses for bucket
+    widths and corpus baselines. The bridge substitutes standalone
+    references string-literal-aware (``_rewrite_with_constants``),
+    leaving genuine CTEs in place.
+
+    Exactness: bucket arithmetic is exact integers; the sums/averages
+    fold DECIMAL(18,4) exactly and the delta is one IEEE subtraction
+    of identically derived doubles. The scalar subquery becomes a
+    Spark scalar subquery at each site — Catalyst plans it ONCE as a
+    subquery broadcast (plan-verified: one extra scan, not one per
+    row); the oracle carries it as a CTE cross join.
+
+    Scale: the constant substitution is free; one group-by exchange;
+    the global average is one tiny auxiliary aggregate.
+
+    NARROW_CHAIN profile: scan -> exchange + scalar-subquery scan."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q181_CLICKHOUSE_SQL), "bucket")

@@ -2802,3 +2802,28 @@ class TestMedianQuantileVariants:
     def test_deterministic_arity_reject(self):
         with pytest.raises(ChSqlError):
             rw("SELECT quantileDeterministic(0.5)(v) FROM t")
+
+
+class TestWithConstants:
+    def test_scalar_with_forms(self):
+        assert rw("WITH 3600 AS bucket SELECT intDiv(x, bucket) FROM t") == (
+            "SELECT intDiv(x, (3600)) FROM t"
+        )
+        out = rw("WITH 2 + 3 AS five, 'x' AS tag SELECT five * 2, tag FROM t")
+        assert out == "SELECT (2 + 3) * 2, ('x') FROM t"
+
+    def test_scalar_subquery_with(self):
+        out = rw("WITH (SELECT max(x) FROM t) AS mx SELECT x / mx FROM t")
+        assert out == "SELECT x / (SELECT max(x) FROM t) FROM t"
+
+    def test_ctes_left_alone_and_mixed(self):
+        assert rw("WITH c AS (SELECT 1 AS a) SELECT a FROM c") == (
+            "WITH c AS (SELECT 1 AS a) SELECT a FROM c"
+        )
+        out = rw("WITH c AS (SELECT 1 AS a), 10 AS lim "
+                 "SELECT a + lim FROM c")
+        assert out == "WITH c AS (SELECT 1 AS a) SELECT a + (10) FROM c"
+
+    def test_string_literals_not_substituted(self):
+        out = rw("WITH 5 AS k SELECT 'k is k', k FROM t")
+        assert out == "SELECT 'k is k', (5) FROM t"
