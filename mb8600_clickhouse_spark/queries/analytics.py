@@ -1716,13 +1716,14 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _Q181_CLICKHOUSE_SQL = """
     WITH 900 AS bucket_s,
-         (SELECT CAST(avg(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) /
+                 CAST(count() AS DOUBLE)
           FROM events) AS global_avg
     SELECT intDiv(toUnixTimestamp(ts), bucket_s) AS bucket,
            count() AS n,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
-           CAST(avg(CAST(value AS DECIMAL(18,4))) AS DOUBLE) - global_avg
-             AS delta_vs_global
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) /
+             CAST(count() AS DOUBLE) - global_avg AS delta_vs_global
     FROM events
     WHERE user_id % 31 = 9
     GROUP BY bucket
@@ -1730,14 +1731,14 @@ _Q181_CLICKHOUSE_SQL = """
 
 _Q181_ORACLE = """
     WITH g AS (
-      SELECT CAST(avg(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-        AS global_avg FROM events
+      SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) AS global_avg FROM events
     )
     SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
-           CAST(AVG(CAST(value AS DECIMAL(18,4))) AS DOUBLE) - g.global_avg
-             AS delta_vs_global
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) - g.global_avg AS delta_vs_global
     FROM events, g
     WHERE user_id % 31 = 9
     GROUP BY bucket, g.global_avg
@@ -1755,9 +1756,12 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     references string-literal-aware (``_rewrite_with_constants``),
     leaving genuine CTEs in place.
 
-    Exactness: bucket arithmetic is exact integers; the sums/averages
-    fold DECIMAL(18,4) exactly and the delta is one IEEE subtraction
-    of identically derived doubles. The scalar subquery becomes a
+    Exactness: bucket arithmetic is exact integers; means are spelled
+    sum/count EXPLICITLY (exact decimal sums, one IEEE division) —
+    avg(DECIMAL) is NOT portable: Spark computes it in widened decimal
+    arithmetic, DuckDB in floating point, and the two diverge in final
+    ulps at sf0.1 (caught by the gate; the delta subtraction amplified
+    it). The scalar subquery becomes a
     Spark scalar subquery at each site — Catalyst plans it ONCE as a
     subquery broadcast (plan-verified: one extra scan, not one per
     row); the oracle carries it as a CTE cross join.
