@@ -657,6 +657,15 @@ DIALECT_NOTES: dict[str, str] = {
     "ORDER BY ... WITH FILL [INTERPOLATE]": "bridged as of round 7 via chsql.ch_sql(spark, sql) — session-aware rewrite: grid from sequence(FROM|min, TO-excl|max, STEP), CH type defaults (0/''/false) for filled rows, identity INTERPOLATE as carry-forward (q123 oracle-verifies; multi-key fill, LIMIT-after-fill, and derived INTERPOLATE exprs still raise)",
     "neighbor(x, off, dflt) / runningDifference(x)": "bridged as of round 7 — rewritten to lead/lag(x, |off|, dflt) / coalesce(x - lag(x), 0) OVER the statement's own top-level ORDER BY (the only deterministic reading of CH block order; q124 oracle-verifies). Missing ORDER BY, 2-arg neighbor (CH type-default fallback), and non-literal offsets raise",
     "runningAccumulate": "runs verbatim for the inline -State form (runningAccumulate(sumState(x)) ... GROUP BY k ORDER BY k) — rewritten to the state's merge aggregate over an ORDER-BY-anchored window (q143); a state column from a subquery alias raises (merge function unrecoverable)",
+    "WITH 3600 AS bucket / WITH (SELECT ...) AS name": "runs verbatim as of round 8 (chsql._rewrite_with_constants) — CH's expression-first scalar WITH substitutes string-literal-aware; genuine CTEs in the same clause are left in place (q181)",
+    "kolmogorovSmirnovTest / cramersV / theilsU / contingency": "run verbatim as of round 8 (collect-fold expressions; KS D is exact, chi2/log members snap to 1e-6 — q173); bounded-slice contract, relational spellings are the unbounded path",
+    "deltaSum(x, k) / deltaSumTimestamp / exponentialMovingAverage(hl)(v, t)": "run verbatim as of round 8 (q167) — deltaSum needs the explicit sort-key second argument (CH's 1-arg block-order form rejects)",
+    "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame's custom-frame behavior diverges (Spark lag ignores frames)",
+    "intervalLengthSum / maxIntersections / maxIntersectionsPosition": "run verbatim as of round 8 (q171) — half-open [s,e) integer sweeps; touching intervals do not intersect (documented divergence from CH's closed ends)",
+    "quantileExactWeighted(p)(x, w) / topKWeighted(k)(x, w) / groupArraySorted(N)(x)": "run verbatim as of round 8 (q174); topKWeighted is the exact answer (CH's is the approximate Filtered Space-Saving sketch)",
+    "sequenceNextNode(direction, base)(ts, ev, base_cond, c...)": "runs verbatim as of round 8 (q177) for forward/head, forward/first_match, backward/tail, backward/last_match; other combinations reject",
+    "sumArray/avgArray/minArray/maxArray/countArray/uniqExactArray / argMaxIf / argMinIf / groupBitAnd/Or/Xor / arrayFold / arrayReduce": "run verbatim as of round 8 (q175, q180)",
+    "windowFunnel strict_order / strict_dedup modes": "REJECT loudly — CH's interleaving-event semantics need the full (non-condition-filtered) event stream and its exact stop rule is version-dependent; the default and strict_increase modes are bridged (q135/q148)",
     "replaceRegexpOne(s, re, rep)": "NOT aliased — Spark has no replace-FIRST-match regexp primitive (regexp_replace replaces all); anchored patterns make the two identical, unanchored first-only semantics need a manual spelling (regexp_extract the prefix + replace + suffix)",
     "transform(x, [from...], [to...], default)": "NOT aliasable under its CH name — `transform` is Spark's array higher-order function (and the arrayMap target). Registered as transformCH (map_from_arrays lookup + default); same 4-argument contract",
     "cityHash64 / sipHash64 / farmHash64": "NOT bridgeable — ClickHouse's hash constants are engine-specific and Spark's xxhash64/hash use different algorithms; any query whose RESULT depends on CH hash values (sampling by cityHash, hash-keyed joins) must re-key on a portable hash (md5 — the bridge's SAMPLE rewrite already does exactly this, documented there)",
