@@ -260,6 +260,41 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN size(arr) <= 1 THEN array() "
         "ELSE slice(arr, 2, size(arr) - 1) END",
     ),
+    # exact |intersection| / |union| over distinct elements — CH's
+    # set-similarity scalar (the n-gram Jaccard near-dup primitive,
+    # operators/dedup.py's scalar sibling); one IEEE division of ints
+    "arrayJaccardIndex": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>)",
+        "DOUBLE",
+        "CAST(size(array_intersect(a, b)) AS DOUBLE) / "
+        "nullif(CAST(size(array_union(a, b)) AS DOUBLE), 0.0)",
+    ),
+    # contiguous-subsequence containment (CH hasSubstr): b appears in
+    # a in order and adjacently; empty b -> true (CH contract)
+    "hasSubstr": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>)",
+        "BOOLEAN",
+        "CASE WHEN size(b) = 0 THEN true WHEN size(a) < size(b) "
+        "THEN false ELSE exists(sequence(1, size(a) - size(b) + 1), "
+        "i -> forall(sequence(1, size(b)), j -> "
+        "element_at(a, i + j - 1) <=> element_at(b, j))) END",
+    ),
+    "arrayRotateLeft": (
+        "(a ARRAY<STRING>, n INT)",
+        "ARRAY<STRING>",
+        "CASE WHEN size(a) = 0 THEN a ELSE concat("
+        "slice(a, CAST(pmod(n, size(a)) AS INT) + 1, "
+        "size(a) - CAST(pmod(n, size(a)) AS INT)), "
+        "slice(a, 1, CAST(pmod(n, size(a)) AS INT))) END",
+    ),
+    "arrayRotateRight": (
+        "(a ARRAY<STRING>, n INT)",
+        "ARRAY<STRING>",
+        "CASE WHEN size(a) = 0 THEN a ELSE concat("
+        "slice(a, size(a) - CAST(pmod(n, size(a)) AS INT) + 1, "
+        "CAST(pmod(n, size(a)) AS INT)), "
+        "slice(a, 1, size(a) - CAST(pmod(n, size(a)) AS INT))) END",
+    ),
     # ------------------------------------------------------------------
     # string search (round 8)
     # NOTE: ClickHouse's position(haystack, needle) cannot be aliased —

@@ -1779,3 +1779,87 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q181_CLICKHOUSE_SQL), "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Q182 array set-similarity: Jaccard + contiguous containment + rotations
+# ---------------------------------------------------------------------------
+_Q182_CLICKHOUSE_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             arraySlice(splitByChar(' ', text), 1, 10) AS a,
+             arraySlice(splitByChar(' ', text), 3, 10) AS b
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id,
+           arrayJaccardIndex(a, b) AS jac,
+           hasSubstr(a, arraySlice(a, 4, 3)) AS contains_mid,
+           hasSubstr(a, array('table', 'row')) AS contains_tr,
+           arrayRotateLeft(a, 3) AS rot_l,
+           arrayRotateRight(a, CAST(doc_id % 7 AS INT)) AS rot_r
+    FROM t
+"""
+
+_Q182_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_slice(string_split(text, ' '), 1, 10) AS a,
+             list_slice(string_split(text, ' '), 3, 12) AS b
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    r AS (
+      SELECT doc_id, a, b,
+             list_slice(a, 4, 6) AS mid,
+             CAST(doc_id % 7 AS INT) % GREATEST(len(a), 1) AS nr
+      FROM t
+    )
+    SELECT doc_id,
+      CAST(len(list_distinct(list_filter(a, x -> list_contains(b, x))))
+           AS DOUBLE) /
+        nullif(CAST(len(list_distinct(a || b)) AS DOUBLE), 0.0) AS jac,
+      len(mid) = 0 OR len(list_filter(
+        generate_series(1, len(a) - len(mid) + 1),
+        i -> len(list_filter(generate_series(1, len(mid)),
+                             j -> a[i + j - 1] = mid[j])) = len(mid)
+      )) > 0 AS contains_mid,
+      len(a) >= 2 AND len(list_filter(
+        generate_series(1, len(a) - 1),
+        i -> a[i] = 'table' AND a[i + 1] = 'row')) > 0 AS contains_tr,
+      CASE WHEN len(a) = 0 THEN a
+           ELSE a[(3 % len(a)) + 1:] || a[1:(3 % len(a))] END AS rot_l,
+      CASE WHEN len(a) = 0 THEN a
+           ELSE a[len(a) - nr + 1:] || a[1:len(a) - nr] END AS rot_r
+    FROM r
+    ORDER BY doc_id
+"""
+
+
+@query("q182_array_similarity", oracle=_Q182_ORACLE)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayJaccardIndex`` / ``hasSubstr`` /
+    ``arrayRotateLeft/Right`` VERBATIM — the set-similarity scalar
+    (the n-gram Jaccard near-dup primitive, ``operators/dedup.py``'s
+    per-pair sibling), contiguous-subsequence containment (an n-gram
+    phrase test), and the rotation pair — over document token windows.
+
+    Exactness: Jaccard is |distinct intersection| / |distinct union| —
+    one IEEE division of exact integers (both engines count the same
+    sets); containment and rotations are pure position algebra. The
+    oracle replays containment with generate_series position scans
+    (fold-free, the q162 rule) and rotations with the same pmod slice
+    arithmetic.
+
+    Scale: pure scan-speed projection; O(|a|*|b|) per row on bounded
+    token windows — the per-row contract (corpus-scale Jaccard dedup
+    is q41/q45's banded MinHash machinery, never per-pair).
+
+    NARROW_CHAIN profile: pure projection."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q182_CLICKHOUSE_SQL), "doc_id")

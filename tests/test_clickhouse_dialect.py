@@ -420,3 +420,27 @@ class TestStringReplaceFamily:
         for expr, want in cases.items():
             got = spark.sql(f"SELECT {expr} AS x").collect()[0].x
             assert got == want, (expr, got, want)
+
+
+class TestArraySimilarity:
+    def test_jaccard_hassubstr_rotations(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            "arrayJaccardIndex(array('a','b','c'), array('b','c','d'))": 0.5,
+            "arrayJaccardIndex(array('a','a','b'), array('a'))": 0.5,
+            "hasSubstr(array('a','b','c','d'), array('b','c'))": True,
+            "hasSubstr(array('a','b','c'), array('a','c'))": False,
+            "hasSubstr(array('a'), CAST(array() AS ARRAY<STRING>))": True,
+            "hasSubstr(array('a'), array('a','b'))": False,
+            "arrayRotateLeft(array('a','b','c','d'), 5)": ["b", "c", "d", "a"],
+            "arrayRotateRight(array('a','b','c','d'), 1)": ["d", "a", "b", "c"],
+            "arrayRotateLeft(CAST(array() AS ARRAY<STRING>), 3)": [],
+        }
+        for e, w in cases.items():
+            got = spark.sql(f"SELECT {e} AS x").collect()[0].x
+            got = list(got) if isinstance(got, list) else got
+            assert got == w, (e, got, w)
