@@ -260,6 +260,50 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN size(arr) <= 1 THEN array() "
         "ELSE slice(arr, 2, size(arr) - 1) END",
     ),
+    # ------------------------------------------------------------------
+    # vector distances (round 8) — CH's array-distance vocabulary on
+    # the ANN stack's left-fold contract (q34/q85: sequential
+    # aggregate() folds are order-pinned, so both engines produce the
+    # same IEEE sums; zip_with pairs elements, unequal lengths raise
+    # via ANSI element_at in the fold)
+    "dotProduct": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)",
+    ),
+    "L1Distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)",
+    ),
+    "L2Distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v))",
+    ),
+    "L2SquaredDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)",
+    ),
+    "LinfDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "array_max(zip_with(a, b, (x, y) -> abs(x - y)))",
+    ),
+    "cosineDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "1.0 - aggregate(zip_with(a, b, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v) / "
+        "nullif(sqrt(aggregate(a, CAST(0.0 AS DOUBLE), "
+        "(s, x) -> s + x * x)) * sqrt(aggregate(b, "
+        "CAST(0.0 AS DOUBLE), (s, x) -> s + x * x)), 0.0)",
+    ),
     # exact |intersection| / |union| over distinct elements — CH's
     # set-similarity scalar (the n-gram Jaccard near-dup primitive,
     # operators/dedup.py's scalar sibling); one IEEE division of ints

@@ -1863,3 +1863,88 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q182_CLICKHOUSE_SQL), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q183 vector distances over embeddings vs a fixed anchor
+# ---------------------------------------------------------------------------
+_Q183_CLICKHOUSE_SQL = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e
+      FROM embeddings WHERE vec_id % 5 = 2
+    ),
+    anc AS (
+      SELECT CAST(embedding AS ARRAY<DOUBLE>) AS q
+      FROM embeddings WHERE vec_id = 7
+    )
+    SELECT vec_id,
+           dotProduct(e, q) AS dp,
+           L1Distance(e, q) AS l1,
+           L2Distance(e, q) AS l2,
+           L2SquaredDistance(e, q) AS l2sq,
+           LinfDistance(e, q) AS linf,
+           cosineDistance(e, q) AS cosd
+    FROM v CROSS JOIN anc
+"""
+
+_Q183_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 5 = 2
+    ),
+    anc AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS q
+      FROM embeddings WHERE vec_id = 7
+    )
+    SELECT vec_id,
+      list_sum(list_transform(generate_series(1, len(e)),
+        i -> e[i] * q[i])) AS dp,
+      list_sum(list_transform(generate_series(1, len(e)),
+        i -> abs(e[i] - q[i]))) AS l1,
+      sqrt(list_sum(list_transform(generate_series(1, len(e)),
+        i -> (e[i] - q[i]) * (e[i] - q[i])))) AS l2,
+      list_sum(list_transform(generate_series(1, len(e)),
+        i -> (e[i] - q[i]) * (e[i] - q[i]))) AS l2sq,
+      list_max(list_transform(generate_series(1, len(e)),
+        i -> abs(e[i] - q[i]))) AS linf,
+      1.0 - list_sum(list_transform(generate_series(1, len(e)),
+        i -> e[i] * q[i])) /
+        nullif(sqrt(list_sum(list_transform(generate_series(1, len(e)),
+          i -> e[i] * e[i]))) * sqrt(list_sum(list_transform(
+          generate_series(1, len(q)), i -> q[i] * q[i]))), 0.0) AS cosd
+    FROM v CROSS JOIN anc
+    ORDER BY vec_id
+"""
+
+
+@query("q183_vector_distances", oracle=_Q183_ORACLE)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse's vector-distance vocabulary VERBATIM as registered
+    scalars — dotProduct / L1Distance / L2Distance / L2SquaredDistance
+    / LinfDistance / cosineDistance — every corpus vector against a
+    fixed anchor embedding (the brute-force scoring kernel under
+    q43's ANN top-k, spelled in CH's dialect names).
+
+    Exactness: all six are LEFT FOLDS over zip_with pairs (the q34/q85
+    order-pinned contract) — the oracle replays the identical
+    sequential sums with list_transform over generate_series, so every
+    IEEE partial sum matches bit-for-bit; sqrt/abs/division are
+    correctly rounded single ops. Degenerate zero-norm vectors -> NULL
+    cosine (CH: nan).
+
+    Scale: scan-speed projection with a 1-row broadcast anchor (the
+    standard query-vector contract); the interpreted-lambda fold cost
+    is the documented HOF constant — the Arrow matmul path
+    (similarity.py) is the bulk lever when millions of pairs score at
+    once (probed at 16x in probe_pq).
+
+    NARROW_CHAIN profile: projection + broadcast NLJ, no exchange."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q183_CLICKHOUSE_SQL), "vec_id")

@@ -444,3 +444,30 @@ class TestArraySimilarity:
             got = spark.sql(f"SELECT {e} AS x").collect()[0].x
             got = list(got) if isinstance(got, list) else got
             assert got == w, (e, got, w)
+
+
+class TestVectorDistances:
+    def test_known_answers(self, spark):
+        import math
+
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        a, b = "array(1.0D, 2.0D, 3.0D)", "array(4.0D, 6.0D, 8.0D)"
+        cases = {
+            f"dotProduct({a}, {b})": 1 * 4 + 2 * 6 + 3 * 8,
+            f"L1Distance({a}, {b})": 3 + 4 + 5,
+            f"L2SquaredDistance({a}, {b})": 9 + 16 + 25,
+            f"L2Distance({a}, {b})": math.sqrt(50),
+            f"LinfDistance({a}, {b})": 5.0,
+            f"cosineDistance({a}, {a})": 0.0,
+            "cosineDistance(array(0.0D), array(1.0D))": None,  # zero norm
+        }
+        for e, w in cases.items():
+            got = spark.sql(f"SELECT {e} AS x").collect()[0].x
+            if w is None:
+                assert got is None, e
+            else:
+                assert got == pytest.approx(w, rel=1e-12), (e, got, w)
