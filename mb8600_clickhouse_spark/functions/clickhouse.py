@@ -101,6 +101,27 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "array_join(arr, sep)",
     ),
+    "splitByString": (
+        "(sep STRING, s STRING)",
+        "ARRAY<STRING>",
+        r"split(s, concat('\\Q', sep, '\\E'))",
+    ),
+    "splitByRegexp": (
+        "(re STRING, s STRING)",
+        "ARRAY<STRING>",
+        "split(s, re)",  # RE2-subset patterns only (the q131 rule)
+    ),
+    "splitByWhitespace": (
+        "(s STRING)",
+        "ARRAY<STRING>",
+        r"filter(split(s, '\\s+'), x -> x <> '')",
+    ),
+    "base64Encode": ("(s STRING)", "STRING", "base64(s)"),
+    "base64Decode": (
+        "(s STRING)",
+        "STRING",
+        "CAST(unbase64(s) AS STRING)",
+    ),
     "lowerUTF8": ("(s STRING)", "STRING", "lower(s)"),
     "upperUTF8": ("(s STRING)", "STRING", "upper(s)"),
     "lengthUTF8": ("(s STRING)", "INT", "char_length(s)"),

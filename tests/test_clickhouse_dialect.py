@@ -471,3 +471,24 @@ class TestVectorDistances:
                 assert got is None, e
             else:
                 assert got == pytest.approx(w, rel=1e-12), (e, got, w)
+
+
+class TestSplitBase64:
+    def test_split_and_base64(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            "splitByString('--', 'a--b--c')": ["a", "b", "c"],
+            "splitByString('.', 'a.b')": ["a", "b"],  # regex-safe sep
+            "splitByRegexp('[0-9]+', 'a1b22c')": ["a", "b", "c"],
+            "splitByWhitespace('  a  b\\tc ')": ["a", "b", "c"],
+            "base64Encode('hello')": "aGVsbG8=",
+            "base64Decode('aGVsbG8=')": "hello",
+        }
+        for e, w in cases.items():
+            got = spark.sql(f"SELECT {e} AS x").collect()[0].x
+            got = list(got) if isinstance(got, list) else got
+            assert got == w, (e, got, w)
