@@ -809,7 +809,7 @@ def _rewrite_running(sql: str) -> str:
       loudly: CH falls back to the column's TYPE default, which a
       string rewriter cannot know — callers pass it explicitly.
     """
-    pat = r"\b(neighbor|runningDifference)\s*\("
+    pat = r"\b(neighbor|runningDifferenceStartingWithFirstValue|runningDifference)\s*\("
     if not _first_match(sql, pat):
         return sql
     obtxt = _order_anchor(sql, pat, "neighbor()/runningDifference()")
@@ -826,6 +826,15 @@ def _rewrite_running(sql: str) -> str:
                 raise ChSqlError("runningDifference takes exactly one argument")
             x = args[0]
             repl = f"coalesce(({x}) - lag({x}) {over}, 0)"
+        elif m.group(1) == "runningDifferenceStartingWithFirstValue":
+            # CH variant: the first row carries the VALUE, not 0
+            if len(args) != 1:
+                raise ChSqlError(
+                    "runningDifferenceStartingWithFirstValue takes "
+                    "exactly one argument"
+                )
+            x = args[0]
+            repl = f"coalesce(({x}) - lag({x}) {over}, ({x}))"
         else:
             if len(args) == 2:
                 raise ChSqlError(

@@ -2827,3 +2827,18 @@ class TestWithConstants:
     def test_string_literals_not_substituted(self):
         out = rw("WITH 5 AS k SELECT 'k is k', k FROM t")
         assert out == "SELECT 'k is k', (5) FROM t"
+
+
+class TestRunningDifferenceFirstValue:
+    def test_variant_carries_first_value(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(k=1, v=10.0), Row(k=2, v=15.0), Row(k=3, v=12.0)]
+        ).createOrReplaceTempView("rdf_t")
+        rows = ch_sql(
+            spark,
+            "SELECT k, runningDifferenceStartingWithFirstValue(v) AS d "
+            "FROM rdf_t ORDER BY k",
+        ).collect()
+        assert [(r.k, r.d) for r in rows] == [(1, 10.0), (2, 5.0), (3, -3.0)]
