@@ -1,0 +1,79 @@
+"""Relational two-sample statistics operators (operators/stats.py) —
+the unbounded path of the q165/q173 bridges: bit-identical to the
+collect-fold bridge forms on the same data."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row
+
+
+@pytest.fixture(scope="module")
+def sample_view(spark):
+    rng = random.Random("stats-op-3")
+    rows = [
+        Row(
+            g="x" if i % 2 else "y",
+            v=round(rng.uniform(0, 40) + (8 if i % 3 == 0 else 0), 4),
+            s=i % 3 % 2,
+        )
+        for i in range(400)
+    ]
+    # planted ties exercise average ranks and the tie correction
+    rows += [Row(g="x", v=rows[0].v, s=1 - rows[0].s) for _ in range(5)]
+    df = spark.createDataFrame(rows)
+    df.createOrReplaceTempView("stats_op_t")
+    return df
+
+
+def test_mw_matches_bridge(spark, sample_view):
+    from mb8600_clickhouse_spark.functions.chsql import ch_sql
+    from mb8600_clickhouse_spark.operators.stats import mann_whitney_u
+
+    got = {
+        r.g: (r.u0, r.u1, r.z)
+        for r in mann_whitney_u(sample_view, "v", "s", "g").collect()
+    }
+    want = {
+        r.g: (r.u0, r.u1, r.z)
+        for r in ch_sql(
+            spark,
+            "SELECT g, mannWhitneyUTest(v, s).u0 AS u0, "
+            "mannWhitneyUTest(v, s).u1 AS u1, "
+            "mannWhitneyUTest(v, s).z AS z FROM stats_op_t GROUP BY g",
+        ).collect()
+    }
+    assert got == want  # bit-identical, not approx
+
+
+def test_ks_matches_bridge(spark, sample_view):
+    from mb8600_clickhouse_spark.functions.chsql import ch_sql
+    from mb8600_clickhouse_spark.operators.stats import ks_test
+
+    got = {r.g: r.d for r in ks_test(sample_view, "v", "s", "g").collect()}
+    want = {
+        r.g: r.d
+        for r in ch_sql(
+            spark,
+            "SELECT g, kolmogorovSmirnovTest(v, s).d AS d "
+            "FROM stats_op_t GROUP BY g",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_plan_has_no_collect_state(spark, sample_view):
+    # the operator's whole point: windows + rollups, no collect_list
+    from mb8600_clickhouse_spark.operators.stats import (
+        ks_test,
+        mann_whitney_u,
+    )
+
+    for df in (
+        mann_whitney_u(sample_view, "v", "s", "g"),
+        ks_test(sample_view, "v", "s", "g"),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "collect_list" not in plan
