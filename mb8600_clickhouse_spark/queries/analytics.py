@@ -1948,3 +1948,117 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q183_CLICKHOUSE_SQL), "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Q184 dialect capstone — one statement composing the round-8 bridges
+# ---------------------------------------------------------------------------
+_Q184_CLICKHOUSE_SQL = """
+    WITH 900 AS bucket_s
+    SELECT event_type,
+           quantileExactWeighted(0.5)(value, 1 + user_id % 5) AS wmed,
+           skewPop(value) AS sk,
+           deltaSum(value, event_id) AS ds,
+           CAST(entropy(user_id % 6) AS DOUBLE) AS ent,
+           topKWeighted(2)(intDiv(toUnixTimestamp(ts), bucket_s) % 24,
+                           CAST(CAST(value AS DECIMAL(18,4)) * 100
+                                AS BIGINT)) AS heavy_buckets,
+           uniqExactIf(user_id, JSONExtractInt(props, 'k') > 50)
+             AS rich_users
+    FROM events
+    WHERE user_id % 41 = 3
+    GROUP BY event_type
+"""
+
+
+def _q184_oracle() -> str:
+    sk = stats_agg_sql("skewPop", ["value"], **_DUCK)
+    ent = entropy_tail(
+        "SUM(cnt)", "SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_type AS g, event_id, user_id, value, props,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+             CAST(1 + user_id % 5 AS BIGINT) AS w,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 900) % 24 AS bkt,
+             CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS bw
+      FROM events WHERE user_id % 41 = 3
+    ),
+    base AS (SELECT g, {sk} AS sk,
+               CAST(COUNT(DISTINCT CASE WHEN
+                 CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                 THEN user_id END) AS BIGINT) AS rich_users
+             FROM e GROUP BY g),
+    tot AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY g),
+    cum AS (
+      SELECT g, v, CAST(SUM(w) OVER (PARTITION BY g ORDER BY v, w
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM e
+    ),
+    med AS (
+      SELECT cum.g, CAST(MIN(CASE WHEN CAST(cw AS DOUBLE) >=
+             CAST(0.5 AS DOUBLE) * CAST(tw AS DOUBLE) THEN v END)
+             AS DOUBLE) / 10000.0 AS wmed
+      FROM cum JOIN tot ON cum.g = tot.g GROUP BY cum.g
+    ),
+    dpre AS (
+      SELECT g, GREATEST(v - lag(v) OVER
+             (PARTITION BY g ORDER BY event_id, v), 0) AS dstep FROM e
+    ),
+    dlt AS (
+      SELECT g, CAST(SUM(dstep) AS BIGINT) AS dsn FROM dpre GROUP BY g
+    ),
+    entr AS (
+      SELECT g, CAST({ent} AS DOUBLE) AS ent FROM (
+        SELECT g, CAST(user_id % 6 AS VARCHAR) AS xv, COUNT(*) AS cnt
+        FROM e GROUP BY g, xv
+      ) GROUP BY g
+    ),
+    bwsum AS (
+      SELECT g, bkt, CAST(SUM(bw) AS BIGINT) AS wsum FROM e GROUP BY g, bkt
+    ),
+    topk AS (
+      SELECT g, list(bkt ORDER BY wsum DESC, bkt)[1:2] AS heavy_buckets
+      FROM bwsum GROUP BY g
+    )
+    SELECT base.g AS event_type, med.wmed, base.sk,
+           CAST(dlt.dsn AS DOUBLE) / 10000.0 AS ds, entr.ent,
+           topk.heavy_buckets, base.rich_users
+    FROM base JOIN med ON base.g = med.g
+    JOIN dlt ON base.g = dlt.g
+    JOIN entr ON base.g = entr.g
+    JOIN topk ON base.g = topk.g
+    ORDER BY base.g
+    """
+
+
+@query("q184_dialect_capstone", oracle=_q184_oracle())
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 DIALECT CAPSTONE: one verbatim ClickHouse statement
+    composing a scalar WITH constant, quantileExactWeighted, skewPop,
+    deltaSum, entropy, topKWeighted, an -If combinator over a JSON
+    extraction, and toUnixTimestamp/intDiv — seven rewrite families
+    plus the scalar registry in a single SELECT, exercising the
+    pre-rewriter PIPELINE composition (rewrites run in sequence on one
+    statement; the q156 capstone idea applied to the dialect bridge
+    instead of the crawl stack).
+
+    Exactness: every member keeps its family's contract (exact scaled
+    moments, exact weighted-quantile pick, exact delta folds, snapped
+    entropy, exact weighted top-k, exact JSON-gated distinct count) —
+    the oracle recomputes each relationally and the hash pins the
+    whole composition.
+
+    Scale: one event_type exchange; the WITH constant is free, every
+    aggregate is the family's documented shape.
+
+    NARROW_CHAIN profile: filtered scan -> one exchange, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q184_CLICKHOUSE_SQL), "event_type")
