@@ -2842,3 +2842,100 @@ class TestRunningDifferenceFirstValue:
             "FROM rdf_t ORDER BY k",
         ).collect()
         assert [(r.k, r.d) for r in rows] == [(1, 10.0), (2, 5.0), (3, -3.0)]
+
+
+class TestWeightedQuantileProperty:
+    """Hypothesis: quantileExactWeighted equals a brute-force expansion
+    (each value repeated weight times, CH's cumulative >= p*W pick)."""
+
+    def test_matches_expansion(self, spark):
+        from decimal import Decimal
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        register_clickhouse_functions(spark)
+
+        @settings(
+            max_examples=12, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            data=st.lists(
+                st.tuples(
+                    st.floats(-100, 100, allow_nan=False).map(
+                        lambda v: round(v, 4)
+                    ),
+                    st.integers(1, 9),
+                ),
+                min_size=1, max_size=25,
+            ),
+            p=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 1.0]),
+        )
+        def check(data, p):
+            rows = [Row(v=float(v), w=w) for v, w in data]
+            spark.createDataFrame(rows).createOrReplaceTempView("wqp_t")
+            got = ch_sql(
+                spark,
+                f"SELECT quantileExactWeighted({p})(v, w) AS q "
+                "FROM wqp_t GROUP BY 1.0",
+            ).collect()[0].q
+            snapped = sorted(
+                (int(Decimal(str(v)).quantize(Decimal("0.0001")) * 10000), w)
+                for v, w in data
+            )
+            total = sum(w for _, w in snapped)
+            thr = p * total
+            cum = 0
+            want = None
+            for v, w in snapped:
+                cum += w
+                if want is None and float(cum) >= thr:
+                    want = v / 10000.0
+            assert got == want, (data, p, got, want)
+
+        check()
+
+
+class TestSequenceNextNodeProperty:
+    """Hypothesis: forward/first_match equals a brute-force scan."""
+
+    def test_matches_bruteforce(self, spark):
+        from datetime import datetime as dt
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        register_clickhouse_functions(spark)
+
+        @settings(
+            max_examples=12, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            evs=st.lists(st.sampled_from("ABCX"), min_size=1, max_size=14),
+        )
+        def check(evs):
+            rows = [
+                Row(u=1, t=dt(2024, 1, 1, 0, 0, i), e=e)
+                for i, e in enumerate(evs)
+            ]
+            spark.createDataFrame(rows).createOrReplaceTempView("snnp_t")
+            got = ch_sql(
+                spark,
+                "SELECT sequenceNextNode('forward', 'first_match')"
+                "(t, e, e = 'A', e = 'A', e = 'B') AS x "
+                "FROM snnp_t GROUP BY u",
+            ).collect()[0].x
+            want = None
+            for i in range(len(evs) - 1):
+                if evs[i] == "A" and evs[i + 1] == "B":
+                    want = evs[i + 2] if i + 2 < len(evs) else None
+                    break
+            assert got == want, (evs, got, want)
+
+        check()
