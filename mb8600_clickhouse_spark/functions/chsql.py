@@ -3233,6 +3233,50 @@ def _rewrite_final(sql: str, final_tables: dict | None) -> str:
 # ---------------------------------------------------------------------------
 # 4. LIMIT n BY k1, k2 -> row_number window filter
 # ---------------------------------------------------------------------------
+def _rewrite_limit_with_ties(sql: str) -> str:
+    """``ORDER BY ... LIMIT n WITH TIES`` → a rank() filter: WITH TIES
+    returns every row whose sort key equals the n-th row's, which is
+    exactly ``rank() OVER (statement ORDER BY) <= n`` (rank counts tie
+    groups collectively, so a tie group straddling the cut survives
+    whole). Spark has no WITH TIES; the rewrite wraps the statement.
+    Requires a top-level ORDER BY (CH does too)."""
+    m = _first_match(sql, r"\bLIMIT\s+(\d+)\s+WITH\s+TIES\b")
+    if not m:
+        return sql
+    tms = [
+        t for t in _top_level_matches(sql, r"\bLIMIT\s+\d+\s+WITH\s+TIES\b")
+        if t.start() == m.start()
+    ]
+    if not tms:
+        raise ChSqlError(
+            "LIMIT ... WITH TIES inside a subquery is not rewritable at "
+            "this level (each nesting level rewrites independently)"
+        )
+    n = int(m.group(1))
+    obs = [
+        t for t in _top_level_matches(sql, r"\bORDER\s+BY\b")
+        if t.start() < m.start()
+    ]
+    if not obs:
+        raise ChSqlError(
+            "LIMIT n WITH TIES needs the statement's ORDER BY (ties are "
+            "defined by the sort key)"
+        )
+    ob = obs[-1]
+    order_txt = sql[ob.end() : m.start()].strip()
+    inner = sql[: m.start()].strip()
+    tail = sql[m.end() :].strip()
+    if tail:
+        raise ChSqlError(
+            "LIMIT n WITH TIES must be the final clause"
+        )
+    return (
+        f"SELECT * EXCEPT (__wt_rank) FROM (SELECT *, rank() OVER "
+        f"(ORDER BY {order_txt}) AS __wt_rank FROM ({inner}) __wt_base) "
+        f"__wt WHERE __wt_rank <= {n} ORDER BY {order_txt}"
+    )
+
+
 def _rewrite_limit_by(sql: str) -> str:
     mlb = _top_level_matches(sql, r"\bLIMIT\s+(\d+)\s*(,\s*\d+\s*)?BY\b")
     if not mlb:
@@ -3373,6 +3417,7 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_array_join_clause(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_limit_with_ties(sql)
     for token, body in blocks.items():
         sql = sql.replace(f"({token})", f"({body})")
     return sql

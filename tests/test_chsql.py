@@ -2939,3 +2939,45 @@ class TestSequenceNextNodeProperty:
             assert got == want, (evs, got, want)
 
         check()
+
+
+class TestLimitWithTiesAndNativeForms:
+    @pytest.fixture(scope="class", autouse=True)
+    def _data(self, spark):
+        spark.createDataFrame(
+            [Row(k=i, v=[10.0, 20.0, 20.0, 20.0, 30.0][i]) for i in range(5)]
+        ).createOrReplaceTempView("ties_t")
+
+    def test_limit_with_ties(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT k, v FROM ties_t ORDER BY v LIMIT 2 WITH TIES",
+        ).collect()
+        # second row's v=20.0 ties rows 3 and 4 -> 4 rows total
+        assert sorted(r.v for r in rows) == [10.0, 20.0, 20.0, 20.0]
+        assert rows[0].asDict().keys() == {"k", "v"}  # rank projected away
+
+    def test_limit_with_ties_no_ties(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark,
+            "SELECT k, v FROM ties_t ORDER BY v DESC LIMIT 1 WITH TIES",
+        ).collect()
+        assert [r.v for r in rows] == [30.0]
+
+    def test_requires_order_by(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT k FROM t LIMIT 3 WITH TIES")
+
+    def test_group_by_all_and_star_except_native(self, spark):
+        # CH's GROUP BY ALL and column-exclusion star both run natively
+        # in Spark 4 — pinned so a regression is loud
+        rows = spark.sql(
+            "SELECT v, count(*) AS n FROM ties_t GROUP BY ALL ORDER BY v"
+        ).collect()
+        assert [(r.v, r.n) for r in rows] == [(10.0, 1), (20.0, 3), (30.0, 1)]
+        r = spark.sql("SELECT * EXCEPT (k) FROM ties_t LIMIT 1").collect()[0]
+        assert r.asDict().keys() == {"v"}
