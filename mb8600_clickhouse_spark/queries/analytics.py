@@ -20,8 +20,9 @@ reference's consumers run these over the docsis rollups
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..functions.chsql import entropy_tail, mw_tail, stats_agg_sql
+from ..functions.chsql import entropy_tail, ks_tail, mw_tail, stats_agg_sql
 from ..tables import register_views
 from . import query
 
@@ -2062,3 +2063,114 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q184_CLICKHOUSE_SQL), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q185 relational Mann-Whitney + KS over the UNBOUNDED corpus
+# ---------------------------------------------------------------------------
+_Q185_ORACLE = """
+    WITH e AS (
+      SELECT event_type AS g,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+             CAST(user_id % 2 AS INT) AS s
+      FROM events
+    ),
+    tot AS (
+      SELECT g, CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0i,
+             CAST(SUM(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1i,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM e GROUP BY g
+    ),
+    r AS (
+      SELECT g, s, v,
+             RANK() OVER (PARTITION BY g ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY g, v) AS teq
+      FROM e
+    ),
+    mwin AS (
+      SELECT g,
+             SUM(CASE WHEN s = 0 THEN CAST(rk AS DOUBLE) +
+                 (CAST(teq AS DOUBLE) - 1.0) / 2.0 END) AS r0
+      FROM r GROUP BY g
+    ),
+    ties AS (
+      SELECT g, SUM(tc * tc * tc - tc) AS tsum FROM (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS tc FROM e GROUP BY g, v
+      ) GROUP BY g
+    ),
+    pv AS (
+      SELECT g, v, CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(SUM(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM e GROUP BY g, v
+    ),
+    cum AS (
+      SELECT g, v,
+             CAST(SUM(c0) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS k0,
+             CAST(SUM(c1) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS k1
+      FROM pv
+    ),
+    ks AS (
+      SELECT cum.g, CAST(MAX(ABS(tot.n1i * cum.k0 - tot.n0i * cum.k1))
+             AS BIGINT) AS dnum
+      FROM cum JOIN tot ON cum.g = tot.g GROUP BY cum.g
+    )
+    SELECT tot.g AS event_type,
+      ({MW}).u0 AS u0, ({MW}).u1 AS u1, ({MW}).z AS z,
+      ({KS}).d AS ks_d
+    FROM tot
+    JOIN mwin ON tot.g = mwin.g
+    JOIN ties ON tot.g = ties.g
+    JOIN ks ON tot.g = ks.g
+    ORDER BY tot.g
+"""
+
+
+def _q185_oracle() -> str:
+    mw = mw_tail(
+        "mwin.r0", "CAST(tot.n0i AS DOUBLE)", "CAST(tot.n1i AS DOUBLE)",
+        "tot.n", "ties.tsum", dialect="duck",
+    )
+    ks = ks_tail(
+        "ks.dnum", "CAST(tot.n0i AS DOUBLE)", "CAST(tot.n1i AS DOUBLE)",
+        dialect="duck",
+    )
+    return _Q185_ORACLE.replace("{MW}", mw).replace("{KS}", ks)
+
+
+@query("q185_relational_twosample", oracle=_q185_oracle())
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED two-sample path, driver-verified: Mann-Whitney U
+    and Kolmogorov-Smirnov D over the FULL events corpus (no slice —
+    tens of thousands of rows per group at sf0.1, where the q165/q173
+    collect-fold bridges are out of contract by design), computed by
+    ``operators/stats.py`` — window ranks and cumulative-count
+    windows, no collected state, no Python.
+
+    Exactness: identical statistics to the bridge forms (shared IEEE
+    tail emitters, exact half-integer rank sums, exact integer ECDF
+    numerators); the oracle replays the same relational spelling.
+
+    Scale: two keyed window exchanges (rank + cumulative) sharing the
+    event_type partitioning plus partial-aggregated rollups — the
+    shape survives any group cardinality; this query IS the
+    probe_stats relational lever as a first-class registry entry.
+
+    NARROW_CHAIN profile: scan -> keyed windows, no joins beyond the
+    4-row stat rollups."""
+    from ..operators.stats import ks_test, mann_whitney_u
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+    from ..tables import load_tables
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "par", (F.col("user_id") % 2).cast("int")
+    )
+    mw = mann_whitney_u(ev, "value", "par", "event_type")
+    ks = ks_test(ev, "value", "par", "event_type")
+    out = mw.join(ks, "event_type").select(
+        "event_type", "u0", "u1", "z", F.col("d").alias("ks_d")
+    )
+    return vsort(out, "event_type")
