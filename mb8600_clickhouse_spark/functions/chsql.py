@@ -1810,6 +1810,38 @@ def _rewrite_weighted_aggs(sql: str) -> str:
 
     while True:
         pc = None
+        if _first_match(sql, r"\bgroupArrayInsertAt\s*\("):
+            pc = _parametric_call(sql, "groupArrayInsertAt")
+        if pc is None:
+            break
+        start, params, args, end = pc
+        pa = _split_top_commas(params)
+        if len(pa) != 2 or not pa[1].strip().isdigit() or len(args) != 2:
+            raise ChSqlError(
+                "groupArrayInsertAt is bridged as "
+                "groupArrayInsertAt(default, size)(x, pos): literal "
+                "default, integer size, two arguments"
+            )
+        dflt, size = pa[0].strip(), int(pa[1])
+        x, pos = args
+        # CH keeps an ARBITRARY value on position collisions — the
+        # bridge keeps the MINIMUM (deterministic, documented); 0-based
+        # positions, out-of-range positions are dropped (CH errors)
+        pair = (
+            f"CASE WHEN ({x}) IS NOT NULL AND ({pos}) IS NOT NULL AND "
+            f"({pos}) >= 0 AND ({pos}) < {size} THEN named_struct("
+            f"'p', CAST({pos} AS INT), 'x', ({x})) END"
+        )
+        rep = (
+            f"element_at(transform(array(collect_list({pair})), ps -> "
+            f"transform(sequence(0, {size - 1}), i -> coalesce("
+            f"array_min(transform(filter(ps, q -> q.p = i), "
+            f"q -> q.x)), {dflt}))), 1)"
+        )
+        sql = sql[:start] + rep + sql[end:]
+
+    while True:
+        pc = None
         if _first_match(sql, r"\bgroupArraySorted\s*\("):
             pc = _parametric_call(sql, "groupArraySorted")
         if pc is None:

@@ -2981,3 +2981,27 @@ class TestLimitWithTiesAndNativeForms:
         assert [(r.v, r.n) for r in rows] == [(10.0, 1), (20.0, 3), (30.0, 1)]
         r = spark.sql("SELECT * EXCEPT (k) FROM ties_t LIMIT 1").collect()[0]
         assert r.asDict().keys() == {"v"}
+
+
+class TestGroupArrayInsertAt:
+    def test_positional_assembly(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        register_clickhouse_functions(spark)
+        spark.createDataFrame(
+            [Row(g=1, x="a", p=0), Row(g=1, x="b", p=2),
+             Row(g=1, x="z", p=2),  # collision: min kept (documented)
+             Row(g=1, x="c", p=9)]  # out of range: dropped
+        ).createOrReplaceTempView("gai_t")
+        r = ch_sql(
+            spark,
+            "SELECT groupArrayInsertAt('-', 4)(x, p) AS arr "
+            "FROM gai_t GROUP BY g",
+        ).collect()[0].arr
+        assert r == ["a", "-", "b", "-"]
+
+    def test_rejects(self):
+        with pytest.raises(ChSqlError):
+            rw("SELECT groupArrayInsertAt('-')(x, p) FROM t")
+        with pytest.raises(ChSqlError):
+            rw("SELECT groupArrayInsertAt('-', n)(x, p) FROM t")
