@@ -2174,3 +2174,89 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "u0", "u1", "z", F.col("d").alias("ks_d")
     )
     return vsort(out, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q186 window capstone: WITH constant + derivative + lagInFrame + WITH TIES
+# ---------------------------------------------------------------------------
+_Q186_CLICKHOUSE_SQL = """
+    WITH 50 AS top_n
+    SELECT event_id, user_id,
+           lagInFrame(value) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS prev_v,
+           nonNegativeDerivative(value, toUnixTimestamp(ts)) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS rate,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS v
+    FROM events
+    WHERE user_id % 13 = 4
+    ORDER BY v DESC, event_id
+    LIMIT 50 WITH TIES
+"""
+
+_Q186_ORACLE = """
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+             CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS v
+      FROM events WHERE user_id % 13 = 4
+    ),
+    w AS (
+      SELECT event_id, user_id,
+             lag(value) OVER
+               (PARTITION BY user_id ORDER BY event_id) AS prev_v,
+             (CASE WHEN (CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE))
+                    OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL
+                    OR (CAST(tsec AS DOUBLE) - lag(CAST(tsec AS DOUBLE))
+                    OVER (PARTITION BY user_id ORDER BY event_id)) IS NULL
+                    OR (CAST(tsec AS DOUBLE) - lag(CAST(tsec AS DOUBLE))
+                    OVER (PARTITION BY user_id ORDER BY event_id)) = 0.0
+               THEN CAST(NULL AS DOUBLE)
+               WHEN (CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE))
+                    OVER (PARTITION BY user_id ORDER BY event_id)) /
+                    (CAST(tsec AS DOUBLE) - lag(CAST(tsec AS DOUBLE))
+                    OVER (PARTITION BY user_id ORDER BY event_id)) < 0.0
+               THEN 0.0
+               ELSE (CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE))
+                    OVER (PARTITION BY user_id ORDER BY event_id)) /
+                    (CAST(tsec AS DOUBLE) - lag(CAST(tsec AS DOUBLE))
+                    OVER (PARTITION BY user_id ORDER BY event_id)) END)
+               AS rate,
+             v
+      FROM e
+    ),
+    rk AS (
+      SELECT *, RANK() OVER (ORDER BY v DESC, event_id) AS r FROM w
+    )
+    SELECT event_id, user_id, prev_v, rate, v
+    FROM rk WHERE r <= 50
+    ORDER BY v DESC, event_id
+"""
+
+
+@query("q186_window_capstone", oracle=_Q186_ORACLE)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function pipeline composition in one verbatim statement:
+    a scalar WITH constant, ``lagInFrame``, ``nonNegativeDerivative``
+    (both over the same per-user window — Catalyst collapses them into
+    ONE Window operator), a DECIMAL sort key, and ``LIMIT 50 WITH
+    TIES`` — the top-values dashboard slice where tie groups straddling
+    the cut must survive whole (the deterministic (v, event_id)
+    tiebreak makes the tie set exact and the hash meaningful).
+
+    Exactness: the derivative's division tree is mirrored in the
+    oracle (q168's contract); the WITH TIES cut is rank() algebra over
+    exact decimal keys.
+
+    Scale: one user_id window exchange + the global top-k rank (the
+    q57-class exchange — bounded output); the WITH constant is free.
+
+    NARROW_CHAIN profile: two window exchanges, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q186_CLICKHOUSE_SQL), "event_id")
