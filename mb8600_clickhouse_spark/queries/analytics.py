@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.chsql import entropy_tail, ks_tail, mw_tail, stats_agg_sql
-from ..tables import register_views
+from ..tables import load_tables, register_views
 from . import query
 
 _DUCK = dict(int128="HUGEINT", dialect="duck")
@@ -2260,3 +2260,166 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q186_CLICKHOUSE_SQL), "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q187 MinHash-LSH recall/precision vs exact Jaccard (dedup sketch eval)
+# ---------------------------------------------------------------------------
+_Q187_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' zz' AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id,
+             substring(text, 1, CAST(n_chars // 2 AS INT)) AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id,
+             substring(text, 1, CAST(n_chars // 3 AS INT)) AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM corpus
+    ),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ),
+    e AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT id, COUNT(*) AS n FROM e GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST(n_common AS DOUBLE) /
+               (sa.n + sb.n - n_common) AS j
+      FROM inter
+      JOIN sizes sa ON inter.id_a = sa.id
+      JOIN sizes sb ON inter.id_b = sb.id
+    ),
+    mh AS (
+      SELECT id, i, min(md5(s || ':' || i)) AS h
+      FROM e, range(12) t(i) GROUP BY id, i
+    ),
+    bands AS (
+      SELECT id, (i // 3) AS band,
+             md5(string_agg(h, ',' ORDER BY i)) AS key
+      FROM mh GROUP BY id, (i // 3)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    thr AS (SELECT * FROM (VALUES (0.3), (0.5), (0.7)) t(t)),
+    truth AS (
+      SELECT thr.t, jac.id_a, jac.id_b FROM jac JOIN thr ON jac.j >= thr.t
+    ),
+    hit AS (
+      SELECT truth.t, COUNT(*) AS n_hit
+      FROM truth JOIN cand
+        ON truth.id_a = cand.id_a AND truth.id_b = cand.id_b
+      GROUP BY truth.t
+    ),
+    tot AS (SELECT t, COUNT(*) AS n_truth FROM truth GROUP BY t)
+    SELECT tot.t AS threshold,
+           CAST(tot.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(hit.n_hit, 0) AS DOUBLE) /
+             CAST(tot.n_truth AS DOUBLE) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates
+    FROM tot LEFT JOIN hit ON tot.t = hit.t
+    ORDER BY threshold
+"""
+
+
+@query("q187_minhash_recall", oracle=_Q187_ORACLE)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall evaluation — what the dedup SKETCH gives up,
+    measured (the q154 PQ-recall discipline applied to the near-dup
+    stack): exact word-trigram Jaccard pairs at thresholds 0.3/0.5/0.7
+    (the q41 verifier) vs the MinHash(12)+LSH(4x3) candidate pairs
+    (the q40 production path), reporting per-threshold truth counts,
+    hits, recall, and the candidate-set size the banding pays for it.
+
+    Exactness: truth and candidate sets are both exact relational
+    objects (the md5 minhash family is engine-portable by
+    construction); recall is one IEEE division of exact counts. At the
+    classic (12, 4x3) setting the S-curve gives high recall at j >=
+    0.7 and deliberately low recall at j ~ 0.3 — the measured numbers
+    ARE the tuning table a deployment reads before picking bands.
+
+    Scale: truth is the exact all-pairs verifier — bounded corpus by
+    contract (at 100 TB you run it on LSH candidates only, q41's
+    note); candidates and minhash signatures are the linear q40 path.
+
+    NARROW_CHAIN profile kept OFF — the self-join benefits from AQE."""
+    from ..operators import dedup
+    from .relational import vsort
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # graded-similarity plant: near-identical (+' zz', j ~ 0.97),
+    # half-document (j ~ 0.5) and third-document (j ~ 0.33) variants —
+    # the jaccard SPECTRUM the S-curve is evaluated against (a single
+    # near-1 plant would make every threshold read recall 1.0)
+    halves = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))")
+        .alias("text"),
+    )
+    thirds = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(n_chars DIV 3 AS INT))")
+        .alias("text"),
+    )
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" zz")).alias("text"),
+            )
+        )
+        .unionAll(halves)
+        .unionAll(thirds)
+    )
+    jac = dedup.ngram_jaccard_pairs(corpus, shingle_n=3, threshold=0.3)
+    cand = dedup.minhash_lsh_candidates(
+        corpus, shingle_n=3, k=12, bands=4, max_bucket=10_000
+    )
+    thr = spark.createDataFrame([(0.3,), (0.5,), (0.7,)], "t double")
+    truth = jac.join(F.broadcast(thr), F.col("jaccard") >= F.col("t")).select(
+        "t", "id_a", "id_b"
+    )
+    tot = truth.groupBy("t").agg(F.count("*").alias("n_truth"))
+    hit = (
+        truth.join(cand, ["id_a", "id_b"])
+        .groupBy("t")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_cand = cand.count()  # bounded scalar (the pagerank N contract)
+    out = (
+        tot.join(hit, "t", "left")
+        .select(
+            F.col("t").alias("threshold"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
+            .alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+            F.lit(n_cand).cast("bigint").alias("n_candidates"),
+        )
+    )
+    return vsort(out, "threshold")
