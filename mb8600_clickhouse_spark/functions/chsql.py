@@ -427,6 +427,21 @@ def _rewrite_combinators(sql: str) -> str:
             rep = f"{_IF_MAP[m.group(1).lower()]}({case})"
         sql = sql[: m.start()] + rep + sql[c + 1 :]
 
+    # -Distinct combinators -> ANSI DISTINCT aggregates (exact)
+    while True:
+        m = _first_match(
+            sql, r"\b(sumDistinct|avgDistinct|countDistinct)\s*\("
+        )
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        arg = sql[o + 1 : c].strip()
+        agg = m.group(1).lower().replace("distinct", "")
+        sql = (
+            sql[: m.start()] + f"{agg}(DISTINCT {arg})" + sql[c + 1 :]
+        )
+
     # argMaxIf/argMinIf (x, ord, cond) -> max_by/min_by over gated
     # operands (NULL ordering rows are skipped by both engines)
     while True:

@@ -3005,3 +3005,24 @@ class TestGroupArrayInsertAt:
             rw("SELECT groupArrayInsertAt('-')(x, p) FROM t")
         with pytest.raises(ChSqlError):
             rw("SELECT groupArrayInsertAt('-', n)(x, p) FROM t")
+
+
+class TestDistinctCombinators:
+    def test_rewrites_and_executes(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        assert rw("SELECT sumDistinct(v) FROM t") == (
+            "SELECT sum(DISTINCT v) FROM t"
+        )
+        assert rw("SELECT countDistinct(v), avgDistinct(v) FROM t") == (
+            "SELECT count(DISTINCT v), avg(DISTINCT v) FROM t"
+        )
+        spark.createDataFrame(
+            [Row(v=1.0), Row(v=1.0), Row(v=3.0)]
+        ).createOrReplaceTempView("dist_t")
+        r = ch_sql(
+            spark,
+            "SELECT sumDistinct(v) AS s, countDistinct(v) AS c, "
+            "avgDistinct(v) AS a FROM dist_t",
+        ).collect()[0]
+        assert (r.s, r.c, r.a) == (4.0, 2, 2.0)
