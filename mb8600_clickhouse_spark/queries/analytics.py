@@ -1,7 +1,14 @@
-"""Statistical-aggregate declared queries (round 8): the ClickHouse
-stats family — avgWeighted / skew / kurt / covar / boundingRatio /
-entropy (q164) and the hypothesis tests studentTTest / welchTTest /
-mannWhitneyUTest (q165) — VERBATIM through the dialect bridge.
+"""Round-8 declared queries: the ClickHouse analytical-dialect surface
+VERBATIM through the bridge — statistical aggregates (q164), hypothesis
+tests (q165), URL functions (q166), counter/time-series aggregates
+(q167/q168), array and string vocabularies (q169/q170/q182), interval
+sweeps (q171), IPv4 (q172), KS + categorical association (q173),
+weighted aggregates (q174), bit/mapping/fold bridges (q175), arrayAUC
+(q176), sequenceNextNode (q177), JSON extraction (q178), geo (q179),
+-Array combinators (q180), scalar WITH constants (q181), vector
+distances (q183), the dialect and window capstones (q184/q186), the
+unbounded relational two-sample path (q185), and the MinHash-LSH
+recall evaluation (q187).
 
 Oracles are GENERATED from the same expression emitters the bridge
 uses (``chsql.stats_agg_sql`` with the DuckDB int128/cast spelling —
