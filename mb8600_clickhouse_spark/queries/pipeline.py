@@ -3328,3 +3328,126 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q139_CLICKHOUSE_SQL,
         dictionaries={"nation": "n_nationkey"},
     )
+
+
+# ---------------------------------------------------------------------------
+# Q188 streaming windowed deltaSum — the round-8 counter family on a stream
+# ---------------------------------------------------------------------------
+@query(
+    "q188_stream_delta_sum",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
+             to_timestamp(epoch(ts) - epoch(ts) % 21600) AS w_start
+      FROM events WHERE user_id < 30
+    ),
+    p AS (
+      SELECT user_id, w_start,
+             GREATEST(v - lag(v) OVER (PARTITION BY user_id, w_start
+               ORDER BY event_id, v), 0) AS d
+      FROM e
+    )
+    SELECT user_id, w_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(d) AS BIGINT) AS DOUBLE) / 10000.0 AS delta_sum
+    FROM p GROUP BY user_id, w_start
+    ORDER BY user_id, w_start
+    """,
+    prepare=False,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming ``deltaSum`` (the round-8 counter aggregate on a
+    live stream): events arrive as files, a watermarked 6-hour tumbling
+    window per user collects (event_id, value) pairs, and the positive-
+    delta fold — the SAME scaled-BIGINT algebra as the q167 bridge —
+    runs per closed window; the q157 sentinel device (per-user far-
+    future event in its own micro-batch) advances the closing watermark
+    so every real window flushes under availableNow, giving a FULL hash
+    oracle (batch window-lag replay), not a rows-only check.
+
+    Scale: per-(user, window) state is the window's event pairs —
+    bounded by watermark expiry and window width (the F6 session-state
+    contract); a live deployment's watermark advances from traffic.
+
+    The drain memoizes per (session, sf_dir) — the q73 rule: stream +
+    checkpoint startup is session setup, not per-query work."""
+
+    def _drain() -> DataFrame:
+        import tempfile
+
+        from .relational import vsort
+
+        _cleanup_tmp("q188_dsum_")
+        ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") < 30)
+        real = ev.select("user_id", "ts", "event_id", "value")
+        mx = real.agg(F.max("ts")).first()[0]
+        root = tempfile.mkdtemp(prefix="q188_dsum_")
+        src_dir = f"{root}/src"
+        real.coalesce(1).write.parquet(src_dir)
+        (
+            real.select("user_id").distinct()
+            .select(
+                "user_id",
+                (F.lit(mx) + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+                F.lit(-1).cast("long").alias("event_id"),
+                F.lit(0.0).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+        stream = spark.readStream.schema(real.schema).parquet(src_dir)
+        fold = (
+            "CAST(aggregate(transform(array_sort(ps), s -> s.v), "
+            "named_struct('p', CAST(NULL AS BIGINT), 'd', CAST(0 AS "
+            "BIGINT)), (acc, v) -> named_struct('p', v, 'd', acc.d + "
+            "CASE WHEN acc.p IS NOT NULL AND v > acc.p THEN v - acc.p "
+            "ELSE CAST(0 AS BIGINT) END)).d AS DOUBLE) / 10000.0"
+        )
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.collect_list(
+                    F.struct(
+                        F.col("event_id").alias("o"),
+                        (F.col("value").cast("decimal(18,4)") * 10000)
+                        .cast("bigint")
+                        .alias("v"),
+                    )
+                ).alias("ps"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("w_start"),
+                "n_events",
+                F.expr(fold).alias("delta_sum"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q188_dsum_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ck")
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError("q188 availableNow stream did not finish in 240s")
+        out = (
+            spark.table("q188_dsum_out")
+            .where(F.col("w_start") <= F.lit(mx))
+            .select(
+                "user_id",
+                "w_start",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                "delta_sum",
+            )
+        )
+        out = vsort(out, "user_id", "w_start")
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    return _memo_streaming("q188", spark, sf_dir, _drain)
