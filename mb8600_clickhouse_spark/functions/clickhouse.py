@@ -281,6 +281,30 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN size(arr) <= 1 THEN array() "
         "ELSE slice(arr, 2, size(arr) - 1) END",
     ),
+    # Map-type vocabulary (round 8) — CH Map(K, V) functions on Spark
+    # maps. Registry outputs never carry raw map cells (the q161
+    # interchange rule: flatten to sorted parallel arrays first) —
+    # these serve verbatim-SQL migrations mid-expression
+    "mapKeys": (
+        "(m MAP<STRING, STRING>)",
+        "ARRAY<STRING>",
+        "map_keys(m)",  # both engines: arbitrary order; sort to pin
+    ),
+    "mapValues": (
+        "(m MAP<STRING, STRING>)",
+        "ARRAY<STRING>",
+        "map_values(m)",
+    ),
+    "mapContains": (
+        "(m MAP<STRING, STRING>, k STRING)",
+        "BOOLEAN",
+        "map_contains_key(m, k)",
+    ),
+    "mapFromArrays": (
+        "(k ARRAY<STRING>, v ARRAY<STRING>)",
+        "MAP<STRING, STRING>",
+        "map_from_arrays(k, v)",
+    ),
     # ------------------------------------------------------------------
     # vector distances (round 8) — CH's array-distance vocabulary on
     # the ANN stack's left-fold contract (q34/q85: sequential

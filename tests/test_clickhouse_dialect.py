@@ -492,3 +492,24 @@ class TestSplitBase64:
             got = spark.sql(f"SELECT {e} AS x").collect()[0].x
             got = list(got) if isinstance(got, list) else got
             assert got == w, (e, got, w)
+
+
+class TestMapFunctions:
+    def test_map_family(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        m = "mapFromArrays(array('a','b'), array('1','2'))"
+        cases = {
+            f"sort_array(mapKeys({m}))": ["a", "b"],
+            f"sort_array(mapValues({m}))": ["1", "2"],
+            f"mapContains({m}, 'a')": True,
+            f"mapContains({m}, 'z')": False,
+            f"element_at({m}, 'b')": "2",
+        }
+        for e, w in cases.items():
+            got = spark.sql(f"SELECT {e} AS x").collect()[0].x
+            got = list(got) if isinstance(got, list) else got
+            assert got == w, (e, got, w)
