@@ -739,6 +739,24 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "STRING",
         r"regexp_extract(url, '^([^#?]*)', 1)",
     ),
+    # full UTF-8 percent-decoding: accumulate raw BYTES (unhex pairs +
+    # the literal tails) and decode ONCE at the end, so multi-byte
+    # sequences like %C3%A9 reassemble correctly (a per-%XX char()
+    # decode would mangle them). Malformed escapes (%%, %Z1, trailing
+    # %) keep their literal '%' — CH's lenient behavior
+    "decodeURLComponent": (
+        "(s STRING)",
+        "STRING",
+        r"CASE WHEN instr(s, '%') = 0 THEN s ELSE decode(aggregate("
+        r"slice(split(s, '%', -1), 2, size(split(s, '%', -1)) - 1), "
+        r"encode(element_at(split(s, '%', -1), 1), 'UTF-8'), "
+        r"(acc, p) -> CASE WHEN length(p) >= 2 AND "
+        r"substring(p, 1, 2) RLIKE '^[0-9A-Fa-f]{2}$' THEN "
+        r"concat(acc, unhex(substring(p, 1, 2)), "
+        r"encode(substring(p, 3), 'UTF-8')) ELSE "
+        r"concat(acc, encode(concat('%', p), 'UTF-8')) END), "
+        r"'UTF-8') END",
+    ),
     "cutWWW": (
         "(url STRING)",
         "STRING",

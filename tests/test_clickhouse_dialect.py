@@ -513,3 +513,38 @@ class TestMapFunctions:
             got = spark.sql(f"SELECT {e} AS x").collect()[0].x
             got = list(got) if isinstance(got, list) else got
             assert got == w, (e, got, w)
+
+
+class TestDecodeURLComponent:
+    def test_known_and_property(self, spark):
+        import random
+        from urllib.parse import quote, unquote
+
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        known = {
+            "hello%20world": "hello world",
+            "caf%C3%A9": "café",          # multi-byte UTF-8
+            "%41%42%43": "ABC",
+            "no-escapes": "no-escapes",
+            "trailing%": "trailing%",           # malformed: literal kept
+            "bad%zz1": "bad%zz1",
+        }
+        for s, w in known.items():
+            got = spark.sql(
+                f"SELECT decodeURLComponent('{s}') AS x"
+            ).collect()[0].x
+            assert got == w, (s, got, w)
+        # property: quote -> decode round-trips, incl. non-ASCII
+        rng = random.Random("urldecode-7")
+        alphabet = "ab c/?&=%é中!"
+        for _ in range(25):
+            raw = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+            enc = quote(raw, safe="")
+            got = spark.sql(
+                f"SELECT decodeURLComponent('{enc}') AS x"
+            ).collect()[0].x
+            assert got == unquote(enc), (raw, enc, got)
