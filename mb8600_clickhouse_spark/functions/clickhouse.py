@@ -739,6 +739,30 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "STRING",
         r"regexp_extract(url, '^([^#?]*)', 1)",
     ),
+    # RFC 3986 percent-encoding: walk the UTF-8 BYTES (hex string, two
+    # chars per byte), keep unreserved ASCII (alnum - . _ ~) literal,
+    # escape everything else as %XX — multi-byte sequences escape
+    # per byte, exactly urllib.parse.quote(safe='') (property-tested)
+    "encodeURLComponent": (
+        "(s STRING)",
+        "STRING",
+        # empty-string guard: sequence(1, 0) is a DESCENDING range in
+        # Spark, not an empty one (the arrayEnumerate trap)
+        "CASE WHEN length(s) = 0 THEN s ELSE "
+        "aggregate(transform(sequence(1, length(encode(s, 'UTF-8'))), "
+        "i -> CASE WHEN conv(substring(hex(encode(s, 'UTF-8')), "
+        "2 * i - 1, 2), 16, 10) BETWEEN 48 AND 57 "
+        "OR conv(substring(hex(encode(s, 'UTF-8')), 2 * i - 1, 2), "
+        "16, 10) BETWEEN 65 AND 90 "
+        "OR conv(substring(hex(encode(s, 'UTF-8')), 2 * i - 1, 2), "
+        "16, 10) BETWEEN 97 AND 122 "
+        "OR conv(substring(hex(encode(s, 'UTF-8')), 2 * i - 1, 2), "
+        "16, 10) IN (45, 46, 95, 126) "
+        "THEN char(conv(substring(hex(encode(s, 'UTF-8')), 2 * i - 1, "
+        "2), 16, 10)) ELSE concat('%', substring(hex(encode(s, "
+        "'UTF-8')), 2 * i - 1, 2)) END), '', (acc, c) -> "
+        "concat(acc, c)) END",
+    ),
     # full UTF-8 percent-decoding: accumulate raw BYTES (unhex pairs +
     # the literal tails) and decode ONCE at the end, so multi-byte
     # sequences like %C3%A9 reassemble correctly (a per-%XX char()

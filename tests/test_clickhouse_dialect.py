@@ -548,3 +548,44 @@ class TestDecodeURLComponent:
                 f"SELECT decodeURLComponent('{enc}') AS x"
             ).collect()[0].x
             assert got == unquote(enc), (raw, enc, got)
+
+
+class TestEncodeURLComponent:
+    def test_roundtrip_vs_urllib(self, spark):
+        import random
+        from urllib.parse import quote
+
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        known = {
+            "hello world": "hello%20world",
+            "café": "caf%C3%A9",
+            "a-b._~c": "a-b._~c",  # unreserved kept literal
+            "": "",
+            "100%": "100%25",
+        }
+        for s, w in known.items():
+            esc = s.replace("'", "''")
+            got = spark.sql(
+                f"SELECT encodeURLComponent('{esc}') AS x"
+            ).collect()[0].x
+            assert got == w, (s, got, w)
+        rng = random.Random("urlencode-9")
+        alphabet = "ab c/?&=%é中!-._~A9"
+        for _ in range(20):
+            raw = "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(0, 18))
+            )
+            esc = raw.replace("'", "''")
+            got = spark.sql(
+                f"SELECT encodeURLComponent('{esc}') AS x"
+            ).collect()[0].x
+            assert got == quote(raw, safe="-._~"), (raw, got)
+        # decode inverts encode
+        r = spark.sql(
+            "SELECT decodeURLComponent(encodeURLComponent('caf é/中%')) AS x"
+        ).collect()[0].x
+        assert r == "caf é/中%"
