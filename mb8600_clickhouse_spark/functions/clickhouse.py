@@ -71,6 +71,46 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     "addHours": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts + make_interval(0,0,0,0,n,0,0)"),
     "addDays": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts + make_interval(0,0,0,n,0,0,0)"),
     "subtractDays": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts - make_interval(0,0,0,n,0,0,0)"),
+    "subtractHours": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "ts - make_interval(0,0,0,0,n,0,0)",
+    ),
+    "subtractMinutes": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "ts - make_interval(0,0,0,0,0,n,0)",
+    ),
+    "subtractSeconds": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "ts - make_interval(0,0,0,0,0,0,n)",
+    ),
+    # calendar-anchored arithmetic: Spark's add_months clamps to the
+    # month end exactly as ClickHouse does (Jan 31 + 1 month = Feb 28/29)
+    "addMonths": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "CAST(add_months(ts, n) AS TIMESTAMP) + (ts - CAST(CAST(ts AS DATE) AS TIMESTAMP))",
+    ),
+    "addYears": (
+        "(ts TIMESTAMP, n INT)",
+        "TIMESTAMP",
+        "CAST(add_months(ts, 12 * n) AS TIMESTAMP) + (ts - CAST(CAST(ts AS DATE) AS TIMESTAMP))",
+    ),
+    "toLastDayOfMonth": (
+        "(ts TIMESTAMP)",
+        "DATE",
+        "last_day(ts)",
+    ),
+    # CH toStartOfWeek(ts) default mode 0 = SUNDAY-based week start;
+    # Spark date_trunc('week') is Monday-based (= toMonday) — spell
+    # the Sunday anchor explicitly
+    "toStartOfWeek": (
+        "(ts TIMESTAMP)",
+        "DATE",
+        "date_sub(CAST(ts AS DATE), (dayofweek(ts) - 1))",
+    ),
     "dateDiff_seconds": (
         "(a TIMESTAMP, b TIMESTAMP)",
         "BIGINT",

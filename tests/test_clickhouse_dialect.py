@@ -589,3 +589,33 @@ class TestEncodeURLComponent:
             "SELECT decodeURLComponent(encodeURLComponent('caf é/中%')) AS x"
         ).collect()[0].x
         assert r == "caf é/中%"
+
+
+class TestDateTimeCompletions:
+    def test_subtract_add_calendar(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            "subtractHours(timestamp'2024-01-02 10:30:00', 11)":
+                "2024-01-01 23:30:00",
+            "subtractMinutes(timestamp'2024-01-01 00:10:00', 15)":
+                "2023-12-31 23:55:00",
+            "subtractSeconds(timestamp'2024-01-01 00:00:10', 20)":
+                "2023-12-31 23:59:50",
+            # month-end clamp, time-of-day preserved (CH contract)
+            "addMonths(timestamp'2024-01-31 10:15:00', 1)":
+                "2024-02-29 10:15:00",
+            "addYears(timestamp'2024-02-29 08:00:00', 1)":
+                "2025-02-28 08:00:00",
+            "toLastDayOfMonth(timestamp'2024-02-10 12:00:00')": "2024-02-29",
+            # Sunday-based week start (CH mode 0); 2024-01-03 is a Wed
+            "toStartOfWeek(timestamp'2024-01-03 12:00:00')": "2023-12-31",
+            "toStartOfWeek(timestamp'2023-12-31 01:00:00')": "2023-12-31",
+            "toMonday(timestamp'2024-01-03 12:00:00')": "2024-01-01",
+        }
+        for e, w in cases.items():
+            got = spark.sql(f"SELECT {e} AS x").collect()[0].x
+            assert str(got) == w, (e, got, w)
