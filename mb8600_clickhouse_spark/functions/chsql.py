@@ -1590,6 +1590,26 @@ def _assoc_expr(fam: str, a: str, b: str) -> str:
     )
 
 
+def _rewrite_numbers(sql: str) -> str:
+    """ClickHouse's ``numbers(N)`` / ``numbers(offset, N)`` table
+    function → a Spark ``range()`` subquery exposing CH's column name
+    ``number``. Literal arguments only (a table function's cardinality
+    should be plan-time static — CH agrees)."""
+    while True:
+        m = _first_match(sql, r"\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)")
+        if not m:
+            return sql
+        if m.group(2) is None:
+            n = int(m.group(1))
+            rep = f"(SELECT id AS number FROM range({n}))"
+        else:
+            off, n = int(m.group(1)), int(m.group(2))
+            rep = (
+                f"(SELECT id AS number FROM range({off}, {off + n}))"
+            )
+        sql = sql[: m.start()] + rep + sql[m.end() :]
+
+
 def _rewrite_with_constants(sql: str) -> str:
     """ClickHouse's scalar WITH form — ``WITH <expr> AS <name>[, ...]
     SELECT ...`` (expression FIRST, no parentheses after the name) —
@@ -3433,6 +3453,7 @@ def rewrite_clickhouse_sql(
     sql, blocks = _mask_subselects(sql, final_tables, sample_by, dictionaries)
     # first: CH's scalar WITH constants feed every later rewrite
     sql = _rewrite_with_constants(sql)
+    sql = _rewrite_numbers(sql)
     # before _rewrite_combinators: the -State name inside
     # runningAccumulate(...) determines the window merge function
     sql = _rewrite_running_accumulate(sql)

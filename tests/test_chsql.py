@@ -3026,3 +3026,29 @@ class TestDistinctCombinators:
             "avgDistinct(v) AS a FROM dist_t",
         ).collect()[0]
         assert (r.s, r.c, r.a) == (4.0, 2, 2.0)
+
+
+class TestNumbersTableFunction:
+    def test_numbers_forms(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rows = ch_sql(
+            spark, "SELECT number * 2 AS d FROM numbers(5) ORDER BY number"
+        ).collect()
+        assert [r.d for r in rows] == [0, 2, 4, 6, 8]
+        rows = ch_sql(
+            spark,
+            "SELECT number FROM numbers(10, 3) ORDER BY number",
+        ).collect()
+        assert [r.number for r in rows] == [10, 11, 12]
+
+    def test_composes_with_bridges(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        # numbers() feeding a bridged aggregate in one statement
+        r = ch_sql(
+            spark,
+            "SELECT quantileExactWeighted(0.5)(number, 1) AS med "
+            "FROM numbers(101) GROUP BY 1.0",
+        ).collect()[0].med
+        assert r == 50.0
