@@ -863,6 +863,8 @@ DIALECT_NOTES: dict[str, str] = {
     "ORDER BY ... WITH FILL [INTERPOLATE]": "bridged as of round 7 via chsql.ch_sql(spark, sql) — session-aware rewrite: grid from sequence(FROM|min, TO-excl|max, STEP), CH type defaults (0/''/false) for filled rows, identity INTERPOLATE as carry-forward (q123 oracle-verifies; multi-key fill, LIMIT-after-fill, and derived INTERPOLATE exprs still raise)",
     "neighbor(x, off, dflt) / runningDifference(x)": "bridged as of round 7 — rewritten to lead/lag(x, |off|, dflt) / coalesce(x - lag(x), 0) OVER the statement's own top-level ORDER BY (the only deterministic reading of CH block order; q124 oracle-verifies). Missing ORDER BY, 2-arg neighbor (CH type-default fallback), and non-literal offsets raise",
     "runningAccumulate": "runs verbatim for the inline -State form (runningAccumulate(sumState(x)) ... GROUP BY k ORDER BY k) — rewritten to the state's merge aggregate over an ORDER-BY-anchored window (q143); a state column from a subquery alias raises (merge function unrecoverable)",
+    "FROM numbers(N) / numbers(offset, N)": "runs verbatim as of round 8 (chsql._rewrite_numbers) — range() subquery exposing CH's `number` column; literal arguments only",
+    "encodeURLComponent / decodeURLComponent": "registered as of round 8 — full UTF-8 percent-codec (byte-level, RFC 3986 unreserved set), urllib-property-tested round trips",
     "ORDER BY ... LIMIT n WITH TIES": "runs verbatim as of round 8 (chsql._rewrite_limit_with_ties) — rank() filter over the statement's ORDER BY, tie groups straddling the cut survive whole; requires a top-level ORDER BY",
     "GROUP BY ALL / SELECT * EXCEPT (cols)": "run NATIVELY in Spark 4 — no rewrite needed (test-pinned in test_chsql.py)",
     "WITH 3600 AS bucket / WITH (SELECT ...) AS name": "runs verbatim as of round 8 (chsql._rewrite_with_constants) — CH's expression-first scalar WITH substitutes string-literal-aware; genuine CTEs in the same clause are left in place (q181)",
