@@ -126,3 +126,43 @@ def ks_test(df: DataFrame, value: str, sample: str, by: str) -> DataFrame:
         dialect="spark",
     )
     return dnum.selectExpr(f"g AS {by}", f"({tail}).d AS d")
+
+
+def weighted_quantile(
+    df: DataFrame, value: str, weight: str, by: str, p: float
+) -> DataFrame:
+    """Per-``by``-group exact weighted quantile — ClickHouse's
+    QuantileExactWeighted pick rule (sorted values, integer cumulative
+    weights, first value whose cumulative weight reaches p * total) as
+    a RELATIONAL operator: a cumulative-weight window over the keyed
+    exchange, no collected state — the unbounded path of the q174
+    bridge (same exact comparison operands, bit-identical results)."""
+    if not (0.0 <= p <= 1.0):
+        raise ValueError("quantile level must be in [0, 1]")
+    v = _scaled(value)
+    base = df.select(
+        F.col(by).alias("g"), v.alias("v"),
+        F.col(weight).cast("bigint").alias("w"),
+    ).filter(F.col("v").isNotNull() & F.col(weight).isNotNull())
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("v", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        "g", "v", F.sum("w").over(w_cum).alias("cw")
+    )
+    tot = base.groupBy("g").agg(F.sum("w").alias("tw"))
+    picked = (
+        cum.join(tot, "g")
+        .filter(
+            F.col("cw").cast("double")
+            >= F.lit(float(p)) * F.col("tw").cast("double")
+        )
+        .groupBy("g")
+        .agg(F.min("v").alias("vmin"))
+    )
+    return picked.select(
+        F.col("g").alias(by),
+        (F.col("vmin").cast("double") / 10000.0).alias("wq"),
+    )

@@ -77,3 +77,25 @@ def test_plan_has_no_collect_state(spark, sample_view):
     ):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "collect_list" not in plan
+
+
+def test_weighted_quantile_matches_bridge(spark, sample_view):
+    from mb8600_clickhouse_spark.functions.chsql import ch_sql
+    from mb8600_clickhouse_spark.operators.stats import weighted_quantile
+
+    wv = sample_view.withColumn("w", (sample_view.s + 1).cast("bigint"))
+    wv.createOrReplaceTempView("stats_wq_t")
+    for p in (0.0, 0.25, 0.5, 0.9, 1.0):
+        got = {
+            r.g: r.wq
+            for r in weighted_quantile(wv, "v", "w", "g", p).collect()
+        }
+        want = {
+            r.g: r.q
+            for r in ch_sql(
+                spark,
+                f"SELECT g, quantileExactWeighted({p})(v, w) AS q "
+                "FROM stats_wq_t GROUP BY g",
+            ).collect()
+        }
+        assert got == want, p
