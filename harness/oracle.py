@@ -99,7 +99,44 @@ class CompareResult:
         return msg
 
 
+def driver_canon_check(name: str, spark_pdf: pd.DataFrame,
+                       oracle_pdf: pd.DataFrame) -> CompareResult | None:
+    """Reproduce the DRIVER's canonicalization hazards exactly.
+
+    The external driver's ``_canon`` does a raw-cell pandas
+    ``sort_values`` over every column BEFORE rendering — list/ndarray/
+    dict cells are unhashable there and the whole query records ``err``
+    (CORRECTNESS_r08: 9 rows, q160-class). It also compares dtypes, so
+    a tz-aware oracle timestamp vs a tz-naive Spark one is a
+    schema_match FAIL (q188) even though this harness's renderer
+    normalizes both to naive ISO strings. Run both hazards here so the
+    local gate can never be greener than the driver again (VERDICT r08
+    next-round #3). Returns a FAIL CompareResult, or None if clean."""
+    for side, pdf in (("spark", spark_pdf), ("oracle", oracle_pdf)):
+        try:
+            cols = sorted(pdf.columns)
+            pdf[cols].sort_values(by=cols)
+        except TypeError as e:
+            return CompareResult(
+                name, False, len(spark_pdf), len(oracle_pdf),
+                f"driver-canon crash ({side}): {e} — output cells must be "
+                "scalar (the q07 list-cell rule)",
+            )
+        for c in pdf.columns:
+            dt = pdf[c].dtype
+            if isinstance(dt, pd.DatetimeTZDtype):
+                return CompareResult(
+                    name, False, len(spark_pdf), len(oracle_pdf),
+                    f"driver-dtype hazard ({side}.{c}): tz-aware {dt} — "
+                    "spell timestamps tz-naive on both sides (the q188 rule)",
+                )
+    return None
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    hazard = driver_canon_check(name, spark_pdf, oracle_pdf)
+    if hazard is not None:
+        return hazard
     s_cols, s_rows = canonicalize(spark_pdf)
     o_cols, o_rows = canonicalize(oracle_pdf)
     if s_cols != o_cols:

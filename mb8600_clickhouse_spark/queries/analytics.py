@@ -35,6 +35,28 @@ from . import query
 
 _DUCK = dict(int128="HUGEINT", dialect="duck")
 
+#: Driver-shape rendering for array results (the q07 list-cell rule):
+#: the driver's canonicalizer does a raw-cell pandas ``sort_values``,
+#: so a list cell is a TypeError — every declared output column must be
+#: scalar. Array results are joined into ONE deterministic string cell
+#: with chr(31) (US, cannot occur in tokenized text) mirrored by DuckDB
+#: ``array_to_string(..., chr(31))``; empty arrays render '' on both
+#: sides (Spark concat_ws natively; DuckDB via COALESCE).
+_SEP31 = "\u001f"
+
+
+def _arr_str(c: str):
+    """array<string> column -> chr(31)-joined scalar string cell."""
+    return F.concat_ws(_SEP31, F.col(c)).alias(c)
+
+
+def _arr_cast(c: str):
+    """array<int/bigint> column -> chr(31)-joined scalar string cell
+    (element-wise CAST mirrors DuckDB array_to_string's int rendering)."""
+    return F.concat_ws(
+        _SEP31, F.expr(f"transform({c}, x -> CAST(x AS STRING))")
+    ).alias(c)
+
 # ---------------------------------------------------------------------------
 # Q164 statistical aggregate family over events
 # ---------------------------------------------------------------------------
@@ -591,26 +613,31 @@ _Q169_ORACLE = """
       SELECT doc_id, list_slice(string_split(text, ' '), 1, 8) AS a
       FROM documents
     )
-    SELECT doc_id, a,
-      generate_series(1, len(a)) AS enum,
-      list_transform(generate_series(1, len(a)),
-        i -> CAST(len(list_filter(a[1:i], e -> e = a[i])) AS INT))
-        AS enum_uniq,
-      list_transform(list_filter(generate_series(1, len(a)),
-        i -> i = 1 OR a[i] <> a[i-1]), i -> a[i]) AS compacted,
-      list_sort(list_distinct(list_filter(a,
-        e -> list_contains(['table', 'join', 'spark', 'row'], e))))
-        AS isect,
+    SELECT doc_id,
+      COALESCE(array_to_string(a, chr(31)), '') AS a,
+      COALESCE(array_to_string(generate_series(1, len(a)), chr(31)), '')
+        AS enum,
+      COALESCE(array_to_string(list_transform(generate_series(1, len(a)),
+        i -> CAST(len(list_filter(a[1:i], e -> e = a[i])) AS INT)),
+        chr(31)), '') AS enum_uniq,
+      COALESCE(array_to_string(
+        list_transform(list_filter(generate_series(1, len(a)),
+          i -> i = 1 OR a[i] <> a[i-1]), i -> a[i]), chr(31)), '')
+        AS compacted,
+      COALESCE(array_to_string(list_sort(list_distinct(list_filter(a,
+        e -> list_contains(['table', 'join', 'spark', 'row'], e)))),
+        chr(31)), '') AS isect,
       len(list_filter(['table', 'row'],
         x -> list_contains(a, x))) = 2 AS has_all,
       len(list_filter(['table', 'row'],
         x -> list_contains(a, x))) > 0 AS has_any,
       coalesce(list_position(a, 'table'), 0) AS idx_table,
       CAST(len(list_filter(a, e -> e = 'row')) AS INT) AS n_row,
-      list_reverse(a) AS rev,
+      COALESCE(array_to_string(list_reverse(a), chr(31)), '') AS rev,
       CAST(len(list_distinct(a)) AS INT) AS n_uniq,
-      list_slice(a, 2, 4) AS mid,
-      list_append(a[2:len(a)], 'EOL') AS rotated
+      COALESCE(array_to_string(list_slice(a, 2, 4), chr(31)), '') AS mid,
+      COALESCE(array_to_string(list_append(a[2:len(a)], 'EOL'), chr(31)),
+        '') AS rotated
     FROM src
     ORDER BY doc_id
 """
@@ -634,6 +661,13 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     index lambdas make arrayEnumerateUniq O(n^2) per array — fine at
     tag/token cardinality, an explode+window spelling is the unbounded
     path.
+
+    Output shape: every array result is RENDERED to one deterministic
+    chr(31)-joined string column (ints cast element-wise; empty array
+    -> '' both sides) — the driver's canonicalizer sorts raw pandas
+    cells and list cells are unhashable (the q07 list-cell rule,
+    enforced registry-wide since round 9). chr(31) cannot occur in the
+    space-split tokens.
 
     Scale: one narrow scan-speed projection, no exchange (the q166
     shape); every function whole-stage-codegens.
@@ -664,7 +698,23 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id, arraySlice(splitByChar(' ', text), 1, 8) AS a
           FROM documents)
     """
-    return vsort(ch_sql(spark, sql), "doc_id")
+    out = ch_sql(spark, sql).select(
+        "doc_id",
+        _arr_str("a"),
+        _arr_cast("enum"),
+        _arr_cast("enum_uniq"),
+        _arr_str("compacted"),
+        _arr_str("isect"),
+        "has_all",
+        "has_any",
+        "idx_table",
+        "n_row",
+        _arr_str("rev"),
+        "n_uniq",
+        _arr_str("mid"),
+        _arr_str("rotated"),
+    )
+    return vsort(out, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -679,13 +729,18 @@ _Q170_ORACLE = """
       CAST(CASE WHEN len('row') = 0 THEN 0 ELSE
         (len(text) - len(replace(text, 'row', ''))) / len('row') END
         AS INT) AS n_row_substr,
-      regexp_extract_all(text, '[a-z]{{6,}}', 0) AS long_words,
-      CASE WHEN len(substring(text, 1, 12)) < 5 THEN []
-           ELSE list_transform(generate_series(1,
-             len(substring(text, 1, 12)) - 4),
-             i -> substring(substring(text, 1, 12), i, 5)) END AS grams5,
-      list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
-        x -> x <> '') AS toks,
+      COALESCE(array_to_string(
+        regexp_extract_all(text, '[a-z]{{6,}}', 0), chr(31)), '')
+        AS long_words,
+      COALESCE(array_to_string(
+        CASE WHEN len(substring(text, 1, 12)) < 5 THEN []
+             ELSE list_transform(generate_series(1,
+               len(substring(text, 1, 12)) - 4),
+               i -> substring(substring(text, 1, 12), i, 5)) END,
+        chr(31)), '') AS grams5,
+      COALESCE(array_to_string(
+        list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+          x -> x <> ''), chr(31)), '') AS toks,
       starts_with(text, 'key') AS sw,
       text LIKE '%value' AS ew
     FROM documents
@@ -709,6 +764,11 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in the Java/RE2-common subset so DuckDB replays it verbatim
     (the q131/q166 parity rule). The oracle spells tokens() with
     string_split_regex and ngrams with generate_series windows.
+
+    Output shape: long_words/grams5/toks are RENDERED to chr(31)-joined
+    string cells (the q07 list-cell rule; chr(31) cannot occur in text
+    extracted by these patterns, and grams5 windows over raw text are
+    joined with the same byte both sides so the cell compares exactly).
 
     Scale: one narrow scan-speed projection, no exchange.
 
@@ -734,7 +794,19 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
            endsWith(text, 'value') AS ew
     FROM documents
     """
-    return vsort(ch_sql(spark, sql), "doc_id")
+    out = ch_sql(spark, sql).select(
+        "doc_id",
+        "pos_table",
+        "pos_spark_ci",
+        "any_needle",
+        "n_row_substr",
+        _arr_str("long_words"),
+        _arr_str("grams5"),
+        _arr_str("toks"),
+        "sw",
+        "ew",
+    )
+    return vsort(out, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1141,11 +1213,15 @@ _Q174_ORACLE = """
       SELECT g, bkt, CAST(SUM(bw) AS BIGINT) AS wsum FROM e GROUP BY g, bkt
     ),
     topk AS (
-      SELECT g, list(bkt ORDER BY wsum DESC, bkt)[1:3] AS heavy_buckets
+      SELECT g, COALESCE(array_to_string(
+               list(bkt ORDER BY wsum DESC, bkt)[1:3], ','), '')
+               AS heavy_buckets
       FROM bw GROUP BY g
     ),
     low AS (
-      SELECT g, list(vdec ORDER BY vdec)[1:5] AS low5 FROM e GROUP BY g
+      SELECT g, COALESCE(array_to_string(
+               list(vdec ORDER BY vdec)[1:5], ','), '') AS low5
+      FROM e GROUP BY g
     )
     SELECT med.g AS event_type, med.wmed, med.wp90,
            topk.heavy_buckets, low.low5
@@ -1175,6 +1251,9 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral-aggregate contract); the oracle's window spelling is
     the unbounded path.
 
+    Output shape: heavy_buckets/low5 are RENDERED to comma-joined
+    integer strings (the q07 list-cell rule — scalar cells only).
+
     NARROW_CHAIN profile: filtered scan -> one exchange, no joins."""
     from ..functions.chsql import ch_sql
     from ..functions.clickhouse import register_clickhouse_functions
@@ -1184,7 +1263,18 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = exec_profile(spark, NARROW_CHAIN)
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return vsort(ch_sql(spark, _Q174_CLICKHOUSE_SQL), "event_type")
+    out = ch_sql(spark, _Q174_CLICKHOUSE_SQL).select(
+        "event_type",
+        "wmed",
+        "wp90",
+        F.concat_ws(
+            ",", F.expr("transform(heavy_buckets, x -> CAST(x AS STRING))")
+        ).alias("heavy_buckets"),
+        F.concat_ws(
+            ",", F.expr("transform(low5, x -> CAST(x AS STRING))")
+        ).alias("low5"),
+    )
+    return vsort(out, "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1833,10 +1923,14 @@ _Q182_ORACLE = """
       len(a) >= 2 AND len(list_filter(
         generate_series(1, len(a) - 1),
         i -> a[i] = 'table' AND a[i + 1] = 'row')) > 0 AS contains_tr,
-      CASE WHEN len(a) = 0 THEN a
-           ELSE a[(3 % len(a)) + 1:] || a[1:(3 % len(a))] END AS rot_l,
-      CASE WHEN len(a) = 0 THEN a
-           ELSE a[len(a) - nr + 1:] || a[1:len(a) - nr] END AS rot_r
+      COALESCE(array_to_string(
+        CASE WHEN len(a) = 0 THEN a
+             ELSE a[(3 % len(a)) + 1:] || a[1:(3 % len(a))] END,
+        chr(31)), '') AS rot_l,
+      COALESCE(array_to_string(
+        CASE WHEN len(a) = 0 THEN a
+             ELSE a[len(a) - nr + 1:] || a[1:len(a) - nr] END,
+        chr(31)), '') AS rot_r
     FROM r
     ORDER BY doc_id
 """
@@ -1861,6 +1955,9 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     token windows — the per-row contract (corpus-scale Jaccard dedup
     is q41/q45's banded MinHash machinery, never per-pair).
 
+    Output shape: rot_l/rot_r are RENDERED to chr(31)-joined string
+    cells (the q07 list-cell rule — scalar cells only).
+
     NARROW_CHAIN profile: pure projection."""
     from ..functions.chsql import ch_sql
     from ..functions.clickhouse import register_clickhouse_functions
@@ -1870,7 +1967,15 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = exec_profile(spark, NARROW_CHAIN)
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return vsort(ch_sql(spark, _Q182_CLICKHOUSE_SQL), "doc_id")
+    out = ch_sql(spark, _Q182_CLICKHOUSE_SQL).select(
+        "doc_id",
+        "jac",
+        "contains_mid",
+        "contains_tr",
+        _arr_str("rot_l"),
+        _arr_str("rot_r"),
+    )
+    return vsort(out, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2026,7 +2131,9 @@ def _q184_oracle() -> str:
       SELECT g, bkt, CAST(SUM(bw) AS BIGINT) AS wsum FROM e GROUP BY g, bkt
     ),
     topk AS (
-      SELECT g, list(bkt ORDER BY wsum DESC, bkt)[1:2] AS heavy_buckets
+      SELECT g, COALESCE(array_to_string(
+               list(bkt ORDER BY wsum DESC, bkt)[1:2], ','), '')
+               AS heavy_buckets
       FROM bwsum GROUP BY g
     )
     SELECT base.g AS event_type, med.wmed, base.sk,
@@ -2060,6 +2167,9 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one event_type exchange; the WITH constant is free, every
     aggregate is the family's documented shape.
 
+    Output shape: heavy_buckets is RENDERED to a comma-joined integer
+    string (the q07 list-cell rule — scalar cells only).
+
     NARROW_CHAIN profile: filtered scan -> one exchange, no joins."""
     from ..functions.chsql import ch_sql
     from ..functions.clickhouse import register_clickhouse_functions
@@ -2069,7 +2179,18 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = exec_profile(spark, NARROW_CHAIN)
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return vsort(ch_sql(spark, _Q184_CLICKHOUSE_SQL), "event_type")
+    out = ch_sql(spark, _Q184_CLICKHOUSE_SQL).select(
+        "event_type",
+        "wmed",
+        "sk",
+        "ds",
+        "ent",
+        F.concat_ws(
+            ",", F.expr("transform(heavy_buckets, x -> CAST(x AS STRING))")
+        ).alias("heavy_buckets"),
+        "rich_users",
+    )
+    return vsort(out, "event_type")
 
 
 # ---------------------------------------------------------------------------

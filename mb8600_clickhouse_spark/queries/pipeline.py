@@ -2939,24 +2939,25 @@ _Q160_CLICKHOUSE_SQL = """
              list_transform(generate_series(1, len(xs)),
                             i -> list_sum(list_slice(xs, 1, i))) AS run
       FROM g
+    ),
+    ex AS (
+      SELECT user_id, n, run, unnest(generate_series(1, n)) AS i FROM r
     )
     SELECT user_id,
-           list_transform(run, s -> CAST(s AS DOUBLE) / 10000.0) AS run_sum,
-           list_transform(generate_series(1, n),
-             i -> CAST(run[i] - CASE WHEN i > 5 THEN run[i-5] ELSE 0 END
-                       AS DOUBLE) / 10000.0) AS msum5,
-           list_transform(generate_series(1, n),
-             i -> CAST(run[i] - CASE WHEN i > 5 THEN run[i-5] ELSE 0 END
-                       AS DOUBLE) / 10000.0 / 5) AS mavg5,
-           list_transform(run, s -> CAST(s AS DOUBLE) / 10000.0 / n)
-             AS mavg_all,
+           CAST(i AS INT) AS idx,
+           CAST(run[i] AS DOUBLE) / 10000.0 AS run_sum,
+           CAST(run[i] - CASE WHEN i > 5 THEN run[i-5] ELSE 0 END
+                AS DOUBLE) / 10000.0 AS msum5,
+           CAST(run[i] - CASE WHEN i > 5 THEN run[i-5] ELSE 0 END
+                AS DOUBLE) / 10000.0 / 5 AS mavg5,
+           CAST(run[i] AS DOUBLE) / 10000.0 / n AS mavg_all,
            u.types_upto3
-    FROM r
+    FROM ex
     JOIN (SELECT user_id,
                  LEAST(COUNT(DISTINCT event_type), 4) AS types_upto3
           FROM events WHERE user_id % 23 = 7 GROUP BY user_id) u
       USING (user_id)
-    ORDER BY user_id
+    ORDER BY user_id, idx
     """,
 )
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2978,6 +2979,12 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     run[i] - run[i-w] are integer-exact; the oracle replays the same
     scaled fold and the hash pins every array element bit-for-bit.
 
+    Output shape: the moving-aggregate arrays are POSEXPLODED to one
+    row per (user_id, idx) with scalar DOUBLE columns — the driver's
+    canonicalizer sorts raw pandas cells and list cells are unhashable
+    (the q07 list-cell rule, enforced registry-wide by
+    tests/test_output_contract.py since round 9).
+
     Scale: one user_id exchange; per-group state is the collected
     (event_id, value) list — the behavioral-aggregate contract
     (q135-q148), probed linear on hot entities.
@@ -2995,7 +3002,21 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = exec_profile(spark, NARROW_CHAIN)
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return vsort(ch_sql(spark, _Q160_CLICKHOUSE_SQL), "user_id")
+    out = ch_sql(spark, _Q160_CLICKHOUSE_SQL)
+    out = out.select(
+        "user_id",
+        "types_upto3",
+        F.posexplode(F.arrays_zip("run_sum", "msum5", "mavg5", "mavg_all")).alias("i", "z"),
+    ).select(
+        "user_id",
+        (F.col("i") + 1).cast("int").alias("idx"),
+        F.col("z.run_sum").alias("run_sum"),
+        F.col("z.msum5").alias("msum5"),
+        F.col("z.mavg5").alias("mavg5"),
+        F.col("z.mavg_all").alias("mavg_all"),
+        "types_upto3",
+    )
+    return vsort(out, "user_id", "idx")
 
 
 # ---------------------------------------------------------------------------
@@ -3026,11 +3047,11 @@ _Q161_CLICKHOUSE_SQL = """
       FROM src GROUP BY user_id, k
     )
     SELECT user_id,
-           list(k ORDER BY k) AS type_keys,
-           list(CAST(s AS DOUBLE) / 10000.0 ORDER BY k) AS totals,
-           list(CAST(mn AS DOUBLE) / 10000.0 ORDER BY k) AS mins,
-           list(CAST(mx AS DOUBLE) / 10000.0 ORDER BY k) AS maxs
-    FROM per GROUP BY user_id ORDER BY user_id
+           k AS type_key,
+           CAST(s AS DOUBLE) / 10000.0 AS total,
+           CAST(mn AS DOUBLE) / 10000.0 AS mn,
+           CAST(mx AS DOUBLE) / 10000.0 AS mx
+    FROM per ORDER BY user_id, type_key
     """,
 )
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3052,6 +3073,11 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list — the behavioral-aggregate collect contract (bounded by
     per-entity event counts, the q135-q148 assumption).
 
+    Output shape: the parallel k/v arrays are POSEXPLODED to one row
+    per (user_id, type_key) with scalar columns — the driver's
+    canonicalizer sorts raw pandas cells and list cells are unhashable
+    (the q07 list-cell rule, enforced registry-wide since round 9).
+
     Reference parity: extends §2.E's ClickHouse aggregate surface
     (tables.sql's per-channel metric maps are this family's natural
     consumer).
@@ -3065,7 +3091,18 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = exec_profile(spark, NARROW_CHAIN)
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return vsort(ch_sql(spark, _Q161_CLICKHOUSE_SQL), "user_id")
+    out = ch_sql(spark, _Q161_CLICKHOUSE_SQL)
+    out = out.select(
+        "user_id",
+        F.posexplode(F.arrays_zip("type_keys", "totals", "mins", "maxs")).alias("i", "z"),
+    ).select(
+        "user_id",
+        F.col("z.type_keys").alias("type_key"),
+        F.col("z.totals").alias("total"),
+        F.col("z.mins").alias("mn"),
+        F.col("z.maxs").alias("mx"),
+    )
+    return vsort(out, "user_id", "type_key")
 
 
 # ---------------------------------------------------------------------------
@@ -3151,13 +3188,17 @@ def _lttb_oracle_sql(n: int = 10, filt: str = "user_id % 31 = 4") -> str:
                   ELSE list_concat(out, [pts[CAST(sz AS INT)][1],
                                          pts[CAST(sz AS INT)][2]]) END AS flat
       FROM g{nbk}
+    ),
+    ex AS (
+      SELECT user_id, flat,
+             unnest(generate_series(1, len(flat) // 2)) AS j
+      FROM folded
     )
     SELECT user_id,
-           list_transform(generate_series(1, len(flat) // 2),
-                          j -> flat[2*j - 1]) AS xs,
-           list_transform(generate_series(1, len(flat) // 2),
-                          j -> flat[2*j] / 10000.0) AS ys
-    FROM folded ORDER BY user_id"""
+           CAST(j AS INT) AS idx,
+           flat[2*j - 1] AS x,
+           flat[2*j] / 10000.0 AS y
+    FROM ex ORDER BY user_id, idx"""
     return head + "".join(steps) + tail
 
 
@@ -3185,6 +3226,11 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user_id exchange; per-group state is the collected
     series (the behavioral-aggregate contract); the fold is O(sz).
 
+    Output shape: the (x, y) coordinate arrays are POSEXPLODED to one
+    row per (user_id, idx) with scalar DOUBLE columns — the driver's
+    canonicalizer sorts raw pandas cells and list cells are unhashable
+    (the q07 list-cell rule, enforced registry-wide since round 9).
+
     NARROW_CHAIN profile: one exchange + fold, no joins."""
     from ..functions.chsql import ch_sql
     from ..functions.clickhouse import register_clickhouse_functions
@@ -3194,7 +3240,17 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = exec_profile(spark, NARROW_CHAIN)
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return vsort(ch_sql(spark, _Q162_CLICKHOUSE_SQL), "user_id")
+    out = ch_sql(spark, _Q162_CLICKHOUSE_SQL)
+    out = out.select(
+        "user_id",
+        F.posexplode(F.arrays_zip("xs", "ys")).alias("i", "z"),
+    ).select(
+        "user_id",
+        (F.col("i") + 1).cast("int").alias("idx"),
+        F.col("z.xs").alias("x"),
+        F.col("z.ys").alias("y"),
+    )
+    return vsort(out, "user_id", "idx")
 
 
 # ---------------------------------------------------------------------------
@@ -3239,18 +3295,21 @@ _Q163_CLICKHOUSE_SQL = """
                   AS DOUBLE) AS sxx,
              list_sort(list(vi)) AS vs
       FROM src GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, n, sx, sy, sxy, sxx, vs,
+             unnest(generate_series(1, len(vs))) AS i
+      FROM mom
     )
     SELECT event_type,
            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
            (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
              AS intercept,
-           list_transform(generate_series(1, len(vs)),
-             i -> CAST(list_sum(list_slice(vs, 1, i)) AS DOUBLE))
-             AS cum_values,
-           list_transform(generate_series(1, len(vs)),
-             i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
-                       ELSE vs[i] - vs[i-1] END) AS value_gaps
-    FROM mom ORDER BY event_type
+           CAST(i AS INT) AS idx,
+           CAST(list_sum(list_slice(vs, 1, i)) AS DOUBLE) AS cum_value,
+           CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                ELSE vs[i] - vs[i-1] END AS value_gap
+    FROM ex ORDER BY event_type, idx
     """,
 )
 def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3268,6 +3327,12 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one event_type exchange; moments are plain partial-agg
     sums, the arrays ride the behavioral collect contract.
 
+    Output shape: cum/gap arrays are POSEXPLODED to one row per
+    (event_type, idx) with scalar columns (slope/intercept repeat per
+    row) — the driver's canonicalizer sorts raw pandas cells and list
+    cells are unhashable (the q07 list-cell rule, enforced
+    registry-wide since round 9).
+
     NARROW_CHAIN profile: one exchange, no joins."""
     from ..functions.chsql import ch_sql
     from ..functions.clickhouse import register_clickhouse_functions
@@ -3277,7 +3342,21 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = exec_profile(spark, NARROW_CHAIN)
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
-    return vsort(ch_sql(spark, _Q163_CLICKHOUSE_SQL), "event_type")
+    out = ch_sql(spark, _Q163_CLICKHOUSE_SQL)
+    out = out.select(
+        "event_type",
+        "slope",
+        "intercept",
+        F.posexplode(F.arrays_zip("cum_values", "value_gaps")).alias("i", "z"),
+    ).select(
+        "event_type",
+        "slope",
+        "intercept",
+        (F.col("i") + 1).cast("int").alias("idx"),
+        F.col("z.cum_values").alias("cum_value"),
+        F.col("z.value_gaps").alias("value_gap"),
+    )
+    return vsort(out, "event_type", "idx")
 
 
 _Q139_CLICKHOUSE_SQL = """
@@ -3339,7 +3418,12 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, ts, event_id,
              CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v,
-             to_timestamp(epoch(ts) - epoch(ts) % 21600) AS w_start
+             -- make_timestamp, NOT to_timestamp: DuckDB's to_timestamp
+             -- returns TIMESTAMP WITH TIME ZONE, which the driver's
+             -- dtype check reads as a schema mismatch vs Spark's
+             -- tz-naive window start (CORRECTNESS_r08 q188 schema red)
+             make_timestamp(CAST((epoch(ts) - epoch(ts) % 21600)
+                                 * 1000000 AS BIGINT)) AS w_start
       FROM events WHERE user_id < 30
     ),
     p AS (
