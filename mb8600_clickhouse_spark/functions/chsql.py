@@ -365,11 +365,6 @@ def _rewrite_combinators(sql: str) -> str:
         # bare ascending arraySort only (CH's lambda form would need a
         # comparator translation this rename cannot express)
         (r"\barraySort\s*\(", "sort_array("),
-        # window navigation: CH's lagInFrame/leadInFrame respect the
-        # window FRAME where Spark's lag/lead ignore it — identical for
-        # the default (whole-partition) frame, the only bridged form
-        (r"\blagInFrame\s*\(", "lag("),
-        (r"\bleadInFrame\s*\(", "lead("),
         # bitwise aggregates / scalar: exact integer contracts
         (r"\bgroupBitAnd\s*\(", "bit_and("),
         (r"\bgroupBitOr\s*\(", "bit_or("),
@@ -390,6 +385,51 @@ def _rewrite_combinators(sql: str) -> str:
             if not m:
                 break
             sql = sql[: m.start()] + sp + sql[m.end() :]
+    # window navigation: CH's lagInFrame/leadInFrame respect the window
+    # FRAME where Spark's lag/lead ignore it — identical ONLY for the
+    # default (whole-partition) frame. An explicit ROWS/RANGE/GROUPS
+    # spec in the OVER clause (or a named window this pass cannot see
+    # into) would silently diverge, so those forms are loud rejects
+    # (ADVICE r08: the blind rename also fired on framed windows).
+    while True:
+        m = _first_match(sql, r"\b(lagInFrame|leadInFrame)\s*\(")
+        if not m:
+            break
+        fn = m.group(1)
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        om = re.match(
+            r"\s*OVER\s*(?:(\()|(\w+))", sql[c + 1 :], re.IGNORECASE
+        )
+        if om:
+            if om.group(2):  # OVER <named window>: resolve its def
+                wname = om.group(2)
+                wm = _first_match(
+                    sql, rf"\bWINDOW\s+{re.escape(wname)}\s+AS\s*\("
+                )
+                if not wm:
+                    raise ChSqlError(
+                        f"{fn} OVER {wname}: window definition not "
+                        "found at this nesting level — cannot verify "
+                        "the frame spec (only the default frame "
+                        "bridges to Spark lag/lead)"
+                    )
+                oo = sql.index("(", wm.end() - 1)
+            else:
+                oo = c + 1 + om.end() - 1
+            oc = _match_paren(sql, oo)
+            over = sql[oo + 1 : oc]
+            if re.search(r"\b(ROWS|RANGE|GROUPS)\b", over, re.IGNORECASE):
+                raise ChSqlError(
+                    f"{fn} with an explicit window frame: Spark's "
+                    "lag/lead ignore frames, so the rename would "
+                    "silently change semantics — remove the frame spec "
+                    "(the default whole-partition frame is the only "
+                    "bridged form) or spell the frame navigation with "
+                    "nth_value/first_value over the frame instead"
+                )
+        sql = sql[: m.start()] + ("lag(" if fn == "lagInFrame" else "lead(") + sql[o + 1 :]
+
     # any(x) -> any_value(x), EXCEPT the ANSI quantified-comparison form
     # `expr > ANY (subquery)` (preceded by a comparison operator or IN)
     pos = 0
@@ -1610,7 +1650,25 @@ def _rewrite_numbers(sql: str) -> str:
         sql = sql[: m.start()] + rep + sql[m.end() :]
 
 
-def _rewrite_with_constants(sql: str) -> str:
+def _subst_const(text: str, name: str, expr: str) -> str:
+    """String-literal-aware whole-word substitution of a scalar WITH
+    constant; advances past each replacement so an expr containing the
+    name cannot loop."""
+    pos = 0
+    while True:
+        mm = _first_match(text[pos:], rf"\b{re.escape(name)}\b")
+        if not mm:
+            return text
+        start = pos + mm.start()
+        text = text[:start] + expr + text[pos + mm.end() :]
+        pos = start + len(expr)
+
+
+def _rewrite_with_constants(
+    sql: str,
+    blocks: dict[str, str] | None = None,
+    touched_blocks: list[str] | None = None,
+) -> str:
     """ClickHouse's scalar WITH form — ``WITH <expr> AS <name>[, ...]
     SELECT ...`` (expression FIRST, no parentheses after the name) —
     is not ANSI: Spark's WITH only takes CTE subqueries. The rewrite
@@ -1621,7 +1679,21 @@ def _rewrite_with_constants(sql: str) -> str:
     parenthesized subquery itself (Spark evaluates it as a scalar
     subquery at each site — same value, the one-row contract is CH's
     own). Runs on the MASKED statement (subqueries are opaque tokens),
-    so commas and AS inside them never confuse the split."""
+    so commas and AS inside them never confuse the split.
+
+    Two CH scoping behaviors the substitution honors (ADVICE r08):
+
+    - constants may reference EARLIER constants (``WITH 60 AS m,
+      m * 60 AS h``): the subs map is resolved to a fixed point before
+      any substitution, so ``h`` expands to ``((60) * 60)``; a cyclic
+      definition is a loud ChSqlError;
+    - constants are visible inside CTE bodies and subqueries: names
+      found in the masked blocks (``blocks``) are substituted there
+      too. A block that re-defines the same identifier (``... AS
+      name``) is ambiguous shadowing and a loud ChSqlError, as is a
+      scalar-SUBQUERY constant referenced inside a block (the token
+      indirection cannot be safely inlined across levels).
+    """
     m = _first_match(sql, r"^\s*WITH\b")
     if not m:
         return sql
@@ -1651,18 +1723,56 @@ def _rewrite_with_constants(sql: str) -> str:
             subs[name] = f"({expr})"
     if not subs:
         return sql
+    # resolve inter-constant references to a fixed point (CH allows a
+    # constant defined in terms of an earlier one); bounded by the map
+    # size, so a cycle is detected rather than looped on
+    for _ in range(len(subs)):
+        changed = False
+        for name in subs:
+            for other, oexpr in subs.items():
+                if other == name:
+                    continue
+                new = _subst_const(subs[name], other, oexpr)
+                if new != subs[name]:
+                    subs[name] = new
+                    changed = True
+        if not changed:
+            break
+    for name, expr in subs.items():
+        for other in subs:
+            if _first_match(expr, rf"\b{re.escape(other)}\b"):
+                raise ChSqlError(
+                    f"cyclic scalar WITH constants: {name!r} still "
+                    f"references {other!r} after fixed-point resolution"
+                )
     body = sql[sel.start() :]
     for name, expr in subs.items():
-        # string-literal-aware substitution; advance past each
-        # replacement so an expr containing the name cannot loop
-        pos = 0
-        while True:
-            mm = _first_match(body[pos:], rf"\b{re.escape(name)}\b")
-            if not mm:
-                break
-            start = pos + mm.start()
-            body = body[:start] + expr + body[pos + mm.end() :]
-            pos = start + len(expr)
+        body = _subst_const(body, name, expr)
+    # CH scoping: scalar constants are visible inside CTE bodies and
+    # subqueries — substitute into the masked block contents too
+    if blocks:
+        for name, expr in subs.items():
+            for token in list(blocks):
+                btext = blocks[token]
+                if not _first_match(btext, rf"\b{re.escape(name)}\b"):
+                    continue
+                if re.search(rf"\bAS\s+{re.escape(name)}\b", btext,
+                             re.IGNORECASE):
+                    raise ChSqlError(
+                        f"scalar WITH constant {name!r} is also defined "
+                        "as an alias inside a subquery/CTE — ambiguous "
+                        "shadowing; rename one of them"
+                    )
+                if "__CHSQL_SUB_" in expr:
+                    raise ChSqlError(
+                        f"scalar-subquery WITH constant {name!r} is "
+                        "referenced inside a subquery/CTE — not "
+                        "bridgeable across nesting levels; inline the "
+                        "subquery or hoist the reference"
+                    )
+                blocks[token] = _subst_const(btext, name, expr)
+                if touched_blocks is not None and token not in touched_blocks:
+                    touched_blocks.append(token)
     head = f"WITH {', '.join(kept)} " if kept else ""
     return sql[: m.start()] + head + body
 
@@ -3451,8 +3561,19 @@ def rewrite_clickhouse_sql(
     ``FROM t SAMPLE f`` (see ``_rewrite_sample``); both apply at every
     nesting level."""
     sql, blocks = _mask_subselects(sql, final_tables, sample_by, dictionaries)
-    # first: CH's scalar WITH constants feed every later rewrite
-    sql = _rewrite_with_constants(sql)
+    # first: CH's scalar WITH constants feed every later rewrite (and
+    # substitute into the masked block bodies — CH scoping). A block
+    # that received a constant is re-rewritten: the substituted expr
+    # text comes from the outer statement PRE-rewrite, so it may carry
+    # CH function names the block's own (already finished) recursive
+    # pass never saw; rewrites are idempotent on ANSI input, so the
+    # second pass only touches what the substitution introduced.
+    touched: list[str] = []
+    sql = _rewrite_with_constants(sql, blocks, touched)
+    for token in touched:
+        blocks[token] = rewrite_clickhouse_sql(
+            blocks[token], final_tables, sample_by, dictionaries
+        )
     sql = _rewrite_numbers(sql)
     # before _rewrite_combinators: the -State name inside
     # runningAccumulate(...) determines the window merge function

@@ -31,7 +31,28 @@ from ..functions.chsql import ks_tail, mw_tail
 
 
 def _scaled(col):
-    return (F.col(col).cast("decimal(18,4)") * 10000).cast("bigint")
+    """DECIMAL(18,4)-snap ``col`` to a scaled BIGINT — LOUD on overflow.
+
+    The snap's domain is |x| < 1e14 (DECIMAL(18,4)'s integral range);
+    in a non-ANSI session a larger value would cast to NULL and — with
+    the old null filter on the SCALED column — be silently dropped,
+    skewing n0/n1/ranks and the resulting U/z/D statistics (ADVICE
+    r08). Callers filter nulls on the RAW column, so a null snap here
+    can only mean overflow: raise in-plan instead of dropping."""
+    raw = F.col(col)
+    snapped = (raw.cast("decimal(18,4)") * 10000).cast("bigint")
+    return F.when(
+        raw.isNotNull() & snapped.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"stats operator domain: |{col}| exceeds the "
+                    "DECIMAL(18,4) snap range (~1e14); got "
+                ),
+                raw.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(snapped)
 
 
 def mann_whitney_u(
@@ -45,9 +66,12 @@ def mann_whitney_u(
     collected fold."""
     v = _scaled(value)
     g = F.when(F.col(sample).cast("int") == 0, 0).otherwise(1)
-    base = df.select(
-        F.col(by).alias("g"), v.alias("v"), g.alias("s")
-    ).filter(F.col("v").isNotNull() & F.col(sample).isNotNull())
+    # null filter on the RAW columns, BEFORE the snap: a post-snap null
+    # filter would silently drop overflowed values (ADVICE r08); with
+    # raw nulls gone, _scaled raises on overflow instead
+    base = df.filter(
+        F.col(value).isNotNull() & F.col(sample).isNotNull()
+    ).select(F.col(by).alias("g"), v.alias("v"), g.alias("s"))
     w_rank = Window.partitionBy("g").orderBy("v")
     w_tie = Window.partitionBy("g", "v")
     r = base.select(
@@ -91,9 +115,9 @@ def ks_test(df: DataFrame, value: str, sample: str, by: str) -> DataFrame:
     operator."""
     v = _scaled(value)
     g = F.when(F.col(sample).cast("int") == 0, 0).otherwise(1)
-    base = df.select(
-        F.col(by).alias("g"), v.alias("v"), g.alias("s")
-    ).filter(F.col("v").isNotNull() & F.col(sample).isNotNull())
+    base = df.filter(  # raw-column null filter: the _scaled rule
+        F.col(value).isNotNull() & F.col(sample).isNotNull()
+    ).select(F.col(by).alias("g"), v.alias("v"), g.alias("s"))
     per_v = base.groupBy("g", "v").agg(
         F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("s") != 0, 1).otherwise(0)).alias("c1"),
@@ -140,10 +164,12 @@ def weighted_quantile(
     if not (0.0 <= p <= 1.0):
         raise ValueError("quantile level must be in [0, 1]")
     v = _scaled(value)
-    base = df.select(
+    base = df.filter(  # raw-column null filter: the _scaled rule
+        F.col(value).isNotNull() & F.col(weight).isNotNull()
+    ).select(
         F.col(by).alias("g"), v.alias("v"),
         F.col(weight).cast("bigint").alias("w"),
-    ).filter(F.col("v").isNotNull() & F.col(weight).isNotNull())
+    )
     w_cum = (
         Window.partitionBy("g")
         .orderBy("v", "w")

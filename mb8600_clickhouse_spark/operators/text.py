@@ -454,7 +454,7 @@ def chunk_tokens(df, size: int, overlap: int, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 def bm25_topk(df, query_terms: list[str], k: int = 50, k1: float = 1.2,
               b: float = 0.75, id_col: str = "doc_id",
-              text_col: str = "text", prepared_stats: bool = True):
+              text_col: str = "text", prepared_stats: bool = False):
     """Okapi BM25 scoring of every document against a fixed term set,
     top-k by score — the lexical-retrieval half of corpus search (the
     embedding stack's `ann_topk` is the dense half). IDF is the
@@ -480,6 +480,15 @@ def bm25_topk(df, query_terms: list[str], k: int = 50, k1: float = 1.2,
     rounded to 4 decimals for cross-engine hash stability; only
     documents matching >= 1 query term are ranked (unchanged — the
     old spelling's tf rows existed only for matching docs).
+
+    ``prepared_stats=False`` (the DEFAULT — the operator's original
+    lazy contract, kept per ADVICE r08) builds one fully-deferred plan:
+    stats ride a broadcast cross join, nothing executes at call time.
+    ``prepared_stats=True`` EAGERLY runs the corpus-stats aggregate and
+    collects its single row AT CALL TIME (index-time constants — the
+    q109 driver-state contract); scores are bit-identical between the
+    two modes (test-pinned), only plan shape and call-time cost differ.
+    Callers embedding this in deferred pipelines must keep the default.
     """
     terms = sorted(set(query_terms))
 

@@ -1490,7 +1490,12 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bm25_topk
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return bm25_topk(docs, ["hash", "merge", "vector"], k=50)
+    # prepared_stats=True: the q104 perf contract — corpus stats are
+    # index-time constants collected at prepare (one 1-row collect),
+    # so the per-execution plan is tokenize + TakeOrdered only
+    return bm25_topk(
+        docs, ["hash", "merge", "vector"], k=50, prepared_stats=True
+    )
 
 
 # ---------------------------------------------------------------------------

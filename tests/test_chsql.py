@@ -2828,6 +2828,113 @@ class TestWithConstants:
         out = rw("WITH 5 AS k SELECT 'k is k', k FROM t")
         assert out == "SELECT 'k is k', (5) FROM t"
 
+    def test_inter_constant_references_resolve(self):
+        # ADVICE r08: a constant defined in terms of an earlier one
+        # must expand fully, not leave the inner name dangling
+        out = rw("WITH 60 AS m, m * 60 AS h SELECT h FROM t")
+        assert out == "SELECT ((60) * 60) FROM t"
+        # three-deep chain
+        out = rw("WITH 2 AS a, a * 3 AS b, b + a AS c SELECT c FROM t")
+        assert out == "SELECT (((2) * 3) + (2)) FROM t"
+
+    def test_cyclic_constants_reject(self):
+        with pytest.raises(ChSqlError, match="cyclic"):
+            rw("WITH b + 1 AS a, a + 1 AS b SELECT a FROM t")
+
+    def test_constants_substitute_into_cte_bodies(self):
+        # ADVICE r08: CH scoping makes scalar constants visible inside
+        # CTE bodies; the old rewrite left them unresolved there
+        out = rw(
+            "WITH 3600 AS b, x AS (SELECT value * b AS vb FROM t) "
+            "SELECT vb FROM x"
+        )
+        assert out == (
+            "WITH x AS (SELECT value * (3600) AS vb FROM t) "
+            "SELECT vb FROM x"
+        )
+
+    def test_constants_substitute_into_subqueries(self):
+        out = rw(
+            "WITH 10 AS lim SELECT * FROM "
+            "(SELECT a FROM t WHERE a < lim) s"
+        )
+        assert out == (
+            "SELECT * FROM (SELECT a FROM t WHERE a < (10)) s"
+        )
+
+    def test_constant_expr_substitutes_into_cte(self):
+        # a function-call constant lands inside the CTE body verbatim
+        # (intDiv is a REGISTERED runtime scalar, not a rewrite — the
+        # touched re-pass re-rewrites the block and correctly leaves
+        # registered names alone)
+        out = rw(
+            "WITH intDiv(7, 2) AS q, x AS (SELECT a * q AS aq FROM t) "
+            "SELECT aq FROM x"
+        )
+        assert out == (
+            "WITH x AS (SELECT a * (intDiv(7, 2)) AS aq FROM t) "
+            "SELECT aq FROM x"
+        )
+
+    def test_constant_in_cte_executes(self, spark):
+        # end-to-end: the ADVICE repro shape, through a live session
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(value=7200.0), Row(value=10800.0)]
+        ).createOrReplaceTempView("wc_t")
+        rows = ch_sql(
+            spark,
+            "WITH 3600 AS b, x AS (SELECT value / b AS hrs FROM wc_t) "
+            "SELECT hrs FROM x ORDER BY hrs",
+        ).collect()
+        assert [r.hrs for r in rows] == [2.0, 3.0]
+
+    def test_shadowed_constant_in_cte_rejects(self):
+        with pytest.raises(ChSqlError, match="shadow"):
+            rw(
+                "WITH 5 AS b, x AS (SELECT a AS b FROM t) "
+                "SELECT b FROM x"
+            )
+
+    def test_scalar_subquery_constant_in_cte_rejects(self):
+        with pytest.raises(ChSqlError, match="nesting"):
+            rw(
+                "WITH (SELECT max(a) FROM t) AS mx, "
+                "x AS (SELECT a FROM t WHERE a < mx) SELECT a FROM x"
+            )
+
+
+class TestLagInFrameGuards:
+    def test_default_frame_renames(self):
+        out = rw("SELECT lagInFrame(v) OVER (PARTITION BY g ORDER BY k) "
+                 "FROM t")
+        assert "lag(v)" in out and "lagInFrame" not in out
+
+    def test_explicit_frame_rejects(self):
+        # ADVICE r08: Spark lag/lead ignore frames, CH lagInFrame
+        # respects them — the blind rename silently diverged
+        with pytest.raises(ChSqlError, match="frame"):
+            rw("SELECT lagInFrame(v) OVER (ORDER BY k ROWS BETWEEN 2 "
+               "PRECEDING AND CURRENT ROW) FROM t")
+        with pytest.raises(ChSqlError, match="frame"):
+            rw("SELECT leadInFrame(v, 2) OVER (ORDER BY k RANGE "
+               "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM t")
+
+    def test_named_window_with_frame_rejects(self):
+        with pytest.raises(ChSqlError, match="frame"):
+            rw("SELECT lagInFrame(v) OVER w FROM t WINDOW w AS "
+               "(ORDER BY k ROWS UNBOUNDED PRECEDING)")
+
+    def test_named_window_default_frame_renames(self):
+        out = rw("SELECT lagInFrame(v) OVER w FROM t "
+                 "WINDOW w AS (ORDER BY k)")
+        assert "lag(v)" in out and "lagInFrame" not in out
+
+    def test_unresolvable_named_window_rejects(self):
+        with pytest.raises(ChSqlError, match="not found"):
+            rw("SELECT lagInFrame(v) OVER nosuch FROM t")
+
 
 class TestRunningDifferenceFirstValue:
     def test_variant_carries_first_value(self, spark):

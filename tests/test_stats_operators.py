@@ -99,3 +99,40 @@ def test_weighted_quantile_matches_bridge(spark, sample_view):
             ).collect()
         }
         assert got == want, p
+
+
+def test_overflow_raises_instead_of_dropping(spark):
+    """ADVICE r08: |v| beyond the DECIMAL(18,4) snap range must be a
+    LOUD in-plan error, not a silent null-drop that skews the ranks.
+    Under ANSI (the engine default) the decimal cast itself raises;
+    under non-ANSI the operator's raise_error guard fires — both
+    paths must be loud."""
+    from mb8600_clickhouse_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [Row(g="x", v=1.0, s=0), Row(g="x", v=2.0, s=1),
+         Row(g="x", v=1e15, s=0)]
+    )
+    with pytest.raises(
+        Exception, match="snap range|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        mann_whitney_u(df, "v", "s", "g").collect()
+
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="snap range"):
+            mann_whitney_u(df, "v", "s", "g").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_raw_nulls_still_filtered(spark):
+    from mb8600_clickhouse_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [Row(g="x", v=1.0, s=0), Row(g="x", v=2.0, s=1),
+         Row(g="x", v=None, s=0), Row(g="x", v=3.0, s=None)]
+    )
+    rows = mann_whitney_u(df, "v", "s", "g").collect()
+    assert len(rows) == 1  # null rows dropped BEFORE the snap, no raise
