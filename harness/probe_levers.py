@@ -125,6 +125,34 @@ def main() -> int:
                 dangling="redistribute", checkpoint_every=c,
             ).agg(F.round(F.sum("rank"), 6)).first()[0],
         )
+
+    # -- round-9 limb-split BIGINT moment lever (VERDICT r08 #4) --------
+    # q164-class moment scan at 100x sf0.1 events: DECIMAL(38,0) boxed
+    # products vs ten codegen BIGINT digit sums + one per-group DECIMAL
+    # recombination — identical exact sums, the per-row cost is the gap
+    from mb8600_clickhouse_spark.operators.stats import skew_kurt
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    reps100 = spark.range(100).select(F.col("id").alias("rep"))
+    mom = (
+        ev.crossJoin(F.broadcast(reps100))
+        .select("event_type", "value")
+        .localCheckpoint(eager=True)
+    )
+    print(f"moment scan: {mom.count():,} rows")
+    outs = {}
+
+    def _run(m):
+        rows = tuple(
+            sorted(skew_kurt(mom, "value", "event_type", method=m).collect())
+        )
+        outs.setdefault(m, rows)
+        return f"{len(rows)} groups"
+
+    for method in ("decimal", "limb", "decimal", "limb"):
+        _timed(f"skew/kurt moments method={method}", lambda m=method: _run(m))
+    print(f"| limb bit-identical to decimal | — | "
+          f"{outs['decimal'] == outs['limb']} |")
     return 0
 
 

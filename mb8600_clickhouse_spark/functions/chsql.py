@@ -2285,11 +2285,22 @@ def _moment_tails(x: str, int128: str, dialect: str) -> dict[str, str]:
     decimal snap needed on the outputs (unlike the log-domain entropy,
     where libm log2 differs across engines ulp-wise)."""
     v = _sv128(x, int128)
-    n = f"count({x})"
-    s1 = f"sum({v})"
-    s2 = f"sum({v} * {v})"
-    s3 = f"sum({v} * {v} * {v})"
-    s4 = f"sum({v} * {v} * {v} * {v})"
+    return moment_tails_from_sums(
+        f"count({x})", f"sum({v})", f"sum({v} * {v})",
+        f"sum({v} * {v} * {v})", f"sum({v} * {v} * {v} * {v})",
+        dialect,
+    )
+
+
+def moment_tails_from_sums(
+    n: str, s1: str, s2: str, s3: str, s4: str, dialect: str = "spark"
+) -> dict[str, str]:
+    """The skew/kurt IEEE tails parameterized over ALREADY-AGGREGATED
+    exact scaled moment sums (DECIMAL(38,0)/int128 expressions) — the
+    shared emitter behind ``_moment_tails`` (the bridge's inline form),
+    the generated oracles, AND ``operators/stats.moments``'s limb-split
+    lever (round 9): any producer of the same exact S1..S4 integers
+    plugs into the same expression tree and is bit-identical."""
     nd = f"CAST({n} AS DOUBLE)"
     mu = f"({_dbl128(s1, dialect)} / {nd})"
     r2 = f"({_dbl128(s2, dialect)} / {nd})"

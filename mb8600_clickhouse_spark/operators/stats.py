@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.chsql import ks_tail, mw_tail
+from ..functions.chsql import ks_tail, moment_tails_from_sums, mw_tail
 
 
 def _scaled(col):
@@ -191,4 +191,169 @@ def weighted_quantile(
     return picked.select(
         F.col("g").alias(by),
         (F.col("vmin").cast("double") / 10000.0).alias("wq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact scaled moment sums — DECIMAL(38,0) lane + the limb-split BIGINT
+# lever (round 9; VERDICT r08 #4 / SURVEY round-9 note #2)
+# ---------------------------------------------------------------------------
+#: limb base 2^30: digits stay below 2^30, so per-group BIGINT digit
+#: sums hold ~2^33 rows before the recombination audit trips
+_W = 1 << 30
+
+#: per-row domain of the limb lane: |v| <= 1.8e9 (|x| <= 1.8e5 after the
+#: 1e4 snap) keeps every intermediate product — v*v (3.24e18), A*A
+#: (9.1e18), 2*A*B (6.5e18), v*A (5.4e18), v*B (1.9e18), B*B (2^60) —
+#: inside int64. The DECIMAL lane's documented domain is |x| <= 3e5;
+#: values between the two bounds must use method="decimal".
+_LIMB_VMAX = 1_800_000_000
+
+
+def moments(
+    df: DataFrame, value: str, by: str, method: str = "decimal"
+) -> DataFrame:
+    """Per-``by``-group EXACT scaled moment sums of ``value``: returns
+    (by, n, s1, s2, s3, s4) where s_k = sum(v^k) over the DECIMAL(18,4)
+    snap v = round(value * 1e4) as exact DECIMAL(38,0) integers — the
+    inputs every q164-family tail (skew/kurt/covar/stddev) derives
+    from.
+
+    ``method="decimal"`` is the bridge's lane (``chsql._moment_tails``):
+    v casts to DECIMAL(38,0) and the per-row products v*v*v*v are boxed
+    BigDecimal ops — partitioning-independent, |x| <= ~3e5, but ~15x
+    slower per row than a native int128 engine (SURVEY §2.J, the q164
+    probe row).
+
+    ``method="limb"`` is the pure-BIGINT lever: every power is computed
+    per row in base-2^30 LIMBS with explicit carries (v^2 = A*2^30 + B;
+    v^3 = d2*2^60 + d1*2^30 + d0; v^4 = e3*2^90 + e2*2^60 + e1*2^30 +
+    e0 — all int64 ops inside whole-stage codegen), the group
+    aggregates are TEN plain BIGINT sums, and ONE DECIMAL(38,0) Horner
+    recombination per group rebuilds the exact s_k. Identical integers
+    by construction -> any downstream tail is bit-identical to the
+    decimal lane (test-pinned in tests/test_stats_operators.py).
+
+    Overflow posture (the "audited" in domain-gated-and-audited): under
+    ANSI (the engine default) any int64 overflow raises natively.  For
+    non-ANSI sessions the aggregate also carries count + max(|v|) and
+    the recombination raises in-plan when the conservative bound
+    n * max(M, M^2/2^30, 2^30) >= 2^62 or M > 1.8e9 is violated —
+    never a silent wrap. The audit arithmetic runs in DOUBLE (bounds
+    only; exactness is not needed to *reject*).
+
+    Scale shape: one ``by`` exchange with map-side partial aggregation
+    of ten longs (vs four BigDecimals); scan-dominated otherwise.
+    """
+    v = _scaled(value)
+    base = df.filter(F.col(value).isNotNull()).select(
+        F.col(by).alias("g"), v.alias("v")
+    )
+    if method == "decimal":
+        sv = F.col("v").cast("decimal(38,0)")
+        return base.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.sum(sv).alias("s1"),
+            F.sum(sv * sv).alias("s2"),
+            F.sum(sv * sv * sv).alias("s3"),
+            F.sum(sv * sv * sv * sv).alias("s4"),
+        ).select(F.col("g").alias(by), "n", "s1", "s2", "s3", "s4")
+    if method != "limb":
+        raise ValueError(f"unknown moments method {method!r}")
+    limbed = base.selectExpr(
+        "g",
+        "v",
+        f"v * v AS p2",
+    ).selectExpr(
+        "g",
+        "v",
+        f"p2 DIV {_W} AS a",
+        f"p2 % {_W} AS b",
+    ).selectExpr(
+        "g", "v", "a", "b",
+        # v^3 = (v*a + carry(v*b)) * W + d0 — base-2^30 digits. The
+        # v-carrying terms are SIGNED, so their digit/carry pairs use
+        # pmod + floor-div; the pure p2-derived terms (a, b, b*b, 2ab,
+        # a*a) are nonnegative, where % and DIV are the same thing and
+        # cheaper.
+        f"pmod(v * b, {_W}) AS d0",
+        f"v * a + (v * b - pmod(v * b, {_W})) DIV {_W} AS t1",
+        # v^4 = (a^2 + carry(2ab + carry(b^2))) * W^2 + e1*W + e0
+        f"b * b % {_W} AS e0",
+        f"2 * a * b + b * b DIV {_W} AS u1",
+    ).selectExpr(
+        "g", "v", "a", "b", "d0", "e0",
+        f"pmod(t1, {_W}) AS d1",
+        f"(t1 - pmod(t1, {_W})) DIV {_W} AS d2",
+        f"u1 % {_W} AS e1",
+        f"a * a + u1 DIV {_W} AS u2",
+    ).selectExpr(
+        "g", "v", "a", "b", "d0", "d1", "d2", "e0", "e1",
+        f"u2 % {_W} AS e2",
+        f"u2 DIV {_W} AS e3",
+    )
+    agg = limbed.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.max(F.abs(F.col("v"))).alias("vmax"),
+        F.sum("v").alias("z1"),
+        F.sum("a").alias("z2a"),
+        F.sum("b").alias("z2b"),
+        F.sum("d2").alias("z3c"),
+        F.sum("d1").alias("z3b"),
+        F.sum("d0").alias("z3a"),
+        F.sum("e3").alias("z4d"),
+        F.sum("e2").alias("z4c"),
+        F.sum("e1").alias("z4b"),
+        F.sum("e0").alias("z4a"),
+    )
+    audit = (
+        f"(vmax > {_LIMB_VMAX}L OR "
+        f"CAST(n AS DOUBLE) * greatest("
+        f"CAST(vmax AS DOUBLE), "
+        f"CAST(vmax AS DOUBLE) * CAST(vmax AS DOUBLE) / {float(_W)}, "
+        f"{float(_W)}) >= 4.6e18)"
+    )
+
+    def _guard(expr: str, alias: str) -> str:
+        return (
+            f"CASE WHEN {audit} THEN CAST(raise_error(CONCAT("
+            f"'moments(method=limb) domain: group ', CAST(g AS STRING), "
+            f"' exceeds the limb audit (n=', CAST(n AS STRING), "
+            f"', max|v|=', CAST(vmax AS STRING), "
+            f"') — use method=decimal')) AS DECIMAL(38,0)) "
+            f"ELSE CAST({expr} AS DECIMAL(38,0)) END AS {alias}"
+        )
+
+    w = f"CAST({_W} AS DECIMAL(38,0))"
+    return agg.selectExpr(
+        "g", "n", "vmax",
+        _guard("z1", "s1"),
+        _guard(f"CAST(z2a AS DECIMAL(38,0)) * {w} + z2b", "s2"),
+        _guard(
+            f"(CAST(z3c AS DECIMAL(38,0)) * {w} + z3b) * {w} + z3a", "s3"
+        ),
+        _guard(
+            f"((CAST(z4d AS DECIMAL(38,0)) * {w} + z4c) * {w} + z4b) "
+            f"* {w} + z4a",
+            "s4",
+        ),
+    ).select(F.col("g").alias(by), "n", "s1", "s2", "s3", "s4")
+
+
+def skew_kurt(
+    df: DataFrame, value: str, by: str, method: str = "decimal"
+) -> DataFrame:
+    """Per-``by``-group skewPop/skewSamp/kurtPop/kurtSamp from exact
+    moment sums — the q164 family as a reusable relational operator.
+    Both ``method`` lanes feed the SAME IEEE tail emitter
+    (``chsql.moment_tails_from_sums``), so decimal- and limb-derived
+    results are bit-identical to each other and to the dialect bridge
+    (``skewPop(x)`` through ``ch_sql``) on the same data."""
+    tails = moment_tails_from_sums("n", "s1", "s2", "s3", "s4")
+    return moments(df, value, by, method=method).selectExpr(
+        by,
+        f"({tails['skewPop']}) AS skew_pop",
+        f"({tails['skewSamp']}) AS skew_samp",
+        f"({tails['kurtPop']}) AS kurt_pop",
+        f"({tails['kurtSamp']}) AS kurt_samp",
     )

@@ -136,3 +136,87 @@ def test_raw_nulls_still_filtered(spark):
     )
     rows = mann_whitney_u(df, "v", "s", "g").collect()
     assert len(rows) == 1  # null rows dropped BEFORE the snap, no raise
+
+
+class TestMomentLever:
+    """Round-9 limb-split BIGINT moment lever (VERDICT r08 #4): exact
+    scaled moment sums from ten pure-BIGINT digit sums + one DECIMAL
+    recombination per group — bit-identical to the DECIMAL(38,0) lane
+    and to the dialect bridge, ~2.5x faster per row (probe_levers)."""
+
+    @pytest.fixture(scope="class")
+    def mdf(self, spark):
+        rng = random.Random("limb-lever")
+        rows = [
+            Row(g=i % 7, v=round(rng.uniform(-1000, 1000), 4))
+            for i in range(5000)
+        ]
+        # per-row extremes at the limb ceiling, in a small group so the
+        # true S4 stays inside DECIMAL(38) (the shared domain bound)
+        rows += [
+            Row(g=9, v=-179999.9999),
+            Row(g=9, v=179999.9999),
+            Row(g=9, v=0.0001),
+            Row(g=9, v=None),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_limb_sums_bit_identical_to_decimal(self, spark, mdf):
+        from mb8600_clickhouse_spark.operators.stats import moments
+
+        dec = {
+            r.g: (r.n, r.s1, r.s2, r.s3, r.s4)
+            for r in moments(mdf, "v", "g", method="decimal").collect()
+        }
+        lim = {
+            r.g: (r.n, r.s1, r.s2, r.s3, r.s4)
+            for r in moments(mdf, "v", "g", method="limb").collect()
+        }
+        assert dec == lim  # exact integers, not approx
+
+    def test_skew_kurt_limb_matches_bridge(self, spark, mdf):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.operators.stats import skew_kurt
+
+        mdf.createOrReplaceTempView("limb_lever_t")
+        got = {
+            r.g: (r.skew_pop, r.skew_samp, r.kurt_pop, r.kurt_samp)
+            for r in skew_kurt(mdf, "v", "g", method="limb").collect()
+        }
+        want = {
+            r.g: (r.sp, r.ss, r.kp, r.ks)
+            for r in ch_sql(
+                spark,
+                "SELECT g, skewPop(v) AS sp, skewSamp(v) AS ss, "
+                "kurtPop(v) AS kp, kurtSamp(v) AS ks "
+                "FROM limb_lever_t GROUP BY g",
+            ).collect()
+        }
+        assert got == want  # same IEEE tail emitter -> bit-identical
+
+    def test_limb_audit_is_loud_both_modes(self, spark):
+        """Out-of-domain |v| must raise in ANSI (native overflow) AND
+        non-ANSI (the in-plan audit) — never silently wrap."""
+        from mb8600_clickhouse_spark.operators.stats import moments
+
+        df = spark.createDataFrame(
+            [Row(g=1, v=250000.0), Row(g=1, v=1.0)]
+        )
+        with pytest.raises(
+            Exception, match="limb audit|ARITHMETIC_OVERFLOW"
+        ):
+            moments(df, "v", "g", method="limb").collect()
+        ansi = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="limb audit"):
+                moments(df, "v", "g", method="limb").collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+    def test_unknown_method_rejects(self, spark):
+        from mb8600_clickhouse_spark.operators.stats import moments
+
+        df = spark.createDataFrame([Row(g=1, v=1.0)])
+        with pytest.raises(ValueError, match="unknown moments method"):
+            moments(df, "v", "g", method="int128")
