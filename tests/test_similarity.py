@@ -454,3 +454,39 @@ class TestAdcLutScorer:
             sim.pq_adc_scores_pandas(codes, qrows, books), k=30
         ).collect()
         assert sorted(map(tuple, fold)) == sorted(map(tuple, lut))
+
+
+class TestIvfTopkFused:
+    """ivf_topk_fused (round 9) — the bounded-query-set single-pass
+    form must return exactly what the staged pandas pipeline returns
+    (after the shared 4-decimal display snap, the documented ulp
+    class)."""
+
+    def test_matches_staged_pipeline(self, spark):
+        from pyspark.sql import functions as F
+
+        df = _df(spark, _vectors())
+        cents = sim.kmeans_fit(df, k=4, n_iter=3)
+        q = df.filter("vec_id < 3")
+        corpus = df.filter("vec_id >= 3")
+
+        def snap(out):
+            return sorted(
+                (int(r["query_id"]), int(r["neighbor_id"]),
+                 round(float(r["cosine_sim"]), 4))
+                for r in out.collect()
+            )
+
+        staged = snap(sim.ivf_topk(corpus, q, None, k=4, nprobe=2,
+                                   cents=cents))
+        fused = snap(sim.ivf_topk_fused(corpus, q, cents, k=4, nprobe=2))
+        assert staged == fused and len(fused) > 0
+
+    def test_empty_probe_cells_ok(self, spark):
+        # a corpus batch whose cells no query probes contributes nothing
+        df = _df(spark, _vectors())
+        cents = sim.kmeans_fit(df, k=4, n_iter=3)
+        q = df.filter("vec_id = 0")
+        out = sim.ivf_topk_fused(df, q, cents, k=2, nprobe=1).collect()
+        assert {r["query_id"] for r in out} == {0}
+        assert len(out) <= 2
