@@ -20,7 +20,12 @@ import sys
 import time
 from pathlib import Path
 
-from harness.oracle import canonicalize, make_duckdb, value_hash
+from harness.oracle import (
+    canonicalize,
+    driver_canon_check,
+    make_duckdb,
+    value_hash,
+)
 from mb8600_clickhouse_spark.queries import all_queries
 from mb8600_clickhouse_spark.session import get_spark
 
@@ -55,12 +60,20 @@ def main() -> int:
                 o_cols, o_rows = canonicalize(odf)
                 entry["oracle_rows"] = len(o_rows)
                 entry["oracle_hash"] = value_hash(o_rows)
+                # the driver's raw-cell sort + dtype hazards (round 9:
+                # the r08 list-cell/tz-aware incident class) gate the
+                # ledger too — a row is only "ok" if the DRIVER would
+                # also record it green
+                hazard = driver_canon_check(name, sdf, odf)
                 entry["ok"] = (
-                    s_cols == o_cols
+                    hazard is None
+                    and s_cols == o_cols
                     and entry["spark_rows"] == entry["oracle_rows"]
                     and entry["spark_hash"] == entry["oracle_hash"]
                 )
-                if s_cols != o_cols:
+                if hazard is not None:
+                    entry["note"] = hazard.detail[:200]
+                elif s_cols != o_cols:
                     entry["note"] = f"columns spark={s_cols} oracle={o_cols}"
         except Exception as e:  # noqa: BLE001
             entry["ok"] = False

@@ -3426,13 +3426,13 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
                         regexp_replace(
                         '<html><body><p>' || substr(text, 1, 100)
                           || '</p></body></html>',
-                        '(?is)<script\b.*?</script>', ' ', 'g'),
-                        '(?is)<style\b.*?</style>', ' ', 'g'),
+                        '(?is)<script\\b.*?</script>', ' ', 'g'),
+                        '(?is)<style\\b.*?</style>', ' ', 'g'),
                         '(?s)<!--.*?-->', ' ', 'g'),
                         '<[^>]*>', ' ', 'g'),
                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                       '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-                    '\s+', ' ', 'g')) END AS extracted,
+                    '\\s+', ' ', 'g')) END AS extracted,
              CAST(doc_id % 7 AS VARCHAR) AS h,
              CAST(doc_id AS VARCHAR) AS d
       FROM documents
