@@ -2551,3 +2551,59 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return vsort(out, "threshold")
+
+
+# ---------------------------------------------------------------------------
+# Q189 limb-split moment lever driver-verified over the FULL corpus
+# ---------------------------------------------------------------------------
+def _q189_oracle() -> str:
+    cols = {
+        "skew_pop": stats_agg_sql("skewPop", ["value"], **_DUCK),
+        "skew_samp": stats_agg_sql("skewSamp", ["value"], **_DUCK),
+        "kurt_pop": stats_agg_sql("kurtPop", ["value"], **_DUCK),
+        "kurt_samp": stats_agg_sql("kurtSamp", ["value"], **_DUCK),
+    }
+    agg = ", ".join(f"{v} AS {k}" for k, v in cols.items())
+    return f"""
+    SELECT event_type, {agg}
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query("q189_moment_lever", oracle=_q189_oracle())
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 LIMB-SPLIT BIGINT moment lever driver-verified over
+    the FULL events corpus — the q185 discipline (the scale path as a
+    registry entry, not prose): ``operators/stats.skew_kurt(method=
+    "limb")`` computes the q164 skew/kurt family from TEN pure-BIGINT
+    base-2^30 digit sums per group (every power decomposed per row
+    with explicit carries, all inside whole-stage codegen) plus one
+    DECIMAL(38,0) Horner recombination — ~2.7x the DECIMAL(38,0)
+    lane's throughput on moment-dense scans (probe_levers, 10M rows).
+
+    Exactness: the digit sums rebuild the IDENTICAL exact integer
+    moment sums the decimal lane produces (pytest-pinned equal), and
+    both lanes feed the SAME IEEE tail emitter
+    (``chsql.moment_tails_from_sums``) — so this query is bit-identical
+    to q164's bridge spelling and to the oracle's HUGEINT replay of
+    the same tails. The hash therefore pins the whole limb algebra:
+    digit decomposition, carries, recombination, and tails.
+
+    Domain/audit: |value| <= 1.8e5 per row (fixture values are O(100));
+    overflow is LOUD both modes — ANSI raises natively, non-ANSI trips
+    the in-plan count*max audit (tests/test_stats_operators.py).
+
+    Scale: one event_type exchange with map-side partial aggregation
+    of ten longs (vs four boxed BigDecimals) — strictly lighter than
+    the q164 shape at any scale; the audit columns (count, max) ride
+    the same exchange.
+
+    NARROW_CHAIN profile: scan -> one exchange, no joins."""
+    from ..operators.stats import skew_kurt
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    ev = load_tables(spark, sf_dir)["events"]
+    out = skew_kurt(ev, "value", "event_type", method="limb")
+    return vsort(out, "event_type")
