@@ -870,7 +870,8 @@ DIALECT_NOTES: dict[str, str] = {
     "WITH 3600 AS bucket / WITH (SELECT ...) AS name": "runs verbatim as of round 8 (chsql._rewrite_with_constants) — CH's expression-first scalar WITH substitutes string-literal-aware; genuine CTEs in the same clause are left in place (q181)",
     "kolmogorovSmirnovTest / cramersV / theilsU / contingency": "run verbatim as of round 8 (collect-fold expressions; KS D is exact, chi2/log members snap to 1e-6 — q173); bounded-slice contract, relational spellings are the unbounded path",
     "deltaSum(x, k) / deltaSumTimestamp / exponentialMovingAverage(hl)(v, t)": "run verbatim as of round 8 (q167) — deltaSum needs the explicit sort-key second argument (CH's 1-arg block-order form rejects)",
-    "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame's custom-frame behavior diverges (Spark lag ignores frames)",
+    "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame/leadInFrame with an explicit ROWS/RANGE/GROUPS frame (inline or via a resolvable named window) is a LOUD ChSqlError as of round 9 — Spark lag/lead ignore frames, so only the default-frame form bridges (ADVICE r08)",
+    "WITH <expr> AS <name> scoping": "round 9: constants may reference earlier constants (fixed-point resolved; cycles reject) and are substituted into CTE/subquery bodies (CH scoping); a block that re-defines the same identifier (ambiguous shadowing) or a scalar-SUBQUERY constant referenced inside a block (not inlinable across nesting levels) is a loud ChSqlError",
     "intervalLengthSum / maxIntersections / maxIntersectionsPosition": "run verbatim as of round 8 (q171) — half-open [s,e) integer sweeps; touching intervals do not intersect (documented divergence from CH's closed ends)",
     "quantileExactWeighted(p)(x, w) / topKWeighted(k)(x, w) / groupArraySorted(N)(x)": "run verbatim as of round 8 (q174); topKWeighted is the exact answer (CH's is the approximate Filtered Space-Saving sketch)",
     "sequenceNextNode(direction, base)(ts, ev, base_cond, c...)": "runs verbatim as of round 8 (q177) for forward/head, forward/first_match, backward/tail, backward/last_match; other combinations reject",

@@ -490,3 +490,17 @@ class TestIvfTopkFused:
         out = sim.ivf_topk_fused(df, q, cents, k=2, nprobe=1).collect()
         assert {r["query_id"] for r in out} == {0}
         assert len(out) <= 2
+
+
+def test_ivf_fused_plan_single_python_stage(spark):
+    """ivf_topk_fused's contract: ONE MapInPandas over the corpus, no
+    join, one top-k window exchange."""
+    df = _df(spark, _vectors())
+    cents = sim.kmeans_fit(df, k=4, n_iter=2)
+    q = df.filter("vec_id < 2")
+    plan = (
+        sim.ivf_topk_fused(df, q, cents, k=3, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan  # no broadcast/shuffle join anywhere

@@ -220,3 +220,19 @@ class TestMomentLever:
         df = spark.createDataFrame([Row(g=1, v=1.0)])
         with pytest.raises(ValueError, match="unknown moments method"):
             moments(df, "v", "g", method="int128")
+
+
+def test_limb_plan_shape(spark):
+    """The lever's whole point is plan shape: ONE exchange (the group
+    key), BIGINT partial sums map-side, no second shuffle, no Python."""
+    from mb8600_clickhouse_spark.operators.stats import moments
+
+    df = spark.createDataFrame(
+        [Row(g=i % 3, v=float(i)) for i in range(50)]
+    )
+    plan = (
+        moments(df, "v", "g", method="limb")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
