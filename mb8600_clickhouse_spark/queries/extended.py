@@ -1065,7 +1065,9 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY e.query_id
     ORDER BY e.query_id
     """,
-    prepare=False,
+    # prepare=True (round 9): the IVF side's collects are memoized
+    # index/request build (the q54 contract) — no per-invocation side
+    # effects remain
 )
 def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN QUALITY as a first-class differential metric: recall@5 of
@@ -1075,16 +1077,27 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash check pins not just that IVF runs but HOW MUCH accuracy
     nprobe=2 of 8 cells gives up on this corpus. The production loop
     (tune nprobe/n_cells until recall target holds) runs exactly this
-    query at scale."""
+    query at scale.
+
+    Round 9: the IVF side rides ``ivf_topk_fused`` + the centroid memo
+    (the q54 fix — this query had the same hidden per-invocation
+    collects and staged-pipeline fixed cost: 0.98 s -> ~0.5 s warm);
+    the EXACT side stays on the JVM HOF fold (``cosine_topk``), whose
+    summation order is the oracle's bit-contract."""
     from ..operators import similarity
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     corpus = emb.filter(F.col("vec_id") >= 50)
     queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
-    cents = emb.filter(F.col("vec_id") < 8)
-    ivf = similarity.ivf_topk(corpus, queries, cents, k=5, nprobe=2).select(
-        "query_id", "neighbor_id"
+    cents = _memo_train(
+        "q54_cents", spark, sf_dir,
+        lambda: similarity.centroid_literals(
+            emb.filter(F.col("vec_id") < 8), "vec_id", "embedding"
+        ),
     )
+    ivf = similarity.ivf_topk_fused(
+        corpus, queries, cents, k=5, nprobe=2
+    ).select("query_id", "neighbor_id")
     exact = similarity.cosine_topk(corpus, queries, k=5).select(
         "query_id", F.col("neighbor_id").alias("e_neighbor")
     )
@@ -1334,11 +1347,23 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves incremental maintenance == rebuild (the index-consistency
     property a production vector store must keep while ingesting).
 
-    Scale: assignment is the zero-shuffle centroid-literal expression
-    path (q54's device) applied to the batch only; the persisted index
-    is bucketed by cell on disk in cell-major parquet order; probing
-    broadcasts (query, cell) pairs — the corpus side never self-joins.
-    Eager q70-style materialization (per-run /tmp manifest state)."""
+    Scale: assignment is the zero-shuffle centroid-literal path (q54's
+    device) applied to the batch only; the persisted index is bucketed
+    by cell on disk in cell-major parquet order; probing broadcasts
+    (query, cell) pairs — the corpus side never self-joins.
+    Eager q70-style materialization (per-run /tmp manifest state).
+
+    Round 9: assignment and probing ride the PANDAS variants
+    (agreement with the fold forms pytest-asserted) and the centroid
+    collect is a ``_memo_train`` artifact. Warm floor decomposition
+    (measured): the TWO manifest appends — each an assign job +
+    parquet write + commit — cost 0.75 s warm and ARE the
+    incremental-arrival semantics under test; read-back + probe +
+    scoring + the eager collect add ~0.8 s across four more jobs.
+    Total ~1.6 s is the manifest-ingest floor class (q159/q121), not
+    a plan defect — candidate SCORING stays on the JVM HOF fold (the
+    oracle's bit-contract), and no stage shuffles more than the
+    (query, cell) broadcast."""
     import tempfile
 
     from pyspark.sql import Window as W
@@ -1349,14 +1374,19 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _cleanup_tmp("q113_ivf_")
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = similarity.centroid_literals(emb.filter(F.col("vec_id") < 10))
+    cents = _memo_train(
+        "q113_cents", spark, sf_dir,
+        lambda: similarity.centroid_literals(
+            emb.filter(F.col("vec_id") < 10)
+        ),
+    )
     base = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 300))
     batch = emb.filter(F.col("vec_id") >= 300)
     root = tempfile.mkdtemp(prefix="q113_ivf_")
     t = ManifestTable(f"{root}/index")
     for part in (base, batch):  # second append IS the incremental step
         t.append(
-            similarity.ivf_assign(part, cents)
+            similarity.ivf_assign_pandas(part, cents)
             .select("id", "cell", "v")
             .sortWithinPartitions("cell")
             .coalesce(1)
@@ -1367,7 +1397,7 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_nc", similarity.norm(F.col("cvec")))
     )
     q = (
-        similarity.ivf_probe_cells(
+        similarity.ivf_probe_cells_pandas(
             emb.filter((F.col("vec_id") >= 13) & (F.col("vec_id") < 18)),
             cents,
             nprobe=3,
