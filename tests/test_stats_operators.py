@@ -236,3 +236,42 @@ def test_limb_plan_shape(spark):
     )
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_limb_property_matches_decimal(spark):
+    """Hypothesis: for ANY in-domain value set (signed, 4-decimal,
+    |x| <= 1.8e5), the limb digit algebra rebuilds the decimal lane's
+    exact moment sums bit-for-bit. Catches carry/sign bugs the fixed
+    seeds can't."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mb8600_clickhouse_spark.operators.stats import moments
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        # |x| <= 1e5 keeps 60 rows of s4 under DECIMAL(38)'s 1e38 on
+        # BOTH lanes (60 * (1e9)^4 = 6e37); the per-row limb ceiling
+        # (1.8e5) is exercised by the fixed-seed test's 3-row group
+        vals=st.lists(
+            st.floats(-100000, 100000, allow_nan=False).map(
+                lambda v: round(v, 4)
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(vals):
+        df = spark.createDataFrame(
+            [Row(g=1, v=float(v)) for v in vals]
+        )
+        dec = moments(df, "v", "g", method="decimal").collect()[0]
+        lim = moments(df, "v", "g", method="limb").collect()[0]
+        assert (dec.n, dec.s1, dec.s2, dec.s3, dec.s4) == (
+            lim.n, lim.s1, lim.s2, lim.s3, lim.s4
+        ), vals
+
+    check()
