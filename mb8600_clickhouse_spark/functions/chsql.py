@@ -1650,6 +1650,20 @@ def _rewrite_numbers(sql: str) -> str:
         sql = sql[: m.start()] + rep + sql[m.end() :]
 
 
+def _lambda_param_collision(text: str, name: str) -> bool:
+    """True when ``name`` appears as a higher-order-function LAMBDA
+    PARAMETER in ``text`` (``name -> ...`` or ``(a, name) -> ...``):
+    whole-word substitution there would corrupt the lambda ('(5) ->
+    (5) + 1'), a silent wrong-output class — callers raise instead."""
+    if re.search(rf"\b{re.escape(name)}\s*->", text, re.IGNORECASE):
+        return True
+    for m in re.finditer(r"\(([\w\s,]*)\)\s*->", text):
+        params = [p.strip().lower() for p in m.group(1).split(",")]
+        if name.lower() in params:
+            return True
+    return False
+
+
 def _subst_const(text: str, name: str, expr: str) -> str:
     """String-literal-aware whole-word substitution of a scalar WITH
     constant; advances past each replacement so an expr containing the
@@ -1747,6 +1761,15 @@ def _rewrite_with_constants(
                 )
     body = sql[sel.start() :]
     for name, expr in subs.items():
+        if _lambda_param_collision(body, name) or (
+            blocks
+            and any(_lambda_param_collision(b, name) for b in blocks.values())
+        ):
+            raise ChSqlError(
+                f"scalar WITH constant {name!r} collides with a lambda "
+                "parameter of the same name — whole-word substitution "
+                "would corrupt the lambda; rename the constant"
+            )
         body = _subst_const(body, name, expr)
     # CH scoping: scalar constants are visible inside CTE bodies and
     # subqueries — substitute into the masked block contents too

@@ -3159,3 +3159,26 @@ class TestNumbersTableFunction:
             "FROM numbers(101) GROUP BY 1.0",
         ).collect()[0].med
         assert r == 50.0
+
+
+class TestWithConstantLambdaCollision:
+    """A scalar WITH constant sharing a name with a lambda parameter is
+    a LOUD reject (round 9): whole-word substitution would rewrite the
+    parameter itself ('(5) -> (5) + 1') — a silent wrong-output class."""
+
+    def test_single_param_collision_rejects(self):
+        with pytest.raises(ChSqlError, match="lambda parameter"):
+            rw("WITH 5 AS i SELECT transform(a, i -> i + 1) FROM t")
+
+    def test_multi_param_collision_rejects(self):
+        with pytest.raises(ChSqlError, match="lambda parameter"):
+            rw("WITH 5 AS k SELECT transform(a, (x, k) -> x + k) FROM t")
+
+    def test_collision_inside_cte_rejects(self):
+        with pytest.raises(ChSqlError, match="lambda parameter"):
+            rw("WITH 3600 AS b, x AS (SELECT transform(v, b -> b) AS z "
+               "FROM t) SELECT z FROM x")
+
+    def test_distinct_names_still_substitute(self):
+        out = rw("WITH 5 AS k SELECT transform(a, x -> x + k) FROM t")
+        assert out == "SELECT transform(a, x -> x + (5)) FROM t"
