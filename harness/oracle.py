@@ -172,7 +172,13 @@ def run_one(spark, con, spec, sf_dir: str, tolerance: float | None = None) -> Co
 
 
 def _compare_tolerant(name, sdf, odf, tol) -> CompareResult:
-    """Numeric comparison with relative tolerance (approx aggregates)."""
+    """Numeric comparison with relative tolerance (approx aggregates).
+    The driver-canon hazards gate this path too (round 9) — a
+    tolerance query with a list cell or tz-aware dtype would err in
+    the driver exactly like an exact one."""
+    hazard = driver_canon_check(name, sdf, odf)
+    if hazard is not None:
+        return hazard
     s_cols, s_rows = canonicalize(sdf)
     o_cols, o_rows = canonicalize(odf)
     if s_cols != o_cols or len(s_rows) != len(o_rows):
