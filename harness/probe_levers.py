@@ -153,6 +153,53 @@ def main() -> int:
         _timed(f"skew/kurt moments method={method}", lambda m=method: _run(m))
     print(f"| limb bit-identical to decimal | — | "
           f"{outs['decimal'] == outs['limb']} |")
+
+    # -- round-9 two-phase distribution ranks (the q57 class) -----------
+    # ONE partition-key value at 64x orders: the window form caps at a
+    # single task; distribution_ranks fans the sort across value
+    # buckets. Cuts are PREPARED (the q130 index-build contract) —
+    # a deployment computes them once per table, not per query.
+    from pyspark.sql import Window as PW
+
+    from mb8600_clickhouse_spark.operators.stats import distribution_ranks
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    reps64 = spark.range(64).select(F.col("id").alias("rep"))
+    giant_o = (
+        orders.crossJoin(F.broadcast(reps64))
+        .select(
+            F.lit("all").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_orderkey") * 64 + F.col("rep")).alias("pk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    print(f"distribution ranks over ONE key: {giant_o.count():,} rows")
+    dr_cuts = giant_o.stat.approxQuantile(
+        "price", [i / 32 for i in range(1, 32)], 0.01
+    )
+    wq = PW.partitionBy("k").orderBy("price", "pk")
+    res = {}
+
+    def _win():
+        rows = giant_o.select(
+            F.ntile(4).over(wq).alias("q"),
+            F.percent_rank().over(wq).alias("pr"),
+        ).agg(F.sum("q"), F.round(F.sum("pr"), 4)).first()
+        res.setdefault("win", tuple(rows))
+        return tuple(rows)
+
+    def _two():
+        rows = distribution_ranks(
+            giant_o, "k", ["price", "pk"], n_ranges=32, cuts=dr_cuts
+        ).agg(F.sum("quartile"), F.round(F.sum("pct_rank"), 4)).first()
+        res.setdefault("two", tuple(rows))
+        return tuple(rows)
+
+    for lbl, fn in (("one-task window", _win), ("two-phase buckets", _two),
+                    ("one-task window", _win), ("two-phase buckets", _two)):
+        _timed(f"distribution ranks {lbl}", fn)
+    print(f"| two-phase equals window | — | {res['win'] == res['two']} |")
     return 0
 
 

@@ -357,3 +357,98 @@ def skew_kurt(
         f"({tails['kurtPop']}) AS kurt_pop",
         f"({tails['kurtSamp']}) AS kurt_samp",
     )
+
+
+def distribution_ranks(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    n_buckets: int = 4,
+    n_ranges: int = 32,
+    rel_err: float = 0.01,
+    cuts: list[float] | None = None,
+) -> DataFrame:
+    """ntile / percent_rank / cume_dist WITHOUT the one-task-per-key
+    window — the 100 TB lever for LOW-CARDINALITY partition keys (the
+    q57 class: a 5-value priority column caps the window at 5 tasks no
+    matter how many cores or how much data).
+
+    Requires a UNIQUE total ordering (``order_cols`` must end with a
+    tiebreaker, e.g. the primary key): with no ties, rank == position,
+    so all three distribution functions are pure arithmetic over
+    (per-key position, per-key count) — and position parallelizes with
+    the q138 two-phase device composed with q130's broadcast cuts:
+
+    1. ``approxQuantile`` cut points on the first order column (ONE
+       bounded driver collect at prepare — the index-build contract)
+       define ``n_ranges`` monotone value buckets as a projection;
+    2. per-(key, bucket) counts roll into a broadcast-sized offset
+       ledger (K x n_ranges rows however big the corpus);
+    3. the only per-row window is row_number PARTITIONED BY
+       (key, bucket) — K x n_ranges parallel sorts, each bounded at
+       ~1/n_ranges of a key's rows;
+    4. position = bucket offset + local row number; ntile's
+       unequal-bucket rule, percent_rank's (pos-1)/(n-1) and
+       cume_dist's pos/n are projections over the broadcast totals.
+
+    Output: input columns + (quartile INT, pct_rank DOUBLE, cdist
+    DOUBLE) — bit-identical to the window spelling on a unique
+    ordering (pytest-pinned; the probe shows the parallelism).
+    Approximate cuts NEVER affect values — only bucket balance.
+    Pass ``cuts`` (any ascending value boundaries on the first order
+    column) to skip the approxQuantile pass — the q130 contract: cut
+    points are INDEX-BUILD state a deployment computes once per
+    table, not per query; stale cuts skew bucket balance, never
+    values."""
+    ocol = order_cols[0]
+    tail = [F.col(c) for c in order_cols[1:]]
+    if cuts is None:
+        probs = [i / n_ranges for i in range(1, n_ranges)]
+        cuts = df.stat.approxQuantile(ocol, probs, rel_err)
+    cuts = sorted(set(cuts))
+    bkt = F.lit(0)
+    for c in cuts:
+        bkt = bkt + F.when(F.col(ocol) > F.lit(c), 1).otherwise(0)
+    b = df.withColumn("_bkt", bkt.cast("int"))
+    off_w = (
+        Window.partitionBy(part_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_w = Window.partitionBy(part_col)
+    ledger = (
+        b.groupBy(part_col, "_bkt")
+        .agg(F.count("*").alias("_sub"))
+        .withColumn("_off", F.coalesce(F.sum("_sub").over(off_w), F.lit(0)))
+        .withColumn("_n", F.sum("_sub").over(tot_w))
+        .drop("_sub")
+    )
+    loc_w = Window.partitionBy(part_col, "_bkt").orderBy(
+        F.col(ocol), *tail
+    )
+    pos = (F.col("_off") + F.row_number().over(loc_w)).alias("_pos")
+    scored = b.join(F.broadcast(ledger), [part_col, "_bkt"]).select(
+        *df.columns, pos, F.col("_n").alias("_n")
+    )
+    n, p = F.col("_n"), F.col("_pos")
+    k = F.lit(n_buckets)
+    big = (n / k).cast("long") + 1  # size of the first (n % k) buckets
+    n_big = n % k
+    quartile = (
+        F.when(p <= n_big * big, F.ceil(p / big))
+        .otherwise(
+            n_big
+            + F.ceil((p - n_big * big) / F.nullif((n / k).cast("long"), F.lit(0)))
+        )
+        .cast("int")
+    )
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        (p - 1).cast("double") / (n - 1).cast("double")
+    )
+    cdist = p.cast("double") / n.cast("double")
+    return scored.select(
+        *df.columns,
+        quartile.alias("quartile"),
+        pct.alias("pct_rank"),
+        cdist.alias("cdist"),
+    )

@@ -489,7 +489,18 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exchange machinery on a 150k-row shuffle, inherent to exact
     partition-level distribution functions; ratio vs a 0.14 s in-
     process oracle is the documented stage-floor class, and the 10x
-    convergence probe shows this class collapsing at scale."""
+    convergence probe shows this class collapsing at scale.
+
+    100 TB path (round 9): with only 5 priority values this window
+    caps at 5 tasks however large the data — the REAL scale hazard,
+    not the local ratio. ``operators/stats.distribution_ranks`` is
+    the two-phase lever (q130 broadcast cuts x q138 offset ledger:
+    approx-quantile value buckets, per-(key, bucket) broadcast
+    offsets, the only per-row window partitioned by (key, bucket) —
+    K x n_ranges parallel sorts), exactly equal on the unique
+    ordering (pytest + probe_levers). This query keeps the plain
+    window: at verification scale the extra cuts collect and ledger
+    join cost more than the 5-task sort saves."""
     from pyspark.sql import Window as W
 
     from ..session import exec_profile

@@ -275,3 +275,60 @@ def test_limb_property_matches_decimal(spark):
         ), vals
 
     check()
+
+
+class TestDistributionRanks:
+    """distribution_ranks (round 9) — the q57-class 100 TB lever:
+    ntile/percent_rank/cume_dist without the one-task-per-key window.
+    Must equal the window spelling exactly on a unique ordering."""
+
+    def test_matches_window_form(self, spark):
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from mb8600_clickhouse_spark.operators.stats import (
+            distribution_ranks,
+        )
+
+        rng = random.Random("dranks")
+        rows = [
+            Row(k="p%d" % (i % 3), price=round(rng.uniform(0, 500), 2),
+                pk=i)
+            for i in range(400)
+        ]
+        # a tiny key exercises the n < n_buckets ntile branch
+        rows += [Row(k="tiny", price=1.0, pk=10_001),
+                 Row(k="tiny", price=2.0, pk=10_002)]
+        df = spark.createDataFrame(rows)
+        w = W.partitionBy("k").orderBy("price", "pk")
+        ref = {
+            r.pk: (r.q, round(r.pr, 10), round(r.cd, 10))
+            for r in df.select(
+                "pk",
+                F.ntile(4).over(w).alias("q"),
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd"),
+            ).collect()
+        }
+        got = {
+            r.pk: (r.quartile, round(r.pct_rank, 10), round(r.cdist, 10))
+            for r in distribution_ranks(
+                df, "k", ["price", "pk"], n_ranges=8
+            ).collect()
+        }
+        assert ref == got
+
+    def test_parallel_plan_shape(self, spark):
+        from mb8600_clickhouse_spark.operators.stats import (
+            distribution_ranks,
+        )
+
+        df = spark.range(2000).selectExpr(
+            "'one' AS k", "CAST(id % 977 AS DOUBLE) + id * 1e-6 AS price",
+            "id AS pk",
+        )
+        out = distribution_ranks(df, "k", ["price", "pk"], n_ranges=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the per-row window partitions on (k, _bkt), never on k alone:
+        # a single giant key fans across the bucket dimension
+        assert "_bkt" in plan
