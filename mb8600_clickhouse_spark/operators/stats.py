@@ -19,7 +19,12 @@ are bit-identical on the same data (test-pinned).
 Scale shape (100 TB): one exchange keyed on the group column for the
 rank windows (plus the per-(group, value) tie-count window sharing the
 same partitioning), one partial-aggregated rollup. No driver state, no
-collect, no Python.
+collect, no Python. Caveat shared by every keyed window here: a LOW-
+cardinality group column caps parallelism at one task per group value;
+``distribution_ranks`` (below) is the two-phase bucket spelling of
+that fix for the rank/position family, and its cuts-plus-offset-ledger
+device generalizes to the other windows if a deployment's group
+cardinality demands it.
 """
 
 from __future__ import annotations
