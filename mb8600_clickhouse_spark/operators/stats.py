@@ -215,6 +215,30 @@ _W = 1 << 30
 _LIMB_VMAX = 1_800_000_000
 
 
+def _limb_audit_expr(n: str = "n", vmax: str = "vmax") -> str:
+    """SQL predicate deciding whether a group's (count, max|v|) pair is
+    OUTSIDE the limb lane's non-ANSI safety envelope. Per-row
+    worst-case magnitude of each of the ten digit sums: |v| (z1),
+    v^2/W (z2a = a), v^3/W^2 (z3c = d2, the cubic TOP digit), v^4/W^3
+    (z4d = e3, the quartic TOP digit — at the domain edge ~2.8x larger
+    than a, the BINDING term), and W (every low digit). The top-digit
+    terms must appear explicitly: with only max(v, v^2/W, W) there is
+    a window (n ~ 1.1-1.5e9 at |v| = 1.8e9) where sum(e3) wraps int64
+    BEFORE the audit trips in a non-ANSI session (regression-pinned in
+    tests/test_stats_operators.py::test_limb_audit_covers_top_digits).
+    The 4.6e18 threshold keeps a 2x margin under 2^63 - 1."""
+    vd = f"CAST({vmax} AS DOUBLE)"
+    return (
+        f"({vmax} > {_LIMB_VMAX}L OR "
+        f"CAST({n} AS DOUBLE) * greatest("
+        f"{vd}, "
+        f"{vd} * {vd} / {float(_W)}, "
+        f"{vd} * {vd} * {vd} / {float(_W) ** 2}, "
+        f"{vd} * {vd} * {vd} * {vd} / {float(_W) ** 3}, "
+        f"{float(_W)}) >= 4.6e18)"
+    )
+
+
 def moments(
     df: DataFrame, value: str, by: str, method: str = "decimal"
 ) -> DataFrame:
@@ -243,9 +267,11 @@ def moments(
     ANSI (the engine default) any int64 overflow raises natively.  For
     non-ANSI sessions the aggregate also carries count + max(|v|) and
     the recombination raises in-plan when the conservative bound
-    n * max(M, M^2/2^30, 2^30) >= 2^62 or M > 1.8e9 is violated —
-    never a silent wrap. The audit arithmetic runs in DOUBLE (bounds
-    only; exactness is not needed to *reject*).
+    n * max(M, M^2/2^30, M^3/2^60, M^4/2^90, 2^30) >= 2^62 or
+    M > 1.8e9 is violated — never a silent wrap (the cubic/quartic
+    terms bound the TOP recombination digits d2/e3, which exceed the
+    quadratic term at the domain edge). The audit arithmetic runs in
+    DOUBLE (bounds only; exactness is not needed to *reject*).
 
     Scale shape: one ``by`` exchange with map-side partial aggregation
     of ten longs (vs four BigDecimals); scan-dominated otherwise.
@@ -311,13 +337,7 @@ def moments(
         F.sum("e1").alias("z4b"),
         F.sum("e0").alias("z4a"),
     )
-    audit = (
-        f"(vmax > {_LIMB_VMAX}L OR "
-        f"CAST(n AS DOUBLE) * greatest("
-        f"CAST(vmax AS DOUBLE), "
-        f"CAST(vmax AS DOUBLE) * CAST(vmax AS DOUBLE) / {float(_W)}, "
-        f"{float(_W)}) >= 4.6e18)"
-    )
+    audit = _limb_audit_expr()
 
     def _guard(expr: str, alias: str) -> str:
         return (

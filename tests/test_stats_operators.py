@@ -277,6 +277,47 @@ def test_limb_property_matches_decimal(spark):
     check()
 
 
+def test_limb_audit_covers_top_digits(spark):
+    """Regression: the non-ANSI audit bound must include the cubic and
+    quartic TOP recombination digits (d2 ~ v^3/W^2, e3 ~ v^4/W^3). The
+    original max(v, v^2/W, W) bound left a window — n in
+    (~1.09e9, ~1.52e9) at |v| = 1.8e9 — where sum(e3) wraps int64
+    before the audit trips. Evaluates the ACTUAL SQL predicate at the
+    hazard point and sweeps the in-domain edge: whenever the audit
+    passes, every digit sum's worst case must sit under 2^63 - 1."""
+    from mb8600_clickhouse_spark.operators.stats import (
+        _LIMB_VMAX,
+        _W,
+        _limb_audit_expr,
+    )
+
+    def trips(n, vmax):
+        expr = _limb_audit_expr(str(n), f"{vmax}L")
+        return spark.sql(f"SELECT {expr} AS t").collect()[0].t
+
+    # the r09 hazard point: inside the old window, must now trip
+    assert trips(1_200_000_000, _LIMB_VMAX)
+    # worst-case per-row magnitude of ANY of the ten digit sums
+    def worst(vmax):
+        return max(vmax, vmax**2 / _W, vmax**3 / _W**2,
+                   vmax**4 / _W**3, _W)
+
+    for vmax in (1, 10_000, _W - 1, _W, 10**9, _LIMB_VMAX):
+        # binary-search the largest n the SQL audit still passes, then
+        # assert NO digit sum can wrap at that n (the safety property
+        # the old bound violated at vmax = 1.8e9)
+        lo, hi = 1, 2**62
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if trips(mid, vmax):
+                hi = mid - 1
+            else:
+                lo = mid
+        assert lo * worst(vmax) < 2**63 - 1, (vmax, lo)
+        # and the audit never trips spuriously at tiny n
+        assert not trips(1000, vmax)
+
+
 class TestDistributionRanks:
     """distribution_ranks (round 9) — the q57-class 100 TB lever:
     ntile/percent_rank/cume_dist without the one-task-per-key window.
