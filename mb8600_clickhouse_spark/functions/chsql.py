@@ -1664,6 +1664,67 @@ def _lambda_param_collision(text: str, name: str) -> bool:
     return False
 
 
+_CLAUSE_TERMINATORS = re.compile(
+    r"\b(HAVING|ORDER|LIMIT|OFFSET|WINDOW|UNION|EXCEPT|INTERSECT|"
+    r"SETTINGS|FORMAT|WITH|GROUP)\b",
+    re.IGNORECASE,
+)
+
+
+def _ordinal_item_collision(text: str, name: str) -> bool:
+    """True when ``name`` appears as a BARE item of a GROUP BY / ORDER
+    BY list in ``text``. Substituting an integer-literal WITH constant
+    there would produce ``GROUP BY (2)``, which Spark reinterprets as a
+    POSITIONAL ordinal (column 2) — silently different semantics from
+    ClickHouse, which resolves the alias to the constant. Items that
+    merely CONTAIN the name (``k + 1``) are fine: the substituted form
+    is an expression, which neither engine positional-izes."""
+    for m in re.finditer(r"\b(?:GROUP|ORDER)\s+BY\b", text,
+                         re.IGNORECASE):
+        depth, in_str, items, cur = 0, False, [], []
+        i = m.end()
+        while i < len(text):
+            ch = text[i]
+            if in_str:
+                cur.append(ch)
+                if ch == "'":
+                    in_str = False
+                i += 1
+                continue
+            if ch == "'":
+                in_str = True
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                if depth == 0:
+                    break  # clause ends with the enclosing subquery
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                if depth == 0:
+                    t = _CLAUSE_TERMINATORS.match(text, i)
+                    if t and (i == m.end() or not text[i - 1].isalnum()):
+                        break
+                cur.append(ch)
+            i += 1
+        items.append("".join(cur))
+        for it in items:
+            it = re.sub(
+                r"\b(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b\s*$", "",
+                it.strip(), flags=re.IGNORECASE,
+            ).strip()
+            while it.startswith("(") and it.endswith(")"):
+                it = it[1:-1].strip()
+            if it.lower() == name.lower():
+                return True
+    return False
+
+
 def _subst_const(text: str, name: str, expr: str) -> str:
     """String-literal-aware whole-word substitution of a scalar WITH
     constant; advances past each replacement so an expr containing the
@@ -1761,6 +1822,25 @@ def _rewrite_with_constants(
                 )
     body = sql[sel.start() :]
     for name, expr in subs.items():
+        # An integer-literal constant substituted as a BARE GROUP BY /
+        # ORDER BY item would become e.g. ``GROUP BY (2)``, which Spark
+        # resolves as a POSITIONAL ordinal (column 2) while ClickHouse
+        # resolves the alias to the constant — silent wrong results, so
+        # reject loudly (DIALECT_NOTES: positional-arguments).
+        if re.fullmatch(r"\(\s*\d+\s*\)", expr) and (
+            _ordinal_item_collision(body, name)
+            or (blocks and any(
+                _ordinal_item_collision(b, name) for b in blocks.values()
+            ))
+        ):
+            raise ChSqlError(
+                f"scalar WITH constant {name!r} = {expr} is used as a "
+                "bare GROUP BY / ORDER BY item — Spark would read the "
+                "substituted integer literal as a positional column "
+                "ordinal, ClickHouse resolves the alias to a constant; "
+                "remove the item or spell the constant as a "
+                "non-integer expression (e.g. 0 + N)"
+            )
         if _lambda_param_collision(body, name) or (
             blocks
             and any(_lambda_param_collision(b, name) for b in blocks.values())

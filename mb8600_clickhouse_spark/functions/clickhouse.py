@@ -868,6 +868,7 @@ DIALECT_NOTES: dict[str, str] = {
     "ORDER BY ... LIMIT n WITH TIES": "runs verbatim as of round 8 (chsql._rewrite_limit_with_ties) — rank() filter over the statement's ORDER BY, tie groups straddling the cut survive whole; requires a top-level ORDER BY",
     "GROUP BY ALL / SELECT * EXCEPT (cols)": "run NATIVELY in Spark 4 — no rewrite needed (test-pinned in test_chsql.py)",
     "WITH 3600 AS bucket / WITH (SELECT ...) AS name": "runs verbatim as of round 8 (chsql._rewrite_with_constants) — CH's expression-first scalar WITH substitutes string-literal-aware; genuine CTEs in the same clause are left in place (q181)",
+    "GROUP BY 1 / ORDER BY 2 (positional arguments)": "bare integer literals run verbatim — Spark's ordinal resolution matches ClickHouse >= 22.2 (enable_positional_arguments default ON); on OLDER CH they were constants (no-op), a version divergence to check when migrating. A scalar WITH constant used AS a bare GROUP BY/ORDER BY item raises (round 9): CH resolves the alias to a constant, Spark would ordinal-ize the substituted literal",
     "kolmogorovSmirnovTest / cramersV / theilsU / contingency": "run verbatim as of round 8 (collect-fold expressions; KS D is exact, chi2/log members snap to 1e-6 — q173); bounded-slice contract, relational spellings are the unbounded path",
     "deltaSum(x, k) / deltaSumTimestamp / exponentialMovingAverage(hl)(v, t)": "run verbatim as of round 8 (q167) — deltaSum needs the explicit sort-key second argument (CH's 1-arg block-order form rejects)",
     "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame/leadInFrame with an explicit ROWS/RANGE/GROUPS frame (inline or via a resolvable named window) is a LOUD ChSqlError as of round 9 — Spark lag/lead ignore frames, so only the default-frame form bridges (ADVICE r08)",

@@ -2841,6 +2841,32 @@ class TestWithConstants:
         with pytest.raises(ChSqlError, match="cyclic"):
             rw("WITH b + 1 AS a, a + 1 AS b SELECT a FROM t")
 
+    def test_integer_constant_as_ordinal_item_rejects(self):
+        # Spark reads a substituted bare integer literal in GROUP BY /
+        # ORDER BY as a POSITIONAL ordinal; ClickHouse resolves the
+        # alias to a constant — silent wrong results, so reject
+        with pytest.raises(ChSqlError, match="positional"):
+            rw("WITH 2 AS k SELECT a, b FROM t ORDER BY k")
+        with pytest.raises(ChSqlError, match="positional"):
+            rw("WITH 1 AS k SELECT count(*) AS c FROM t GROUP BY k")
+        with pytest.raises(ChSqlError, match="positional"):
+            rw("WITH 2 AS k SELECT a, b FROM t ORDER BY a, k DESC")
+        # inside a subquery block too
+        with pytest.raises(ChSqlError, match="positional"):
+            rw("WITH 1 AS k SELECT * FROM "
+               "(SELECT a, count(*) AS c FROM t GROUP BY a ORDER BY k) s")
+
+    def test_integer_constant_in_expression_items_fine(self):
+        # expression items are NOT ordinal-ized by either engine
+        out = rw("WITH 2 AS k SELECT a, b FROM t ORDER BY a + k")
+        assert out == "SELECT a, b FROM t ORDER BY a + (2)"
+        # non-integer constants are never ordinals
+        out = rw("WITH 1.5 AS k SELECT a, b FROM t ORDER BY k")
+        assert out == "SELECT a, b FROM t ORDER BY (1.5)"
+        # the name inside SELECT only — no clause collision
+        out = rw("WITH 2 AS k SELECT a * k AS ak FROM t ORDER BY ak")
+        assert out == "SELECT a * (2) AS ak FROM t ORDER BY ak"
+
     def test_constants_substitute_into_cte_bodies(self):
         # ADVICE r08: CH scoping makes scalar constants visible inside
         # CTE bodies; the old rewrite left them unresolved there
