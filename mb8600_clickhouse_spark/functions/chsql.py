@@ -1650,6 +1650,81 @@ def _rewrite_numbers(sql: str) -> str:
         sql = sql[: m.start()] + rep + sql[m.end() :]
 
 
+def _pair_map(sql: str) -> dict[int, int]:
+    """close-index -> open-index map for ``()`` and ``[]`` pairs
+    outside string literals (mismatched pairs are simply absent)."""
+    stack: list[tuple[str, int]] = []
+    pairs: dict[int, int] = {}
+    for i, ch, _d, in_str in _scan(sql):
+        if in_str:
+            continue
+        if ch in "([":
+            stack.append((ch, i))
+        elif ch in ")]":
+            if stack and stack[-1][0] == ("(" if ch == ")" else "["):
+                pairs[i] = stack.pop()[1]
+            elif stack:
+                stack.pop()
+    return pairs
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """ClickHouse bracket syntax (round 9 — found by edge probing):
+
+    - ``expr[i]`` subscripts are ONE-based in ClickHouse (negative =
+      from the end); Spark's native ``expr[i]`` is ZERO-based, so the
+      form previously ran and silently returned the WRONG element.
+      Rewritten to ``element_at(expr, i)`` — 1-based and
+      negative-from-end, exactly CH's addressing. Out-of-bounds raises
+      under ANSI instead of returning CH's type default (DIALECT_NOTES).
+      Map subscripts ``m['key']`` land on element_at's map form (by
+      key) — same parity.
+    - ``[e1, e2]`` array literals (not Spark syntax) become
+      ``array(e1, e2)``.
+
+    A bracket is a SUBSCRIPT iff it immediately follows (no space) an
+    identifier character, ``)`` or ``]``; anything else is a literal.
+    The subscript base walks back over a full postfix chain
+    (``a.f(x)(y)[1][2]``). String literals are never touched; nested
+    brackets resolve over the restart loop."""
+    while True:
+        pairs = _pair_map(sql)
+        target = None
+        for i, ch, _d, in_str in _scan(sql):
+            if ch == "[" and not in_str:
+                target = i
+                break
+        if target is None:
+            return sql
+        close = next(
+            (c for c, o in pairs.items() if o == target), None
+        )
+        if close is None:
+            return sql  # unbalanced; leave for Spark's parser to report
+        inner = sql[target + 1 : close]
+        prev = sql[target - 1] if target > 0 else ""
+        if not (prev.isalnum() or prev in "_$)]"):
+            sql = sql[:target] + f"array({inner})" + sql[close + 1 :]
+            continue
+        j = target - 1
+        while j >= 0:
+            c = sql[j]
+            if c in ")]":
+                if j not in pairs:
+                    break
+                j = pairs[j] - 1
+            elif c.isalnum() or c in "_$.":
+                j -= 1
+            else:
+                break
+        base = sql[j + 1 : target]
+        sql = (
+            sql[: j + 1]
+            + f"element_at({base}, {inner.strip()})"
+            + sql[close + 1 :]
+        )
+
+
 def _lambda_param_collision(text: str, name: str) -> bool:
     """True when ``name`` appears as a higher-order-function LAMBDA
     PARAMETER in ``text`` (``name -> ...`` or ``(a, name) -> ...``):
@@ -3689,6 +3764,9 @@ def rewrite_clickhouse_sql(
             blocks[token], final_tables, sample_by, dictionaries
         )
     sql = _rewrite_numbers(sql)
+    # early: CH bracket syntax (1-based subscripts -> element_at, [..]
+    # literals -> array(..)) so every later rewrite sees Spark spelling
+    sql = _rewrite_brackets(sql)
     # before _rewrite_combinators: the -State name inside
     # runningAccumulate(...) determines the window merge function
     sql = _rewrite_running_accumulate(sql)

@@ -68,6 +68,15 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     "toRelativeHourNum": ("(ts TIMESTAMP)", "BIGINT", "unix_seconds(ts) div 3600"),
     "toUnixTimestamp": ("(ts TIMESTAMP)", "BIGINT", "unix_seconds(ts)"),
     "fromUnixTimestamp": ("(s BIGINT)", "TIMESTAMP", "timestamp_seconds(s)"),
+    # CH's string form ('2024-01-01 00:00:00' or '2024-01-01'); the
+    # epoch-seconds overload is fromUnixTimestamp here — an INT arg
+    # would coerce through STRING and fail the cast loudly under ANSI,
+    # never a silent wrong timestamp. The timezone 2nd-arg form errors
+    # on arity (not bridged; session zone is UTC by contract).
+    "toDateTime": ("(s STRING)", "TIMESTAMP", "cast(s AS TIMESTAMP)"),
+    "toDateTimeOrNull": (
+        "(s STRING)", "TIMESTAMP", "try_cast(s AS TIMESTAMP)",
+    ),
     "addHours": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts + make_interval(0,0,0,0,n,0,0)"),
     "addDays": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts + make_interval(0,0,0,n,0,0,0)"),
     "subtractDays": ("(ts TIMESTAMP, n INT)", "TIMESTAMP", "ts - make_interval(0,0,0,n,0,0,0)"),
@@ -131,20 +140,30 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # SQL UDFs under case-insensitive resolution)
     "assumeNotNull": ("(a STRING)", "STRING", "a"),
     # strings
+    # CH requires the separator to be EXACTLY one character and raises
+    # otherwise — mirror the loud error instead of silently splitting
+    # on a multi-char string (found by round-9 edge probing)
     "splitByChar": (
         "(sep STRING, s STRING)",
         "ARRAY<STRING>",
-        r"split(s, concat('\\Q', sep, '\\E'))",
+        r"CASE WHEN length(sep) <> 1 THEN "
+        r"CAST(raise_error(concat('splitByChar: separator must be "
+        r"exactly one character, got ''', sep, '''')) AS ARRAY<STRING>) "
+        r"ELSE split(s, concat('\\Q', sep, '\\E')) END",
     ),
     "arrayStringConcat": (
         "(arr ARRAY<STRING>, sep STRING)",
         "STRING",
         "array_join(arr, sep)",
     ),
+    # empty separator = split into single characters, NO trailing empty
+    # element (CH contract; Spark's split('abc', '') appends one) — the
+    # slice pins exactly length(s) elements, '' input -> [] both engines
     "splitByString": (
         "(sep STRING, s STRING)",
         "ARRAY<STRING>",
-        r"split(s, concat('\\Q', sep, '\\E'))",
+        r"CASE WHEN sep = '' THEN slice(split(s, ''), 1, length(s)) "
+        r"ELSE split(s, concat('\\Q', sep, '\\E')) END",
     ),
     "splitByRegexp": (
         "(re STRING, s STRING)",
@@ -869,6 +888,7 @@ DIALECT_NOTES: dict[str, str] = {
     "GROUP BY ALL / SELECT * EXCEPT (cols)": "run NATIVELY in Spark 4 — no rewrite needed (test-pinned in test_chsql.py)",
     "WITH 3600 AS bucket / WITH (SELECT ...) AS name": "runs verbatim as of round 8 (chsql._rewrite_with_constants) — CH's expression-first scalar WITH substitutes string-literal-aware; genuine CTEs in the same clause are left in place (q181)",
     "GROUP BY 1 / ORDER BY 2 (positional arguments)": "bare integer literals run verbatim — Spark's ordinal resolution matches ClickHouse >= 22.2 (enable_positional_arguments default ON); on OLDER CH they were constants (no-op), a version divergence to check when migrating. A scalar WITH constant used AS a bare GROUP BY/ORDER BY item raises (round 9): CH resolves the alias to a constant, Spark would ordinal-ize the substituted literal",
+    "arr[i] subscripts / [1, 2] array literals": "bridged as of round 9 (chsql._rewrite_brackets) — CH subscripts are ONE-based (negative = from the end) while Spark's native brackets are ZERO-based, so the form previously ran with silently shifted elements; rewritten to element_at (1-based, negative-from-end, map-by-key — exact CH addressing). Out-of-bounds raises under ANSI instead of returning CH's type default (spell ifNull(try_element_at(...), default) for that contract). [..] literals become array(..)",
     "kolmogorovSmirnovTest / cramersV / theilsU / contingency": "run verbatim as of round 8 (collect-fold expressions; KS D is exact, chi2/log members snap to 1e-6 — q173); bounded-slice contract, relational spellings are the unbounded path",
     "deltaSum(x, k) / deltaSumTimestamp / exponentialMovingAverage(hl)(v, t)": "run verbatim as of round 8 (q167) — deltaSum needs the explicit sort-key second argument (CH's 1-arg block-order form rejects)",
     "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame/leadInFrame with an explicit ROWS/RANGE/GROUPS frame (inline or via a resolvable named window) is a LOUD ChSqlError as of round 9 — Spark lag/lead ignore frames, so only the default-frame form bridges (ADVICE r08)",

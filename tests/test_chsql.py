@@ -139,8 +139,77 @@ class TestArrayJoinRewrite:
         # Spark forbids SQL UDFs inside Generate: the splitByChar body
         # must be inlined, not called
         got = rw("SELECT arrayJoin(splitByChar(',', s)) AS x FROM t")
-        assert "splitByChar" not in got
+        # the alias CALL must be gone (its name may survive inside the
+        # inlined body's single-char guard error message)
+        assert "splitByChar(" not in got
         assert "split(" in got
+
+
+class TestBracketRewrite:
+    """CH bracket syntax: 1-based subscripts -> element_at, [..] array
+    literals -> array(..). The subscript form previously passed through
+    to Spark's ZERO-based brackets — silently shifted elements."""
+
+    def test_subscript_one_based(self):
+        assert rw("SELECT arr[1] FROM t") == (
+            "SELECT element_at(arr, 1) FROM t"
+        )
+        assert rw("SELECT arr[-1] FROM t") == (
+            "SELECT element_at(arr, -1) FROM t"
+        )
+
+    def test_postfix_chains(self):
+        assert rw("SELECT splitByChar(',', s)[1] FROM t") == (
+            "SELECT element_at(splitByChar(',', s), 1) FROM t"
+        )
+        assert rw("SELECT a.b.c[2] FROM t") == (
+            "SELECT element_at(a.b.c, 2) FROM t"
+        )
+        assert rw("SELECT x[1][2] FROM t") == (
+            "SELECT element_at(element_at(x, 1), 2) FROM t"
+        )
+
+    def test_array_literals(self):
+        assert rw("SELECT [1, 2, 3] AS a") == "SELECT array(1, 2, 3) AS a"
+        assert rw("SELECT [[1],[2]] AS n") == (
+            "SELECT array(array(1),array(2)) AS n"
+        )
+        assert rw("SELECT arrayMap(x -> x + 1, [1, 2]) AS a") == (
+            "SELECT transform(array(1, 2), x -> x + 1) AS a"
+        )
+
+    def test_nested_subscript_in_literal_and_vice_versa(self):
+        assert rw("SELECT x[y[1]] FROM t") == (
+            "SELECT element_at(x, element_at(y, 1)) FROM t"
+        )
+        assert rw("SELECT [a[1], 2] AS v FROM t") == (
+            "SELECT array(element_at(a, 1), 2) AS v FROM t"
+        )
+
+    def test_string_literals_untouched(self):
+        assert rw("SELECT 'lit [not] touched' AS s, arr[2] FROM t") == (
+            "SELECT 'lit [not] touched' AS s, element_at(arr, 2) FROM t"
+        )
+
+    def test_map_key_subscript(self):
+        assert rw("SELECT m['k'] FROM t") == (
+            "SELECT element_at(m, 'k') FROM t"
+        )
+
+    def test_execution_parity(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = ch_sql(
+            spark,
+            "SELECT splitByChar(',', 'a,b')[1] AS first, "
+            "splitByChar(',', 'a,b')[-1] AS last, "
+            "[10, 20, 30][2] AS lit2, map('k', 7)['k'] AS mk",
+        ).collect()[0]
+        assert (r.first, r.last, r.lit2, r.mk) == ("a", "b", 20, 7)
 
 
 class TestLimitByRewrite:

@@ -493,6 +493,38 @@ class TestSplitBase64:
             got = list(got) if isinstance(got, list) else got
             assert got == w, (e, got, w)
 
+    def test_split_round9_edges(self, spark):
+        """Round-9 parity fixes: splitByChar rejects multi-char
+        separators loudly (CH raises); splitByString('') splits into
+        characters with NO trailing empty and '' -> []; non-empty
+        separators keep empty tokens including trailing ones; the
+        toDateTime string form parses like CH."""
+        import pytest
+
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        cases = {
+            "splitByString('', 'abc')": ["a", "b", "c"],
+            "splitByString('', '')": [],
+            "splitByString('b', 'abcb')": ["a", "c", ""],
+            "splitByChar(',', 'a,b,,')": ["a", "b", "", ""],
+        }
+        for e, w in cases.items():
+            got = spark.sql(f"SELECT {e} AS x").collect()[0].x
+            assert list(got) == w, (e, got, w)
+        t = spark.sql(
+            "SELECT toDateTime('2024-01-01 12:30:00') AS x"
+        ).collect()[0].x
+        assert (t.year, t.hour, t.minute) == (2024, 12, 30)
+        assert spark.sql(
+            "SELECT toDateTimeOrNull('garbage') AS x"
+        ).collect()[0].x is None
+        with pytest.raises(Exception, match="exactly one character"):
+            spark.sql("SELECT splitByChar('ab', 'xaby') AS x").collect()
+
 
 class TestMapFunctions:
     def test_map_family(self, spark):
