@@ -3218,6 +3218,159 @@ _TSDIFF_UNITS = {
 _INTERVAL_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
+# name (lowercase) -> {arity: template} — TYPE-PRESERVING spellings of
+# the array vocabulary for the ch_sql dialect path (round 9). The
+# CLICKHOUSE_SCALARS registrations of the same names are typed
+# ARRAY<STRING> UDFs (CREATE FUNCTION cannot be generic), which coerce
+# numeric elements to strings on the direct spark.sql path; through
+# ch_sql these templates fire FIRST, so element types survive exactly
+# as in ClickHouse. Templates substitute {0}/{1}/... with the raw
+# argument text; all are balanced and contain no ClickHouse names, so
+# the restart loop terminates.
+_ARRAY_TEMPLATES: dict[str, dict[int, str]] = {
+    "arraydistinct": {1: "array_distinct({0})"},
+    "arrayreverse": {1: "reverse({0})"},
+    "arrayflatten": {1: "flatten({0})"},
+    "arrayuniq": {1: "size(array_distinct({0}))"},
+    "has": {2: "array_contains({0}, {1})"},
+    "indexof": {2: "array_position({0}, {1})"},
+    "countequal": {2: "size(filter({0}, __ce -> __ce <=> {1}))"},
+    # CH order is unspecified; sorted for determinism (the vsort rule,
+    # same upgrade the registered alias documents)
+    "arrayintersect": {2: "sort_array(array_intersect({0}, {1}))"},
+    "hasall": {2: "forall({1}, __ha -> array_contains({0}, __ha))"},
+    "hasany": {2: "exists({1}, __ha -> array_contains({0}, __ha))"},
+    "arrayconcat": {
+        2: "concat({0}, {1})",
+        3: "concat({0}, {1}, {2})",
+        4: "concat({0}, {1}, {2}, {3})",
+    },
+    "arraypushback": {2: "concat({0}, array({1}))"},
+    "arraypushfront": {2: "concat(array({1}), {0})"},
+    "arraypopback": {1: "slice({0}, 1, greatest(size({0}) - 1, 0))"},
+    "arraypopfront": {1: "slice({0}, 2, greatest(size({0}) - 1, 0))"},
+    # CH arraySlice: 1-based offset (negative = from end); 2-arg form
+    # takes the rest of the array — Spark slice truncates length at the
+    # end, so size({0}) is a safe "to the end" length
+    "arrayslice": {
+        2: "slice({0}, {1}, size({0}))",
+        3: "slice({0}, {1}, {2})",
+    },
+    "arrayenumerate": {1: "transform({0}, (__x, __i) -> __i + 1)"},
+    "arrayenumerateuniq": {
+        1: "transform({0}, (__x, __i) -> "
+           "size(filter(slice({0}, 1, __i + 1), __e -> __e <=> __x)))",
+    },
+    "arraycompact": {
+        1: "transform(filter(transform({0}, (__x, __i) -> "
+           "named_struct('x', __x, 'i', __i)), __s -> __s.i = 0 OR "
+           "NOT (__s.x <=> element_at({0}, __s.i))), __s -> __s.x)",
+    },
+    # CH match() returns UInt8; the INT cast matches the empty()/
+    # notEmpty() convention used across the vocabulary
+    "match": {2: "cast({0} RLIKE {1} AS INT)"},
+}
+
+
+def _rewrite_array_vocabulary(sql: str) -> str:
+    """Apply ``_ARRAY_TEMPLATES`` (type-preserving array/regex scalar
+    spellings) plus the two forms that need argument inspection:
+
+    - ``arraySort(arr)`` / ``arrayReverseSort(arr)`` ->
+      ``array_sort`` / reversed; the KEY-LAMBDA forms
+      ``arraySort(x -> key, arr)`` apply the key inside a comparator
+      (CH's lambda is a sort KEY, Spark's is a comparator — different
+      contracts, bridged by textual application of the key to both
+      sides).
+    - ``extract(s, 'regex')`` -> ``regexp_extract`` with CH's group
+      rule: first capture group when the pattern HAS one, else the
+      whole match. Literal patterns only (the group decision is made
+      at rewrite time); a non-literal pattern raises.
+    """
+    names = "|".join(sorted(_ARRAY_TEMPLATES, key=len, reverse=True))
+    while True:
+        m = _first_match(sql, rf"\b({names})\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+        tmpl = _ARRAY_TEMPLATES[m.group(1).lower()].get(len(args))
+        if tmpl is None:
+            raise ChSqlError(
+                f"{m.group(1)} does not take {len(args)} argument(s) "
+                f"(supported: {sorted(_ARRAY_TEMPLATES[m.group(1).lower()])})"
+            )
+        rep = tmpl.format(*args)
+        sql = sql[: m.start()] + f"({rep})" + sql[c + 1 :]
+
+    for fname, desc in (("arraySort", "asc"), ("arrayReverseSort", "desc")):
+        while True:
+            m = _first_match(sql, rf"\b{fname}\s*\(")
+            if not m:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+            if len(args) == 1:
+                rep = (
+                    f"array_sort({args[0]})" if desc == "asc"
+                    else f"reverse(array_sort({args[0]}))"
+                )
+            elif len(args) == 2 and "->" in args[0]:
+                lm = re.fullmatch(
+                    r"\(?\s*(\w+)\s*\)?\s*->\s*(.+)", args[0], re.DOTALL
+                )
+                if not lm:
+                    raise ChSqlError(
+                        f"{fname}: only a single-parameter key lambda is "
+                        f"bridged, got {args[0]!r}"
+                    )
+                p, body = lm.group(1), lm.group(2).strip()
+                kl = _subst_const(body, p, "(__sl)")
+                kr = _subst_const(body, p, "(__sr)")
+                lt, gt = ("-1", "1") if desc == "asc" else ("1", "-1")
+                rep = (
+                    f"array_sort({args[1]}, (__sl, __sr) -> "
+                    f"CASE WHEN ({kl}) < ({kr}) THEN {lt} "
+                    f"WHEN ({kl}) > ({kr}) THEN {gt} ELSE 0 END)"
+                )
+            else:
+                raise ChSqlError(
+                    f"{fname} expects (arr) or (key_lambda, arr), got "
+                    f"{len(args)} argument(s)"
+                )
+            sql = sql[: m.start()] + f"({rep})" + sql[c + 1 :]
+
+    pos = 0
+    while True:
+        m = _first_match(sql[pos:], r"\bextract\s*\(")
+        if not m:
+            break
+        o = sql.index("(", pos + m.end() - 1)
+        c = _match_paren(sql, o)
+        args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+        if len(args) != 2:
+            pos = c + 1  # ANSI EXTRACT(field FROM ts) — not the CH form
+            continue
+        pm = re.fullmatch(r"'((?:[^']|'')*)'", args[1])
+        if not pm:
+            raise ChSqlError(
+                "extract(s, regex) needs a literal pattern — the "
+                "capture-group decision (CH returns group 1 when the "
+                "pattern has one, else the whole match) is made at "
+                "rewrite time"
+            )
+        pat = pm.group(1)
+        has_group = re.search(r"(?<!\\)\((?!\?)", pat) is not None
+        grp = 1 if has_group else 0
+        rep = f"(regexp_extract({args[0]}, {args[1]}, {grp}))"
+        start = pos + m.start()
+        sql = sql[:start] + rep + sql[c + 1 :]
+        pos = start + len(rep)
+    return sql
+
+
 def _rewrite_scalar_calls(sql: str) -> str:
     """Variadic / keyword-argument scalar forms a fixed-arity SQL UDF
     cannot alias:
@@ -3767,6 +3920,9 @@ def rewrite_clickhouse_sql(
     # early: CH bracket syntax (1-based subscripts -> element_at, [..]
     # literals -> array(..)) so every later rewrite sees Spark spelling
     sql = _rewrite_brackets(sql)
+    # type-preserving array/regex vocabulary (fires before the typed
+    # ARRAY<STRING> UDF registrations would resolve the same names)
+    sql = _rewrite_array_vocabulary(sql)
     # before _rewrite_combinators: the -State name inside
     # runningAccumulate(...) determines the window merge function
     sql = _rewrite_running_accumulate(sql)

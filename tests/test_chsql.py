@@ -212,6 +212,66 @@ class TestBracketRewrite:
         assert (r.first, r.last, r.lit2, r.mk) == ("a", "b", 20, 7)
 
 
+class TestArrayVocabularyTemplates:
+    """Type-preserving ch_sql spellings of the array vocabulary (round
+    9): the registered ARRAY<STRING> UDFs coerce numeric elements to
+    strings on the direct spark.sql path; through ch_sql the template
+    rewrites fire first and element types survive."""
+
+    def test_templates_rewrite(self):
+        assert rw("SELECT arrayDistinct(a) FROM t") == (
+            "SELECT (array_distinct(a)) FROM t"
+        )
+        assert "array_contains" in rw("SELECT has(a, 1) FROM t")
+        assert "array_position" in rw("SELECT indexOf(a, 1) FROM t")
+        assert "concat(a, array(2))" in rw(
+            "SELECT arrayPushBack(a, 2) FROM t"
+        )
+
+    def test_arity_dispatch_and_reject(self):
+        assert "slice(a, 2, size(a))" in rw("SELECT arraySlice(a, 2) FROM t")
+        assert "slice(a, 2, 3)" in rw("SELECT arraySlice(a, 2, 3) FROM t")
+        with pytest.raises(ChSqlError, match="argument"):
+            rw("SELECT arraySlice(a) FROM t")
+
+    def test_types_preserved_end_to_end(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        df = ch_sql(
+            spark,
+            "SELECT arrayCompact([1,1,2,1]) AS ac, "
+            "arrayDistinct([3,1,3]) AS ad, "
+            "arraySlice([1,2,3,4], -2) AS sl, "
+            "arraySort(x -> -x, [1,3,2]) AS sk",
+        )
+        r = df.collect()[0]
+        assert r.ac == [1, 2, 1] and r.ad == [3, 1]
+        assert r.sl == [3, 4] and r.sk == [3, 2, 1]
+        # element types are ints, not strings
+        assert dict(df.dtypes)["ac"] == "array<int>"
+
+    def test_match_and_extract(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT match('a123', '[0-9]+') AS m, "
+            "extract('a123b', '[0-9]+') AS whole, "
+            "extract('key=val', 'key=(\\\\w+)') AS grp",
+        ).collect()[0]
+        assert (r.m, r.whole, r.grp) == (1, "123", "val")
+        # ANSI EXTRACT(field FROM ts) coexists untouched
+        assert "EXTRACT(YEAR FROM ts)" in rw(
+            "SELECT EXTRACT(YEAR FROM ts), extract(s, '[a-z]') FROM t"
+        )
+        with pytest.raises(ChSqlError, match="literal pattern"):
+            rw("SELECT extract(s, some_col) FROM t")
+
+
 class TestLimitByRewrite:
     def test_shape(self):
         got = rw("SELECT k, v FROM t ORDER BY k, v DESC LIMIT 2 BY k")
