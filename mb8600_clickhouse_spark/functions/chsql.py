@@ -754,6 +754,18 @@ def _order_anchor(sql: str, pat: str, family: str) -> str:
             f"{family} inside ORDER BY itself has no "
             "deterministic anchor; order by the underlying expression"
         )
+    return _inline_select_aliases(sql, obtxt, pat)
+
+
+def _inline_select_aliases(sql: str, text: str, pat: str) -> str:
+    """Substitute the statement's top-level SELECT-list aliases into
+    ``text`` (their defining expressions, parenthesized). Spark rejects
+    lateral alias references inside a window's ORDER BY AND inside the
+    window function's arguments (LATERAL_COLUMN_ALIAS_IN_WINDOW), while
+    ClickHouse's alias visibility allows both — so the block-order
+    rewrites inline them. Aliases whose expression itself contains a
+    ``pat`` call are skipped (self-referential rewrites have no
+    deterministic reading)."""
     sel = _first_match(sql, r"\bSELECT\b(?:\s+DISTINCT\b)?")
     frm_kw = _top_level_matches(sql, r"\bFROM\b")
     if sel and frm_kw:
@@ -762,12 +774,12 @@ def _order_anchor(sql: str, pat: str, family: str) -> str:
                 r"(?s)\s*(?P<expr>.+?)\s+AS\s+(`?)(?P<alias>\w+)\2\s*", item
             )
             if am and not _first_match(am.group("expr"), pat):
-                obtxt = re.sub(
+                text = re.sub(
                     rf"(?<![\w.`]){re.escape(am.group('alias'))}\b",
                     lambda _m, e=am.group("expr"): f"({e})",
-                    obtxt,
+                    text,
                 )
-    return obtxt
+    return text
 
 
 def _rewrite_running_accumulate(sql: str) -> str:
@@ -876,6 +888,10 @@ def _rewrite_running(sql: str) -> str:
         o = sql.index("(", m.end() - 1)
         c = _match_paren(sql, o)
         args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+        # a select-list alias as the argument hits Spark's
+        # LATERAL_COLUMN_ALIAS_IN_WINDOW restriction — inline it, same
+        # as the ORDER BY anchor does
+        args = [_inline_select_aliases(sql, a, pat) for a in args]
         if m.group(1) == "runningDifference":
             if len(args) != 1:
                 raise ChSqlError("runningDifference takes exactly one argument")
@@ -3269,6 +3285,33 @@ _ARRAY_TEMPLATES: dict[str, dict[int, str]] = {
     # CH match() returns UInt8; the INT cast matches the empty()/
     # notEmpty() convention used across the vocabulary
     "match": {2: "cast({0} RLIKE {1} AS INT)"},
+    # CH puts the lambda FIRST; Spark's higher-order builtins take it
+    # second. arrayFirst/arrayLast return NULL when nothing matches
+    # (CH returns the element type's default — the arrayAvg-class
+    # documented divergence; try_element_at is the OrNull convention)
+    "arrayfirst": {2: "try_element_at(filter({1}, {0}), 1)"},
+    "arraylast": {2: "try_element_at(filter({1}, {0}), -1)"},
+    "arrayfirstindex": {
+        2: "array_position(transform({1}, {0}), true)",
+    },
+    "arraylastindex": {
+        2: "CASE WHEN array_position(reverse(transform({1}, {0})), true)"
+           " = 0 THEN 0L ELSE size({1}) - "
+           "array_position(reverse(transform({1}, {0})), true) + 1 END",
+    },
+    "arrayzip": {
+        2: "arrays_zip({0}, {1})",
+        3: "arrays_zip({0}, {1}, {2})",
+    },
+    # operator-function spellings (CH exposes every operator as a
+    # function); divide is CH's FLOAT division — Spark's `/` on
+    # integers is also double, exact match
+    "plus": {2: "({0} + {1})"},
+    "minus": {2: "({0} - {1})"},
+    "multiply": {2: "({0} * {1})"},
+    "divide": {2: "({0} / {1})"},
+    "modulo": {2: "({0} % {1})"},
+    "negate": {1: "(- {0})"},
 }
 
 

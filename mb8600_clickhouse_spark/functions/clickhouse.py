@@ -219,6 +219,17 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     ),
     "today": ("()", "DATE", "current_date()"),
     "yesterday": ("()", "DATE", "date_sub(current_date(), 1)"),
+    # Spark's weekofyear IS the ISO week number
+    "toISOWeek": ("(ts TIMESTAMP)", "INT", "weekofyear(ts)"),
+    # exact powers as 64-bit integers (shift for 2^n; 10^n is exact in
+    # double through 10^15 and CH's own UInt64 caps at 10^19 — the
+    # bigint cast raises under ANSI past the representable range)
+    "intExp2": ("(n INT)", "BIGINT", "shiftleft(cast(1 AS BIGINT), n)"),
+    "intExp10": (
+        "(n INT)",
+        "BIGINT",
+        "cast(round(power(10, n)) AS BIGINT)",
+    ),
     "addMinutes": (
         "(ts TIMESTAMP, n INT)",
         "TIMESTAMP",
@@ -909,6 +920,7 @@ DIALECT_NOTES: dict[str, str] = {
     "GROUP BY 1 / ORDER BY 2 (positional arguments)": "bare integer literals run verbatim — Spark's ordinal resolution matches ClickHouse >= 22.2 (enable_positional_arguments default ON); on OLDER CH they were constants (no-op), a version divergence to check when migrating. A scalar WITH constant used AS a bare GROUP BY/ORDER BY item raises (round 9): CH resolves the alias to a constant, Spark would ordinal-ize the substituted literal",
     "arr[i] subscripts / [1, 2] array literals": "bridged as of round 9 (chsql._rewrite_brackets) — CH subscripts are ONE-based (negative = from the end) while Spark's native brackets are ZERO-based, so the form previously ran with silently shifted elements; rewritten to element_at (1-based, negative-from-end, map-by-key — exact CH addressing). Out-of-bounds raises under ANSI instead of returning CH's type default (spell ifNull(try_element_at(...), default) for that contract). [..] literals become array(..)",
     "array vocabulary element types": "through ch_sql the round-9 template rewrites (chsql._ARRAY_TEMPLATES) preserve element types exactly (arrayDistinct/arrayCompact/arraySlice/arrayConcat/arrayFlatten/arraySort-with-key/push/pop/has/indexOf/countEqual/hasAll/hasAny/arrayIntersect/match/extract); the CREATE FUNCTION registrations of the same names remain for the direct spark.sql path but are typed ARRAY<STRING> (SQL UDFs cannot be generic) and coerce numeric elements to strings — use ch_sql when element types matter. arraySort's key-lambda bridge is tie-order-unspecified (CH documents a stable sort); length() on arrays is NOT bridgeable (Spark's length is a string builtin that cannot be replaced) — spell size(arr)",
+    "arrayFirst/arrayLast/arrayFirstIndex/arrayLastIndex/arrayZip + operator functions": "templates as of round 9 — CH's lambda-first order mapped to Spark's array-first builtins; arrayFirst/arrayLast return NULL when nothing matches (CH returns the element type's DEFAULT — the arrayAvg-class documented divergence); arrayZip yields arrays_zip structs with positional field names ('0','1') instead of CH unnamed tuples; plus/minus/multiply/divide/modulo/negate spell the operators (divide is float division in both)",
     "kolmogorovSmirnovTest / cramersV / theilsU / contingency": "run verbatim as of round 8 (collect-fold expressions; KS D is exact, chi2/log members snap to 1e-6 — q173); bounded-slice contract, relational spellings are the unbounded path",
     "deltaSum(x, k) / deltaSumTimestamp / exponentialMovingAverage(hl)(v, t)": "run verbatim as of round 8 (q167) — deltaSum needs the explicit sort-key second argument (CH's 1-arg block-order form rejects)",
     "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame/leadInFrame with an explicit ROWS/RANGE/GROUPS frame (inline or via a resolvable named window) is a LOUD ChSqlError as of round 9 — Spark lag/lead ignore frames, so only the default-frame form bridges (ADVICE r08)",

@@ -254,6 +254,27 @@ class TestArrayVocabularyTemplates:
         # element types are ints, not strings
         assert dict(df.dtypes)["ac"] == "array<int>"
 
+    def test_array_search_and_operator_spellings(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT arrayFirst(x -> x > 1, [1,2,3]) AS af, "
+            "arrayFirst(x -> x > 9, [1,2]) AS af0, "
+            "arrayLast(x -> x < 3, [1,2,3]) AS al, "
+            "arrayFirstIndex(x -> x > 1, [1,2,3]) AS afi, "
+            "arrayFirstIndex(x -> x > 9, [1,2]) AS afi0, "
+            "arrayLastIndex(x -> x < 3, [1,2,3]) AS ali, "
+            "plus(2, 3) AS p, divide(10, 4) AS d, modulo(7, 3) AS mo, "
+            "negate(5) AS ng, intExp2(10) AS e2, intExp10(3) AS e10",
+        ).collect()[0]
+        # arrayFirst/arrayLast: NULL when nothing matches (documented
+        # OrNull convention vs CH's type default)
+        assert (r.af, r.af0, r.al) == (2, None, 2)
+        assert (r.afi, r.afi0, r.ali) == (2, 0, 2)
+        assert (r.p, r.d, r.mo, r.ng) == (5, 2.5, 1, -5)
+        assert (r.e2, r.e10) == (1024, 1000)
+
     def test_match_and_extract(self, spark):
         from mb8600_clickhouse_spark.functions.chsql import ch_sql
 
@@ -1023,6 +1044,24 @@ class TestRunningNeighborBridge:
     def test_no_order_by_rejects(self):
         with pytest.raises(ChSqlError, match="deterministic total order"):
             rw("SELECT runningDifference(n) FROM t")
+
+    def test_select_alias_inlined_into_window_args(self, spark):
+        # round 9: the alias as the window function's ARGUMENT (not
+        # just the anchor) previously hit Spark's
+        # LATERAL_COLUMN_ALIAS_IN_WINDOW — inline there too
+        out = rw(
+            "SELECT id AS v, neighbor(v, 1, -1) AS nx "
+            "FROM range(5) ORDER BY v DESC"
+        )
+        assert "lead((id), 1, -1) OVER (ORDER BY (id) DESC)" in out
+        got = [tuple(r) for r in spark.sql(out).collect()]
+        assert got == [(4, 3), (3, 2), (2, 1), (1, 0), (0, -1)]
+        out2 = rw(
+            "SELECT id * 2 AS v, runningDifference(v) AS dv "
+            "FROM range(4) ORDER BY v"
+        )
+        got2 = [r["dv"] for r in spark.sql(out2).collect()]
+        assert got2 == [0, 2, 2, 2]
 
     def test_two_arg_neighbor_rejects(self):
         with pytest.raises(ChSqlError, match="TYPE default"):
