@@ -3306,6 +3306,10 @@ _ARRAY_TEMPLATES: dict[str, dict[int, str]] = {
     # operator-function spellings (CH exposes every operator as a
     # function); divide is CH's FLOAT division — Spark's `/` on
     # integers is also double, exact match
+    # (sum, count) named tuple — CH's one-pass pair aggregate
+    "sumcount": {
+        1: "named_struct('sum', sum({0}), 'count', count({0}))",
+    },
     "plus": {2: "({0} + {1})"},
     "minus": {2: "({0} - {1})"},
     "multiply": {2: "({0} * {1})"},

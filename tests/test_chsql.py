@@ -275,6 +275,13 @@ class TestArrayVocabularyTemplates:
         assert (r.p, r.d, r.mo, r.ng) == (5, 2.5, 1, -5)
         assert (r.e2, r.e10) == (1024, 1000)
 
+    def test_sum_count_pair(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.range(5).createOrReplaceTempView("sc_t")
+        r = ch_sql(spark, "SELECT sumCount(id) AS sc FROM sc_t").collect()[0]
+        assert (r.sc["sum"], r.sc["count"]) == (10, 5)
+
     def test_match_and_extract(self, spark):
         from mb8600_clickhouse_spark.functions.chsql import ch_sql
 
