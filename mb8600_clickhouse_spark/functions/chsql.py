@@ -3389,6 +3389,53 @@ def _rewrite_array_vocabulary(sql: str) -> str:
                 )
             sql = sql[: m.start()] + f"({rep})" + sql[c + 1 :]
 
+    while True:
+        m = _first_match(sql, r"\bformat\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+        if len(args) < 2:
+            raise ChSqlError(
+                "format(pattern, arg, ...) needs a pattern and at least "
+                "one argument"
+            )
+        fm = re.fullmatch(r"'((?:[^']|'')*)'", args[0])
+        if not fm:
+            raise ChSqlError(
+                "format() needs a literal pattern (ClickHouse requires a "
+                "constant pattern too)"
+            )
+        pat = fm.group(1)
+        # {{ / }} are literal braces; {} auto-numbers; {N} is explicit.
+        # CH forbids mixing the auto and explicit forms — so do we.
+        parts = re.split(r"(\{\{|\}\}|\{\d*\})", pat)
+        out_parts, auto_i, saw_auto, saw_num = [], 0, False, False
+        for p in parts:
+            if p == "{{":
+                out_parts.append("{")
+            elif p == "}}":
+                out_parts.append("}")
+            elif re.fullmatch(r"\{\d*\}", p):
+                if p == "{}":
+                    saw_auto = True
+                    out_parts.append(f"%{auto_i + 1}$s")
+                    auto_i += 1
+                else:
+                    saw_num = True
+                    out_parts.append(f"%{int(p[1:-1]) + 1}$s")
+            else:
+                out_parts.append(p.replace("%", "%%"))
+        if saw_auto and saw_num:
+            raise ChSqlError(
+                "format(): mixing automatic {} and indexed {N} "
+                "placeholders is an error in ClickHouse too"
+            )
+        spat = "".join(out_parts)
+        rep = f"(format_string('{spat}', {', '.join(args[1:])}))"
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
     pos = 0
     while True:
         m = _first_match(sql[pos:], r"\bextract\s*\(")

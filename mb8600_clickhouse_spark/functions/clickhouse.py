@@ -921,6 +921,7 @@ DIALECT_NOTES: dict[str, str] = {
     "arr[i] subscripts / [1, 2] array literals": "bridged as of round 9 (chsql._rewrite_brackets) — CH subscripts are ONE-based (negative = from the end) while Spark's native brackets are ZERO-based, so the form previously ran with silently shifted elements; rewritten to element_at (1-based, negative-from-end, map-by-key — exact CH addressing). Out-of-bounds raises under ANSI instead of returning CH's type default (spell ifNull(try_element_at(...), default) for that contract). [..] literals become array(..)",
     "array vocabulary element types": "through ch_sql the round-9 template rewrites (chsql._ARRAY_TEMPLATES) preserve element types exactly (arrayDistinct/arrayCompact/arraySlice/arrayConcat/arrayFlatten/arraySort-with-key/push/pop/has/indexOf/countEqual/hasAll/hasAny/arrayIntersect/match/extract); the CREATE FUNCTION registrations of the same names remain for the direct spark.sql path but are typed ARRAY<STRING> (SQL UDFs cannot be generic) and coerce numeric elements to strings — use ch_sql when element types matter. arraySort's key-lambda bridge is tie-order-unspecified (CH documents a stable sort); length() on arrays is NOT bridgeable (Spark's length is a string builtin that cannot be replaced) — spell size(arr)",
     "arrayFirst/arrayLast/arrayFirstIndex/arrayLastIndex/arrayZip + operator functions": "templates as of round 9 — CH's lambda-first order mapped to Spark's array-first builtins; arrayFirst/arrayLast return NULL when nothing matches (CH returns the element type's DEFAULT — the arrayAvg-class documented divergence); arrayZip yields arrays_zip structs with positional field names ('0','1') instead of CH unnamed tuples; plus/minus/multiply/divide/modulo/negate spell the operators (divide is float division in both)",
+    "format('{}-{}', a, b)": "bridged as of round 9 (chsql) — literal patterns rewritten to format_string ('{}' auto-numbering, '{N}' indexed, '{{'/'}}' escapes, '%' doubled); mixing auto and indexed placeholders raises (CH errors too); non-literal patterns raise (CH requires a constant pattern as well)",
     "kolmogorovSmirnovTest / cramersV / theilsU / contingency": "run verbatim as of round 8 (collect-fold expressions; KS D is exact, chi2/log members snap to 1e-6 — q173); bounded-slice contract, relational spellings are the unbounded path",
     "deltaSum(x, k) / deltaSumTimestamp / exponentialMovingAverage(hl)(v, t)": "run verbatim as of round 8 (q167) — deltaSum needs the explicit sort-key second argument (CH's 1-arg block-order form rejects)",
     "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame/leadInFrame with an explicit ROWS/RANGE/GROUPS frame (inline or via a resolvable named window) is a LOUD ChSqlError as of round 9 — Spark lag/lead ignore frames, so only the default-frame form bridges (ADVICE r08)",

@@ -275,6 +275,26 @@ class TestArrayVocabularyTemplates:
         assert (r.p, r.d, r.mo, r.ng) == (5, 2.5, 1, -5)
         assert (r.e2, r.e10) == (1024, 1000)
 
+    def test_format_bridge(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT format('{}-{}', 'a', 'b') AS f, "
+            "format('{1} {0}!', 'World', 'Hello') AS g, "
+            "format('{{}}{}', 'x') AS h",
+        ).collect()[0]
+        assert (r.f, r.g, r.h) == ("a-b", "Hello World!", "{}x")
+        # literal % survives; Spark's own *_format names untouched
+        assert "100%%%1$s" in rw("SELECT format('100%{}', x) FROM t")
+        assert rw("SELECT date_format(ts, 'y') FROM t") == (
+            "SELECT date_format(ts, 'y') FROM t"
+        )
+        with pytest.raises(ChSqlError, match="mixing"):
+            rw("SELECT format('{} {0}', a, b) FROM t")
+        with pytest.raises(ChSqlError, match="literal pattern"):
+            rw("SELECT format(p, a) FROM t")
+
     def test_sum_count_pair(self, spark):
         from mb8600_clickhouse_spark.functions.chsql import ch_sql
 
