@@ -931,6 +931,38 @@ def _rewrite_running(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[c + 1 :]
 
 
+def _inline_aliases_into_where(sql: str) -> str:
+    """ClickHouse's alias visibility lets a SELECT-list alias be used
+    in the same query's WHERE clause (``SELECT a + 1 AS n ... WHERE
+    n > 2``); Spark does not resolve lateral aliases there. Inline the
+    defining expressions into the TOP-LEVEL WHERE text (subqueries
+    were rewritten at their own nesting level and have their own
+    scopes, matching CH's per-SELECT alias scope). An alias that
+    shadows a real source column resolves to the ALIAS here — CH's
+    default (prefer_column_name_to_alias = 0). Aggregate aliases
+    inline too and then fail Spark's aggregate-in-WHERE check — the
+    same error CH raises."""
+    wh = _top_level_matches(sql, r"\bWHERE\b")
+    if not wh:
+        return sql
+    w = wh[0]
+    ends = [
+        m.start()
+        for m in _top_level_matches(
+            sql,
+            r"\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|"
+            r"\bWINDOW\b|\bUNION\b|\bEXCEPT\b|\bINTERSECT\b|\bSETTINGS\b",
+        )
+        if m.start() > w.end()
+    ]
+    end = min(ends) if ends else len(sql)
+    body = sql[w.end() : end]
+    inlined = _inline_select_aliases(sql, body, r"(?!x)x")
+    if inlined == body:
+        return sql
+    return sql[: w.end()] + inlined + sql[end:]
+
+
 def _replace_ident(sql: str, name: str, repl: str) -> str:
     """Replace standalone (unqualified, word-boundary) references to
     identifier ``name`` outside string literals."""
@@ -4011,6 +4043,10 @@ def rewrite_clickhouse_sql(
             blocks[token], final_tables, sample_by, dictionaries
         )
     sql = _rewrite_numbers(sql)
+    # CH alias visibility: SELECT-list aliases are legal in the same
+    # query's WHERE — inline them (early, so later rewrites process
+    # the copied expressions too)
+    sql = _inline_aliases_into_where(sql)
     # early: CH bracket syntax (1-based subscripts -> element_at, [..]
     # literals -> array(..)) so every later rewrite sees Spark spelling
     sql = _rewrite_brackets(sql)

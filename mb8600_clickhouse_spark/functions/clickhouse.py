@@ -922,6 +922,7 @@ DIALECT_NOTES: dict[str, str] = {
     "array vocabulary element types": "through ch_sql the round-9 template rewrites (chsql._ARRAY_TEMPLATES) preserve element types exactly (arrayDistinct/arrayCompact/arraySlice/arrayConcat/arrayFlatten/arraySort-with-key/push/pop/has/indexOf/countEqual/hasAll/hasAny/arrayIntersect/match/extract); the CREATE FUNCTION registrations of the same names remain for the direct spark.sql path but are typed ARRAY<STRING> (SQL UDFs cannot be generic) and coerce numeric elements to strings — use ch_sql when element types matter. arraySort's key-lambda bridge is tie-order-unspecified (CH documents a stable sort); length() on arrays is NOT bridgeable (Spark's length is a string builtin that cannot be replaced) — spell size(arr)",
     "arrayFirst/arrayLast/arrayFirstIndex/arrayLastIndex/arrayZip + operator functions": "templates as of round 9 — CH's lambda-first order mapped to Spark's array-first builtins; arrayFirst/arrayLast return NULL when nothing matches (CH returns the element type's DEFAULT — the arrayAvg-class documented divergence); arrayZip yields arrays_zip structs with positional field names ('0','1') instead of CH unnamed tuples; plus/minus/multiply/divide/modulo/negate spell the operators (divide is float division in both)",
     "format('{}-{}', a, b)": "bridged as of round 9 (chsql) — literal patterns rewritten to format_string ('{}' auto-numbering, '{N}' indexed, '{{'/'}}' escapes, '%' doubled); mixing auto and indexed placeholders raises (CH errors too); non-literal patterns raise (CH requires a constant pattern as well)",
+    "SELECT x + 1 AS n ... WHERE n > 2 (alias visibility)": "bridged as of round 9 (chsql._inline_aliases_into_where) — CH lets SELECT-list aliases appear in the same query's WHERE; the defining expressions are inlined into the top-level WHERE text. An alias shadowing a real source column resolves to the ALIAS (CH's prefer_column_name_to_alias = 0 default — the famous CH gotcha, faithfully kept). Scope is per-SELECT (subqueries rewrite at their own level); aliases in PREWHERE are not inlined (PREWHERE itself rewrites to WHERE later in the pipeline — spell the expression there)",
     "kolmogorovSmirnovTest / cramersV / theilsU / contingency": "run verbatim as of round 8 (collect-fold expressions; KS D is exact, chi2/log members snap to 1e-6 — q173); bounded-slice contract, relational spellings are the unbounded path",
     "deltaSum(x, k) / deltaSumTimestamp / exponentialMovingAverage(hl)(v, t)": "run verbatim as of round 8 (q167) — deltaSum needs the explicit sort-key second argument (CH's 1-arg block-order form rejects)",
     "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame/leadInFrame with an explicit ROWS/RANGE/GROUPS frame (inline or via a resolvable named window) is a LOUD ChSqlError as of round 9 — Spark lag/lead ignore frames, so only the default-frame form bridges (ADVICE r08)",

@@ -275,6 +275,25 @@ class TestArrayVocabularyTemplates:
         assert (r.p, r.d, r.mo, r.ng) == (5, 2.5, 1, -5)
         assert (r.e2, r.e10) == (1024, 1000)
 
+    def test_where_alias_visibility(self, spark):
+        # CH alias visibility: SELECT-list aliases are legal in WHERE
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        got = [
+            r["n"]
+            for r in ch_sql(
+                spark,
+                "SELECT number AS n FROM numbers(5) WHERE n IN (1, 3)",
+            ).collect()
+        ]
+        assert sorted(got) == [1, 3]
+        out = rw("SELECT number + 1 AS n FROM t WHERE n > 2")
+        assert "WHERE (number + 1) > 2" in out
+        # names that are not aliases stay untouched
+        assert "WHERE number > 3" in rw(
+            "SELECT number AS n FROM t WHERE number > 3"
+        )
+
     def test_format_bridge(self, spark):
         from mb8600_clickhouse_spark.functions.chsql import ch_sql
 
