@@ -3342,6 +3342,20 @@ _ARRAY_TEMPLATES: dict[str, dict[int, str]] = {
     "sumcount": {
         1: "named_struct('sum', sum({0}), 'count', count({0}))",
     },
+    # -OrNull: NULL over an empty set — exactly Spark's native
+    # aggregate behavior (CH's UNDECORATED sum/count return the type
+    # default instead; DIALECT_NOTES: empty-set aggregates)
+    "sumornull": {1: "sum({0})"},
+    "avgornull": {1: "avg({0})"},
+    "minornull": {1: "min({0})"},
+    "maxornull": {1: "max({0})"},
+    "countornull": {1: "nullif(count({0}), 0)"},
+    # -OrDefault for the aggregates whose CH default is numeric 0;
+    # min/maxOrDefault stay unbridged (the default is the COLUMN
+    # type's zero value — '' for strings — unknowable textually)
+    "sumordefault": {1: "coalesce(sum({0}), 0)"},
+    "avgordefault": {1: "coalesce(avg({0}), 0.0)"},
+    "countordefault": {1: "count({0})"},
     "plus": {2: "({0} + {1})"},
     "minus": {2: "({0} - {1})"},
     "multiply": {2: "({0} * {1})"},
@@ -3349,6 +3363,230 @@ _ARRAY_TEMPLATES: dict[str, dict[int, str]] = {
     "modulo": {2: "({0} % {1})"},
     "negate": {1: "(- {0})"},
 }
+
+
+_TERNARY_LEFT_STOP = re.compile(
+    r"\b(SELECT|DISTINCT|WHERE|HAVING|WHEN|THEN|ELSE|BY|ON|SET|"
+    r"VALUES|RETURN|JOIN)\s*$",
+    re.IGNORECASE,
+)
+_TERNARY_RIGHT_STOP = re.compile(
+    r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|EXCEPT|INTERSECT|"
+    r"AS|WHEN|THEN|ELSE|END|ASC|DESC)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_ternary(sql: str) -> str:
+    """ClickHouse's C-style conditional ``cond ? a : b`` ->
+    ``if(cond, a, b)``. Right-associative (the rightmost ``?`` binds
+    first, matching C/CH); ``::`` casts and string contents are never
+    split. Operand extents follow C precedence — ternary binds LOOSER
+    than AND/OR, so ``a AND b ? x : y`` conditions on the whole
+    conjunction; operands stop only at same-depth commas, enclosing
+    parens, outer ternary marks, and clause keywords. Malformed
+    extents produce SQL Spark's parser rejects loudly."""
+    while True:
+        scan = list(_scan(sql))
+        in_str_at = {i: s for i, _c, _d, s in scan}
+        depth_at = {i: d for i, _c, d, _s in scan}
+        qpos = None
+        for i in range(len(sql) - 1, -1, -1):
+            if sql[i] == "?" and not in_str_at.get(i, False):
+                qpos = i
+                break
+        if qpos is None:
+            return sql
+        d0 = depth_at[qpos]
+        # matching ':' — count nested naked '?' to the right (none for
+        # the rightmost, but parens may nest), skip '::'
+        colon = None
+        j = qpos + 1
+        while j < len(sql):
+            ch = sql[j]
+            if in_str_at.get(j, False):
+                j += 1
+                continue
+            if ch == ":" and depth_at.get(j, 0) == d0:
+                if j + 1 < len(sql) and sql[j + 1] == ":":
+                    j += 2
+                    continue
+                if j > 0 and sql[j - 1] == ":":
+                    j += 1
+                    continue
+                colon = j
+                break
+            if ch == ")" and depth_at.get(j, 0) < d0:
+                break
+            j += 1
+        if colon is None:
+            raise ChSqlError(
+                "ternary '?' without a matching ':' — ClickHouse's "
+                "cond ? a : b needs both"
+            )
+        # condition: scan LEFT from '?' to the nearest same-depth
+        # boundary (comma, opening paren, outer ':'/'?', keyword)
+        k = qpos - 1
+        cstart = 0
+        while k >= 0:
+            ch = sql[k]
+            if not in_str_at.get(k, False):
+                d = depth_at.get(k, 0)
+                if (ch in ",?:" and d == d0) or (ch == "(" and d < d0):
+                    cstart = k + 1
+                    break
+                if ch.isalpha():
+                    stop = _TERNARY_LEFT_STOP.search(sql[: k + 1])
+                    if stop and stop.end() == k + 1:
+                        cstart = k + 1
+                        break
+            k -= 1
+        # else-part: scan RIGHT from ':' to the nearest boundary
+        j = colon + 1
+        eend = len(sql)
+        while j < len(sql):
+            ch = sql[j]
+            if not in_str_at.get(j, False):
+                d = depth_at.get(j, 0)
+                if (ch == "," and d == d0) or (ch == ")" and d < d0):
+                    eend = j
+                    break
+                if ch.isalpha():
+                    stop = _TERNARY_RIGHT_STOP.match(sql, j)
+                    if stop and not sql[j - 1].isalnum():
+                        eend = j
+                        break
+            j += 1
+        cond = sql[cstart:qpos].strip()
+        then = sql[qpos + 1 : colon].strip()
+        other = sql[colon + 1 : eend].strip()
+        if not cond or not then or not other:
+            raise ChSqlError(
+                "could not delimit the ternary cond ? a : b operands — "
+                "parenthesize them"
+            )
+        rep = f" if({cond}, {then}, {other}) "
+        sql = sql[:cstart] + rep + sql[eend:]
+
+
+#: ClickHouse type name -> Spark SQL type (case-sensitive, as CH's
+#: type names are). UInt64 maps to BIGINT: values above 2^63 - 1 are
+#: representable in CH but raise Spark's ANSI cast error here — loud,
+#: never wrapped (DIALECT_NOTES). FixedString loses the zero-padding
+#: contract (plain STRING).
+_CH_TYPE_MAP = {
+    "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+    "Int64": "BIGINT", "UInt8": "SMALLINT", "UInt16": "INT",
+    "UInt32": "BIGINT", "UInt64": "BIGINT",
+    "Float32": "FLOAT", "Float64": "DOUBLE",
+    "String": "STRING", "Bool": "BOOLEAN", "UUID": "STRING",
+    "Date": "DATE", "Date32": "DATE", "DateTime": "TIMESTAMP",
+}
+
+
+def _ch_type_or_none(t: str) -> str | None:
+    """Spark spelling of a ClickHouse type name, or None when ``t`` is
+    not a recognized CH type (Spark's own names flow through a None —
+    the caller leaves the text untouched). Wrappers recurse; a
+    DateTime with a timezone argument raises (the engine's session is
+    UTC by contract — shifting display zones inside a cast would be
+    silent)."""
+    t = t.strip()
+    m = re.fullmatch(r"(Nullable|LowCardinality)\s*\((.*)\)", t, re.DOTALL)
+    if m:
+        inner = _ch_type_or_none(m.group(2))
+        return inner if inner else m.group(2).strip() or None
+    m = re.fullmatch(r"Array\s*\((.*)\)", t, re.DOTALL)
+    if m:
+        inner = _ch_type_or_none(m.group(1)) or m.group(1).strip()
+        return f"ARRAY<{inner}>"
+    m = re.fullmatch(r"Map\s*\((.*)\)", t, re.DOTALL)
+    if m:
+        kv = _split_top_commas(m.group(1))
+        if len(kv) == 2:
+            k = _ch_type_or_none(kv[0]) or kv[0]
+            v = _ch_type_or_none(kv[1]) or kv[1]
+            return f"MAP<{k}, {v}>"
+        return None
+    m = re.fullmatch(r"Decimal(32|64|128)\s*\(\s*(\d+)\s*\)", t)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return f"DECIMAL({prec}, {m.group(2)})"
+    m = re.fullmatch(r"DateTime64\s*\(\s*\d+\s*\)", t)
+    if m:
+        return "TIMESTAMP"
+    if re.fullmatch(r"(DateTime|DateTime64)\s*\(.*'.*\)", t, re.DOTALL):
+        raise ChSqlError(
+            f"cast to {t!r}: timezone-argument DateTime types are not "
+            "bridged (the session timeline is UTC by contract) — cast "
+            "to DateTime and convert explicitly if needed"
+        )
+    m = re.fullmatch(r"FixedString\s*\(\s*\d+\s*\)", t)
+    if m:
+        return "STRING"
+    return _CH_TYPE_MAP.get(t)
+
+
+def _rewrite_type_names(sql: str) -> str:
+    """ClickHouse type names inside ``CAST(x AS T)`` and ``x::T`` —
+    mapped to Spark SQL types (``_CH_TYPE_MAP``; wrappers
+    Nullable/LowCardinality unwrap, Array/Map recurse, Decimal32/64/
+    128(s) widen to the standard precisions). Names that are not
+    recognized CH types (including Spark's own) pass through
+    untouched. Only these two syntactic contexts are rewritten, so
+    identifiers that merely collide with a type name are safe."""
+    # x::T — rightmost-first keeps earlier indices stable
+    in_str_at = {i: s for i, _c, _d, s in _scan(sql)}
+    for m in reversed(list(re.finditer(r"::\s*([A-Za-z]\w*)", sql))):
+        if in_str_at.get(m.start(), False):
+            continue
+        start, end = m.start(1), m.end(1)
+        if end < len(sql) and sql[end:].lstrip().startswith("("):
+            o = sql.index("(", end)
+            c = _match_paren(sql, o)
+            t = sql[start : c + 1]
+            end = c + 1
+        else:
+            t = m.group(1)
+        conv = _ch_type_or_none(t)
+        if conv:
+            sql = sql[:start] + conv + sql[end:]
+    pos = 0
+    while True:
+        m = _first_match(sql[pos:], r"\bCAST\s*\(")
+        if not m:
+            return sql
+        o = sql.index("(", pos + m.end() - 1)
+        c = _match_paren(sql, o)
+        inner = sql[o + 1 : c]
+        as_kw = _top_level_matches(inner, r"\bAS\b")
+        if as_kw:
+            t = inner[as_kw[-1].end() :].strip()
+            conv = _ch_type_or_none(t)
+            if conv:
+                inner = inner[: as_kw[-1].end()] + " " + conv
+                sql = sql[: o + 1] + inner + sql[c:]
+        pos = pos + m.start() + 4  # revisit nested CASTs inside
+
+
+def _rewrite_top(sql: str) -> str:
+    """``SELECT [DISTINCT] TOP n ...`` — ClickHouse's SQL-Server-style
+    spelling of LIMIT. The TOP clause is stripped and ``LIMIT n``
+    appended to the statement. A statement that already has a
+    top-level LIMIT, or a top-level UNION/EXCEPT/INTERSECT (where the
+    appended LIMIT would bind to the whole compound), raises."""
+    m = _first_match(sql, r"^\s*SELECT\s+(DISTINCT\s+)?TOP\s+(\d+)\s+")
+    if not m:
+        return sql
+    if _top_level_matches(sql, r"\bLIMIT\b"):
+        raise ChSqlError("TOP and LIMIT cannot be combined (CH errors too)")
+    if _top_level_matches(sql, r"\bUNION\b|\bEXCEPT\b|\bINTERSECT\b"):
+        raise ChSqlError(
+            "TOP with a top-level set operation is ambiguous here — "
+            "spell LIMIT on the branch you mean"
+        )
+    head = "SELECT " + (m.group(1) or "")
+    return head + sql[m.end() :].rstrip() + f" LIMIT {m.group(2)}"
 
 
 def _rewrite_array_vocabulary(sql: str) -> str:
@@ -4053,6 +4291,9 @@ def rewrite_clickhouse_sql(
     # type-preserving array/regex vocabulary (fires before the typed
     # ARRAY<STRING> UDF registrations would resolve the same names)
     sql = _rewrite_array_vocabulary(sql)
+    sql = _rewrite_type_names(sql)
+    sql = _rewrite_top(sql)
+    sql = _rewrite_ternary(sql)
     # before _rewrite_combinators: the -State name inside
     # runningAccumulate(...) determines the window merge function
     sql = _rewrite_running_accumulate(sql)

@@ -131,6 +131,16 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     "toFloat64OrNull": ("(s STRING)", "DOUBLE", "try_cast(s AS DOUBLE)"),
     "toInt64": ("(s STRING)", "BIGINT", "cast(s AS BIGINT)"),
     "toFloat64": ("(s STRING)", "DOUBLE", "cast(s AS DOUBLE)"),
+    "toInt32": ("(s STRING)", "INT", "cast(s AS INT)"),
+    "toInt16": ("(s STRING)", "SMALLINT", "cast(s AS SMALLINT)"),
+    "toInt8": ("(s STRING)", "TINYINT", "cast(s AS TINYINT)"),
+    "toUInt8": ("(s STRING)", "SMALLINT", "cast(s AS SMALLINT)"),
+    "toUInt16": ("(s STRING)", "INT", "cast(s AS INT)"),
+    "toUInt32": ("(s STRING)", "BIGINT", "cast(s AS BIGINT)"),
+    # CH UInt64 reaches 2^64 - 1; values past 2^63 - 1 raise the ANSI
+    # cast error here instead of wrapping (DIALECT_NOTES: type names)
+    "toUInt64": ("(s STRING)", "BIGINT", "cast(s AS BIGINT)"),
+    "toFloat32": ("(s STRING)", "FLOAT", "cast(s AS FLOAT)"),
     "toString": ("(x STRING)", "STRING", "x"),
     # arithmetic / conditional
     "intDiv": ("(a BIGINT, b BIGINT)", "BIGINT", "a div b"),
@@ -923,6 +933,7 @@ DIALECT_NOTES: dict[str, str] = {
     "arrayFirst/arrayLast/arrayFirstIndex/arrayLastIndex/arrayZip + operator functions": "templates as of round 9 — CH's lambda-first order mapped to Spark's array-first builtins; arrayFirst/arrayLast return NULL when nothing matches (CH returns the element type's DEFAULT — the arrayAvg-class documented divergence); arrayZip yields arrays_zip structs with positional field names ('0','1') instead of CH unnamed tuples; plus/minus/multiply/divide/modulo/negate spell the operators (divide is float division in both)",
     "format('{}-{}', a, b)": "bridged as of round 9 (chsql) — literal patterns rewritten to format_string ('{}' auto-numbering, '{N}' indexed, '{{'/'}}' escapes, '%' doubled); mixing auto and indexed placeholders raises (CH errors too); non-literal patterns raise (CH requires a constant pattern as well)",
     "SELECT x + 1 AS n ... WHERE n > 2 (alias visibility)": "bridged as of round 9 (chsql._inline_aliases_into_where) — CH lets SELECT-list aliases appear in the same query's WHERE; the defining expressions are inlined into the top-level WHERE text. An alias shadowing a real source column resolves to the ALIAS (CH's prefer_column_name_to_alias = 0 default — the famous CH gotcha, faithfully kept). Scope is per-SELECT (subqueries rewrite at their own level); aliases in PREWHERE are not inlined (PREWHERE itself rewrites to WHERE later in the pipeline — spell the expression there)",
+    "cond ? a : b (ternary) / SELECT TOP n / -OrNull & -OrDefault": "bridged as of round 9 (chsql) — the C-style conditional becomes if(cond, a, b), right-associative, C precedence (AND/OR bind tighter), '::' casts never split; a NUMERIC condition (CH's UInt8-as-bool) raises Spark's boolean type error — spell x != 0. TOP n strips to a trailing LIMIT (TOP+LIMIT raises, as in CH). sum/avg/min/max/countOrNull map to the native aggregates (Spark's empty-set NULL IS the OrNull contract — note CH's UNDECORATED sum/count return 0 over an empty set where Spark returns NULL/0: a divergence only for global aggregates on empty input); sum/avg/countOrDefault coalesce to numeric 0; min/maxOrDefault stay unbridged (the default is the column TYPE's zero value — unknowable textually)",
     "kolmogorovSmirnovTest / cramersV / theilsU / contingency": "run verbatim as of round 8 (collect-fold expressions; KS D is exact, chi2/log members snap to 1e-6 — q173); bounded-slice contract, relational spellings are the unbounded path",
     "deltaSum(x, k) / deltaSumTimestamp / exponentialMovingAverage(hl)(v, t)": "run verbatim as of round 8 (q167) — deltaSum needs the explicit sort-key second argument (CH's 1-arg block-order form rejects)",
     "nonNegativeDerivative(x, t) OVER (...) / lagInFrame / leadInFrame": "run verbatim as of round 8 (q168); t must be numeric seconds, INTERVAL argument not bridged; lagInFrame/leadInFrame with an explicit ROWS/RANGE/GROUPS frame (inline or via a resolvable named window) is a LOUD ChSqlError as of round 9 — Spark lag/lead ignore frames, so only the default-frame form bridges (ADVICE r08)",

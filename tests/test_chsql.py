@@ -275,6 +275,83 @@ class TestArrayVocabularyTemplates:
         assert (r.p, r.d, r.mo, r.ng) == (5, 2.5, 1, -5)
         assert (r.e2, r.e10) == (1024, 1000)
 
+    def test_type_name_casts(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        df = ch_sql(
+            spark,
+            "SELECT CAST(number AS Float64) AS f, number::Int64 AS i, "
+            "number::String AS s, CAST(number AS Nullable(Int64)) AS n, "
+            "CAST([1,2] AS Array(Float64)) AS a, "
+            "CAST(number AS Decimal64(2)) AS d, "
+            "CAST(CAST(number AS String) AS Int32) AS rt "
+            "FROM numbers(2)",
+        )
+        t = dict(df.dtypes)
+        assert t["f"] == "double" and t["i"] == "bigint"
+        assert t["a"] == "array<double>" and t["d"] == "decimal(18,2)"
+        assert t["rt"] == "int"
+        # Spark's own type names and strings pass through untouched
+        assert "CAST(y AS STRING)" in rw(
+            "SELECT CAST(y AS LowCardinality(String)) FROM t"
+        )
+        assert rw("SELECT CAST(x AS DOUBLE) FROM t") == (
+            "SELECT CAST(x AS DOUBLE) FROM t"
+        )
+        assert rw("SELECT ':: Int64 kept' AS s") == (
+            "SELECT ':: Int64 kept' AS s"
+        )
+        with pytest.raises(ChSqlError, match="timezone"):
+            rw("SELECT CAST(x AS DateTime('America/New_York')) FROM t")
+
+    def test_ternary_operator(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = [
+            tuple(x)
+            for x in ch_sql(
+                spark,
+                "SELECT number = 0 ? 'zero' : number = 1 ? 'one' : 'many'"
+                " AS s FROM numbers(3) ORDER BY number",
+            ).collect()
+        ]
+        assert r == [("zero",), ("one",), ("many",)]
+        # C precedence: AND binds tighter than ?:
+        out = rw("SELECT a > 1 AND b ? 'x' : 'y' AS s FROM t")
+        assert "if(a > 1 AND b, 'x', 'y')" in out
+        # :: casts are not split; parens delimit cleanly
+        got = [
+            x["n"]
+            for x in ch_sql(
+                spark,
+                "SELECT number AS n FROM numbers(6) "
+                "WHERE (number > 3 ? 1 : 0) = 1",
+            ).collect()
+        ]
+        assert sorted(got) == [4, 5]
+        with pytest.raises(ChSqlError, match="matching"):
+            rw("SELECT a ? b FROM t")
+
+    def test_top_and_ornull_combinators(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        got = [
+            r["v"]
+            for r in ch_sql(
+                spark,
+                "SELECT TOP 3 number AS v FROM numbers(10) ORDER BY v DESC",
+            ).collect()
+        ]
+        assert got == [9, 8, 7]
+        with pytest.raises(ChSqlError, match="TOP and LIMIT"):
+            rw("SELECT TOP 3 v FROM t ORDER BY v LIMIT 2")
+        r = ch_sql(
+            spark,
+            "SELECT avgOrNull(number) AS a, sumOrDefault(number) AS s, "
+            "countOrNull(number) AS c FROM numbers(10) WHERE number > 99",
+        ).collect()[0]
+        assert (r.a, r.s, r.c) == (None, 0, None)
+
     def test_where_alias_visibility(self, spark):
         # CH alias visibility: SELECT-list aliases are legal in WHERE
         from mb8600_clickhouse_spark.functions.chsql import ch_sql
