@@ -951,12 +951,26 @@ DIALECT_NOTES: dict[str, str] = {
 }
 
 
-def register_clickhouse_functions(spark: SparkSession) -> list[str]:
+def register_clickhouse_functions(
+    spark: SparkSession, force: bool = False
+) -> list[str]:
     """Register the ClickHouse scalar vocabulary in this session;
-    returns the registered names."""
+    returns the registered names.
+
+    Memoized per session (round 9): each CREATE OR REPLACE TEMPORARY
+    FUNCTION is a catalog round-trip, and the full vocabulary costs
+    ~1.4 s warm — ~90 registry queries call this defensively, which
+    summed to ~2 minutes of pure re-registration across a full bench
+    run. The fingerprint covers the definitions, so editing
+    ``CLICKHOUSE_SCALARS`` still re-registers; pass ``force=True``
+    after dropping/replacing a function out-of-band."""
+    fp = hash(tuple((n, v) for n, v in CLICKHOUSE_SCALARS.items()))
+    if not force and getattr(spark, "_ch_scalar_fp", None) == fp:
+        return list(CLICKHOUSE_SCALARS)
     for name, (sig, ret, body) in CLICKHOUSE_SCALARS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
             f"RETURNS {ret} RETURN {body}"
         )
+    spark._ch_scalar_fp = fp
     return list(CLICKHOUSE_SCALARS)

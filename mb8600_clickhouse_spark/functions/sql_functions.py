@@ -75,11 +75,20 @@ SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
 }
 
 
-def register_sql_functions(spark: SparkSession) -> list[str]:
+def register_sql_functions(
+    spark: SparkSession, force: bool = False
+) -> list[str]:
     """Register every engine scalar function as a temporary SQL function
-    in this session; returns the registered names."""
+    in this session; returns the registered names. Memoized per
+    session on a definition fingerprint (the round-9
+    register_clickhouse_functions finding — repeated defensive
+    registration is a catalog round-trip per function)."""
+    fp = hash(tuple((n, v) for n, v in SQL_FUNCTIONS.items()))
+    if not force and getattr(spark, "_engine_scalar_fp", None) == fp:
+        return list(SQL_FUNCTIONS)
     for name, (sig, ret, body) in SQL_FUNCTIONS.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURNS {ret} RETURN {body}"
         )
+    spark._engine_scalar_fp = fp
     return list(SQL_FUNCTIONS)
