@@ -757,6 +757,72 @@ def _order_anchor(sql: str, pat: str, family: str) -> str:
     return _inline_select_aliases(sql, obtxt, pat)
 
 
+def _subst_ident_expr(text: str, name: str, expr: str) -> str:
+    """String-literal- and qualifier-aware substitution of a SELECT-list
+    alias reference ``name`` with its parenthesized defining ``expr``
+    (ADVICE r09): matches inside single-quoted string literals are
+    skipped (the same ``_scan`` machinery ``_subst_const`` uses — a
+    WHERE comparing against the literal ``'n'`` must not rewrite), as
+    are qualified and invocation heads (``name.col`` is a table/struct
+    qualifier, ``name(...)`` a function call — neither is an alias
+    reference). Advances past each replacement so an expr containing
+    the alias name cannot loop."""
+    pat = rf"(?<![\w.`]){re.escape(name)}\b(?!\s*[.(])"
+    rep = f"({expr})"
+    pos = 0
+    while True:
+        mm = _first_match(text[pos:], pat)
+        if not mm:
+            return text
+        start = pos + mm.start()
+        text = text[:start] + rep + text[pos + mm.end() :]
+        pos = start + len(rep)
+
+
+#: identifiers that look like implicit aliases but are (or commonly
+#: trail as) SQL keywords — never inlined from the implicit form
+_IMPLICIT_ALIAS_STOP = frozenset(
+    """AND OR NOT IN IS NULL LIKE ILIKE RLIKE REGEXP BETWEEN ASC DESC
+    OVER FILTER IGNORE RESPECT NULLS FIRST LAST END CASE WHEN THEN ELSE
+    DIV FROM AS DAY DAYS MONTH MONTHS YEAR YEARS HOUR HOURS MINUTE
+    MINUTES SECOND SECONDS WEEK WEEKS QUARTER MILLISECOND MICROSECOND
+    INTERVAL FOLLOWING PRECEDING UNBOUNDED ROW ROWS RANGE CURRENT
+    """.split()
+)
+
+
+def _select_alias_items(sql: str) -> list[tuple[str, str]]:
+    """(expr, alias) pairs of the statement's top-level SELECT list —
+    explicit ``expr AS alias`` (any keyword case; CH and Spark both
+    accept lowercase ``as``, ADVICE r09) and the conservative implicit
+    form ``expr alias`` where the expression's LAST character is
+    unambiguous (``)``, ``'``, a digit, a backtick, or the END keyword)
+    and the alias is not a keyword — ``a OR b`` / ``ts + INTERVAL 1
+    DAY`` must never be read as aliasing ``b`` / ``DAY``."""
+    sel = _first_match(sql, r"\bSELECT\b(?:\s+DISTINCT\b)?")
+    frm_kw = _top_level_matches(sql, r"\bFROM\b")
+    if not (sel and frm_kw):
+        return []
+    out = []
+    for item in _split_top_commas(sql[sel.end() : frm_kw[0].start()]):
+        am = re.fullmatch(
+            r"(?s)\s*(?P<expr>.+?)\s+AS\s+(`?)(?P<alias>\w+)\2\s*",
+            item,
+            re.IGNORECASE,
+        )
+        if am is None:
+            am = re.fullmatch(
+                r"(?s)\s*(?P<expr>.+?(?:\)|'|`|[0-9]|\bEND))\s+"
+                r"(`?)(?P<alias>[A-Za-z_]\w*)\2\s*",
+                item,
+                re.IGNORECASE,
+            )
+            if am is None or am.group("alias").upper() in _IMPLICIT_ALIAS_STOP:
+                continue
+        out.append((am.group("expr"), am.group("alias")))
+    return out
+
+
 def _inline_select_aliases(sql: str, text: str, pat: str) -> str:
     """Substitute the statement's top-level SELECT-list aliases into
     ``text`` (their defining expressions, parenthesized). Spark rejects
@@ -765,20 +831,11 @@ def _inline_select_aliases(sql: str, text: str, pat: str) -> str:
     ClickHouse's alias visibility allows both — so the block-order
     rewrites inline them. Aliases whose expression itself contains a
     ``pat`` call are skipped (self-referential rewrites have no
-    deterministic reading)."""
-    sel = _first_match(sql, r"\bSELECT\b(?:\s+DISTINCT\b)?")
-    frm_kw = _top_level_matches(sql, r"\bFROM\b")
-    if sel and frm_kw:
-        for item in _split_top_commas(sql[sel.end() : frm_kw[0].start()]):
-            am = re.fullmatch(
-                r"(?s)\s*(?P<expr>.+?)\s+AS\s+(`?)(?P<alias>\w+)\2\s*", item
-            )
-            if am and not _first_match(am.group("expr"), pat):
-                text = re.sub(
-                    rf"(?<![\w.`]){re.escape(am.group('alias'))}\b",
-                    lambda _m, e=am.group("expr"): f"({e})",
-                    text,
-                )
+    deterministic reading). Substitution is string-literal- and
+    qualifier-aware (``_subst_ident_expr``, ADVICE r09)."""
+    for expr, alias in _select_alias_items(sql):
+        if not _first_match(expr, pat):
+            text = _subst_ident_expr(text, alias, expr)
     return text
 
 
@@ -3441,13 +3498,26 @@ def _rewrite_ternary(sql: str) -> str:
                         cstart = k + 1
                         break
             k -= 1
-        # else-part: scan RIGHT from ':' to the nearest boundary
+        # else-part: scan RIGHT from ':' to the nearest boundary. A
+        # second bare same-depth ':' belongs to an OUTER ternary whose
+        # then-branch this one is (``a ? b ? c : d : e`` — ADVICE r09):
+        # the else operand ends there, so the outer pass sees its ':'
+        # intact. '::' casts pass through, as in the colon matcher.
         j = colon + 1
         eend = len(sql)
         while j < len(sql):
             ch = sql[j]
             if not in_str_at.get(j, False):
                 d = depth_at.get(j, 0)
+                if ch == ":" and d == d0:
+                    if j + 1 < len(sql) and sql[j + 1] == ":":
+                        j += 2
+                        continue
+                    if sql[j - 1] == ":":
+                        j += 1
+                        continue
+                    eend = j
+                    break
                 if (ch == "," and d == d0) or (ch == ")" and d < d0):
                     eend = j
                     break

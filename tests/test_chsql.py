@@ -4,6 +4,8 @@ queries against DataFrames, including every form q76 relies on."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import Row
 
@@ -3499,3 +3501,87 @@ class TestWithConstantLambdaCollision:
     def test_distinct_names_still_substitute(self):
         out = rw("WITH 5 AS k SELECT transform(a, x -> x + k) FROM t")
         assert out == "SELECT transform(a, x -> x + (5)) FROM t"
+
+
+class TestAliasInliningSafety:
+    """ADVICE r09: alias inlining must be string-literal- and
+    qualifier-aware, accept any keyword case, and handle the
+    conservative implicit-alias form — never corrupt non-references."""
+
+    def test_string_literal_untouched(self):
+        out = rw("SELECT x + 1 AS n FROM t WHERE tag = 'n'")
+        assert "tag = 'n'" in out
+
+    def test_table_qualifier_untouched(self):
+        out = rw("SELECT a + 1 AS n FROM t JOIN n ON t.id = n.id "
+                 "WHERE n.id > 2")
+        assert "WHERE n.id > 2" in out
+
+    def test_function_call_head_untouched(self):
+        out = rw("SELECT a + 1 AS n FROM t WHERE n(b) > 2 AND n > 1")
+        assert "n(b) > 2" in out and "(a + 1) > 1" in out
+
+    def test_lowercase_as_inlines(self):
+        out = rw("SELECT x + 1 as n FROM t WHERE n > 2")
+        assert "WHERE (x + 1) > 2" in out
+
+    def test_implicit_alias_inlines(self):
+        out = rw("SELECT count(*) c FROM t GROUP BY k ORDER BY c")
+        assert "ORDER BY (count(*))" in out or "ORDER BY c" in out
+        out = rw("SELECT sum(v) s FROM t WHERE s > 2")
+        assert "WHERE (sum(v)) > 2" in out
+
+    def test_implicit_alias_not_misdetected(self):
+        # a bare trailing identifier after an operator/keyword is NOT
+        # an implicit alias (a OR b; INTERVAL units; window tails)
+        assert "WHERE b > 2" in rw("SELECT a OR b FROM t WHERE b > 2")
+        assert "WHERE x = 1" in rw(
+            "SELECT ts + INTERVAL 1 DAY FROM t WHERE x = 1"
+        )
+        assert "WHERE w > 1" in rw(
+            "SELECT rank() OVER w FROM t WHERE w > 1"
+        )
+
+    def test_alias_visibility_end_to_end(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        got = sorted(
+            r["n"]
+            for r in ch_sql(
+                spark,
+                "SELECT number + 1 as n FROM numbers(5) "
+                "WHERE n > 2 AND 'n' != 'm'",
+            ).collect()
+        )
+        assert got == [3, 4, 5]
+
+
+class TestNestedTernary:
+    """ADVICE r09: a nested ternary in the THEN branch is legal C/CH
+    (right-associative) — the else-operand scan must stop at the outer
+    ternary's same-depth ':' instead of over-extending."""
+
+    def test_then_branch_nesting(self):
+        out = rw("SELECT a ? b ? c : d : e AS s FROM t")
+        assert "if(a, if(b, c, d), e)" in re.sub(r"\s+", " ", out)
+
+    def test_else_branch_nesting_still_works(self):
+        out = rw("SELECT a ? b : c ? d : e AS s FROM t")
+        assert "if(a, b, if(c, d, e))" in re.sub(r"\s+", " ", out)
+
+    def test_cast_in_else_operand(self):
+        out = rw("SELECT a ? b : c::Int64 AS s FROM t")
+        assert "if(a, b, c::BIGINT)" in re.sub(r"\s+", " ", out)
+
+    def test_then_branch_nesting_executes(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = [
+            x["s"]
+            for x in ch_sql(
+                spark,
+                "SELECT number < 2 ? number = 0 ? 'zero' : 'one' "
+                ": 'many' AS s FROM numbers(3) ORDER BY number",
+            ).collect()
+        ]
+        assert r == ["zero", "one", "many"]
