@@ -2606,6 +2606,193 @@ def moment_tails_from_sums(
     }
 
 
+# ---------------------------------------------------------------------------
+# limb-split BIGINT moment lane (round 10): the bridge spelling of
+# ``operators/stats.moments(method="limb")`` — ten pure-int64 base-2^30
+# digit sums per group instead of per-row boxed-BigDecimal products,
+# recombined once per group into the SAME exact DECIMAL(38,0) moment
+# sums the decimal lane produces (so every tail is bit-identical).
+# Canonical constants live here; ``operators/stats`` imports them.
+# ---------------------------------------------------------------------------
+#: limb base 2^30: digits stay below 2^30, so per-group BIGINT digit
+#: sums hold ~2^33 rows before the recombination audit trips
+LIMB_W = 1 << 30
+
+#: per-row domain of the limb lane: |v| <= 1.8e9 (|x| <= 1.8e5 after the
+#: 1e4 snap) keeps every intermediate product — v*v (3.24e18), A*A
+#: (9.1e18), 2*A*B (6.5e18), v*A (5.4e18), v*B (1.9e18), B*B (2^60) —
+#: inside int64. The DECIMAL lane's documented domain is |x| <= 3e5;
+#: values between the two bounds must use the decimal lane.
+LIMB_VMAX = 1_800_000_000
+
+#: Spark-side lane for the moment-dense bridge aggregates
+#: (skew*/kurt*/covar*): "limb" (default — pure-BIGINT digit sums in
+#: whole-stage codegen, domain |x| <= 1.8e5) or "decimal" (boxed
+#: DECIMAL(38,0) products, domain |x| <= 3e5, ~3x slower per row)
+_STATS_LANE = "limb"
+
+
+def set_stats_lane(lane: str) -> str:
+    """Select the Spark-side spelling the dialect bridge emits for
+    skewPop/skewSamp/kurtPop/kurtSamp/covarPop/covarSamp: ``"limb"``
+    (default) or ``"decimal"`` (the fallback for data outside the limb
+    domain — the limb lane's in-plan audit names this switch when it
+    rejects). Oracle dialects always use the int128 spelling. Returns
+    the previous lane so callers can restore it."""
+    global _STATS_LANE
+    if lane not in ("limb", "decimal"):
+        raise ChSqlError(f"unknown stats lane {lane!r}: limb or decimal")
+    prev, _STATS_LANE = _STATS_LANE, lane
+    return prev
+
+
+def limb_audit_sql(n: str = "n", vmax: str = "vmax") -> str:
+    """SQL predicate deciding whether a group's (count, max|v|) pair is
+    OUTSIDE the limb lane's non-ANSI safety envelope. Per-row
+    worst-case magnitude of each of the ten digit sums: |v| (z1),
+    v^2/W (z2a = a), v^3/W^2 (z3c = d2, the cubic TOP digit), v^4/W^3
+    (z4d = e3, the quartic TOP digit — at the domain edge ~2.8x larger
+    than a, the BINDING term), and W (every low digit). The top-digit
+    terms must appear explicitly: with only max(v, v^2/W, W) there is
+    a window (n ~ 1.1-1.5e9 at |v| = 1.8e9) where sum(e3) wraps int64
+    BEFORE the audit trips in a non-ANSI session (regression-pinned in
+    tests/test_stats_operators.py::test_limb_audit_covers_top_digits).
+    The 4.6e18 threshold keeps a 2x margin under 2^63 - 1."""
+    vd = f"CAST({vmax} AS DOUBLE)"
+    w = float(LIMB_W)
+    return (
+        f"({vmax} > {LIMB_VMAX}L OR "
+        f"CAST({n} AS DOUBLE) * greatest("
+        f"{vd}, "
+        f"{vd} * {vd} / {w}, "
+        f"{vd} * {vd} * {vd} / {w ** 2}, "
+        f"{vd} * {vd} * {vd} * {vd} / {w ** 3}, "
+        f"{w}) >= 4.6e18)"
+    )
+
+
+def _limb_raise(context: str) -> str:
+    """The loud in-plan reject shared by the limb spellings (never a
+    silent wrap): names the decimal-lane escape hatch."""
+    return (
+        f"CAST(raise_error('{context}: a group exceeds the BIGINT "
+        f"limb-lane domain (|x| <= 1.8e5 and audited row count) — "
+        f"chsql.set_stats_lane(''decimal'') selects the DECIMAL(38) "
+        f"lane, domain |x| <= 3e5') AS DECIMAL(38,0))"
+    )
+
+
+def _limb_moment_sums(x: str) -> dict[str, str]:
+    """Aggregate-expression texts (n, s1..s4) of the exact scaled
+    moment sums of ``x`` in the limb spelling — the inline-bridge twin
+    of ``operators/stats.moments(method="limb")`` (same digit algebra,
+    same audit): v^2 = a*W + b, v^3 = d2*W^2 + d1*W + d0,
+    v^4 = e3*W^3 + e2*W^2 + e1*W + e0 — all per-row int64 ops inside
+    whole-stage codegen; the group aggregates are ten BIGINT sums
+    (plus count and max|v| for the audit), Horner-recombined once per
+    group into DECIMAL(38,0). W = 2^30, so digit/carry pairs spell as
+    ``& (W-1)`` / ``shiftright(.., 30)`` — for two's-complement
+    BIGINT these are exactly the nonnegative remainder and FLOOR
+    division the signed digits need (same integers as the operator's
+    pmod/floor-div spelling), and they keep the inline expression text
+    half the size of the pmod form (the string-rewrite passes that
+    follow scan the full statement, so emitted-text size is itself a
+    cost). Catalyst deduplicates semantically-equal aggregate
+    children, so the repeated digit sums across skew/kurt family
+    members collapse to one physical aggregation each. s1 carries the
+    audit guard: every family tail consumes s1 (the mean), so one
+    guard makes any out-of-domain group loud without quadrupling the
+    guard text."""
+    W = LIMB_W
+    M = W - 1
+    D = "DECIMAL(38,0)"
+    v = f"CAST(CAST({x} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    a = f"shiftright({v} * {v}, 30)"
+    b = f"(({v} * {v}) & {M})"
+    d0 = f"(({v} * {b}) & {M})"
+    t1 = f"({v} * {a} + shiftright({v} * {b}, 30))"
+    d1 = f"({t1} & {M})"
+    d2 = f"shiftright({t1[1:-1]}, 30)"
+    bb = f"({b} * {b})"
+    e0 = f"({bb} & {M})"
+    u1 = f"(2 * {a} * {b} + shiftright({bb}, 30))"
+    e1 = f"({u1} & {M})"
+    u2 = f"({a} * {a} + shiftright({u1}, 30))"
+    e2 = f"({u2} & {M})"
+    e3 = f"shiftright({u2}, 30)"
+    n = f"count({x})"
+    audit = limb_audit_sql(n, f"max(abs({v}))")
+    wd = f"CAST({W} AS {D})"
+    s1 = (
+        f"(CASE WHEN {audit} THEN {_limb_raise('stats bridge limb lane')} "
+        f"ELSE CAST(sum({v}) AS {D}) END)"
+    )
+    s2 = f"(CAST(sum({a}) AS {D}) * {wd} + sum({b}))"
+    s3 = (
+        f"((CAST(sum({d2}) AS {D}) * {wd} + sum({d1})) * {wd} + sum({d0}))"
+    )
+    s4 = (
+        f"(((CAST(sum({e3}) AS {D}) * {wd} + sum({e2})) * {wd} "
+        f"+ sum({e1})) * {wd} + sum({e0}))"
+    )
+    return {"n": n, "s1": s1, "s2": s2, "s3": s3, "s4": s4}
+
+
+def _limb_covar_sums(x: str, y: str) -> dict[str, str]:
+    """Aggregate-expression texts (n, sx, sy, sxy) for the covariance
+    family in the limb spelling: the cross product x*y (|p| <= 8e18
+    audited) splits into two base-2^30 digits per row (pmod/floor-div —
+    p is signed), sx/sy stay plain BIGINT sums (audited against
+    n * max|v|), and sxy recombines once per group. Same exact integers
+    as the DECIMAL(38,0) lane -> the shared IEEE covar tail is
+    bit-identical."""
+    W = LIMB_W
+    D = "DECIMAL(38,0)"
+    guard = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+    xb = (
+        f"CAST(CAST(CASE WHEN {guard} THEN ({x}) END AS DECIMAL(18,4)) "
+        f"* 10000 AS BIGINT)"
+    )
+    yb = (
+        f"CAST(CAST(CASE WHEN {guard} THEN ({y}) END AS DECIMAL(18,4)) "
+        f"* 10000 AS BIGINT)"
+    )
+    p = f"({xb} * {yb})"
+    pb = f"({p} & {W - 1})"
+    pa = f"shiftright({p}, 30)"
+    n = f"count(CASE WHEN {guard} THEN 1 END)"
+    vx = f"CAST(max(abs({xb})) AS DOUBLE)"
+    vy = f"CAST(max(abs({yb})) AS DOUBLE)"
+    w = float(W)
+    # per-row product bound (8e18 < 2^63 - 1 with double-rounding
+    # margin) plus the digit-sum envelope, all in DOUBLE (bounds only)
+    audit = (
+        f"({vx} * {vy} > 8.0e18 OR CAST({n} AS DOUBLE) * greatest("
+        f"{vx}, {vy}, {vx} * {vy} / {w}, {w}) >= 4.6e18)"
+    )
+    wd = f"CAST({W} AS {D})"
+    sxy = (
+        f"(CASE WHEN {audit} THEN {_limb_raise('covar bridge limb lane')} "
+        f"ELSE (CAST(sum({pa}) AS {D}) * {wd} + sum({pb})) END)"
+    )
+    return {"n": n, "sx": f"sum({xb})", "sy": f"sum({yb})", "sxy": sxy}
+
+
+def _covar_tail(fam: str, nd: str, sx: str, sy: str, sxy: str) -> str:
+    """The covarPop/covarSamp IEEE tail over already-rounded DOUBLE
+    sums — one emitter for both lanes and the oracle spelling, so any
+    producer of the same exact integers is bit-identical."""
+    if fam == "covarPop":
+        return (
+            f"((({sxy} / nullif({nd}, 0.0)) - ({sx} / nullif({nd}, 0.0))"
+            f" * ({sy} / nullif({nd}, 0.0))) / 100000000.0)"
+        )
+    return (
+        f"((({sxy} - {sx} * {sy} / nullif({nd}, 0.0)) / "
+        f"nullif({nd} - 1.0, 0.0)) / 100000000.0)"
+    )
+
+
 def _ttest_expr(fam: str, x: str, g: str, int128: str, dialect: str) -> str:
     """studentTTest / welchTTest (x, sample_index) from exact per-sample
     moment sums. ClickHouse returns a (t, p) tuple; the p-value needs
@@ -2741,13 +2928,18 @@ def _entropy_expr(x: str) -> str:
 
 def stats_agg_sql(
     fam: str, args: list[str], *, int128: str = _INT128_SPARK,
-    dialect: str = "spark",
+    dialect: str = "spark", lane: str | None = None,
 ) -> str:
     """Expression text for one statistical-aggregate family member —
     shared by the Spark rewrite and by oracle GENERATION (the q162
     device: one emitter, two int128/struct spellings, so the IEEE
     expression tails are textually identical and therefore
-    bit-identical over the exact integer inputs)."""
+    bit-identical over the exact integer inputs). ``lane`` picks the
+    Spark-side moment spelling for skew*/kurt*/covar* (default: the
+    module lane, see ``set_stats_lane``); oracle dialects always emit
+    the int128 spelling — both lanes produce the same exact integer
+    sums, so the shared tails stay bit-identical either way."""
+    lane = lane or _STATS_LANE
     if fam == "avgWeighted":
         x, w = args
         guard = f"(({x}) IS NOT NULL AND ({w}) IS NOT NULL)"
@@ -2759,25 +2951,34 @@ def stats_agg_sql(
         )
     if fam in ("skewPop", "skewSamp", "kurtPop", "kurtSamp"):
         (x,) = args
+        if dialect == "spark" and lane == "limb":
+            s = _limb_moment_sums(x)
+            return moment_tails_from_sums(
+                s["n"], s["s1"], s["s2"], s["s3"], s["s4"], dialect
+            )[fam]
         return _moment_tails(x, int128, dialect)[fam]
     if fam in ("covarPop", "covarSamp"):
         x, y = args
+        if dialect == "spark" and lane == "limb":
+            s = _limb_covar_sums(x, y)
+            return _covar_tail(
+                fam,
+                f"CAST({s['n']} AS DOUBLE)",
+                _dbl128(s["sx"], dialect),
+                _dbl128(s["sy"], dialect),
+                _dbl128(s["sxy"], dialect),
+            )
         guard = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
         xv = _sv128(f"CASE WHEN {guard} THEN ({x}) END", int128)
         yv = _sv128(f"CASE WHEN {guard} THEN ({y}) END", int128)
         n = f"count(CASE WHEN {guard} THEN 1 END)"
         nd = f"CAST({n} AS DOUBLE)"
-        sx = _dbl128(f"sum({xv})", dialect)
-        sy = _dbl128(f"sum({yv})", dialect)
-        sxy = _dbl128(f"sum({xv} * {yv})", dialect)
-        if fam == "covarPop":
-            return (
-                f"((({sxy} / nullif({nd}, 0.0)) - ({sx} / nullif({nd}, 0.0))"
-                f" * ({sy} / nullif({nd}, 0.0))) / 100000000.0)"
-            )
-        return (
-            f"((({sxy} - {sx} * {sy} / nullif({nd}, 0.0)) / "
-            f"nullif({nd} - 1.0, 0.0)) / 100000000.0)"
+        return _covar_tail(
+            fam,
+            nd,
+            _dbl128(f"sum({xv})", dialect),
+            _dbl128(f"sum({yv})", dialect),
+            _dbl128(f"sum({xv} * {yv})", dialect),
         )
     if fam == "boundingRatio":
         x, y = args
@@ -4373,7 +4574,6 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_topk(sql)
     sql = _rewrite_lttb(sql)
     sql = _rewrite_map_aggs(sql)
-    sql = _rewrite_stats_aggs(sql)
     sql = _rewrite_delta_ema(sql)
     sql = _rewrite_interval_aggs(sql)
     sql = _rewrite_assoc_aggs(sql)
@@ -4396,6 +4596,11 @@ def rewrite_clickhouse_sql(
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_limit_with_ties(sql)
+    # LAST among the expression passes (round 10): the limb moment
+    # spelling inflates the statement by tens of KB per family call,
+    # and every later pass re-scans the whole text — emitting it after
+    # the other rewrites keeps their scans on the small original
+    sql = _rewrite_stats_aggs(sql)
     for token, body in blocks.items():
         sql = sql.replace(f"({token})", f"({body})")
     return sql

@@ -32,7 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.chsql import ks_tail, moment_tails_from_sums, mw_tail
+from ..functions.chsql import (
+    LIMB_VMAX as _LIMB_VMAX,
+    LIMB_W as _W,
+    ks_tail,
+    limb_audit_sql as _limb_audit_expr,
+    moment_tails_from_sums,
+    mw_tail,
+)
 
 
 def _scaled(col):
@@ -201,42 +208,12 @@ def weighted_quantile(
 
 # ---------------------------------------------------------------------------
 # Exact scaled moment sums — DECIMAL(38,0) lane + the limb-split BIGINT
-# lever (round 9; VERDICT r08 #4 / SURVEY round-9 note #2)
+# lever (round 9; VERDICT r08 #4 / SURVEY round-9 note #2). The limb
+# constants and non-ANSI audit predicate are canonical in
+# ``functions.chsql`` (round 10 — the dialect bridge emits the same
+# spelling inline), imported above as _W / _LIMB_VMAX /
+# _limb_audit_expr.
 # ---------------------------------------------------------------------------
-#: limb base 2^30: digits stay below 2^30, so per-group BIGINT digit
-#: sums hold ~2^33 rows before the recombination audit trips
-_W = 1 << 30
-
-#: per-row domain of the limb lane: |v| <= 1.8e9 (|x| <= 1.8e5 after the
-#: 1e4 snap) keeps every intermediate product — v*v (3.24e18), A*A
-#: (9.1e18), 2*A*B (6.5e18), v*A (5.4e18), v*B (1.9e18), B*B (2^60) —
-#: inside int64. The DECIMAL lane's documented domain is |x| <= 3e5;
-#: values between the two bounds must use method="decimal".
-_LIMB_VMAX = 1_800_000_000
-
-
-def _limb_audit_expr(n: str = "n", vmax: str = "vmax") -> str:
-    """SQL predicate deciding whether a group's (count, max|v|) pair is
-    OUTSIDE the limb lane's non-ANSI safety envelope. Per-row
-    worst-case magnitude of each of the ten digit sums: |v| (z1),
-    v^2/W (z2a = a), v^3/W^2 (z3c = d2, the cubic TOP digit), v^4/W^3
-    (z4d = e3, the quartic TOP digit — at the domain edge ~2.8x larger
-    than a, the BINDING term), and W (every low digit). The top-digit
-    terms must appear explicitly: with only max(v, v^2/W, W) there is
-    a window (n ~ 1.1-1.5e9 at |v| = 1.8e9) where sum(e3) wraps int64
-    BEFORE the audit trips in a non-ANSI session (regression-pinned in
-    tests/test_stats_operators.py::test_limb_audit_covers_top_digits).
-    The 4.6e18 threshold keeps a 2x margin under 2^63 - 1."""
-    vd = f"CAST({vmax} AS DOUBLE)"
-    return (
-        f"({vmax} > {_LIMB_VMAX}L OR "
-        f"CAST({n} AS DOUBLE) * greatest("
-        f"{vd}, "
-        f"{vd} * {vd} / {float(_W)}, "
-        f"{vd} * {vd} * {vd} / {float(_W) ** 2}, "
-        f"{vd} * {vd} * {vd} * {vd} / {float(_W) ** 3}, "
-        f"{float(_W)}) >= 4.6e18)"
-    )
 
 
 def moments(

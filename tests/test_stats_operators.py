@@ -373,3 +373,79 @@ class TestDistributionRanks:
         # the per-row window partitions on (k, _bkt), never on k alone:
         # a single giant key fans across the bucket dimension
         assert "_bkt" in plan
+
+
+class TestBridgeLimbLane:
+    """Round 10: the dialect bridge emits the limb spelling by default
+    (chsql._limb_moment_sums / _limb_covar_sums). Both lanes must be
+    bit-identical over adversarial values (signed, domain edge), and
+    the lane switch must be honored and restored."""
+
+    @pytest.fixture(scope="class")
+    def lane_view(self, spark):
+        rows = [
+            Row(g=1, x=1.5, y=2.5),
+            Row(g=1, x=-2.25, y=4.0),
+            Row(g=1, x=3.0001, y=-1.0),
+            Row(g=1, x=None, y=5.0),
+            Row(g=1, x=7.0, y=None),
+            Row(g=2, x=-179999.9999, y=179999.9999),
+            Row(g=2, x=179999.9999, y=-179999.9999),
+            Row(g=2, x=0.0001, y=123.456),
+            Row(g=3, x=42.0, y=0.0),
+        ]
+        df = spark.createDataFrame(rows)
+        df.createOrReplaceTempView("bridge_lane_t")
+        return df
+
+    SQL = (
+        "SELECT g, skewPop(x) AS sp, skewSamp(x) AS ss, "
+        "kurtPop(x) AS kp, kurtSamp(x) AS ks, covarPop(x, y) AS cp, "
+        "covarSamp(x, y) AS cs FROM bridge_lane_t GROUP BY g"
+    )
+
+    def test_lanes_bit_identical(self, spark, lane_view):
+        from mb8600_clickhouse_spark.functions import chsql
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        prev = chsql.set_stats_lane("limb")
+        try:
+            limb = sorted(map(tuple, ch_sql(spark, self.SQL).collect()))
+            chsql.set_stats_lane("decimal")
+            dec = sorted(map(tuple, ch_sql(spark, self.SQL).collect()))
+        finally:
+            chsql.set_stats_lane(prev)
+        assert limb == dec  # exact doubles, not approx
+
+    def test_default_lane_is_limb(self):
+        from mb8600_clickhouse_spark.functions import chsql
+        from mb8600_clickhouse_spark.functions.chsql import (
+            rewrite_clickhouse_sql as rw,
+        )
+
+        assert chsql._STATS_LANE == "limb"
+        out = rw("SELECT skewPop(x) FROM t")
+        assert "shiftright" in out and "raise_error" in out
+
+    def test_unknown_lane_rejects(self):
+        from mb8600_clickhouse_spark.functions import chsql
+        from mb8600_clickhouse_spark.functions.chsql import ChSqlError
+
+        with pytest.raises(ChSqlError, match="limb or decimal"):
+            chsql.set_stats_lane("int128")
+
+    def test_bridge_limb_audit_is_loud(self, spark):
+        """A value outside the limb domain must raise through the
+        bridge (naming the decimal escape hatch), not wrap."""
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(g=1, x=250000.0), Row(g=1, x=1.0)]
+        ).createOrReplaceTempView("bridge_oob_t")
+        with pytest.raises(
+            Exception, match="limb-lane domain|ARITHMETIC_OVERFLOW"
+        ):
+            ch_sql(
+                spark,
+                "SELECT g, skewPop(x) AS sp FROM bridge_oob_t GROUP BY g",
+            ).collect()
