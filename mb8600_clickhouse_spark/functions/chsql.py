@@ -221,6 +221,119 @@ _IF_MAP = {
 
 
 def _rewrite_combinators(sql: str) -> str:
+    # STACKED combinators first (round 10, probing wave): CH appends
+    # combinators left-to-right (sum -> sumIf -> sumIfOrNull). Each
+    # stacked form peels its -If into the CASE gate and re-spells as
+    # the single-combinator form the later passes already bridge —
+    # CH also accepts the OrNull/OrDefault-first spelling, and the
+    # semantics are identical, so both orders normalize the same way.
+    while True:
+        m = _first_match(
+            sql,
+            r"\b(sum|count|avg|min|max|any|uniq|uniqExact)"
+            r"(IfOrNull|OrNullIf|IfOrDefault|OrDefaultIf)\s*\(",
+        )
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        base = m.group(1)
+        tail = "OrNull" if "OrNull" in m.group(2) else "OrDefault"
+        ok_bases = (
+            ("sum", "count", "avg", "min", "max", "any")
+            if tail == "OrNull"
+            else ("sum", "count", "avg")
+        )
+        if base not in ok_bases:
+            raise ChSqlError(
+                f"{base}{m.group(2)}: the -{tail} leg is not bridged for "
+                f"{base} (min/max -OrDefault needs the column TYPE's zero "
+                "value, unknowable textually; uniq* -OrNull diverges when "
+                "matching rows are all NULL) — spell the fallback with "
+                "coalesce/nullif around the -If form"
+            )
+        if base == "count":
+            if len(args) != 1:
+                raise ChSqlError(f"count{m.group(2)} expects (cond)")
+            case = f"CASE WHEN {args[0]} THEN 1 END"
+        else:
+            if len(args) != 2:
+                raise ChSqlError(f"{base}{m.group(2)} expects (expr, cond)")
+            case = f"CASE WHEN {args[1]} THEN {args[0]} END"
+        # emit the FINAL spelling directly (the single-combinator
+        # -OrNull/-OrDefault templates live in the array-vocabulary
+        # pass, which ran BEFORE this one): .replace, not .format —
+        # the argument text may itself contain braces
+        tmpl = _ARRAY_TEMPLATES[f"{base}{tail}".lower()][1]
+        sql = sql[: m.start()] + tmpl.replace("{0}", case) + sql[c + 1 :]
+
+    # -ArrayIf: the aggregate over array ELEMENTS of matching rows —
+    # gate the ARRAY to NULL (size(NULL)/array_min(NULL) are NULL in
+    # Spark, which every -Array fold then skips) and re-spell as -Array
+    while True:
+        m = _first_match(
+            sql,
+            r"\b(sumArray|minArray|maxArray|avgArray|countArray|"
+            r"uniqExactArray)If\s*\(",
+        )
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 2:
+            raise ChSqlError(f"{m.group(1)}If expects (array, cond)")
+        case = f"CASE WHEN {args[1]} THEN {args[0]} END"
+        sql = sql[: m.start()] + f"{m.group(1)}({case})" + sql[c + 1 :]
+
+    # countDistinctIf == uniqExactIf (countDistinct is CH's alias for
+    # uniqExact); quantile/median -If peel into the CASE gate and the
+    # plain form (finished by the quantile passes below)
+    while True:
+        m = _first_match(sql, r"\bcountDistinctIf\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        sql = sql[: m.start()] + f"uniqExactIf({sql[o + 1:c]})" + sql[c + 1 :]
+    while True:
+        m = _first_match(
+            sql,
+            r"\b(quantilesExact|quantilesTDigest|quantilesTiming|quantiles"
+            r"|quantileExact|quantileTDigest|quantileTiming|quantile"
+            r"|medianExact|medianTiming|median)If\s*\(",
+        )
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        name = m.group(1)
+        if name.lower().startswith("median"):
+            args = _split_top_commas(sql[o + 1 : c])
+            if len(args) != 2:
+                raise ChSqlError(f"{name}If expects (expr, cond)")
+            rep = f"{name}(CASE WHEN {args[1]} THEN {args[0]} END)"
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
+            continue
+        # parametric: quantile*If(p)(x, cond)
+        rest = sql[c + 1 :]
+        m2 = re.match(r"\s*\(", rest)
+        if not m2:
+            raise ChSqlError(
+                f"{name}If(p) must be followed by an argument list"
+            )
+        x_open = c + 1 + m2.end() - 1
+        x_close = _match_paren(sql, x_open)
+        args = _split_top_commas(sql[x_open + 1 : x_close])
+        if len(args) != 2:
+            raise ChSqlError(f"{name}If(p)(x, cond) takes two arguments")
+        rep = (
+            f"{name}({sql[o + 1:c]})"
+            f"(CASE WHEN {args[1]} THEN {args[0]} END)"
+        )
+        sql = sql[: m.start()] + rep + sql[x_close + 1 :]
+
     # quantile*(p)(x) and the array-returning quantiles*(p1, p2)(x):
     # two adjacent balanced argument lists. The plural forms pass the
     # probability LIST as an array argument (Spark's percentile /
@@ -3363,7 +3476,7 @@ _DICTGET_DEFAULTS = {
 }
 
 _DICT_FN = (
-    r"\bdict(?:Has|Get(?:OrDefault)?"
+    r"\bdict(?:Has|Get(?:OrDefault|OrNull)?"
     r"(?:String|U?Int(?:8|16|32|64)|Float(?:32|64)|DateTime|Date)?)\s*\("
 )
 
@@ -3423,6 +3536,7 @@ def _rewrite_dictget(sql: str, dictionaries: dict[str, str] | None) -> str:
             )
         else:
             or_default = fn.startswith("dictGetOrDefault")
+            or_null = fn == "dictGetOrNull"
             want = 4 if or_default else 3
             if len(args) != want:
                 raise ChSqlError(
@@ -3446,6 +3560,10 @@ def _rewrite_dictget(sql: str, dictionaries: dict[str, str] | None) -> str:
             )
             if or_default:
                 repl = f"coalesce({sub}, ({args[3]}))"
+            elif or_null:
+                # CH's dictGetOrNull: NULL on a missing key — exactly
+                # the bare scalar subquery (no coalesce)
+                repl = sub
             else:
                 suffix = fn[len("dictGet"):]
                 dflt = _DICTGET_DEFAULTS.get(suffix)
@@ -3607,6 +3725,7 @@ _ARRAY_TEMPLATES: dict[str, dict[int, str]] = {
     "avgornull": {1: "avg({0})"},
     "minornull": {1: "min({0})"},
     "maxornull": {1: "max({0})"},
+    "anyornull": {1: "any_value({0})"},
     "countornull": {1: "nullif(count({0}), 0)"},
     # -OrDefault for the aggregates whose CH default is numeric 0;
     # min/maxOrDefault stay unbridged (the default is the COLUMN
@@ -4474,6 +4593,43 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
+#: aggregate bases x combinator suffixes: any such call SURVIVING the
+#: whole rewrite pipeline is an unbridged combinator stack — fail with
+#: the stack named instead of Spark's unknown-function error three
+#: layers down (round-10 probing wave; the documented-failure contract)
+_COMB_STACK_PAT = (
+    r"\b(sumCount|sum|countDistinct|count|avg|minMap|min|maxMap|max|"
+    r"anyLast|anyHeavy|any|uniqExact|uniqHLL12|uniqCombined64|"
+    r"uniqCombined|uniqTheta|uniq|quantiles\w*?|quantile\w*?|"
+    r"median\w*?|argMax|argMin|groupArray|groupUniqArray|topK|stddev\w*?|"
+    r"var\w*?|corr|covar\w*?|skew\w*?|kurt\w*?|deltaSum|entropy|retention)"
+    r"((?:If|OrNull|OrDefault|Array|Distinct|State|SimpleState|Merge|"
+    r"ForEach|Resample|Map){1,})\s*\("
+)
+
+
+def _reject_unbridged_combinators(sql: str) -> str:
+    """Loud reject for aggregate-combinator stacks no pass bridged
+    (``sumForEach``, ``avgStateIf``, ``quantileMerge``, ...): every
+    bridged form was rewritten away by now, so a surviving
+    base+combinator call would otherwise surface as Spark's
+    UNRESOLVED_ROUTINE three layers down, or — worse — resolve against
+    an unrelated registered UDF. Runs on each nesting level's own text
+    (subqueries are masked), after every expression pass."""
+    m = _first_match(sql, _COMB_STACK_PAT)
+    if m:
+        raise ChSqlError(
+            f"{m.group(1)}{m.group(2)}(...): this aggregate-combinator "
+            "stack is not bridged. Bridged stacks: -If, -Distinct, "
+            "-Array, -ArrayIf, -State/-Merge (count/sum/min/max/avg/"
+            "uniq), -OrNull/-OrDefault and their -If compositions, "
+            "-Map (2-array sum/min/max). Spell anything else as an "
+            "explicit CASE/array expression, or as two queries for "
+            "-ForEach/-Resample shapes"
+        )
+    return sql
+
+
 def _mask_subselects(
     sql: str, final_tables: dict | None, sample_by: dict | None,
     dictionaries: dict | None = None,
@@ -4601,6 +4757,7 @@ def rewrite_clickhouse_sql(
     # and every later pass re-scans the whole text — emitting it after
     # the other rewrites keeps their scans on the small original
     sql = _rewrite_stats_aggs(sql)
+    sql = _reject_unbridged_combinators(sql)
     for token, body in blocks.items():
         sql = sql.replace(f"({token})", f"({body})")
     return sql

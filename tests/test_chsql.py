@@ -3585,3 +3585,101 @@ class TestNestedTernary:
             ).collect()
         ]
         assert r == ["zero", "one", "many"]
+
+
+class TestStackedCombinators:
+    """Round-10 probing wave: CH combinator STACKS (-IfOrNull,
+    -ArrayIf, quantile*If, countDistinctIf) bridge to the composed
+    spellings; anything unbridged fails loudly with the stack named
+    (never Spark's unknown-function error), and dictGetOrNull joins
+    the dictionary bridge."""
+
+    def test_if_ornull_stacks(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(x=1.0, c=True), Row(x=2.0, c=False), Row(x=None, c=True)]
+        ).createOrReplaceTempView("stack_t")
+        r = ch_sql(
+            spark,
+            "SELECT sumIfOrNull(x, c) AS a, sumIfOrNull(x, x > 99) AS b, "
+            "countIfOrNull(c) AS c1, countIfOrNull(x > 99) AS c0, "
+            "sumIfOrDefault(x, x > 99) AS d, anyIfOrNull(x, x > 99) AS e "
+            "FROM stack_t",
+        ).collect()[0]
+        assert (r.a, r.b, r.c1, r.c0, r.d, r.e) == (1.0, None, 2, None, 0, None)
+
+    def test_both_stack_orders_normalize(self):
+        a = rw("SELECT sumIfOrNull(x, c) FROM t")
+        b = rw("SELECT sumOrNullIf(x, c) FROM t")
+        assert a == b == "SELECT sum(CASE WHEN c THEN x END) FROM t"
+
+    def test_unbridgeable_stack_legs_reject(self):
+        with pytest.raises(ChSqlError, match="not bridged for min"):
+            rw("SELECT minIfOrDefault(x, c) FROM t")
+        with pytest.raises(ChSqlError, match="not bridged for uniq"):
+            rw("SELECT uniqIfOrNull(x, c) FROM t")
+
+    def test_array_if_stack(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(arr=[1.0, 2.0], c=True), Row(arr=[10.0], c=False)]
+        ).createOrReplaceTempView("stack_arr_t")
+        r = ch_sql(
+            spark,
+            "SELECT sumArrayIf(arr, c) AS s, countArrayIf(arr, c) AS n, "
+            "minArrayIf(arr, c) AS mn FROM stack_arr_t",
+        ).collect()[0]
+        assert (r.s, r.n, r.mn) == (3.0, 2, 1.0)
+
+    def test_quantile_and_distinct_if(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT quantileExactIf(0.5)(number, number < 5) AS q, "
+            "countDistinctIf(number % 3, number < 6) AS d, "
+            "medianExactIf(number, number < 5) AS m "
+            "FROM numbers(100)",
+        ).collect()[0]
+        assert (r.q, r.d, r.m) == (2.0, 3, 2.0)
+
+    def test_unbridged_stacks_fail_loudly(self):
+        for bad in (
+            "SELECT sumForEach(arr) FROM t",
+            "SELECT avgStateIf(x, c) FROM t",
+            "SELECT quantileMerge(s) FROM t",
+            "SELECT maxResample(1, 10, 1)(x, k) FROM t",
+        ):
+            with pytest.raises(ChSqlError, match="combinator stack"):
+                rw(bad)
+
+    def test_no_false_positives(self):
+        # names that merely LOOK suffixed must pass through
+        for ok in (
+            "SELECT countEqual(arr, 1) FROM t",
+            "SELECT count_if(c) FROM t",
+            "SELECT min_by(a, b) FROM t",
+            "SELECT topKWeighted(3)(x, w) FROM t",
+            "SELECT sumCount(x) FROM t",
+        ):
+            rw(ok)  # must not raise
+
+    def test_dictget_ornull(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(key=1, attr="a"), Row(key=2, attr="b")]
+        ).createOrReplaceTempView("dict_on_t")
+        spark.range(4).createOrReplaceTempView("dict_on_src")
+        got = [
+            r.v
+            for r in ch_sql(
+                spark,
+                "SELECT dictGetOrNull('dict_on_t', 'attr', id) AS v "
+                "FROM dict_on_src ORDER BY id",
+                dictionaries={"dict_on_t": "key"},
+            ).collect()
+        ]
+        assert got == [None, "a", "b", None]
