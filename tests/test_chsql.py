@@ -3683,3 +3683,45 @@ class TestStackedCombinators:
             ).collect()
         ]
         assert got == [None, "a", "b", None]
+
+
+class TestArrayJoinFinalComposition:
+    """Round-10 probing wave: FROM t FINAL composed with ARRAY JOIN —
+    the FINAL dedup (latest version per key) must resolve BEFORE the
+    explode, so a superseded row's array never contributes elements."""
+
+    def test_inner_array_join_after_final(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(k=1, ver=1, arr=[10, 11]), Row(k=1, ver=2, arr=[20, 21]),
+             Row(k=2, ver=1, arr=[30])]
+        ).createOrReplaceTempView("ajf_t")
+        rows = [
+            tuple(r)
+            for r in ch_sql(
+                spark,
+                "SELECT k, x FROM ajf_t FINAL ARRAY JOIN arr AS x "
+                "ORDER BY k, x",
+                final_tables={"ajf_t": ("k", "ver")},
+            ).collect()
+        ]
+        assert rows == [(1, 20), (1, 21), (2, 30)]
+
+    def test_left_array_join_after_final_empty_array(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(k=1, ver=1, arr=[10]), Row(k=1, ver=2, arr=[]),
+             Row(k=2, ver=5, arr=[30])]
+        ).createOrReplaceTempView("ajf_t2")
+        rows = [
+            tuple(r)
+            for r in ch_sql(
+                spark,
+                "SELECT k, x FROM ajf_t2 FINAL LEFT ARRAY JOIN arr AS x "
+                "ORDER BY k",
+                final_tables={"ajf_t2": ("k", "ver")},
+            ).collect()
+        ]
+        assert rows == [(1, None), (2, 30)]
