@@ -637,17 +637,27 @@ def _rewrite_combinators(sql: str) -> str:
         if fam == "sumarray":
             rep = f"sum({fold})"
         elif fam == "avgarray":
+            # NULL-array guard on the size term: in a non-ANSI session
+            # (the engine's fixture mode) size(NULL) is legacy -1, which
+            # would silently skew the denominator — the -ArrayIf gate
+            # feeds NULL arrays here by design (round 10)
             rep = (
                 f"(sum({fold}) / "
-                f"sum(CAST(size(filter({a}, e -> e IS NOT NULL)) "
-                f"AS DOUBLE)))"
+                f"sum(CASE WHEN ({a}) IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"ELSE CAST(size(filter({a}, e -> e IS NOT NULL)) "
+                f"AS DOUBLE) END))"
             )
         elif fam == "minarray":
             rep = f"min(array_min({a}))"
         elif fam == "maxarray":
             rep = f"max(array_max({a}))"
         elif fam == "countarray":
-            rep = f"sum(CAST(size({a}) AS BIGINT))"
+            # same size(NULL) = -1 hazard as avgArray: a NULL array row
+            # must contribute nothing, in ANSI and non-ANSI sessions
+            rep = (
+                f"sum(CASE WHEN ({a}) IS NULL THEN CAST(NULL AS BIGINT) "
+                f"ELSE CAST(size({a}) AS BIGINT) END)"
+            )
         else:  # uniqExactArray
             rep = (
                 f"size(array_distinct(flatten(collect_list("
@@ -4551,15 +4561,25 @@ def _rewrite_limit_with_ties(sql: str) -> str:
 
 
 def _rewrite_limit_by(sql: str) -> str:
-    mlb = _top_level_matches(sql, r"\bLIMIT\s+(\d+)\s*(,\s*\d+\s*)?BY\b")
+    """``LIMIT [offset,] n BY cols`` / ``LIMIT n OFFSET m BY cols`` —
+    CH's per-group row cap (rows offset+1..offset+n of each group in
+    the statement order) as a row_number window. Both offset spellings
+    bridge (round 10 — the OFFSET form previously slipped through
+    unrewritten into Spark's parser)."""
+    mlb = _top_level_matches(
+        sql, r"\bLIMIT\s+(\d+)\s*(?:,\s*(\d+)|OFFSET\s+(\d+))?\s*BY\b"
+    )
     if not mlb:
         return sql
     if len(mlb) > 1:
         raise ChSqlError("multiple top-level LIMIT ... BY clauses")
     m = mlb[0]
-    if m.group(2):
-        raise ChSqlError("LIMIT offset, n BY is not supported (plain LIMIT n BY is)")
-    n = int(m.group(1))
+    if m.group(2):  # LIMIT offset, n BY
+        off, n = int(m.group(1)), int(m.group(2))
+    elif m.group(3):  # LIMIT n OFFSET m BY
+        off, n = int(m.group(3)), int(m.group(1))
+    else:
+        off, n = 0, int(m.group(1))
 
     # the BY expression list runs to the next top-level LIMIT or EOF
     tail_start = m.end()
@@ -4585,11 +4605,14 @@ def _rewrite_limit_by(sql: str) -> str:
     win_order = order_clause if order_clause else by_cols
     outer_order = f" ORDER BY {order_clause}" if order_clause else ""
     trail = f" {trailing}" if trailing else ""
+    keep = (
+        f"__rn > {off} AND __rn <= {off + n}" if off else f"__rn <= {n}"
+    )
     return (
         f"SELECT * EXCEPT (__rn) FROM ("
         f"SELECT __t.*, row_number() OVER (PARTITION BY {by_cols} "
         f"ORDER BY {win_order}) AS __rn FROM ({body}) __t"
-        f") WHERE __rn <= {n}{outer_order}{trail}"
+        f") WHERE {keep}{outer_order}{trail}"
     )
 
 

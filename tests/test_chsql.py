@@ -433,9 +433,11 @@ class TestLimitByRewrite:
         got = rw("SELECT k, v FROM t LIMIT 1 BY k")
         assert "OVER (PARTITION BY k ORDER BY k)" in got
 
-    def test_offset_form_raises(self):
-        with pytest.raises(ChSqlError):
-            rw("SELECT k FROM t LIMIT 2, 3 BY k")
+    def test_offset_form_bridges(self):
+        # round 10: the offset forms bridge (rows off+1..off+n per
+        # group) instead of rejecting
+        out = rw("SELECT k FROM t LIMIT 2, 3 BY k")
+        assert "__rn > 2 AND __rn <= 5" in out
 
     def test_plain_limit_untouched(self):
         q = "SELECT k FROM t ORDER BY k LIMIT 5"
@@ -3725,3 +3727,51 @@ class TestArrayJoinFinalComposition:
             ).collect()
         ]
         assert rows == [(1, None), (2, 30)]
+
+
+class TestLimitByOffset:
+    """Round-10 probing wave: CH's LIMIT [offset,] n BY and
+    LIMIT n OFFSET m BY — rows offset+1..offset+n per group. The
+    OFFSET spelling previously slipped through unrewritten."""
+
+    def test_both_offset_spellings(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(k=i % 2, v=i) for i in range(8)]
+        ).createOrReplaceTempView("lby_t")
+        for q in (
+            "SELECT k, v FROM lby_t ORDER BY v LIMIT 1, 2 BY k",
+            "SELECT k, v FROM lby_t ORDER BY v LIMIT 2 OFFSET 1 BY k",
+        ):
+            rows = sorted(tuple(r) for r in ch_sql(spark, q).collect())
+            # per k: skip the smallest v, keep the next two
+            assert rows == [(0, 2), (0, 4), (1, 3), (1, 5)], (q, rows)
+
+    def test_plain_limit_offset_untouched(self):
+        sql = "SELECT k FROM t ORDER BY k LIMIT 2 OFFSET 1"
+        assert rw(sql) == sql
+
+
+class TestArrayFoldsNonAnsi:
+    """Round-10: the engine's fixture mode runs ANSI OFF (tables.py),
+    where size(NULL) is legacy -1 — the -Array count/avg folds must be
+    mode-independent (a NULL array row contributes nothing, never -1)."""
+
+    def test_count_avg_array_null_rows_both_modes(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(arr=[1.0, 2.0], c=True), Row(arr=[10.0], c=False),
+             Row(arr=None, c=True)]
+        ).createOrReplaceTempView("nonansi_arr_t")
+        q = ("SELECT countArrayIf(arr, c) AS n, countArray(arr) AS na, "
+             "avgArrayIf(arr, c) AS a FROM nonansi_arr_t")
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        try:
+            for mode in ("true", "false"):
+                spark.conf.set("spark.sql.ansi.enabled", mode)
+                r = ch_sql(spark, q).collect()[0]
+                assert (r.n, r.na, r.a) == (2, 3, 1.5), (mode, tuple(r))
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
