@@ -2822,10 +2822,12 @@ def _limb_moment_sums(x: str) -> dict[str, str]:
     follow scan the full statement, so emitted-text size is itself a
     cost). Catalyst deduplicates semantically-equal aggregate
     children, so the repeated digit sums across skew/kurt family
-    members collapse to one physical aggregation each. s1 carries the
-    audit guard: every family tail consumes s1 (the mean), so one
-    guard makes any out-of-domain group loud without quadrupling the
-    guard text."""
+    members collapse to one physical aggregation each. s2 carries the
+    audit guard: every family tail consumes s2 (m2 and the
+    higher-moment corrections all reference r2), so ONE guard makes
+    any out-of-domain group loud — and s2 is the cheapest carrier
+    (the tails interpolate s1 ~11 times per member vs s2 ~3, and the
+    guard text repeats with its host)."""
     W = LIMB_W
     M = W - 1
     D = "DECIMAL(38,0)"
@@ -2846,11 +2848,11 @@ def _limb_moment_sums(x: str) -> dict[str, str]:
     n = f"count({x})"
     audit = limb_audit_sql(n, f"max(abs({v}))")
     wd = f"CAST({W} AS {D})"
-    s1 = (
+    s1 = f"CAST(sum({v}) AS {D})"
+    s2 = (
         f"(CASE WHEN {audit} THEN {_limb_raise('stats bridge limb lane')} "
-        f"ELSE CAST(sum({v}) AS {D}) END)"
+        f"ELSE (CAST(sum({a}) AS {D}) * {wd} + sum({b})) END)"
     )
-    s2 = f"(CAST(sum({a}) AS {D}) * {wd} + sum({b}))"
     s3 = (
         f"((CAST(sum({d2}) AS {D}) * {wd} + sum({d1})) * {wd} + sum({d0}))"
     )
