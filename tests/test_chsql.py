@@ -3775,3 +3775,38 @@ class TestArrayFoldsNonAnsi:
                 assert (r.n, r.na, r.a) == (2, 3, 1.5), (mode, tuple(r))
         finally:
             spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+class TestTernaryPropertyPin:
+    """Randomized nested-ternary pin (round 10): 60 deterministic
+    random ternary trees over literal operands, rendered in CH syntax
+    WITHOUT parentheses around the nesting, rewritten, and executed in
+    one statement — each must equal Python's right-associative
+    conditional evaluation."""
+
+    def _gen(self, rng, depth):
+        # returns (ch_text, python_value)
+        if depth == 0 or rng.random() < 0.4:
+            v = rng.randrange(0, 100)
+            return str(v), v
+        cond = rng.random() < 0.5
+        ctext = "1 = 1" if cond else "1 = 2"
+        t_text, t_val = self._gen(rng, depth - 1)
+        e_text, e_val = self._gen(rng, depth - 1)
+        return f"{ctext} ? {t_text} : {e_text}", (t_val if cond else e_val)
+
+    def test_random_nestings(self, spark):
+        import random
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rng = random.Random(20260816)
+        items, want = [], []
+        for i in range(60):
+            text, val = self._gen(rng, 3)
+            if "?" not in text:
+                continue
+            items.append(f"({text}) AS c{i}")
+            want.append(val)
+        row = ch_sql(spark, "SELECT " + ", ".join(items)).collect()[0]
+        assert list(row) == want
