@@ -2028,13 +2028,25 @@ def _ordinal_item_collision(text: str, name: str) -> bool:
     return False
 
 
-def _subst_const(text: str, name: str, expr: str) -> str:
+def _subst_const(
+    text: str, name: str, expr: str, *, head_safe: bool = False
+) -> str:
     """String-literal-aware whole-word substitution of a scalar WITH
-    constant; advances past each replacement so an expr containing the
-    name cannot loop."""
+    constant (or lambda parameter); advances past each replacement so
+    an expr containing the name cannot loop. Qualified references
+    (``x.name`` — a field/column of something else) never substitute.
+    With ``head_safe=True`` (the WITH-constant sites, round 10),
+    qualifier and invocation HEADS are skipped too: ``name.id`` is a
+    table-alias reference and ``name(...)`` a function call — a scalar
+    constant can be neither, and CH resolves those to the table/
+    function. The lambda-param site keeps heads substitutable
+    (``p -> p.field`` must become ``(__sl).field``)."""
+    pat = rf"(?<![\w.`]){re.escape(name)}\b"
+    if head_safe:
+        pat += r"(?!\s*[.(])"
     pos = 0
     while True:
-        mm = _first_match(text[pos:], rf"\b{re.escape(name)}\b")
+        mm = _first_match(text[pos:], pat)
         if not mm:
             return text
         start = pos + mm.start()
@@ -2110,7 +2122,7 @@ def _rewrite_with_constants(
             for other, oexpr in subs.items():
                 if other == name:
                     continue
-                new = _subst_const(subs[name], other, oexpr)
+                new = _subst_const(subs[name], other, oexpr, head_safe=True)
                 if new != subs[name]:
                     subs[name] = new
                     changed = True
@@ -2118,7 +2130,12 @@ def _rewrite_with_constants(
             break
     for name, expr in subs.items():
         for other in subs:
-            if _first_match(expr, rf"\b{re.escape(other)}\b"):
+            # the guarded pattern, matching what substitution touches:
+            # a remaining qualified x.other / other(...) is NOT a
+            # constant reference and must not read as a cycle
+            if _first_match(
+                expr, rf"(?<![\w.`]){re.escape(other)}\b(?!\s*[.(])"
+            ):
                 raise ChSqlError(
                     f"cyclic scalar WITH constants: {name!r} still "
                     f"references {other!r} after fixed-point resolution"
@@ -2153,14 +2170,16 @@ def _rewrite_with_constants(
                 "parameter of the same name — whole-word substitution "
                 "would corrupt the lambda; rename the constant"
             )
-        body = _subst_const(body, name, expr)
+        body = _subst_const(body, name, expr, head_safe=True)
     # CH scoping: scalar constants are visible inside CTE bodies and
     # subqueries — substitute into the masked block contents too
     if blocks:
         for name, expr in subs.items():
             for token in list(blocks):
                 btext = blocks[token]
-                if not _first_match(btext, rf"\b{re.escape(name)}\b"):
+                if not _first_match(
+                    btext, rf"(?<![\w.`]){re.escape(name)}\b(?!\s*[.(])"
+                ):
                     continue
                 if re.search(rf"\bAS\s+{re.escape(name)}\b", btext,
                              re.IGNORECASE):
@@ -2176,7 +2195,7 @@ def _rewrite_with_constants(
                         "bridgeable across nesting levels; inline the "
                         "subquery or hoist the reference"
                     )
-                blocks[token] = _subst_const(btext, name, expr)
+                blocks[token] = _subst_const(btext, name, expr, head_safe=True)
                 if touched_blocks is not None and token not in touched_blocks:
                     touched_blocks.append(token)
     head = f"WITH {', '.join(kept)} " if kept else ""

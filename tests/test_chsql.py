@@ -3810,3 +3810,40 @@ class TestTernaryPropertyPin:
             want.append(val)
         row = ch_sql(spark, "SELECT " + ", ".join(items)).collect()[0]
         assert list(row) == want
+
+
+class TestWithConstantQualifierSafety:
+    """Round 10 (the ADVICE r09 class, applied to _subst_const): a
+    scalar WITH constant sharing a name with a table alias, a
+    qualified column, or a function must never substitute into the
+    qualified/invocation position — CH resolves those to the table/
+    function, not the constant."""
+
+    def test_table_qualifier_preserved(self):
+        out = rw("WITH 5 AS n SELECT t.n + n FROM t WHERE n.id > 1")
+        assert out == "SELECT t.n + (5) FROM t WHERE n.id > 1"
+
+    def test_function_head_preserved(self):
+        out = rw("WITH 5 AS f SELECT f(x), f FROM t")
+        assert out == "SELECT f(x), (5) FROM t"
+
+    def test_qualified_hit_is_not_a_cycle(self):
+        # q's expr contains "n" only as a qualified column — the
+        # fixed-point cycle check must not trip on it
+        out = rw("WITH t.n AS q, 5 AS n SELECT q + n FROM t")
+        assert out == "SELECT (t.n) + (5) FROM t"
+
+    def test_executes(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.range(3).selectExpr("id AS n").createOrReplaceTempView(
+            "wq_t"
+        )
+        got = sorted(
+            r.s
+            for r in ch_sql(
+                spark,
+                "WITH 10 AS n SELECT wq_t.n + n AS s FROM wq_t",
+            ).collect()
+        )
+        assert got == [10, 11, 12]
