@@ -844,6 +844,19 @@ def _rewrite_global_and_format(sql: str) -> str:
             "broadcast joins), or spell the lookup as a JOIN — no "
             "dictionary server exists in this engine",
         ),
+        (
+            r"\bparseDateTimeBestEffort\w*\b",
+            "CH's best-effort datetime heuristics (dozens of format "
+            "guesses, version-dependent) cannot be reproduced faithfully "
+            "— spell the format: to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') "
+            "or try_to_timestamp for the OrNull contract",
+        ),
+        (
+            r"\btoFixedString\b",
+            "FixedString(N) has no Spark type: the zero-padding and the "
+            "loud too-long error are both lost — use rpad(s, n, ' ') / "
+            "left(s, n) for the layout, or keep plain STRING",
+        ),
     ):
         hit = _top_level_matches(sql, pat)
         if hit:
@@ -3770,6 +3783,22 @@ _ARRAY_TEMPLATES: dict[str, dict[int, str]] = {
     "divide": {2: "({0} / {1})"},
     "modulo": {2: "({0} % {1})"},
     "negate": {1: "(- {0})"},
+    # CH monthName returns the FULL English name; Spark 4's builtin
+    # monthname (3-letter) cannot be replaced by a UDF, so rewrite
+    # before resolution
+    "monthname": {1: "date_format({0}, 'MMMM')"},
+    # toTypeName -> typeof: the NAMES are Spark's ('double', 'bigint'),
+    # not CH's ('Float64', 'Int64') — documented divergence (the
+    # introspection contract is "a type name", not a specific spelling)
+    "totypename": {1: "typeof({0})"},
+    # CH tuple(...) -> named_struct with CH's positional element names
+    # (accessed as ._1/._2 — tupleElement below emits that spelling)
+    "tuple": {
+        n: "named_struct("
+        + ", ".join(f"'_{i + 1}', {{{i}}}" for i in range(n))
+        + ")"
+        for n in range(1, 9)
+    },
 }
 
 
@@ -4172,6 +4201,76 @@ def _rewrite_scalar_calls(sql: str) -> str:
       intervals raise (CH anchors them to a calendar origin a literal
       rewrite cannot reproduce faithfully).
     """
+    # tupleElement(t, N) / tupleElement(t, 'name'): positional access
+    # uses the tuple() bridge's ._N element names (arbitrary source
+    # structs need the string-name form); a non-literal selector
+    # rejects — there is no runtime field dispatch (round 10)
+    while True:
+        m = _first_match(sql, r"\btupleElement\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 2:
+            raise ChSqlError("tupleElement expects (tuple, index_or_name)")
+        t, sel = args
+        if re.fullmatch(r"\d+", sel):
+            field = f"_{int(sel)}"
+        elif re.fullmatch(r"'(\w+)'", sel):
+            field = sel[1:-1]
+        else:
+            raise ChSqlError(
+                "tupleElement selector must be an integer or quoted-name "
+                "literal (runtime field dispatch is not bridgeable) — "
+                f"got {sel!r}"
+            )
+        sql = sql[: m.start()] + f"({t}).{field}" + sql[c + 1 :]
+
+    # CH tuple access `tuple(a, b).1`: after the tuple() template the
+    # expression ends in ')', so ').N' is unambiguous (a decimal
+    # literal never follows a closing paren) -> the ._N element name
+    while True:
+        m = _first_match(sql, r"\)\.(\d+)\b")
+        if not m:
+            break
+        sql = sql[: m.start()] + f")._{m.group(1)}" + sql[m.end() :]
+
+    # toDecimal32/64/128[OrNull|OrZero](x, scale-literal) -> CAST at
+    # CH's precision tier (9/18/38); toDecimal256 exceeds DECIMAL(38)
+    while True:
+        m = _first_match(
+            sql, r"\btoDecimal(32|64|128|256)(OrNull|OrZero)?\s*\("
+        )
+        if not m:
+            break
+        if m.group(1) == "256":
+            raise ChSqlError(
+                "toDecimal256 exceeds Spark's DECIMAL(38) lane — use "
+                "toDecimal128, or keep the value in DOUBLE"
+            )
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 2 or not re.fullmatch(r"\d+", args[1]):
+            raise ChSqlError(
+                f"toDecimal{m.group(1)}{m.group(2) or ''} expects "
+                "(x, scale-literal)"
+            )
+        p = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        s = int(args[1])
+        if s > p:
+            raise ChSqlError(
+                f"toDecimal{m.group(1)}: scale {s} exceeds precision {p}"
+            )
+        if m.group(2):
+            cast = f"try_cast({args[0]} AS DECIMAL({p},{s}))"
+            if m.group(2) == "OrZero":
+                cast = f"coalesce({cast}, CAST(0 AS DECIMAL({p},{s})))"
+        else:
+            cast = f"CAST({args[0]} AS DECIMAL({p},{s}))"
+        sql = sql[: m.start()] + cast + sql[c + 1 :]
+
     while True:
         m = _first_match(sql, r"\bmultiIf\s*\(")
         if not m:
@@ -4581,6 +4680,83 @@ def _rewrite_limit_with_ties(sql: str) -> str:
     )
 
 
+def _is_bare_tuple(text: str) -> list[str] | None:
+    """``(e1, e2, ...)`` with >= 2 top-level elements and the outer
+    parens matching end-to-end — a CH tuple literal/expression, not a
+    call's argument list. Returns the element texts or None."""
+    t = text.strip()
+    if not t.startswith("("):
+        return None
+    if _match_paren(t, 0) != len(t) - 1:
+        return None
+    items = _split_top_commas(t[1:-1])
+    return items if len(items) >= 2 else None
+
+
+def _pos_struct(items: list[str]) -> str:
+    inner = ", ".join(f"'_{i + 1}', {e}" for i, e in enumerate(items))
+    return f"named_struct({inner})"
+
+
+def _rewrite_tuple_in(sql: str) -> str:
+    """CH composite-key membership ``(a, b) IN ((1, 2), (3, 4))``
+    (round-10 gap probe): Spark compares struct types INCLUDING field
+    names, so the bare-paren spelling dies with named_struct(a, ...)
+    vs named_struct(col1, ...) type mismatch. Both sides rewrite to
+    POSITIONAL named_structs (``'_1', '_2'`` — the tuple() template's
+    names, so ``tuple(a, b) IN ((1, 2))`` composes too). Only the
+    literal-tuple-list RHS is touched: ``(a, b) IN (subquery)`` is
+    native Spark (the masked block token is a single element), and a
+    scalar IN list has no parenthesized tuple elements. An arity
+    mismatch is left for Spark's analyzer to reject loudly."""
+    for m in reversed(_top_level_matches(sql, r"\b(?:NOT\s+)?IN\s*\(")):
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        items = _split_top_commas(sql[o + 1 : c])
+        elem_lists = [_is_bare_tuple(i) for i in items]
+        if not items or any(e is None for e in elem_lists):
+            continue
+        # LHS: the nearest non-space char left of [NOT] IN must close a
+        # bare tuple. Parens preceded by an IDENTIFIER are a call's
+        # argument list (`foo(a, b) IN ...` compares foo's result) and
+        # stay untouched — but a preceding KEYWORD (SELECT/WHERE/AND/
+        # ...) just delimits the expression, so the tuple wraps.
+        k = m.start() - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        lhs_items = None
+        lo = None
+        if k >= 0 and sql[k] == ")":
+            depth = 0
+            in_str_at = {i: s for i, _c, _d, s in _scan(sql)}
+            for j in range(k, -1, -1):
+                if in_str_at.get(j, False):
+                    continue
+                if sql[j] == ")":
+                    depth += 1
+                elif sql[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        lo = j
+                        break
+            if lo is not None:
+                head = re.search(r"([A-Za-z_]\w*)\s*$", sql[:lo])
+                tail_ch = sql[:lo].rstrip()[-1:]
+                is_call = bool(head) and head.group(1).upper() not in (
+                    "SELECT", "DISTINCT", "WHERE", "AND", "OR", "NOT",
+                    "ON", "WHEN", "THEN", "ELSE", "CASE", "BY", "HAVING",
+                    "ALL", "ANY", "IN", "JOIN", "SET", "UNION", "EXCEPT",
+                    "INTERSECT", "AS", "BETWEEN", "IS", "LIKE",
+                ) or (not head and tail_ch in ("`", ")"))
+                if not is_call:
+                    lhs_items = _is_bare_tuple(sql[lo : k + 1])
+        rhs = ", ".join(_pos_struct(e) for e in elem_lists)
+        sql = sql[: o + 1] + rhs + sql[c:]
+        if lhs_items:
+            sql = sql[:lo] + _pos_struct(lhs_items) + sql[k + 1 :]
+    return sql
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """``LIMIT [offset,] n BY cols`` / ``LIMIT n OFFSET m BY cols`` —
     CH's per-group row cap (rows offset+1..offset+n of each group in
@@ -4763,6 +4939,9 @@ def rewrite_clickhouse_sql(
     # ARRAY<STRING> UDF registrations would resolve the same names)
     sql = _rewrite_array_vocabulary(sql)
     sql = _rewrite_type_names(sql)
+    # after the array vocabulary (tuple() is a named_struct by now, so
+    # tuple(a, b) IN ((1, 2)) composes on the same positional names)
+    sql = _rewrite_tuple_in(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_ternary(sql)
     # before _rewrite_combinators: the -State name inside

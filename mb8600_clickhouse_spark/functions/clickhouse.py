@@ -215,6 +215,13 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     ),
     "arrayMax": ("(arr ARRAY<DOUBLE>)", "DOUBLE", "array_max(arr)"),
     "arrayMin": ("(arr ARRAY<DOUBLE>)", "DOUBLE", "array_min(arr)"),
+    # NULL elements fold as the multiplicative identity (the arraySum
+    # convention above, applied to the product)
+    "arrayProduct": (
+        "(arr ARRAY<DOUBLE>)",
+        "DOUBLE",
+        "aggregate(arr, 1D, (acc, x) -> acc * coalesce(x, 1D))",
+    ),
     "arrayDistinct": ("(arr ARRAY<STRING>)", "ARRAY<STRING>", "array_distinct(arr)"),
     # round-6 additions (gap probe against realistic dashboard SQL)
     "toStartOfFiveMinute": (
@@ -271,6 +278,53 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # CH roundBankers = half-to-even; Spark round() is half-up, bround
     # is the exact match
     "roundBankers": ("(v DOUBLE)", "DOUBLE", "bround(v)"),
+    # ---- round-10 gap probe (dashboard scalar batch) ----
+    "exp2": ("(x DOUBLE)", "DOUBLE", "power(2D, x)"),
+    # x - x is 0 iff x is finite (NaN/Inf both yield NaN); NULL
+    # propagates. CH returns UInt8 0/1 — the empty()/match() INT
+    # convention
+    "isFinite": ("(x DOUBLE)", "INT", "cast(x - x = 0D AS INT)"),
+    "isInfinite": (
+        "(x DOUBLE)",
+        "INT",
+        "cast(abs(x) = cast('Infinity' AS DOUBLE) AS INT)",
+    ),
+    # monthName is NOT registered here: Spark 4 ships a builtin
+    # `monthname` (3-letter abbreviation) that a SQL UDF cannot
+    # replace — the chsql template rewrites it to date_format MMMM
+    # (CH returns the full English name) before resolution
+    # both: a random version-4 UUID string per row, nondeterministic
+    "generateUUIDv4": ("()", "STRING", "uuid()"),
+    # CH timeSlot: floor to the half-hour; timeSlots: every half-hour
+    # slot covering [ts, ts + duration_seconds]
+    "timeSlot": (
+        "(ts TIMESTAMP)",
+        "TIMESTAMP",
+        "timestamp_seconds(unix_seconds(ts) - pmod(unix_seconds(ts), 1800))",
+    ),
+    "timeSlots": (
+        "(ts TIMESTAMP, dur BIGINT)",
+        "ARRAY<TIMESTAMP>",
+        "transform(sequence(unix_seconds(ts) div 1800, "
+        "(unix_seconds(ts) + dur) div 1800), "
+        "i -> timestamp_seconds(i * 1800))",
+    ),
+    # CH formatReadableSize: binary units, two decimals ('1.46 KiB')
+    "formatReadableSize": (
+        "(v DOUBLE)",
+        "STRING",
+        "CASE WHEN abs(v) < 1024D THEN concat(format_string('%.2f', v), ' B') "
+        "WHEN abs(v) < 1048576D THEN "
+        "concat(format_string('%.2f', v / 1024D), ' KiB') "
+        "WHEN abs(v) < 1073741824D THEN "
+        "concat(format_string('%.2f', v / 1048576D), ' MiB') "
+        "WHEN abs(v) < 1099511627776D THEN "
+        "concat(format_string('%.2f', v / 1073741824D), ' GiB') "
+        "WHEN abs(v) < 1125899906842624D THEN "
+        "concat(format_string('%.2f', v / 1099511627776D), ' TiB') "
+        "ELSE concat(format_string('%.2f', v / 1125899906842624D), ' PiB') "
+        "END",
+    ),
     "intDivOrZero": (
         "(a BIGINT, b BIGINT)",
         "BIGINT",
@@ -639,6 +693,69 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # to_json on a parsed variant is overkill: document the string
     # divergence and keep numbers/objects/arrays raw-correct
     "JSONExtractRaw": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    # legacy visitParam* names and their simpleJSON* renames — CH's
+    # flat-JSON fast path; the bridged single-key contract is identical
+    # to the JSONExtract family above (round-10 gap probe)
+    "visitParamHas": (
+        "(j STRING, k STRING)",
+        "BOOLEAN",
+        "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    ),
+    "visitParamExtractString": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    "visitParamExtractInt": (
+        "(j STRING, k STRING)",
+        "BIGINT",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    ),
+    "visitParamExtractFloat": (
+        "(j STRING, k STRING)",
+        "DOUBLE",
+        "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    ),
+    "visitParamExtractBool": (
+        "(j STRING, k STRING)",
+        "BOOLEAN",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
+    ),
+    "visitParamExtractRaw": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    "simpleJSONHas": (
+        "(j STRING, k STRING)",
+        "BOOLEAN",
+        "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    ),
+    "simpleJSONExtractString": (
+        "(j STRING, k STRING)",
+        "STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    "simpleJSONExtractInt": (
+        "(j STRING, k STRING)",
+        "BIGINT",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    ),
+    "simpleJSONExtractFloat": (
+        "(j STRING, k STRING)",
+        "DOUBLE",
+        "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    ),
+    "simpleJSONExtractBool": (
+        "(j STRING, k STRING)",
+        "BOOLEAN",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
+    ),
+    "simpleJSONExtractRaw": (
         "(j STRING, k STRING)",
         "STRING",
         "get_json_object(j, concat('$.', k))",

@@ -3847,3 +3847,107 @@ class TestWithConstantQualifierSafety:
             ).collect()
         )
         assert got == [10, 11, 12]
+
+
+class TestRound10GapProbe:
+    """Round-10 dashboard-scalar gap probe: tuple/tupleElement,
+    composite-key IN, toDecimal*, and the new registered scalars."""
+
+    def test_tuple_and_element(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT tuple(1, 'x') AS tp, tuple(1, 'x').2 AS e2, "
+            "tupleElement(tuple(7, 8), 1) AS e1",
+        ).collect()[0]
+        assert (tuple(r.tp), r.e2, r.e1) == ((1, "x"), "x", 7)
+
+    def test_tuple_in_literal_list(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(a=i % 3, b=i % 2) for i in range(6)]
+        ).createOrReplaceTempView("tin_t")
+        got = sorted(
+            tuple(r)
+            for r in ch_sql(
+                spark,
+                "SELECT a, b FROM tin_t WHERE (a, b) IN ((0, 0), (2, 1))",
+            ).collect()
+        )
+        assert got == [(0, 0), (2, 1)]
+        got = sorted(
+            tuple(r)
+            for r in ch_sql(
+                spark,
+                "SELECT a, b FROM tin_t WHERE (a, b) NOT IN ((0, 0), (2, 1))",
+            ).collect()
+        )
+        assert got == [(0, 1), (1, 0), (1, 1), (2, 0)]
+
+    def test_todecimal_family(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT toDecimal64(1.23456, 4) AS a, "
+            "toDecimal32OrNull('xx', 2) AS b, "
+            "toDecimal64OrZero('xx', 3) AS c, "
+            "toDecimal32OrNull('1.5', 2) AS d",
+        ).collect()[0]
+        from decimal import Decimal
+
+        assert (r.a, r.b, r.c, r.d) == (
+            Decimal("1.2346"), None, Decimal("0.000"), Decimal("1.50"),
+        )
+
+    def test_new_scalars_execute(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = ch_sql(
+            spark,
+            "SELECT exp2(10.0) AS e, isFinite(1.5) AS f1, "
+            "isFinite(CAST('NaN' AS DOUBLE)) AS f0, "
+            "isInfinite(CAST('Infinity' AS DOUBLE)) AS i1, "
+            "monthName(TIMESTAMP '2024-04-05 01:02:03') AS mn, "
+            "formatReadableSize(1536.0) AS fs, "
+            "formatReadableSize(3.0) AS fb, "
+            "timeSlot(TIMESTAMP '2024-04-05 01:47:03') AS sl, "
+            "size(timeSlots(TIMESTAMP '2024-04-05 01:47:03', 3600)) AS ns, "
+            "arrayProduct(array(2.0, 3.0, 4.0)) AS pr, "
+            "visitParamExtractString('{\"k\":\"v\"}', 'k') AS vp, "
+            "simpleJSONExtractInt('{\"n\": 42}', 'n') AS sj, "
+            "toTypeName(1.5D) AS tn",
+        ).collect()[0]
+        import datetime
+
+        assert r.e == 1024.0
+        assert (r.f1, r.f0, r.i1) == (1, 0, 1)
+        assert r.mn == "April"
+        assert (r.fs, r.fb) == ("1.50 KiB", "3.00 B")
+        assert r.sl == datetime.datetime(2024, 4, 5, 1, 30)
+        assert r.ns == 3  # 01:30, 02:00, 02:30 cover [01:47, 02:47]
+        assert r.pr == 24.0
+        assert (r.vp, r.sj) == ("v", 42)
+        assert r.tn == "double"
+
+    def test_rejects_with_guidance(self):
+        with pytest.raises(ChSqlError, match="best-effort"):
+            rw("SELECT parseDateTimeBestEffort(s) FROM t")
+        with pytest.raises(ChSqlError, match="FixedString"):
+            rw("SELECT toFixedString(s, 8) FROM t")
+        with pytest.raises(ChSqlError, match="DECIMAL\\(38\\)"):
+            rw("SELECT toDecimal256(x, 10) FROM t")
+        with pytest.raises(ChSqlError, match="field dispatch"):
+            rw("SELECT tupleElement(tp, n) FROM t")
+
+    def test_subquery_and_scalar_in_untouched(self):
+        q1 = "SELECT x FROM t WHERE (a, b) IN (SELECT p, q FROM u)"
+        assert rw(q1) == q1
+        q2 = "SELECT x FROM t WHERE a IN (1, 2, 3)"
+        assert rw(q2) == q2
