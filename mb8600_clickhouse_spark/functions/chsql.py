@@ -857,6 +857,42 @@ def _rewrite_global_and_format(sql: str) -> str:
             "loud too-long error are both lost — use rpad(s, n, ' ') / "
             "left(s, n) for the layout, or keep plain STRING",
         ),
+        (
+            r"\b(?:FROM|JOIN)\s+(?:remote(?:Secure)?|cluster"
+            r"(?:AllReplicas)?|merge)\s*\(",
+            "CH cluster/remote table functions have no equivalent in a "
+            "single-catalog engine — register each table as a view and "
+            "query it directly (Spark's own distribution replaces CH "
+            "shard fan-out)",
+        ),
+        (
+            r"\b(?:FROM|JOIN)\s+(?:s3(?:Cluster)?|url|file|hdfs|azureBlob"
+            r"Storage|gcs|jdbc|odbc|mysql|postgresql|mongodb|iceberg|"
+            r"deltaLake|generateRandom)\s*\(",
+            "CH external-source table functions map to the read side: "
+            "spark.read.parquet/csv/json/jdbc(...) (or the engine's "
+            "tables.load_tables), then createOrReplaceTempView — the "
+            "FROM clause then names the view",
+        ),
+        (
+            r"(?:\*|\))\s+(?:APPLY|REPLACE)\s*\(",
+            "CH's * APPLY(...) / * REPLACE(...) column transformers "
+            "need the resolved column list — spell the projection "
+            "explicitly (SELECT * EXCEPT (..) is native and kept)",
+        ),
+        (
+            r"\bCOLUMNS\s*\(\s*'",
+            "CH's COLUMNS('regex') dynamic projection needs schema "
+            "analysis — select the columns explicitly (or build the "
+            "list from df.columns on the DataFrame side)",
+        ),
+        (
+            r"\bCOLLATE\s*'",
+            "CH's quoted-locale COLLATE has no Spark spelling — Spark 4 "
+            "collations are named identifiers (ORDER BY x COLLATE "
+            "UNICODE_CI; see SHOW COLLATIONS), and the locale sets "
+            "differ — pick the Spark collation explicitly",
+        ),
     ):
         hit = _top_level_matches(sql, pat)
         if hit:

@@ -3951,3 +3951,39 @@ class TestRound10GapProbe:
         assert rw(q1) == q1
         q2 = "SELECT x FROM t WHERE a IN (1, 2, 3)"
         assert rw(q2) == q2
+
+
+class TestInfraSurfaceRejects:
+    """Round-10: CH infra table functions and dynamic column
+    transformers fail at rewrite time with the Spark-side recipe, not
+    as downstream resolver/parse errors."""
+
+    def test_cluster_and_external_table_functions(self):
+        for bad, why in (
+            ("SELECT x FROM remote('h', db, t)", "single-catalog"),
+            ("SELECT x FROM a JOIN cluster('c', db.t) ON 1=1",
+             "single-catalog"),
+            ("SELECT x FROM s3('https://b/k.parquet')", "read side"),
+            ("SELECT x FROM file('f.csv', 'CSV')", "read side"),
+        ):
+            with pytest.raises(ChSqlError, match=why):
+                rw(bad)
+
+    def test_column_transformers_and_collate(self):
+        with pytest.raises(ChSqlError, match="explicitly"):
+            rw("SELECT * EXCEPT (x) APPLY (sum) FROM t")
+        with pytest.raises(ChSqlError, match="explicitly"):
+            rw("SELECT * REPLACE (x + 1 AS x) FROM t")
+        with pytest.raises(ChSqlError, match="schema analysis"):
+            rw("SELECT COLUMNS('^ab') FROM t")
+        with pytest.raises(ChSqlError, match="collation"):
+            rw("SELECT x FROM t ORDER BY x COLLATE 'tr'")
+
+    def test_non_hits_untouched(self):
+        for ok in (
+            "SELECT * EXCEPT (x) FROM t",
+            "SELECT replace(s, 'a', 'b') FROM t",
+            "SELECT *, replace(s, 'a', 'b') FROM t",
+            "SELECT apply(x) FROM t",
+        ):
+            rw(ok)  # must not raise
