@@ -4744,7 +4744,11 @@ def _rewrite_tuple_in(sql: str) -> str:
     literal-tuple-list RHS is touched: ``(a, b) IN (subquery)`` is
     native Spark (the masked block token is a single element), and a
     scalar IN list has no parenthesized tuple elements. An arity
-    mismatch is left for Spark's analyzer to reject loudly."""
+    mismatch is left for Spark's analyzer to reject loudly. Scope:
+    paren-depth-0 of each nesting level (WHERE/HAVING/CASE arms); a
+    tuple-IN buried inside a function call keeps Spark's loud
+    struct-name mismatch. Idempotent: rewritten sides are
+    named_struct CALLS, which the bare-tuple detector skips."""
     for m in reversed(_top_level_matches(sql, r"\b(?:NOT\s+)?IN\s*\(")):
         o = sql.index("(", m.end() - 1)
         c = _match_paren(sql, o)
