@@ -4749,7 +4749,9 @@ def _rewrite_tuple_in(sql: str) -> str:
     tuple-IN buried inside a function call keeps Spark's loud
     struct-name mismatch. Idempotent: rewritten sides are
     named_struct CALLS, which the bare-tuple detector skips."""
-    for m in reversed(_top_level_matches(sql, r"\b(?:NOT\s+)?IN\s*\(")):
+    for m in reversed(
+        _top_level_matches(sql, r"\b(?:GLOBAL\s+)?(?:NOT\s+)?IN\s*\(")
+    ):
         o = sql.index("(", m.end() - 1)
         c = _match_paren(sql, o)
         items = _split_top_commas(sql[o + 1 : c])
