@@ -1023,7 +1023,13 @@ DIALECT_NOTES: dict[str, str] = {
     "GROUP BY ... WITH TOTALS": "runs verbatim via chsql (GROUPING SETS ((keys), ()) — exact; q82)",
     "arrayMap/arrayFilter/arrayExists/arrayAll/arrayCount (lambdas)": "runs verbatim via chsql (identical lambda syntax)",
     "arrayJoin(arr)": "runs verbatim via chsql (LATERAL VIEW explode, alias bodies inlined)",
-    "LIMIT n BY k": "runs verbatim via chsql (row_number window over the query's ORDER BY)",
+    "LIMIT n BY k": "runs verbatim via chsql (row_number window over the query's ORDER BY); the offset forms LIMIT off, n BY and LIMIT n OFFSET m BY bridge too (rows off+1..off+n per group, round 10)",
+    "stacked combinators (-IfOrNull/-IfOrDefault/-ArrayIf/quantile*If/countDistinctIf)": "bridged as of round 10 in either combinator order; unbridgeable legs (min/max -OrDefault: the column TYPE's zero is unknowable textually; uniq* -OrNull: diverges when matching rows are all NULL) and any OTHER surviving stack (sumForEach, avgStateIf, quantileMerge, -Resample) reject loudly with the stack named",
+    "tuple(a, b) / tupleElement / tuple(...).N / (a, b) IN ((1, 2), ...)": "bridged as of round 10 — positional named_structs with _N element names (Spark compares struct FIELD NAMES, so the bare-paren composite IN would otherwise type-mismatch); (a, b) IN (subquery) is native Spark and untouched; tupleElement needs a literal selector",
+    "toDecimal32/64/128[OrNull|OrZero](x, scale)": "bridged as of round 10 — CAST/try_cast at CH's precision tiers (9/18/38); toDecimal256 exceeds Spark's DECIMAL(38) and rejects",
+    "remote()/cluster()/merge()/s3()/url()/file()/jdbc() table functions": "reject with the Spark recipe (round 10): register views / spark.read for external sources; Spark's own distribution replaces CH shard fan-out",
+    "* APPLY / * REPLACE / COLUMNS('regex') / COLLATE 'locale'": "reject with guidance (round 10): dynamic projections need the resolved schema — spell the projection; Spark 4 collations are named identifiers",
+    "parseDateTimeBestEffort / toFixedString": "reject with guidance (round 10): CH's format heuristics are version-dependent (spell to_timestamp(s, fmt)); FixedString(N) has no Spark type",
     "topK(10)(x)": "runs verbatim via chsql (exact frequency-join rewrite, q93; CH's is approximate — documented upgrade)",
     "SELECT ... FROM t FINAL": "runs verbatim via chsql given final_tables={'t': ([keys], version)} (q79)",
     "SAMPLE 0.1": "runs verbatim via chsql given sample_by={'t': 'key'} (replay-stable md5 contract; NOT cityHash-member-compatible, documented)",
