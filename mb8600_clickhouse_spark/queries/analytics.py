@@ -2625,3 +2625,100 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     out = skew_kurt(ev, "value", "event_type", method="limb")
     return vsort(out, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q190 round-10 dialect capstone — stacked combinators, composite IN,
+# tuples, toDecimal*, and the round-10 scalar batch in ONE statement
+# ---------------------------------------------------------------------------
+_Q190_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           CAST(CAST(sumIfOrNull(value, user_id % 7 = 3)
+                AS DECIMAL(18,4)) AS DOUBLE) AS s_if,
+           countIfOrNull(user_id % 997 = 1) AS c_rare,
+           CAST(CAST(avgIfOrDefault(value, user_id % 7 = 3)
+                AS DECIMAL(18,4)) AS DOUBLE) AS a_if,
+           countDistinctIf(user_id % 13, value > 100) AS cd_if,
+           CAST(CAST(sumArrayIf([value, value * 2], user_id % 7 = 3)
+                AS DECIMAL(18,4)) AS DOUBLE) AS sa_if,
+           CAST(toDecimal64(minIf(value, user_id % 7 = 3), 3)
+                AS DOUBLE) AS mn3,
+           tupleElement(tuple(min(user_id), max(user_id)), 2) AS mx_uid,
+           monthName(min(ts)) AS mn_name,
+           max(toUnixTimestamp(timeSlot(ts))) AS slot_max
+    FROM events
+    WHERE (user_id % 5, user_id % 3) NOT IN ((0, 0), (4, 2))
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+_Q190_ORACLE = """
+    SELECT event_type,
+           CAST(CAST(SUM(CASE WHEN user_id % 7 = 3 THEN value END)
+                AS DECIMAL(18,4)) AS DOUBLE) AS s_if,
+           nullif(COUNT(CASE WHEN user_id % 997 = 1 THEN 1 END), 0)
+               AS c_rare,
+           CAST(CAST(COALESCE(AVG(CASE WHEN user_id % 7 = 3
+                THEN value END), 0.0) AS DECIMAL(18,4)) AS DOUBLE)
+               AS a_if,
+           COUNT(DISTINCT CASE WHEN value > 100 THEN user_id % 13 END)
+               AS cd_if,
+           CAST(CAST(SUM(CASE WHEN user_id % 7 = 3
+                THEN value + value * 2 END) AS DECIMAL(18,4))
+                AS DOUBLE) AS sa_if,
+           CAST(CAST(MIN(CASE WHEN user_id % 7 = 3 THEN value END)
+                AS DECIMAL(18,3)) AS DOUBLE) AS mn3,
+           MAX(user_id) AS mx_uid,
+           monthname(MIN(ts)) AS mn_name,
+           MAX(CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) % 1800) AS slot_max
+    FROM events
+    WHERE NOT ((user_id % 5 = 0 AND user_id % 3 = 0)
+               OR (user_id % 5 = 4 AND user_id % 3 = 2))
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query("q190_dialect_round10", oracle=_Q190_ORACLE)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 DIALECT CAPSTONE: the round's bridge additions composed
+    in ONE verbatim ClickHouse statement, driver-hash-verified — the
+    q184 device applied to the round-10 surface:
+
+    - STACKED combinators ``sumIfOrNull`` / ``countIfOrNull`` /
+      ``avgIfOrDefault`` / ``countDistinctIf`` / ``sumArrayIf``
+      (``chsql._rewrite_combinators``'s round-10 pre-passes: the -If
+      leg peels into the CASE gate, the -OrNull/-OrDefault leg lands
+      on Spark's native empty-set NULL / coalesce);
+    - composite-key ``(a, b) NOT IN ((..), (..))`` in the WHERE
+      (``chsql._rewrite_tuple_in`` — both sides become POSITIONAL
+      named_structs, since Spark compares struct field names);
+    - ``tuple()`` / ``tupleElement`` (positional ``_N`` element
+      names) and ``toDecimal64(x, scale)`` (CAST at CH's precision
+      tier);
+    - the round-10 scalar batch: ``monthName`` (full-name template —
+      Spark 4's builtin returns the abbreviation and cannot be
+      replaced), ``timeSlot`` (half-hour floor) via
+      ``toUnixTimestamp`` so the output is an engine-neutral BIGINT.
+
+    Exactness: counts/distinct-counts/min/max are exact; the double
+    group sums snap to DECIMAL(18,4) and surface as DOUBLE
+    (decimal trailing-zero rendering differs across engines) (order-noise ~1e-7 absolute vs
+    the 1e-4 grid — the entropy-snap device); sumArrayIf's per-row
+    fold ``(0 + v) + 2v`` is the identical IEEE sequence both engines
+    evaluate. The oracle spells every stacked combinator in its
+    expanded ANSI form — two independent spellings, one hash.
+
+    Scale: one map-side-combined exchange on event_type; the tuple-IN
+    filter is a per-row predicate pushed at the scan. NARROW_CHAIN
+    profile: scan -> one exchange -> project, no joins."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN, vsort
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return vsort(ch_sql(spark, _Q190_CLICKHOUSE_SQL), "event_type")
