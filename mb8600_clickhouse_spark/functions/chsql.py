@@ -4941,6 +4941,46 @@ def _mask_subselects(
     return "".join(out), blocks
 
 
+#: CH maintenance/DDL statements -> the engine API that owns the
+#: operation (round 10): these are not queries, and letting them fall
+#: through to Spark's parser produces misleading errors
+_CH_MAINTENANCE = (
+    (
+        r"^\s*OPTIMIZE\s+TABLE\b",
+        "OPTIMIZE TABLE [FINAL] is part-merging maintenance — "
+        "ManifestTable.compact(spark) is this engine's equivalent "
+        "(plans/manifest.py); FINAL-at-read is the final_tables= "
+        "contract on ch_sql",
+    ),
+    (
+        r"^\s*ALTER\s+TABLE\s+\S+\s+DELETE\b",
+        "ALTER TABLE ... DELETE (a CH mutation) maps to "
+        "ManifestTable.delete_where(spark, predicate) — like CH, the "
+        "delete rewrites the affected files, it is not in-place",
+    ),
+    (
+        r"^\s*ALTER\s+TABLE\s+\S+\s+UPDATE\b",
+        "ALTER TABLE ... UPDATE (a CH mutation) has no in-place form "
+        "here either — read, transform, ManifestTable.append + "
+        "delete_where the old rows (or use a Delta MERGE where a real "
+        "lakehouse binding exists)",
+    ),
+    (
+        r"^\s*SYSTEM\b",
+        "CH SYSTEM commands manage a ClickHouse server — there is "
+        "none; Spark session state is managed through SparkSession "
+        "conf and the manifest API",
+    ),
+    (
+        r"\bENGINE\s*=\s*\w*MergeTree\b",
+        "CREATE TABLE ... ENGINE = *MergeTree maps to the storage "
+        "layer, not a query: docs/MIGRATION.md section 2 (partitioned "
+        "parquet via plans/manifest.ManifestTable, PARTITION BY -> "
+        "layout.partition_by, ORDER BY -> sortWithinPartitions)",
+    ),
+)
+
+
 def rewrite_clickhouse_sql(
     sql: str,
     final_tables: dict | None = None,
@@ -4954,7 +4994,13 @@ def rewrite_clickhouse_sql(
     ReplacingMergeTree contract for ``FROM t FINAL`` (see
     ``_rewrite_final``); ``sample_by`` supplies the sampling key for
     ``FROM t SAMPLE f`` (see ``_rewrite_sample``); both apply at every
-    nesting level."""
+    nesting level. CH maintenance statements (OPTIMIZE, mutations,
+    SYSTEM, MergeTree DDL) reject up front with the owning engine
+    API named."""
+    for pat, msg in _CH_MAINTENANCE:
+        hit = _first_match(sql, pat)
+        if hit:
+            raise ChSqlError(f"{hit.group(0).strip()!r}: {msg}")
     sql, blocks = _mask_subselects(sql, final_tables, sample_by, dictionaries)
     # first: CH's scalar WITH constants feed every later rewrite (and
     # substitute into the masked block bodies — CH scoping). A block

@@ -3987,3 +3987,30 @@ class TestInfraSurfaceRejects:
             "SELECT apply(x) FROM t",
         ):
             rw(ok)  # must not raise
+
+
+class TestMaintenanceStatementRejects:
+    """Round-10: CH maintenance/DDL statements name the owning engine
+    API instead of falling through to Spark's parser."""
+
+    def test_rejects_name_the_api(self):
+        for bad, why in (
+            ("OPTIMIZE TABLE docsis FINAL", "compact"),
+            ("ALTER TABLE docsis DELETE WHERE x > 1", "delete_where"),
+            ("ALTER TABLE docsis UPDATE x = 1 WHERE y = 2", "append"),
+            ("SYSTEM FLUSH LOGS", "SparkSession"),
+            ("CREATE TABLE t (x Int64) ENGINE = MergeTree ORDER BY x",
+             "MIGRATION"),
+            ("CREATE TABLE t (x Int64) ENGINE = ReplacingMergeTree(v)",
+             "MIGRATION"),
+        ):
+            with pytest.raises(ChSqlError, match=why):
+                rw(bad)
+
+    def test_selects_and_inserts_untouched(self):
+        # INSERT INTO ... SELECT is valid Spark SQL for catalog tables
+        # and its SELECT body still rewrites
+        out = rw("INSERT INTO t SELECT sumIf(x, c) FROM u")
+        assert out == "INSERT INTO t SELECT sum(CASE WHEN c THEN x END) FROM u"
+        q = "SELECT x FROM system_metrics"  # 'system' prefix inside a word
+        assert rw(q) == q
