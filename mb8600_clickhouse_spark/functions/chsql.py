@@ -4252,6 +4252,11 @@ def _rewrite_scalar_calls(sql: str) -> str:
             raise ChSqlError("tupleElement expects (tuple, index_or_name)")
         t, sel = args
         if re.fullmatch(r"\d+", sel):
+            if int(sel) < 1:
+                raise ChSqlError(
+                    "tupleElement indexes are 1-based (ClickHouse "
+                    f"throws on index {sel})"
+                )
             field = f"_{int(sel)}"
         elif re.fullmatch(r"'(\w+)'", sel):
             field = sel[1:-1]
