@@ -1336,12 +1336,27 @@ def _rewrite_array_join(sql: str) -> str:
 #: ClickHouse %-codes with EXACT Java/Spark pattern equivalents; any
 #: other % code raises (a wrong format silently corrupts dashboards).
 #: Deliberately excluded as NOT exact: %M (minute in old CH, month
-#: name in new — version-ambiguous), %e (space-padded day), %V
-#: (ISO week vs Java's locale week).
+#: name since the 23.x formatdatetime_parsedatetime_m_is_month_name
+#: default flip — version-ambiguous), %e/%k/%l (space-padded forms
+#: Java patterns cannot spell), %V/%u/%g/%G (ISO week/weekday/year vs
+#: Java's locale week), %w (Sunday-0 weekday number), %z (timezone
+#: rendering on session-zoned timestamps).
 _FMT_CODES = {
-    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "i": "mm",
-    "S": "ss", "F": "yyyy-MM-dd", "T": "HH:mm:ss",
-    "j": "DDD", "p": "a", "%": "%",
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "MM", "d": "dd", "H": "HH",
+    "i": "mm", "S": "ss", "F": "yyyy-MM-dd", "T": "HH:mm:ss",
+    "D": "MM/dd/yy", "R": "HH:mm", "r": "hh:mm:ss a",
+    "j": "DDD", "p": "a", "a": "EEE", "b": "MMM", "W": "EEEE",
+    "h": "hh", "I": "hh", "Q": "Q", "f": "SSSSSS",
+    "n": "\n", "t": "\t", "%": "%",
+}
+
+#: actionable hints for the codes a migrating dashboard hits most
+_FMT_REJECT_HINTS = {
+    "M": " (%M is version-ambiguous in ClickHouse: minute in old "
+         "releases, month name after the 23.x setting flip — use %i "
+         "for the minute, or monthName(ts) for the month name)",
+    "e": " (space-padded day — use %d, the zero-padded form)",
+    "V": " (ISO week vs Java's locale week differ — use toISOWeek())",
 }
 
 
@@ -1354,7 +1369,8 @@ def _translate_fmt(fmt: str) -> str:
             code = fmt[i + 1 : i + 2]
             if code not in _FMT_CODES:
                 raise ChSqlError(
-                    f"formatDateTime %-code %{code} has no exact Spark mapping"
+                    f"formatDateTime %-code %{code} has no exact Spark "
+                    f"mapping{_FMT_REJECT_HINTS.get(code, '')}"
                 )
             out.append(_FMT_CODES[code])
             i += 2

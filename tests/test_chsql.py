@@ -4014,3 +4014,33 @@ class TestMaintenanceStatementRejects:
         assert out == "INSERT INTO t SELECT sum(CASE WHEN c THEN x END) FROM u"
         q = "SELECT x FROM system_metrics"  # 'system' prefix inside a word
         assert rw(q) == q
+
+
+class TestFormatDateTimeRound10Codes:
+    """Round-10: widened exact %-code subset (%a %b %W %Q %h %I %r %R
+    %D %f %c %n %t) and actionable hints on the ambiguous rejects."""
+
+    def test_new_codes_exact(self, spark):
+        import datetime
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(ts=datetime.datetime(2024, 4, 8, 13, 2, 3, 456000))]
+        ).createOrReplaceTempView("fmt10_t")
+        r = ch_sql(
+            spark,
+            "SELECT formatDateTime(ts, '%a %b %W %Q %h %I %r %R %D "
+            "%f %c') AS f FROM fmt10_t",
+        ).collect()[0]
+        assert r.f == (
+            "Mon Apr Monday 2 01 01 01:02:03 PM 13:02 04/08/24 456000 04"
+        )
+
+    def test_ambiguous_codes_hint(self):
+        with pytest.raises(ChSqlError, match="version-ambiguous"):
+            rw("SELECT formatDateTime(ts, '%H:%M') FROM t")
+        with pytest.raises(ChSqlError, match="zero-padded"):
+            rw("SELECT formatDateTime(ts, '%e') FROM t")
+        with pytest.raises(ChSqlError, match="toISOWeek"):
+            rw("SELECT formatDateTime(ts, '%V') FROM t")
