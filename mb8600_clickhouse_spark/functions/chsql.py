@@ -4253,6 +4253,44 @@ def _rewrite_scalar_calls(sql: str) -> str:
       intervals raise (CH anchors them to a calendar origin a literal
       rewrite cannot reproduce faithfully).
     """
+    # parseDateTime(s, '%Y-%m-%d ...') — CH's EXACT-format parse (the
+    # MySQL-code twin of formatDateTime) — shares _translate_fmt's
+    # exact %-code subset; -OrNull maps to try_to_timestamp, -OrZero
+    # to its epoch-0 coalesce (CH's DateTime zero). The BestEffort
+    # heuristics family keeps its loud reject. A third (timezone)
+    # argument is not bridged: timestamps are session-zoned here.
+    while True:
+        m = _first_match(sql, r"\bparseDateTime(OrNull|OrZero)?\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 2:
+            raise ChSqlError(
+                f"parseDateTime{m.group(1) or ''} is bridged for "
+                "(value, 'format') — a timezone argument is not "
+                "(timestamps are session-zoned; set "
+                "spark.sql.session.timeZone)"
+            )
+        fm = re.fullmatch(r"'([^']*)'", args[1])
+        if not fm:
+            raise ChSqlError(
+                "parseDateTime needs a LITERAL format (the %-code "
+                "translation happens at rewrite time)"
+            )
+        pat = _translate_fmt(fm.group(1))
+        if m.group(1) == "OrNull":
+            rep = f"try_to_timestamp({args[0]}, '{pat}')"
+        elif m.group(1) == "OrZero":
+            rep = (
+                f"coalesce(try_to_timestamp({args[0]}, '{pat}'), "
+                f"TIMESTAMP '1970-01-01 00:00:00')"
+            )
+        else:
+            rep = f"to_timestamp({args[0]}, '{pat}')"
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
     # tupleElement(t, N) / tupleElement(t, 'name'): positional access
     # uses the tuple() bridge's ._N element names (arbitrary source
     # structs need the string-name form); a non-literal selector

@@ -4044,3 +4044,39 @@ class TestFormatDateTimeRound10Codes:
             rw("SELECT formatDateTime(ts, '%e') FROM t")
         with pytest.raises(ChSqlError, match="toISOWeek"):
             rw("SELECT formatDateTime(ts, '%V') FROM t")
+
+
+class TestParseDateTimeBridge:
+    """Round-10: parseDateTime (CH's exact-format parse, the inverse
+    of formatDateTime) shares the same exact %-code subset; -OrNull ->
+    try_to_timestamp, -OrZero -> the DateTime-zero coalesce; the
+    BestEffort heuristics family keeps its loud reject."""
+
+    def test_roundtrip(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT parseDateTime('2024-04-08 13:02:03', "
+            "'%Y-%m-%d %H:%i:%S') AS p, "
+            "parseDateTimeOrNull('nope', '%Y-%m-%d') AS pn, "
+            "parseDateTimeOrZero('nope', '%Y-%m-%d') AS pz, "
+            "formatDateTime(parseDateTime('08/04/24', '%d/%m/%y'), "
+            "'%F') AS rt",
+        ).collect()[0]
+        import datetime
+
+        assert r.p == datetime.datetime(2024, 4, 8, 13, 2, 3)
+        assert r.pn is None
+        assert r.pz == datetime.datetime(1970, 1, 1)
+        assert r.rt == "2024-04-08"
+
+    def test_rejects(self):
+        with pytest.raises(ChSqlError, match="best-effort"):
+            rw("SELECT parseDateTimeBestEffort(s) FROM t")
+        with pytest.raises(ChSqlError, match="timezone argument"):
+            rw("SELECT parseDateTime(s, '%Y', 'UTC') FROM t")
+        with pytest.raises(ChSqlError, match="version-ambiguous"):
+            rw("SELECT parseDateTime(s, '%M') FROM t")
+        with pytest.raises(ChSqlError, match="LITERAL format"):
+            rw("SELECT parseDateTime(s, f) FROM t")
