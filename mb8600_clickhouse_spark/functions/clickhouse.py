@@ -1019,7 +1019,8 @@ DIALECT_NOTES: dict[str, str] = {
     "avgWeighted/skewPop/skewSamp/kurtPop/kurtSamp/covarPop/covarSamp/boundingRatio/entropy": "bridged as of round 8 (chsql._rewrite_stats_aggs) — exact 128-bit scaled-moment algebra with one correctly rounded IEEE tail, hash-verifiable cross-engine (q164); degenerate groups -> NULL, kurt is non-excess, entropy snaps to 1e-6 (libm log2 is not bit-stable)",
     "studentTTest/welchTTest/mannWhitneyUTest(x, sample_idx)": "bridged as of round 8 — (t_stat, df) / (u0, u1, z) named structs from exact moment/rank algebra (q165); CH's p-values need incomplete-beta/normal CDFs neither engine exposes (client-side lookup); MW's fold form is O(n^2)-per-group for bounded slices, window-rank spelling is the unbounded path",
     "countIf / sumIf / avgIf / minIf / maxIf": "runs verbatim via chsql",
-    "formatDateTime(ts, '%Y-%m-%d ...')": "runs verbatim via chsql (exact %-code subset; ambiguous codes raise)",
+    "formatDateTime(ts, '%Y-%m-%d ...')": "runs verbatim via chsql (exact %-code subset, widened round 10: %a %b %W %Q %h %I %r %R %D %f %c %n %t; ambiguous codes raise with the replacement named — %M is the CH 23.x minute/month-name flip)",
+    "parseDateTime[OrNull|OrZero](s, '%...')": "bridged as of round 10 — the exact-format inverse through the same %-code subset (to_timestamp/try_to_timestamp; OrZero coalesces to the DateTime zero); parseDateTimeBestEffort* stays a loud reject (version-dependent heuristics)",
     "GROUP BY ... WITH TOTALS": "runs verbatim via chsql (GROUPING SETS ((keys), ()) — exact; q82)",
     "arrayMap/arrayFilter/arrayExists/arrayAll/arrayCount (lambdas)": "runs verbatim via chsql (identical lambda syntax)",
     "arrayJoin(arr)": "runs verbatim via chsql (LATERAL VIEW explode, alias bodies inlined)",
