@@ -5019,10 +5019,10 @@ _CH_MAINTENANCE = (
     ),
     (
         r"^\s*ALTER\s+TABLE\s+\S+\s+UPDATE\b",
-        "ALTER TABLE ... UPDATE (a CH mutation) has no in-place form "
-        "here either — read, transform, ManifestTable.append + "
-        "delete_where the old rows (or use a Delta MERGE where a real "
-        "lakehouse binding exists)",
+        "ALTER TABLE ... UPDATE (a CH mutation) maps to "
+        "ManifestTable.update_where(spark, predicate, assignments) — "
+        "or upsert(source, key_cols) for key-matched rewrites; like "
+        "CH, both rewrite the affected files, never in place",
     ),
     (
         r"^\s*SYSTEM\b",

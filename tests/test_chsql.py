@@ -3997,7 +3997,7 @@ class TestMaintenanceStatementRejects:
         for bad, why in (
             ("OPTIMIZE TABLE docsis FINAL", "compact"),
             ("ALTER TABLE docsis DELETE WHERE x > 1", "delete_where"),
-            ("ALTER TABLE docsis UPDATE x = 1 WHERE y = 2", "append"),
+            ("ALTER TABLE docsis UPDATE x = 1 WHERE y = 2", "update_where"),
             ("SYSTEM FLUSH LOGS", "SparkSession"),
             ("CREATE TABLE t (x Int64) ENGINE = MergeTree ORDER BY x",
              "MIGRATION"),
