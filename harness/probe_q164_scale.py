@@ -128,8 +128,10 @@ def main() -> int:
         )
         chsql.set_stats_lane(prev)
     v = "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    v_new = chsql.snap4_sql("value")
     for label, expr in (
-        ("snap-cast only (the residual)", f"sum({v})"),
+        ("decimal snap-cast only (the r10 residual)", f"sum({v})"),
+        ("floor snap only (round 11, the shipped spelling)", f"sum({v_new})"),
         ("raw BIGINT control (no snap)", "sum(CAST(value * 10000 AS BIGINT))"),
     ):
         df = spark.sql(

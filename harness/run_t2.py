@@ -42,6 +42,13 @@ def main() -> int:
     con = make_duckdb(sf_dir)
     specs = all_queries()
     if names:
+        # loud on typos (VERDICT r10 #3): a misspelled name must fail
+        # the certification command, not silently under-cover (ab.py's
+        # exit-2 rule)
+        unknown = sorted(set(names) - set(specs))
+        if unknown:
+            print(f"ERROR: unknown query names: {', '.join(unknown)}")
+            return 2
         specs = {k: v for k, v in specs.items() if k in names}
 
     n_ok = 0

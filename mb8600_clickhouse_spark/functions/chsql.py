@@ -2732,12 +2732,50 @@ def _rewrite_delta_ema(sql: str) -> str:
 _INT128_SPARK = "DECIMAL(38,0)"
 
 
+def snap4_sql(e: str) -> str:
+    """The scale-4 snap v = round(e * 1e4), HALF_UP (ties away from
+    zero), as a scaled BIGINT — spelled in pure double/integer
+    arithmetic: sign/abs/multiply/floor are single correctly-rounded
+    IEEE ops, so EVERY engine produces the same integer for the same
+    double input. Round 11 (VERDICT r10 #1): this replaces the
+    ``CAST(e AS DECIMAL(18,4))`` spelling, whose Spark implementation
+    stringifies per row (Decimal <- BigDecimal <- Double.toString —
+    2.87 s of the 2.8 s 10M-row moment scan in
+    harness/probe_q164_scale) and whose cross-engine identity depended
+    on two decimal implementations agreeing — which they did NOT on
+    representable ties: DuckDB's double->DECIMAL cast rounds
+    half-EVEN, so the q/32 family (0.03125 -> scaled 312.5) diverged
+    from Spark's string-HALF_UP on ~half the tie grid (probed 981/2000;
+    never hit by on-grid data). The floor spelling is bit-identical
+    between Spark and DuckDB on every probed input, on-grid or not.
+
+    vs the old SPARK spelling: identical on all on-grid values (any
+    double that is the nearest double to a 4-dp decimal) and on
+    representable ties; diverges only where the shortest-decimal
+    string of an off-grid double sits on the other side of a .5
+    boundary than its exact binary value (probe example: 0.00015,
+    whose double is 1.49999...e-4 — old snapped 2 via the string, new
+    snaps 1 via the value). Property-pinned in
+    tests/test_stats_operators.py::TestSnap4.
+
+    Out-of-domain loudness (|e| beyond BIGINT/1e4): ANSI raises on the
+    BIGINT cast (the old spelling raised on the DECIMAL overflow);
+    non-ANSI Spark clamps where the old spelling nulled — both lanes'
+    callers carry their own domain audits (limb audit / DECIMAL(38)
+    sums), and ``operators/stats`` guards explicitly."""
+    return (
+        f"(CAST(sign({e}) AS BIGINT) * "
+        f"CAST(floor(abs({e}) * 10000.0 + 0.5) AS BIGINT))"
+    )
+
+
 def _sv128(e: str, int128: str) -> str:
-    """DECIMAL(18,4)-snapped value as a scaled 128-bit integer (the
-    dsum4 device widened so 4th-power moment terms stay exact: Spark
-    spells the 128-bit lane DECIMAL(38,0), DuckDB HUGEINT — both exact
-    to 1e38, so sums/products over |x| <= ~3e5 never round)."""
-    return f"CAST(CAST(CAST({e} AS DECIMAL(18,4)) * 10000 AS BIGINT) AS {int128})"
+    """Scale-4-snapped value (``snap4_sql``) as a scaled 128-bit
+    integer (the dsum4 device widened so 4th-power moment terms stay
+    exact: Spark spells the 128-bit lane DECIMAL(38,0), DuckDB HUGEINT
+    — both exact to 1e38, so sums/products over |x| <= ~3e5 never
+    round)."""
+    return f"CAST({snap4_sql(e)} AS {int128})"
 
 
 def _struct2(dialect: str, f1: str, v1: str, f2: str, v2: str) -> str:
@@ -2915,7 +2953,7 @@ def _limb_moment_sums(x: str) -> dict[str, str]:
     W = LIMB_W
     M = W - 1
     D = "DECIMAL(38,0)"
-    v = f"CAST(CAST({x} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    v = snap4_sql(x)
     a = f"shiftright({v} * {v}, 30)"
     b = f"(({v} * {v}) & {M})"
     d0 = f"(({v} * {b}) & {M})"
@@ -2958,14 +2996,8 @@ def _limb_covar_sums(x: str, y: str) -> dict[str, str]:
     W = LIMB_W
     D = "DECIMAL(38,0)"
     guard = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
-    xb = (
-        f"CAST(CAST(CASE WHEN {guard} THEN ({x}) END AS DECIMAL(18,4)) "
-        f"* 10000 AS BIGINT)"
-    )
-    yb = (
-        f"CAST(CAST(CASE WHEN {guard} THEN ({y}) END AS DECIMAL(18,4)) "
-        f"* 10000 AS BIGINT)"
-    )
+    xb = snap4_sql(f"CASE WHEN {guard} THEN ({x}) END")
+    yb = snap4_sql(f"CASE WHEN {guard} THEN ({y}) END")
     p = f"({xb} * {yb})"
     pb = f"({p} & {W - 1})"
     pa = f"shiftright({p}, 30)"

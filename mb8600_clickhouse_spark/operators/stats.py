@@ -42,6 +42,34 @@ from ..functions.chsql import (
 )
 
 
+def _snap4(col):
+    """Scale-4 HALF_UP snap of ``col`` to a scaled BIGINT in pure
+    double/integer arithmetic — the DataFrame twin of
+    ``chsql.snap4_sql`` (round 11: the per-row double->DECIMAL cast
+    was the q164 moment scan's measured residual; see that helper's
+    docstring for the exactness/divergence contract). Used by
+    ``moments``/``skew_kurt`` so both operator lanes stay bit-identical
+    to the dialect bridge's spellings. LOUD above the documented
+    domain (|x| < 1e14, the old DECIMAL(18,4) integral range) instead
+    of clamping."""
+    raw = F.col(col)
+    snapped = F.signum(raw).cast("bigint") * F.floor(
+        F.abs(raw) * 10000.0 + F.lit(0.5)
+    ).cast("bigint")
+    return F.when(
+        raw.isNotNull() & (F.abs(raw) >= 1e14),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"stats operator domain: |{col}| exceeds the "
+                    "scale-4 snap range (1e14); got "
+                ),
+                raw.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(snapped)
+
+
 def _scaled(col):
     """DECIMAL(18,4)-snap ``col`` to a scaled BIGINT — LOUD on overflow.
 
@@ -50,7 +78,15 @@ def _scaled(col):
     the old null filter on the SCALED column — be silently dropped,
     skewing n0/n1/ranks and the resulting U/z/D statistics (ADVICE
     r08). Callers filter nulls on the RAW column, so a null snap here
-    can only mean overflow: raise in-plan instead of dropping."""
+    can only mean overflow: raise in-plan instead of dropping.
+
+    Kept (round 11) as the snap of the RANK family only
+    (mann_whitney_u / ks_test / weighted_quantile): their bridge twins
+    (``chsql._mw_expr`` / ``_ks_expr`` / the quantile folds) pair with
+    hand-written relational oracles that spell this same decimal snap,
+    and the pinned operator==bridge bit-identity must keep one snap per
+    family. The moment family (``moments``/``skew_kurt``) uses
+    ``_snap4`` — see its docstring."""
     raw = F.col(col)
     snapped = (raw.cast("decimal(18,4)") * 10000).cast("bigint")
     return F.when(
@@ -253,7 +289,7 @@ def moments(
     Scale shape: one ``by`` exchange with map-side partial aggregation
     of ten longs (vs four BigDecimals); scan-dominated otherwise.
     """
-    v = _scaled(value)
+    v = _snap4(value)
     base = df.filter(F.col(value).isNotNull()).select(
         F.col(by).alias("g"), v.alias("v")
     )

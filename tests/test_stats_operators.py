@@ -449,3 +449,111 @@ class TestBridgeLimbLane:
                 spark,
                 "SELECT g, skewPop(x) AS sp FROM bridge_oob_t GROUP BY g",
             ).collect()
+
+
+class TestSnap4:
+    """Round 11 (VERDICT r10 #1): the pure-arithmetic scale-4 snap
+    (``chsql.snap4_sql`` / ``operators.stats._snap4``) that replaced
+    the per-row double->DECIMAL(18,4) cast in the MOMENT family. The
+    contract: (a) bit-identical to the old decimal spelling on every
+    on-grid value (doubles that ARE a 4-dp decimal's nearest double)
+    and on representable ties (the q/32 grid), where it is HALF_UP
+    away from zero; (b) bit-identical BETWEEN engines (Spark/DuckDB)
+    on EVERY double — stronger than the old spelling, whose DuckDB
+    side rounded ties half-EVEN (probed 981/2000 q/32 ties divergent
+    cross-engine before this change); (c) the documented divergence
+    vs the old SPARK spelling is confined to off-grid doubles whose
+    shortest-decimal string sits across a .5 boundary from their
+    binary value (0.00015 class)."""
+
+    OLD = "CAST(CAST({x} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+
+    def _spark_eval(self, spark, vals, expr):
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        return [
+            r.s for r in df.selectExpr(expr.format(x="x") + " AS s").collect()
+        ]
+
+    def _duck_eval(self, vals, expr):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ",".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+            + ") v(x)"
+        )
+        return [
+            r[0]
+            for r in con.execute(
+                "SELECT " + expr.format(x="x") + " FROM t"
+            ).fetchall()
+        ]
+
+    def test_ongrid_and_tie_identity(self, spark):
+        """On-grid + representable-tie values: new == old decimal snap
+        in Spark, new == new across engines, and ties round HALF_UP
+        away from zero."""
+        from mb8600_clickhouse_spark.functions.chsql import snap4_sql
+
+        rng = random.Random("snap4")
+        vals = [round(rng.uniform(-180000, 180000), 4) for _ in range(500)]
+        vals += [0.0, -0.0, 0.0001, -0.0001, 1e-8, -1e-8,
+                 179999.9999, -179999.9999, 299999.9999, -299999.9999]
+        # q/32 grid: x*1e4 is an exact .5 tie ((2n+1)*312.5)
+        ties = [(2 * rng.randint(-5_000_000, 5_000_000) + 1) / 32.0
+                for _ in range(300)] + [0.03125, -0.03125]
+        new = snap4_sql("{x}")
+        s_new = self._spark_eval(spark, vals + ties, new)
+        s_old = self._spark_eval(spark, vals + ties, self.OLD)
+        d_new = self._duck_eval(vals + ties, new)
+        assert s_new == s_old  # identity to the decimal snap
+        assert s_new == d_new  # cross-engine identity
+        for v, s in zip(ties, s_new[len(vals):]):
+            exact = v * 10000.0  # (2n+1)*312.5, exact in double
+            away = int(exact) + (1 if v > 0 else -1)
+            assert s == away, (v, s)  # HALF_UP away from zero
+
+    def test_offgrid_cross_engine_identity(self, spark):
+        """Arbitrary (off-grid) doubles: Spark and DuckDB produce the
+        SAME integer — the property the old spelling lacked on ties.
+        Includes the documented old-vs-new divergence witness."""
+        from mb8600_clickhouse_spark.functions.chsql import snap4_sql
+
+        rng = random.Random("snap4-off")
+        vals = [rng.uniform(-180000, 180000) for _ in range(500)]
+        vals += [rng.uniform(-1, 1) for _ in range(300)]
+        vals += [0.00015, -0.00015, 5e-05, 1.00005, 123.45675]
+        new = snap4_sql("{x}")
+        assert self._spark_eval(spark, vals, new) == self._duck_eval(vals, new)
+        # the documented divergence class: 0.00015's double is
+        # 1.49999...e-4, so the VALUE rounds to 1 while the old
+        # spelling's shortest-string path rounded to 2
+        assert self._spark_eval(spark, [0.00015], new) == [1]
+        assert self._spark_eval(spark, [0.00015], self.OLD) == [2]
+
+    def test_operator_twin_matches_sql(self, spark):
+        """operators.stats._snap4 (the DataFrame twin) == snap4_sql."""
+        from mb8600_clickhouse_spark.functions.chsql import snap4_sql
+        from mb8600_clickhouse_spark.operators.stats import _snap4
+
+        rng = random.Random("snap4-op")
+        vals = [round(rng.uniform(-300000, 300000), 4) for _ in range(200)]
+        vals += [(2 * rng.randint(-100, 100) + 1) / 32.0 for _ in range(50)]
+        vals += [rng.uniform(-300000, 300000) for _ in range(200)]
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        got = [r.s for r in df.select(_snap4("x").alias("s")).collect()]
+        want = [
+            r.s
+            for r in df.selectExpr(snap4_sql("x") + " AS s").collect()
+        ]
+        assert got == want
+
+    def test_snap4_domain_is_loud(self, spark):
+        """_snap4 raises above |x| = 1e14 (the _scaled contract) rather
+        than clamping silently."""
+        from mb8600_clickhouse_spark.operators.stats import _snap4
+
+        df = spark.createDataFrame([(2e14,)], "x double")
+        with pytest.raises(Exception, match="scale-4 snap range"):
+            df.select(_snap4("x").alias("s")).collect()
