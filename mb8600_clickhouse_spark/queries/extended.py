@@ -564,7 +564,13 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("value").over(running).alias("first_val"),
             F.nth_value("value", 3).over(running).alias("third_val"),
         )
-        .orderBy("event_id")
+        # verification total order: the q57/q38 device — orderBy's
+        # range sampling re-runs the window subtree (q57 measured
+        # 0.89 s orderBy vs 0.56 s repartition(1); VERDICT r10 #3
+        # flagged this exact tail), so sort the single output
+        # partition instead
+        .repartition(1)
+        .sortWithinPartitions("event_id")
     )
 
 

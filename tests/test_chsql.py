@@ -95,8 +95,9 @@ class TestCombinatorRewrites:
             "SELECT approx_count_distinct(u), approx_count_distinct(u), "
             "approx_count_distinct(u) FROM t"
         )
+        # ignoreNulls=true: CH's any family skips NULLs (ADVICE r10)
         assert rw("SELECT anyLast(v) FROM t GROUP BY k") == (
-            "SELECT any_value(v) FROM t GROUP BY k"
+            "SELECT any_value(v, true) FROM t GROUP BY k"
         )
 
     def test_arg_extremum_and_hll_renames(self):
@@ -109,12 +110,12 @@ class TestCombinatorRewrites:
 
     def test_any_aggregate_vs_quantified_comparison(self):
         assert rw("SELECT any(v) FROM t GROUP BY k") == (
-            "SELECT any_value(v) FROM t GROUP BY k"
+            "SELECT any_value(v, true) FROM t GROUP BY k"
         )
         q = "SELECT k FROM t WHERE v > ANY (SELECT v FROM u)"
         assert rw(q) == q  # quantified form untouched
         got = rw("SELECT any(a), k FROM t WHERE v > ANY (SELECT v FROM u) GROUP BY k")
-        assert got.startswith("SELECT any_value(a)") and "> ANY (SELECT" in got
+        assert got.startswith("SELECT any_value(a, true)") and "> ANY (SELECT" in got
 
     def test_bare_count(self):
         assert rw("SELECT count() FROM t") == "SELECT count(*) FROM t"
@@ -862,8 +863,10 @@ class TestRound6Combinators:
         )
 
     def test_any_if(self):
+        # the gate's misses are NULLs: without ignoreNulls a leading
+        # non-match masks real matching values (ADVICE r10)
         assert rw("SELECT anyIf(v, ok) FROM t") == (
-            "SELECT any_value(CASE WHEN ok THEN v END) FROM t"
+            "SELECT any_value(CASE WHEN ok THEN v END, true) FROM t"
         )
 
     def test_group_array(self):
@@ -4080,3 +4083,80 @@ class TestParseDateTimeBridge:
             rw("SELECT parseDateTime(s, '%M') FROM t")
         with pytest.raises(ChSqlError, match="LITERAL format"):
             rw("SELECT parseDateTime(s, f) FROM t")
+
+
+class TestAdviceR10Fixes:
+    """Round 11: the four ADVICE r10 findings, pinned with EXECUTED
+    semantics (the text pins live in the rename/combinator tests)."""
+
+    def test_any_family_skips_nulls(self, spark):
+        """CH aggregates skip NULLs; the -If gate introduces them. A
+        leading NULL / non-match must not mask real values — the exact
+        verified failure: anyIfOrNull over [(NULL,false),(1.0,true),
+        (2.0,true)] returned NULL instead of a matching value."""
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(x=None, c=False), Row(x=1.0, c=True), Row(x=2.0, c=True)]
+        ).createOrReplaceTempView("advice_any_t")
+        r = ch_sql(
+            spark,
+            "SELECT anyIfOrNull(x, c) AS a, anyOrNull(x) AS b, "
+            "anyIf(x, c) AS c2, any(x) AS d, anyLast(x) AS e "
+            "FROM advice_any_t",
+        ).collect()[0]
+        for v in (r.a, r.b, r.c2, r.d, r.e):
+            assert v in (1.0, 2.0), r
+        # -OrNull contract: NULL iff NO matching rows
+        r2 = ch_sql(
+            spark,
+            "SELECT anyIfOrNull(x, false) AS a FROM advice_any_t",
+        ).collect()[0]
+        assert r2.a is None
+
+    def test_parse_datetime_plain_is_loud(self, spark):
+        """CH parseDateTime THROWS on unparseable input; in a non-ANSI
+        session a bare to_timestamp silently returned NULL, collapsing
+        the plain form into -OrNull."""
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="parseDateTime"):
+                ch_sql(
+                    spark,
+                    "SELECT parseDateTime('garbage', '%Y-%m-%d') AS r",
+                ).collect()
+            # NULL input still propagates as NULL (CH nullable rule)
+            r = ch_sql(
+                spark,
+                "SELECT parseDateTime(CAST(NULL AS STRING), '%Y-%m-%d') "
+                "AS r",
+            ).collect()[0]
+            assert r.r is None
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+    def test_parse_rejects_format_only_codes(self):
+        """%a/%W/%Q translate to E/q-class Java symbols Spark forbids
+        in PARSING: rewrite-time ChSqlError, not a runtime
+        SparkUpgradeException (which -OrNull would leak)."""
+        for code in ("%a", "%W", "%Q"):
+            with pytest.raises(ChSqlError, match="format-only"):
+                rw(f"SELECT parseDateTime(s, '{code}') FROM t")
+            with pytest.raises(ChSqlError, match="format-only"):
+                rw(f"SELECT parseDateTimeOrNull(s, '{code}') FROM t")
+        # formatDateTime keeps the codes
+        assert "EEE" in rw("SELECT formatDateTime(ts, '%a') FROM t")
+
+    def test_stacked_combinator_case_insensitive(self):
+        """_first_match is case-insensitive, so 'SumIfOrNull' arrives
+        with base 'Sum' — the ok_bases guard must lowercase before the
+        membership check or a bridgeable form raises 'not bridged'."""
+        assert rw("SELECT SumIfOrNull(x, c) FROM t") == (
+            "SELECT sum(CASE WHEN c THEN x END) FROM t"
+        )
+        assert rw("SELECT ANYIFORNULL(x, c) FROM t") == (
+            "SELECT any_value(CASE WHEN c THEN x END, true) FROM t"
+        )
