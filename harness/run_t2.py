@@ -27,6 +27,17 @@ def main() -> int:
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
 
+    specs = all_queries()
+    if names:
+        # loud on typos (VERDICT r10 #3), and BEFORE the JVM spins up:
+        # a misspelled name must fail the certification command
+        # instantly, not silently under-cover (ab.py's exit-2 rule)
+        unknown = sorted(set(names) - set(specs))
+        if unknown:
+            print(f"ERROR: unknown query names: {', '.join(unknown)}")
+            return 2
+        specs = {k: v for k, v in specs.items() if k in names}
+
     if os.environ.get("SPARK_GRAFT_MIMIC") == "1":
         from pyspark.sql import SparkSession
 
@@ -40,17 +51,6 @@ def main() -> int:
     else:
         spark = get_spark("t2-harness")
     con = make_duckdb(sf_dir)
-    specs = all_queries()
-    if names:
-        # loud on typos (VERDICT r10 #3): a misspelled name must fail
-        # the certification command, not silently under-cover (ab.py's
-        # exit-2 rule)
-        unknown = sorted(set(names) - set(specs))
-        if unknown:
-            print(f"ERROR: unknown query names: {', '.join(unknown)}")
-            return 2
-        specs = {k: v for k, v in specs.items() if k in names}
-
     n_ok = 0
     failures = []
     for name, spec in sorted(specs.items()):

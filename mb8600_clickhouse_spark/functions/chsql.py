@@ -1487,9 +1487,15 @@ def _rewrite_format_datetime(sql: str) -> str:
         if not fm:
             raise ChSqlError("formatDateTime needs a literal format string")
         java = _translate_fmt(fm.group(1))
+        # literal letters translate to QUOTED Java pattern chars
+        # ('T' in ISO-8601 formats): the embedded quotes must escape
+        # as '' inside the emitted SQL literal or the statement text
+        # breaks at the first such format (round-11 round-trip
+        # property found it)
+        esc = java.replace("'", "''")
         sql = (
             sql[: m.start()]
-            + f"date_format({args[0]}, '{java}')"
+            + f"date_format({args[0]}, '{esc}')"
             + sql[c + 1 :]
         )
 
@@ -4438,6 +4444,9 @@ def _rewrite_scalar_calls(sql: str) -> str:
                     "datetime parsing — usable in formatDateTime only"
                 )
         pat = _translate_fmt(fm.group(1))
+        # quoted literal letters in the Java pattern escape as ''
+        # inside the emitted SQL literal (the formatDateTime rule)
+        pat = pat.replace("'", "''")
         if m.group(1) == "OrNull":
             rep = f"try_to_timestamp({args[0]}, '{pat}')"
         elif m.group(1) == "OrZero":
@@ -4795,17 +4804,42 @@ def _rewrite_sample(sql: str, sample_by: dict | None) -> str:
     SQL oracle, but NOT bit-compatible with ClickHouse's cityHash
     choice of rows — same statistical contract, different members
     (documented, not silent: an unconfigured SAMPLE raises).
-    Fractions only; ``SAMPLE n`` row-count form is not supported."""
+    Fractions only (decimal ``0.1`` or ratio ``1/10``), with the
+    ``OFFSET y`` tail as the shifted hash window [y, y + x); the
+    ``SAMPLE n`` row-count form is not supported. Round 11 probe: the
+    ratio and OFFSET grammars previously fell through half-consumed
+    (``FROM t/10``, a stray ``OFFSET 0.5``) — silent text corruption,
+    now bridged."""
+
+    def _frac(txt: str, what: str) -> float:
+        rm = re.fullmatch(r"([0-9.]+)\s*/\s*([0-9]+)", txt.strip())
+        if rm:
+            return float(rm.group(1)) / float(rm.group(2))
+        try:
+            return float(txt)
+        except ValueError:  # pragma: no cover - pattern-bounded
+            raise ChSqlError(f"SAMPLE: cannot parse {what} {txt!r}") from None
+
     while True:
         m = _first_match(
-            sql, r"\bFROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+SAMPLE\s+([0-9.]+)\b"
+            sql,
+            r"\bFROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+SAMPLE\s+"
+            r"([0-9.]+(?:\s*/\s*[0-9]+)?)"
+            r"(?:\s+OFFSET\s+([0-9.]+(?:\s*/\s*[0-9]+)?))?",
         )
         if not m:
             return sql
-        table, frac_s = m.group(1), m.group(2)
-        frac = float(frac_s)
+        table = m.group(1)
+        frac = _frac(m.group(2), "fraction")
+        off = _frac(m.group(3), "offset") if m.group(3) else 0.0
         if frac > 1.0:
             raise ChSqlError("SAMPLE n (row-count form) is not supported")
+        if off + frac > 1.0:
+            raise ChSqlError(
+                f"SAMPLE {m.group(2)} OFFSET {m.group(3)}: the window "
+                "extends past 1.0 — ClickHouse clamps, which silently "
+                "shrinks the sample; shrink the fraction or offset"
+            )
         if not sample_by or table not in sample_by:
             raise ChSqlError(
                 f"FROM {table} SAMPLE needs its sampling key: pass "
@@ -4818,11 +4852,15 @@ def _rewrite_sample(sql: str, sample_by: dict | None) -> str:
         if frac >= 1.0:
             sub = f"FROM {table}"
         else:
-            threshold = format(int(frac * 16**8), "08x")
+            hx = f"substr(md5(CAST({key} AS STRING)), 1, 8)"
+            hi = format(int((off + frac) * 16**8), "08x")
+            if off > 0.0:
+                lo = format(int(off * 16**8), "08x")
+                cond = f"{hx} >= '{lo}' AND {hx} < '{hi}'"
+            else:
+                cond = f"{hx} < '{hi}'"
             sub = (
-                f"FROM (SELECT * FROM {table} WHERE "
-                f"substr(md5(CAST({key} AS STRING)), 1, 8) < '{threshold}'"
-                f") {alias}"
+                f"FROM (SELECT * FROM {table} WHERE {cond}) {alias}"
             )
         sql = sql[: m.start()] + sub + sql[m.end() :]
 
@@ -5091,11 +5129,25 @@ def _rewrite_limit_by(sql: str) -> str:
 #: the stack named instead of Spark's unknown-function error three
 #: layers down (round-10 probing wave; the documented-failure contract)
 _COMB_STACK_PAT = (
-    r"\b(sumCount|sum|countDistinct|count|avg|minMap|min|maxMap|max|"
+    # longer names BEFORE their prefixes (alternation is first-match):
+    # avgWeighted before avg, uniqUpTo before uniq, groupArrayMoving*/
+    # Sorted/InsertAt before groupArray, deltaSumTimestamp before
+    # deltaSum, maxIntersections*/maxMap before max, topKWeighted
+    # before topK — round 11 probe: avgWeightedResample and
+    # uniqUpToResample slipped past the reject to Spark's resolver
+    r"\b(sumCount|sumMap|sum|countDistinct|count|avgWeighted|avg|"
+    r"minMap|min|maxMap|maxIntersectionsPosition|maxIntersections|max|"
     r"anyLast|anyHeavy|any|uniqExact|uniqHLL12|uniqCombined64|"
-    r"uniqCombined|uniqTheta|uniq|quantiles\w*?|quantile\w*?|"
-    r"median\w*?|argMax|argMin|groupArray|groupUniqArray|topK|stddev\w*?|"
-    r"var\w*?|corr|covar\w*?|skew\w*?|kurt\w*?|deltaSum|entropy|retention)"
+    r"uniqCombined|uniqTheta|uniqUpTo|uniq|quantiles\w*?|quantile\w*?|"
+    r"median\w*?|argMax|argMin|groupArrayMovingSum|groupArrayMovingAvg|"
+    r"groupArraySorted|groupArrayInsertAt|groupArray|groupUniqArray|"
+    r"topKWeighted|topK|stddev\w*?|var\w*?|corr|covar\w*?|skew\w*?|"
+    r"kurt\w*?|deltaSumTimestamp|deltaSum|entropy|retention|"
+    r"boundingRatio|studentTTest|welchTTest|mannWhitneyUTest|"
+    r"kolmogorovSmirnovTest|sequenceMatch|sequenceCount|"
+    r"sequenceNextNode|windowFunnel|largestTriangleThreeBuckets|lttb|"
+    r"exponentialMovingAverage|intervalLengthSum|"
+    r"simpleLinearRegression)"
     r"((?:If|OrNull|OrDefault|Array|Distinct|State|SimpleState|Merge|"
     r"ForEach|Resample|Map){1,})\s*\("
 )

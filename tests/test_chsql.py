@@ -73,9 +73,12 @@ class TestCombinatorRewrites:
     def test_format_datetime(self, spark):
         got = rw("SELECT formatDateTime(ts, '%Y-%m-%d %H:%i:%S') AS s FROM t")
         assert got == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s FROM t"
-        # literal letters get quoted for Java patterns
+        # literal letters get quoted for Java patterns, and the quotes
+        # escape as '' inside the emitted SQL literal (round 11: the
+        # unescaped form broke the statement text — found by the
+        # parseDateTime round-trip property)
         assert rw("SELECT formatDateTime(ts, '%HH') FROM t") == (
-            "SELECT date_format(ts, 'HH'H'') FROM t"
+            "SELECT date_format(ts, 'HH''H''') FROM t"
         )
         with pytest.raises(ChSqlError, match="%-code"):
             rw("SELECT formatDateTime(ts, '%M') FROM t")  # version-ambiguous
@@ -4160,3 +4163,146 @@ class TestAdviceR10Fixes:
         assert rw("SELECT ANYIFORNULL(x, c) FROM t") == (
             "SELECT any_value(CASE WHEN c THEN x END, true) FROM t"
         )
+
+
+class TestRound11GapProbe:
+    """Round 11 probing wave (VERDICT r10 #6): grammar corners found by
+    exhaustive rewrite-level probes — each was a silent text corruption
+    or a reject-miss before the fix."""
+
+    def test_stack_reject_covers_all_bridged_bases(self):
+        """avgWeightedResample / uniqUpToResample (and the other
+        late-added bases) slipped past _COMB_STACK_PAT to Spark's
+        resolver because the pattern lacked their base names."""
+        for q in (
+            "SELECT avgWeightedResample(0, 10, 1)(v, w, k) FROM t",
+            "SELECT uniqUpToResample(0, 10, 1)(5)(v, k) FROM t",
+            "SELECT boundingRatioForEach(x, y) FROM t",
+            "SELECT studentTTestState(v, g) FROM t",
+            "SELECT windowFunnelMerge(st) FROM t",
+            "SELECT groupArraySortedResample(0,1,1)(3)(v, k) FROM t",
+            "SELECT deltaSumTimestampForEach(v, ts) FROM t",
+            "SELECT maxIntersectionsResample(0,1,1)(s, e, k) FROM t",
+        ):
+            with pytest.raises(ChSqlError, match="not bridged"):
+                rw(q)
+
+    def test_stack_reject_no_false_positives(self):
+        """The longer base names must not shadow their bridged
+        single-combinator prefixes."""
+        assert "CASE WHEN c THEN v END" in rw("SELECT sumIf(v, c) FROM t")
+        assert "sum" in rw("SELECT avgWeighted(v, w) FROM t")
+        assert "least" in rw("SELECT uniqUpTo(3)(v) FROM t")
+        rw("SELECT topKWeighted(3)(v, w) FROM t")
+        rw("SELECT groupArraySorted(3)(v) FROM t")
+
+    def test_sample_ratio_form(self):
+        """SAMPLE 1/10 previously half-consumed to ``FROM t/10`` —
+        silent text corruption; the ratio form is CH grammar."""
+        got = rw("SELECT v FROM t SAMPLE 1/10", sample_by={"t": "id"})
+        assert "< '19999999'" in got and "t/10" not in got
+
+    def test_sample_offset_window(self):
+        """SAMPLE x OFFSET y is the shifted hash window [y, y+x); the
+        stray OFFSET previously survived into the output text."""
+        got = rw(
+            "SELECT v FROM t SAMPLE 1/4 OFFSET 1/2",
+            sample_by={"t": "id"},
+        )
+        assert ">= '80000000'" in got and "< 'c0000000'" in got
+        assert "OFFSET" not in got
+        with pytest.raises(ChSqlError, match="past 1.0"):
+            rw(
+                "SELECT v FROM t SAMPLE 0.6 OFFSET 0.5",
+                sample_by={"t": "id"},
+            )
+
+    def test_format_literal_letters_escape(self, spark):
+        """Literal letters in a %-format translate to QUOTED Java
+        pattern chars ('T'): the embedded quotes must escape as ''
+        in the emitted SQL literal — ISO-8601 formats broke the
+        statement text before (found by the round-trip property)."""
+        import datetime
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(ts=datetime.datetime(2024, 4, 8, 13, 2, 3))]
+        ).createOrReplaceTempView("fmt_lit_t")
+        r = ch_sql(
+            spark,
+            "SELECT formatDateTime(ts, '%Y-%m-%dT%H:%i:%S') AS f, "
+            "parseDateTime('2024-04-08T13:02:03', '%Y-%m-%dT%H:%i:%S') "
+            "AS p FROM fmt_lit_t",
+        ).collect()[0]
+        assert r.f == "2024-04-08T13:02:03"
+        assert r.p == datetime.datetime(2024, 4, 8, 13, 2, 3)
+
+    def test_sample_prewhere_composition(self):
+        """SAMPLE + PREWHERE + WHERE compose: hash window innermost,
+        PREWHERE folded into the outer WHERE conjunction."""
+        got = rw(
+            "SELECT v FROM t SAMPLE 0.1 PREWHERE a > 1 WHERE b < 2",
+            sample_by={"t": "id"},
+        )
+        assert "< '19999999'" in got
+        assert "(a > 1) AND (b < 2)" in got
+
+
+class TestParseDateTimeRoundTrip:
+    """Round 11 (VERDICT r10 #6): the parse direction of the %-code
+    property — formatDateTime then parseDateTime over random
+    timestamps must be the identity for every self-consistent format
+    that carries a full date (the format direction has its own
+    property test; this pins the inverse through the SAME
+    _FMT_CODES table)."""
+
+    # each format determines the expected truncation of the round-trip
+    FORMATS = [
+        ("%Y-%m-%d %H:%i:%S", "second"),
+        ("%F %T", "second"),
+        ("%d/%m/%Y %H:%i:%S", "second"),
+        ("%Y-%m-%dT%H:%i:%S.%f", "micro"),
+        ("%Y-%m-%d %h:%i:%S %p", "second"),
+        ("%F %r", "second"),
+        ("%D %R", "minute"),  # %y two-digit year, minute precision
+        ("%Y-%m-%d", "day"),
+    ]
+
+    def test_round_trip_identity(self, spark):
+        import datetime
+        import random as _r
+
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        rng = _r.Random("pdt-rt")
+        rows = []
+        for i in range(120):
+            ts = datetime.datetime(
+                # %D carries a 2-digit year: stay in Java's yy window
+                rng.randint(2000, 2068), rng.randint(1, 12),
+                rng.randint(1, 28), rng.randint(0, 23),
+                rng.randint(0, 59), rng.randint(0, 59),
+                rng.randint(0, 999999),
+            )
+            rows.append(Row(i=i, ts=ts))
+        spark.createDataFrame(rows).createOrReplaceTempView("pdt_rt_t")
+        trunc = {
+            "micro": lambda t: t,
+            "second": lambda t: t.replace(microsecond=0),
+            "minute": lambda t: t.replace(second=0, microsecond=0),
+            "day": lambda t: t.replace(
+                hour=0, minute=0, second=0, microsecond=0
+            ),
+        }
+        for fmt, prec in self.FORMATS:
+            got = {
+                r.i: r.rt
+                for r in ch_sql(
+                    spark,
+                    f"SELECT i, parseDateTime(formatDateTime(ts, "
+                    f"'{fmt}'), '{fmt}') AS rt FROM pdt_rt_t",
+                ).collect()
+            }
+            for row in rows:
+                assert got[row.i] == trunc[prec](row.ts), (fmt, row.ts)

@@ -51,3 +51,20 @@ def test_nullable_int_with_missing():
     df = pd.DataFrame({"n": pd.array([1, None], dtype="Int64")})
     _, rows = canonicalize(df)
     assert sorted(rows) == [("1",), ("NULL",)]
+
+
+def test_run_t2_rejects_unknown_names(monkeypatch, capsys):
+    """VERDICT r10 #3: a misspelled query name must fail the
+    certification command with exit 2 (ab.py's rule) BEFORE any JVM
+    spins up — the old intersection filter silently under-covered
+    (16 names, 5 misspelled -> a clean-looking '11/11 ok')."""
+    from harness import run_t2
+
+    monkeypatch.setattr(
+        "sys.argv", ["run_t2", "q14_top_k", "bogus_name", "q99_typo"]
+    )
+    assert run_t2.main() == 2
+    out = capsys.readouterr().out
+    assert "unknown query names" in out
+    assert "bogus_name" in out and "q99_typo" in out
+    assert "q14_top_k" not in out.split("unknown query names:")[1]
