@@ -116,7 +116,10 @@ class ChSqlError(ValueError):
 # ---------------------------------------------------------------------------
 def _scan(sql: str):
     """Yield (i, ch, depth, in_str) for each char; depth counts parens
-    OUTSIDE single-quoted strings; '' inside a string is an escape."""
+    OUTSIDE single-quoted strings; '' inside a string is an escape, and
+    so is backslash-anything (round 11: ClickHouse's lexer uses
+    backslash escapes — ``'it\\'s'`` previously read as string-end at
+    the ``\\'``, silently turning every rewrite after it off)."""
     depth = 0
     in_str = False
     i = 0
@@ -124,6 +127,11 @@ def _scan(sql: str):
     while i < n:
         ch = sql[i]
         if in_str:
+            if ch == "\\" and i + 1 < n:
+                yield i, ch, depth, True
+                yield i + 1, sql[i + 1], depth, True
+                i += 2
+                continue
             if ch == "'":
                 if i + 1 < n and sql[i + 1] == "'":
                     yield i, ch, depth, True
@@ -186,6 +194,7 @@ class _LazyState:
         self.depth = 0
 
     _INTERESTING = re.compile(r"['()]")
+    _IN_STR = re.compile(r"['\\]")
 
     def at(self, s: int) -> tuple[int, bool]:
         """(depth, in_str) at position ``s`` (ascending calls only).
@@ -195,10 +204,16 @@ class _LazyState:
         cur, in_str, depth = self.cur, self.in_str, self.depth
         while cur < s:
             if in_str:
-                j = sql.find("'", cur)
+                # next state-changing char inside a string: a quote
+                # (close or '' escape) or a backslash escape (CH lexer)
+                m_in = self._IN_STR.search(sql, cur)
+                j = m_in.start() if m_in else -1
                 if j == -1 or j >= s:
                     cur = s  # all string body up to s; state unchanged
                     break
+                if sql[j] == "\\":
+                    cur = j + 2  # escape-anything; may land past s
+                    continue
                 if j + 1 < n and sql[j + 1] == "'":
                     cur = j + 2  # '' escape; may land past s (see tail)
                     continue
@@ -4787,6 +4802,42 @@ def _rewrite_prewhere_settings(sql: str) -> str:
         if re.fullmatch(
             r"\s*\w+\s*=\s*[^,]+(\s*,\s*\w+\s*=\s*[^,]+)*\s*", tail
         ) and _first_match(sql[: ms.start()], r"\bFROM\b"):
+            # round 11 probe: only EXECUTION knobs may strip silently.
+            # Some SETTINGS change RESULTS — join_use_nulls flips
+            # non-matched join columns from type defaults to NULL,
+            # final=1 applies FINAL to every table, limit/offset act
+            # as the LIMIT clause, group_by_use_nulls changes rollup
+            # key rendering — dropping those silently diverges, so
+            # they reject with the Spark spelling named.
+            semantic = {
+                "join_use_nulls": "Spark joins are ANSI (non-matched "
+                "columns are NULL already) — drop the setting and "
+                "verify the join type",
+                "group_by_use_nulls": "Spark GROUPING SETS render "
+                "missing keys as NULL already",
+                "final": "spell FROM t FINAL per table (the "
+                "final_tables contract)",
+                "limit": "spell the LIMIT clause",
+                "offset": "spell the OFFSET clause",
+                "totals_mode": "WITH TOTALS bridges as GROUPING SETS; "
+                "only the default totals_mode is bridged",
+                "union_default_mode": "spell UNION ALL / UNION "
+                "DISTINCT explicitly",
+                "empty_result_for_aggregation_by_empty_set": "Spark "
+                "returns the ANSI empty-set aggregate row; only the "
+                "default is bridged",
+                "aggregate_functions_null_for_empty": "the -OrNull "
+                "combinators are the bridged spelling of that "
+                "contract",
+            }
+            for kv in tail.split(","):
+                key = kv.split("=")[0].strip().lower()
+                if key in semantic:
+                    raise ChSqlError(
+                        f"SETTINGS {key}: this setting changes query "
+                        f"RESULTS, not execution — stripping it would "
+                        f"silently diverge. {semantic[key]}"
+                    )
             sql = sql[: ms.start()].rstrip()
             break
     return sql

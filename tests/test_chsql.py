@@ -530,8 +530,28 @@ class TestPrewhereSettings:
         )
 
     def test_settings_after_limit_by(self, spark):
-        got = rw("SELECT k, v FROM t ORDER BY v LIMIT 1 BY k SETTINGS join_use_nulls=1")
+        got = rw("SELECT k, v FROM t ORDER BY v LIMIT 1 BY k SETTINGS max_threads=8")
         assert "SETTINGS" not in got and "__rn <= 1" in got
+
+    def test_semantic_settings_reject(self):
+        """Round 11 probe: SETTINGS that change RESULTS (not
+        execution) must not strip silently — join_use_nulls flips
+        non-matched join columns to NULL, final=1 applies FINAL
+        everywhere, limit acts as the LIMIT clause."""
+        for knob in (
+            "join_use_nulls = 1",
+            "final = 1",
+            "limit = 10",
+            "group_by_use_nulls = 1",
+            "max_threads = 4, join_use_nulls = 1",
+        ):
+            with pytest.raises(ChSqlError, match="changes query RESULTS"):
+                rw(f"SELECT v FROM t SETTINGS {knob}")
+        # execution knobs still strip; a column named settings survives
+        assert rw("SELECT v FROM t SETTINGS max_threads = 4") == (
+            "SELECT v FROM t"
+        )
+        assert rw("SELECT settings FROM t") == "SELECT settings FROM t"
 
     def test_executes(self, spark):
         spark.createDataFrame(
@@ -4216,6 +4236,27 @@ class TestRound11GapProbe:
                 "SELECT v FROM t SAMPLE 0.6 OFFSET 0.5",
                 sample_by={"t": "id"},
             )
+
+    def test_backslash_escapes_in_string_literals(self, spark):
+        r"""CH's lexer uses backslash escapes: 'it\'s' previously read
+        as string-end at the \', silently turning every rewrite after
+        it OFF (sumIf stayed un-bridged). The scanner now treats
+        backslash-anything as string body, and Spark's default parser
+        agrees on the literal's value."""
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        got = rw(r"SELECT 'it\'s' AS s, sumIf(v, ok) FROM t")
+        assert "CASE WHEN ok THEN v END" in got
+        got2 = rw(r"SELECT 'a\\' AS s, uniq(x) FROM t")
+        assert "approx_count_distinct" in got2
+        spark.range(1).selectExpr(
+            "true AS ok", "2.0 AS v"
+        ).createOrReplaceTempView("chsql_esc_t")
+        r = ch_sql(
+            spark,
+            r"SELECT 'it\'s' AS s, sumIf(v, ok) AS x FROM chsql_esc_t",
+        ).collect()[0]
+        assert r.s == "it's" and r.x == 2.0
 
     def test_format_literal_letters_escape(self, spark):
         """Literal letters in a %-format translate to QUOTED Java
