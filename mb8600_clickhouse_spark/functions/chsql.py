@@ -4234,7 +4234,90 @@ def _rewrite_type_names(sql: str) -> str:
             if conv:
                 inner = inner[: as_kw[-1].end()] + " " + conv
                 sql = sql[: o + 1] + inner + sql[c:]
+        else:
+            # CH's FUNCTION-form cast CAST(x, 'Type') (round 11 probe:
+            # previously fell through to Spark's zero-arg `cast`
+            # resolver error three layers down). The type must be a
+            # literal; unknown names raise rather than pass a bad AS
+            # clause along.
+            args = _split_top_commas(inner)
+            tm = re.fullmatch(r"'([^']*)'", args[1].strip()) if len(args) == 2 else None
+            if tm:
+                conv = _ch_type_or_none(tm.group(1))
+                if conv is None:
+                    raise ChSqlError(
+                        f"CAST(x, '{tm.group(1)}'): unrecognized "
+                        "ClickHouse type name in the function-form "
+                        "cast — spell CAST(x AS <spark type>)"
+                    )
+                sql = sql[: o + 1] + f"{args[0]} AS {conv}" + sql[c:]
         pos = pos + m.start() + 4  # revisit nested CASTs inside
+
+
+def _rewrite_dquote_identifiers(sql: str) -> str:
+    """ClickHouse treats double-quoted tokens as IDENTIFIERS (strings
+    are single-quoted only); Spark's default parser reads them as
+    STRING literals — so ``SELECT "col" FROM t`` silently projected
+    the constant 'col' instead of the column (round 11 probe, the
+    worst divergence class). Convert ``"name"`` outside single-quoted
+    strings to backticks, unescaping CH's doubled-quote escape and
+    escaping embedded backticks."""
+    out = []
+    i, n = 0, len(sql)
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "\\" and i + 1 < n:
+                out.append(sql[i : i + 2])
+                i += 2
+                continue
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            out.append(ch)
+            i += 1
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+            i += 1
+        elif ch == '"':
+            j = i + 1
+            name = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        name.append('"')
+                        j += 2
+                        continue
+                    break
+                name.append(sql[j])
+                j += 1
+            if j >= n:
+                raise ChSqlError("unterminated double-quoted identifier")
+            ident = "".join(name).replace("`", "``")
+            out.append(f"`{ident}`")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_int_literals(sql: str) -> str:
+    """CH hex/binary integer literals (``0x1F``, ``0b101``) → decimal
+    (Spark parses ``0x1F`` as an identifier → a cryptic
+    UNRESOLVED_COLUMN; round 11 probe)."""
+    for pat, base in ((r"\b0[xX][0-9A-Fa-f]+\b", 16), (r"\b0[bB][01]+\b", 2)):
+        while True:
+            m = _first_match(sql, pat)
+            if not m:
+                break
+            sql = sql[: m.start()] + str(int(m.group(0)[2:], base)) + sql[m.end() :]
+    return sql
 
 
 def _rewrite_top(sql: str) -> str:
@@ -5369,6 +5452,15 @@ def _rewrite_clickhouse_sql_uncached(
         hit = _first_match(sql, pat)
         if hit:
             raise ChSqlError(f"{hit.group(0).strip()!r}: {msg}")
+    # CH double-quoted IDENTIFIERS -> backticks before anything else
+    # (Spark would read them as string literals — silent divergence)
+    sql = _rewrite_dquote_identifiers(sql)
+    if _first_match(sql, r"\bDISTINCT\s+ON\s*\("):
+        raise ChSqlError(
+            "DISTINCT ON keeps an ARBITRARY (block-order) first row in "
+            "ClickHouse — nondeterministic; spell the deterministic "
+            "equivalent: ORDER BY <want> LIMIT 1 BY <on-cols> (bridged)"
+        )
     sql, blocks = _mask_subselects(sql, final_tables, sample_by, dictionaries)
     # first: CH's scalar WITH constants feed every later rewrite (and
     # substitute into the masked block bodies — CH scoping). A block
@@ -5395,6 +5487,7 @@ def _rewrite_clickhouse_sql_uncached(
     # ARRAY<STRING> UDF registrations would resolve the same names)
     sql = _rewrite_array_vocabulary(sql)
     sql = _rewrite_type_names(sql)
+    sql = _rewrite_int_literals(sql)
     # after the array vocabulary (tuple() is a named_struct by now, so
     # tuple(a, b) IN ((1, 2)) composes on the same positional names)
     sql = _rewrite_tuple_in(sql)

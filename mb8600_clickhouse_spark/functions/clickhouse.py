@@ -129,6 +129,32 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # degrade-to-NULL contract, SURVEY §2.B3)
     "toInt64OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
     "toFloat64OrNull": ("(s STRING)", "DOUBLE", "try_cast(s AS DOUBLE)"),
+    # full -OrNull/-OrZero width/sign family (round 11 probe:
+    # toUInt32OrNull previously resolved to nothing); widths follow
+    # the toInt*/toUInt* mappings above, CH's 0-default for OrZero
+    "toInt32OrNull": ("(s STRING)", "INT", "try_cast(s AS INT)"),
+    "toInt16OrNull": ("(s STRING)", "SMALLINT", "try_cast(s AS SMALLINT)"),
+    "toInt8OrNull": ("(s STRING)", "TINYINT", "try_cast(s AS TINYINT)"),
+    "toUInt8OrNull": ("(s STRING)", "SMALLINT", "try_cast(s AS SMALLINT)"),
+    "toUInt16OrNull": ("(s STRING)", "INT", "try_cast(s AS INT)"),
+    "toUInt32OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
+    "toUInt64OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
+    "toFloat32OrNull": ("(s STRING)", "FLOAT", "try_cast(s AS FLOAT)"),
+    "toInt64OrZero": (
+        "(s STRING)", "BIGINT", "coalesce(try_cast(s AS BIGINT), 0L)"
+    ),
+    "toInt32OrZero": (
+        "(s STRING)", "INT", "coalesce(try_cast(s AS INT), 0)"
+    ),
+    "toUInt32OrZero": (
+        "(s STRING)", "BIGINT", "coalesce(try_cast(s AS BIGINT), 0L)"
+    ),
+    "toUInt64OrZero": (
+        "(s STRING)", "BIGINT", "coalesce(try_cast(s AS BIGINT), 0L)"
+    ),
+    "toFloat64OrZero": (
+        "(s STRING)", "DOUBLE", "coalesce(try_cast(s AS DOUBLE), 0.0D)"
+    ),
     "toInt64": ("(s STRING)", "BIGINT", "cast(s AS BIGINT)"),
     "toFloat64": ("(s STRING)", "DOUBLE", "cast(s AS DOUBLE)"),
     "toInt32": ("(s STRING)", "INT", "cast(s AS INT)"),

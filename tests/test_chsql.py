@@ -4237,6 +4237,72 @@ class TestRound11GapProbe:
                 sample_by={"t": "id"},
             )
 
+    def test_double_quoted_identifiers(self, spark):
+        """CH double-quoted tokens are IDENTIFIERS; Spark's default
+        parser reads them as STRING literals, so SELECT \"col\" FROM t
+        silently projected the constant 'col' (round 11 probe, the
+        worst divergence class). Now backtick-converted; double quotes
+        INSIDE single-quoted strings stay literal."""
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.range(3).selectExpr("id AS col").createOrReplaceTempView(
+            "chsql_dq_t"
+        )
+        got = [
+            r.c
+            for r in ch_sql(
+                spark,
+                'SELECT "col" AS c FROM chsql_dq_t ORDER BY "col"',
+            ).collect()
+        ]
+        assert got == [0, 1, 2]
+        r = ch_sql(spark, """SELECT 'say "hi"' AS s""").collect()[0]
+        assert r.s == 'say "hi"'
+
+    def test_function_form_cast(self, spark):
+        """CH's CAST(x, 'Type') function form — previously Spark's
+        zero-arg `cast` resolver error three layers down."""
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT CAST('7', 'Nullable(Int64)') AS a, "
+            "CAST(3.9, 'Int32') AS b",
+        ).collect()[0]
+        assert (r.a, r.b) == (7, 3)
+        with pytest.raises(ChSqlError, match="unrecognized"):
+            rw("SELECT CAST(v, 'NotAType') FROM t")
+
+    def test_distinct_on_rejects_with_recipe(self):
+        """CH DISTINCT ON is block-order nondeterministic: loud reject
+        naming the deterministic LIMIT 1 BY spelling."""
+        with pytest.raises(ChSqlError, match="LIMIT 1 BY"):
+            rw("SELECT DISTINCT ON (k) k, v FROM t")
+
+    def test_hex_binary_literals(self, spark):
+        """CH hex/binary integer literals -> decimal (Spark parses
+        0x1F as an identifier)."""
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(spark, "SELECT 0x1F AS h, 0b101 AS b").collect()[0]
+        assert (r.h, r.b) == (31, 5)
+        # inside a string: untouched
+        assert rw("SELECT '0x1F' AS s FROM t") == "SELECT '0x1F' AS s FROM t"
+
+    def test_to_number_ornull_orzero_family(self, spark):
+        """The full toInt*/toUInt* -OrNull/-OrZero conversion family
+        (round 11 probe: toUInt32OrNull resolved to nothing)."""
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = spark.sql(
+            "SELECT toUInt32OrNull('abc') AS a, toUInt32OrNull('9') AS b, "
+            "toInt64OrZero('x') AS z, toFloat64OrZero('2.5') AS f"
+        ).collect()[0]
+        assert (r.a, r.b, r.z, r.f) == (None, 9, 0, 2.5)
+
     def test_backslash_escapes_in_string_literals(self, spark):
         r"""CH's lexer uses backslash escapes: 'it\'s' previously read
         as string-end at the \', silently turning every rewrite after
