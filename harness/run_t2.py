@@ -46,6 +46,15 @@ def main() -> int:
             SparkSession.builder.master("local[32]")
             .appName("t2-mimic")
             .config("spark.sql.session.timeZone", "UTC")
+            # capacity, not semantics: the default 1g driver heap OOMs
+            # after ~155 accumulated queries in one JVM (round 11 —
+            # deterministic at q64 in sort order, streaming state-store
+            # maintenance threads included; every failed query passes
+            # in a fresh default session). Heap size cannot change a
+            # query RESULT, so raising it preserves exactly what mimic
+            # mode certifies: no dependence on AQE/CBO/advisory/
+            # partition tuning.
+            .config("spark.driver.memory", "8g")
             .getOrCreate()
         )
     else:

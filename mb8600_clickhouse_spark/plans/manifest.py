@@ -63,8 +63,21 @@ def _stat_value(v):
     """JSON-encodable, order-preserving encoding of a footer stat.
     Numbers/strings/bools pass through; date/datetime become ISO strings
     with fixed field widths, whose lexicographic order equals time order
-    (so pruning compares encoded values directly)."""
+    (so pruning compares encoded values directly).
+
+    Timezone-AWARE datetimes normalize to UTC and drop the offset
+    before encoding (round 11, Hypothesis-found): Spark writes
+    TIMESTAMP as adjusted-to-UTC, so pyarrow footers return AWARE
+    datetimes whose isoformat carries '+00:00' — while probe values
+    from callers are naive (session-UTC contract). The suffix made
+    equal instants compare UNequal lexicographically, so an equality
+    probe at a file's exact [min, max] boundary pruned a file that
+    contained the match. Both the write side (_collect_stats) and the
+    probe side (_file_may_match) pass through here, so one
+    normalization keeps the encodings comparable."""
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, _dt.date):
         return v.isoformat()

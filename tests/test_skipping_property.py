@@ -76,3 +76,20 @@ def test_scan_equals_filter(spark, tmp_path_factory, batches, raw_preds):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # and pruning is REAL when it can be: an impossible equality drops all files
     assert t.prune_files([("k", "=", 999)]) == []
+
+
+def test_timestamp_equality_at_file_boundary(spark, tmp_path):
+    """Deterministic pin of the round-11 Hypothesis find: Spark writes
+    TIMESTAMP adjusted-to-UTC, so pyarrow footer stats are tz-AWARE
+    and their isoformat carried '+00:00' while probe values encode
+    naive — equal instants compared UNequal lexicographically and an
+    equality probe at a single-row file's [min = max] boundary pruned
+    the file that contained the match."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame(_rows([0])).coalesce(1))
+    v = _BASE  # exactly the file's min == max instant
+    assert t.scan(spark, [("ts", "=", v)]).count() == 1
+    assert t.scan(spark, [("ts", ">=", v)]).count() == 1
+    assert t.scan(spark, [("ts", "<=", v)]).count() == 1
+    assert t.scan(spark, [("ts", "<", v)]).count() == 0
+    assert t.scan(spark, [("ts", ">", v)]).count() == 0
