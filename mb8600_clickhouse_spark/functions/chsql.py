@@ -119,13 +119,32 @@ def _scan(sql: str):
     OUTSIDE single-quoted strings; '' inside a string is an escape, and
     so is backslash-anything (round 11: ClickHouse's lexer uses
     backslash escapes — ``'it\\'s'`` previously read as string-end at
-    the ``\\'``, silently turning every rewrite after it off)."""
+    the ``\\'``, silently turning every rewrite after it off).
+    COMMENTS (``-- ..`` to end of line, ``/* .. */``) report as
+    in_str=True — opaque to every consumer, so a quote, paren or comma
+    inside a comment cannot desync the state (round 11: an apostrophe
+    in a block comment read as string-start and silently turned every
+    rewrite after it off)."""
     depth = 0
     in_str = False
     i = 0
     n = len(sql)
     while i < n:
         ch = sql[i]
+        if not in_str and ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j == -1 else j  # newline itself is NOT comment
+            while i < j:
+                yield i, sql[i], depth, True
+                i += 1
+            continue
+        if not in_str and ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            while i < j:
+                yield i, sql[i], depth, True
+                i += 1
+            continue
         if in_str:
             if ch == "\\" and i + 1 < n:
                 yield i, ch, depth, True
@@ -193,7 +212,7 @@ class _LazyState:
         self.in_str = False
         self.depth = 0
 
-    _INTERESTING = re.compile(r"['()]")
+    _INTERESTING = re.compile(r"['()]|--|/\*")
     _IN_STR = re.compile(r"['\\]")
 
     def at(self, s: int) -> tuple[int, bool]:
@@ -220,11 +239,23 @@ class _LazyState:
                 in_str = False
                 cur = j + 1
             else:
-                m = self._INTERESTING.search(sql, cur, s)
-                if m is None:
+                # search UNBOUNDED and compare the start: a bounded
+                # search (endpos=s) cannot see a 2-char comment opener
+                # whose second char is at s, reporting the '*' of a
+                # straddling '/*' as plain text (fuzz-found)
+                m = self._INTERESTING.search(sql, cur)
+                if m is None or m.start() >= s:
                     cur = s
                     break
                 ch = m.group()
+                if ch == "--":
+                    j = sql.find("\n", m.start())
+                    cur = n if j == -1 else j  # may land past s (tail)
+                    continue
+                if ch == "/*":
+                    j = sql.find("*/", m.start() + 2)
+                    cur = n if j == -1 else j + 2  # may land past s
+                    continue
                 if ch == "'":
                     in_str = True
                 elif ch == "(":
@@ -234,12 +265,16 @@ class _LazyState:
                 cur = m.start() + 1
         self.cur, self.in_str, self.depth = cur, in_str, depth
         if cur > s:
-            return depth, True  # s is the 2nd quote of a '' escape
+            return depth, True  # s inside a '' escape or a comment
         # _scan flags every quote char itself as in-string (the opening
-        # quote yields True before the state flips), yields the depth
-        # OUTSIDE an about-to-open '(' but AFTER a closing ')' decrement
-        if s < n and not in_str and sql[s] == ")":
-            return depth - 1, False
+        # quote yields True before the state flips), comment OPENERS as
+        # in-comment, and yields the depth OUTSIDE an about-to-open '('
+        # but AFTER a closing ')' decrement
+        if s < n and not in_str:
+            if sql[s : s + 2] in ("--", "/*"):
+                return depth, True
+            if sql[s] == ")":
+                return depth - 1, False
         return depth, in_str or (s < n and sql[s] == "'")
 
 
@@ -4267,6 +4302,18 @@ def _rewrite_dquote_identifiers(sql: str) -> str:
     in_str = False
     while i < n:
         ch = sql[i]
+        if not in_str and ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            out.append(sql[i:j])
+            i = j
+            continue
+        if not in_str and ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            out.append(sql[i:j])
+            i = j
+            continue
         if in_str:
             if ch == "\\" and i + 1 < n:
                 out.append(sql[i : i + 2])

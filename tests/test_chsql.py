@@ -4237,6 +4237,21 @@ class TestRound11GapProbe:
                 sample_by={"t": "id"},
             )
 
+    def test_comments_are_opaque_to_rewrites(self, spark):
+        """Quotes/parens/commas inside -- and /* */ comments must not
+        desync the scanner: an apostrophe in a block comment
+        previously read as string-start and silently turned every
+        rewrite after it OFF (round 11 probe; _scan and _LazyState
+        re-fuzzed with comment tokens, 1500 trials)."""
+        got = rw("SELECT /* block 'quote */ sumIf(v, ok) FROM t")
+        assert "CASE WHEN ok THEN v END" in got
+        got2 = rw("SELECT 1 AS a -- don't\n, sumIf(v, ok) FROM t")
+        assert "CASE WHEN ok THEN v END" in got2
+        # an unpaired double quote in a comment must not trip the
+        # identifier converter either
+        got3 = rw('SELECT sumIf(v, ok) FROM t -- say "hi\n')
+        assert "CASE WHEN ok THEN v END" in got3
+
     def test_double_quoted_identifiers(self, spark):
         """CH double-quoted tokens are IDENTIFIERS; Spark's default
         parser reads them as STRING literals, so SELECT \"col\" FROM t
