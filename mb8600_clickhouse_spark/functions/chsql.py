@@ -124,13 +124,32 @@ def _scan(sql: str):
     in_str=True — opaque to every consumer, so a quote, paren or comma
     inside a comment cannot desync the state (round 11: an apostrophe
     in a block comment read as string-start and silently turned every
-    rewrite after it off)."""
+    rewrite after it off). BACKTICK-quoted identifiers (both
+    pre-existing and the ones ``_rewrite_dquote_identifiers`` emits)
+    are opaque the same way (ADVICE r11: ``\"col 0xAB\"`` became
+    `` `col 0xAB` `` and the int-literal pass rewrote the hex token
+    INSIDE the identifier; an apostrophe inside one desynced the
+    string scanner); `` `` `` doubling is the escape."""
     depth = 0
     in_str = False
     i = 0
     n = len(sql)
     while i < n:
         ch = sql[i]
+        if not in_str and ch == "`":
+            j = i + 1
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            while i < j:
+                yield i, sql[i], depth, True
+                i += 1
+            continue
         if not in_str and ch == "-" and i + 1 < n and sql[i + 1] == "-":
             j = sql.find("\n", i)
             j = n if j == -1 else j  # newline itself is NOT comment
@@ -212,7 +231,7 @@ class _LazyState:
         self.in_str = False
         self.depth = 0
 
-    _INTERESTING = re.compile(r"['()]|--|/\*")
+    _INTERESTING = re.compile(r"['()`]|--|/\*")
     _IN_STR = re.compile(r"['\\]")
 
     def at(self, s: int) -> tuple[int, bool]:
@@ -256,6 +275,21 @@ class _LazyState:
                     j = sql.find("*/", m.start() + 2)
                     cur = n if j == -1 else j + 2  # may land past s
                     continue
+                if ch == "`":
+                    # backtick identifier: opaque span, `` is the
+                    # escape (ADVICE r11 — parity with _scan)
+                    j = m.start() + 1
+                    while True:
+                        k = sql.find("`", j)
+                        if k == -1:
+                            cur = n
+                            break
+                        if k + 1 < n and sql[k + 1] == "`":
+                            j = k + 2
+                            continue
+                        cur = k + 1  # may land past s (tail check)
+                        break
+                    continue
                 if ch == "'":
                     in_str = True
                 elif ch == "(":
@@ -272,6 +306,8 @@ class _LazyState:
         # but AFTER a closing ')' decrement
         if s < n and not in_str:
             if sql[s : s + 2] in ("--", "/*"):
+                return depth, True
+            if sql[s] == "`":
                 return depth, True
             if sql[s] == ")":
                 return depth - 1, False
@@ -686,7 +722,12 @@ def _rewrite_combinators(sql: str) -> str:
         inner = sql[o + 1 : c].strip()
         rep = f"any_value({inner}, true)"
         sql = sql[:start] + rep + sql[c + 1 :]
-        pos = start + len(rep)
+        # resume INSIDE the replacement, just past "any_value(": the
+        # argument text may itself contain any()/anyLast() (e.g. a
+        # scalar-subquery argument), and Spark resolves a missed bare
+        # any(bool) as bool_or — a silent divergence, not an error
+        # (ADVICE r11; restores the pre-r11 rescan behavior)
+        pos = start + len("any_value(")
 
     # *If combinators (x, c) -> agg(CASE WHEN c THEN x END): the CASE
     # drops non-matching rows to NULL, which every target aggregate
@@ -2905,6 +2946,16 @@ def snap4_sql(e: str, dialect: str = "spark") -> str:
     callers carry their own domain audits (limb audit / DECIMAL(38)
     sums), and ``operators/stats`` guards explicitly.
 
+    NaN (ADVICE r11): in non-ANSI Spark this spelling snaps NaN to 0
+    (sign/floor of NaN cast to BIGINT are 0) while the oracle spelling
+    raises (DuckDB errors casting NaN to BIGINT) and ClickHouse
+    propagates NaN — so NaN is OUT of this helper's domain and the
+    helper itself stays silent by design (a per-snap CASE would bloat
+    the composable statement whose ANALYSIS cost is the q164 floor).
+    Callers own the loudness: ``_limb_moment_sums`` and
+    ``_limb_covar_sums`` fold an isnan sentinel into their audit vmax
+    carriers, and ``operators/stats._snap4`` raises in-plan.
+
     Oracle dialects spell the SAME function as the engine-native
     ``round(e * 1e4)`` (DuckDB round = std::round, half away from zero
     on the double VALUE): for |e * 1e4| < 2^52 the 0.5 add in the
@@ -3133,7 +3184,17 @@ def _limb_moment_sums(x: str) -> dict[str, str]:
     e2 = f"({u2} & {M})"
     e3 = f"shiftright({u2}, 30)"
     n = f"count({x})"
-    audit = limb_audit_sql(n, f"max(abs({v}))")
+    # NaN folds into the audit's vmax carrier (ADVICE r11): the
+    # non-ANSI snap turns NaN into 0 (sign/floor of NaN cast to
+    # BIGINT), so max(abs(v)) alone never sees it — a NaN row would
+    # silently contribute (count=1, value=0) where ClickHouse
+    # propagates NaN and the DuckDB oracle raises on the BIGINT cast.
+    # The sentinel (> LIMB_VMAX) trips the existing loud reject.
+    vmax = (
+        f"max(CASE WHEN isnan(CAST({x} AS DOUBLE)) "
+        f"THEN {LIMB_VMAX + 1}L ELSE abs({v}) END)"
+    )
+    audit = limb_audit_sql(n, vmax)
     wd = f"CAST({W} AS {D})"
     s1 = f"CAST(sum({v}) AS {D})"
     s2 = (
@@ -3167,8 +3228,20 @@ def _limb_covar_sums(x: str, y: str) -> dict[str, str]:
     pb = f"({p} & {W - 1})"
     pa = f"shiftright({p}, 30)"
     n = f"count(CASE WHEN {guard} THEN 1 END)"
-    vx = f"CAST(max(abs({xb})) AS DOUBLE)"
-    vy = f"CAST(max(abs({yb})) AS DOUBLE)"
+    # NaN in either coordinate folds into the vmax carriers (same
+    # device as _limb_moment_sums — the non-ANSI snap silently turns
+    # NaN into 0, so abs(xb) alone never sees it); the sentinel trips
+    # the product-bound arm of the audit below.
+    nanx = f"isnan(CAST({x} AS DOUBLE))"
+    nany = f"isnan(CAST({y} AS DOUBLE))"
+    vx = (
+        f"CAST(max(CASE WHEN {guard} AND ({nanx} OR {nany}) "
+        f"THEN 9.0e18 ELSE abs({xb}) END) AS DOUBLE)"
+    )
+    vy = (
+        f"CAST(max(CASE WHEN {guard} AND ({nanx} OR {nany}) "
+        f"THEN 9.0e18 ELSE abs({yb}) END) AS DOUBLE)"
+    )
     w = float(W)
     # per-row product bound (8e18 < 2^63 - 1 with double-rounding
     # margin) plus the digit-sum envelope, all in DOUBLE (bounds only)
@@ -4302,6 +4375,21 @@ def _rewrite_dquote_identifiers(sql: str) -> str:
     in_str = False
     while i < n:
         ch = sql[i]
+        if not in_str and ch == "`":
+            # pre-existing backtick identifier: opaque (a " inside it
+            # is part of the name, not an opener); `` is the escape
+            j = i + 1
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
         if not in_str and ch == "-" and i + 1 < n and sql[i + 1] == "-":
             j = sql.find("\n", i)
             j = n if j == -1 else j
@@ -5034,12 +5122,27 @@ def _rewrite_sample(sql: str, sample_by: dict | None) -> str:
             sub = f"FROM {table}"
         else:
             hx = f"substr(md5(CAST({key} AS STRING)), 1, 8)"
-            hi = format(int((off + frac) * 16**8), "08x")
-            if off > 0.0:
+            # when the window's upper edge reaches 1.0 exactly (the
+            # canonical disjoint-shard usage: SAMPLE 1/2 OFFSET 1/2),
+            # int(1.0 * 16**8) formats to NINE hex chars and the 8-char
+            # md5 prefix compares below it only when it starts with
+            # '0' — i.e. the emitted `< hi` bound silently EMPTIES the
+            # tail shard (ADVICE r11, high). The tail window needs no
+            # upper bound at all: emit only `>= lo`.
+            hi_int = int((off + frac) * 16**8)
+            if hi_int >= 16**8:
+                if off <= 0.0:  # pragma: no cover - frac>=1.0 handled above
+                    sub = f"FROM {table}"
+                    sql = sql[: m.start()] + sub + sql[m.end() :]
+                    continue
                 lo = format(int(off * 16**8), "08x")
+                cond = f"{hx} >= '{lo}'"
+            elif off > 0.0:
+                lo = format(int(off * 16**8), "08x")
+                hi = format(hi_int, "08x")
                 cond = f"{hx} >= '{lo}' AND {hx} < '{hi}'"
             else:
-                cond = f"{hx} < '{hi}'"
+                cond = f"{hx} < '{format(hi_int, '08x')}'"
             sub = (
                 f"FROM (SELECT * FROM {table} WHERE {cond}) {alias}"
             )

@@ -135,10 +135,44 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     "toInt32OrNull": ("(s STRING)", "INT", "try_cast(s AS INT)"),
     "toInt16OrNull": ("(s STRING)", "SMALLINT", "try_cast(s AS SMALLINT)"),
     "toInt8OrNull": ("(s STRING)", "TINYINT", "try_cast(s AS TINYINT)"),
-    "toUInt8OrNull": ("(s STRING)", "SMALLINT", "try_cast(s AS SMALLINT)"),
-    "toUInt16OrNull": ("(s STRING)", "INT", "try_cast(s AS INT)"),
-    "toUInt32OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
-    "toUInt64OrNull": ("(s STRING)", "BIGINT", "try_cast(s AS BIGINT)"),
+    # the UNSIGNED -OrNull forms carry CH's width/sign domain contract
+    # (NULL on out-of-domain is the whole point): a bare try_cast to
+    # the next-wider signed type accepted 256..32767 and negatives
+    # where ClickHouse returns NULL (ADVICE r11) — range-gate each
+    # width explicitly
+    "toUInt8OrNull": (
+        "(s STRING)",
+        "SMALLINT",
+        "CASE WHEN try_cast(s AS SMALLINT) BETWEEN 0 AND 255 "
+        "THEN try_cast(s AS SMALLINT) END",
+    ),
+    "toUInt16OrNull": (
+        "(s STRING)",
+        "INT",
+        "CASE WHEN try_cast(s AS INT) BETWEEN 0 AND 65535 "
+        "THEN try_cast(s AS INT) END",
+    ),
+    "toUInt32OrNull": (
+        "(s STRING)",
+        "BIGINT",
+        "CASE WHEN try_cast(s AS BIGINT) BETWEEN 0 AND 4294967295 "
+        "THEN try_cast(s AS BIGINT) END",
+    ),
+    # CH UInt64 reaches 2^64 - 1 but BIGINT tops out at 2^63 - 1: the
+    # upper half [2^63, 2^64) is IN ClickHouse's domain and cannot be
+    # represented here — raise loudly instead of returning a silently
+    # divergent NULL (DIALECT_NOTES: type names)
+    "toUInt64OrNull": (
+        "(s STRING)",
+        "BIGINT",
+        "CASE WHEN try_cast(s AS DECIMAL(20,0)) "
+        "BETWEEN 9223372036854775808 AND 18446744073709551615 "
+        "THEN CAST(raise_error(concat('toUInt64OrNull: ', s, "
+        "' is in ClickHouse''s UInt64 upper half [2^63, 2^64) — "
+        "not representable as BIGINT')) AS BIGINT) "
+        "WHEN try_cast(s AS BIGINT) >= 0 "
+        "THEN try_cast(s AS BIGINT) END",
+    ),
     "toFloat32OrNull": ("(s STRING)", "FLOAT", "try_cast(s AS FLOAT)"),
     "toInt64OrZero": (
         "(s STRING)", "BIGINT", "coalesce(try_cast(s AS BIGINT), 0L)"
@@ -146,11 +180,24 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     "toInt32OrZero": (
         "(s STRING)", "INT", "coalesce(try_cast(s AS INT), 0)"
     ),
+    # OrZero twins of the gated unsigned forms (same domains, CH's
+    # 0-default instead of NULL)
     "toUInt32OrZero": (
-        "(s STRING)", "BIGINT", "coalesce(try_cast(s AS BIGINT), 0L)"
+        "(s STRING)",
+        "BIGINT",
+        "coalesce(CASE WHEN try_cast(s AS BIGINT) "
+        "BETWEEN 0 AND 4294967295 THEN try_cast(s AS BIGINT) END, 0L)",
     ),
     "toUInt64OrZero": (
-        "(s STRING)", "BIGINT", "coalesce(try_cast(s AS BIGINT), 0L)"
+        "(s STRING)",
+        "BIGINT",
+        "coalesce(CASE WHEN try_cast(s AS DECIMAL(20,0)) "
+        "BETWEEN 9223372036854775808 AND 18446744073709551615 "
+        "THEN CAST(raise_error(concat('toUInt64OrZero: ', s, "
+        "' is in ClickHouse''s UInt64 upper half [2^63, 2^64) — "
+        "not representable as BIGINT')) AS BIGINT) "
+        "WHEN try_cast(s AS BIGINT) >= 0 "
+        "THEN try_cast(s AS BIGINT) END, 0L)",
     ),
     "toFloat64OrZero": (
         "(s STRING)", "DOUBLE", "coalesce(try_cast(s AS DOUBLE), 0.0D)"

@@ -51,13 +51,18 @@ def _snap4(col):
     ``moments``/``skew_kurt`` so both operator lanes stay bit-identical
     to the dialect bridge's spellings. LOUD above the documented
     domain (|x| < 1e14, the old DECIMAL(18,4) integral range) instead
-    of clamping."""
+    of clamping. NaN is OUT of domain too (ADVICE r11): ``abs(NaN) >=
+    1e14`` is false, and signum/floor of NaN cast to BIGINT are 0 in
+    the non-ANSI fixture mode — without the explicit ``isnan`` arm a
+    NaN row would silently contribute (count=1, value=0), where the
+    old decimal cast raised and ClickHouse propagates NaN."""
     raw = F.col(col)
     snapped = F.signum(raw).cast("bigint") * F.floor(
         F.abs(raw) * 10000.0 + F.lit(0.5)
     ).cast("bigint")
     return F.when(
-        raw.isNotNull() & (F.abs(raw) >= 1e14),
+        raw.isNotNull()
+        & (F.isnan(raw.cast("double")) | (F.abs(raw) >= 1e14)),
         F.raise_error(
             F.concat(
                 F.lit(

@@ -4428,3 +4428,128 @@ class TestParseDateTimeRoundTrip:
             }
             for row in rows:
                 assert got[row.i] == trunc[prec](row.ts), (fmt, row.ts)
+
+
+class TestAdviceR11Fixes:
+    """Round 12: the five ADVICE r11 findings, pinned with executed
+    semantics where the bug was a silent value divergence."""
+
+    def test_sample_offset_tail_window(self, spark):
+        """SAMPLE 1/2 OFFSET 1/2 (the canonical disjoint-shard tail):
+        off+frac == 1.0 previously emitted ``hx < '100000000'`` (NINE
+        hex chars), which the 8-char md5 prefix only sorts below when
+        it starts with '0' — excluded by the lower bound, so the tail
+        shard was silently EMPTY. The tail needs no upper bound."""
+        got = rw(
+            "SELECT v FROM t SAMPLE 1/2 OFFSET 1/2",
+            sample_by={"t": "id"},
+        )
+        assert ">= '80000000'" in got
+        assert "'100000000'" not in got and "<" not in got.split("WHERE")[1].split(")")[0]
+        got2 = rw(
+            "SELECT v FROM t SAMPLE 1/4 OFFSET 3/4",
+            sample_by={"t": "id"},
+        )
+        assert ">= 'c0000000'" in got2 and "'100000000'" not in got2
+        # executed: head + tail shards partition the table exactly
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.range(0, 2000).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ).createOrReplaceTempView("adv_smp_t")
+        total = spark.table("adv_smp_t").count()
+        head = ch_sql(
+            spark,
+            "SELECT count() AS n FROM adv_smp_t SAMPLE 1/2",
+            sample_by={"adv_smp_t": "id"},
+        ).collect()[0].n
+        tail = ch_sql(
+            spark,
+            "SELECT count() AS n FROM adv_smp_t SAMPLE 1/2 OFFSET 1/2",
+            sample_by={"adv_smp_t": "id"},
+        ).collect()[0].n
+        assert tail > 0  # the bug: this was 0
+        assert head + tail == total  # disjoint + covering
+        # window extending PAST 1.0 still rejects
+        with pytest.raises(ChSqlError, match="past 1.0"):
+            rw(
+                "SELECT v FROM t SAMPLE 0.6 OFFSET 0.5",
+                sample_by={"t": "id"},
+            )
+
+    def test_uint_ornull_range_gates(self, spark):
+        """The unsigned -OrNull/-OrZero forms carry CH's width/sign
+        domain (NULL out-of-domain): a bare try_cast to the next-wider
+        signed type accepted 256..32767 and negatives."""
+        rows = spark.sql(
+            "SELECT toUInt8OrNull('255') AS a, toUInt8OrNull('256') AS b, "
+            "toUInt8OrNull('-1') AS c, toUInt16OrNull('65535') AS d, "
+            "toUInt16OrNull('65536') AS e, toUInt16OrNull('-7') AS f, "
+            "toUInt32OrNull('4294967295') AS g, "
+            "toUInt32OrNull('4294967296') AS h, toUInt32OrNull('-5') AS i, "
+            "toUInt64OrNull('9223372036854775807') AS j, "
+            "toUInt64OrNull('-1') AS k, "
+            "toUInt32OrZero('4294967296') AS l, toUInt32OrZero('77') AS m, "
+            "toUInt64OrZero('-3') AS n"
+        ).collect()[0]
+        assert rows.a == 255 and rows.b is None and rows.c is None
+        assert rows.d == 65535 and rows.e is None and rows.f is None
+        assert rows.g == 4294967295 and rows.h is None and rows.i is None
+        assert rows.j == 9223372036854775807 and rows.k is None
+        assert rows.l == 0 and rows.m == 77 and rows.n == 0
+
+    def test_uint64_upper_half_is_loud(self, spark):
+        """CH's UInt64 upper half [2^63, 2^64) is IN its domain but not
+        representable as BIGINT — raise, never a silently divergent
+        NULL/0."""
+        with pytest.raises(Exception, match="upper half"):
+            spark.sql(
+                "SELECT toUInt64OrNull('18446744073709551615') AS x"
+            ).collect()
+        with pytest.raises(Exception, match="upper half"):
+            spark.sql(
+                "SELECT toUInt64OrZero('9223372036854775808') AS x"
+            ).collect()
+
+    def test_any_rescans_nested_argument(self, spark):
+        """any()/anyLast() nested inside the rewritten argument (e.g. a
+        scalar subquery) must be re-scanned: Spark resolves a missed
+        bare any(bool) as bool_or — silent divergence, not an error."""
+        got = rw("SELECT any((SELECT anyLast(x) FROM u)) FROM t")
+        assert "anyLast" not in got
+        assert got.count("any_value") == 2
+        # executed: nested-any over a boolean column must NOT become
+        # bool_or (any_value picks a value; bool_or computes OR)
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(b=False)], "b boolean"
+        ).createOrReplaceTempView("adv_anyn_u")
+        r = ch_sql(
+            spark,
+            "SELECT any((SELECT any(b) FROM adv_anyn_u)) AS r "
+            "FROM adv_anyn_u",
+        ).collect()[0]
+        assert r.r is False
+
+    def test_backtick_identifiers_are_opaque(self):
+        """Backtick-quoted spans (pre-existing or emitted by the
+        double-quote conversion) are identifier TEXT: the int-literal
+        pass must not rewrite a hex token inside one, and an apostrophe
+        inside one must not desync the string scanner."""
+        # converted "col 0xAB" -> `col 0xAB`, hex token untouched
+        got = rw('SELECT "col 0xAB" FROM t')
+        assert "`col 0xAB`" in got
+        # pre-existing backtick identifier, hex untouched
+        got2 = rw("SELECT `col 0x1F` FROM t")
+        assert "`col 0x1F`" in got2
+        # a real hex literal OUTSIDE the identifier still rewrites
+        got3 = rw("SELECT `col 0xAB`, 0x10 FROM t")
+        assert "`col 0xAB`" in got3 and " 16 " in got3 + " "
+        # apostrophe inside a backtick identifier: scanner stays in
+        # sync — uniq() after it still rewrites
+        got4 = rw("SELECT `it's`, uniq(u) FROM t")
+        assert "approx_count_distinct(u)" in got4
+        # and inside a converted double-quoted identifier too
+        got5 = rw('SELECT "it\'s", uniq(u) FROM t')
+        assert "approx_count_distinct(u)" in got5

@@ -557,3 +557,88 @@ class TestSnap4:
         df = spark.createDataFrame([(2e14,)], "x double")
         with pytest.raises(Exception, match="scale-4 snap range"):
             df.select(_snap4("x").alias("s")).collect()
+
+
+class TestAdviceR11NaN:
+    """ADVICE r11 (medium): NaN bypassed the loud domain guards —
+    ``abs(NaN) >= 1e14`` is false, and in non-ANSI mode signum/floor
+    of NaN cast to BIGINT are 0, so a NaN row silently contributed
+    (count=1, value=0) where ClickHouse propagates NaN and the old
+    decimal cast raised."""
+
+    def test_snap4_nan_is_loud(self, spark):
+        from mb8600_clickhouse_spark.operators.stats import _snap4
+
+        df = spark.createDataFrame([(float("nan"),)], "x double")
+        ansi = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="scale-4 snap range"):
+                df.select(_snap4("x").alias("s")).collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+    def test_moments_limb_nan_is_loud(self, spark):
+        """The SQL bridge lane: the isnan sentinel folds into the limb
+        audit's vmax carrier, so the existing reject trips."""
+        from mb8600_clickhouse_spark.operators.stats import moments
+
+        df = spark.createDataFrame(
+            [Row(g=1, v=float("nan")), Row(g=1, v=1.0)]
+        )
+        ansi = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(
+                Exception,
+                match="limb audit|limb-lane domain|scale-4 snap range",
+            ):
+                moments(df, "v", "g", method="limb").collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+    def test_bridge_skew_nan_is_loud(self, spark):
+        """skewPop through the dialect bridge over a NaN row raises in
+        non-ANSI mode (previously: silent (count=1, value=0))."""
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(v=float("nan")), Row(v=1.0), Row(v=2.0)]
+        ).createOrReplaceTempView("adv_nan_t")
+        ansi = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="limb-lane domain"):
+                ch_sql(
+                    spark, "SELECT skewPop(v) AS s FROM adv_nan_t"
+                ).collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+    def test_bridge_covar_nan_is_loud(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(x=float("nan"), y=1.0), Row(x=1.0, y=2.0),
+             Row(x=2.0, y=3.0)]
+        ).createOrReplaceTempView("adv_nan_cv_t")
+        ansi = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="limb-lane domain"):
+                ch_sql(
+                    spark,
+                    "SELECT covarPop(x, y) AS c FROM adv_nan_cv_t",
+                ).collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+    def test_moments_without_nan_still_green(self, spark):
+        """The sentinel arm must not perturb clean data."""
+        from mb8600_clickhouse_spark.operators.stats import moments
+
+        df = spark.createDataFrame(
+            [Row(g=1, v=1.0), Row(g=1, v=2.0), Row(g=1, v=3.0)]
+        )
+        r = moments(df, "v", "g", method="limb").collect()[0]
+        assert r.n == 3 and int(r.s1) == 60000
