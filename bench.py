@@ -70,6 +70,27 @@ def main() -> None:
     # on an otherwise-idle box means another multi-core job is running.
     # (cpus/2 was far too lax: round 3 recorded load1 5.26 as "clean".)
     LOAD_THRESHOLD = 2.0
+    # Load GATE (round 12, VERDICT r11 #4): don't just flag — WAIT.
+    # BENCH_r11 started at load1 3.31 and its 280 s / 19-warm->2x
+    # artifact was noise on a tree that same-box measured at parity.
+    # Before the first timed query, poll until load1 drops under the
+    # gate (30 s steps, bounded budget), then record how long we
+    # waited. Never refuse outright: a driver run must always produce
+    # an artifact, so past the budget we proceed with the contended
+    # flags set as before. Gate tunable via SPARK_GRAFT_LOAD_GATE
+    # (0 disables).
+    LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.5"))
+    GATE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_BUDGET", "600"))
+    gate_waited = 0.0
+    if LOAD_GATE > 0:
+        while _load1() > LOAD_GATE and gate_waited < GATE_BUDGET_S:
+            print(
+                f"# load gate: load1 {_load1():.2f} > {LOAD_GATE} — "
+                f"waiting 30s ({gate_waited:.0f}s/{GATE_BUDGET_S:.0f}s)",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+            gate_waited += 30
     load1_start = _load1()
     if load1_start > LOAD_THRESHOLD:
         print(
@@ -282,6 +303,8 @@ def main() -> None:
         "contended_at_start": load1_start > LOAD_THRESHOLD,
         "load1_at_start": round(load1_start, 2),
         "load1_at_end": round(load1_end, 2),
+        "load_gate": LOAD_GATE,
+        "load_gate_waited_s": round(gate_waited, 1),
         "queries": per_query,
         **(
             {

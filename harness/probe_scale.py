@@ -1,0 +1,226 @@
+"""Round-12 generalized scale-convergence probe (VERDICT r11 #2):
+replicate the sf fixtures to ~10M fact rows and measure each target
+query spark-vs-oracle at that scale — converting the "warm >2x at
+sf0.1 is a stage floor, not a data-path gap" claims into recorded
+evidence, the way ``probe_q164_scale`` did for the moment family.
+
+Method: the fact tables are replicated RxN via DuckDB (single parquet
+file per table, so ``tables.load_tables`` and the oracle views read
+the exact same bytes); per-table surrogate keys are offset per replica
+(doc_id / vec_id / event_id) so keyed operators see distinct rows;
+dimension tables are copied as-is (lineitem x16 means more lines per
+order — the realistic growth direction). Each query then runs
+min-of-3 (degrading to 1 reps past 60 s) through its REGISTERED entry
+(spec.fn / spec.oracle_for) with a noop-format write as the Spark
+action — the bench's methodology.
+
+Caveat recorded in the artifact: replicating documents duplicates
+text verbatim, so near-dup workloads (q187/q140/q155/q107) see
+cluster sizes R x their sf0.1 shape — heavier than organic data for
+BOTH engines, which keeps the ratio meaningful but overstates
+absolute cost.
+
+Usage:
+  python -m harness.probe_scale [sf_dir] [name ...] [table=mult ...]
+Writes PROBE_SCALE.json at the repo root and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import duckdb
+
+from mb8600_clickhouse_spark.queries import all_queries
+from mb8600_clickhouse_spark.schemas import FIXTURE_TABLES
+from mb8600_clickhouse_spark.session import get_spark
+
+#: default replication factors — sized so each family's FACT table
+#: lands near 10M rows at sf0.1 (lineitem 600k, events 100k) while the
+#: text/vector tables grow 20-50x (10M documents of fixture length
+#: would take hours on BOTH engines and measure the box, not the plan)
+DEFAULT_MULT = {
+    "lineitem": 16,
+    "events": 100,
+    "documents": 20,
+    "embeddings": 50,
+}
+#: per-table surrogate key to offset per replica (keyed operators must
+#: see distinct rows, not R copies of the same key)
+KEY_REMAP = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+DEFAULT_QUERIES = [
+    "q19_multi_join_revenue",
+    "q107_dup_spans",
+    "q108_bigram_lm_score",
+    "q114_bpe_apply",
+    "q130_ccnet_buckets",
+    "q140_paragraph_dedup",
+    "q142_pq_adc",
+    "q148_ch_funnel_strict_increase",
+    "q155_span_removal",
+    "q187_minhash_recall",
+]
+
+SLOW_CUTOFF_S = 60.0
+
+
+def build_scaled_dir(sf_dir: str, mult: dict[str, int], tmp: str) -> dict[str, int]:
+    """Replicate facts / copy dims into ``tmp``; returns row counts."""
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    rows = {}
+    for t in FIXTURE_TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{tmp}/{t}.parquet"
+        r = mult.get(t, 1)
+        if r <= 1:
+            shutil.copyfile(src, dst)
+        else:
+            key = KEY_REMAP.get(t)
+            if key:
+                span = con.execute(
+                    f"SELECT max({key}) + 1 FROM read_parquet('{src}')"
+                ).fetchone()[0]
+                sel = (
+                    f"SELECT * REPLACE ({key} + rep * {span} AS {key}) "
+                    f"FROM read_parquet('{src}') "
+                    f"CROSS JOIN (SELECT unnest(range({r})) AS rep)"
+                )
+            else:
+                sel = (
+                    f"SELECT * FROM read_parquet('{src}') "
+                    f"CROSS JOIN (SELECT unnest(range({r})) AS rep_drop)"
+                )
+                sel = f"SELECT * EXCLUDE (rep_drop) FROM ({sel})"
+            con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT PARQUET)")
+        rows[t] = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')"
+        ).fetchone()[0]
+    con.close()
+    return rows
+
+
+def _timed(fn) -> tuple[float, int]:
+    """min-of-3, degrading to a single rep past the slow cutoff."""
+    t0 = time.perf_counter()
+    fn()
+    first = time.perf_counter() - t0
+    if first > SLOW_CUTOFF_S:
+        return first, 1
+    best = first
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, 3
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    names: list[str] = []
+    mult = dict(DEFAULT_MULT)
+    for a in args:
+        if "/" in a:
+            sf_dir = a
+        elif "=" in a:
+            t, v = a.split("=", 1)
+            mult[t] = int(v)
+        else:
+            names.append(a)
+    names = names or DEFAULT_QUERIES
+    specs = all_queries()
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
+
+    tmp_root = tempfile.mkdtemp(prefix="probe_scale_")
+    # the scaled dir keeps the SOURCE sf basename: oracle templates
+    # resolve their docsis fixture by dir basename (datagen
+    # .docsis_path_for), and the probe's fact scaling doesn't touch it
+    tmp = os.path.join(tmp_root, os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        rows = build_scaled_dir(sf_dir, mult, tmp)
+        print("scaled rows:", {t: f"{n:,}" for t, n in rows.items() if mult.get(t, 1) > 1})
+
+        spark = get_spark("probe-scale")
+        spark.sparkContext.setLogLevel("ERROR")
+        con = duckdb.connect()
+        con.execute("SET threads TO 32")
+        for t in FIXTURE_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{t}.parquet')"
+            )
+
+        def noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        out = {
+            "sf_dir": sf_dir,
+            "multipliers": mult,
+            "rows": rows,
+            "note": (
+                "documents/embeddings replication duplicates content "
+                "verbatim (keys remapped): near-dup workloads see R-sized "
+                "clusters on BOTH engines — ratio meaningful, absolutes "
+                "overstate organic data"
+            ),
+            "queries": {},
+        }
+        print("| query | spark | oracle | ratio |")
+        print("|---|---|---|---|")
+        for name in names:
+            spec = specs[name]
+            rec: dict = {}
+            try:
+                df = spec.fn(spark, tmp)
+                noop(df)  # warm: footers, broadcasts, codegen
+                t_s, reps_s = _timed(lambda: noop(df))
+                rec["spark_s"] = round(t_s, 3)
+                rec["spark_reps"] = reps_s
+            except Exception as e:  # pragma: no cover - recorded, not raised
+                rec["spark_err"] = str(e)[:300]
+                out["queries"][name] = rec
+                print(f"| {name} | ERR | - | - |")
+                continue
+            sql = spec.oracle_for(tmp)
+            if sql is None:
+                rec["oracle_s"] = None
+                out["queries"][name] = rec
+                print(f"| {name} | {t_s:.2f}s | (no oracle) | - |")
+                continue
+            try:
+                con.execute(sql).fetchall()  # warm
+                t_o, reps_o = _timed(lambda: con.execute(sql).fetchall())
+                rec["oracle_s"] = round(t_o, 3)
+                rec["oracle_reps"] = reps_o
+                rec["ratio"] = round(t_s / t_o, 2) if t_o > 0 else None
+                print(f"| {name} | {t_s:.2f}s | {t_o:.2f}s | {rec['ratio']}x |")
+            except Exception as e:  # pragma: no cover
+                rec["oracle_err"] = str(e)[:300]
+                print(f"| {name} | {t_s:.2f}s | ERR | - |")
+            out["queries"][name] = rec
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "PROBE_SCALE.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote PROBE_SCALE.json")
+        return 0
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -927,6 +927,24 @@ _CLAUSE_AFTER_FROM = (
     r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|EXCEPT|INTERSECT|SETTINGS)\b"
 )
 
+#: ClickHouse wire-format names the FORMAT directive can carry — the
+#: mid-statement reject only fires on these, so identifiers literally
+#: named 'format' keep passing (lowercased membership test)
+_WIRE_FORMATS = frozenset(
+    n.lower()
+    for n in (
+        "TabSeparated TabSeparatedRaw TabSeparatedWithNames "
+        "TabSeparatedWithNamesAndTypes TSV TSVRaw TSVWithNames CSV "
+        "CSVWithNames CSVWithNamesAndTypes JSON JSONCompact JSONEachRow "
+        "JSONStringsEachRow JSONCompactEachRow JSONColumns JSONAsString "
+        "Pretty PrettyCompact PrettySpace PrettyNoEscapes Native Values "
+        "Vertical XML RowBinary RowBinaryWithNames "
+        "RowBinaryWithNamesAndTypes Parquet Arrow ArrowStream ORC Avro "
+        "Protobuf CapnProto LineAsString RawBLOB Null TSKV Markdown "
+        "CustomSeparated Template Regexp MsgPack"
+    ).split()
+)
+
 
 def _rewrite_global_and_format(sql: str) -> str:
     """Distributed-execution and output-format directives:
@@ -973,6 +991,22 @@ def _rewrite_global_and_format(sql: str) -> str:
     fmt = _top_level_matches(sql, r"\bFORMAT\s+\w+\s*$")
     if fmt:
         sql = sql[: fmt[0].start()].rstrip()
+    # a KNOWN wire-format name after FORMAT that is NOT at the tail is
+    # inline data or a mid-statement directive — previously fell
+    # through to a Spark parser error on the format token (round-12
+    # probe). The known-name gate keeps columns/aliases literally
+    # named 'format' passing (e.g. `SELECT format x FROM t`).
+    stray = [
+        m
+        for m in _top_level_matches(sql, r"\bFORMAT\s+([A-Za-z]\w*)\b(?!\s*\()")
+        if m.group(1).lower() in _WIRE_FORMATS
+    ]
+    if stray:
+        raise ChSqlError(
+            f"{stray[0].group(0)!r} mid-statement: FORMAT is a trailing "
+            "client wire-format directive (stripped when last); inline "
+            "data belongs to the sink (sinks/clickhouse.py)"
+        )
     # Known-unsupported forms fail HERE with an actionable message, not
     # three layers down with a Spark parser error (the documented-
     # failure contract): WITH FILL/INTERPOLATE is gap-filling (the
@@ -5560,11 +5594,206 @@ _REWRITE_CACHE: dict[tuple[str, str], str] = {}
 _REWRITE_CACHE_MAX = 512
 
 
+# ---------------------------------------------------------------------------
+# statement-shape pass (round 12, VERDICT r11 #5): multi-statement
+# input, trailing tails, query parameters, INSERT column lists
+# ---------------------------------------------------------------------------
+def _statement_tail(sql: str) -> tuple[int, list[int]]:
+    """Forward scan: (content_end, semicolon_positions). content_end is
+    one past the last character that is neither whitespace nor inside a
+    comment (string/backtick bodies count as content); semicolons are
+    those outside strings, backticks and comments."""
+    i, n = 0, len(sql)
+    last = 0
+    semis: list[int] = []
+    in_str = False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "\\" and i + 1 < n:
+                i += 2
+                last = i
+                continue
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 2
+                    last = i
+                    continue
+                in_str = False
+            i += 1
+            last = i
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            last = i
+            continue
+        if ch == "`":
+            j = i + 1
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            i = j
+            last = i
+            continue
+        if ch == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j == -1 else j + 1
+            continue
+        if ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            continue
+        if ch == ";":
+            semis.append(i)
+            i += 1
+            continue
+        if not ch.isspace():
+            last = i + 1
+        i += 1
+    return last, semis
+
+
+def _strip_statement_tail(sql: str) -> str:
+    """One statement per call: strip trailing whitespace, comments and
+    semicolons; a top-level ``;`` FOLLOWED by content is multi-statement
+    input and rejects loudly (CH clients split on ';' client-side;
+    Spark's parser error for the same text is three layers deeper and
+    names the wrong token). The trailing strip also lets the later
+    ``FORMAT <name>`` tail anchor fire through ``FORMAT JSON; -- c``."""
+    last, semis = _statement_tail(sql)
+    inner = [p for p in semis if p < last]
+    if inner:
+        raise ChSqlError(
+            "multi-statement input (';' followed by more content): this "
+            "bridge takes ONE statement per call — split client-side and "
+            "call once per statement"
+        )
+    return sql[:last]
+
+
+#: {name:Type} — ClickHouse query-parameter placeholder
+_QPARAM = re.compile(r"\{\s*([A-Za-z_]\w*)\s*:\s*([A-Za-z0-9_(), ]+?)\s*\}")
+_QPARAM_NUM = re.compile(
+    r"(U?Int(8|16|32|64|128|256)|Float(32|64)|Decimal\d*\s*(\([^)]*\))?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _render_param(name: str, chtype: str, value) -> str:
+    """One bound query parameter -> a safely-quoted Spark literal."""
+    t = chtype.strip()
+    tl = t.lower()
+    if _QPARAM_NUM.match(t):
+        try:
+            num = float(value)
+        except (TypeError, ValueError):
+            raise ChSqlError(
+                f"query parameter {{{name}:{chtype}}}: value {value!r} "
+                "is not numeric"
+            ) from None
+        return str(int(num)) if num == int(num) and "float" not in tl else repr(num)
+    if tl.startswith(("string", "fixedstring", "uuid", "enum")):
+        s = str(value).replace("'", "''")
+        return f"'{s}'"
+    if tl.startswith("datetime"):
+        return f"TIMESTAMP '{str(value).replace(chr(39), '')}'"
+    if tl.startswith("date"):
+        return f"DATE '{str(value).replace(chr(39), '')}'"
+    if tl.startswith("bool"):
+        return "true" if value in (True, 1, "1", "true", "True") else "false"
+    raise ChSqlError(
+        f"query parameter {{{name}:{chtype}}}: type {chtype!r} is not "
+        "bridged (numeric/String/Date/DateTime/Bool are)"
+    )
+
+
+def _rewrite_query_params(sql: str, params: dict | None) -> str:
+    """ClickHouse query parameters ``{name:Type}`` (the parametrized-
+    view / client --param surface) substitute to literals from
+    ``params``; an UNBOUND placeholder rejects loudly (Spark would
+    otherwise die on the brace token three layers down). The call form
+    ``FROM view(name = x)`` also rejects with the binding spelled out —
+    parametrized views are views over placeholders, and the bridge
+    binds at rewrite time."""
+    pv = _first_match(sql, r"\bFROM\s+[A-Za-z_][\w.]*\s*\(\s*\w+\s*=")
+    if pv:
+        raise ChSqlError(
+            f"{pv.group(0).strip()!r}: parametrized-VIEW call — register "
+            "the view body with {name:Type} placeholders and pass "
+            "params={'name': value} to ch_sql/rewrite_clickhouse_sql"
+        )
+    while True:
+        m = _first_match(sql, _QPARAM.pattern)
+        if not m:
+            return sql
+        name, chtype = m.group(1), m.group(2)
+        if not params or name not in params:
+            raise ChSqlError(
+                f"unbound query parameter {{{name}:{chtype}}} — pass "
+                f"params={{'{name}': <value>}}"
+            )
+        rep = _render_param(name, chtype, params[name])
+        sql = sql[: m.start()] + rep + sql[m.end() :]
+
+
+def _check_insert_statement(sql: str) -> None:
+    """INSERT-statement gates (round-12 probe):
+
+    - ``INSERT INTO t FORMAT <fmt>`` carries inline wire-format DATA —
+      not a query; reject with the sink named (previously the FORMAT
+      tail strip left a bare ``INSERT INTO t`` for Spark to choke on).
+    - ``INSERT INTO t (cols) SELECT ...``: arity-check the column list
+      against the SELECT list when it is statically countable — CH
+      rejects a mismatch at parse; Spark's checker fires too, but
+      three layers down against the ANALYZED plan with the rewrite's
+      emitted text in the message. ``SELECT *`` arity needs schema:
+      left to Spark's checker (loud either way)."""
+    if not _first_match(sql, r"^\s*INSERT\s+INTO\b"):
+        return
+    if _first_match(
+        sql, r"^\s*INSERT\s+INTO\s+[A-Za-z_][\w.]*\s*(\([^)]*\)\s*)?FORMAT\b"
+    ):
+        raise ChSqlError(
+            "INSERT ... FORMAT carries inline wire-format data — not a "
+            "query; use sinks/clickhouse.py (the batch INSERT sink) or "
+            "INSERT ... SELECT / VALUES"
+        )
+    m = _first_match(sql, r"^\s*INSERT\s+INTO\s+[A-Za-z_][\w.]*\s*\(")
+    if not m:
+        return
+    o = sql.index("(", m.end() - 1)
+    c = _match_paren(sql, o)
+    cols = _split_top_commas(sql[o + 1 : c])
+    after = sql[c + 1 :]
+    ms = re.match(r"\s*SELECT\b", after, re.IGNORECASE)
+    if not ms:
+        return  # VALUES / TABLE: Spark's arity check is already loud
+    body = after[ms.end() :]
+    stops = _top_level_matches(body, r"\bFROM\b")
+    seg = body[: stops[0].start()] if stops else body
+    if _first_match(seg, r"\*"):
+        return
+    items = _split_top_commas(seg.strip())
+    if len(items) != len(cols):
+        raise ChSqlError(
+            f"INSERT INTO ... ({len(cols)} columns) SELECT with "
+            f"{len(items)} expressions: column-list arity mismatch "
+            "(ClickHouse rejects this at parse too) — align the lists"
+        )
+
+
 def rewrite_clickhouse_sql(
     sql: str,
     final_tables: dict | None = None,
     sample_by: dict | None = None,
     dictionaries: dict | None = None,
+    params: dict | None = None,
 ) -> str:
     """Rewrite the supported non-scalar ClickHouse forms of a SELECT
     statement — INCLUDING all of its subqueries and CTE bodies, each
@@ -5577,13 +5806,18 @@ def rewrite_clickhouse_sql(
     SYSTEM, MergeTree DDL) reject up front with the owning engine
     API named. Results are memoized per (statement, stats lane) when
     no contract dicts are given; errors are never cached."""
-    cacheable = final_tables is None and sample_by is None and dictionaries is None
+    cacheable = (
+        final_tables is None
+        and sample_by is None
+        and dictionaries is None
+        and params is None
+    )
     if cacheable:
         hit = _REWRITE_CACHE.get((sql, _STATS_LANE))
         if hit is not None:
             return hit
     out = _rewrite_clickhouse_sql_uncached(
-        sql, final_tables, sample_by, dictionaries
+        sql, final_tables, sample_by, dictionaries, params
     )
     if cacheable:
         if len(_REWRITE_CACHE) >= _REWRITE_CACHE_MAX:
@@ -5597,7 +5831,15 @@ def _rewrite_clickhouse_sql_uncached(
     final_tables: dict | None = None,
     sample_by: dict | None = None,
     dictionaries: dict | None = None,
+    params: dict | None = None,
 ) -> str:
+    # statement shape first (round 12): one statement per call (strip
+    # trailing ';'/comments, reject real multi-statement input), bind
+    # {name:Type} query parameters, gate INSERT forms — all BEFORE any
+    # expression pass sees the text
+    sql = _strip_statement_tail(sql)
+    sql = _rewrite_query_params(sql, params)
+    _check_insert_statement(sql)
     for pat, msg in _CH_MAINTENANCE:
         hit = _first_match(sql, pat)
         if hit:
@@ -5952,7 +6194,8 @@ def _apply_with_fill(spark, src, spec):
 
 def ch_sql(spark, sql: str, final_tables: dict | None = None,
            sample_by: dict | None = None,
-           dictionaries: dict | None = None):
+           dictionaries: dict | None = None,
+           params: dict | None = None):
     """Execute a ClickHouse-dialect SELECT on Spark: the string rewrite
     (``rewrite_clickhouse_sql``) plus the forms that need a session —
     today ``ORDER BY ... WITH FILL [INTERPOLATE]``, whose inserted rows
@@ -5968,11 +6211,11 @@ def ch_sql(spark, sql: str, final_tables: dict | None = None,
     ext = _extract_with_fill(sql)
     if ext is None:
         return spark.sql(
-            rewrite_clickhouse_sql(sql, final_tables, sample_by, dictionaries)
+            rewrite_clickhouse_sql(sql, final_tables, sample_by, dictionaries, params)
         )
     inner, spec = ext
     src = spark.sql(
-        rewrite_clickhouse_sql(inner, final_tables, sample_by, dictionaries)
+        rewrite_clickhouse_sql(inner, final_tables, sample_by, dictionaries, params)
     )
     return _apply_with_fill(spark, src, spec)
 

@@ -43,7 +43,7 @@ from .relational import dsum4, round4, vsort
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           (CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) AS sum_value
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_start
     """,
@@ -86,7 +86,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) + (minute(ts) // 15) * INTERVAL 15 MINUTE
              - off * INTERVAL 15 MINUTE AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           (CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) AS sum_value
     FROM events, (SELECT unnest([0, 1]) AS off) offs
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
@@ -198,7 +198,7 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi FROM range(10) t(i)
     )
     SELECT lo AS bin_lo, COUNT(e.value) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           (CAST(SUM(CAST(round(CAST(e.value AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) AS sum_value
     FROM bins LEFT JOIN events e ON e.value >= bins.lo AND e.value < bins.hi
     GROUP BY lo ORDER BY bin_lo
     """,
@@ -647,7 +647,7 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             (CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) AS sum_value
       FROM events GROUP BY 1, 2
     ),
     bounds AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM agg GROUP BY 1),
@@ -687,7 +687,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+             (CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) AS v
       FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2
     ),
     bounds AS (SELECT event_type, MIN(hour) AS mn, MAX(hour) AS mx FROM agg GROUP BY 1),

@@ -66,7 +66,7 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) + (minute(ts) // 15) * INTERVAL 15 MINUTE AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           (CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) AS sum_value
     FROM events
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type

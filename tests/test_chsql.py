@@ -4553,3 +4553,97 @@ class TestAdviceR11Fixes:
         # and inside a converted double-quoted identifier too
         got5 = rw('SELECT "it\'s", uniq(u) FROM t')
         assert "approx_count_distinct(u)" in got5
+
+
+class TestRound12GapProbe:
+    """Round 12 (VERDICT r11 #5): the four un-probed grammar corners —
+    multi-statement input, FORMAT tails beyond the strip, INSERT SELECT
+    column lists, parametrized views / query parameters. Each was a
+    silent pass-through to a Spark error three layers down (or worse, a
+    silent divergence) before the fix."""
+
+    def test_trailing_semicolon_and_comments_strip(self):
+        assert rw("SELECT uniq(u) FROM t;") == (
+            "SELECT approx_count_distinct(u) FROM t"
+        )
+        assert rw("SELECT 1;  -- done") == "SELECT 1"
+        assert rw("SELECT 1 /* tail */ ;") == "SELECT 1"
+        # FORMAT tail now strips even through ';' and trailing comments
+        assert rw("SELECT 1 FORMAT JSONEachRow;") == "SELECT 1"
+        assert rw("SELECT 1 FORMAT CSV -- note") == "SELECT 1"
+
+    def test_multi_statement_rejects(self):
+        with pytest.raises(ChSqlError, match="multi-statement"):
+            rw("SELECT 1; SELECT 2")
+        with pytest.raises(ChSqlError, match="multi-statement"):
+            rw("INSERT INTO t VALUES (1); SELECT 1")
+        # ';' inside a string or comment is NOT a statement separator
+        assert rw("SELECT 'a;b' AS s") == "SELECT 'a;b' AS s"
+        # a ';' inside a MID-statement comment is opaque (the comment
+        # itself is preserved — only the statement TAIL strips)
+        assert rw("SELECT 1 -- a;b\nFROM t") == "SELECT 1 -- a;b\nFROM t"
+
+    def test_insert_format_inline_data_rejects(self):
+        with pytest.raises(ChSqlError, match="inline wire-format"):
+            rw("INSERT INTO t FORMAT TabSeparated")
+        with pytest.raises(ChSqlError, match="inline wire-format"):
+            rw("INSERT INTO t (a, b) FORMAT CSV\n1,2\n3,4")
+
+    def test_format_mid_statement_rejects(self):
+        with pytest.raises(ChSqlError, match="mid-statement"):
+            rw("SELECT 1 FORMAT JSON SETTINGS max_threads = 1")
+        # identifiers literally named 'format' keep passing
+        assert "format" in rw("SELECT format FROM t")
+        assert "format" in rw("SELECT format x FROM t")
+
+    def test_insert_select_arity_mismatch_rejects(self):
+        with pytest.raises(ChSqlError, match="arity mismatch"):
+            rw("INSERT INTO t (a, b) SELECT 1")
+        with pytest.raises(ChSqlError, match="arity mismatch"):
+            rw("INSERT INTO t (a) SELECT x, y FROM u")
+        # matching arity and star forms pass through
+        out = rw("INSERT INTO t (a, b) SELECT x, y FROM u")
+        assert out.startswith("INSERT INTO t (a, b)")
+        rw("INSERT INTO t (a, b) SELECT * FROM u")
+        # function commas don't miscount
+        rw("INSERT INTO t (a, b) SELECT greatest(x, y), z FROM u")
+
+    def test_query_params_bind(self):
+        got = rw(
+            "SELECT * FROM t WHERE k = {kk:UInt32} AND s = {name:String}",
+            params={"kk": 7, "name": "it's"},
+        )
+        assert "k = 7" in got and "s = 'it''s'" in got
+        got2 = rw(
+            "SELECT * FROM t WHERE d > {d0:DateTime}",
+            params={"d0": "2024-01-02 03:04:05"},
+        )
+        assert "TIMESTAMP '2024-01-02 03:04:05'" in got2
+
+    def test_query_params_unbound_rejects(self):
+        with pytest.raises(ChSqlError, match="unbound query parameter"):
+            rw("SELECT * FROM t WHERE k = {kk:UInt32}")
+        with pytest.raises(ChSqlError, match="not numeric"):
+            rw(
+                "SELECT * FROM t WHERE k = {kk:UInt32}",
+                params={"kk": "DROP TABLE"},
+            )
+
+    def test_parametrized_view_call_rejects(self):
+        with pytest.raises(ChSqlError, match="parametrized-VIEW"):
+            rw("SELECT * FROM v(kk = 3)")
+        # table functions without kwargs keep passing
+        assert "range(5)" in rw("SELECT number FROM numbers(5)")
+
+    def test_params_executed(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.range(10).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS s"
+        ).createOrReplaceTempView("r12_param_t")
+        r = ch_sql(
+            spark,
+            "SELECT count() AS n FROM r12_param_t WHERE k < {lim:UInt8};",
+            params={"lim": 4},
+        ).collect()[0]
+        assert r.n == 4
