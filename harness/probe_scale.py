@@ -167,18 +167,34 @@ def main() -> int:
         def noop(df):
             df.write.format("noop").mode("overwrite").save()
 
-        out = {
-            "sf_dir": sf_dir,
-            "multipliers": mult,
-            "rows": rows,
-            "note": (
-                "documents/embeddings replication duplicates content "
-                "verbatim (keys remapped): near-dup workloads see R-sized "
-                "clusters on BOTH engines — ratio meaningful, absolutes "
-                "overstate organic data"
-            ),
-            "queries": {},
-        }
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out_path = os.path.join(root, "PROBE_SCALE.json")
+        # merge-on-write: partial runs (one query, a retuned multiplier)
+        # update the artifact instead of clobbering sibling rows, and
+        # the file is written after EVERY query so a killed run keeps
+        # what it measured
+        out = {"queries": {}}
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as f:
+                    out = json.load(f)
+            except (OSError, ValueError):
+                out = {"queries": {}}
+        out["sf_dir"] = sf_dir
+        out["note"] = (
+            "documents/embeddings replication duplicates content "
+            "verbatim (keys remapped): near-dup workloads see R-sized "
+            "clusters on BOTH engines — ratio meaningful, absolutes "
+            "overstate organic data; per-query 'multipliers'/'rows' "
+            "record each row's own scale"
+        )
+
+        def _flush(name: str, rec: dict) -> None:
+            rec["multipliers"] = {t: m for t, m in mult.items() if m > 1}
+            rec["rows"] = {t: rows[t] for t in rec["multipliers"]}
+            out["queries"][name] = rec
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
         print("| query | spark | oracle | ratio |")
         print("|---|---|---|---|")
         for name in names:
@@ -192,13 +208,13 @@ def main() -> int:
                 rec["spark_reps"] = reps_s
             except Exception as e:  # pragma: no cover - recorded, not raised
                 rec["spark_err"] = str(e)[:300]
-                out["queries"][name] = rec
+                _flush(name, rec)
                 print(f"| {name} | ERR | - | - |")
                 continue
             sql = spec.oracle_for(tmp)
             if sql is None:
                 rec["oracle_s"] = None
-                out["queries"][name] = rec
+                _flush(name, rec)
                 print(f"| {name} | {t_s:.2f}s | (no oracle) | - |")
                 continue
             try:
@@ -211,11 +227,8 @@ def main() -> int:
             except Exception as e:  # pragma: no cover
                 rec["oracle_err"] = str(e)[:300]
                 print(f"| {name} | {t_s:.2f}s | ERR | - |")
-            out["queries"][name] = rec
+            _flush(name, rec)
 
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(root, "PROBE_SCALE.json"), "w") as f:
-            json.dump(out, f, indent=1)
         print("wrote PROBE_SCALE.json")
         return 0
     finally:

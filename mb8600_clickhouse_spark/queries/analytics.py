@@ -2540,12 +2540,20 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(thirds)
     )
     jac = dedup.ngram_jaccard_pairs(corpus, shingle_n=3, threshold=0.3)
+    # the candidate set feeds TWO consumers (the hit join and the
+    # n_candidates count) and the truth set feeds two more (tot and
+    # hit); Spark re-executes an un-materialized subtree per consumer —
+    # measured: the exact all-pairs verifier ran twice (round 12,
+    # VERDICT r11 #3, 9.6 s -> the checkpointed run). Same lazy
+    # localCheckpoint contract as ngram_jaccard_pairs' shingle set.
     cand = dedup.minhash_lsh_candidates(
         corpus, shingle_n=3, k=12, bands=4, max_bucket=10_000
-    )
+    ).localCheckpoint(eager=False)
     thr = spark.createDataFrame([(0.3,), (0.5,), (0.7,)], "t double")
-    truth = jac.join(F.broadcast(thr), F.col("jaccard") >= F.col("t")).select(
-        "t", "id_a", "id_b"
+    truth = (
+        jac.join(F.broadcast(thr), F.col("jaccard") >= F.col("t"))
+        .select("t", "id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     tot = truth.groupBy("t").agg(F.count("*").alias("n_truth"))
     hit = (
