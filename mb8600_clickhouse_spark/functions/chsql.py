@@ -2383,9 +2383,19 @@ def _rewrite_with_constants(
         if re.fullmatch(r"\w+\s+AS\s+\(.*\)", it, re.IGNORECASE | re.DOTALL):
             kept.append(it)  # genuine CTE: name AS (subquery)
             continue
-        im = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", it,
+        im = re.fullmatch(r"(.+?)\s+AS\s+([A-Za-z_]\w*)", it,
                           re.IGNORECASE | re.DOTALL)
         if not im:
+            # an AS whose right side is NOT an identifier (`WITH x AS 1`)
+            # is backwards CH grammar — previously parsed as name='1'
+            # and the substitution replaced every literal 1 in the
+            # statement with (x), silent garbage (round-12 probe)
+            if re.fullmatch(r".+?\s+AS\s+\S+", it, re.IGNORECASE | re.DOTALL):
+                raise ChSqlError(
+                    f"WITH item {it!r}: the name after AS must be an "
+                    "identifier — CH's scalar WITH is "
+                    "`WITH <expr> AS <name>` (expression FIRST)"
+                )
             return sql  # neither form; leave the statement untouched
         expr, name = im.group(1).strip(), im.group(2)
         if expr.startswith("(") and expr.endswith(")"):
@@ -5595,6 +5605,79 @@ _REWRITE_CACHE_MAX = 512
 
 
 # ---------------------------------------------------------------------------
+# misc CH grammar (round-12 probing wave): LIMIT offset-form, bare-table
+# IN, untuple(), INTO OUTFILE
+# ---------------------------------------------------------------------------
+#: identifiers after IN that are grammar, not table names
+_IN_KEYWORDS = frozenset(
+    "select values any all some tuple array".split()
+)
+
+
+def _rewrite_misc_grammar(sql: str) -> str:
+    """Round-12 probing wave — each form previously passed through to a
+    Spark parser error three layers down (or, for OUTFILE, would have
+    silently needed behavior Spark cannot provide):
+
+    - ``LIMIT o, n`` — CH's MySQL-style offset form -> ``LIMIT n
+      OFFSET o`` (the ``LIMIT o, n BY cols`` variant is LIMIT BY
+      grammar and stays for that pass);
+    - ``x IN table`` / ``x NOT IN table`` — CH's bare-table IN
+      shorthand -> ``IN (SELECT * FROM table)``;
+    - ``untuple(t)`` -> ``t.*`` (Spark's struct star expansion; CH
+      names the expanded columns positionally, Spark by field name —
+      documented divergence, same values);
+    - ``INTO OUTFILE 'f'`` — a CLIENT-side file write; rejects loudly
+      naming ``df.write`` (stripping it would silently not write the
+      file the statement promises).
+    """
+    of = _first_match(sql, r"\bINTO\s+OUTFILE\b")
+    if of:
+        raise ChSqlError(
+            "INTO OUTFILE writes a file on the CLIENT — not query "
+            "semantics; run the SELECT and write with df.write"
+            ".csv/.parquet(...)"
+        )
+    while True:
+        m = _first_match(sql, r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\b(?!\s*BY\b)")
+        if not m:
+            break
+        o, n = m.group(1), m.group(2)
+        sql = sql[: m.start()] + f"LIMIT {n} OFFSET {o}" + sql[m.end() :]
+    pos = 0
+    while True:
+        m = _first_match(
+            sql[pos:],
+            r"\bIN\s+([A-Za-z_][\w.]*)\b(?!\s*[(.])",
+        )
+        if not m:
+            break
+        name = m.group(1)
+        start = pos + m.start()
+        if name.lower() in _IN_KEYWORDS or name.lower() in _WIRE_FORMATS:
+            pos = start + len(m.group(0))
+            continue
+        rep = f"IN (SELECT * FROM {name})"
+        sql = sql[:start] + rep + sql[pos + m.end() :]
+        pos = start + len(rep)
+    while True:
+        m = _first_match(sql, r"\buntuple\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        inner = sql[o + 1 : c].strip()
+        if not re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)*", inner):
+            raise ChSqlError(
+                f"untuple({inner!r}): only a named tuple column is "
+                "bridged (Spark star-expands `col.*`) — alias the "
+                "expression in a subquery first"
+            )
+        sql = sql[: m.start()] + f"{inner}.*" + sql[c + 1 :]
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # statement-shape pass (round 12, VERDICT r11 #5): multi-statement
 # input, trailing tails, query parameters, INSERT column lists
 # ---------------------------------------------------------------------------
@@ -5884,6 +5967,7 @@ def _rewrite_clickhouse_sql_uncached(
     # tuple(a, b) IN ((1, 2)) composes on the same positional names)
     sql = _rewrite_tuple_in(sql)
     sql = _rewrite_top(sql)
+    sql = _rewrite_misc_grammar(sql)
     sql = _rewrite_ternary(sql)
     # before _rewrite_combinators: the -State name inside
     # runningAccumulate(...) determines the window merge function

@@ -2730,3 +2730,89 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_clickhouse_functions(spark)
     register_views(spark, sf_dir)
     return vsort(ch_sql(spark, _Q190_CLICKHOUSE_SQL), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q191 round-12 dialect capstone — the round's grammar wave (tail-shard
+# SAMPLE OFFSET, bare-table IN, untuple, MySQL-form LIMIT) in ONE
+# statement
+# ---------------------------------------------------------------------------
+_Q191_CLICKHOUSE_SQL = """
+WITH hot AS (
+    SELECT DISTINCT event_type FROM events WHERE value > 180
+)
+SELECT event_type, untuple(t)
+FROM (
+    SELECT event_type,
+           tuple(count(),
+                 CAST(CAST(sum(value) AS DECIMAL(18,4)) AS DOUBLE)) AS t
+    FROM events SAMPLE 1/2 OFFSET 1/2
+    WHERE event_type IN hot
+    GROUP BY event_type
+) g
+ORDER BY event_type
+LIMIT 1, 3
+"""
+
+_Q191_ORACLE = """
+    WITH hot AS (
+        SELECT DISTINCT event_type FROM events WHERE value > 180
+    )
+    SELECT event_type,
+           COUNT(*) AS "_1",
+           CAST(CAST(SUM(value) AS DECIMAL(18,4)) AS DOUBLE) AS "_2"
+    FROM events
+    WHERE substr(md5(CAST(event_id AS STRING)), 1, 8) >= '80000000'
+      AND event_type IN (SELECT event_type FROM hot)
+    GROUP BY event_type
+    ORDER BY event_type
+    LIMIT 3 OFFSET 1
+"""
+
+
+@query("q191_dialect_round12", oracle=_Q191_ORACLE)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 DIALECT CAPSTONE: this round's grammar-probe wave
+    composed in ONE verbatim ClickHouse statement, driver-hash-verified
+    (the q184/q190 device applied to the round-12 surface):
+
+    - ``SAMPLE 1/2 OFFSET 1/2`` — the canonical DISJOINT-TAIL-SHARD
+      sampling window whose upper edge lands on 1.0 exactly; before
+      this round's ADVICE-r11 fix the emitted hash window compared an
+      8-char md5 prefix against the NINE-char bound '100000000' and
+      silently matched ~nothing (``chsql._rewrite_sample``: the tail
+      shard now emits only the lower bound). The md5-prefix contract
+      is replay-stable and engine-portable, so the oracle spells the
+      IDENTICAL filter and the hash pins the member set;
+    - ``event_type IN hot`` — CH's bare-table IN shorthand against a
+      CTE (``_rewrite_misc_grammar`` -> ``IN (SELECT * FROM hot)``);
+    - ``untuple(t)`` over a positional ``tuple()`` column -> Spark's
+      ``t.*`` star expansion, surfacing CH's positional element names
+      ``_1``/``_2`` (the oracle aliases to the same names);
+    - ``LIMIT 1, 3`` — the MySQL-form offset grammar -> ``LIMIT 3
+      OFFSET 1`` (deterministic: applied over distinct, fully-ordered
+      group keys).
+
+    Exactness: count is exact over the pinned md5 member set; the
+    double group sum snaps to the DECIMAL(18,4) grid (the entropy-snap
+    device — absorbs summation-order noise ~1e-7 vs the 1e-4 grid).
+
+    Scale: the SAMPLE filter is a per-row scan predicate (no shuffle);
+    the CTE's distinct and the semi-join IN both exchange only the
+    ~5-row event_type domain; one map-side-combined aggregate exchange.
+    NARROW_CHAIN profile: scan -> one exchange -> limit, no fact joins.
+
+    Reference parity: §2.E dialect surface (the reference's consumers
+    sample rollup shards with exactly this SAMPLE/OFFSET split,
+    `tables.sql:5-30`)."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(
+        spark, _Q191_CLICKHOUSE_SQL, sample_by={"events": "event_id"}
+    )

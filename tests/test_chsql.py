@@ -4647,3 +4647,71 @@ class TestRound12GapProbe:
             params={"lim": 4},
         ).collect()[0]
         assert r.n == 4
+
+
+class TestRound12GrammarWave:
+    """Round-12 probing wave #2: grammar forms that previously passed
+    through to a Spark parser error three layers down — or, for the
+    backwards scalar WITH, produced silent garbage."""
+
+    def test_limit_offset_form(self, spark):
+        assert rw("SELECT x FROM t LIMIT 5, 10") == (
+            "SELECT x FROM t LIMIT 10 OFFSET 5"
+        )
+        # CH semantics: skip o, take n
+        spark.range(20).createOrReplaceTempView("r12_lim_t")
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        got = sorted(
+            r.id
+            for r in ch_sql(
+                spark,
+                "SELECT id FROM r12_lim_t ORDER BY id LIMIT 3, 4",
+            ).collect()
+        )
+        assert got == [3, 4, 5, 6]
+        # the LIMIT o, n BY variant stays LIMIT BY grammar
+        out = rw("SELECT x FROM t ORDER BY x LIMIT 2, 3 BY y")
+        assert "__rn > 2 AND __rn <= 5" in out
+
+    def test_in_bare_table(self, spark):
+        assert rw("SELECT x FROM t WHERE x IN t2") == (
+            "SELECT x FROM t WHERE x IN (SELECT * FROM t2)"
+        )
+        # executed: CH's `IN table` shorthand over a 1-column view
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.range(10).createOrReplaceTempView("r12_in_t")
+        spark.range(3).createOrReplaceTempView("r12_in_keys")
+        n = ch_sql(
+            spark,
+            "SELECT count() AS n FROM r12_in_t WHERE id IN r12_in_keys",
+        ).collect()[0].n
+        assert n == 3
+        # list/subquery/tuple/table-function forms untouched or bridged
+        assert "IN (1, 2)" in rw("SELECT 1 FROM t WHERE y IN (1, 2)")
+        assert "range(5)" in rw("SELECT 1 FROM t WHERE a IN numbers(5)")
+
+    def test_untuple(self, spark):
+        assert rw("SELECT untuple(tup) FROM t") == "SELECT tup.* FROM t"
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.sql(
+            "SELECT named_struct('a', 1, 'b', 'x') AS tup"
+        ).createOrReplaceTempView("r12_unt_t")
+        r = ch_sql(spark, "SELECT untuple(tup) FROM r12_unt_t").collect()[0]
+        assert r.a == 1 and r.b == "x"
+        with pytest.raises(ChSqlError, match="untuple"):
+            rw("SELECT untuple(f(x)) FROM t")
+
+    def test_into_outfile_rejects(self):
+        with pytest.raises(ChSqlError, match="INTO OUTFILE"):
+            rw("SELECT x FROM t INTO OUTFILE 'f.csv'")
+
+    def test_backwards_scalar_with_rejects(self):
+        """`WITH x AS 1` previously parsed as name='1' and substituted
+        every literal 1 in the statement with (x) — silent garbage."""
+        with pytest.raises(ChSqlError, match="name after AS"):
+            rw("WITH x AS 1 SELECT x + 1")
+        # the correct CH order still substitutes
+        assert rw("WITH 60 AS m SELECT m * 2") == "SELECT (60) * 2"
