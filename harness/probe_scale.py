@@ -130,8 +130,11 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     names: list[str] = []
     mult = dict(DEFAULT_MULT)
+    slope = False
     for a in args:
-        if "/" in a:
+        if a == "--slope":
+            slope = True
+        elif "/" in a:
             sf_dir = a
         elif "=" in a:
             t, v = a.split("=", 1)
@@ -244,6 +247,65 @@ def main() -> int:
                 rec["oracle_err"] = str(e)[:300]
                 print(f"| {name} | {t_s:.2f}s | ERR | - |")
             _flush(name, rec)
+
+        if slope:
+            # second, quarter-scale pass: the per-query MARGINAL ratio
+            # (T_hi - T_lo) / (O_hi - O_lo) subtracts both engines'
+            # fixed floors (Spark's local-mode job cost, DuckDB's plan
+            # setup) and leaves the data-proportional cost ratio — the
+            # number that survives a 100x scale-up (probe_q19_scale's
+            # method, generalized)
+            mult_lo = {t: max(1, m // 4) for t, m in mult.items()}
+            tmp_lo = os.path.join(tmp_root, "lo", os.path.basename(tmp))
+            os.makedirs(tmp_lo, exist_ok=True)
+            rows_lo = build_scaled_dir(sf_dir, mult_lo, tmp_lo)
+            con_lo = duckdb.connect()
+            con_lo.execute("SET threads TO 32")
+            for t in FIXTURE_TABLES:
+                con_lo.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_lo}/{t}.parquet')"
+                )
+            print("| query | slope spark | slope oracle | marginal |")
+            print("|---|---|---|---|")
+            for name in names:
+                rec = out["queries"].get(name, {})
+                if rec.get("spark_err") or rec.get("oracle_s") is None:
+                    continue
+                try:
+                    df = specs[name].fn(spark, tmp_lo)
+                    noop(df)  # warm
+                    t_s_lo, _ = _timed(lambda: noop(df))
+                    sql_lo = specs[name].oracle_for(tmp_lo)
+                    con_lo.execute(sql_lo).fetchall()  # warm
+                    t_o_lo, _ = _timed(
+                        lambda: con_lo.execute(sql_lo).fetchall()
+                    )
+                except Exception as e:  # pragma: no cover
+                    rec["slope_err"] = str(e)[:300]
+                    _flush(name, rec)
+                    continue
+                rec["spark_lo_s"] = round(t_s_lo, 3)
+                rec["oracle_lo_s"] = round(t_o_lo, 3)
+                rec["rows_lo"] = {
+                    t: rows_lo[t] for t in rec.get("multipliers", {})
+                }
+                d_s = rec["spark_s"] - t_s_lo
+                d_o = rec["oracle_s"] - t_o_lo
+                # both deltas must clear measurement noise; otherwise
+                # the query is floor-dominated at BOTH scales and the
+                # marginal is unmeasurable (which IS the finding)
+                rec["marginal_ratio"] = (
+                    round(d_s / d_o, 2)
+                    if d_o > 0.05 and d_s > 0.05
+                    else "floor-dominated"
+                )
+                _flush(name, rec)
+                print(
+                    f"| {name} | {d_s:.2f}s | {d_o:.2f}s "
+                    f"| {rec['marginal_ratio']}x |"
+                )
+            con_lo.close()
 
         print("wrote PROBE_SCALE.json")
         return 0

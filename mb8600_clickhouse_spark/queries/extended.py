@@ -95,16 +95,46 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 30-minute window, 15-minute slide: every event lands in
     two epoch-aligned windows. The oracle unnests the two slide offsets
-    explicitly."""
+    explicitly.
+
+    TWO-LEVEL plan (round 12; the scale-probe measured the direct
+    ``F.window(30m, 15m)`` spelling at a 4.6x data-proportional
+    marginal vs the oracle — its Expand doubles every raw row before
+    the aggregate consumes it): level 1 aggregates per 15-minute
+    TUMBLING bucket (one window per row, no Expand — Spark's own
+    epoch alignment, so bucketing is identical to the sliding form);
+    level 2 explodes the two slide offsets over the PARTIAL rows only
+    (#buckets x #event_types, thousands not millions) and merges with
+    ``dsum4_merge`` — integer digit sums are associative, so the
+    result is bit-identical to the single-level lane. At any scale the
+    raw-row cost is exactly one hash-agg update per event; the Expand
+    and second exchange touch only partials."""
+    from .relational import dsum4_merge, dsum4_partials
+
     ev = load_tables(spark, sf_dir)["events"]
+    part = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("_n_rows"), *dsum4_partials(F.col("value"))
+    )
+    expanded = part.select(
+        F.col("w.start").alias("bucket_start"),
+        "event_type",
+        "_n_rows",
+        "_d4_lo",
+        "_d4_hi",
+        "_d4_n",
+        "_d4_vmax",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("_off"),
+    ).withColumn(
+        "window_start",
+        F.expr("timestampadd(MINUTE, -15 * _off, bucket_start)"),
+    )
     return (
-        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), dsum4(F.col("value")).alias("sum_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
+        expanded.groupBy("window_start", "event_type")
+        .agg(
+            F.sum("_n_rows").alias("n"),
+            dsum4_merge().alias("sum_value"),
         )
         .orderBy("window_start", "event_type")
     )

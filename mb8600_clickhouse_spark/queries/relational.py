@@ -127,6 +127,61 @@ def dsum4(c: Column) -> Column:
     ).otherwise(total.cast("double") / 10000.0)
 
 
+#: column names carrying dsum4's partial state between levels
+DSUM4_PARTIALS = ("_d4_lo", "_d4_hi", "_d4_n", "_d4_vmax")
+
+
+def dsum4_partials(c: Column) -> list[Column]:
+    """First-level (partial) aggregates of ``dsum4`` for TWO-LEVEL
+    plans — e.g. a sliding window that aggregates per base bucket
+    first and expands only the partials (q39, round 12). The four
+    BIGINT pieces are exactly the single-level lane's internal
+    aggregates (digit sums, count, max|v| with the NaN sentinel), so
+    summing them across any regrouping and finishing with
+    ``dsum4_merge`` rebuilds the IDENTICAL exact integer: integer
+    digit sums are associative, unlike double partial sums."""
+    d = c.cast("double")
+    v = F.signum(d).cast("bigint") * F.floor(
+        F.abs(d) * 10000.0 + F.lit(0.5)
+    )
+    lo = v.bitwiseAND(F.lit(DSUM4_W - 1))
+    hi = F.shiftright(v, 20)
+    return [
+        F.sum(lo).alias("_d4_lo"),
+        F.sum(hi).alias("_d4_hi"),
+        F.count(d).alias("_d4_n"),
+        F.max(
+            F.when(F.isnan(d), F.lit(1 << 60)).otherwise(F.abs(v))
+        ).alias("_d4_vmax"),
+    ]
+
+
+def dsum4_merge() -> Column:
+    """Second-level combiner over ``dsum4_partials`` columns: sums the
+    digit sums, re-evaluates the SAME loud audit over the merged
+    (count, max) carriers, and emits the final double via the one
+    DECIMAL(38,0) Horner recombination — bit-identical to a
+    single-level ``dsum4`` over the underlying rows."""
+    lo, hi = F.sum("_d4_lo"), F.sum("_d4_hi")
+    n, vmax = F.sum("_d4_n"), F.max("_d4_vmax")
+    audit = (vmax > F.lit(DSUM4_VMAX)) | (
+        n.cast("double")
+        * F.greatest(vmax.cast("double") / DSUM4_W, F.lit(float(DSUM4_W)))
+        >= 4.6e18
+    )
+    total = hi.cast(T.DecimalType(38, 0)) * DSUM4_W + lo
+    return F.when(
+        audit,
+        F.raise_error(
+            F.lit(
+                "dsum4 limb-lane domain: a group exceeds |x| <= 4.5e11 "
+                "with audited row count (or contains NaN) — "
+                "dsum4_decimal is the wide-domain lane"
+            )
+        ).cast("double"),
+    ).otherwise(total.cast("double") / 10000.0)
+
+
 def dsum4_decimal(c: Column) -> Column:
     """The wide-domain lane (|x| < 1e14, any group size): DECIMAL(28,4)
     accumulator — ~2x slower per row locally (boxed BigDecimal adds off

@@ -67,3 +67,70 @@ def test_functions_compose_in_queries(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r["avg_tokens"] > 0 for r in rows)
+
+
+class TestDsum4TwoLevel:
+    """Round-12 partial/merge lane: ``dsum4_partials`` summed across a
+    REGROUPING and finished by ``dsum4_merge`` must be BIT-IDENTICAL
+    to a single-level ``dsum4`` over the same rows (integer digit sums
+    are associative) — the q39 two-level sliding-window contract."""
+
+    def _frame(self, spark):
+        import random
+
+        rng = random.Random(12)
+        rows = [
+            (i % 7, i % 3, rng.uniform(-1e6, 1e6)) for i in range(5000)
+        ]
+        return spark.createDataFrame(rows, "g INT, sub INT, v DOUBLE")
+
+    def test_bit_identity_across_regrouping(self, spark):
+        from pyspark.sql import functions as F
+
+        from mb8600_clickhouse_spark.queries.relational import (
+            dsum4,
+            dsum4_merge,
+            dsum4_partials,
+        )
+
+        df = self._frame(spark)
+        single = {
+            r["g"]: r["s"]
+            for r in df.groupBy("g")
+            .agg(dsum4(F.col("v")).alias("s"))
+            .collect()
+        }
+        two = {
+            r["g"]: r["s"]
+            for r in df.groupBy("g", "sub")
+            .agg(*dsum4_partials(F.col("v")))
+            .groupBy("g")
+            .agg(dsum4_merge().alias("s"))
+            .collect()
+        }
+        assert single == two  # exact ==, not approx: bit-identity
+
+    def test_merge_propagates_nan_audit(self, spark):
+        from pyspark.sql import functions as F
+
+        from mb8600_clickhouse_spark.queries.relational import (
+            dsum4_merge,
+            dsum4_partials,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 0, 1.5), (0, 1, float("nan"))], "g INT, sub INT, v DOUBLE"
+        )
+        # LOUD either way: ANSI sessions raise CAST_OVERFLOW on the
+        # per-row signum(NaN) cast before the audit aggregate runs;
+        # non-ANSI sessions reach the merge audit's raise_error
+        with pytest.raises(
+            Exception, match="dsum4 limb-lane domain|CAST_OVERFLOW"
+        ):
+            (
+                df.groupBy("g", "sub")
+                .agg(*dsum4_partials(F.col("v")))
+                .groupBy("g")
+                .agg(dsum4_merge().alias("s"))
+                .collect()
+            )
