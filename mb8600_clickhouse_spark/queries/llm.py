@@ -1062,8 +1062,10 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered operator it reuses:
 
     1. exact dedup on the q33 content fingerprint (lowest-id keeper) —
-       drops the planted +100000 exact copies. Round 9: this stage is
-       SUBSUMED by stage 2, not executed (see below);
+       drops the planted +100000 exact copies. Round 9 fused it into
+       stage 2 (subsumption); round 12 REINSTATED it as a textless
+       (fp, id) pre-filter after the scale probe showed the fused form
+       re-hashes every duplicate's shingles (see the inline comment);
     2. MinHash(12)+LSH(4x3) near-dup removal (q40's signature family;
        the HIGHER id of every candidate pair is dropped — computed as
        the bucket-min aggregate rule, a deterministic single-pass form
@@ -1082,10 +1084,12 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents (copies occupy exactly the buckets their original does,
     with higher ids). Zero-shingle docs (the one set LSH can't see)
     fail stage 3's >= 5-token gate anyway — the documented survivor
-    contract. So the fingerprint groupBy — the pipeline's ONLY
-    text-shuffling exchange — is dropped outright: verified
-    row-identical at sf0.1 and hash-green vs the four-stage oracle;
-    warm fresh-plan wall 1.32-1.41 s -> 1.02-1.14 s on the same box.
+    contract. The proof is what makes the round-12 form SAFE: stage 1
+    runs as a textless (fp, min-id) aggregate + broadcast semi join
+    (no text shuffle — exact_dedup never carries the text column),
+    and because either form provably yields the same survivors, the
+    fused spelling remains available for corpora known to be
+    dup-light.
 
     Scale shape: stage 2 is the bucketed LSH path (never O(n^2));
     stages 3+4 share one language-quota exchange; text never shuffles
@@ -1112,11 +1116,27 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the scan — computed once here, rides the signature pipeline
         .withColumn("n_tokens", text_ops.token_count(F.col("text")))
     )
-    # stages 1+2 FUSED: the survivor pipeline consumes the raw corpus —
-    # exact dups are near-dups with identical signatures (subsumption
-    # argument in the docstring), so no fingerprint exchange exists.
+    # stage 1 REINSTATED as a textless pre-filter (round 12): the
+    # scale probe's 20x-replicated fixture exposed the fused form's
+    # asymmetry — subsumption keeps the RESULT identical but makes the
+    # signature pipeline hash every duplicate's shingles (12 md5s per
+    # shingle per copy), while dedup-first shrinks the minhash input
+    # by the exact-dup fraction FIRST. exact_dedup exchanges only
+    # (16-byte fp, id) — text never shuffles — and the keeper-id set
+    # is a broadcast semi join at verification scale (measured on the
+    # 95%-dup 100k-doc fixture: 4.5 s fused -> 2.4 s dedup-first,
+    # survivor sets verified identical; ~1.45x the DuckDB oracle).
+    # At 100 TB drop the broadcast hint: AQE shuffle-semi-joins on
+    # doc_id — one text exchange, bought back R-fold md5 savings on
+    # any real crawl (web corpora run 30-60% exact dups). The r09
+    # subsumption proof still guarantees either form yields the same
+    # survivors, so the choice is pure cost, never correctness.
+    keeper_ids = dedup.exact_dedup(corpus).select(
+        F.col("keeper").alias("doc_id")
+    )
+    s1 = corpus.join(F.broadcast(keeper_ids), "doc_id", "left_semi")
     s2 = dedup.minhash_lsh_survivors(
-        corpus,
+        s1,
         carry_cols=("lang", "n_tokens"),
         shingle_n=3,
         k=12,
