@@ -4843,13 +4843,22 @@ def _rewrite_scalar_calls(sql: str) -> str:
         rep = f"(CASE{whens} ELSE {args[-1]} END)"
         sql = sql[: m.start()] + rep + sql[c + 1 :]
 
+    # date_diff is CH's documented alias of dateDiff; Spark ALSO has a
+    # 2-arg date_diff builtin, so only the 3-arg literal-unit call form
+    # is treated as the CH spelling (the 2-arg form passes through)
+    pos = 0
     while True:
-        m = _first_match(sql, r"\bdateDiff\s*\(")
+        m = _first_match(sql[pos:], r"\b(?:dateDiff|date_diff)\s*\(")
         if not m:
             break
-        o = sql.index("(", m.end() - 1)
+        start = pos + m.start()
+        o = sql.index("(", pos + m.end() - 1)
         c = _match_paren(sql, o)
         args = _split_top_commas(sql[o + 1 : c])
+        name = sql[start:o].rstrip(" \t(").strip()
+        if len(args) == 2 and name == "date_diff":
+            pos = o + 1  # Spark's own 2-arg builtin
+            continue
         if len(args) != 3:
             raise ChSqlError(f"dateDiff expects 3 arguments, got {len(args)}")
         um = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
@@ -4863,6 +4872,96 @@ def _rewrite_scalar_calls(sql: str) -> str:
             f"timestampdiff({u.upper()}, date_trunc('{u}', {args[1]}), "
             f"date_trunc('{u}', {args[2]}))"
         )
+        sql = sql[:start] + rep + sql[c + 1 :]
+        pos = start
+
+    # leftPad/rightPad 2-arg form: CH defaults the pad string to a
+    # space; the registered SQL UDFs are fixed 3-arg (round-12 wave 3)
+    pos = 0
+    while True:
+        m = _first_match(sql[pos:], r"\b(?:leftPad|rightPad)\s*\(")
+        if not m:
+            break
+        start = pos + m.start()
+        o = sql.index("(", pos + m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) == 2:
+            sql = sql[:c] + ", ' '" + sql[c:]
+        pos = o + 1
+
+    # age('unit', a, b) — COMPLETE units elapsed (no truncation, unlike
+    # dateDiff's boundary-crossing count). Spark's timestampdiff has
+    # exactly this contract for duration units (probed: 23:00 -> next
+    # day 01:00 is 0 DAYs). Calendar units reject: CH's month
+    # arithmetic clamps month-ends (Jan 31 + 1 month = Feb 29) while
+    # Spark's complete-month rule differs on those edges — a silent
+    # off-by-one on real data (round-12 wave 3).
+    _AGE_UNITS = {
+        "microsecond", "millisecond", "second", "minute", "hour",
+        "day", "week",
+    }
+    while True:
+        m = _first_match(sql, r"\bage\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        if len(args) != 3:
+            raise ChSqlError(f"age expects 3 arguments, got {len(args)}")
+        um = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+        unit = um.group(1).lower() if um else None
+        if unit not in _AGE_UNITS:
+            raise ChSqlError(
+                f"age unit must be a literal of {sorted(_AGE_UNITS)} "
+                f"(month/quarter/year diverge on CH's month-end "
+                f"clamping and are not bridged), got {args[0]!r}"
+            )
+        rep = f"timestampdiff({unit.upper()}, {args[1]}, {args[2]})"
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
+
+    # accurateCast[OrNull](x, 'Type') — re-route onto the to<T>[OrNull]
+    # family, whose emitted forms carry the width/sign range gates
+    # (ADVICE r11): OrNull -> NULL out of domain; the plain form raises
+    # in-plan (CH accurateCast throws; the to<T> truncating casts would
+    # silently wrap, so they are NOT used here).
+    _ACC_TYPES = {
+        "UInt8", "UInt16", "UInt32", "UInt64",
+        "Int8", "Int16", "Int32", "Int64",
+        "Float32", "Float64", "DateTime",
+    }
+    while True:
+        m = _first_match(sql, r"\baccurateCast(OrNull)?\s*\(")
+        if not m:
+            break
+        ornull = bool(m.group(1))
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = _split_top_commas(sql[o + 1 : c])
+        tm = re.fullmatch(r"\s*'(\w+)'\s*", args[1]) if len(args) == 2 else None
+        t = tm.group(1) if tm else None
+        if t is None or (t not in _ACC_TYPES and t != "String"):
+            raise ChSqlError(
+                f"accurateCast{'OrNull' if ornull else ''}: the type must "
+                f"be a literal of {sorted(_ACC_TYPES | {'String'})} "
+                f"(CH type names, exact case), got "
+                f"{args[1] if len(args) == 2 else args!r}"
+            )
+        if t == "String":
+            rep = f"CAST({args[0]} AS STRING)"
+        else:
+            name = f"to{t}"
+            probe = f"{name}OrNull({args[0]})"
+            if ornull:
+                rep = probe
+            else:
+                rep = (
+                    f"(CASE WHEN ({args[0]}) IS NOT NULL AND {probe} IS "
+                    f"NULL THEN {name}OrNull(raise_error(concat("
+                    f"'accurateCast: value out of {t} domain: ', "
+                    f"CAST({args[0]} AS STRING)))) ELSE {probe} END)"
+                )
         sql = sql[: m.start()] + rep + sql[c + 1 :]
 
     while True:

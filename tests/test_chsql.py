@@ -4715,3 +4715,75 @@ class TestRound12GrammarWave:
             rw("WITH x AS 1 SELECT x + 1")
         # the correct CH order still substitutes
         assert rw("WITH 60 AS m SELECT m * 2") == "SELECT (60) * 2"
+
+
+class TestRound12GrammarWave3:
+    """Round-12 probing wave #3: CH date/cast/pad forms that previously
+    fell through to unresolved-routine errors (or, for 3-arg
+    date_diff, a Spark parser unit error)."""
+
+    def test_date_diff_alias(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT date_diff('day', TIMESTAMP '2020-01-01 23:00', "
+            "TIMESTAMP '2020-03-01 01:00') AS d, "
+            "dateDiff('day', TIMESTAMP '2020-01-01 23:00', "
+            "TIMESTAMP '2020-03-01 01:00') AS d2",
+        ).first()
+        assert r.d == r.d2 == 60  # boundary-crossing count
+        # Spark's own 2-arg builtin passes through untouched
+        assert rw("SELECT date_diff(a, b) FROM t") == (
+            "SELECT date_diff(a, b) FROM t"
+        )
+
+    def test_age_complete_units(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT age('day', TIMESTAMP '2020-01-01 23:00', "
+            "TIMESTAMP '2020-01-02 01:00') AS a, "
+            "age('hour', TIMESTAMP '2020-01-01 10:59', "
+            "TIMESTAMP '2020-01-01 11:58') AS b, "
+            "age('second', TIMESTAMP '2020-01-01 10:00:00', "
+            "TIMESTAMP '2020-01-01 10:00:59') AS c",
+        ).first()
+        assert (r.a, r.b, r.c) == (0, 0, 59)  # complete units, no trunc
+        with pytest.raises(ChSqlError, match="month-end clamping"):
+            rw("SELECT age('month', a, b) FROM t")
+
+    def test_accurate_cast(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = ch_sql(
+            spark,
+            "SELECT accurateCastOrNull(300, 'UInt8') AS a, "
+            "accurateCastOrNull(200, 'UInt8') AS b, "
+            "accurateCastOrNull(-1, 'UInt32') AS c, "
+            "accurateCast(200, 'Int32') AS d",
+        ).first()
+        assert (r.a, r.b, r.c, r.d) == (None, 200, None, 200)
+        with pytest.raises(Exception, match="accurateCast"):
+            ch_sql(
+                spark, "SELECT accurateCast(300, 'UInt8') AS v"
+            ).collect()
+
+    def test_pad_two_arg_default_space(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = ch_sql(
+            spark,
+            "SELECT leftPad('ab', 4) AS l, rightPad('ab', 4) AS r, "
+            "leftPad('ab', 4, '0') AS l0",
+        ).first()
+        assert (r.l, r.r, r.l0) == ("  ab", "ab  ", "00ab")
