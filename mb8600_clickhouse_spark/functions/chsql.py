@@ -5773,6 +5773,73 @@ def _rewrite_misc_grammar(sql: str) -> str:
                 "expression in a subquery first"
             )
         sql = sql[: m.start()] + f"{inner}.*" + sql[c + 1 :]
+    return _rewrite_misc_fns(sql)
+
+
+#: random/time/identity forms (round-12 wave 3). rand() is the one
+#: SILENT divergence of the batch: it resolves to Spark's [0,1) double
+#: builtin while CH returns a uniform UInt32 — `rand() % N` would run
+#: and always yield 0.
+_RAND_UINT32 = "CAST(floor(rand() * 4294967296) AS BIGINT)"
+
+
+def _rewrite_misc_fns(sql: str) -> str:
+    for pat, msg in (
+        (r"\brand64\s*\(", "rand64 returns a uniform UInt64 — the upper "
+         "half exceeds BIGINT; use rand() (bridged to the UInt32 "
+         "domain) or randCanonical() and scale"),
+        (r"\btoTimeZone\s*\(", "toTimeZone changes a DateTime's display "
+         "zone; this engine pins the session to UTC — use "
+         "convert_timezone(...) explicitly if you truly want "
+         "wall-clock-shifted values"),
+        (r"\bsleep(EachRow)?\s*\(", "sleep/sleepEachRow are CH testing "
+         "functions with no query semantics"),
+    ):
+        if _first_match(sql, pat):
+            raise ChSqlError(msg)
+    # simple call renames: CH name -> Spark spelling, arguments kept
+    for pat, rep in (
+        (r"\bmax2\s*\(", "greatest("),
+        (r"\bmin2\s*\(", "least("),
+        (r"\broundBankers\s*\(", "bround("),  # 1- and 2-arg both
+    ):
+        while True:
+            m = _first_match(sql, pat)
+            if not m:
+                break
+            o = sql.index("(", m.end() - 1)
+            sql = sql[: m.start()] + rep + sql[o + 1 :]
+    # now64([precision]) -> now() (micros; CH precision arg dropped)
+    while True:
+        m = _first_match(sql, r"\bnow64\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        sql = sql[: m.start()] + "now()" + sql[c + 1 :]
+    # toNullable(x) -> (x): Spark nullability is inferred, the wrapper
+    # is a no-op on values
+    while True:
+        m = _first_match(sql, r"\btoNullable\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        sql = sql[: m.start()] + f"({sql[o + 1 : c]})" + sql[c + 1 :]
+    # rand() / rand(x) -> uniform UInt32 draw (CH's dummy argument only
+    # defeats common-subexpression elimination; Spark's rand() is
+    # per-row already, so it is dropped). Position-advancing scan: the
+    # replacement itself contains rand()
+    pos = 0
+    while True:
+        m = _first_match(sql[pos:], r"\brand\s*\(")
+        if not m:
+            break
+        start = pos + m.start()
+        o = sql.index("(", pos + m.end() - 1)
+        c = _match_paren(sql, o)
+        sql = sql[:start] + _RAND_UINT32 + sql[c + 1 :]
+        pos = start + len(_RAND_UINT32)
     return sql
 
 

@@ -368,6 +368,40 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
     # (CH returns the full English name) before resolution
     # both: a random version-4 UUID string per row, nondeterministic
     "generateUUIDv4": ("()", "STRING", "uuid()"),
+    # round-12 wave 3: finite-guard conditional (CH returns y for
+    # NaN/±Inf, x otherwise; NULL x propagates as in CH)
+    "ifNotFinite": (
+        "(x DOUBLE, y DOUBLE)",
+        "DOUBLE",
+        "CASE WHEN isnan(x) OR abs(x) = cast('Infinity' AS DOUBLE) "
+        "THEN y ELSE x END",
+    ),
+    # Spark's reverse is codepoint-aware (UTF8String.reverse) — the
+    # UTF8 variant is the same function
+    "reverseUTF8": ("(s STRING)", "STRING", "reverse(s)"),
+    # CH: < 1 -> 0, else round DOWN to the nearest power of two.
+    # floor(log2(n)) is exact at powers of two (log2 of 2^k is the
+    # representable double k); the 2^62 guard keeps shiftleft in
+    # BIGINT domain
+    "roundToExp2": (
+        "(n BIGINT)",
+        "BIGINT",
+        "CASE WHEN n < 1 THEN 0 ELSE shiftleft(cast(1 AS BIGINT), "
+        "least(cast(floor(log2(cast(n AS DOUBLE))) AS INT), 62)) END",
+    ),  # exponent clamped at 62: n near 2^63-1 rounds to 2^63 as a
+    # double and log2 would hit 63 (shiftleft into the sign bit)
+    # introspection — the session's single-engine answers
+    "timeZone": ("()", "STRING", "current_timezone()"),
+    "serverTimeZone": ("()", "STRING", "current_timezone()"),
+    "currentDatabase": ("()", "STRING", "current_database()"),
+    "currentUser": ("()", "STRING", "current_user()"),
+    # randCanonical: uniform [0, 1) double — exactly Spark's rand()
+    "randCanonical": ("()", "DOUBLE", "rand()"),
+    "randNormal": (
+        "(mean DOUBLE, stddev DOUBLE)",
+        "DOUBLE",
+        "mean + stddev * randn()",
+    ),
     # CH timeSlot: floor to the half-hour; timeSlots: every half-hour
     # slot covering [ts, ts + duration_seconds]
     "timeSlot": (
@@ -1142,6 +1176,9 @@ DIALECT_NOTES: dict[str, str] = {
     "windowFunnel strict_order / strict_dedup modes": "REJECT loudly — CH's interleaving-event semantics need the full (non-condition-filtered) event stream and its exact stop rule is version-dependent; the default and strict_increase modes are bridged (q135/q148)",
     "replaceRegexpOne(s, re, rep)": "NOT aliased — Spark has no replace-FIRST-match regexp primitive (regexp_replace replaces all); anchored patterns make the two identical, unanchored first-only semantics need a manual spelling (regexp_extract the prefix + replace + suffix)",
     "transform(x, [from...], [to...], default)": "NOT aliasable under its CH name — `transform` is Spark's array higher-order function (and the arrayMap target). Registered as transformCH (map_from_arrays lookup + default); same 4-argument contract",
+    "rand() / randCanonical() / randNormal() / rand64()": "round 12 — rand() bridges to a uniform UInt32 draw (Spark's rand() is a [0,1) DOUBLE: `rand() % N` would silently always be 0); randCanonical/randNormal registered on Spark's rand()/randn(); rand64 rejects (UInt64 domain exceeds BIGINT)",
+    "max2/min2 / roundBankers / now64 / toNullable / age / date_diff / accurateCast[OrNull] / leftPad|rightPad 2-arg": "round 12 wave-3 bridges — greatest/least, bround (banker's rounding both engines), now(), identity, timestampdiff complete-units (month-class units reject on CH's month-end clamping), the range-gated to<T>[OrNull] family, space-pad default",
+    "gcd / lcm / erf / erfc / lgamma / tgamma / hostName / byteSize / blockNumber / rowNumberInAllBlocks / reinterpretAs*": "NOT bridged — no closed-form Spark SQL spelling (gcd/lcm need iteration; erf-family special functions are absent; block/host introspection has no meaning under Spark's execution model; reinterpret casts are memory-layout-dependent). All resolve to a loud UNRESOLVED_ROUTINE",
     "cityHash64 / sipHash64 / farmHash64": "NOT bridgeable — ClickHouse's hash constants are engine-specific and Spark's xxhash64/hash use different algorithms; any query whose RESULT depends on CH hash values (sampling by cityHash, hash-keyed joins) must re-key on a portable hash (md5 — the bridge's SAMPLE rewrite already does exactly this, documented there)",
     "position(haystack, needle)": "NOT aliasable — Spark's builtin position(substr, str) takes the arguments in the REVERSE order and cannot be replaced by a SQL function; a verbatim CH query silently flips haystack/needle. Use instr(haystack, needle) or the registered positionCH alias",
     "dialect forms inside subqueries / CTEs": "run verbatim as of round 6 — chsql recurses into every parenthesized SELECT/WITH block, each level rewritten independently (q95 exercises three levels); un-parenthesized top-level UNION branches remain out of scope",

@@ -4787,3 +4787,77 @@ class TestRound12GrammarWave3:
             "leftPad('ab', 4, '0') AS l0",
         ).first()
         assert (r.l, r.r, r.l0) == ("  ab", "ab  ", "00ab")
+
+
+class TestRound12GrammarWave3b:
+    """Round-12 probing wave #3b: random/time/identity scalar forms.
+    rand() was the batch's one SILENT divergence — it resolved to
+    Spark's [0,1) DOUBLE builtin while CH returns a uniform UInt32,
+    so `rand() % N` ran and always produced 0."""
+
+    def test_rand_uint32_domain(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        out = rw("SELECT rand() % 10 AS v FROM t")
+        assert "4294967296" in out and "% 10" in out
+        # dummy-argument form (CH's CSE defeat) also bridges
+        assert "4294967296" in rw("SELECT rand(x) FROM t")
+        rows = ch_sql(
+            spark,
+            "SELECT rand() AS a, rand() % 1000 AS b FROM numbers(200)",
+        ).collect()
+        assert all(0 <= r.a < 4294967296 and isinstance(r.a, int) for r in rows)
+        assert any(r.b > 0 for r in rows)  # the silent-zero symptom
+        assert len({r.a for r in rows}) > 150  # per-row, not CSE'd
+
+    def test_rand_family(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = ch_sql(
+            spark,
+            "SELECT randCanonical() AS c, randNormal(100.0, 0.0) AS n",
+        ).first()
+        assert 0.0 <= r.c < 1.0 and r.n == 100.0
+        with pytest.raises(ChSqlError, match="rand64"):
+            rw("SELECT rand64() FROM t")
+
+    def test_misc_renames(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        assert rw("SELECT max2(a, b), min2(a, b) FROM t") == (
+            "SELECT greatest(a, b), least(a, b) FROM t"
+        )
+        r = ch_sql(
+            spark,
+            "SELECT roundBankers(2.5) AS a, roundBankers(0.125, 2) AS b, "
+            "toNullable(7) AS c",
+        ).first()
+        # literal inputs are DECIMAL-typed; values are what matters
+        assert (float(r.a), float(r.b), r.c) == (2.0, 0.12, 7)
+        assert rw("SELECT now64() AS t") == "SELECT now() AS t"
+        assert rw("SELECT now64(3) AS t") == "SELECT now() AS t"
+        for bad, pat in (
+            ("SELECT toTimeZone(ts, 'UTC') FROM t", "UTC"),
+            ("SELECT sleepEachRow(0.1) FROM t", "sleep"),
+        ):
+            with pytest.raises(ChSqlError, match=pat):
+                rw(bad)
+
+    def test_registered_scalars(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = spark.sql(
+            "SELECT ifNotFinite(cast('Infinity' AS DOUBLE), 9.0) AS a, "
+            "ifNotFinite(3.0, 9.0) AS b, reverseUTF8('äb') AS c, "
+            "roundToExp2(100) AS d, roundToExp2(0) AS e, "
+            "currentDatabase() AS f, timeZone() AS g"
+        ).first()
+        assert (r.a, r.b, r.c, r.d, r.e) == (9.0, 3.0, "bä", 64, 0)
+        assert r.f and r.g
