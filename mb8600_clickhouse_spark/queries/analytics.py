@@ -2816,3 +2816,84 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch_sql(
         spark, _Q191_CLICKHOUSE_SQL, sample_by={"events": "event_id"}
     )
+
+
+# ---------------------------------------------------------------------------
+# Q192 round-12 wave-3 capstone — date/cast/pad/round scalar bridges
+# driver-verified in ONE verbatim CH statement
+# ---------------------------------------------------------------------------
+_Q192_CLICKHOUSE_SQL = """
+    SELECT event_type,
+           dateDiff('day', min(ts), max(ts)) AS span_days,
+           date_diff('hour', min(ts), max(ts)) AS span_hours,
+           age('minute', min(ts), max(ts)) AS age_min,
+           accurateCastOrNull(max(user_id), 'UInt8') AS uid8,
+           accurateCastOrNull(max(user_id) % 200, 'UInt8') AS uid8m,
+           leftPad(event_type, 12) AS padded,
+           CAST(CAST(roundBankers(min(value), 1) AS DECIMAL(18,4))
+                AS DOUBLE) AS rb,
+           ifNotFinite(max(value), -1.0) AS fin,
+           roundToExp2(count()) AS pot
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+_Q192_ORACLE = """
+    SELECT event_type,
+           date_diff('day', min(ts), max(ts)) AS span_days,
+           date_diff('hour', min(ts), max(ts)) AS span_hours,
+           CAST(floor(epoch(max(ts) - min(ts)) / 60) AS BIGINT)
+               AS age_min,
+           CASE WHEN max(user_id) BETWEEN 0 AND 255
+                THEN CAST(max(user_id) AS SMALLINT) END AS uid8,
+           CASE WHEN max(user_id) % 200 BETWEEN 0 AND 255
+                THEN CAST(max(user_id) % 200 AS SMALLINT) END AS uid8m,
+           lpad(event_type, 12, ' ') AS padded,
+           CAST(CAST(round_even(min(value), 1) AS DECIMAL(18,4))
+                AS DOUBLE) AS rb,
+           max(value) AS fin,
+           CASE WHEN count(*) < 1 THEN 0
+                ELSE CAST(2 ** floor(log2(count(*))) AS BIGINT)
+           END AS pot
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query("q192_dialect_wave3", oracle=_Q192_ORACLE)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 WAVE-3 CAPSTONE: the date/cast/pad/round scalar bridges
+    composed in ONE verbatim ClickHouse statement, driver-hash-verified
+    (the q184/q190/q191 device):
+
+    - ``dateDiff`` + its ``date_diff`` ALIAS (boundary-crossing count —
+      DuckDB's date_diff shares the truncate-then-diff contract, so the
+      oracle spells it natively; Spark's own 2-arg date_diff builtin is
+      left untouched by the alias pass);
+    - ``age('minute', a, b)`` — COMPLETE elapsed units, no truncation
+      (bridged to Spark's timestampdiff, whose probed contract matches;
+      the oracle replays it as floor(epoch-delta / 60); month-class
+      units reject on CH's month-end clamping);
+    - ``accurateCastOrNull(x, 'UInt8')`` — NULL-on-out-of-domain via
+      the range-gated to<T>OrNull family (one in-range arm, one
+      out-of-range arm whose NULL the hash pins);
+    - ``leftPad`` 2-arg form (CH's default space pad);
+    - ``roundBankers(x, 1)`` -> Spark bround vs DuckDB round_even —
+      two independent half-to-even implementations, snapped on the
+      DECIMAL(18,4) grid;
+    - ``ifNotFinite`` (identity arm over finite data);
+    - ``roundToExp2(count())`` — power-of-two floor, exponent-clamped.
+
+    Scale: one map-side-combined exchange on event_type, scalar tails
+    on 5 group rows. NARROW_CHAIN profile: scan -> one exchange."""
+    from ..functions.chsql import ch_sql
+    from ..functions.clickhouse import register_clickhouse_functions
+    from ..session import exec_profile
+    from .relational import NARROW_CHAIN
+
+    spark = exec_profile(spark, NARROW_CHAIN)
+    register_clickhouse_functions(spark)
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _Q192_CLICKHOUSE_SQL)
