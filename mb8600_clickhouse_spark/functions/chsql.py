@@ -5776,6 +5776,63 @@ def _rewrite_misc_grammar(sql: str) -> str:
     return _rewrite_misc_fns(sql)
 
 
+#: CH toInterval* constructors -> Spark make_interval/make_dt_interval
+#: call templates ({} = the argument text; non-literal args compose)
+_TO_INTERVAL = {
+    "toIntervalYear": "make_interval({})",
+    "toIntervalQuarter": "make_interval(0, 3 * ({}))",
+    "toIntervalMonth": "make_interval(0, {})",
+    "toIntervalWeek": "make_interval(0, 0, {})",
+    "toIntervalDay": "make_dt_interval({})",
+    "toIntervalHour": "make_dt_interval(0, {})",
+    "toIntervalMinute": "make_dt_interval(0, 0, {})",
+    "toIntervalSecond": "make_dt_interval(0, 0, 0, {})",
+}
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """CH's ``QUALIFY <pred>`` (filter evaluated AFTER window
+    functions) has no Spark clause. Standard decorrelation: the
+    predicate is projected as one extra SELECT-list column (lateral
+    alias resolution lets it reference sibling aliases, exactly CH's
+    scoping), the statement becomes a subquery, and the outer query
+    filters on it — post-QUALIFY clauses (ORDER BY / LIMIT) move to
+    the outer level, preserving CH's evaluation order."""
+    ms = _top_level_matches(sql, r"\bQUALIFY\b")
+    if not ms:
+        return sql
+    m = ms[0]
+    if _top_level_matches(sql, r"\b(UNION|EXCEPT|INTERSECT)\b"):
+        raise ChSqlError(
+            "QUALIFY in an un-parenthesized set-operation statement is "
+            "not bridged — parenthesize each branch"
+        )
+    after = [
+        t
+        for t in _top_level_matches(
+            sql, r"\b(ORDER\s+BY|LIMIT|OFFSET|SETTINGS|FORMAT)\b"
+        )
+        if t.start() > m.end()
+    ]
+    pend = after[0].start() if after else len(sql)
+    pred = sql[m.end() : pend].strip().rstrip(";")
+    tail = sql[pend:]
+    head = sql[: m.start()].rstrip()
+    froms = _top_level_matches(head, r"\bFROM\b")
+    if not froms:
+        raise ChSqlError("QUALIFY without a FROM clause is not bridged")
+    fpos = froms[0].start()
+    inner = (
+        head[:fpos].rstrip()
+        + f", ({pred}) AS __qual "
+        + head[fpos:]
+    )
+    return (
+        f"SELECT * EXCEPT (__qual) FROM ({inner}) __q "
+        f"WHERE __qual {tail}"
+    )
+
+
 #: random/time/identity forms (round-12 wave 3). rand() is the one
 #: SILENT divergence of the batch: it resolves to Spark's [0,1) double
 #: builtin while CH returns a uniform UInt32 — `rand() % N` would run
@@ -5809,6 +5866,16 @@ def _rewrite_misc_fns(sql: str) -> str:
                 break
             o = sql.index("(", m.end() - 1)
             sql = sql[: m.start()] + rep + sql[o + 1 :]
+    # toInterval* constructors -> make_interval/make_dt_interval
+    for name, tpl in _TO_INTERVAL.items():
+        while True:
+            m = _first_match(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            rep = tpl.format(sql[o + 1 : c].strip())
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
     # now64([precision]) -> now() (micros; CH precision arg dropped)
     while True:
         m = _first_match(sql, r"\bnow64\s*\(")
@@ -6165,6 +6232,9 @@ def _rewrite_clickhouse_sql_uncached(
     sql = _rewrite_array_join_clause(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_limit_by(sql)
+    # after the expression passes (its wrap is final Spark syntax);
+    # before LIMIT WITH TIES, whose ORDER BY lands on the outer level
+    sql = _rewrite_qualify(sql)
     sql = _rewrite_limit_with_ties(sql)
     # LAST among the expression passes (round 10): the limb moment
     # spelling inflates the statement by tens of KB per family call,

@@ -4861,3 +4861,62 @@ class TestRound12GrammarWave3b:
         ).first()
         assert (r.a, r.b, r.c, r.d, r.e) == (9.0, 3.0, "bä", 64, 0)
         assert r.f and r.g
+
+
+class TestRound12GrammarWave3c:
+    """QUALIFY (post-window filter — no Spark clause) and the
+    toInterval* constructors."""
+
+    def test_qualify_rewrite_shape(self):
+        out = rw(
+            "SELECT x, k FROM t QUALIFY row_number() OVER "
+            "(PARTITION BY k ORDER BY x) = 1 ORDER BY k LIMIT 5"
+        )
+        assert out.startswith("SELECT * EXCEPT (__qual) FROM (")
+        assert out.rstrip().endswith("WHERE __qual ORDER BY k LIMIT 5")
+
+    def test_qualify_executed(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.range(10).selectExpr(
+            "id AS x", "id % 3 AS k"
+        ).createOrReplaceTempView("r12_qual_t")
+        rows = ch_sql(
+            spark,
+            "SELECT x, k FROM r12_qual_t QUALIFY row_number() OVER "
+            "(PARTITION BY k ORDER BY x DESC) = 1 ORDER BY k",
+        ).collect()
+        assert [tuple(r) for r in rows] == [(9, 0), (7, 1), (8, 2)]
+        # over an aggregate, predicate referencing the aggregate —
+        # CH's post-GROUP-BY QUALIFY scoping
+        rows2 = ch_sql(
+            spark,
+            "SELECT k, count() AS n FROM r12_qual_t GROUP BY k "
+            "QUALIFY row_number() OVER (ORDER BY count() DESC, k) <= 2 "
+            "ORDER BY k",
+        ).collect()
+        assert [tuple(r) for r in rows2] == [(0, 4), (1, 3)]
+
+    def test_qualify_union_rejects(self):
+        with pytest.raises(ChSqlError, match="QUALIFY"):
+            rw(
+                "SELECT x FROM t QUALIFY row_number() OVER (ORDER BY x)"
+                " = 1 UNION ALL SELECT x FROM u"
+            )
+
+    def test_to_interval(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        assert rw("SELECT ts + toIntervalDay(3) FROM t") == (
+            "SELECT ts + make_dt_interval(3) FROM t"
+        )
+        r = ch_sql(
+            spark,
+            "SELECT CAST(TIMESTAMP '2020-01-31 00:00:00' "
+            "+ toIntervalMonth(1) AS STRING) AS m, "
+            "CAST(TIMESTAMP '2020-01-01 00:00:00' "
+            "+ toIntervalSecond(90) AS STRING) AS s",
+        ).first()
+        # month-end clamping: both CH and Spark land on Feb 29
+        assert r.m == "2020-02-29 00:00:00"
+        assert r.s == "2020-01-01 00:01:30"
