@@ -5688,6 +5688,38 @@ _CH_MAINTENANCE = (
         "parquet via plans/manifest.ManifestTable, PARTITION BY -> "
         "layout.partition_by, ORDER BY -> sortWithinPartitions)",
     ),
+    # round-12 wave 4
+    (
+        r"^\s*CREATE\s+MATERIALIZED\s+VIEW\b",
+        "CREATE MATERIALIZED VIEW maps to a maintained rollup, not a "
+        "view: streaming/incremental.maintain_rollup (the "
+        "SummingMergeTree path, q73) or a writeStream into a "
+        "ManifestTable — CH MVs are insert-triggered, which is "
+        "exactly a foreachBatch sink",
+    ),
+    (
+        r"^\s*KILL\s+QUERY\b",
+        "KILL QUERY maps to "
+        "spark.sparkContext.cancelJobGroup(group) — tag queries with "
+        "setJobGroup first; there is no server-side query table",
+    ),
+    (
+        r"^\s*WATCH\b",
+        "WATCH (live views) maps to Structured Streaming: readStream "
+        "on the source + the query as a streaming transformation",
+    ),
+    (
+        r"^\s*EXISTS\s+TABLE\b",
+        "EXISTS TABLE maps to spark.catalog.tableExists(name)",
+    ),
+    (
+        r"^\s*SET\s+\w+\s*=",
+        "standalone SET with a ClickHouse setting name would create "
+        "an inert Spark conf key (a silent no-op) — set the Spark "
+        "equivalent explicitly via spark.conf.set, or use the "
+        "SETTINGS clause whose known result-changing names are "
+        "mapped/rejected individually",
+    ),
 )
 
 
@@ -6160,6 +6192,39 @@ def _rewrite_clickhouse_sql_uncached(
         hit = _first_match(sql, pat)
         if hit:
             raise ChSqlError(f"{hit.group(0).strip()!r}: {msg}")
+    # round-12 wave 4 statement bridges: RENAME TABLE (single pair) ->
+    # Spark's ALTER ... RENAME; CH EXPLAIN variants -> the nearest
+    # Spark EXPLAIN mode (PIPELINE/PLAN show physical detail ->
+    # FORMATTED; ESTIMATE has no analogue and rejects; SYNTAX prints
+    # the rewritten query, which IS this function's output)
+    rn = re.match(
+        r"^\s*RENAME\s+TABLE\s+(\S+)\s+TO\s+(\S+)\s*$", sql,
+        re.IGNORECASE,
+    )
+    if rn:
+        sql = f"ALTER TABLE {rn.group(1)} RENAME TO {rn.group(2)}"
+    elif re.match(r"^\s*RENAME\s+TABLE\b", sql, re.IGNORECASE):
+        raise ChSqlError(
+            "RENAME TABLE with multiple pairs: issue one "
+            "ALTER TABLE ... RENAME TO per table"
+        )
+    ex = re.match(
+        r"^\s*EXPLAIN\s+(PIPELINE|PLAN|ESTIMATE|SYNTAX|AST)\b", sql,
+        re.IGNORECASE,
+    )
+    if ex:
+        mode = ex.group(1).upper()
+        if mode in ("PIPELINE", "PLAN"):
+            sql = "EXPLAIN FORMATTED " + sql[ex.end() :].lstrip()
+        elif mode == "AST":
+            sql = "EXPLAIN EXTENDED " + sql[ex.end() :].lstrip()
+        else:
+            raise ChSqlError(
+                f"EXPLAIN {mode} has no Spark analogue — ESTIMATE "
+                "row counts come from ANALYZE TABLE/statistics; "
+                "SYNTAX's rewritten statement is exactly "
+                "rewrite_clickhouse_sql's return value"
+            )
     # CH double-quoted IDENTIFIERS -> backticks before anything else
     # (Spark would read them as string literals — silent divergence)
     sql = _rewrite_dquote_identifiers(sql)

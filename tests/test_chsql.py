@@ -4920,3 +4920,39 @@ class TestRound12GrammarWave3c:
         # month-end clamping: both CH and Spark land on Feb 29
         assert r.m == "2020-02-29 00:00:00"
         assert r.s == "2020-01-01 00:01:30"
+
+
+class TestRound12GrammarWave4:
+    """Statement-level DDL/maintenance wave: bridges and guided
+    rejects for the forms a migrating CH user types first."""
+
+    def test_rename_table(self, spark):
+        assert rw("RENAME TABLE a TO b") == "ALTER TABLE a RENAME TO b"
+        with pytest.raises(ChSqlError, match="multiple pairs"):
+            rw("RENAME TABLE a TO b, c TO d")
+
+    def test_explain_variants(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        assert rw("EXPLAIN PIPELINE SELECT count() FROM t") == (
+            "EXPLAIN FORMATTED SELECT count(*) FROM t"
+        )
+        spark.range(3).createOrReplaceTempView("r12_expl_t")
+        out = ch_sql(
+            spark, "EXPLAIN PIPELINE SELECT count() FROM r12_expl_t"
+        ).first()[0]
+        assert "Physical Plan" in out
+        with pytest.raises(ChSqlError, match="ESTIMATE"):
+            rw("EXPLAIN ESTIMATE SELECT 1")
+
+    def test_guided_rejects(self):
+        for bad, pat in (
+            ("CREATE MATERIALIZED VIEW mv TO t2 AS SELECT x FROM t",
+             "maintain_rollup"),
+            ("KILL QUERY WHERE 1", "cancelJobGroup"),
+            ("SET max_threads = 4", "silent no-op"),
+            ("EXISTS TABLE t", "tableExists"),
+            ("WATCH lv", "readStream"),
+        ):
+            with pytest.raises(ChSqlError, match=pat):
+                rw(bad)
