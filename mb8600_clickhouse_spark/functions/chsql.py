@@ -5872,6 +5872,54 @@ def _rewrite_qualify(sql: str) -> str:
 _RAND_UINT32 = "CAST(floor(rand() * 4294967296) AS BIGINT)"
 
 
+def _replace_fn_name(sql: str, ch_name: str, spark_name: str) -> str:
+    """Rename every string-aware call of ``ch_name(`` to
+    ``spark_name(`` (arguments untouched)."""
+    pos = 0
+    while True:
+        m = _first_match(sql[pos:], rf"\b{ch_name}\s*\(")
+        if not m:
+            return sql
+        start = pos + m.start()
+        o = sql.index("(", pos + m.end() - 1)
+        sql = sql[:start] + spark_name + "(" + sql[o + 1 :]
+        pos = start + len(spark_name) + 1
+
+
+def _reject_parametrized_calls(sql: str) -> str:
+    """Catch-all for CH's ``name(params)(args)`` parametrized-aggregate
+    call shape (round-12 wave 4): every BRIDGED parametrized family
+    (quantile*, topK, histogram-free forms, groupArraySorted, LTTB,
+    sequence*, windowFunnel, ...) has been rewritten by the time this
+    runs, so any survivor is an unbridged sketch/parametrized
+    aggregate (quantileBFloat16, histogram, sparkBar, groupArrayLast,
+    ...) — previously a bare Spark PARSE_SYNTAX_ERROR three layers
+    down, now a loud named reject. The double-call shape does not
+    exist in Spark SQL, so there are no false positives to protect."""
+    pos = 0
+    n = len(sql)
+    while True:
+        m = _first_match(sql[pos:], r"\b([A-Za-z_]\w*)\s*\(")
+        if not m:
+            return sql
+        o = sql.index("(", pos + m.end() - 1)
+        c = _match_paren(sql, o)
+        j = c + 1
+        while j < n and sql[j] in " \t\r\n":
+            j += 1
+        if j < n and sql[j] == "(":
+            raise ChSqlError(
+                f"{m.group(1)}({sql[o + 1 : c]})(...): this "
+                "parametrized aggregate is not bridged — the bridged "
+                "parametrized families are quantile*/topK*/LTTB/"
+                "sequence*/windowFunnel/groupArraySorted/"
+                "groupArrayInsertAt/groupArrayMoving*/uniqUpTo/"
+                "exponentialMovingAverage/sumCount-class; see "
+                "DIALECT_NOTES for the full surface"
+            )
+        pos = pos + m.end()
+
+
 def _rewrite_misc_fns(sql: str) -> str:
     for pat, msg in (
         (r"\brand64\s*\(", "rand64 returns a uniform UInt64 — the upper "
@@ -5908,6 +5956,32 @@ def _rewrite_misc_fns(sql: str) -> str:
             c = _match_paren(sql, o)
             rep = tpl.format(sql[o + 1 : c].strip())
             sql = sql[: m.start()] + rep + sql[c + 1 :]
+    # map algebra: CH's merge-by-key arithmetic -> map_zip_with (keys
+    # union, absent value = 0); mapKeys/mapValues/mapContains etc. are
+    # registered functions — these two need the lambda
+    for name, op in (("mapAdd", "+"), ("mapSubtract", "-")):
+        while True:
+            m = _first_match(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = _split_top_commas(sql[o + 1 : c])
+            if len(args) != 2:
+                raise ChSqlError(
+                    f"{name} is bridged for exactly 2 map arguments, "
+                    f"got {len(args)}"
+                )
+            rep = (
+                f"map_zip_with({args[0]}, {args[1]}, (__k, __a, __b) -> "
+                f"coalesce(__a, 0) {op} coalesce(__b, 0))"
+            )
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
+    # JSONExtractKeys(j) -> Spark's json_object_keys; anyHeavy -> mode
+    # (CH: SOME heavy hitter if one exists, else arbitrary — mode is
+    # the deterministic refinement of that contract)
+    sql = _replace_fn_name(sql, "JSONExtractKeys", "json_object_keys")
+    sql = _replace_fn_name(sql, "anyHeavy", "mode")
     # now64([precision]) -> now() (micros; CH precision arg dropped)
     while True:
         m = _first_match(sql, r"\bnow64\s*\(")
@@ -6307,6 +6381,10 @@ def _rewrite_clickhouse_sql_uncached(
     # the other rewrites keeps their scans on the small original
     sql = _rewrite_stats_aggs(sql)
     sql = _reject_unbridged_combinators(sql)
+    # catch-all LAST: combinator stacks got their specific reject
+    # above; any surviving name(params)(args) shape is an unbridged
+    # parametrized aggregate and rejects with its name
+    sql = _reject_parametrized_calls(sql)
     for token, body in blocks.items():
         sql = sql.replace(f"({token})", f"({body})")
     return sql

@@ -4956,3 +4956,49 @@ class TestRound12GrammarWave4:
         ):
             with pytest.raises(ChSqlError, match=pat):
                 rw(bad)
+
+
+class TestRound12GrammarWave4b:
+    """Map algebra, JSON keys, anyHeavy, and the parametrized-call
+    catch-all (any surviving name(params)(args) shape is an unbridged
+    CH aggregate — previously a bare Spark PARSE_SYNTAX_ERROR)."""
+
+    def test_map_add_subtract(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) "
+            "AS m, mapSubtract(map('a', 5), map('a', 2, 'z', 1)) AS s",
+        ).first()
+        assert dict(r.m) == {"a": 1, "b": 12, "c": 3}
+        assert dict(r.s) == {"a": 3, "z": -1}
+
+    def test_json_keys_and_any_heavy(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            """SELECT json_keys, mode_v FROM (
+                 SELECT JSONExtractKeys('{"a":1,"b":2}') AS json_keys,
+                        1 AS g
+               ) j JOIN (
+                 SELECT anyHeavy(v) AS mode_v, 1 AS g
+                 FROM (SELECT explode(array(7, 7, 7, 2)) AS v)
+               ) h ON j.g = h.g""",
+        ).first()
+        assert sorted(r.json_keys) == ["a", "b"] and r.mode_v == 7
+
+    def test_parametrized_catchall(self):
+        for bad in (
+            "SELECT histogram(5)(x) FROM t",
+            "SELECT quantileBFloat16(0.5)(x) FROM t",
+            "SELECT sparkBar(10)(x, y) FROM t",
+            "SELECT groupArrayLast(3)(x) FROM t",
+        ):
+            with pytest.raises(ChSqlError, match="parametrized"):
+                rw(bad)
+        # bridged parametrized families still pass through their own
+        # rewrites (never reach the catch-all)
+        out = rw("SELECT k, topK(3)(x) AS t3 FROM t GROUP BY k")
+        assert "transform(slice(" in out
