@@ -5886,6 +5886,95 @@ def _replace_fn_name(sql: str, ch_name: str, spark_name: str) -> str:
         pos = start + len(spark_name) + 1
 
 
+#: keywords that terminate an ORDER BY item list at its own depth
+_ORDER_STOP = re.compile(
+    r"(LIMIT|OFFSET|SETTINGS|FORMAT|UNION|EXCEPT|INTERSECT|WITH|"
+    r"INTERPOLATE|ROWS|RANGE|GROUPS|WINDOW)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_order_by_nulls(sql: str) -> str:
+    """ClickHouse sorts NULLs LAST by default in BOTH sort directions;
+    Spark's ASC default is NULLS FIRST — a SILENT row-order divergence
+    for every ORDER BY over a nullable key that feeds a LIMIT, LIMIT
+    BY, window frame, or neighbor/lag rewrite (round-12 wave 5).
+    Every ORDER BY item (statement-level and window-spec) without an
+    explicit NULLS FIRST/LAST gets ``NULLS LAST`` appended — CH's
+    default, which is also DuckDB's, so oracles need no change."""
+    pos = 0
+    while True:
+        m = _first_match(sql[pos:], r"\bORDER\s+BY\b")
+        if not m:
+            return sql
+        start = pos + m.start()
+        istart = pos + m.end()
+        # span scan: end at a stop keyword at the SAME depth, at the
+        # ')' closing the enclosing block (window spec), or at EOS. A
+        # stop keyword can only TERMINATE the list after the current
+        # item has content — `ORDER BY interpolate` is a column named
+        # interpolate (the FillRejectionScope contract), while
+        # `ORDER BY x LIMIT 5`'s LIMIT follows a complete item
+        i, n, depth, in_str = istart, len(sql), 0, False
+        end = n
+        item_content = False
+        while i < n:
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    in_str = False
+                i += 1
+                continue
+            if ch == "'":
+                in_str = True
+                item_content = True
+                i += 1
+                continue
+            if ch == "(":
+                depth += 1
+                item_content = True
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                item_content = False
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                if item_content and (
+                    i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+                ):
+                    sm = _ORDER_STOP.match(sql, i)
+                    if sm:
+                        end = i
+                        break
+                while i < n and (sql[i].isalnum() or sql[i] == "_"):
+                    i += 1
+                item_content = True
+                continue
+            elif not ch.isspace():
+                item_content = True
+            i += 1
+        span = sql[istart:end]
+        items = []
+        for it in _split_top_commas(span):
+            s = it.strip()
+            if not s or re.search(
+                r"\bNULLS\s+(FIRST|LAST)\s*$", s, re.IGNORECASE
+            ):
+                items.append(s)
+            else:
+                items.append(s + " NULLS LAST")
+        # preserve one trailing space if the span had one (clause glue)
+        tail_ws = " " if span != span.rstrip() else ""
+        rep = " " + ", ".join(items) + tail_ws
+        sql = sql[:istart] + rep + sql[end:]
+        pos = istart + len(rep)
+
+
 def _reject_parametrized_calls(sql: str) -> str:
     """Catch-all for CH's ``name(params)(args)`` parametrized-aggregate
     call shape (round-12 wave 4): every BRIDGED parametrized family
@@ -6370,6 +6459,10 @@ def _rewrite_clickhouse_sql_uncached(
     sql = _rewrite_final(sql, final_tables)
     sql = _rewrite_array_join_clause(sql)
     sql = _rewrite_array_join(sql)
+    # CH/Spark NULL-ordering parity BEFORE the ORDER-BY-consuming
+    # passes (LIMIT BY / QUALIFY / WITH TIES windows inherit the
+    # normalized items)
+    sql = _rewrite_order_by_nulls(sql)
     sql = _rewrite_limit_by(sql)
     # after the expression passes (its wrap is final Spark syntax);
     # before LIMIT WITH TIES, whose ORDER BY lands on the outer level

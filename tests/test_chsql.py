@@ -425,9 +425,9 @@ class TestArrayVocabularyTemplates:
 class TestLimitByRewrite:
     def test_shape(self):
         got = rw("SELECT k, v FROM t ORDER BY k, v DESC LIMIT 2 BY k")
-        assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC)" in got
+        assert ("row_number() OVER (PARTITION BY k ORDER BY k NULLS LAST, v DESC NULLS LAST)" in got)
         assert "__rn <= 2" in got
-        assert got.strip().endswith("ORDER BY k, v DESC")
+        assert got.strip().endswith("ORDER BY k NULLS LAST, v DESC NULLS LAST")
 
     def test_trailing_limit_kept(self):
         got = rw("SELECT k, v FROM t ORDER BY v LIMIT 2 BY k LIMIT 10")
@@ -445,7 +445,8 @@ class TestLimitByRewrite:
 
     def test_plain_limit_untouched(self):
         q = "SELECT k FROM t ORDER BY k LIMIT 5"
-        assert rw(q) == q
+        # LIMIT untouched; ORDER BY gets the CH NULLS LAST default
+        assert rw(q) == "SELECT k FROM t ORDER BY k NULLS LAST LIMIT 5"
 
 
 class TestAnsiIdentityFuzz:
@@ -484,9 +485,13 @@ class TestAnsiIdentityFuzz:
             if where:
                 q += f" WHERE {where}"
             q += " GROUP BY a ORDER BY a"
+            # the ONE documented normalization on plain ANSI: CH's
+            # NULLS LAST default decorates every ORDER BY item
+            want = q + " NULLS LAST"
             if limit is not None:
                 q += f" LIMIT {limit}"
-            assert rw(q) == q
+                want += f" LIMIT {limit}"
+            assert rw(q) == want
 
         check()
 
@@ -517,7 +522,7 @@ class TestIdempotence:
 class TestPrewhereSettings:
     def test_prewhere_alone_becomes_where(self):
         assert rw("SELECT k FROM t PREWHERE k > 0 ORDER BY k") == (
-            "SELECT k FROM t WHERE k > 0 ORDER BY k"
+            "SELECT k FROM t WHERE k > 0 ORDER BY k NULLS LAST"
         )
 
     def test_prewhere_folds_into_where(self):
@@ -526,7 +531,7 @@ class TestPrewhereSettings:
 
     def test_settings_stripped(self):
         assert rw("SELECT k FROM t ORDER BY k SETTINGS max_threads = 8") == (
-            "SELECT k FROM t ORDER BY k"
+            "SELECT k FROM t ORDER BY k NULLS LAST"
         )
 
     def test_settings_after_limit_by(self, spark):
@@ -575,7 +580,7 @@ class TestTopKRewrite:
     def test_shape(self):
         got = rw(self.Q)
         assert "topK" not in got
-        assert "USING (k)" in got and got.strip().endswith("ORDER BY k")
+        assert "USING (k)" in got and got.strip().endswith("ORDER BY k NULLS LAST")
         assert "slice(array_sort(collect_list(" in got
 
     def test_contract_violations_raise(self):
@@ -646,7 +651,7 @@ class TestWithTotals:
     def test_multi_key(self):
         got = rw("SELECT a, b, sum(v) FROM t GROUP BY a, b WITH TOTALS ORDER BY a")
         assert "GROUPING SETS ((a, b), ())" in got
-        assert got.strip().endswith("ORDER BY a")
+        assert got.strip().endswith("ORDER BY a NULLS LAST")
 
     def test_executes(self, spark):
         spark.createDataFrame(
@@ -1036,7 +1041,7 @@ class TestGlobalAndFormat:
 
     def test_format_directive_stripped(self):
         assert rw("SELECT a FROM t ORDER BY a FORMAT JSONEachRow") == (
-            "SELECT a FROM t ORDER BY a"
+            "SELECT a FROM t ORDER BY a NULLS LAST"
         )
         # SETTINGS before FORMAT: both go
         assert rw(
@@ -1095,7 +1100,7 @@ class TestKnownUnsupportedReject:
         out = rw(
             "SELECT * FROM (SELECT runningDifference(v) AS d FROM events ORDER BY v) t"
         )
-        assert "lag(v) OVER (ORDER BY v)" in out
+        assert "lag(v) OVER (ORDER BY v NULLS LAST)" in out
         with pytest.raises(ChSqlError, match="deterministic total order"):
             rw("SELECT * FROM (SELECT runningDifference(v) AS d FROM events) t")
 
@@ -1165,7 +1170,7 @@ class TestFillRejectionScope:
     def test_column_named_interpolate_after_order_by_ok(self):
         # only the call form INTERPOLATE( rejects, not the identifier
         assert rw("SELECT interpolate FROM t ORDER BY interpolate") \
-            == "SELECT interpolate FROM t ORDER BY interpolate"
+            == "SELECT interpolate FROM t ORDER BY interpolate NULLS LAST"
 
 
 class TestRunningNeighborBridge:
@@ -1174,12 +1179,12 @@ class TestRunningNeighborBridge:
 
     def test_running_difference_rewrite(self):
         out = rw("SELECT b, runningDifference(n) AS d FROM t ORDER BY b")
-        assert "coalesce((n) - lag(n) OVER (ORDER BY b), 0)" in out
+        assert "coalesce((n) - lag(n) OVER (ORDER BY b NULLS LAST), 0)" in out
 
     def test_neighbor_directions(self):
         out = rw("SELECT neighbor(n, -2, 0) AS p, neighbor(n, 3, -1) AS q FROM t ORDER BY b DESC")
-        assert "lag(n, 2, 0) OVER (ORDER BY b DESC)" in out
-        assert "lead(n, 3, -1) OVER (ORDER BY b DESC)" in out
+        assert "lag(n, 2, 0) OVER (ORDER BY b DESC NULLS LAST)" in out
+        assert "lead(n, 3, -1) OVER (ORDER BY b DESC NULLS LAST)" in out
 
     def test_neighbor_zero_offset_is_identity(self):
         assert "(n)" in rw("SELECT neighbor(n, 0, 7) FROM t ORDER BY b")
@@ -1190,7 +1195,7 @@ class TestRunningNeighborBridge:
             "FROM range(3) ORDER BY k"
         )
         # the window may not reference the lateral alias k
-        assert "OVER (ORDER BY (id + 1))" in out
+        assert "OVER (ORDER BY (id + 1) NULLS LAST)" in out
         got = [r["d"] for r in spark.sql(out).collect()]
         assert got == [0, 1, 1]
 
@@ -1206,7 +1211,7 @@ class TestRunningNeighborBridge:
             "SELECT id AS v, neighbor(v, 1, -1) AS nx "
             "FROM range(5) ORDER BY v DESC"
         )
-        assert "lead((id), 1, -1) OVER (ORDER BY (id) DESC)" in out
+        assert "lead((id), 1, -1) OVER (ORDER BY (id) DESC NULLS LAST)" in out
         got = [tuple(r) for r in spark.sql(out).collect()]
         assert got == [(4, 3), (3, 2), (2, 1), (1, 0), (0, -1)]
         out2 = rw(
@@ -1226,7 +1231,7 @@ class TestRunningNeighborBridge:
 
     def test_limit_not_in_anchor(self):
         out = rw("SELECT runningDifference(n) FROM t ORDER BY n LIMIT 5")
-        assert "OVER (ORDER BY n)" in out and out.rstrip().endswith("LIMIT 5")
+        assert ("OVER (ORDER BY n NULLS LAST)" in out and out.rstrip().endswith("LIMIT 5"))
 
 
 class TestRunningAccumulateBridge:
@@ -1235,7 +1240,7 @@ class TestRunningAccumulateBridge:
     oracle-verified twin). Must run BEFORE the -State combinator
     rewrite (which would erase the merge-function name)."""
 
-    FRAME = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    FRAME = "NULLS LAST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
     def test_sum_and_count_states(self):
         out = rw(
@@ -3180,13 +3185,13 @@ class TestWithConstants:
     def test_integer_constant_in_expression_items_fine(self):
         # expression items are NOT ordinal-ized by either engine
         out = rw("WITH 2 AS k SELECT a, b FROM t ORDER BY a + k")
-        assert out == "SELECT a, b FROM t ORDER BY a + (2)"
+        assert out == "SELECT a, b FROM t ORDER BY a + (2) NULLS LAST"
         # non-integer constants are never ordinals
         out = rw("WITH 1.5 AS k SELECT a, b FROM t ORDER BY k")
-        assert out == "SELECT a, b FROM t ORDER BY (1.5)"
+        assert out == "SELECT a, b FROM t ORDER BY (1.5) NULLS LAST"
         # the name inside SELECT only — no clause collision
         out = rw("WITH 2 AS k SELECT a * k AS ak FROM t ORDER BY ak")
-        assert out == "SELECT a * (2) AS ak FROM t ORDER BY ak"
+        assert out == "SELECT a * (2) AS ak FROM t ORDER BY ak NULLS LAST"
 
     def test_constants_substitute_into_cte_bodies(self):
         # ADVICE r08: CH scoping makes scalar constants visible inside
@@ -3776,7 +3781,9 @@ class TestLimitByOffset:
 
     def test_plain_limit_offset_untouched(self):
         sql = "SELECT k FROM t ORDER BY k LIMIT 2 OFFSET 1"
-        assert rw(sql) == sql
+        assert rw(sql) == (
+            "SELECT k FROM t ORDER BY k NULLS LAST LIMIT 2 OFFSET 1"
+        )
 
 
 class TestArrayFoldsNonAnsi:
@@ -4873,7 +4880,9 @@ class TestRound12GrammarWave3c:
             "(PARTITION BY k ORDER BY x) = 1 ORDER BY k LIMIT 5"
         )
         assert out.startswith("SELECT * EXCEPT (__qual) FROM (")
-        assert out.rstrip().endswith("WHERE __qual ORDER BY k LIMIT 5")
+        assert out.rstrip().endswith(
+            "WHERE __qual ORDER BY k NULLS LAST LIMIT 5"
+        )
 
     def test_qualify_executed(self, spark):
         from mb8600_clickhouse_spark.functions.chsql import ch_sql
@@ -5002,3 +5011,52 @@ class TestRound12GrammarWave4b:
         # rewrites (never reach the catch-all)
         out = rw("SELECT k, topK(3)(x) AS t3 FROM t GROUP BY k")
         assert "transform(slice(" in out
+
+
+class TestRound12NullOrdering:
+    """Wave 5: CH sorts NULLs LAST by default in BOTH directions;
+    Spark's ASC default is NULLS FIRST — before this pass, every
+    ORDER BY over a nullable key feeding a LIMIT/window silently
+    reordered (a NULL topped every ascending ranking)."""
+
+    def test_statement_and_window_decoration(self):
+        out = rw("SELECT x FROM t ORDER BY x DESC, y LIMIT 5")
+        assert out == (
+            "SELECT x FROM t ORDER BY x DESC NULLS LAST, "
+            "y NULLS LAST LIMIT 5"
+        )
+        out = rw("SELECT row_number() OVER (ORDER BY ts) AS rn FROM t")
+        assert "OVER (ORDER BY ts NULLS LAST)" in out
+        # explicit NULLS spec is the user's choice — untouched
+        out = rw("SELECT x FROM t ORDER BY x NULLS FIRST, y")
+        assert out == (
+            "SELECT x FROM t ORDER BY x NULLS FIRST, y NULLS LAST"
+        )
+        # idempotent: a second pass never double-appends
+        assert rw(rw("SELECT x FROM t ORDER BY x")) == rw(
+            "SELECT x FROM t ORDER BY x"
+        )
+
+    def test_executed_limit_semantics(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.sql(
+            "SELECT * FROM VALUES (1), (NULL), (2) AS t(x)"
+        ).createOrReplaceTempView("r12_null_t")
+        # CH: NULL sorts last -> LIMIT 1 returns 1 (Spark's native
+        # default would return the NULL row)
+        got = [
+            r.x
+            for r in ch_sql(
+                spark, "SELECT x FROM r12_null_t ORDER BY x LIMIT 1"
+            ).collect()
+        ]
+        assert got == [1]
+        # full ascending order, NULL last, matching CH and DuckDB
+        got = [
+            r.x
+            for r in ch_sql(
+                spark, "SELECT x FROM r12_null_t ORDER BY x"
+            ).collect()
+        ]
+        assert got == [1, 2, None]
