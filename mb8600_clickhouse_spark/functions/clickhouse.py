@@ -1176,6 +1176,7 @@ DIALECT_NOTES: dict[str, str] = {
     "windowFunnel strict_order / strict_dedup modes": "REJECT loudly — CH's interleaving-event semantics need the full (non-condition-filtered) event stream and its exact stop rule is version-dependent; the default and strict_increase modes are bridged (q135/q148)",
     "replaceRegexpOne(s, re, rep)": "NOT aliased — Spark has no replace-FIRST-match regexp primitive (regexp_replace replaces all); anchored patterns make the two identical, unanchored first-only semantics need a manual spelling (regexp_extract the prefix + replace + suffix)",
     "transform(x, [from...], [to...], default)": "NOT aliasable under its CH name — `transform` is Spark's array higher-order function (and the arrayMap target). Registered as transformCH (map_from_arrays lookup + default); same 4-argument contract",
+    "ORDER BY NULL position": "round 12 — CH sorts NULLs LAST by default in BOTH directions while Spark's ASC default is NULLS FIRST; every ORDER BY item (statement-level and window-spec) without an explicit NULLS spec gets NULLS LAST appended, so LIMIT/LIMIT BY/window/neighbor results match CH (and DuckDB, whose default is also NULLS LAST). An explicit NULLS FIRST/LAST is honored untouched",
     "QUALIFY <pred>": "round 12 — bridged by decorrelation: the predicate is projected as one extra SELECT-list column (lateral alias resolution preserves CH's sibling-alias scoping, incl. over GROUP BY), the statement wraps as a subquery, the outer filters on it; ORDER BY/LIMIT stay outer (CH's evaluation order). Un-parenthesized set-operation statements reject",
     "toIntervalYear/Quarter/Month/Week/Day/Hour/Minute/Second(n)": "round 12 — make_interval (calendar part) / make_dt_interval (day-time part) templates; non-literal n composes; CH and Spark agree on month-end clamping (Jan 31 + 1 month = Feb 29, test-pinned)",
     "rand() / randCanonical() / randNormal() / rand64()": "round 12 — rand() bridges to a uniform UInt32 draw (Spark's rand() is a [0,1) DOUBLE: `rand() % N` would silently always be 0); randCanonical/randNormal registered on Spark's rand()/randn(); rand64 rejects (UInt64 domain exceeds BIGINT)",
