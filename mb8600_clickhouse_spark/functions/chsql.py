@@ -6035,6 +6035,78 @@ def _rewrite_misc_fns(sql: str) -> str:
                 break
             o = sql.index("(", m.end() - 1)
             sql = sql[: m.start()] + rep + sql[o + 1 :]
+    # wave-5b scalar batch: bit operators, negated LIKEs, substring
+    # alias, array constructors (argument-order/variadic forms a
+    # registered SQL UDF cannot express)
+    for name, tpl, nargs in (
+        ("bitAnd", "({0} & {1})", 2),
+        ("bitOr", "({0} | {1})", 2),
+        ("bitXor", "({0} ^ {1})", 2),
+        ("bitNot", "(~{0})", 1),
+        ("notLike", "({0} NOT LIKE {1})", 2),
+        ("notILike", "({0} NOT ILIKE {1})", 2),
+        ("mid", "substring({0}, {1}, {2})", 3),
+        ("arrayWithConstant", "array_repeat({1}, CAST({0} AS INT))", 2),
+        ("toDateTime64", "CAST({0} AS TIMESTAMP)", 2),
+    ):
+        while True:
+            m = _first_match(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = _split_top_commas(sql[o + 1 : c])
+            if len(args) != nargs:
+                raise ChSqlError(
+                    f"{name} expects {nargs} arguments, got {len(args)}"
+                )
+            rep = tpl.format(*(a.strip() for a in args))
+            sql = sql[: m.start()] + rep + sql[c + 1 :]
+    # bitTestAll/bitTestAny(x, b1, b2, ...) — variadic bit probes
+    for name, joiner in (("bitTestAll", " AND "), ("bitTestAny", " OR ")):
+        while True:
+            m = _first_match(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            o = sql.index("(", m.end() - 1)
+            c = _match_paren(sql, o)
+            args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+            if len(args) < 2:
+                raise ChSqlError(f"{name} needs a value and >= 1 bit")
+            x = args[0]
+            probes = joiner.join(
+                f"((({x}) >> ({b})) & 1) = 1" for b in args[1:]
+            )
+            sql = (
+                sql[: m.start()]
+                + f"(CAST({probes} AS INT))"
+                + sql[c + 1 :]
+            )
+    # arrayResize(a, n, ext): truncate or right-extend with ext. The
+    # 2-arg form extends with the element TYPE's default — unknowable
+    # textually (the min/maxOrDefault precedent) — and rejects;
+    # negative n (CH's resize-from-the-left) likewise
+    while True:
+        m = _first_match(sql, r"\barrayResize\s*\(")
+        if not m:
+            break
+        o = sql.index("(", m.end() - 1)
+        c = _match_paren(sql, o)
+        args = [a.strip() for a in _split_top_commas(sql[o + 1 : c])]
+        if len(args) != 3:
+            raise ChSqlError(
+                "arrayResize is bridged for the 3-argument form "
+                "(arr, size, extender) — the 2-arg form extends with "
+                "the element type's default value, which has no "
+                "textual spelling; negative sizes (resize from the "
+                "left) are likewise not bridged"
+            )
+        a, n_, ext = args
+        rep = (
+            f"transform(sequence(1, CAST({n_} AS INT)), __i -> "
+            f"if(__i <= size({a}), element_at({a}, __i), {ext}))"
+        )
+        sql = sql[: m.start()] + rep + sql[c + 1 :]
     # toInterval* constructors -> make_interval/make_dt_interval
     for name, tpl in _TO_INTERVAL.items():
         while True:

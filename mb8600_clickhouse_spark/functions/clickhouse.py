@@ -402,6 +402,78 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "DOUBLE",
         "mean + stddev * randn()",
     ),
+    # round-12 wave 5b: date constructors / epoch codecs
+    "makeDate": (
+        "(y INT, m INT, d INT)",
+        "DATE",
+        "make_date(y, m, d)",
+    ),
+    "makeDateTime": (
+        "(y INT, mo INT, d INT, h INT, mi INT, s INT)",
+        "TIMESTAMP",
+        "make_timestamp(y, mo, d, h, mi, s)",
+    ),
+    # CH Date32/DateTime64 are the WIDER-range types; Spark DATE/
+    # TIMESTAMP already cover their span
+    "toDate32": ("(s STRING)", "DATE", "cast(s AS DATE)"),
+    "fromUnixTimestamp64Milli": (
+        "(x BIGINT)",
+        "TIMESTAMP",
+        "timestamp_millis(x)",
+    ),
+    "fromUnixTimestamp64Micro": (
+        "(x BIGINT)",
+        "TIMESTAMP",
+        "timestamp_micros(x)",
+    ),
+    "toUnixTimestamp64Milli": (
+        "(ts TIMESTAMP)",
+        "BIGINT",
+        "unix_millis(ts)",
+    ),
+    "toUnixTimestamp64Micro": (
+        "(ts TIMESTAMP)",
+        "BIGINT",
+        "unix_micros(ts)",
+    ),
+    # dateName: the textual part name (CH returns String for every
+    # part; weekday/month are English names, the rest render numbers)
+    "dateName": (
+        "(part STRING, ts TIMESTAMP)",
+        "STRING",
+        "CASE lower(part) "
+        "WHEN 'year' THEN cast(year(ts) AS STRING) "
+        "WHEN 'quarter' THEN cast(quarter(ts) AS STRING) "
+        "WHEN 'month' THEN date_format(ts, 'MMMM') "
+        "WHEN 'week' THEN cast(weekofyear(ts) AS STRING) "
+        "WHEN 'dayofyear' THEN cast(dayofyear(ts) AS STRING) "
+        "WHEN 'day' THEN cast(day(ts) AS STRING) "
+        "WHEN 'weekday' THEN date_format(ts, 'EEEE') "
+        "WHEN 'hour' THEN cast(hour(ts) AS STRING) "
+        "WHEN 'minute' THEN cast(minute(ts) AS STRING) "
+        "WHEN 'second' THEN cast(second(ts) AS STRING) "
+        "ELSE raise_error(concat('dateName: unknown part ', part)) "
+        "END",
+    ),
+    "isZeroOrNull": (
+        "(x DOUBLE)",
+        "INT",
+        "cast(x = 0D OR x IS NULL AS INT)",
+    ),
+    # typed empty-array constructors (unsigned widened per the house
+    # UInt convention)
+    **{
+        f"emptyArray{ch}": ("()", f"ARRAY<{sp}>", f"array()")
+        for ch, sp in (
+            ("Int8", "TINYINT"), ("Int16", "SMALLINT"),
+            ("Int32", "INT"), ("Int64", "BIGINT"),
+            ("UInt8", "SMALLINT"), ("UInt16", "INT"),
+            ("UInt32", "BIGINT"), ("UInt64", "BIGINT"),
+            ("Float32", "FLOAT"), ("Float64", "DOUBLE"),
+            ("String", "STRING"), ("Date", "DATE"),
+            ("DateTime", "TIMESTAMP"),
+        )
+    },
     # CH timeSlot: floor to the half-hour; timeSlots: every half-hour
     # slot covering [ts, ts + duration_seconds]
     "timeSlot": (

@@ -5060,3 +5060,62 @@ class TestRound12NullOrdering:
             ).collect()
         ]
         assert got == [1, 2, None]
+
+
+class TestRound12GrammarWave5b:
+    """Scalar batch: bit operators, date constructors/codecs, typed
+    empty arrays, dateName, array resize/constant forms."""
+
+    def test_bit_and_like_forms(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark,
+            "SELECT bitAnd(12, 10) AS a, bitOr(12, 10) AS o, "
+            "bitXor(12, 10) AS x, bitNot(0) AS n, "
+            "bitTestAll(5, 0, 2) AS ta, bitTestAny(5, 1, 3) AS tn, "
+            "notLike('abc', '%b%') AS nl, mid('abcde', 2, 3) AS m",
+        ).first()
+        assert (r.a, r.o, r.x, r.n) == (8, 14, 6, -1)
+        assert (r.ta, r.tn) == (1, 0)
+        assert r.nl is False and r.m == "bcd"
+
+    def test_date_constructors(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = ch_sql(
+            spark,
+            "SELECT CAST(makeDate(2020, 2, 29) AS STRING) AS d, "
+            "CAST(makeDateTime(2020, 1, 2, 3, 4, 5) AS STRING) AS dt, "
+            "toUnixTimestamp64Milli(fromUnixTimestamp64Milli(1500)) "
+            "AS ms, dateName('weekday', TIMESTAMP '2020-01-01') AS wd, "
+            "dateName('month', TIMESTAMP '2020-01-01') AS mo",
+        ).first()
+        assert r.d == "2020-02-29" and r.dt == "2020-01-02 03:04:05"
+        assert r.ms == 1500
+        assert (r.wd, r.mo) == ("Wednesday", "January")
+
+    def test_arrays_and_empty(self, spark):
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = ch_sql(
+            spark,
+            "SELECT arrayWithConstant(3, 7) AS c, "
+            "arrayResize([1, 2, 3], 5, 0) AS up, "
+            "arrayResize([1, 2, 3], 2, 0) AS down, "
+            "emptyArrayInt32() AS e",
+        ).first()
+        assert list(r.c) == [7, 7, 7]
+        assert list(r.up) == [1, 2, 3, 0, 0]
+        assert list(r.down) == [1, 2]
+        assert list(r.e) == []
+        with pytest.raises(ChSqlError, match="3-argument"):
+            rw("SELECT arrayResize(a, 5) FROM t")
