@@ -460,8 +460,67 @@ CLICKHOUSE_SCALARS: dict[str, tuple[str, str, str]] = {
         "INT",
         "cast(x = 0D OR x IS NULL AS INT)",
     ),
-    # typed empty-array constructors (unsigned widened per the house
-    # UInt convention)
+    # string distance / case (Spark's levenshtein IS CH's
+    # levenshteinDistance; editDistance is CH's alias)
+    "levenshteinDistance": (
+        "(a STRING, b STRING)", "INT", "levenshtein(a, b)"
+    ),
+    "editDistance": ("(a STRING, b STRING)", "INT", "levenshtein(a, b)"),
+    "initcapUTF8": ("(s STRING)", "STRING", "initcap(s)"),
+    # Spark strings are decoded at read time — a String VALUE is
+    # always valid UTF-8, so the byte-repair pair is identity/1 (CH
+    # operates on raw bytes; the divergence can only appear on binary
+    # columns, which these functions do not accept here)
+    "toValidUTF8": ("(s STRING)", "STRING", "s"),
+    "isValidUTF8": ("(s STRING)", "INT", "CASE WHEN s IS NULL THEN NULL ELSE 1 END"),
+    "formatReadableQuantity": (
+        "(x DOUBLE)",
+        "STRING",
+        "CASE WHEN abs(x) >= 1e12 THEN concat(format_number(x / 1e12, 2), ' trillion') "
+        "WHEN abs(x) >= 1e9 THEN concat(format_number(x / 1e9, 2), ' billion') "
+        "WHEN abs(x) >= 1e6 THEN concat(format_number(x / 1e6, 2), ' million') "
+        "WHEN abs(x) >= 1e3 THEN concat(format_number(x / 1e3, 2), ' thousand') "
+        "ELSE format_number(x, 2) END",
+    ),
+    # basename: the path component after the LAST slash or backslash
+    "basename": (
+        "(p STRING)",
+        "STRING",
+        r"regexp_extract(p, '[^/\\\\]*$', 0)",
+    ),
+    "netloc": (
+        "(url STRING)",
+        "STRING",
+        # scheme://[user[:pass]@]host[:port] -> the authority part
+        r"regexp_extract(url, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/?#]*)', 1)",
+    ),
+    # CH port(url) -> UInt16, 0 when absent
+    "port": (
+        "(url STRING)",
+        "INT",
+        r"coalesce(try_cast(regexp_extract(url, "
+        r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*:([0-9]+)', 1) "
+        r"AS INT), 0)",
+    ),
+    "encodeXMLComponent": (
+        "(s STRING)",
+        "STRING",
+        "replace(replace(replace(replace(replace(s, "
+        "'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), "
+        "'\"', '&quot;'), \"'\", '&#39;')",
+    ),
+    # the operators/text.HTML_ENTITIES table (the entities that
+    # survive real crawl text; &amp; decoded LAST so &amp;lt; does not
+    # re-expose). Numeric character references pass through — no SQL
+    # spelling converts a captured code point to a character
+    "decodeHTMLComponent": (
+        "(s STRING)",
+        "STRING",
+        "replace(replace(replace(replace(replace(replace(s, "
+        "'&nbsp;', ' '), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&#39;', \"'\"), '&amp;', '&')",
+    ),
     **{
         f"emptyArray{ch}": ("()", f"ARRAY<{sp}>", f"array()")
         for ch, sp in (

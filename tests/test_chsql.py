@@ -5119,3 +5119,34 @@ class TestRound12GrammarWave5b:
         assert list(r.e) == []
         with pytest.raises(ChSqlError, match="3-argument"):
             rw("SELECT arrayResize(a, 5) FROM t")
+
+
+class TestRound12GrammarWave5c:
+    """Registered string-distance / readable / URL-part / XML-codec
+    scalars (round-12 wave 5c)."""
+
+    def test_registered_batch(self, spark):
+        from mb8600_clickhouse_spark.functions.clickhouse import (
+            register_clickhouse_functions,
+        )
+
+        register_clickhouse_functions(spark)
+        r = spark.sql(
+            "SELECT levenshteinDistance('kitten', 'sitting') AS lev, "
+            "editDistance('abc', 'abd') AS ed, "
+            "formatReadableQuantity(1234567.0) AS frq, "
+            "basename('/a/b/c.txt') AS bn, "
+            "netloc('https://u@h.com:8080/p?q=1') AS nl, "
+            "port('https://h.com:8080/p') AS pt, "
+            "port('https://h.com/p') AS pt0, "
+            "encodeXMLComponent('a<b&c') AS enc, "
+            "decodeHTMLComponent('x&lt;y&amp;z&nbsp;!') AS dec, "
+            "isValidUTF8('ok') AS iv, toValidUTF8('ok') AS tv"
+        ).first()
+        assert (r.lev, r.ed) == (3, 1)
+        assert r.frq == "1.23 million"
+        assert r.bn == "c.txt"
+        assert r.nl == "u@h.com:8080" and (r.pt, r.pt0) == (8080, 0)
+        assert r.enc == "a&lt;b&amp;c"
+        assert r.dec == "x<y&z !"
+        assert (r.iv, r.tv) == (1, "ok")
