@@ -193,6 +193,79 @@ def _scan(sql: str):
         i += 1
 
 
+def _scan_kinds(sql: str):
+    """Yield ``(i, ch, depth, kind)`` with kind one of ``'code'``,
+    ``'str'`` (single-quoted literal, quotes included), ``'ident'``
+    (backtick identifier, backticks included) or ``'comment'``
+    (``-- ..`` / ``/* .. */``, markers included). Same opacity rules
+    as ``_scan`` (ADVICE r12: consumers that need to tell COMMENTS
+    apart from string/identifier content — comments carry no item
+    content and must never swallow appended text — use this instead of
+    hand-rolling a scanner). depth counts parens in code only; the
+    ``)`` closing an enclosing block yields depth ``-1``."""
+    depth = 0
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "`":
+            j = i + 1
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            while i < j:
+                yield i, sql[i], depth, "ident"
+                i += 1
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j == -1 else j  # newline itself is NOT comment
+            while i < j:
+                yield i, sql[i], depth, "comment"
+                i += 1
+            continue
+        if ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            while i < j:
+                yield i, sql[i], depth, "comment"
+                i += 1
+            continue
+        if ch == "'":
+            yield i, ch, depth, "str"
+            i += 1
+            while i < n:
+                c2 = sql[i]
+                if c2 == "\\" and i + 1 < n:
+                    yield i, c2, depth, "str"
+                    yield i + 1, sql[i + 1], depth, "str"
+                    i += 2
+                    continue
+                yield i, c2, depth, "str"
+                i += 1
+                if c2 == "'":
+                    if i < n and sql[i] == "'":
+                        yield i, "'", depth, "str"
+                        i += 1
+                        continue
+                    break
+            continue
+        if ch == "(":
+            yield i, ch, depth, "code"
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            yield i, ch, depth, "code"
+        else:
+            yield i, ch, depth, "code"
+        i += 1
+
+
 def _match_paren(sql: str, open_idx: int) -> int:
     """Index of the ')' matching the '(' at open_idx."""
     depth = 0
@@ -5901,13 +5974,20 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     BY, window frame, or neighbor/lag rewrite (round-12 wave 5).
     Every ORDER BY item (statement-level and window-spec) without an
     explicit NULLS FIRST/LAST gets ``NULLS LAST`` appended — CH's
-    default, which is also DuckDB's, so oracles need no change."""
+    default, which is also DuckDB's, so oracles need no change.
+
+    ADVICE r12: the span scan rides ``_scan_kinds`` so comments,
+    strings and backtick identifiers are opaque (a ``limit`` inside a
+    block comment no longer ends the span mid-comment), item text is
+    preserved verbatim — newlines included — and ``NULLS LAST`` is
+    inserted after the item's last CODE character, never after a
+    trailing ``--`` comment that would swallow it and everything
+    after."""
     pos = 0
     while True:
         m = _first_match(sql[pos:], r"\bORDER\s+BY\b")
         if not m:
             return sql
-        start = pos + m.start()
         istart = pos + m.end()
         # span scan: end at a stop keyword at the SAME depth, at the
         # ')' closing the enclosing block (window spec), or at EOS. A
@@ -5915,62 +5995,64 @@ def _rewrite_order_by_nulls(sql: str) -> str:
         # item has content — `ORDER BY interpolate` is a column named
         # interpolate (the FillRejectionScope contract), while
         # `ORDER BY x LIMIT 5`'s LIMIT follows a complete item
-        i, n, depth, in_str = istart, len(sql), 0, False
+        n = len(sql)
         end = n
         item_content = False
-        while i < n:
-            ch = sql[i]
-            if in_str:
-                if ch == "'":
-                    if i + 1 < n and sql[i + 1] == "'":
-                        i += 2
-                        continue
-                    in_str = False
-                i += 1
-                continue
-            if ch == "'":
-                in_str = True
+        prev_code = " "
+        commas = []  # top-level comma positions inside the span
+        for off, ch, d, kind in _scan_kinds(sql[istart:]):
+            i = istart + off
+            if kind == "comment":
+                continue  # opaque: no content, never a stop keyword
+            if kind != "code":
                 item_content = True
-                i += 1
+                prev_code = ch
                 continue
-            if ch == "(":
-                depth += 1
-                item_content = True
-            elif ch == ")":
-                if depth == 0:
-                    end = i
-                    break
-                depth -= 1
-            elif ch == "," and depth == 0:
-                item_content = False
-            elif depth == 0 and (ch.isalpha() or ch == "_"):
-                if item_content and (
-                    i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
-                ):
-                    sm = _ORDER_STOP.match(sql, i)
-                    if sm:
+            if ch == ")" and d < 0:
+                end = i
+                break
+            if d == 0:
+                if ch == ",":
+                    commas.append(i)
+                    item_content = False
+                elif ch.isalpha() or ch == "_":
+                    if (
+                        item_content
+                        and not (prev_code.isalnum() or prev_code == "_")
+                        and _ORDER_STOP.match(sql, i)
+                    ):
                         end = i
                         break
-                while i < n and (sql[i].isalnum() or sql[i] == "_"):
-                    i += 1
-                item_content = True
-                continue
+                    item_content = True
+                elif not ch.isspace():
+                    item_content = True
             elif not ch.isspace():
                 item_content = True
-            i += 1
-        span = sql[istart:end]
-        items = []
-        for it in _split_top_commas(span):
-            s = it.strip()
-            if not s or re.search(
-                r"\bNULLS\s+(FIRST|LAST)\s*$", s, re.IGNORECASE
+            prev_code = ch
+        # segment k spans (after previous comma) .. (next comma or end)
+        starts = [istart] + [c + 1 for c in commas]
+        seg_ends = commas + [end]
+        parts = [sql[b:e] for b, e in zip(starts, seg_ends)]
+        out_parts = []
+        for it in parts:
+            code_chars = []
+            last = -1
+            for k, c, _d2, kind in _scan_kinds(it):
+                if kind == "comment":
+                    continue
+                code_chars.append(c)
+                if not c.isspace():
+                    last = k
+            code = "".join(code_chars).strip()
+            if not code or re.search(
+                r"\bNULLS\s+(FIRST|LAST)$", code, re.IGNORECASE
             ):
-                items.append(s)
+                out_parts.append(it)
             else:
-                items.append(s + " NULLS LAST")
-        # preserve one trailing space if the span had one (clause glue)
-        tail_ws = " " if span != span.rstrip() else ""
-        rep = " " + ", ".join(items) + tail_ws
+                out_parts.append(
+                    it[: last + 1] + " NULLS LAST" + it[last + 1 :]
+                )
+        rep = ",".join(out_parts)
         sql = sql[:istart] + rep + sql[end:]
         pos = istart + len(rep)
 
@@ -6102,10 +6184,37 @@ def _rewrite_misc_fns(sql: str) -> str:
                 "left) are likewise not bridged"
             )
         a, n_, ext = args
-        rep = (
-            f"transform(sequence(1, CAST({n_} AS INT)), __i -> "
-            f"if(__i <= size({a}), element_at({a}, __i), {ext}))"
+        # ADVICE r12: sequence(1, 0) is the DESCENDING [1, 0] in Spark,
+        # so size 0 evaluated element_at(a, 0) and raised at runtime —
+        # CH returns []. Literal sizes resolve statically (negative =
+        # CH's resize-from-the-left, documented reject); non-literal
+        # sizes get a runtime guard — slice(a, 1, 0) is the typed empty
+        # array, raise_error fires for negatives.
+        nlit = re.fullmatch(r"[+-]?\d+", n_)
+        if nlit and int(n_) < 0:
+            raise ChSqlError(
+                "arrayResize with a negative size (resize from the "
+                "left) is not bridged"
+            )
+        body = (
+            f"transform(sequence(1, greatest(CAST({n_} AS INT), 1)), "
+            f"__i -> if(__i <= size({a}), element_at({a}, __i), {ext}))"
         )
+        if nlit and int(n_) == 0:
+            rep = f"slice({a}, 1, 0)"
+        elif nlit:
+            rep = (
+                f"transform(sequence(1, CAST({n_} AS INT)), __i -> "
+                f"if(__i <= size({a}), element_at({a}, __i), {ext}))"
+            )
+        else:
+            rep = (
+                f"CASE WHEN CAST({n_} AS INT) < 0 THEN "
+                f"raise_error('arrayResize: negative size (resize from "
+                f"the left) is not bridged') "
+                f"WHEN CAST({n_} AS INT) = 0 THEN slice({a}, 1, 0) "
+                f"ELSE {body} END"
+            )
         sql = sql[: m.start()] + rep + sql[c + 1 :]
     # toInterval* constructors -> make_interval/make_dt_interval
     for name, tpl in _TO_INTERVAL.items():
@@ -6268,11 +6377,63 @@ _QPARAM_NUM = re.compile(
 )
 
 
+#: strict value shapes for Date/DateTime params — validated, never
+#: "sanitized" by quote-stripping (ADVICE r12: stripping quotes is not
+#: an escape; validation is)
+_QPARAM_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_QPARAM_DATETIME = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d{1,9})?)?$"
+)
+
+
 def _render_param(name: str, chtype: str, value) -> str:
-    """One bound query parameter -> a safely-quoted Spark literal."""
+    """One bound query parameter -> a safely-quoted Spark literal.
+
+    ADVICE r12 hardening — this is the ONE surface meant to carry
+    untrusted values safely, so:
+
+    - String arm doubles BACKSLASHES before doubling quotes (Spark's
+      default lexer treats ``\\`` as an escape, so a value ending in a
+      backslash previously escaped the closing quote — injection);
+    - integer CH types render via ``int`` (no float roundtrip — Int64
+      above 2**53 was silently corrupted), rejecting non-integral
+      values loudly;
+    - Date/DateTime values must MATCH a strict datetime shape (quote
+      stripping was not an escape mechanism)."""
     t = chtype.strip()
     tl = t.lower()
     if _QPARAM_NUM.match(t):
+        if tl.startswith(("int", "uint")):
+            if isinstance(value, bool):
+                return str(int(value))
+            if isinstance(value, int):
+                return str(value)
+            try:
+                return str(int(str(value).strip()))
+            except ValueError:
+                pass
+            try:
+                fnum = float(value)
+            except (TypeError, ValueError):
+                raise ChSqlError(
+                    f"query parameter {{{name}:{chtype}}}: value "
+                    f"{value!r} is not numeric"
+                ) from None
+            if fnum != int(fnum) or abs(fnum) > 2**53:
+                raise ChSqlError(
+                    f"query parameter {{{name}:{chtype}}}: value "
+                    f"{value!r} is not losslessly integral for an "
+                    "integer ClickHouse type"
+                )
+            return str(int(fnum))
+        if tl.startswith("decimal"):
+            s = str(value).strip()
+            if not re.match(r"^[+-]?\d+(\.\d+)?$", s):
+                raise ChSqlError(
+                    f"query parameter {{{name}:{chtype}}}: value "
+                    f"{value!r} is not a decimal literal"
+                )
+            return s
         try:
             num = float(value)
         except (TypeError, ValueError):
@@ -6280,14 +6441,26 @@ def _render_param(name: str, chtype: str, value) -> str:
                 f"query parameter {{{name}:{chtype}}}: value {value!r} "
                 "is not numeric"
             ) from None
-        return str(int(num)) if num == int(num) and "float" not in tl else repr(num)
+        return repr(num)
     if tl.startswith(("string", "fixedstring", "uuid", "enum")):
-        s = str(value).replace("'", "''")
+        s = str(value).replace("\\", "\\\\").replace("'", "''")
         return f"'{s}'"
     if tl.startswith("datetime"):
-        return f"TIMESTAMP '{str(value).replace(chr(39), '')}'"
+        s = str(value).strip()
+        if not _QPARAM_DATETIME.match(s):
+            raise ChSqlError(
+                f"query parameter {{{name}:{chtype}}}: value {value!r} "
+                "is not a 'YYYY-MM-DD[ hh:mm:ss[.f]]' datetime"
+            )
+        return f"TIMESTAMP '{s}'"
     if tl.startswith("date"):
-        return f"DATE '{str(value).replace(chr(39), '')}'"
+        s = str(value).strip()
+        if not _QPARAM_DATE.match(s):
+            raise ChSqlError(
+                f"query parameter {{{name}:{chtype}}}: value {value!r} "
+                "is not a 'YYYY-MM-DD' date"
+            )
+        return f"DATE '{s}'"
     if tl.startswith("bool"):
         return "true" if value in (True, 1, "1", "true", "True") else "false"
     raise ChSqlError(
@@ -6358,7 +6531,14 @@ def _check_insert_statement(sql: str) -> None:
     if not ms:
         return  # VALUES / TABLE: Spark's arity check is already loud
     body = after[ms.end() :]
-    stops = _top_level_matches(body, r"\bFROM\b")
+    # truncate at the first top-level clause/set-operator keyword, not
+    # just FROM (ADVICE r12: a FROM-less `SELECT 1, 2 UNION ALL SELECT
+    # 3, 4` counted both branches' lists and falsely rejected)
+    stops = _top_level_matches(
+        body,
+        r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|UNION|EXCEPT|"
+        r"INTERSECT|SETTINGS|FORMAT|WINDOW|QUALIFY)\b",
+    )
     seg = body[: stops[0].start()] if stops else body
     if _first_match(seg, r"\*"):
         return

@@ -5150,3 +5150,146 @@ class TestRound12GrammarWave5c:
         assert r.enc == "a&lt;b&amp;c"
         assert r.dec == "x<y&z !"
         assert (r.iv, r.tv) == (1, "ok")
+
+
+class TestAdviceR12Fixes:
+    """Round 13: the five ADVICE r12 findings, pinned with executed
+    semantics where the bug was a silent value divergence."""
+
+    def test_order_by_nulls_line_comment(self, spark):
+        """A `--` comment on the last ORDER BY item previously had the
+        newline collapsed, so the comment swallowed NULLS LAST AND the
+        following LIMIT clause — silently wrong rows."""
+        got = rw("SELECT v FROM t ORDER BY v -- sort key\nLIMIT 5")
+        assert got == "SELECT v FROM t ORDER BY v NULLS LAST -- sort key\nLIMIT 5"
+        # executed: NULL sorts last, LIMIT applies
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        spark.createDataFrame(
+            [Row(v=3), Row(v=None), Row(v=1), Row(v=2)]
+        ).createOrReplaceTempView("adv12_ob_t")
+        rows = ch_sql(
+            spark,
+            "SELECT v FROM adv12_ob_t ORDER BY v -- sort key\nLIMIT 3",
+        ).collect()
+        assert [r.v for r in rows] == [1, 2, 3]  # was [None, 1, 2] pre-r12
+
+    def test_order_by_nulls_block_comment_stop_keyword(self):
+        """A stop keyword INSIDE a /* */ comment previously ended the
+        span mid-comment, so items silently got no NULLS LAST."""
+        got = rw("SELECT v FROM t ORDER BY v /* limit */, w")
+        assert got == (
+            "SELECT v FROM t ORDER BY v NULLS LAST /* limit */, "
+            "w NULLS LAST"
+        )
+        # already-decorated item behind a trailing comment stays as-is
+        got2 = rw("SELECT v FROM t ORDER BY v NULLS FIRST -- c\n, w")
+        assert "v NULLS FIRST" in got2 and "FIRST NULLS" not in got2
+        assert "w NULLS LAST" in got2
+
+    def test_param_backslash_injection_closed(self, spark):
+        """String params ending in a backslash previously rendered
+        'evil\\' — the \\' escaped the closing quote under Spark's
+        lexer, letting the rest of the value break out of the literal
+        (SQL injection through the one safe binding surface)."""
+        payload = "evil\\' OR 1=1 --"
+        got = rw("SELECT {s:String} AS s", params={"s": payload})
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(spark, "SELECT {s:String} AS s", params={"s": payload}).first()
+        assert r.s == payload  # value roundtrips as DATA, not SQL
+        r2 = ch_sql(
+            spark, "SELECT {s:String} AS s", params={"s": "a\\"}
+        ).first()
+        assert r2.s == "a\\"
+        # Date/DateTime arms validate instead of stripping quotes
+        for t, bad in (
+            ("Date", "2024-01-01' OR '1'='1"),
+            ("DateTime", "2024-01-01 00:00:00' OR '1"),
+            ("Date", "not-a-date"),
+        ):
+            with pytest.raises(ChSqlError):
+                rw(f"SELECT {{d:{t}}} AS d", params={"d": bad})
+        # valid shapes still bind
+        assert "DATE '2024-01-02'" in rw(
+            "SELECT {d:Date} AS d", params={"d": "2024-01-02"}
+        )
+        assert "TIMESTAMP '2024-01-02 03:04:05'" in rw(
+            "SELECT {d:DateTime} AS d", params={"d": "2024-01-02 03:04:05"}
+        )
+
+    def test_param_int64_precision(self):
+        """Int64/UInt64 params above 2**53 previously roundtripped
+        through float() — a silent off-by-one."""
+        assert rw(
+            "SELECT {x:Int64} AS x", params={"x": 9007199254740993}
+        ) == "SELECT 9007199254740993 AS x"
+        assert rw(
+            "SELECT {x:UInt64} AS x", params={"x": 18446744073709551615}
+        ) == "SELECT 18446744073709551615 AS x"
+        assert rw(
+            "SELECT {x:Int64} AS x", params={"x": "9007199254740995"}
+        ) == "SELECT 9007199254740995 AS x"
+        # non-integral value for an integer type: loud, not truncated
+        with pytest.raises(ChSqlError):
+            rw("SELECT {x:Int64} AS x", params={"x": 3.5})
+        # float params keep the float rendering
+        assert rw(
+            "SELECT {x:Float64} AS x", params={"x": 3.0}
+        ) == "SELECT 3.0 AS x"
+
+    def test_insert_select_setop_arity(self):
+        """FROM-less set operations previously counted BOTH branches'
+        SELECT lists and falsely rejected valid SQL."""
+        out = rw("INSERT INTO t (a, b) SELECT 1, 2 UNION ALL SELECT 3, 4")
+        assert "UNION ALL" in out
+        out2 = rw(
+            "INSERT INTO t (a, b) SELECT 1, 2 WHERE 1 = 1"
+        )
+        assert "WHERE" in out2
+        # the real-mismatch reject still fires
+        with pytest.raises(ChSqlError, match="arity"):
+            rw("INSERT INTO t (a, b, c) SELECT 1, 2")
+        with pytest.raises(ChSqlError, match="arity"):
+            rw("INSERT INTO t (a) SELECT 1, 2 UNION ALL SELECT 3, 4")
+
+    def test_array_resize_zero_and_negative(self, spark):
+        """arrayResize(a, 0, ext) previously emitted sequence(1, 0) —
+        Spark's DESCENDING [1, 0] — so element_at(a, 0) raised at
+        runtime where CH returns []."""
+        assert "slice(" in rw("SELECT arrayResize(array(1,2,3), 0, 99) AS r")
+        with pytest.raises(ChSqlError, match="negative"):
+            rw("SELECT arrayResize(array(1,2,3), -2, 99) AS r")
+        from mb8600_clickhouse_spark.functions.chsql import ch_sql
+
+        r = ch_sql(
+            spark, "SELECT arrayResize(array(1,2,3), 0, 99) AS r"
+        ).first()
+        assert r.r == []
+        r5 = ch_sql(
+            spark, "SELECT arrayResize(array(1,2,3), 5, 99) AS r"
+        ).first()
+        assert r5.r == [1, 2, 3, 99, 99]
+        # non-literal size: runtime guard — 0 yields [], positive fills
+        spark.createDataFrame(
+            [Row(n=0), Row(n=2), Row(n=4)]
+        ).createOrReplaceTempView("adv12_ar_t")
+        rows = ch_sql(
+            spark,
+            "SELECT n, arrayResize(array(7,8), n, 0) AS r "
+            "FROM adv12_ar_t ORDER BY n",
+        ).collect()
+        assert [r.r for r in rows] == [[], [7, 8], [7, 8, 0, 0]]
+        # runtime negative raises loudly (raise_error), not silently []
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        spark.createDataFrame([Row(n=-1)]).createOrReplaceTempView(
+            "adv12_ar_neg"
+        )
+        with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+            ch_sql(
+                spark,
+                "SELECT arrayResize(array(7,8), n, 0) AS r "
+                "FROM adv12_ar_neg",
+            ).collect()
