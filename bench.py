@@ -204,26 +204,34 @@ def main() -> None:
         if n not in floor_class and t < ORACLE_FLOOR_S:
             floor_class[n] = "sub_floor"
 
-    # Warm re-measurement of every data-proportional row whose
-    # single-shot ratio exceeds 2x: the single-shot number is
-    # compile-dominated for sub-second oracles (plan build + codegen is
-    # 0.5-9 s once, amortized to ~0 in steady state), so the artifact
-    # records BOTH — the driver bills single-shot, the 2x-of-oracle
-    # BASELINE target is judged warm (min-of-3, judge methodology).
+    # FULL-REGISTRY warm map (VERDICT r12 #3 — the selective form
+    # re-measured only the >2x single-shot rows, which hid warm walls
+    # like q54's r09 regression): every data-proportional row gets ONE
+    # warm rep (the single-shot above already compiled the plan, so
+    # rep 2 is steady-state) against the recorded oracle time; any row
+    # landing >2x on that fast pass is refined with min-of-3 Spark AND
+    # min-of-3 oracle (the judge methodology) before being committed
+    # over the bar. Budget: one extra pass over the registry (~60-150 s
+    # at sf0.1) + 3x reps only for the shortlist.
     ratio_warm: dict[str, float] = {}
     if oracle_times and os.environ.get("SPARK_GRAFT_WARM", "1") != "0":
-        recheck = [
-            n
-            for n in oracle_times
-            if n not in floor_class
-            and oracle_times[n] > 0
-            and per_query[n] / oracle_times[n] > 2
-        ]
-        for name in sorted(recheck):
+        for name in sorted(oracle_times):
+            if name in floor_class or oracle_times[name] <= 0:
+                continue
             spark.sparkContext._jvm.System.gc()
+            w = _timed(lambda: run_to_completion(specs[name].fn(spark, sf_dir)))
+            if w / oracle_times[name] <= 2:
+                ratio_warm[name] = round(w / oracle_times[name], 2)
+                print(f"# warm {name}: spark {w:.3f}s", file=sys.stderr)
+                continue
             best_s = min(
-                _timed(lambda: run_to_completion(specs[name].fn(spark, sf_dir)))
-                for _ in range(3)
+                [w]
+                + [
+                    _timed(
+                        lambda: run_to_completion(specs[name].fn(spark, sf_dir))
+                    )
+                    for _ in range(2)
+                ]
             )
             sql = specs[name].oracle_for(sf_dir)
             best_o = min(

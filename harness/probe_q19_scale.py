@@ -21,9 +21,12 @@ Method (the probe_q164_scale discipline, applied to a join):
    - full q19: adds the two broadcast probes (dim build is 150k rows
      at every R — its cost is part of the FLOOR, not the slope).
 
-Usage: python -m harness.probe_q19_scale [sf_dir] [R1 R2]
+Usage: python -m harness.probe_q19_scale [sf_dir] [R1 R2 [R3 ...]]
 Prints a markdown table and merges a "q19_decomposition" record into
-PROBE_SCALE.json.
+PROBE_SCALE.json. Round 13 (VERDICT r12 #2): any number of scale
+points; pairwise marginals between adjacent points show whether the
+data-proportional ratio holds flat as R grows — the decomposition
+(scan floor / limb-sum-no-joins) runs at the LARGEST R.
 """
 
 from __future__ import annotations
@@ -67,17 +70,19 @@ def _noop(df) -> None:
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = next((a for a in args if "/" in a), "/root/testdata/sf0.1")
-    reps = [int(a) for a in args if "/" not in a] or [16, 64]
-    r1, r2 = reps[0], reps[-1]
+    reps = sorted({int(a) for a in args if "/" not in a}) or [16, 64]
 
     spark = get_spark("probe-q19")
     spark.sparkContext.setLogLevel("ERROR")
     spec = all_queries()["q19_multi_join_revenue"]
 
-    rec: dict = {"r1": r1, "r2": r2, "sf_dir": sf_dir}
+    rec: dict = {"sf_dir": sf_dir, "reps": reps}
+    for k, r in enumerate(reps, 1):
+        rec[f"r{k}"] = r
     print("| probe | spark | oracle | ratio |")
     print("|---|---|---|---|")
-    for tag, r in (("r1", r1), ("r2", r2)):
+    last = f"r{len(reps)}"
+    for tag, r in ((f"r{k}", r) for k, r in enumerate(reps, 1)):
         tmp_root = tempfile.mkdtemp(prefix=f"q19probe_{r}x_")
         tmp = os.path.join(
             tmp_root, os.path.basename(os.path.normpath(sf_dir))
@@ -107,7 +112,7 @@ def main() -> int:
                 f"| {t_s:.2f}s | {t_o:.2f}s | {t_s / t_o:.1f}x |"
             )
 
-            if tag == "r2":
+            if tag == last:
                 from mb8600_clickhouse_spark.queries.relational import (
                     dsum4,
                 )
@@ -117,7 +122,7 @@ def main() -> int:
                 li = load_tables(spark, tmp)["lineitem"]
                 floor_df = li.select("l_orderkey").groupBy().count()
                 _noop(floor_df)
-                rec["r2_scan_floor_s"] = round(
+                rec[f"{last}_scan_floor_s"] = round(
                     _min3(lambda: _noop(floor_df)), 3
                 )
                 ss = li.groupBy("l_returnflag").agg(
@@ -132,11 +137,11 @@ def main() -> int:
                 t_sso = _min3(
                     lambda: con.execute(SCAN_SUM_ORACLE).fetchall()
                 )
-                rec["r2_scan_sum_spark_s"] = round(t_ss, 3)
-                rec["r2_scan_sum_oracle_s"] = round(t_sso, 3)
+                rec[f"{last}_scan_sum_spark_s"] = round(t_ss, 3)
+                rec[f"{last}_scan_sum_oracle_s"] = round(t_sso, 3)
                 print(
                     f"| scan floor (1-col count) x{r} "
-                    f"| {rec['r2_scan_floor_s']:.2f}s | - | - |"
+                    f"| {rec[f'{last}_scan_floor_s']:.2f}s | - | - |"
                 )
                 print(
                     f"| scan + limb dsum4, no joins x{r} "
@@ -146,18 +151,24 @@ def main() -> int:
         finally:
             shutil.rmtree(tmp_root, ignore_errors=True)
 
-    d_s = rec["r2_spark_s"] - rec["r1_spark_s"]
-    d_o = rec["r2_oracle_s"] - rec["r1_oracle_s"]
-    rec["marginal_ratio"] = round(d_s / d_o, 2) if d_o > 0 else None
+    marginals = {}
+    for k in range(1, len(reps)):
+        a, b = f"r{k}", f"r{k + 1}"
+        d_s = rec[f"{b}_spark_s"] - rec[f"{a}_spark_s"]
+        d_o = rec[f"{b}_oracle_s"] - rec[f"{a}_oracle_s"]
+        mr = round(d_s / d_o, 2) if d_o > 0 else None
+        marginals[f"{reps[k - 1]}x->{reps[k]}x"] = mr
+        print(
+            f"| MARGINAL (slope {reps[k - 1]}x->{reps[k]}x) "
+            f"| {d_s:.2f}s | {d_o:.2f}s | {mr}x |"
+        )
+    rec["marginal_ratios"] = marginals
+    rec["marginal_ratio"] = list(marginals.values())[-1]
     rec["note"] = (
         "marginal_ratio = data-proportional spark/oracle cost with both "
         "fixed floors subtracted (the slope between R1 and R2) — the "
         "number that survives scale-up; the per-R 'FULL' ratios include "
         "Spark's fixed local-mode job cost, which amortizes at scale"
-    )
-    print(
-        f"| MARGINAL (slope {r1}x->{r2}x) | {d_s:.2f}s | {d_o:.2f}s "
-        f"| {rec['marginal_ratio']}x |"
     )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -151,11 +151,39 @@ def main() -> int:
     tmp_root = tempfile.mkdtemp(prefix="probe_scale_")
     # the scaled dir keeps the SOURCE sf basename: oracle templates
     # resolve their docsis fixture by dir basename (datagen
-    # .docsis_path_for), and the probe's fact scaling doesn't touch it
-    tmp = os.path.join(tmp_root, os.path.basename(os.path.normpath(sf_dir)))
+    # .docsis_path_for), and the probe's fact scaling doesn't touch it.
+    # Round 13: a ``docsis=R`` multiplier DOES scale it — the dir gets
+    # a synthetic basename and a replicated docsis fixture (modem_name
+    # remapped per replica so group keys stay distinct) is pre-built
+    # under repo data/<basename>/, which BOTH docsis_path_for callers
+    # (spec.fn and spec.oracle_for) then resolve; removed afterwards.
+    src_base = os.path.basename(os.path.normpath(sf_dir))
+    d_r = mult.get("docsis", 1)
+    base = f"{src_base}-dx{d_r}" if d_r > 1 else src_base
+    tmp = os.path.join(tmp_root, base)
     os.makedirs(tmp, exist_ok=True)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docsis_dir = os.path.join(repo_root, "data", base)
     try:
         rows = build_scaled_dir(sf_dir, mult, tmp)
+        if d_r > 1:
+            from mb8600_clickhouse_spark.datagen import docsis_path_for
+
+            src_docsis = docsis_path_for(sf_dir)
+            os.makedirs(docsis_dir, exist_ok=True)
+            dcon = duckdb.connect()
+            dcon.execute("SET threads TO 32")
+            dcon.execute(
+                f"COPY (SELECT * EXCLUDE (rep) REPLACE (modem_name || '_r' "
+                f"|| CAST(rep AS VARCHAR) AS modem_name) "
+                f"FROM read_parquet('{src_docsis}') "
+                f"CROSS JOIN (SELECT unnest(range({d_r})) AS rep)) "
+                f"TO '{docsis_dir}/docsis.parquet' (FORMAT PARQUET)"
+            )
+            rows["docsis"] = dcon.execute(
+                f"SELECT count(*) FROM read_parquet('{docsis_dir}/docsis.parquet')"
+            ).fetchone()[0]
+            dcon.close()
         print("scaled rows:", {t: f"{n:,}" for t, n in rows.items() if mult.get(t, 1) > 1})
 
         spark = get_spark("probe-scale")
@@ -311,6 +339,8 @@ def main() -> int:
         return 0
     finally:
         shutil.rmtree(tmp_root, ignore_errors=True)
+        if d_r > 1:
+            shutil.rmtree(docsis_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -347,8 +347,15 @@ def with_repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
       the explode form was 1.03 s — and at 100 TB the removed
       exchanges are the whole token stream). zip_with (not
       transform+element_at) builds the bigrams: measured 20% cheaper
-      per element. String bigrams beat struct bigrams in the sort
-      (binary compare vs per-field; struct form measured 60% slower).
+      per element. Round 13 (VERDICT r12 #1 — the q98 lever): the
+      bigram KEY is ``xxhash64(a, b)`` — an 8-byte bigint — instead of
+      the concatenated string. No string materialization per bigram,
+      and the sort + equal-run fold compare 8-byte ints instead of
+      variable-length UTF8 (the q107 16-byte-fingerprint rule applied
+      per-row). A within-document 64-bit collision would merge two
+      distinct bigrams' runs; for a doc of n bigrams that is ~n²/2⁶⁵ —
+      zero in any real corpus (a 1M-token document: ~5e-8) and the
+      statistic only cares about the argmax run.
 
     Returns (id_col, dup_word_frac, top_bigram_frac) — narrow, zero
     shuffle; join back to the corpus on ``id_col``. Documents with
@@ -369,15 +376,15 @@ def with_repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
     bgs = F.zip_with(
         F.slice("t", 1, n_bg),
         F.slice("t", 2, n_bg),
-        lambda a, b: F.concat_ws(" ", a, b),
+        lambda a, b: F.xxhash64(a, b),
     )
     d = d.select(F.col(id_col), dup.alias("dup_word_frac"), F.array_sort(bgs).alias("srt"))
     n = F.size("srt")
-    # one-pass longest-equal-run fold over the sorted bigrams; the
-    # null-prev initial state never equals a bigram, so the first
+    # one-pass longest-equal-run fold over the sorted bigram hashes;
+    # the null-prev initial state never equals a hash, so the first
     # element always starts a run of 1
     state0 = F.struct(
-        F.lit(None).cast("string").alias("p"),
+        F.lit(None).cast("bigint").alias("p"),
         F.lit(0).alias("c"),
         F.lit(0).alias("b"),
     )
@@ -700,30 +707,36 @@ def gopher_rules(
     # materialize words/lines/raw ONCE: the split chains are the
     # expensive subexpressions, and higher-order-function lambdas block
     # Catalyst's codegen CSE — without this projection each consumer
-    # re-ran the regexp+split (measured 0.84 -> 0.36 s at sf0.1)
+    # re-ran the regexp+split (measured 0.84 -> 0.36 s at sf0.1).
+    # Round 13 (VERDICT r12 #1, the q141 lever — A/B/C measured at
+    # 20x docs, idle box): keep the replace-normalized STRING alongside
+    # its split, then total word chars is ALGEBRAIC — length(norm) -
+    # (n_words - 1) single-space separators — replacing the per-word
+    # aggregate fold (variant A 5.3-5.7 s, this form 3.4-4.0 s; a
+    # regex-split + translate(char-count) variant measured 4.3-4.4 s —
+    # the one regexp_replace + cheap char-split beats a \\s+ regex
+    # split plus a second full-text translate pass).
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     df = df.select(
         F.col(id_col),
         F.col(text_col).alias("__g_raw"),
         F.split(F.col(text_col), "\n").alias("__g_lines"),
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-            " ",
-        ).alias("__g_words"),
+        norm.alias("__g_norm"),
+        F.split(norm, " ").alias("__g_words"),
     )
     lines = F.col("__g_lines")
     words = F.col("__g_words")
     n_words = F.size(words).cast("bigint")
-    n_word_chars = F.aggregate(
-        words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
-    )
+    n_word_chars = (
+        F.length("__g_norm") - (F.size(words) - 1)
+    ).cast("bigint")
     n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast(
         "bigint"
     )
+    # distinct stopwords present: one hash-set intersection instead of
+    # 8 full array_contains scans of the word array (round 13)
     n_stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(words, s),
-        )
+        F.array_intersect(words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
     ).cast("bigint")
     raw = F.col("__g_raw")
     n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
