@@ -214,6 +214,16 @@ def main() -> None:
     # over the bar. Budget: one extra pass over the registry (~60-150 s
     # at sf0.1) + 3x reps only for the shortlist.
     ratio_warm: dict[str, float] = {}
+    # Floor-at-warm reclassification (round 13 measurement fix): the
+    # single-shot oracle time includes DuckDB's cold parquet read, so a
+    # row can clear ORACLE_FLOOR_S cold yet fall under it warm (measured
+    # q08: oracle 0.187 s single-shot -> 0.053 s min-of-3). Committing
+    # best_s/best_o for such a row compares Spark's fixed per-query
+    # overhead against ~0 — the exact comparison the sub_floor class
+    # exists to key out. Refined rows whose WARM oracle is under the
+    # floor are reclassified "sub_floor_warm"; their measured ratios are
+    # kept in ratio_warm_subfloor so no number is dropped.
+    ratio_warm_subfloor: dict[str, float] = {}
     if oracle_times and os.environ.get("SPARK_GRAFT_WARM", "1") != "0":
         for name in sorted(oracle_times):
             if name in floor_class or oracle_times[name] <= 0:
@@ -238,7 +248,11 @@ def main() -> None:
                 _timed(lambda: con.execute(sql).fetchall()) for _ in range(3)
             )
             if best_o > 0:
-                ratio_warm[name] = round(best_s / best_o, 2)
+                if best_o < ORACLE_FLOOR_S:
+                    floor_class[name] = "sub_floor_warm"
+                    ratio_warm_subfloor[name] = round(best_s / best_o, 2)
+                else:
+                    ratio_warm[name] = round(best_s / best_o, 2)
             print(
                 f"# warm {name}: spark {best_s:.3f}s oracle {best_o:.3f}s",
                 file=sys.stderr,
@@ -325,6 +339,7 @@ def main() -> None:
                 },
                 "ratio_data_proportional": ratio_dp,
                 "ratio_data_proportional_warm": ratio_warm,
+                "ratio_warm_subfloor": ratio_warm_subfloor,
                 "ratio_warm_pass2_contended": ratio_warm_pass2,
                 "ratio_floor": ratio_floor,
                 "floor_class": floor_class,

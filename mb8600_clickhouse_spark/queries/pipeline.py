@@ -1290,9 +1290,11 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates with state BOUNDED by the watermark delay — unlike a
     plain streaming ``dropDuplicates``, whose key state grows without
     bound for the life of the query. The deduped stream drains via
-    availableNow into a memory sink; per-type aggregates over the sink
-    hash-match plain SQL over the ORIGINAL (undoubled) fixture — the
-    dedup provably restored the exactly-once set.
+    availableNow into a parquet file sink (executor-parallel — round 13
+    replaced the memory sink, whose batches collect to the driver);
+    per-type aggregates over the landed files hash-match plain SQL over
+    the ORIGINAL (undoubled) fixture — the dedup provably restored the
+    exactly-once set.
 
     Determinism: duplicates ride in the SAME commit → same micro-batch,
     so the watermark can never expire a key between a row and its
@@ -1322,10 +1324,18 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("ts", "10 minutes")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
-        name = "q101_deduped"
+        # file sink, not memory sink (round 13): the deduped stream is
+        # ~1M rows at sf0.1 — a memory sink collects every batch to the
+        # DRIVER (guide §5: the driver should do no data work) and the
+        # verification rollup then aggregates a driver-local table
+        # single-threaded (measured 2.2 s of the q101 total; the whole
+        # memory-sink drain+agg path 10.1 s vs 6.9 s with the file
+        # sink). The parquet sink keeps batches executor-parallel and
+        # the rollup is a parallel scan; at 100 TB a memory sink here
+        # would be an OOM, so the file sink is also the honest shape.
         q = (
-            s.writeStream.format("memory")
-            .queryName(name)
+            s.writeStream.format("parquet")
+            .option("path", f"{root}/out")
             .outputMode("append")
             .trigger(availableNow=True)
             .option("checkpointLocation", f"{root}/ck")
@@ -1335,7 +1345,7 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("q101 availableNow stream did not finish in 180s")
         out = (
-            spark.table(name)
+            spark.read.schema(s.schema).parquet(f"{root}/out")
             .groupBy("event_type")
             .agg(
                 F.count("*").alias("n_events"),
@@ -1614,8 +1624,10 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is the only exchange.
 
     The DRAIN is memoized per (session, sf_dir): the stream's curated
-    output lands once in the memory sink, and repeat invocations
-    re-execute only the verification rollup over it (r06 verdict's
+    output lands once in the parquet file sink (executor-parallel —
+    round 13 replaced the memory sink, whose batches collect to the
+    driver), and repeat invocations re-execute only the verification
+    rollup over it (r06 verdict's
     "drain once and verify aggregates twice" — stream/checkpoint
     startup is session setup, not per-query work; the fixture and the
     availableNow drain are deterministic, so re-draining can only
@@ -1636,7 +1648,7 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (id(spark), sf_dir)
     hit = _Q116_DRAINED.get(memo_key)
     if hit is not None and hit[0] is spark:
-        return _q116_rollup(spark, name)
+        return _q116_rollup(spark, hit[1])
 
     manifest_datasource.register(spark)
     _cleanup_tmp("q116_cur_")
@@ -1686,8 +1698,13 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") >= 5)
         .select("doc_id", "lang", "n_pii", "n_tokens")
     )
+    # file sink, not memory sink (round 13, the q101 finding): a memory
+    # sink collects every curated batch to the DRIVER and the rollup
+    # then scans a driver-local table; the parquet sink keeps the landed
+    # rows executor-parallel — also the only shape that survives 100 TB.
     q = (
-        s.writeStream.format("memory")
+        s.writeStream.format("parquet")
+        .option("path", f"{root}/out")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
@@ -1697,8 +1714,8 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(180):
         q.stop()
         raise TimeoutError("q116 availableNow stream did not finish in 180s")
-    _Q116_DRAINED[memo_key] = (spark, name)
-    return _q116_rollup(spark, name)
+    _Q116_DRAINED[memo_key] = (spark, f"{root}/out")
+    return _q116_rollup(spark, f"{root}/out")
 
 
 #: (session id, sf_dir) -> (session, memory-sink table name) for q116's
@@ -1727,11 +1744,11 @@ def _memo_streaming(name: str, spark: SparkSession, sf_dir: str, build):
     return spark.createDataFrame(rows, schema)
 
 
-def _q116_rollup(spark: SparkSession, name: str) -> DataFrame:
-    """q116's verification rollup over the drained memory sink —
+def _q116_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """q116's verification rollup over the drained file sink —
     re-executed on every invocation (eager: the q70 rule)."""
     out = (
-        spark.table(name)
+        spark.read.parquet(out_dir)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
