@@ -239,6 +239,37 @@ class TestGopherRules:
         assert out["n_words"] == 50 and out["n_symbols"] == 5
         assert out["kept"]
 
+    def test_word_char_algebra_under_messy_whitespace(self, spark):
+        """Round-13 lever pin: n_word_chars = length(norm) - (n_words - 1)
+        must equal the per-word character sum even when the raw text
+        carries runs of spaces, tabs and newlines (the algebra only
+        holds over the \\s+-collapsed norm)."""
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.operators.text import gopher_rules
+
+        text = "The  cat\t\tsat\n\n  with   THAT  dog  "
+        out = gopher_rules(
+            spark.createDataFrame([Row(doc_id=1, text=text)]), min_words=1
+        ).collect()[0]
+        words = text.lower().split()
+        assert out["n_words"] == len(words) == 6
+        assert out["n_word_chars"] == sum(len(w) for w in words)
+
+    def test_stop_hits_count_distinct_stopwords(self, spark):
+        """Round-13 lever pin: n_stop_hits is the number of DISTINCT
+        required stopwords present (array_intersect), not occurrence
+        count — 'the the the and and' hits 2, not 5."""
+        from pyspark.sql import Row
+
+        from mb8600_clickhouse_spark.operators.text import gopher_rules
+
+        out = gopher_rules(
+            spark.createDataFrame([Row(doc_id=1, text="the the the and and")]),
+            min_words=1,
+        ).collect()[0]
+        assert out["n_stop_hits"] == 2
+
 
 class TestUrlNormalize:
     """text.url_normalize / url_host — RefinedWeb URL canonicalization

@@ -122,6 +122,22 @@ class TestRepetitionSignals:
         assert rows[2]["dup_word_frac"] == 0.0
         assert rows[3]["top_bigram_frac"] == 0.0  # <2 tokens -> no bigrams
 
+    def test_top_bigram_run_under_hash_keys(self, spark):
+        """Round-13 lever pin (xxhash64 bigram keys): the longest
+        equal-run fold over the HASH-sorted bigram array must count the
+        most frequent bigram regardless of where its key lands in hash
+        order — 'c d' occurs 3 times of 9 bigrams here, interleaved with
+        'a b'/'b a'/'b c'/'d c' occurrences."""
+        from mb8600_clickhouse_spark.operators.text import (
+            with_repetition_signals,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b c d c d c d")], "doc_id long, text string"
+        )
+        r = with_repetition_signals(df).collect()[0]
+        assert abs(r["top_bigram_frac"] - 3.0 / 9.0) < 1e-12
+
 
 class TestChunkTokens:
     """Sliding-window chunking (round 6)."""
