@@ -222,3 +222,68 @@ class TestPageRank:
                                 checkpoint_every=5).collect())
         )
         assert rd1 == rd5
+
+
+class TestLoopProfile:
+    """Round-14 CC loop sizing: per-round shuffles are sized to the edge
+    count (AQE off + few partitions for small graphs); the profile must
+    (a) never change the labels, (b) restore the session conf even when
+    the loop raises, (c) stay off under SPARK_GRAFT_MIMIC=1."""
+
+    EDGES = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (5, 6), (6, 7)]
+
+    def _run(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src: long, dst: long")
+        out = connected_components(df).collect()
+        return {r["node"]: r["component"] for r in out}
+
+    def test_labels_identical_profile_on_off(self, spark, monkeypatch):
+        # tiny graph -> profile ON (p=1) unless MIMIC disables it
+        monkeypatch.delenv("SPARK_GRAFT_MIMIC", raising=False)
+        with_profile = self._run(spark)
+        monkeypatch.setenv("SPARK_GRAFT_MIMIC", "1")
+        without = self._run(spark)
+        assert with_profile == without == _union_find(self.EDGES)
+
+    def test_conf_restored(self, spark, monkeypatch):
+        monkeypatch.delenv("SPARK_GRAFT_MIMIC", raising=False)
+        before = (
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        )
+        self._run(spark)
+        after = (
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        )
+        assert before == after
+
+    def test_conf_restored_on_nonconvergence(self, spark, monkeypatch):
+        monkeypatch.delenv("SPARK_GRAFT_MIMIC", raising=False)
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "src: long, dst: long"
+        )
+        before = (
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=1)
+        after = (
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        )
+        assert before == after
+
+    def test_large_graph_threshold_leaves_conf_alone(self, spark, monkeypatch):
+        # force p >= defaultParallelism: 1 edge/partition -> profile must
+        # decline to touch the conf (engine AQE path)
+        monkeypatch.delenv("SPARK_GRAFT_MIMIC", raising=False)
+        monkeypatch.setenv("SPARK_GRAFT_CC_EDGES_PER_PART", "1")
+        from mb8600_clickhouse_spark.operators.graph import _loop_profile
+
+        sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+        restore = _loop_profile(spark, n_edges=10**9)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == sp_before
+        restore()
+        assert self._run(spark) == _union_find(self.EDGES)
