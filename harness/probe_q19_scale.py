@@ -156,14 +156,28 @@ def main() -> int:
         a, b = f"r{k}", f"r{k + 1}"
         d_s = rec[f"{b}_spark_s"] - rec[f"{a}_spark_s"]
         d_o = rec[f"{b}_oracle_s"] - rec[f"{a}_oracle_s"]
-        mr = round(d_s / d_o, 2) if d_o > 0 else None
+        # non-monotonic guard (ADVICE r13): a NEGATIVE Spark delta means
+        # wall time DECREASED as the data grew — measurement noise at or
+        # below the fixed-cost floor, not a data-proportional slope.
+        # Record it as inconclusive rather than committing a negative
+        # number as "the ratio that survives scale-up".
+        if d_o <= 0 or d_s < 0:
+            mr = None
+        else:
+            mr = round(d_s / d_o, 2)
         marginals[f"{reps[k - 1]}x->{reps[k]}x"] = mr
         print(
             f"| MARGINAL (slope {reps[k - 1]}x->{reps[k]}x) "
-            f"| {d_s:.2f}s | {d_o:.2f}s | {mr}x |"
+            f"| {d_s:.2f}s | {d_o:.2f}s | "
+            f"{mr if mr is not None else 'inconclusive/noise'}x |"
         )
     rec["marginal_ratios"] = marginals
     rec["marginal_ratio"] = list(marginals.values())[-1]
+    if rec["marginal_ratio"] is None:
+        rec["marginal_ratio_note"] = (
+            "last slope non-monotonic (spark wall decreased as data "
+            "grew) — fixed-cost floor dominates; inconclusive, not 0x"
+        )
     rec["note"] = (
         "marginal_ratio = data-proportional spark/oracle cost with both "
         "fixed floors subtracted (the slope between R1 and R2) — the "

@@ -2765,6 +2765,13 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-invocation state, recomputed on every run — not a cross-run
     # cache). At 100 TB the checkpointed frame is one narrow row per
     # doc, the same bounded intermediate the window spelling buffers.
+    # Local-mode assumption, stated (ADVICE r13): localCheckpoint is
+    # non-reliable — in cluster mode executor loss would make the
+    # returned lazy plan unrecomputable, and the checkpoint blocks are
+    # freed by the ContextCleaner only when the frame is GC'd. A
+    # cluster deployment of this cut should persist()+count() (or
+    # reliable-checkpoint) the narrow frame instead; in the local bench
+    # the non-reliable form is strictly cheaper.
     per = s.select(
         F.col("id").alias("doc_id"), round4(F.col("avg_p")).alias("avg_p")
     ).localCheckpoint(eager=True)

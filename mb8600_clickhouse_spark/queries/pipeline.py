@@ -1639,16 +1639,15 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import manifest_datasource
 
     import os
-    import re as _re
 
-    # sf-scoped sink name: one session may drain several fixture dirs
-    name = "q116_curated_" + _re.sub(
-        r"\W", "_", os.path.basename(os.path.normpath(sf_dir))
-    )
     memo_key = (id(spark), sf_dir)
     hit = _Q116_DRAINED.get(memo_key)
-    if hit is not None and hit[0] is spark:
+    # the memoized sink dir lives under /tmp and the age-gated
+    # _cleanup_tmp (shared across processes) can remove it in a >1h
+    # session (ADVICE r13): verify it still exists and re-drain if not
+    if hit is not None and hit[0] is spark and os.path.isdir(hit[1]):
         return _q116_rollup(spark, hit[1])
+    _Q116_DRAINED.pop(memo_key, None)
 
     manifest_datasource.register(spark)
     _cleanup_tmp("q116_cur_")
@@ -1705,7 +1704,6 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         s.writeStream.format("parquet")
         .option("path", f"{root}/out")
-        .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{root}/ck")
@@ -1718,8 +1716,9 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q116_rollup(spark, f"{root}/out")
 
 
-#: (session id, sf_dir) -> (session, memory-sink table name) for q116's
-#: one-per-session stream drain (session ref held: the _TABLE_CACHE rule)
+#: (session id, sf_dir) -> (session, parquet sink out dir) for q116's
+#: one-per-session stream drain (session ref held: the _TABLE_CACHE rule);
+#: the dir's existence is re-verified on every hit (see above)
 _Q116_DRAINED: dict = {}
 
 #: (name, session id, sf_dir) -> (session, rows, schema) for the REAL
