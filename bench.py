@@ -140,34 +140,37 @@ def main() -> None:
     # 0 disables), SPARK_GRAFT_MIN2_BUDGET (seconds of rep-2 wall).
     MIN2_THRESHOLD_S = float(os.environ.get("SPARK_GRAFT_MIN2_THRESHOLD", "3.0"))
     MIN2_BUDGET_S = float(os.environ.get("SPARK_GRAFT_MIN2_BUDGET", "90"))
-    # Streaming queries whose fn() memoizes the drained result per
-    # (session, sf_dir) — the r06-endorsed "drain once, verify the
-    # rollup on re-invocation" contract. A second in-session rep of
-    # these bills the MEMO HIT, not a re-execution; min-of-2 would be
-    # result caching in the timed region, so they keep their first
-    # (and only honest) single-shot.
-    MIN2_EXCLUDE = {
-        "q73_stream_rollup",
-        "q84_stream_stream_join",
-        "q101_stream_dedup",
-        "q116_stream_curation",
-        "q157_stream_session_window",
-        "q188_stream_delta_sum",
-    }
+
+    def _purge_engine_memos() -> None:
+        """Drop every cross-invocation memo the engine keeps per
+        (session, sf_dir) — prepared plans (whose lazy localCheckpoints
+        would otherwise serve rep 2 from checkpointed blocks), trained
+        ANN artifacts, and the streaming drain results — so a min-of-2
+        rep is a genuine full re-execution from the parquet inputs, not
+        a memo hit. Without this, rep 2 of q187 measured 0.33 s against
+        an 8.2 s rep 1 (checkpoint-block reuse) and rep 2 of the
+        streaming drains measured 0.3-0.7 s (memo hits): billing those
+        would be result caching in the timed region."""
+        from mb8600_clickhouse_spark.queries import _PLAN_CACHE
+        from mb8600_clickhouse_spark.queries import extended as _q_ext
+        from mb8600_clickhouse_spark.queries import pipeline as _q_pipe
+
+        _PLAN_CACHE.clear()
+        _q_ext._TRAIN_MEMO.clear()
+        _q_pipe._STREAM_RESULT_MEMO.clear()
+        _q_pipe._Q116_DRAINED.clear()
+
     per_query_rep1 = dict(per_query)
     min2_applied: list[str] = []
     if MIN2_THRESHOLD_S > 0:
         spent = 0.0
         for name in sorted(
-            (
-                n
-                for n, v in per_query.items()
-                if v > MIN2_THRESHOLD_S and n not in MIN2_EXCLUDE
-            ),
+            (n for n, v in per_query.items() if v > MIN2_THRESHOLD_S),
             key=lambda n: -per_query[n],
         ):
             if spent >= MIN2_BUDGET_S:
                 break
+            _purge_engine_memos()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             run_to_completion(specs[name].fn(spark, sf_dir))
